@@ -1,10 +1,12 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``queries()`` exposes one entry per implemented operator from SURVEY.md §2;
+``oracle_sql()`` gives the DuckDB-equivalent SQL evaluated over the same
+parquet tables. The esop-style relations (manifest_entries, manifests,
+remote_objects, local_files, topology, commitlogs, snapshot_schemas) are
+derived deterministically from the shared TPC-H parquet by
+``esop_spark.sources.fixtures`` with SQL text valid in BOTH dialects, so the
+two engines compute over identical inputs.
 """
 
 from __future__ import annotations
@@ -12,27 +14,256 @@ from __future__ import annotations
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from esop_spark.sources import fixtures as fx
+from esop_spark.operators import (
+    commitlog,
+    diff,
+    entities,
+    manifest,
+    retention,
+    snapshots,
+    topology,
+)
+
+# --- fixture parameters shared by Spark queries and oracle SQL --------------
+RETENTION_CUTOFF_MS = 1600000000000 + 7000 * 3600000
+CL_START_MS = 1704067200000 + 1000 * 60000
+CL_END_MS = 1704067200000 + 5000 * 60000
+ENTITY_EXPR = "ks0.t1,ks1.t3"
+RENAME_PAIRS = [("ks0", "t1", "ks9", "t9")]
+DIFF_BACKUP = "backup-1"
+UPLOAD_BACKUP = "backup-2"
+
+
+def _fixture(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    fx.register_fixture_views(spark, sf_dir)
+    return spark.table(name)
+
+
+# --- query implementations (Spark side) -------------------------------------
+
+def q01_list_backups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return manifest.list_backups(_fixture(spark, sf_dir, "manifest_entries"))
+
+
+def q02_removable_entries(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return manifest.removable_entries(
+        _fixture(spark, sf_dir, "manifest_entries"), DIFF_BACKUP
+    )
+
+
+def q03_upload_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    fx.register_fixture_views(spark, sf_dir)
+    return diff.upload_diff(
+        spark.table("manifest_entries"), spark.table("remote_objects"), UPLOAD_BACKUP
+    )
+
+
+def q04_restore_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    fx.register_fixture_views(spark, sf_dir)
+    manifest_files = (
+        spark.table("manifest_entries")
+        .filter(F.col("backup_name") == DIFF_BACKUP)
+        .select("object_key", "size", "hash")
+    )
+    return diff.restore_diff(manifest_files, spark.table("local_files"))
+
+
+def q05_latest_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return retention.latest_manifest_per_prefix(
+        _fixture(spark, sf_dir, "manifests")
+    ).select("backup_name", "snapshot", "schema_version", "ts")
+
+
+def q06_retention_older_than(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return retention.retention_older_than(
+        _fixture(spark, sf_dir, "manifests"), RETENTION_CUTOFF_MS
+    )
+
+
+def q07_commitlog_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return commitlog.commitlog_window(
+        _fixture(spark, sf_dir, "commitlogs"), CL_START_MS, CL_END_MS
+    )
+
+
+def q08_entity_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    filtered = entities.entity_filter(
+        _fixture(spark, sf_dir, "manifest_entries"), ENTITY_EXPR
+    )
+    return filtered.groupBy("keyspace", "table_name").agg(
+        F.count(F.lit(1)).cast("bigint").alias("files"),
+        F.sum("size").cast("bigint").alias("size_bytes"),
+    )
+
+
+def q09_rename_remap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    remapped = entities.rename_remap(
+        _fixture(spark, sf_dir, "manifest_entries"), RENAME_PAIRS
+    )
+    return remapped.groupBy("keyspace", "table_name").agg(
+        F.count(F.lit(1)).cast("bigint").alias("files")
+    )
+
+
+def q10_topology_dc_racks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return topology.dc_rack_counts(
+        _fixture(spark, sf_dir, "topology"), ["ASIA", "EUROPE"]
+    )
+
+
+def q11_snapshot_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _fixture(spark, sf_dir, "manifest_entries")
+    return snapshots.snapshot_merge(
+        e.filter(F.col("backup_name") == "backup-0"),
+        e.filter(F.col("backup_name") == "backup-1"),
+    )
+
+
+def q12_schema_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    s = _fixture(spark, sf_dir, "snapshot_schemas")
+    return snapshots.schema_diff(
+        s.filter(F.col("backup_name") == "backup-0"),
+        s.filter(F.col("backup_name") == "backup-3"),
+    )
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship query on /root/testdata/sf0.001: the backup-listing report."""
+    return q01_list_backups(spark, "/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    return {
+        "q01_list_backups": q01_list_backups,
+        "q02_removable_entries": q02_removable_entries,
+        "q03_upload_diff": q03_upload_diff,
+        "q04_restore_diff": q04_restore_diff,
+        "q05_latest_manifest": q05_latest_manifest,
+        "q06_retention_older_than": q06_retention_older_than,
+        "q07_commitlog_window": q07_commitlog_window,
+        "q08_entity_filter": q08_entity_filter,
+        "q09_rename_remap": q09_rename_remap,
+        "q10_topology_dc_racks": q10_topology_dc_racks,
+        "q11_snapshot_merge": q11_snapshot_merge,
+        "q12_schema_diff": q12_schema_diff,
+    }
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
 
+# --- DuckDB oracle ----------------------------------------------------------
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    W = fx.oracle_with_clause
+    return {
+        "q01_list_backups": W("manifest_entries") + """
+            , refcounts AS (
+                SELECT object_key, COUNT(DISTINCT backup_name) AS n_backups
+                FROM manifest_entries GROUP BY 1
+            )
+            SELECT e.backup_name, e.backup_ts,
+                   CAST(COUNT(*) AS BIGINT) AS files,
+                   CAST(SUM(e.size) AS BIGINT) AS size_bytes,
+                   CAST(SUM(CASE WHEN r.n_backups = 1 THEN e.size ELSE 0 END) AS BIGINT)
+                       AS reclaimable_bytes
+            FROM manifest_entries e JOIN refcounts r USING (object_key)
+            GROUP BY 1, 2
+        """,
+        "q02_removable_entries": W("manifest_entries") + f"""
+            SELECT object_key, size FROM (
+                SELECT DISTINCT object_key, size FROM manifest_entries
+                WHERE backup_name = '{DIFF_BACKUP}'
+            ) b
+            WHERE object_key IN (
+                SELECT object_key FROM manifest_entries
+                GROUP BY 1 HAVING COUNT(DISTINCT backup_name) = 1
+            )
+        """,
+        "q03_upload_diff": W("manifest_entries", "remote_objects") + f"""
+            SELECT DISTINCT e.object_key, e.size
+            FROM manifest_entries e
+            WHERE e.backup_name = '{UPLOAD_BACKUP}'
+              AND e.object_key NOT IN (SELECT object_key FROM remote_objects)
+        """,
+        "q04_restore_diff": W("manifest_entries", "local_files") + f"""
+            , mf AS (
+                SELECT DISTINCT object_key AS rel_file, size, hash
+                FROM manifest_entries WHERE backup_name = '{DIFF_BACKUP}'
+            )
+            SELECT 'download' AS action, rel_file, size FROM mf
+            WHERE rel_file NOT IN (SELECT rel_file FROM local_files)
+            UNION ALL
+            SELECT 'delete' AS action, rel_file, size FROM local_files
+            WHERE rel_file NOT IN (SELECT rel_file FROM mf)
+            UNION ALL
+            SELECT 'mismatch' AS action, mf.rel_file, mf.size
+            FROM mf JOIN local_files l USING (rel_file)
+            WHERE mf.hash <> l.hash
+        """,
+        "q05_latest_manifest": W("manifests") + """
+            SELECT backup_name, snapshot, schema_version, ts FROM (
+                SELECT *, ROW_NUMBER() OVER (
+                    PARTITION BY snapshot, schema_version
+                    ORDER BY ts DESC, backup_name DESC) AS rn
+                FROM manifests
+            ) t WHERE rn = 1
+        """,
+        "q06_retention_older_than": W("manifests") + f"""
+            SELECT backup_name, ts FROM manifests WHERE ts < {RETENTION_CUTOFF_MS}
+        """,
+        "q07_commitlog_window": W("commitlogs") + f"""
+            SELECT name, ts, size FROM commitlogs
+            WHERE ts >= {CL_START_MS} AND ts <= {CL_END_MS}
+            UNION ALL
+            SELECT name, ts, size FROM commitlogs
+            WHERE ts = (SELECT MIN(ts) FROM commitlogs WHERE ts > {CL_END_MS})
+        """,
+        "q08_entity_filter": W("manifest_entries") + """
+            SELECT keyspace, table_name,
+                   CAST(COUNT(*) AS BIGINT) AS files,
+                   CAST(SUM(size) AS BIGINT) AS size_bytes
+            FROM manifest_entries
+            WHERE ((keyspace = 'ks0' AND table_name = 't1')
+                   OR (keyspace = 'ks1' AND table_name = 't3'))
+              AND keyspace NOT IN
+                  ('system', 'system_schema', 'system_auth',
+                   'system_distributed', 'system_traces')
+            GROUP BY 1, 2
+        """,
+        "q09_rename_remap": W("manifest_entries") + """
+            SELECT
+              CASE WHEN keyspace = 'ks0' AND table_name = 't1' THEN 'ks9'
+                   ELSE keyspace END AS keyspace,
+              CASE WHEN keyspace = 'ks0' AND table_name = 't1' THEN 't9'
+                   ELSE table_name END AS table_name,
+              CAST(COUNT(*) AS BIGINT) AS files
+            FROM manifest_entries
+            GROUP BY 1, 2
+        """,
+        "q10_topology_dc_racks": W("topology") + """
+            SELECT dc, rack, CAST(COUNT(*) AS BIGINT) AS nodes
+            FROM topology WHERE dc IN ('ASIA', 'EUROPE')
+            GROUP BY 1, 2
+        """,
+        "q11_snapshot_merge": W("manifest_entries") + """
+            SELECT keyspace, table_name,
+                   CAST(COUNT(*) AS BIGINT) AS objects,
+                   CAST(SUM(size) AS BIGINT) AS total_size
+            FROM (
+                SELECT DISTINCT keyspace, table_name, object_key, size
+                FROM manifest_entries
+                WHERE backup_name IN ('backup-0', 'backup-1')
+            ) t
+            GROUP BY 1, 2
+        """,
+        "q12_schema_diff": W("snapshot_schemas") + """
+            SELECT a.keyspace, a.table_name,
+                   a.schema_content AS schema_a, b.schema_content AS schema_b
+            FROM snapshot_schemas a
+            JOIN snapshot_schemas b
+              ON a.keyspace = b.keyspace AND a.table_name = b.table_name
+            WHERE a.backup_name = 'backup-0' AND b.backup_name = 'backup-3'
+              AND a.schema_content <> b.schema_content
+        """,
+    }

@@ -1,0 +1,64 @@
+"""Upload / restore set-difference operators (the dedup core, SURVEY.md §2.3).
+
+Reference semantics:
+- J1 upload skip ("freshen"): upload only entries whose object_key is not
+  already in the remote listing
+  (/root/reference/core/src/main/java/com/instaclustr/esop/impl/backup/UploadTracker.java:106-124).
+- J2/J3 restore diff: round 1 = manifest − local (download); round 2 =
+  local − manifest (delete) plus matched-but-hash-mismatched rows (corrupted,
+  also re-downloaded/deleted)
+  (/root/reference/core/src/main/java/com/instaclustr/esop/impl/restore/strategy/DataSynchronizator.java:41-94).
+
+Scale notes: all three legs are anti/inner equi-joins on the object key. The
+remote listing / local file inventory is usually orders of magnitude smaller
+than the manifest fact table — Catalyst broadcast-joins it automatically under
+the threshold; at 100 TB both sides shuffle on the key, which is
+content-addressed and therefore skew-free.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def upload_diff(entries: DataFrame, remote_objects: DataFrame, backup_name: str) -> DataFrame:
+    """Q3: entries of one backup that still need uploading (left anti join)."""
+    return (
+        entries.filter(F.col("backup_name") == backup_name)
+        .select("object_key", "size")
+        .distinct()
+        .join(remote_objects.select("object_key"), "object_key", "left_anti")
+    )
+
+
+def restore_diff(manifest_files: DataFrame, local_files: DataFrame) -> DataFrame:
+    """Q4: two-round restore diff with hash verification.
+
+    manifest_files: (object_key, size, hash) of the manifest being restored.
+    local_files:    (rel_file, size, hash) on disk.
+
+    Returns (action, rel_file, size) with action in
+    {'download', 'delete', 'mismatch'}.
+    """
+    mf = manifest_files.select(
+        F.col("object_key").alias("rel_file"),
+        F.col("size"),
+        F.col("hash").alias("manifest_hash"),
+    ).distinct()
+    lf = local_files.select("rel_file", "size", F.col("hash").alias("local_hash"))
+
+    to_download = (
+        mf.join(lf.select("rel_file"), "rel_file", "left_anti")
+        .select(F.lit("download").alias("action"), "rel_file", "size")
+    )
+    to_delete = (
+        lf.join(mf.select("rel_file"), "rel_file", "left_anti")
+        .select(F.lit("delete").alias("action"), "rel_file", "size")
+    )
+    mismatched = (
+        mf.join(lf, "rel_file")
+        .filter(F.col("manifest_hash") != F.col("local_hash"))
+        .select(F.lit("mismatch").alias("action"), "rel_file", mf["size"].alias("size"))
+    )
+    return to_download.unionByName(to_delete).unionByName(mismatched)
