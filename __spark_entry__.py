@@ -18,6 +18,7 @@ from pyspark.sql import functions as F
 
 from esop_spark.sources import fixtures as fx
 from esop_spark.operators import (
+    analytics,
     commitlog,
     diff,
     entities,
@@ -130,6 +131,56 @@ def q12_schema_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- general analytics surface (Q13-Q20 on the TPC-H-ish tables) ------------
+SHIP_START_S = 820454400   # 1996-01-01 UTC
+SHIP_END_S = 852076800     # 1997-01-01 UTC
+
+
+def _base(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    fx.load_base_tables(spark, sf_dir)
+    return spark.table(name)
+
+
+def q13_filter_project(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return analytics.filter_project(
+        _base(spark, sf_dir, "lineitem"), SHIP_START_S, SHIP_END_S
+    )
+
+
+def q14_join_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    fx.load_base_tables(spark, sf_dir)
+    return analytics.join_agg(
+        spark.table("orders"), spark.table("customer"), spark.table("nation")
+    )
+
+
+def q15_group_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return analytics.group_agg(_base(spark, sf_dir, "lineitem"))
+
+
+def q16_window_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return analytics.window_rank(_base(spark, sf_dir, "orders"), k=3)
+
+
+def q17_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return analytics.rollup_agg(_base(spark, sf_dir, "lineitem"))
+
+
+def q18_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return analytics.top_k(_base(spark, sf_dir, "customer"), k=10)
+
+
+def q19_anti_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    fx.load_base_tables(spark, sf_dir)
+    return analytics.anti_semi_counts(
+        spark.table("customer"), spark.table("orders"), spark.table("nation")
+    )
+
+
+def q20_events_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return analytics.tumbling_window_agg(_base(spark, sf_dir, "events"), width_s=3600)
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001: the backup-listing report."""
     return q01_list_backups(spark, "/root/testdata/sf0.001")
@@ -149,6 +200,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q10_topology_dc_racks": q10_topology_dc_racks,
         "q11_snapshot_merge": q11_snapshot_merge,
         "q12_schema_diff": q12_schema_diff,
+        "q13_filter_project": q13_filter_project,
+        "q14_join_agg": q14_join_agg,
+        "q15_group_agg": q15_group_agg,
+        "q16_window_rank": q16_window_rank,
+        "q17_rollup": q17_rollup,
+        "q18_topk": q18_topk,
+        "q19_anti_semi_join": q19_anti_semi_join,
+        "q20_events_windows": q20_events_windows,
     }
 
 
@@ -265,5 +324,83 @@ def oracle_sql() -> dict[str, str]:
               ON a.keyspace = b.keyspace AND a.table_name = b.table_name
             WHERE a.backup_name = 'backup-0' AND b.backup_name = 'backup-3'
               AND a.schema_content <> b.schema_content
+        """,
+        "q13_filter_project": f"""
+            SELECT l_orderkey, l_linenumber,
+                   CAST(ROUND(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)
+                       AS revenue_cents
+            FROM lineitem
+            WHERE epoch(l_shipdate) >= {SHIP_START_S}
+              AND epoch(l_shipdate) < {SHIP_END_S}
+              AND l_discount >= 0.05 AND l_discount <= 0.07
+              AND l_quantity < 24
+        """,
+        "q14_join_agg": """
+            SELECT n_name, o_orderpriority,
+                   CAST(COUNT(*) AS BIGINT) AS order_count,
+                   CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+                       AS total_cents
+            FROM orders
+            JOIN customer ON o_custkey = c_custkey
+            JOIN nation ON c_nationkey = n_nationkey
+            GROUP BY 1, 2
+        """,
+        "q15_group_agg": """
+            SELECT l_returnflag, l_linestatus,
+                   CAST(SUM(CAST(ROUND(l_quantity * 100) AS BIGINT)) AS BIGINT)
+                       AS sum_qty_cents,
+                   CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+                       AS sum_price_cents,
+                   CAST(COUNT(*) AS BIGINT) AS count_rows,
+                   CAST(COUNT(DISTINCT l_orderkey) AS BIGINT) AS distinct_orders,
+                   CAST(SUM(CAST(ROUND(l_quantity * 100) AS BIGINT)) AS DOUBLE)
+                       / COUNT(*) / 100.0 AS avg_qty
+            FROM lineitem
+            GROUP BY 1, 2
+        """,
+        "q16_window_rank": """
+            SELECT o_orderpriority, o_orderkey, o_totalprice, rn FROM (
+                SELECT o_orderpriority, o_orderkey, o_totalprice,
+                       CAST(ROW_NUMBER() OVER (
+                           PARTITION BY o_orderpriority
+                           ORDER BY o_totalprice DESC, o_orderkey ASC) AS BIGINT) AS rn
+                FROM orders
+            ) t WHERE rn <= 3
+        """,
+        "q17_rollup": """
+            SELECT l_returnflag, l_linestatus,
+                   CAST(SUM(CAST(ROUND(l_quantity * 100) AS BIGINT)) AS BIGINT)
+                       AS sum_qty_cents,
+                   CAST(COUNT(*) AS BIGINT) AS count_rows
+            FROM lineitem
+            GROUP BY ROLLUP (l_returnflag, l_linestatus)
+        """,
+        "q18_topk": """
+            SELECT c_custkey, c_name, c_acctbal
+            FROM customer
+            ORDER BY c_acctbal DESC, c_custkey ASC
+            LIMIT 10
+        """,
+        "q19_anti_semi_join": """
+            SELECT n_name,
+                   CAST(COUNT(*) FILTER (WHERE o.o_custkey IS NOT NULL) AS BIGINT)
+                       AS with_orders,
+                   CAST(COUNT(*) FILTER (
+                       WHERE c_custkey IS NOT NULL AND o.o_custkey IS NULL) AS BIGINT)
+                       AS without_orders
+            FROM nation
+            LEFT JOIN customer ON c_nationkey = n_nationkey
+            LEFT JOIN (SELECT DISTINCT o_custkey FROM orders) o
+                   ON c_custkey = o.o_custkey
+            GROUP BY 1
+        """,
+        "q20_events_windows": """
+            SELECT (epoch_ms(ts) // 1000 // 3600) * 3600 AS window_start_epoch,
+                   event_type,
+                   CAST(COUNT(*) AS BIGINT) AS events,
+                   CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT)
+                       AS value_cents
+            FROM events
+            GROUP BY 1, 2
         """,
     }

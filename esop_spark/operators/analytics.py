@@ -1,0 +1,156 @@
+"""General analytics operator surface (SURVEY.md §2.10 Q13–Q18, Q20).
+
+The reference's relational core (scans → filters → joins → aggregations →
+windows, SURVEY.md §2.2–2.6) generalized to the full Spark operator surface on
+the TPC-H-ish fixture tables. These are thin, well-typed compositions of
+DataFrame primitives — Catalyst handles pushdown, join strategy (broadcast for
+the small dims), partial aggregation and AQE re-planning.
+
+Cross-engine determinism conventions (shared with the DuckDB oracle):
+- Money/quantity aggregates are computed in exact integer *cents*
+  (``CAST(ROUND(x*100) AS BIGINT)``): float summation order never matters.
+- Time predicates/buckets use epoch arithmetic (``unix_timestamp``), never
+  calendar functions, so results are session-timezone-independent.
+- Top-k orderings always carry a unique tiebreaker column.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def cents(col: Column | str) -> Column:
+    """Exact integer cents of a ~2-decimal double column."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.round(c * 100).cast("bigint")
+
+
+def filter_project(
+    lineitem: DataFrame, start_epoch_s: int, end_epoch_s: int
+) -> DataFrame:
+    """Q13: predicate + projection; filters reach the parquet scan."""
+    return (
+        lineitem.filter(
+            (F.unix_timestamp("l_shipdate") >= start_epoch_s)
+            & (F.unix_timestamp("l_shipdate") < end_epoch_s)
+            & (F.col("l_discount") >= 0.05)
+            & (F.col("l_discount") <= 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .select(
+            "l_orderkey",
+            "l_linenumber",
+            cents(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias(
+                "revenue_cents"
+            ),
+        )
+    )
+
+
+def join_agg(orders: DataFrame, customer: DataFrame, nation: DataFrame) -> DataFrame:
+    """Q14: orders ⨝ customer ⨝ nation (broadcast dim) → per-(nation,
+    priority) order count + total price."""
+    return (
+        orders.join(customer, orders["o_custkey"] == customer["c_custkey"])
+        .join(F.broadcast(nation), customer["c_nationkey"] == nation["n_nationkey"])
+        .groupBy("n_name", "o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("order_count"),
+            F.sum(cents("o_totalprice")).cast("bigint").alias("total_cents"),
+        )
+    )
+
+
+def group_agg(lineitem: DataFrame) -> DataFrame:
+    """Q15: TPC-H Q1-style pricing summary — sum/avg/countDistinct."""
+    return (
+        lineitem.groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(cents("l_quantity")).cast("bigint").alias("sum_qty_cents"),
+            F.sum(cents("l_extendedprice")).cast("bigint").alias("sum_price_cents"),
+            F.count(F.lit(1)).cast("bigint").alias("count_rows"),
+            F.countDistinct("l_orderkey").cast("bigint").alias("distinct_orders"),
+        )
+        .withColumn(
+            "avg_qty",
+            (F.col("sum_qty_cents").cast("double") / F.col("count_rows") / 100.0),
+        )
+    )
+
+
+def window_rank(orders: DataFrame, k: int = 3) -> DataFrame:
+    """Q16: top-k orders per priority by price (unique tiebreak on key)."""
+    w = Window.partitionBy("o_orderpriority").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey").asc()
+    )
+    return (
+        orders.withColumn("rn", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rn") <= k)
+        .select("o_orderpriority", "o_orderkey", "o_totalprice", "rn")
+    )
+
+
+def rollup_agg(lineitem: DataFrame) -> DataFrame:
+    """Q17: rollup subtotals + grand total."""
+    return lineitem.rollup("l_returnflag", "l_linestatus").agg(
+        F.sum(cents("l_quantity")).cast("bigint").alias("sum_qty_cents"),
+        F.count(F.lit(1)).cast("bigint").alias("count_rows"),
+    )
+
+
+def top_k(customer: DataFrame, k: int = 10) -> DataFrame:
+    """Q18: global top-k by balance (tiebreak on key). Spark executes
+    sort+limit as a TakeOrderedAndProject — no full sort at scale."""
+    return (
+        customer.orderBy(F.col("c_acctbal").desc(), F.col("c_custkey").asc())
+        .limit(k)
+        .select("c_custkey", "c_name", "c_acctbal")
+    )
+
+
+def anti_semi_counts(customer: DataFrame, orders: DataFrame, nation: DataFrame) -> DataFrame:
+    """Q19-join: per-nation counts of customers with and without orders
+    (left_semi / left_anti legs of the same shuffle-free broadcast plan)."""
+    okeys = orders.select("o_custkey").distinct()
+    with_orders = (
+        customer.join(okeys, customer["c_custkey"] == okeys["o_custkey"], "left_semi")
+        .groupBy("c_nationkey")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("with_orders"))
+    )
+    without_orders = (
+        customer.join(okeys, customer["c_custkey"] == okeys["o_custkey"], "left_anti")
+        .groupBy("c_nationkey")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("without_orders"))
+    )
+    return (
+        F.broadcast(nation)
+        .join(with_orders, nation["n_nationkey"] == with_orders["c_nationkey"], "left")
+        .drop("c_nationkey")
+        .join(without_orders, nation["n_nationkey"] == without_orders["c_nationkey"], "left")
+        .select(
+            "n_name",
+            F.coalesce("with_orders", F.lit(0)).cast("bigint").alias("with_orders"),
+            F.coalesce("without_orders", F.lit(0)).cast("bigint").alias("without_orders"),
+        )
+    )
+
+
+def tumbling_window_agg(
+    events: DataFrame, width_s: int = 3600, ts_col: str = "ts"
+) -> DataFrame:
+    """Q20: tumbling event-time windows via epoch bucketing.
+
+    Batch equivalent of ``F.window(ts, ...)`` — the streaming counterpart
+    lives in esop_spark.streaming. Epoch arithmetic keeps the bucket edges
+    timezone-independent and oracle-comparable.
+    """
+    bucket = F.expr(f"(unix_timestamp({ts_col}) div {width_s}) * {width_s}")
+    return (
+        events.withColumn("window_start_epoch", bucket)
+        .groupBy("window_start_epoch", "event_type")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("events"),
+            F.sum(cents("value")).cast("bigint").alias("value_cents"),
+        )
+    )
