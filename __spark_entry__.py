@@ -20,11 +20,15 @@ from esop_spark.sources import fixtures as fx
 from esop_spark.operators import (
     analytics,
     commitlog,
+    dedup,
     diff,
     entities,
     manifest,
+    multimodal,
     retention,
+    similarity,
     snapshots,
+    text as text_ops,
     topology,
 )
 
@@ -181,6 +185,67 @@ def q20_events_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     return analytics.tumbling_window_agg(_base(spark, sf_dir, "events"), width_s=3600)
 
 
+# --- LLM-data-pipeline operators (dedup / similarity / text / multimodal) ---
+JACCARD_TAU = 0.5
+COSINE_TAU = 0.45
+ANN_QUERY_IDS = list(range(10))
+ANN_K = 5
+
+
+def q21_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _base(spark, sf_dir, "documents")
+    return dedup.dedup_exact(docs, text_ops.tokenset_key("text"))
+
+
+def q22_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.minhash_lsh_pairs(
+        _base(spark, sf_dir, "documents"), threshold=JACCARD_TAU
+    )
+
+
+def q23_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.ngram_jaccard_pairs(
+        _base(spark, sf_dir, "documents"), n=3, threshold=JACCARD_TAU
+    )
+
+
+def q24_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.simhash_pairs(_base(spark, sf_dir, "documents"))
+
+
+def q25_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return similarity.cosine_pairs(
+        _base(spark, sf_dir, "embeddings"), threshold=COSINE_TAU
+    )
+
+
+def q26_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return similarity.ann_topk(
+        _base(spark, sf_dir, "embeddings"), query_ids=ANN_QUERY_IDS, k=ANN_K
+    )
+
+
+def q27_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return text_ops.lang_id(_base(spark, sf_dir, "documents"))
+
+
+def q28_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return text_ops.quality_score(_base(spark, sf_dir, "documents"))
+
+
+def q29_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return text_ops.token_stats(_base(spark, sf_dir, "documents"))
+
+
+def q30_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return text_ops.fingerprint(_base(spark, sf_dir, "documents"))
+
+
+def q31_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    media = multimodal.media_from_documents(_base(spark, sf_dir, "documents"))
+    return multimodal.decode_media(media, fake=True)
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001: the backup-listing report."""
     return q01_list_backups(spark, "/root/testdata/sf0.001")
@@ -208,6 +273,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q18_topk": q18_topk,
         "q19_anti_semi_join": q19_anti_semi_join,
         "q20_events_windows": q20_events_windows,
+        "q21_dedup_exact": q21_dedup_exact,
+        "q22_dedup_minhash_lsh": q22_dedup_minhash_lsh,
+        "q23_ngram_jaccard": q23_ngram_jaccard,
+        "q24_simhash_pairs": q24_simhash_pairs,
+        "q25_embedding_neardup": q25_embedding_neardup,
+        "q26_ann_topk": q26_ann_topk,
+        "q27_lang_id": q27_lang_id,
+        "q28_quality_score": q28_quality_score,
+        "q29_token_stats": q29_token_stats,
+        "q30_fingerprint": q30_fingerprint,
+        "q31_multimodal_decode": q31_multimodal_decode,
     }
 
 
@@ -402,5 +478,128 @@ def oracle_sql() -> dict[str, str]:
                        AS value_cents
             FROM events
             GROUP BY 1, 2
+        """,
+        # q22 / q24: MinHash-LSH and SimHash banding are not SQL-expressible
+        # (seeded hash families) → rows-only check; exact counterparts q23/q25
+        # ARE oracle-checked.
+        "q21_dedup_exact": """
+            SELECT md5(array_to_string(list_sort(list_distinct(string_split(text, ' '))), ' '))
+                       AS dedup_key,
+                   CAST(MIN(doc_id) AS BIGINT) AS canonical_id,
+                   CAST(COUNT(*) AS BIGINT) AS n_dups
+            FROM documents
+            GROUP BY 1
+        """,
+        "q23_ngram_jaccard": f"""
+            WITH docs AS (
+                SELECT doc_id, string_split(text, ' ') AS words FROM documents
+            ),
+            sh AS (
+                SELECT DISTINCT doc_id,
+                       words[i] || ' ' || words[i+1] || ' ' || words[i+2] AS shingle
+                FROM docs, unnest(range(1, greatest(len(words) - 1, 1))) t(i)
+            ),
+            cnt AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY 1),
+            pairs AS (
+                SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS shared
+                FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+                GROUP BY 1, 2
+            )
+            SELECT id_a, id_b,
+                   ROUND(shared * 1.0 / (ca.n_sh + cb.n_sh - shared), 6) AS jaccard
+            FROM pairs
+            JOIN cnt ca ON id_a = ca.doc_id
+            JOIN cnt cb ON id_b = cb.doc_id
+            WHERE ROUND(shared * 1.0 / (ca.n_sh + cb.n_sh - shared), 6) >= {JACCARD_TAU}
+        """,
+        "q25_embedding_neardup": f"""
+            WITH e AS (
+                SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+            )
+            SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+                   ROUND(list_cosine_similarity(a.v, b.v), 6) AS cosine
+            FROM e a JOIN e b ON a.vec_id < b.vec_id
+            WHERE ROUND(list_cosine_similarity(a.v, b.v), 6) >= {COSINE_TAU}
+        """,
+        "q26_ann_topk": f"""
+            WITH e AS (
+                SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+            ),
+            scored AS (
+                SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,
+                       ROUND(list_cosine_similarity(q.v, e.v), 6) AS cosine
+                FROM e q JOIN e ON q.vec_id <> e.vec_id
+                WHERE q.vec_id < {len(ANN_QUERY_IDS)}
+            )
+            SELECT query_id, neighbor_id, cosine,
+                   CAST(ROW_NUMBER() OVER (
+                       PARTITION BY query_id
+                       ORDER BY cosine DESC, neighbor_id ASC) AS BIGINT) AS rank
+            FROM scored
+            QUALIFY rank <= {ANN_K}
+        """,
+        "q27_lang_id": """
+            WITH s AS (
+                SELECT doc_id,
+                       len(list_filter(string_split(text, ' '),
+                           w -> w IN ('und','der','die','das','nicht'))) AS s_de,
+                       len(list_filter(string_split(text, ' '),
+                           w -> w IN ('the','a','of','and','is'))) AS s_en,
+                       len(list_filter(string_split(text, ' '),
+                           w -> w IN ('el','los','y','que','una'))) AS s_es,
+                       len(list_filter(string_split(text, ' '),
+                           w -> w IN ('le','la','et','les','une'))) AS s_fr
+                FROM documents
+            )
+            SELECT doc_id,
+                   CASE WHEN greatest(s_de, s_en, s_es, s_fr) = 0 THEN 'unknown'
+                        WHEN s_de = greatest(s_de, s_en, s_es, s_fr) THEN 'de'
+                        WHEN s_en = greatest(s_de, s_en, s_es, s_fr) THEN 'en'
+                        WHEN s_es = greatest(s_de, s_en, s_es, s_fr) THEN 'es'
+                        ELSE 'fr' END AS pred_lang,
+                   CAST(greatest(s_de, s_en, s_es, s_fr) AS BIGINT) AS best_score
+            FROM s
+        """,
+        "q28_quality_score": """
+            WITH t AS (
+                SELECT doc_id,
+                       len(string_split(text, ' ')) AS n,
+                       len(list_filter(string_split(text, ' '),
+                           w -> w IN ('a', 'the'))) AS stop,
+                       len(list_distinct(string_split(text, ' '))) AS nd
+                FROM documents
+            )
+            SELECT doc_id,
+                   CAST(n AS BIGINT) AS n_tokens,
+                   ROUND(stop * 1.0 / n, 6) AS stopword_ratio,
+                   ROUND(nd * 1.0 / n, 6) AS type_token_ratio,
+                   CAST(ROUND((0.5 * (1.0 - stop * 1.0 / n) + 0.5 * nd * 1.0 / n) * 100)
+                        AS BIGINT) AS quality_score
+            FROM t
+        """,
+        "q29_token_stats": """
+            SELECT doc_id,
+                   CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+                   CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT) AS n_distinct,
+                   CAST(length(text) AS BIGINT) AS n_chars_text
+            FROM documents
+        """,
+        "q30_fingerprint": """
+            SELECT doc_id,
+                   md5(text) AS fingerprint,
+                   md5(array_to_string(list_sort(list_distinct(string_split(text, ' '))), ' '))
+                       AS tokenset_key,
+                   substr(md5(text), 1, 2) AS shard
+            FROM documents
+        """,
+        "q31_multimodal_decode": """
+            SELECT doc_id AS media_id,
+                   CASE WHEN doc_id % 2 = 0 THEN 'image' ELSE 'audio' END AS media_type,
+                   CAST(strlen(text) AS BIGINT) AS n_bytes,
+                   CAST(strlen(text) % 317 AS BIGINT) AS width,
+                   CAST(strlen(text) // 317 AS BIGINT) AS height,
+                   CAST(list_sum(list_transform(range(1, least(length(text), 64) + 1),
+                        i -> ord(substr(text, CAST(i AS INTEGER), 1)))) AS BIGINT) AS checksum
+            FROM documents
         """,
     }

@@ -1,0 +1,72 @@
+"""Benchmark harness: runs the headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE
+JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
+"queries": {name: sec}, "sf": ...}.
+
+Each query executes to completion through the noop sink (full compute, no
+driver-side collection), so the timing covers scan → shuffle → agg/join —
+the same plan shape a cluster run would execute.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+import __spark_entry__ as entry_mod
+from esop_spark.session import get_spark
+
+# Representative spread: manifest analytics, diffs, joins, agg, window,
+# event windows, dedup (exact + ngram + minhash), similarity, text.
+BENCH_QUERIES = [
+    "q01_list_backups",
+    "q03_upload_diff",
+    "q04_restore_diff",
+    "q13_filter_project",
+    "q14_join_agg",
+    "q15_group_agg",
+    "q16_window_rank",
+    "q20_events_windows",
+    "q21_dedup_exact",
+    "q23_ngram_jaccard",
+    "q26_ann_topk",
+    "q28_quality_score",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in sf_dir else -1.0
+    spark = get_spark("esop-bench")
+    qs = entry_mod.queries()
+
+    # Warm the JVM + parquet footers once so per-query numbers measure the
+    # steady-state plan, not first-touch JIT/IO.
+    qs["q01_list_backups"](spark, sf_dir).write.format("noop").mode("overwrite").save()
+
+    timings: dict[str, float] = {}
+    for name in BENCH_QUERIES:
+        t0 = time.perf_counter()
+        qs[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
+        timings[name] = round(time.perf_counter() - t0, 3)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "bench_total_seconds",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,257 @@
+"""Deduplication operators: exact, n-gram Jaccard, MinHash+LSH, SimHash.
+
+Generalizes the reference's content-addressed dedup (immutable SSTables keyed
+by `<generation>-<digest>`, /root/reference/core/src/main/java/com/instaclustr/esop/impl/SSTableUtils.java:48-74
+and the upload-skip anti-join UploadTracker.java:106-124) to document corpora.
+
+Scale design:
+- Exact dedup is one hash-shuffle on the content key (uniformly distributed —
+  no skew) with map-side partial aggregation.
+- N-gram Jaccard is exact but O(pairs-sharing-a-shingle); usable as the
+  verifier stage. The scale path is MinHash+LSH: candidate generation via
+  band-bucket equi-join (shuffle on (band, bucket), tunable collision rate),
+  then exact-Jaccard verification of candidates only.
+- SimHash uses pigeonhole banding: pairs within Hamming distance h must agree
+  on at least one of (h+1) disjoint chunks, so candidate generation is again
+  an equi-join, never a cross join.
+- Everything is JVM-side (higher-order functions, xxhash64, bit ops) — no
+  Python UDFs anywhere.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# 31-bit hash domain: a*x+b stays < 2^62, safe under ANSI int64 arithmetic.
+HASH_P = 2147483647  # 2^31 - 1 (Mersenne prime)
+
+
+def dedup_exact(df: DataFrame, key: Column, id_col: str = "doc_id") -> DataFrame:
+    """Exact dedup on a content key: one representative (min id) per group.
+
+    Returns (dedup_key, canonical_id, n_dups). A single hash aggregation —
+    the Spark-idiomatic `dropDuplicates` generalization that also reports
+    group sizes.
+    """
+    return (
+        df.select(key.alias("dedup_key"), F.col(id_col))
+        .groupBy("dedup_key")
+        .agg(
+            F.min(id_col).cast("bigint").alias("canonical_id"),
+            F.count(F.lit(1)).cast("bigint").alias("n_dups"),
+        )
+    )
+
+
+def shingles(documents: DataFrame, n: int = 3, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Distinct word n-gram shingles per document: (id, shingle)."""
+    # NULL-pad + filter instead of sequence(1, size-n+1): Spark's sequence()
+    # produces a DESCENDING range when size < n, which would fabricate shingles.
+    expr = (
+        f"filter(transform(sequence(1, size(split({text_col}, ' '))),"
+        f" i -> IF(i + {n - 1} <= size(split({text_col}, ' ')),"
+        f" concat_ws(' ', slice(split({text_col}, ' '), i, {n})), NULL)),"
+        f" x -> x IS NOT NULL)"
+    )
+    return documents.select(
+        F.col(id_col),
+        F.explode(F.array_distinct(F.expr(expr))).alias("shingle"),
+    )
+
+
+def ngram_jaccard_pairs(
+    documents: DataFrame,
+    n: int = 3,
+    threshold: float = 0.5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Exact n-gram Jaccard similarity pairs ≥ threshold.
+
+    shingle → self-equi-join on shingle → shared counts → |A∪B| via per-doc
+    totals. The join key is the shingle (content-hashed distribution); at
+    scale, hot shingles should be frequency-capped (df-style pruning) —
+    candidates from MinHash/LSH make this exact verifier cheap.
+    """
+    sh = shingles(documents, n, text_col, id_col)
+    counts = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    pairs = (
+        a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")))
+        .groupBy(F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b"))
+        .agg(F.count(F.lit(1)).alias("shared"))
+    )
+    ca = counts.select(F.col(id_col).alias("id_a"), F.col("n_sh").alias("n_a"))
+    cb = counts.select(F.col(id_col).alias("id_b"), F.col("n_sh").alias("n_b"))
+    return (
+        pairs.join(ca, "id_a")
+        .join(cb, "id_b")
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("shared").cast("double")
+                / (F.col("n_a") + F.col("n_b") - F.col("shared")),
+                6,
+            ),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+def minhash_signatures(
+    documents: DataFrame,
+    num_hashes: int = 32,
+    n: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """MinHash signatures: h_i(S) = min over shingles of (a_i·x + b_i) mod p,
+    x = xxhash64(shingle). All num_hashes minima are computed in ONE hash
+    aggregation over the exploded shingle relation (map-side combine)."""
+    sh = shingles(documents, n, text_col, id_col).withColumn(
+        "x", F.pmod(F.xxhash64("shingle"), F.lit(HASH_P))
+    )
+    rnd = __import__("random").Random(42)
+    coeffs = [
+        (rnd.randrange(1, HASH_P), rnd.randrange(0, HASH_P))
+        for _ in range(num_hashes)
+    ]
+    aggs = [
+        F.min((F.col("x") * F.lit(a) + F.lit(b)) % HASH_P).alias(f"h{i}")
+        for i, (a, b) in enumerate(coeffs)
+    ]
+    return sh.groupBy(id_col).agg(*aggs)
+
+
+def minhash_lsh_pairs(
+    documents: DataFrame,
+    num_hashes: int = 32,
+    bands: int = 8,
+    n: int = 3,
+    threshold: float = 0.5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """MinHash + LSH near-duplicate pairs, exact-Jaccard-verified.
+
+    Candidate pairs agree on at least one band bucket (equi-join on
+    (band, bucket_hash)); candidates are then verified with exact n-gram
+    Jaccard so there are no false positives (false-negative rate set by
+    bands/rows-per-band).
+    """
+    rows_per_band = num_hashes // bands
+    sig = minhash_signatures(documents, num_hashes, n, text_col, id_col)
+    band_cols = [
+        F.struct(
+            F.lit(band).alias("band"),
+            F.xxhash64(*[F.col(f"h{band * rows_per_band + r}") for r in range(rows_per_band)]).alias("bucket"),
+        )
+        for band in range(bands)
+    ]
+    buckets = sig.select(F.col(id_col), F.explode(F.array(*band_cols)).alias("bb")).select(
+        id_col, F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket")
+    )
+    a = buckets.alias("a")
+    b = buckets.alias("b")
+    candidates = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b"))
+        .distinct()
+    )
+    exact = ngram_jaccard_pairs(documents, n, threshold, text_col, id_col)
+    return exact.join(candidates, ["id_a", "id_b"], "left_semi")
+
+
+def simhash_signatures(
+    documents: DataFrame,
+    num_bits: int = 48,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """SimHash: token-frequency-weighted bit votes over xxhash64(token).
+
+    Exploded (doc, token, weight) → posexploded bit contributions →
+    two hash aggregations. JVM-side bit arithmetic throughout.
+    """
+    tok = (
+        documents.select(F.col(id_col), F.explode(F.split(F.col(text_col), " ")).alias("tok"))
+        .groupBy(id_col, "tok")
+        .agg(F.count(F.lit(1)).alias("w"))
+        .withColumn("h", F.xxhash64("tok"))
+    )
+    contrib = tok.select(
+        id_col,
+        F.posexplode(
+            F.expr(
+                f"transform(sequence(0, {num_bits - 1}),"
+                f" j -> CASE WHEN ((h >> j) & 1) = 1 THEN w ELSE -w END)"
+            )
+        ).alias("bit", "vote"),
+    )
+    return (
+        contrib.groupBy(id_col, "bit")
+        .agg(F.sum("vote").alias("s"))
+        .groupBy(id_col)
+        .agg(
+            F.sum(
+                F.when(F.col("s") > 0, F.expr("shiftleft(CAST(1 AS BIGINT), bit)")).otherwise(F.lit(0))
+            ).alias("simhash")
+        )
+    )
+
+
+def simhash_pairs(
+    documents: DataFrame,
+    num_bits: int = 48,
+    max_hamming: int = 3,
+    chunks: int = 4,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """SimHash near-duplicate pairs within a Hamming radius.
+
+    Pigeonhole banding: with `chunks` > max_hamming disjoint chunks, any pair
+    within the radius shares at least one exact chunk → candidate generation
+    is an equi-join on (chunk_idx, chunk_value); candidates verified with
+    bit_count(xor).
+    """
+    chunk_bits = num_bits // chunks
+    mask = (1 << chunk_bits) - 1
+    sig = simhash_signatures(documents, num_bits, text_col, id_col)
+    chunked = sig.select(
+        F.col(id_col),
+        F.col("simhash"),
+        F.posexplode(
+            F.expr(
+                f"transform(sequence(0, {chunks - 1}),"
+                f" c -> (simhash >> (c * {chunk_bits})) & {mask})"
+            )
+        ).alias("chunk_idx", "chunk_val"),
+    )
+    a = chunked.alias("a")
+    b = chunked.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.chunk_idx") == F.col("b.chunk_idx"))
+            & (F.col("a.chunk_val") == F.col("b.chunk_val"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+            F.bit_count(
+                F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))
+            ).alias("hamming"),
+        )
+        .distinct()
+        .filter(F.col("hamming") <= max_hamming)
+    )

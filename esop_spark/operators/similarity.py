@@ -1,0 +1,154 @@
+"""Vector-similarity operators over embedding columns (array<float>).
+
+Brute-force cosine top-k / threshold pairs as the exact baseline, plus a
+random-hyperplane LSH bucketing variant as the 100 TB scale path.
+
+All arithmetic uses JVM higher-order functions (``zip_with`` + ``aggregate``
+fold) in double precision — no Python UDFs, a deterministic left-to-right
+summation order, and whole-stage-codegen-friendly plans.
+
+Scale design:
+- ann_topk broadcasts the (small) query set against the corpus: one scan of
+  the big side, no shuffle except the final per-query top-k aggregation
+  (which Spark executes as partial top-k per partition).
+- cosine_pairs is O(n²) and intended for verification / small n; the LSH
+  variant buckets by hyperplane-sign bands so candidate generation is an
+  equi-join, then exact-cosine-verifies candidates only.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def _vec_double(col: str | Column) -> Column:
+    c = F.col(col) if isinstance(col, str) else col
+    return F.transform(c, lambda x: x.cast("double"))
+
+
+def _dot(a: Column, b: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def with_norm(embeddings: DataFrame, vec_col: str = "embedding", id_col: str = "vec_id") -> DataFrame:
+    """Project (id, v: array<double>, norm). Norms are computed once here
+    rather than per-pair."""
+    v = _vec_double(vec_col)
+    return embeddings.select(
+        F.col(id_col), v.alias("v"), F.sqrt(_dot(v, v)).alias("norm")
+    )
+
+
+def cosine_pairs(
+    embeddings: DataFrame,
+    threshold: float = 0.45,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Exact cosine-similarity pairs ≥ threshold (brute force, O(n²))."""
+    e = with_norm(embeddings, vec_col, id_col)
+    a = e.alias("a")
+    b = e.alias("b")
+    cos = _dot(F.col("a.v"), F.col("b.v")) / (F.col("a.norm") * F.col("b.norm"))
+    return (
+        a.join(b, F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+            F.round(cos, 6).alias("cosine"),
+        )
+        .filter(F.col("cosine") >= threshold)
+    )
+
+
+def ann_topk(
+    embeddings: DataFrame,
+    query_ids: list[int] | None = None,
+    k: int = 5,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Top-k cosine neighbors for each query vector (exact, one corpus scan).
+
+    The query side is broadcast (small); rank ties broken by neighbor id so
+    results are deterministic.
+    """
+    e = with_norm(embeddings, vec_col, id_col)
+    q = e.filter(F.col(id_col).isin(query_ids)) if query_ids is not None else e
+    q = F.broadcast(q.select(
+        F.col(id_col).alias("query_id"), F.col("v").alias("qv"), F.col("norm").alias("qnorm")
+    ))
+    cos = _dot(F.col("qv"), F.col("v")) / (F.col("qnorm") * F.col("norm"))
+    scored = (
+        e.join(q, F.col("query_id") != F.col(id_col))
+        .select(
+            "query_id",
+            F.col(id_col).alias("neighbor_id"),
+            F.round(cos, 6).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rank") <= k)
+    )
+
+
+def lsh_cosine_pairs(
+    embeddings: DataFrame,
+    threshold: float = 0.45,
+    num_planes: int = 16,
+    bands: int = 4,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    dim: int = 64,
+) -> DataFrame:
+    """Random-hyperplane LSH near-neighbor pairs, exact-cosine-verified.
+
+    Signature bit i = sign(<v, r_i>) for fixed pseudo-random planes r_i
+    (seeded, reproducible). Bands of sign-bits → bucket equi-join →
+    candidates → exact cosine filter. False-positive-free; recall set by
+    bands × planes-per-band.
+    """
+    rnd = __import__("random").Random(7)
+    planes = [
+        [rnd.gauss(0.0, 1.0) for _ in range(dim)] for _ in range(num_planes)
+    ]
+    e = with_norm(embeddings, vec_col, id_col)
+    sign_cols = [
+        (_dot(F.col("v"), F.array(*[F.lit(x) for x in p])) > 0).cast("int").alias(f"s{i}")
+        for i, p in enumerate(planes)
+    ]
+    sig = e.select(F.col(id_col), *sign_cols)
+    rows_per_band = num_planes // bands
+    band_cols = [
+        F.struct(
+            F.lit(band).alias("band"),
+            F.xxhash64(*[F.col(f"s{band * rows_per_band + r}") for r in range(rows_per_band)]).alias("bucket"),
+        )
+        for band in range(bands)
+    ]
+    buckets = sig.select(F.col(id_col), F.explode(F.array(*band_cols)).alias("bb")).select(
+        id_col, F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket")
+    )
+    a = buckets.alias("a")
+    b = buckets.alias("b")
+    candidates = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b"))
+        .distinct()
+    )
+    exact = cosine_pairs(embeddings, threshold, vec_col, id_col)
+    return exact.join(candidates, ["id_a", "id_b"], "left_semi")

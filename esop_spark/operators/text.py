@@ -1,0 +1,113 @@
+"""Text-analysis operators for large-scale training-data pipelines.
+
+Column-level text machinery (tokenization, stats, quality, language-ID,
+fingerprinting) built entirely from JVM-side ``pyspark.sql.functions`` —
+no Python UDFs, so the hot path stays inside whole-stage codegen and scales
+linearly with partitions (no shuffle except final aggregations).
+
+These generalize the reference's string/scan surface (SURVEY.md §2.8) to
+document corpora: the reference fingerprints files by content hash
+(/root/reference/core/src/main/java/com/instaclustr/esop/impl/hash/HashSpec.java);
+here documents are fingerprinted by exact and normalized content keys.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+DEFAULT_STOPWORDS = ("a", "the")
+
+# Tiny marker-token profiles for the n-gram/stopword language-ID heuristic.
+LANG_PROFILES: dict[str, tuple[str, ...]] = {
+    "de": ("und", "der", "die", "das", "nicht"),
+    "en": ("the", "a", "of", "and", "is"),
+    "es": ("el", "los", "y", "que", "una"),
+    "fr": ("le", "la", "et", "les", "une"),
+}
+
+
+def tokens(text_col: Column | str) -> Column:
+    c = F.col(text_col) if isinstance(text_col, str) else text_col
+    return F.split(c, " ")
+
+
+def token_match_count(text_col: Column | str, words: tuple[str, ...]) -> Column:
+    """Occurrences of any of `words` as whole tokens (JVM higher-order fn)."""
+    toks = tokens(text_col)
+    lit_words = F.array(*[F.lit(w) for w in words])
+    return F.size(F.filter(toks, lambda w: F.array_contains(lit_words, w)))
+
+
+def tokenset_key(text_col: Column | str) -> Column:
+    """Order-insensitive content key: md5 of the sorted distinct token set.
+    Catches shuffled/reordered duplicates that exact hashing misses."""
+    return F.md5(F.array_join(F.array_sort(F.array_distinct(tokens(text_col))), " "))
+
+
+def token_stats(documents: DataFrame, text_col: str = "text") -> DataFrame:
+    """Per-document token statistics (token counting operator)."""
+    toks = tokens(text_col)
+    return documents.select(
+        "doc_id",
+        F.size(toks).cast("bigint").alias("n_tokens"),
+        F.size(F.array_distinct(toks)).cast("bigint").alias("n_distinct"),
+        F.length(text_col).cast("bigint").alias("n_chars_text"),
+    )
+
+
+def quality_score(
+    documents: DataFrame,
+    text_col: str = "text",
+    stopwords: tuple[str, ...] = DEFAULT_STOPWORDS,
+) -> DataFrame:
+    """Heuristic quality scoring: stopword ratio + type/token ratio blended
+    into a 0–100 score. All-integer/deterministic-double arithmetic so the
+    DuckDB oracle reproduces it bit-for-bit."""
+    toks = tokens(text_col)
+    n = F.size(toks)
+    stop = token_match_count(text_col, stopwords)
+    ttr = F.size(F.array_distinct(toks)).cast("double") / n
+    stop_ratio = stop.cast("double") / n
+    score = F.round((0.5 * (1.0 - stop_ratio) + 0.5 * ttr) * 100).cast("bigint")
+    return documents.select(
+        "doc_id",
+        n.cast("bigint").alias("n_tokens"),
+        F.round(stop_ratio, 6).alias("stopword_ratio"),
+        F.round(ttr, 6).alias("type_token_ratio"),
+        score.alias("quality_score"),
+    )
+
+
+def lang_id(
+    documents: DataFrame,
+    text_col: str = "text",
+    profiles: dict[str, tuple[str, ...]] | None = None,
+) -> DataFrame:
+    """Marker-token language-ID heuristic: score = marker-token occurrences
+    per language profile; argmax wins (language-name ascending tiebreak);
+    all-zero scores → 'unknown'."""
+    profiles = profiles or LANG_PROFILES
+    langs = sorted(profiles)
+    scores = {lang: token_match_count(text_col, profiles[lang]) for lang in langs}
+    best = F.greatest(*scores.values()) if len(scores) > 1 else next(iter(scores.values()))
+    pred = F.lit("unknown")
+    # build when-chain in reverse so earlier languages win ties
+    for lang in reversed(langs):
+        pred = F.when((scores[lang] == best) & (best > 0), F.lit(lang)).otherwise(pred)
+    return documents.select(
+        "doc_id",
+        pred.alias("pred_lang"),
+        best.cast("bigint").alias("best_score"),
+    )
+
+
+def fingerprint(documents: DataFrame, text_col: str = "text") -> DataFrame:
+    """Document fingerprinting: exact content hash, normalized token-set key,
+    and a 256-way shard prefix (content-addressed partitioning at scale)."""
+    return documents.select(
+        "doc_id",
+        F.md5(F.col(text_col)).alias("fingerprint"),
+        tokenset_key(text_col).alias("tokenset_key"),
+        F.substring(F.md5(F.col(text_col)), 1, 2).alias("shard"),
+    )

@@ -1,0 +1,123 @@
+"""Operator semantics on small hand-built relations (reference-derived cases:
+README worked example shapes, overhang selection, rename validation,
+latest-wins, dedup recall)."""
+
+from pyspark.sql import functions as F
+
+from esop_spark.operators import commitlog, dedup, diff, entities, manifest, retention, similarity
+
+
+def _entries(spark, rows):
+    return spark.createDataFrame(
+        rows, "backup_name string, backup_ts long, keyspace string, "
+              "table_name string, object_key string, size long, hash string"
+    )
+
+
+def test_list_backups_reclaimable(spark):
+    # two backups sharing k2: only unique objects are reclaimable
+    e = _entries(spark, [
+        ("b1", 1000, "ks", "t", "k1", 10, "h1"),
+        ("b1", 1000, "ks", "t", "k2", 20, "h2"),
+        ("b2", 2000, "ks", "t", "k2", 20, "h2"),
+        ("b2", 2000, "ks", "t", "k3", 5, "h3"),
+    ])
+    got = {r["backup_name"]: r for r in manifest.list_backups(e).collect()}
+    assert got["b1"]["size_bytes"] == 30 and got["b1"]["reclaimable_bytes"] == 10
+    assert got["b2"]["size_bytes"] == 25 and got["b2"]["reclaimable_bytes"] == 5
+    totals = manifest.totals(e).collect()[0]
+    assert totals["total_files"] == 3 and totals["total_size"] == 35
+
+
+def test_removable_entries(spark):
+    e = _entries(spark, [
+        ("b1", 1000, "ks", "t", "k1", 10, "h1"),
+        ("b1", 1000, "ks", "t", "k2", 20, "h2"),
+        ("b2", 2000, "ks", "t", "k2", 20, "h2"),
+    ])
+    rem = manifest.removable_entries(e, "b1").collect()
+    assert [(r["object_key"], r["size"]) for r in rem] == [("k1", 10)]
+
+
+def test_restore_diff_three_legs(spark):
+    mf = spark.createDataFrame(
+        [("f1", 10, "h1"), ("f2", 20, "h2"), ("f3", 30, "h3")],
+        "object_key string, size long, hash string",
+    )
+    local = spark.createDataFrame(
+        [("f2", 20, "h2"), ("f3", 30, "CORRUPT"), ("f9", 9, "h9")],
+        "rel_file string, size long, hash string",
+    )
+    got = {(r["action"], r["rel_file"]) for r in diff.restore_diff(mf, local).collect()}
+    assert got == {("download", "f1"), ("delete", "f9"), ("mismatch", "f3")}
+
+
+def test_commitlog_overhang(spark):
+    logs = spark.createDataFrame(
+        [(f"cl-{i}", i * 100, 1) for i in range(10)], "name string, ts long, size long"
+    )
+    got = sorted(r["ts"] for r in commitlog.commitlog_window(logs, 200, 450).collect())
+    # in-window: 200,300,400; overhang: first ts > 450 → 500
+    assert got == [200, 300, 400, 500]
+
+
+def test_latest_manifest_per_prefix(spark):
+    m = spark.createDataFrame(
+        [("s1-sv1-100", "s1", "sv1", 100, 1), ("s1-sv1-200", "s1", "sv1", 200, 1),
+         ("s2-sv1-50", "s2", "sv1", 50, 1)],
+        "backup_name string, snapshot string, schema_version string, ts long, size long",
+    )
+    got = {r["snapshot"]: r["ts"] for r in retention.latest_manifest_per_prefix(m).collect()}
+    assert got == {"s1": 200, "s2": 50}
+
+
+def test_rename_remap(spark):
+    e = _entries(spark, [
+        ("b1", 1, "ks0", "t1", "k1", 1, "h"),
+        ("b1", 1, "ks0", "t2", "k2", 1, "h"),
+    ])
+    got = {(r["keyspace"], r["table_name"]) for r in
+           entities.rename_remap(e, [("ks0", "t1", "ks9", "t9")]).collect()}
+    assert got == {("ks9", "t9"), ("ks0", "t2")}
+
+
+def test_minhash_lsh_finds_planted_neardups(spark):
+    base = " ".join(f"w{i}" for i in range(60))
+    near = " ".join(f"w{i}" for i in range(59)) + " zzz"
+    far = " ".join(f"v{i}" for i in range(60))
+    docs = spark.createDataFrame(
+        [(0, base), (1, near), (2, far)], "doc_id long, text string"
+    )
+    pairs = dedup.minhash_lsh_pairs(docs, threshold=0.5).collect()
+    assert [(r["id_a"], r["id_b"]) for r in pairs] == [(0, 1)]
+
+
+def test_simhash_identical_docs_distance_zero(spark):
+    t = "alpha beta gamma delta epsilon zeta eta theta"
+    docs = spark.createDataFrame(
+        [(0, t), (1, t), (2, "totally different words here entirely unrelated content")],
+        "doc_id long, text string",
+    )
+    pairs = dedup.simhash_pairs(docs, max_hamming=0).collect()
+    assert [(r["id_a"], r["id_b"], r["hamming"]) for r in pairs] == [(0, 1, 0)]
+
+
+def test_cosine_and_ann(spark):
+    emb = spark.createDataFrame(
+        [(0, [1.0, 0.0]), (1, [2.0, 0.0]), (2, [0.0, 1.0])],
+        "vec_id long, embedding array<float>",
+    )
+    pairs = similarity.cosine_pairs(emb, threshold=0.99).collect()
+    assert [(r["id_a"], r["id_b"], r["cosine"]) for r in pairs] == [(0, 1, 1.0)]
+    topk = similarity.ann_topk(emb, query_ids=[0], k=1).collect()
+    assert [(r["query_id"], r["neighbor_id"]) for r in topk] == [(0, 1)]
+
+
+def test_dedup_exact_groups(spark):
+    docs = spark.createDataFrame(
+        [(1, "b a"), (2, "a b"), (3, "c d")], "doc_id long, text string"
+    )
+    from esop_spark.operators.text import tokenset_key
+    got = {(r["canonical_id"], r["n_dups"]) for r in
+           dedup.dedup_exact(docs, tokenset_key("text")).collect()}
+    assert got == {(1, 2), (3, 1)}
