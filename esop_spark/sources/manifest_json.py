@@ -1,0 +1,228 @@
+"""Manifest JSON source/sink (SURVEY.md §2.1 S6/S7/S14).
+
+Reads esop manifest JSON files (nested snapshot→keyspace→table→sstable→entry
+maps, README.adoc "Manifest" example) into the flat ``manifest_entries``
+relation, and writes it back out in the same nested shape.
+
+- Ingestion is ``spark.read.json`` with an EXPLICIT schema (never inferred)
+  + higher-order-function explosion of the nested maps — one narrow pipeline,
+  no shuffle until the caller aggregates.
+- The pre-2.0 legacy shim: old manifests stored a flat ``entries`` list per
+  table which the reference reclassifies into the ``sstables`` map on read
+  (/root/reference/core/src/main/java/com/instaclustr/esop/impl/Snapshots.java:537-552);
+  here that's a ``coalesce`` of the two shapes at explode time.
+- Cloud prefixes (s3a://…/manifests/) work unchanged — the path is just a
+  Hadoop FS URI, which subsumes the reference's local cache dance
+  (s3/.../BaseS3Restorer.java:296-306).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    ArrayType,
+    LongType,
+    MapType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+from esop_spark.functions.scalars import SSTABLE_RE
+
+ENTRY_SCHEMA = StructType(
+    [
+        StructField("objectKey", StringType()),
+        StructField("type", StringType()),
+        StructField("size", LongType()),
+        StructField("hash", StringType()),
+    ]
+)
+
+TABLE_SCHEMA = StructType(
+    [
+        StructField("sstables", MapType(StringType(), ArrayType(ENTRY_SCHEMA))),
+        # legacy pre-2.0 flat list (Snapshots.java:537-552)
+        StructField("entries", ArrayType(ENTRY_SCHEMA)),
+        StructField("id", StringType()),
+        StructField("schemaContent", StringType()),
+    ]
+)
+
+MANIFEST_SCHEMA = StructType(
+    [
+        StructField(
+            "snapshot",
+            StructType(
+                [
+                    StructField("name", StringType()),
+                    StructField(
+                        "keyspaces",
+                        MapType(
+                            StringType(),
+                            StructType(
+                                [StructField("tables", MapType(StringType(), TABLE_SCHEMA))]
+                            ),
+                        ),
+                    ),
+                ]
+            ),
+        ),
+        StructField("tokens", ArrayType(StringType())),
+        StructField("schemaVersion", StringType()),
+        StructField("manifest", ENTRY_SCHEMA),
+    ]
+)
+
+
+def read_manifests(spark: SparkSession, path: str) -> DataFrame:
+    """S6/S7: manifest JSON dir → flat ``manifest_entries`` DataFrame.
+
+    Output: (backup_name, backup_ts, keyspace, table_name, table_id,
+    schema_content, sstable_base, object_key, type, size, hash).
+    """
+    raw = (
+        spark.read.schema(MANIFEST_SCHEMA)
+        .option("multiLine", "true")
+        .json(path)
+        .withColumn(
+            "backup_name",
+            F.regexp_replace(
+                F.element_at(F.split(F.input_file_name(), "/"), -1), r"\.json$", ""
+            ),
+        )
+        .withColumn(
+            "backup_ts",
+            F.substring_index(F.col("backup_name"), "-", -1).cast("bigint"),
+        )
+    )
+    ks = raw.select(
+        "backup_name",
+        "backup_ts",
+        F.col("schemaVersion").alias("schema_version"),
+        F.explode("snapshot.keyspaces").alias("keyspace", "ksdata"),
+    )
+    tbl = ks.select(
+        "backup_name",
+        "backup_ts",
+        "schema_version",
+        "keyspace",
+        F.explode("ksdata.tables").alias("table_name", "t"),
+    )
+    # modern shape: sstables map; legacy shape: flat entries keyed by the
+    # sstable base extracted from each entry's file name (the shim).
+    modern = F.flatten(
+        F.transform(
+            F.map_entries("t.sstables"),
+            lambda kv: F.transform(
+                kv["value"], lambda e: F.struct(kv["key"].alias("base"), e.alias("e"))
+            ),
+        )
+    )
+    legacy = F.transform(
+        F.col("t.entries"),
+        lambda e: F.struct(
+            F.regexp_extract(
+                F.element_at(F.split(e["objectKey"], "/"), -1), SSTABLE_RE, 1
+            ).alias("base"),
+            e.alias("e"),
+        ),
+    )
+    return tbl.select(
+        "backup_name",
+        "backup_ts",
+        "schema_version",
+        "keyspace",
+        "table_name",
+        F.col("t.id").alias("table_id"),
+        F.col("t.schemaContent").alias("schema_content"),
+        F.explode(F.coalesce(modern, legacy)).alias("se"),
+    ).select(
+        "backup_name",
+        "backup_ts",
+        "schema_version",
+        "keyspace",
+        "table_name",
+        "table_id",
+        "schema_content",
+        F.col("se.base").alias("sstable_base"),
+        F.col("se.e.objectKey").alias("object_key"),
+        F.col("se.e.type").alias("type"),
+        F.col("se.e.size").alias("size"),
+        F.col("se.e.hash").alias("hash"),
+    )
+
+
+def manifest_json_rows(entries: DataFrame) -> DataFrame:
+    """S14: flat entries → one (backup_name, json) row per backup, nested in
+    the reference's manifest shape. Aggregation is distributed (three
+    map_from_entries rollups); only the final per-backup JSON string comes
+    back to the caller."""
+    per_sstable = entries.groupBy(
+        "backup_name", "schema_version", "keyspace", "table_name", "table_id",
+        "schema_content", "sstable_base",
+    ).agg(
+        F.collect_list(
+            F.struct(
+                F.col("object_key").alias("objectKey"),
+                F.col("type"),
+                F.col("size"),
+                F.col("hash"),
+            )
+        ).alias("entry_list")
+    )
+    per_table = per_sstable.groupBy(
+        "backup_name", "schema_version", "keyspace", "table_name"
+    ).agg(
+        F.map_from_entries(
+            F.collect_list(F.struct("sstable_base", "entry_list"))
+        ).alias("sstables"),
+        F.first("table_id").alias("id"),
+        F.first("schema_content").alias("schemaContent"),
+    )
+    per_ks = per_table.groupBy("backup_name", "schema_version", "keyspace").agg(
+        F.map_from_entries(
+            F.collect_list(
+                F.struct(
+                    "table_name",
+                    F.struct("sstables", "id", "schemaContent").alias("t"),
+                )
+            )
+        ).alias("tables")
+    )
+    per_backup = per_ks.groupBy("backup_name", "schema_version").agg(
+        F.map_from_entries(
+            F.collect_list(
+                F.struct("keyspace", F.struct("tables").alias("k"))
+            )
+        ).alias("keyspaces")
+    )
+    doc = F.struct(
+        F.struct(
+            F.col("backup_name").alias("name"), F.col("keyspaces")
+        ).alias("snapshot"),
+        F.col("schema_version").alias("schemaVersion"),
+    )
+    return per_backup.select("backup_name", F.to_json(doc).alias("json"))
+
+
+def write_manifests(entries: DataFrame, out_dir: str) -> list[str]:
+    """Write one ``<backup_name>.json`` per backup under ``out_dir``.
+
+    Manifests are a per-backup singleton (small) — written driver-side after
+    the distributed nesting aggregation, mirroring the reference's
+    manifest-uploaded-last ordering (BaseBackupOperationCoordinator.java:151-153).
+    """
+    os.makedirs(out_dir, exist_ok=True)
+    paths = []
+    for row in manifest_json_rows(entries).collect():
+        p = os.path.join(out_dir, f"{row['backup_name']}.json")
+        with open(p, "w") as f:
+            # round-trip through json for stable pretty formatting
+            json.dump(json.loads(row["json"]), f, indent=2)
+        paths.append(p)
+    return paths

@@ -1,0 +1,158 @@
+"""Snapshot directory scan (SURVEY.md §2.1 S1–S4).
+
+Walks Cassandra-style data directories
+(``<dataDir>/<keyspace>/<table>-<tableId>/snapshots/<tag>/<component>``,
+optionally with 2.2-style secondary-index subdirs ``.idxName``) into the
+``manifest_entries`` relation — the Spark-native form of
+``Snapshots.parse`` + ``SSTableUtils.getSSTables``
+(/root/reference/core/src/main/java/com/instaclustr/esop/impl/Snapshots.java:715-831,
+/root/reference/core/src/main/java/com/instaclustr/esop/impl/SSTableUtils.java:104-168).
+
+Design:
+- ``binaryFile`` source with ``recursiveFileLookup`` does the distributed
+  walk; Catalyst prunes the ``content`` column away for listing-only uses,
+  so hashing is the only pass that actually reads bytes.
+- Content hash = lowercase SHA-256 (the reference default, HashSpec.java).
+- SSTable id = ``<generation>-<digest>`` where the digest is derived from the
+  sstable's ``*-Data.db`` content hash (first 8 hex chars). The reference
+  reads a ``-Digest.crc32``-style sibling or Adler32's the Data.db tail
+  (SSTableUtils.java:48-102); content-derived digests keep the same
+  content-addressing semantics (identical sstable → identical id → global
+  dedup) with one distributed pass instead of per-file random IO.
+- ``truncated-``/``dropped-`` snapshot dirs are skipped (Snapshots.java:761-765).
+
+Scale notes: listing parallelizes over files; the only shuffle is the
+per-sstable digest propagation (a window over (ks, table_id, sstable_base) —
+key cardinality = number of sstables, uniformly distributed).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from esop_spark.functions.scalars import SSTABLE_RE, content_hash
+
+# .../<keyspace>/<table>-<32hex>/snapshots/<tag>/[.index/]<component>
+_SNAPSHOT_PATH_RE = (
+    r"^.*/([^/]+)/([^/]+)-([0-9a-f]{32})/snapshots/([^/]+)/(?:(\.[^/]+)/)?([^/]+)$"
+)
+
+
+def scan_snapshot_tree(
+    spark: SparkSession, data_dirs: list[str], snapshot_tag: str
+) -> DataFrame:
+    """S1+S2: scan data dirs for one snapshot tag → manifest entries.
+
+    Output: (keyspace, table_name, table_id, sstable_base, object_key,
+    size, hash, type, local_path, index_dir).
+    """
+    listing = (
+        spark.read.format("binaryFile")
+        .option("recursiveFileLookup", "true")
+        .load(data_dirs)
+    )
+    p = F.regexp_replace(F.col("path"), "^file:", "")
+    parsed = listing.select(
+        p.alias("local_path"),
+        F.col("length").alias("size"),
+        content_hash(F.col("content")).alias("hash"),
+        F.regexp_extract(p, _SNAPSHOT_PATH_RE, 1).alias("keyspace"),
+        F.regexp_extract(p, _SNAPSHOT_PATH_RE, 2).alias("table_name"),
+        F.regexp_extract(p, _SNAPSHOT_PATH_RE, 3).alias("table_id"),
+        F.regexp_extract(p, _SNAPSHOT_PATH_RE, 4).alias("snapshot_tag"),
+        F.regexp_extract(p, _SNAPSHOT_PATH_RE, 5).alias("index_dir"),
+        F.regexp_extract(p, _SNAPSHOT_PATH_RE, 6).alias("file_name"),
+    ).filter(
+        (F.col("snapshot_tag") == snapshot_tag)
+        & ~F.col("snapshot_tag").startswith("truncated-")
+        & ~F.col("snapshot_tag").startswith("dropped-")
+        & (F.col("keyspace") != "")
+    )
+    with_base = parsed.withColumn(
+        "sstable_base", F.regexp_extract("file_name", SSTABLE_RE, 1)
+    ).withColumn("generation", F.regexp_extract("file_name", SSTABLE_RE, 2))
+
+    # content-addressed sstable id: digest from the Data.db component,
+    # propagated to every component of the sstable
+    w = Window.partitionBy("keyspace", "table_id", "index_dir", "sstable_base")
+    digest = F.max(
+        F.when(
+            F.col("file_name").endswith("-Data.db"), F.substring(F.col("hash"), 1, 8)
+        )
+    ).over(w)
+    enriched = with_base.withColumn("digest", F.coalesce(digest, F.lit("nodata")))
+
+    object_key = F.concat_ws(
+        "/",
+        F.lit("data"),
+        F.col("keyspace"),
+        F.concat_ws("-", F.col("table_name"), F.col("table_id")),
+        *[],
+    )
+    # secondary-index components keep the .idx dir as an extra path component
+    # (6-component form, SSTableUtils.java:183-187)
+    object_key = F.when(
+        F.col("index_dir") != "",
+        F.concat_ws(
+            "/",
+            object_key,
+            F.col("index_dir"),
+            F.concat_ws("-", F.col("generation"), F.col("digest")),
+            F.col("file_name"),
+        ),
+    ).otherwise(
+        F.concat_ws(
+            "/",
+            object_key,
+            F.concat_ws("-", F.col("generation"), F.col("digest")),
+            F.col("file_name"),
+        )
+    )
+    return enriched.select(
+        "keyspace",
+        "table_name",
+        "table_id",
+        "sstable_base",
+        object_key.alias("object_key"),
+        "size",
+        "hash",
+        F.lit("FILE").alias("type"),
+        "local_path",
+        "index_dir",
+    )
+
+
+def list_local_files(spark: SparkSession, data_dirs: list[str]) -> DataFrame:
+    """S3: live (non-snapshot) data files — the local side of restore diffs.
+
+    Listing only: the ``content`` column is never selected, so Spark prunes
+    it and no bytes are read.
+    """
+    listing = (
+        spark.read.format("binaryFile")
+        .option("recursiveFileLookup", "true")
+        .load(data_dirs)
+    )
+    p = F.regexp_replace(F.col("path"), "^file:", "")
+    return listing.select(
+        p.alias("local_path"), F.col("length").alias("size")
+    ).filter(~p.contains("/snapshots/") & ~p.contains("/backups/"))
+
+
+def list_remote_objects(spark: SparkSession, bucket_dir: str) -> DataFrame:
+    """S8: bucket listing → (object_key, size). Prefix filters push down to
+    the FS listing. Works for any Hadoop FS scheme (file:/, s3a://, …)."""
+    listing = (
+        spark.read.format("binaryFile")
+        .option("recursiveFileLookup", "true")
+        .load(bucket_dir)
+    )
+    root = bucket_dir.rstrip("/")
+    p = F.regexp_replace(F.col("path"), "^file:", "")
+    # positional strip (not regexp_replace) — bucket paths may contain
+    # regex metacharacters
+    return listing.select(
+        F.substring(p, len(root) + 2, 1 << 20).alias("object_key"),
+        F.col("length").alias("size"),
+    )

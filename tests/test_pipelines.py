@@ -1,0 +1,158 @@
+"""End-to-end backup → list → restore over a synthetic snapshot tree
+(the Spark-native analog of the reference's embedded-Cassandra e2e suite,
+AbstractBackupTest.java / BaseListingRemovalTest.java)."""
+
+import os
+
+import pytest
+
+from esop_spark.operators import manifest as manifest_ops
+from esop_spark.operators import pipelines
+from esop_spark.sources import manifest_json, snapshot_scan
+
+TABLE_ID = "5f2fbdad025f1b45a6cd84e52b42a1d4"
+
+
+def make_tree(root, tag, files):
+    """files: {(ks, table, component): content}"""
+    for (ks, table, comp), content in files.items():
+        d = os.path.join(root, ks, f"{table}-{TABLE_ID}", "snapshots", tag)
+        os.makedirs(d, exist_ok=True)
+        with open(os.path.join(d, comp), "w") as f:
+            f.write(content)
+
+
+BASE_FILES = {
+    ("ks1", "t1", "me-1-big-Data.db"): "alpha-data",
+    ("ks1", "t1", "me-1-big-Index.db"): "alpha-index",
+    ("ks1", "t2", "me-2-big-Data.db"): "bravo-data",
+    ("ks2", "t3", "da-1-bti-Data.db"): "charlie-data",
+}
+
+
+@pytest.fixture()
+def tree(tmp_path):
+    data = tmp_path / "data"
+    bucket = tmp_path / "bucket"
+    make_tree(str(data), "snap1", BASE_FILES)
+    return str(data), str(bucket), str(tmp_path)
+
+
+def test_scan_groups_and_content_addresses(spark, tree):
+    data, _, _ = tree
+    df = snapshot_scan.scan_snapshot_tree(spark, [data], "snap1")
+    rows = df.collect()
+    assert len(rows) == 4
+    by_comp = {os.path.basename(r["local_path"]): r for r in rows}
+    # components of the same sstable share the digest → same key prefix
+    d = by_comp["me-1-big-Data.db"]
+    i = by_comp["me-1-big-Index.db"]
+    assert d["object_key"].rsplit("/", 1)[0] == i["object_key"].rsplit("/", 1)[0]
+    assert d["sstable_base"] == "me-1-big" and d["keyspace"] == "ks1"
+    assert len(d["hash"]) == 64
+
+
+def test_backup_is_incremental_and_restore_round_trips(spark, tree):
+    data, bucket, root = tree
+    up1 = pipelines.backup(
+        spark, [data], "snap1", bucket, schema_version="sv1", ts_millis=1000
+    )
+    assert up1.count() == 4
+
+    # second backup of identical data uploads nothing (freshen skip J1)
+    make_tree(data, "snap2", BASE_FILES)
+    up2 = pipelines.backup(
+        spark, [data], "snap2", bucket, schema_version="sv1", ts_millis=2000
+    )
+    assert up2.count() == 0
+
+    # listing over the written manifests: 2 backups, shared objects → second
+    # backup fully deduplicated, reclaimable == 0 for both
+    entries = manifest_json.read_manifests(spark, os.path.join(bucket, "manifests"))
+    report = {
+        r["backup_name"]: r
+        for r in manifest_ops.list_backups(
+            entries.withColumnRenamed("backup_ts", "backup_ts")
+        ).collect()
+    }
+    assert len(report) == 2
+    for r in report.values():
+        assert r["files"] == 4
+        assert r["reclaimable_bytes"] == 0
+
+    # restore into a fresh dir reproduces every file byte-for-byte
+    target = os.path.join(root, "restored")
+    stats = pipelines.restore(spark, bucket, target, backup_name="snap2-sv1-2000")
+    assert stats["downloaded"] == 4
+    for (ks, table, comp), content in BASE_FILES.items():
+        p = os.path.join(target, ks, f"{table}-{TABLE_ID}", comp)
+        with open(p) as f:
+            assert f.read() == content
+
+    # corrupt one file + add an extra → restore heals: re-download + delete
+    victim = os.path.join(target, "ks1", f"t1-{TABLE_ID}", "me-1-big-Data.db")
+    with open(victim, "w") as f:
+        f.write("corrupted!")
+    extra = os.path.join(target, "ks1", f"t1-{TABLE_ID}", "stray.db")
+    with open(extra, "w") as f:
+        f.write("stray")
+    stats = pipelines.restore(spark, bucket, target, backup_name="snap2-sv1-2000")
+    assert stats["deleted"] == 1
+    assert not os.path.exists(extra)
+
+
+def test_manifest_json_round_trip(spark, tree):
+    data, bucket, _ = tree
+    pipelines.backup(spark, [data], "snap1", bucket, schema_version="sv1", ts_millis=1000)
+    entries = manifest_json.read_manifests(spark, os.path.join(bucket, "manifests"))
+    rows = entries.collect()
+    assert len(rows) == 4
+    r = rows[0]
+    assert r["backup_name"] == "snap1-sv1-1000"
+    assert r["backup_ts"] == 1000
+    assert r["schema_version"] == "sv1"
+    assert r["table_id"] == TABLE_ID
+    # write back out and re-read: identical flat relation
+    out2 = os.path.join(bucket, "manifests2")
+    manifest_json.write_manifests(entries, out2)
+    again = manifest_json.read_manifests(spark, out2)
+    a = {tuple(sorted(r.asDict().items())) for r in rows}
+    b = {tuple(sorted(r.asDict().items())) for r in again.collect()}
+    assert a == b
+
+
+def test_legacy_flat_entries_shim(spark, tmp_path):
+    legacy = {
+        "snapshot": {
+            "name": "old",
+            "keyspaces": {
+                "ks1": {
+                    "tables": {
+                        "t1": {
+                            "entries": [
+                                {
+                                    "objectKey": "data/ks1/t1-x/1-abc/me-1-big-Data.db",
+                                    "type": "FILE",
+                                    "size": 10,
+                                    "hash": "h",
+                                }
+                            ],
+                            "id": "x",
+                            "schemaContent": "CREATE ...",
+                        }
+                    }
+                }
+            },
+        },
+        "schemaVersion": "sv0",
+    }
+    import json
+
+    mdir = tmp_path / "manifests"
+    mdir.mkdir()
+    (mdir / "old-sv0-500.json").write_text(json.dumps(legacy))
+    df = manifest_json.read_manifests(spark, str(mdir))
+    r = df.collect()[0]
+    assert r["sstable_base"] == "me-1-big"
+    assert r["backup_ts"] == 500
+    assert r["object_key"].endswith("me-1-big-Data.db")
