@@ -30,10 +30,13 @@ def filter_project(
     lineitem: DataFrame, start_epoch_s: int, end_epoch_s: int
 ) -> DataFrame:
     """Q13: predicate + projection; filters reach the parquet scan."""
+    # timestamp_seconds(lit) builds the bound from the epoch directly — both
+    # session-timezone-independent AND constant-foldable, so the comparison
+    # is pushed down into the parquet scan (unix_timestamp(col) would not be)
     return (
         lineitem.filter(
-            (F.unix_timestamp("l_shipdate") >= start_epoch_s)
-            & (F.unix_timestamp("l_shipdate") < end_epoch_s)
+            (F.col("l_shipdate") >= F.timestamp_seconds(F.lit(start_epoch_s)))
+            & (F.col("l_shipdate") < F.timestamp_seconds(F.lit(end_epoch_s)))
             & (F.col("l_discount") >= 0.05)
             & (F.col("l_discount") <= 0.07)
             & (F.col("l_quantity") < 24)

@@ -46,15 +46,21 @@ def dedup_exact(df: DataFrame, key: Column, id_col: str = "doc_id") -> DataFrame
 
 def shingles(documents: DataFrame, n: int = 3, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """Distinct word n-gram shingles per document: (id, shingle)."""
+    # Materialize the words array ONCE per row before the per-index lambda —
+    # referencing split(text) inside the lambda would re-split the text for
+    # every sequence element (O(words²) per document).
     # NULL-pad + filter instead of sequence(1, size-n+1): Spark's sequence()
     # produces a DESCENDING range when size < n, which would fabricate shingles.
+    words = documents.select(
+        F.col(id_col), F.split(F.col(text_col), " ").alias("words")
+    )
     expr = (
-        f"filter(transform(sequence(1, size(split({text_col}, ' '))),"
-        f" i -> IF(i + {n - 1} <= size(split({text_col}, ' ')),"
-        f" concat_ws(' ', slice(split({text_col}, ' '), i, {n})), NULL)),"
+        f"filter(transform(sequence(1, size(words)),"
+        f" i -> IF(i + {n - 1} <= size(words),"
+        f" concat_ws(' ', slice(words, i, {n})), NULL)),"
         f" x -> x IS NOT NULL)"
     )
-    return documents.select(
+    return words.select(
         F.col(id_col),
         F.explode(F.array_distinct(F.expr(expr))).alias("shingle"),
     )
@@ -74,12 +80,17 @@ def ngram_jaccard_pairs(
     scale, hot shingles should be frequency-capped (df-style pruning) —
     candidates from MinHash/LSH make this exact verifier cheap.
     """
-    sh = shingles(documents, n, text_col, id_col)
+    # join on a 64-bit shingle hash instead of the shingle string: narrower
+    # shuffle rows + cheaper key compare; collision probability over the
+    # shingle population is ~n²/2^65 — immaterial to the pair counts.
+    sh = shingles(documents, n, text_col, id_col).select(
+        id_col, F.xxhash64("shingle").alias("sh")
+    )
     counts = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
     a = sh.alias("a")
     b = sh.alias("b")
     pairs = (
-        a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")))
+        a.join(b, (F.col("a.sh") == F.col("b.sh")) & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")))
         .groupBy(F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b"))
         .agg(F.count(F.lit(1)).alias("shared"))
     )

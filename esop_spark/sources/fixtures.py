@@ -190,11 +190,33 @@ def load_base_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     return out
 
 
+# sf_dir most recently registered per session — registration is idempotent
+# and re-running it per query would re-read parquet footers and re-plan the
+# DISTINCT derivation every time.
+_REGISTERED: dict[str, str] = {}
+
+
 def register_fixture_views(spark: SparkSession, sf_dir: str) -> None:
-    """Register base tables + derived esop-style fixture views."""
+    """Register base tables + derived esop-style fixture views (cached).
+
+    ``manifest_entries`` (the only expensive derivation — a DISTINCT shuffle
+    over lineitem) is Spark-cached so every downstream query in the session
+    reuses one materialization.
+    """
+    key = id(spark.sparkContext)
+    cache_key = f"{key}:{sf_dir}"
+    if _REGISTERED.get(str(key)) == cache_key:
+        return
+    if str(key) in _REGISTERED:  # sf_dir switch: drop the stale cache
+        try:
+            spark.catalog.uncacheTable("manifest_entries")
+        except Exception:
+            pass
     load_base_tables(spark, sf_dir)
     for name in _FIXTURE_ORDER:
         spark.sql(f"CREATE OR REPLACE TEMP VIEW {name} AS {FIXTURE_SQL[name]}")
+    spark.catalog.cacheTable("manifest_entries")
+    _REGISTERED[str(key)] = cache_key
 
 
 def fixture_df(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
