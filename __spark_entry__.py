@@ -246,6 +246,31 @@ def q31_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     return multimodal.decode_media(media, fake=True)
 
 
+def q32_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return analytics.cube_agg(_base(spark, sf_dir, "lineitem"))
+
+
+def q33_sliding_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return analytics.sliding_window_agg(_base(spark, sf_dir, "events"))
+
+
+def q34_storage_location(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from esop_spark.functions.scalars import storage_location_parts
+
+    topo = _fixture(spark, sf_dir, "topology")
+    loc = F.concat(
+        F.lit("s3://bucket1/cluster1/"), F.col("dc"), F.lit("/"), F.col("hostname")
+    )
+    parsed = topo.select(storage_location_parts(loc).alias("p"))
+    return parsed.select(
+        F.col("p.protocol").alias("protocol"),
+        F.col("p.bucket").alias("bucket"),
+        F.col("p.cluster").alias("cluster"),
+        F.col("p.dc").alias("dc"),
+        F.col("p.node").alias("node"),
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001: the backup-listing report."""
     return q01_list_backups(spark, "/root/testdata/sf0.001")
@@ -284,6 +309,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q29_token_stats": q29_token_stats,
         "q30_fingerprint": q30_fingerprint,
         "q31_multimodal_decode": q31_multimodal_decode,
+        "q32_cube": q32_cube,
+        "q33_sliding_windows": q33_sliding_windows,
+        "q34_storage_location": q34_storage_location,
     }
 
 
@@ -601,5 +629,35 @@ def oracle_sql() -> dict[str, str]:
                    CAST(list_sum(list_transform(range(1, least(length(text), 64) + 1),
                         i -> ord(substr(text, CAST(i AS INTEGER), 1)))) AS BIGINT) AS checksum
             FROM documents
+        """,
+        "q32_cube": """
+            SELECT l_returnflag, l_linestatus,
+                   CAST(SUM(CAST(ROUND(l_quantity * 100) AS BIGINT)) AS BIGINT)
+                       AS sum_qty_cents,
+                   CAST(COUNT(*) AS BIGINT) AS count_rows
+            FROM lineitem
+            GROUP BY CUBE (l_returnflag, l_linestatus)
+        """,
+        "q33_sliding_windows": """
+            SELECT ws - k * 900 AS window_start_epoch,
+                   CAST(COUNT(*) AS BIGINT) AS events
+            FROM (
+                SELECT (epoch_ms(ts) // 1000 // 900) * 900 AS ws FROM events
+            ), unnest([0, 1]) t(k)
+            GROUP BY 1
+        """,
+        "q34_storage_location": r"""
+            SELECT regexp_extract(loc, '(\w+):\/\/([^\/]+)\/([^\/]+)\/([^\/]+)\/([^\/]+)\/?', 1) AS protocol,
+                   regexp_extract(loc, '(\w+):\/\/([^\/]+)\/([^\/]+)\/([^\/]+)\/([^\/]+)\/?', 2) AS bucket,
+                   regexp_extract(loc, '(\w+):\/\/([^\/]+)\/([^\/]+)\/([^\/]+)\/([^\/]+)\/?', 3) AS cluster,
+                   regexp_extract(loc, '(\w+):\/\/([^\/]+)\/([^\/]+)\/([^\/]+)\/([^\/]+)\/?', 4) AS dc,
+                   regexp_extract(loc, '(\w+):\/\/([^\/]+)\/([^\/]+)\/([^\/]+)\/([^\/]+)\/?', 5) AS node
+            FROM (
+                SELECT 'node-' || lower(n_name) || '-' || CAST(n_nationkey AS STRING) AS hostname,
+                       r_name AS dc2,
+                       's3://bucket1/cluster1/' || r_name || '/' ||
+                       'node-' || lower(n_name) || '-' || CAST(n_nationkey AS STRING) AS loc
+                FROM nation JOIN region ON n_regionkey = r_regionkey
+            )
         """,
     }

@@ -139,6 +139,33 @@ def anti_semi_counts(customer: DataFrame, orders: DataFrame, nation: DataFrame) 
     )
 
 
+def cube_agg(lineitem: DataFrame) -> DataFrame:
+    """Q32: full cube over (returnflag, linestatus)."""
+    return lineitem.cube("l_returnflag", "l_linestatus").agg(
+        F.sum(cents("l_quantity")).cast("bigint").alias("sum_qty_cents"),
+        F.count(F.lit(1)).cast("bigint").alias("count_rows"),
+    )
+
+
+def sliding_window_agg(
+    events: DataFrame, width_s: int = 1800, slide_s: int = 900, ts_col: str = "ts"
+) -> DataFrame:
+    """Q33: sliding event-time windows in batch — each event explodes into
+    width/slide windows (the same window set Structured Streaming's
+    F.window(ts, width, slide) assigns)."""
+    n = width_s // slide_s
+    offsets = F.array(*[F.lit(k) for k in range(n)])
+    e = events.select(
+        F.col(ts_col), F.explode(offsets).alias("k")
+    ).withColumn(
+        "window_start_epoch",
+        F.expr(f"(unix_timestamp({ts_col}) div {slide_s}) * {slide_s}") - F.col("k") * slide_s,
+    )
+    return e.groupBy("window_start_epoch").agg(
+        F.count(F.lit(1)).cast("bigint").alias("events")
+    )
+
+
 def tumbling_window_agg(
     events: DataFrame, width_s: int = 3600, ts_col: str = "ts"
 ) -> DataFrame:

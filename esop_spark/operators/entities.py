@@ -82,6 +82,36 @@ def entity_filter(
     return out
 
 
+def missing_entities(
+    requested: DataFrame,
+    catalog: DataFrame,
+    keyspace_col: str = "keyspace",
+    table_col: str = "table_name",
+) -> DataFrame:
+    """J7: requested entities absent from the on-disk/table catalog — raise
+    if non-empty (KeyspaceTable.java:126-149, CassandraData.java:409-435)."""
+    return requested.select(keyspace_col, table_col).distinct().join(
+        catalog.select(keyspace_col, table_col).distinct(),
+        [keyspace_col, table_col],
+        "left_anti",
+    )
+
+
+def import_join(
+    entities_df: DataFrame,
+    local_tables: DataFrame,
+    keyspace_col: str = "keyspace",
+    table_col: str = "table_name",
+) -> DataFrame:
+    """J9: restore entities ⨝ local table catalog on (ks, table) to pick up
+    the live tableId/path; rows without a local table are dropped
+    (RestorationPhase.java:437-451). local_tables is a broadcast-size dim."""
+    cat = local_tables.select(
+        keyspace_col, table_col, F.col("table_id").alias("local_table_id"), "path"
+    )
+    return entities_df.join(F.broadcast(cat), [keyspace_col, table_col], "inner")
+
+
 def rename_remap(
     df: DataFrame,
     rename_pairs: list[tuple[str, str, str, str]],

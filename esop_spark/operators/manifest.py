@@ -64,6 +64,74 @@ def totals(entries: DataFrame) -> DataFrame:
     )
 
 
+def render_report(
+    entries: DataFrame,
+    fmt: str = "table",
+    human_units: bool = False,
+    from_timestamp: int | None = None,
+    last_n: int | None = None,
+) -> str:
+    """The `esop list` output surface: per-backup rows newest-first plus a
+    totals footer, as an aligned table or JSON, with optional SI units —
+    the four golden formats of AllManifestsReportTest
+    (/root/reference/core/src/test/java/com/instaclustr/esop/backup/AllManifestsReportTest.java:52-126),
+    with --from-timestamp (P9) and --last-n (W4) filters.
+    """
+    import json as _json
+
+    from esop_spark.functions.render import human_bytes, render_table, render_timestamp
+
+    report = list_backups(entries)
+    if from_timestamp is not None:
+        report = report.filter(F.col("backup_ts") <= from_timestamp)
+    rows = report.orderBy(F.col("backup_ts").desc(), F.col("backup_name").desc()).collect()
+    if last_n is not None:
+        rows = rows[-last_n:]  # oldest N of the newest-first list, order kept
+    # totals are DISTINCT-object totals (A2, README "Listing of backups":
+    # backup-1 154 files/113.1kB + backup-2 138 files → totals 154/113.1kB),
+    # not the sum of per-backup rows
+    t = totals(entries).collect()[0]
+    tot_files, tot_size = t["total_files"], t["total_size"]
+    tot_reclaim = sum(r["reclaimable_bytes"] for r in rows)
+
+    def fmt_size(n: int) -> str:
+        return human_bytes(n) if human_units else str(n)
+
+    if fmt == "json":
+        return _json.dumps(
+            {
+                "reports": [
+                    {
+                        "name": r["backup_name"],
+                        "timestamp": render_timestamp(r["backup_ts"]),
+                        "unixtimestamp": r["backup_ts"],
+                        "files": r["files"],
+                        "size": fmt_size(r["size_bytes"]),
+                        "reclaimableSpace": fmt_size(r["reclaimable_bytes"]),
+                    }
+                    for r in rows
+                ],
+                "totalFiles": tot_files,
+                "totalSize": fmt_size(tot_size),
+                "totalReclaimable": fmt_size(tot_reclaim),
+            },
+            indent=2,
+        )
+    table = [["name", "timestamp", "files", "size", "reclaimable"]]
+    for r in rows:
+        table.append(
+            [
+                r["backup_name"],
+                render_timestamp(r["backup_ts"]),
+                str(r["files"]),
+                fmt_size(r["size_bytes"]),
+                fmt_size(r["reclaimable_bytes"]),
+            ]
+        )
+    table.append(["TOTAL", "", str(tot_files), fmt_size(tot_size), fmt_size(tot_reclaim)])
+    return render_table(table)
+
+
 def removable_entries(entries: DataFrame, backup_name: str) -> DataFrame:
     """Q2: objects safe to delete with backup `backup_name` — those referenced
     by exactly one manifest (necessarily that backup).

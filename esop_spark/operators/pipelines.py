@@ -84,6 +84,65 @@ def backup(
     return uploaded
 
 
+def remove_backup(
+    spark: SparkSession,
+    bucket_dir: str,
+    backup_name: str | None = None,
+    oldest: bool = False,
+    older_than_ms: int | None = None,
+    dry_run: bool = False,
+) -> dict[str, int]:
+    """Safe backup removal (SURVEY.md §0.4): delete only objects referenced
+    exclusively by the victim backups, then their manifests.
+
+    Victim selection mirrors RemoveBackupOperation.java:177-190: exact name
+    XOR --oldest XOR --older-than. ``dry_run`` computes the deletion set as a
+    pure query (the reference's report mode).
+    """
+    from esop_spark.sources import manifest_json
+
+    entries = manifest_json.read_manifests(spark, os.path.join(bucket_dir, "manifests"))
+    manifests = entries.select("backup_name", "backup_ts").distinct()
+    if backup_name is not None:
+        victims = manifests.filter(F.col("backup_name") == backup_name)
+    elif oldest:
+        victims = manifests.orderBy(
+            F.col("backup_ts").asc(), F.col("backup_name").asc()
+        ).limit(1)
+    elif older_than_ms is not None:
+        victims = manifests.filter(F.col("backup_ts") < older_than_ms)
+    else:
+        raise ValueError("select victims via backup_name, oldest, or older_than_ms")
+
+    victim_names = [r["backup_name"] for r in victims.collect()]
+    # removable iff NO surviving (non-victim) backup references the object —
+    # anti-join against survivor references generalizes the refcount==1 rule
+    # to multi-victim (--older-than) removals
+    removable = (
+        entries.join(victims.select("backup_name"), "backup_name", "left_semi")
+        .select("object_key")
+        .distinct()
+        .join(
+            entries.join(victims.select("backup_name"), "backup_name", "left_anti")
+            .select("object_key")
+            .distinct(),
+            "object_key",
+            "left_anti",
+        )
+    )
+    keys = [r["object_key"] for r in removable.collect()]
+    if not dry_run:
+        for k in keys:
+            p = os.path.join(bucket_dir, k)
+            if os.path.exists(p):
+                os.remove(p)
+        for name in victim_names:
+            mp = os.path.join(bucket_dir, "manifests", f"{name}.json")
+            if os.path.exists(mp):
+                os.remove(mp)
+    return {"backups_removed": len(victim_names), "objects_removed": len(keys)}
+
+
 def restore(
     spark: SparkSession,
     bucket_dir: str,

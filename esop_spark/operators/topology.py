@@ -26,6 +26,15 @@ def dc_rack_counts(topology: DataFrame, dcs: list[str] | None = None) -> DataFra
     return t.groupBy("dc", "rack").agg(F.count(F.lit(1)).cast("bigint").alias("nodes"))
 
 
+def schema_consensus(topology: DataFrame, schema_col: str = "schema_version") -> bool:
+    """A10: cluster-wide schema agreement — exactly one distinct schema
+    version across nodes (RestorationPhase.java:229-233)."""
+    n = topology.agg(
+        F.countDistinct(F.col(schema_col)).alias("n")
+    ).collect()[0]["n"]
+    return n == 1
+
+
 def resolve_node(topology: DataFrame, node: str) -> str:
     """P16: resolve a hostname prefix or node id to exactly one nodeId."""
     rows = (
