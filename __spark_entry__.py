@@ -271,6 +271,22 @@ def q34_storage_location(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q35_import_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J9: restore entities joined to the live table catalog — rows for
+    tables that no longer exist locally (t6) are dropped, and each surviving
+    row carries the LOCAL table id (the enrichment id-rewrite, P14)."""
+    fx.register_fixture_views(spark, sf_dir)
+    ents = (
+        spark.table("manifest_entries")
+        .filter(F.col("backup_name") == "backup-0")
+        .groupBy("keyspace", "table_name")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("files"))
+    )
+    return entities.import_join(ents, spark.table("local_tables")).select(
+        "keyspace", "table_name", "files", "local_table_id", "path"
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001: the backup-listing report."""
     return q01_list_backups(spark, "/root/testdata/sf0.001")
@@ -312,6 +328,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q32_cube": q32_cube,
         "q33_sliding_windows": q33_sliding_windows,
         "q34_storage_location": q34_storage_location,
+        "q35_import_join": q35_import_join,
     }
 
 
@@ -659,5 +676,16 @@ def oracle_sql() -> dict[str, str]:
                        'node-' || lower(n_name) || '-' || CAST(n_nationkey AS STRING) AS loc
                 FROM nation JOIN region ON n_regionkey = r_regionkey
             )
+        """,
+        "q35_import_join": W("local_tables") + """
+            SELECT e.keyspace, e.table_name, e.files,
+                   lt.table_id AS local_table_id, lt.path
+            FROM (
+                SELECT keyspace, table_name, CAST(COUNT(*) AS BIGINT) AS files
+                FROM manifest_entries WHERE backup_name = 'backup-0'
+                GROUP BY 1, 2
+            ) e
+            JOIN local_tables lt
+              ON e.keyspace = lt.keyspace AND e.table_name = lt.table_name
         """,
     }

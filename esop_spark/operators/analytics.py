@@ -139,6 +139,33 @@ def anti_semi_counts(customer: DataFrame, orders: DataFrame, nation: DataFrame) 
     )
 
 
+def salted_agg(
+    df: DataFrame,
+    keys: list[str],
+    sum_cols: list[str],
+    salt_buckets: int = 16,
+) -> DataFrame:
+    """Two-phase salted aggregation for skewed group keys.
+
+    Phase 1 aggregates on (key, salt) — the hot key's rows spread over
+    ``salt_buckets`` reducers; phase 2 merges the per-salt partials. Counts
+    and sums compose exactly, so results equal the direct groupBy. At 100 TB
+    this is the fallback when AQE's skew handling isn't enough (e.g. one
+    object_key referenced by millions of manifests).
+    """
+    salted = df.withColumn(
+        "_salt", (F.pmod(F.xxhash64(F.monotonically_increasing_id()), F.lit(salt_buckets))).cast("int")
+    )
+    phase1 = salted.groupBy(*keys, "_salt").agg(
+        F.count(F.lit(1)).alias("_cnt"),
+        *[F.sum(c).alias(f"_sum_{c}") for c in sum_cols],
+    )
+    return phase1.groupBy(*keys).agg(
+        F.sum("_cnt").cast("bigint").alias("count_rows"),
+        *[F.sum(f"_sum_{c}").alias(f"sum_{c}") for c in sum_cols],
+    )
+
+
 def cube_agg(lineitem: DataFrame) -> DataFrame:
     """Q32: full cube over (returnflag, linestatus)."""
     return lineitem.cube("l_returnflag", "l_linestatus").agg(

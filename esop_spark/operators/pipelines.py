@@ -31,12 +31,32 @@ from pyspark.sql import functions as F
 from esop_spark.sources import manifest_json, snapshot_scan
 
 
-def _copy_partition_factory(dest_root: str, key_col: str, src_col: str):
+def _copy_partition_factory(
+    dest_root: str, key_col: str, src_col: str, max_bytes_per_sec: int | None = None
+):
+    """Per-partition file copier with an optional token-bucket throttle.
+
+    U5: the reference rate-limits uploads with a Guava RateLimiter wrapping
+    the stream (UploadTracker.java:164-169, io/RateLimitedInputStream.java);
+    here each task budgets bytes/sec — cluster-wide rate ≈ limit × tasks, so
+    the caller divides by expected parallelism, exactly like the reference
+    divides bandwidth by --concurrent-connections.
+    """
+    import time
+
     def copy_partition(rows):
+        window_start = time.monotonic()
+        sent = 0
         for row in rows:
             dst = os.path.join(dest_root, row[key_col])
             os.makedirs(os.path.dirname(dst), exist_ok=True)
             shutil.copyfile(row[src_col], dst)
+            if max_bytes_per_sec:
+                sent += os.path.getsize(dst)
+                due = sent / max_bytes_per_sec
+                elapsed = time.monotonic() - window_start
+                if due > elapsed:
+                    time.sleep(due - elapsed)
 
     return copy_partition
 
@@ -49,6 +69,7 @@ def backup(
     backup_name: str | None = None,
     schema_version: str = "00000000",
     ts_millis: int = 0,
+    max_bytes_per_sec: int | None = None,
 ) -> DataFrame:
     """Run a backup; returns the manifest entries that were uploaded.
 
@@ -68,7 +89,9 @@ def backup(
         to_upload = entries
     to_upload = to_upload.persist()
     to_upload.foreachPartition(
-        _copy_partition_factory(bucket_dir, "object_key", "local_path")
+        _copy_partition_factory(
+            bucket_dir, "object_key", "local_path", max_bytes_per_sec
+        )
     )
     manifest_entries = (
         entries.withColumn("backup_name", F.lit(backup_name))

@@ -21,6 +21,52 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
+_DURATION_UNITS_MS = {
+    "second": 1000,
+    "minute": 60_000,
+    "hour": 3_600_000,
+    "day": 86_400_000,
+    "week": 7 * 86_400_000,
+}
+
+
+def parse_duration_ms(measure: str) -> int:
+    """F13: ``"14day"`` / ``"1minute"``-style duration measures → millis
+    (/root/reference/core/src/main/java/com/instaclustr/measure/Time.java and
+    the picocli TimeMeasureTypeConverter)."""
+    import re
+
+    m = re.fullmatch(r"\s*(\d+)\s*(second|minute|hour|day|week)s?\s*", measure)
+    if not m:
+        raise ValueError(f"invalid duration measure: {measure!r}")
+    return int(m.group(1)) * _DURATION_UNITS_MS[m.group(2)]
+
+
+def latest_table_dir(dirs: DataFrame) -> DataFrame:
+    """W6: among duplicate (keyspace, table) directories keep the latest
+    mtime (CassandraData.java:224-239)."""
+    w = Window.partitionBy("keyspace", "table_name").orderBy(
+        F.col("mtime").desc(), F.col("table_id").desc()
+    )
+    return (
+        dirs.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .drop("rn")
+    )
+
+
+def round_robin_assign(
+    df: DataFrame, n: int, order_cols: list[str], target_col: str = "target_idx"
+) -> DataFrame:
+    """W7: deterministic i-mod-n assignment of ordered groups to n targets
+    (DataSynchronizator.java:136-150 assigns sstable groups to data dirs).
+    The explicit ordering keeps the modulo stable under parallelism."""
+    w = Window.orderBy(*[F.col(c) for c in order_cols])
+    return df.withColumn(
+        target_col, ((F.row_number().over(w) - 1) % n).cast("int")
+    )
+
+
 def latest_manifest_per_prefix(manifests: DataFrame) -> DataFrame:
     """Q5: latest-wins resolution per (snapshot, schema_version) prefix."""
     w = Window.partitionBy("snapshot", "schema_version").orderBy(

@@ -134,6 +134,19 @@ SELECT
 FROM events
 """
 
+# -- local_tables: live table catalog (CassandraData.java:38-44) -------------
+# One row per (ks, table) present locally; table t5 is "recreated" (different
+# id than manifests would carry) to exercise enrichment id-rewrite; t6 is
+# absent to exercise the missing-entity / dropped-join path.
+_LOCAL_TABLES = """
+SELECT keyspace, table_name,
+       md5('local' || keyspace || table_name) AS table_id,
+       '/var/lib/cassandra/data/' || keyspace || '/' || table_name AS path,
+       1700000000000 + length(keyspace || table_name) * 1000 AS mtime
+FROM (SELECT DISTINCT keyspace, table_name FROM manifest_entries) t
+WHERE table_name <> 't6'
+"""
+
 # -- snapshot_schemas: per-backup table schema digests (Snapshots.java:643-656)
 # backup-3 drifts on t1/t3 to exercise the schema-diff join (J8).
 _SNAPSHOT_SCHEMAS = """
@@ -151,6 +164,7 @@ FIXTURE_SQL: dict[str, str] = {
     "local_files": _LOCAL_FILES,
     "topology": _TOPOLOGY,
     "commitlogs": _COMMITLOGS,
+    "local_tables": _LOCAL_TABLES,
     "snapshot_schemas": _SNAPSHOT_SCHEMAS,
 }
 
@@ -162,6 +176,7 @@ _FIXTURE_ORDER = [
     "local_files",
     "topology",
     "commitlogs",
+    "local_tables",
     "snapshot_schemas",
 ]
 
@@ -232,7 +247,10 @@ def oracle_with_clause(*names: str) -> str:
     for n in _FIXTURE_ORDER:
         if n in names or (
             n == "manifest_entries"
-            and any(x in names for x in ("remote_objects", "local_files", "snapshot_schemas"))
+            and any(
+                x in names
+                for x in ("remote_objects", "local_files", "snapshot_schemas", "local_tables")
+            )
         ):
             needed.append(n)
     parts = [f"{n} AS ({FIXTURE_SQL[n]})" for n in needed]

@@ -39,19 +39,46 @@ _SNAPSHOT_PATH_RE = (
 )
 
 
+def _walk_files(roots: list[str]) -> list[tuple[str, int]]:
+    """Driver-side recursive walk → [(abs_path, size)].
+
+    Spark's FileIndex silently skips dot-prefixed path components — which is
+    exactly where Cassandra 2.2 secondary-index dirs (``.idxName``) live — so
+    the listing itself is done with os.walk (parity with the reference's
+    node-local Files.walk, Snapshots.java:715-831) and the resulting EXPLICIT
+    file list is handed to Spark (explicit paths bypass the hidden filter).
+    At object-store scale the listing source is the store inventory instead.
+    """
+    import os
+
+    out = []
+    for root in roots:
+        for dirpath, _dirnames, filenames in os.walk(root):
+            for fn in filenames:
+                p = os.path.join(dirpath, fn)
+                out.append((os.path.abspath(p), os.path.getsize(p)))
+    return out
+
+
 def scan_snapshot_tree(
     spark: SparkSession, data_dirs: list[str], snapshot_tag: str
 ) -> DataFrame:
     """S1+S2: scan data dirs for one snapshot tag → manifest entries.
 
     Output: (keyspace, table_name, table_id, sstable_base, object_key,
-    size, hash, type, local_path, index_dir).
+    size, hash, type, local_path, index_dir). Listing is driver-side
+    (see _walk_files); hashing is distributed over the explicit file list.
     """
-    listing = (
-        spark.read.format("binaryFile")
-        .option("recursiveFileLookup", "true")
-        .load(data_dirs)
-    )
+    needle = f"/snapshots/{snapshot_tag}/"
+    paths = [p for p, _ in _walk_files(data_dirs) if needle in p]
+    if not paths:
+        return spark.createDataFrame(
+            [],
+            "keyspace string, table_name string, table_id string, "
+            "sstable_base string, object_key string, size long, hash string, "
+            "type string, local_path string, index_dir string",
+        )
+    listing = spark.read.format("binaryFile").load(paths)
     p = F.regexp_replace(F.col("path"), "^file:", "")
     parsed = listing.select(
         p.alias("local_path"),
@@ -126,33 +153,28 @@ def scan_snapshot_tree(
 def list_local_files(spark: SparkSession, data_dirs: list[str]) -> DataFrame:
     """S3: live (non-snapshot) data files — the local side of restore diffs.
 
-    Listing only: the ``content`` column is never selected, so Spark prunes
-    it and no bytes are read.
+    Metadata-only: built from the driver walk, no file contents touched
+    (and dot-dir secondary-index files are NOT silently dropped, unlike a
+    Spark FileIndex listing).
     """
-    listing = (
-        spark.read.format("binaryFile")
-        .option("recursiveFileLookup", "true")
-        .load(data_dirs)
-    )
-    p = F.regexp_replace(F.col("path"), "^file:", "")
-    return listing.select(
-        p.alias("local_path"), F.col("length").alias("size")
-    ).filter(~p.contains("/snapshots/") & ~p.contains("/backups/"))
+    rows = [
+        (p, size)
+        for p, size in _walk_files(data_dirs)
+        if "/snapshots/" not in p and "/backups/" not in p
+    ]
+    return spark.createDataFrame(rows or [], "local_path string, size long")
 
 
 def list_remote_objects(spark: SparkSession, bucket_dir: str) -> DataFrame:
-    """S8: bucket listing → (object_key, size). Prefix filters push down to
-    the FS listing. Works for any Hadoop FS scheme (file:/, s3a://, …)."""
-    listing = (
-        spark.read.format("binaryFile")
-        .option("recursiveFileLookup", "true")
-        .load(bucket_dir)
-    )
-    root = bucket_dir.rstrip("/")
-    p = F.regexp_replace(F.col("path"), "^file:", "")
-    # positional strip (not regexp_replace) — bucket paths may contain
-    # regex metacharacters
-    return listing.select(
-        F.substring(p, len(root) + 2, 1 << 20).alias("object_key"),
-        F.col("length").alias("size"),
-    )
+    """S8: bucket listing → (object_key, size).
+
+    For the local-FS simulated bucket the walk is driver-side (object keys
+    may contain dot components — secondary-index keys — which Spark's
+    FileIndex would skip). Against a real object store this becomes a
+    server-side prefix listing / inventory read.
+    """
+    import os
+
+    root = os.path.abspath(bucket_dir.rstrip("/"))
+    rows = [(p[len(root) + 1 :], size) for p, size in _walk_files([bucket_dir])]
+    return spark.createDataFrame(rows or [], "object_key string, size long")
