@@ -287,6 +287,31 @@ def q35_import_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q36_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join: for each purchase event, the latest error event of the
+    same user at or before it (tagged-union + window — no range join)."""
+    ev = _base(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", "event_id"
+    )
+    errors = ev.filter(F.col("event_type") == "error").select(
+        "user_id", "ts", F.unix_millis("ts").alias("err_ms")
+    )
+    out = analytics.asof_join(
+        purchases, errors, ["user_id"], "ts", "err_ms", "last_error_ms"
+    )
+    return out.select(
+        "event_id",
+        "user_id",
+        F.unix_millis("ts").alias("ts_ms"),
+        F.col("last_error_ms").cast("bigint").alias("last_error_ms"),
+    )
+
+
+def q37_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return analytics.sessionize(_base(spark, sf_dir, "events"), gap_s=1800)
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001: the backup-listing report."""
     return q01_list_backups(spark, "/root/testdata/sf0.001")
@@ -329,6 +354,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q33_sliding_windows": q33_sliding_windows,
         "q34_storage_location": q34_storage_location,
         "q35_import_join": q35_import_join,
+        "q36_asof_join": q36_asof_join,
+        "q37_sessions": q37_sessions,
     }
 
 
@@ -687,5 +714,34 @@ def oracle_sql() -> dict[str, str]:
             ) e
             JOIN local_tables lt
               ON e.keyspace = lt.keyspace AND e.table_name = lt.table_name
+        """,
+        "q36_asof_join": """
+            SELECT p.event_id, p.user_id,
+                   epoch_ms(p.ts) AS ts_ms,
+                   epoch_ms(e.ts) AS last_error_ms
+            FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+            ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'error') e
+              ON p.user_id = e.user_id AND p.ts >= e.ts
+        """,
+        "q37_sessions": """
+            WITH marked AS (
+                SELECT user_id, event_id, epoch_ms(ts) AS ts_ms,
+                       CASE WHEN lag(epoch_ms(ts)) OVER w IS NULL
+                              OR epoch_ms(ts) - lag(epoch_ms(ts)) OVER w > 1800000
+                            THEN 1 ELSE 0 END AS new_session
+                FROM events
+                WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)
+            )
+            SELECT user_id, session_id,
+                   CAST(MIN(ts_ms) AS BIGINT) AS session_start_ms,
+                   CAST(COUNT(*) AS BIGINT) AS n_events
+            FROM (
+                SELECT user_id, ts_ms,
+                       CAST(SUM(new_session) OVER (
+                           PARTITION BY user_id ORDER BY ts_ms ASC, event_id ASC
+                           ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
+                FROM marked
+            )
+            GROUP BY 1, 2
         """,
     }

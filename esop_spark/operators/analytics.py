@@ -193,6 +193,78 @@ def sliding_window_agg(
     )
 
 
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    partition_cols: list[str],
+    ts_col: str,
+    value_col: str,
+    value_alias: str = "asof_value",
+) -> DataFrame:
+    """Q36: as-of join — for each left row, the latest right row with
+    ``right.ts <= left.ts`` within the partition.
+
+    Implemented as tagged-union + running ``last(ignorenulls)`` window — one
+    shuffle on the partition key, NO range-condition join (a theta join would
+    cross-product within partitions; this stays O(n log n) sort-based and
+    survives 100× scale-up). Ties at equal ts: the right row applies
+    (ordered before the left row at the same timestamp).
+
+    The overhang commit-log rule (W5) is the 1-row inverse of this operator.
+    """
+    lt = left.withColumn("_is_right", F.lit(0)).withColumn(
+        "_rv", F.lit(None).cast(right.schema[value_col].dataType)
+    )
+    rt = right.select(
+        *partition_cols,
+        ts_col,
+        F.lit(1).alias("_is_right"),
+        F.col(value_col).alias("_rv"),
+    )
+    unioned = lt.unionByName(rt, allowMissingColumns=True)
+    w = (
+        Window.partitionBy(*partition_cols)
+        .orderBy(F.col(ts_col).asc(), F.col("_is_right").desc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    out = unioned.withColumn(
+        value_alias, F.last(F.when(F.col("_is_right") == 1, F.col("_rv")), ignorenulls=True).over(w)
+    )
+    return out.filter(F.col("_is_right") == 0).drop("_is_right", "_rv")
+
+
+def sessionize(
+    events: DataFrame,
+    gap_s: int = 1800,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+) -> DataFrame:
+    """Q37: gap-based sessionization — a new session starts when the gap to
+    the previous event of the same user exceeds ``gap_s``.
+
+    lag + running sum over one per-user window: a single shuffle on the user
+    key; session assignment is O(n) per user after the sort. (The streaming
+    counterpart is F.session_window / applyInPandasWithState.)
+    """
+    w = Window.partitionBy(user_col).orderBy(F.col(ts_col).asc(), F.col(id_col).asc())
+    ts_ms = F.unix_millis(F.col(ts_col))
+    prev = F.lag(ts_ms).over(w)
+    new_session = F.when(
+        prev.isNull() | (ts_ms - prev > gap_s * 1000), F.lit(1)
+    ).otherwise(F.lit(0))
+    with_sess = events.withColumn(
+        "session_id",
+        F.sum(new_session).over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ).cast("bigint"),
+    )
+    return with_sess.groupBy(user_col, "session_id").agg(
+        F.min(ts_ms).cast("bigint").alias("session_start_ms"),
+        F.count(F.lit(1)).cast("bigint").alias("n_events"),
+    )
+
+
 def tumbling_window_agg(
     events: DataFrame, width_s: int = 3600, ts_col: str = "ts"
 ) -> DataFrame:
