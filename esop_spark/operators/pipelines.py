@@ -107,6 +107,30 @@ def backup(
     return uploaded
 
 
+def restore_commitlogs(
+    spark: SparkSession,
+    bucket_dir: str,
+    target_dir: str,
+    start_ms: int,
+    end_ms: int,
+) -> int:
+    """Point-in-time commit-log restore: download the segments selected by
+    the PIT window (+overhang) into the node's recovery directory
+    (RestoreCommitLogsOperation.java:106-163). Returns segment count."""
+    from esop_spark.operators.commitlog import commitlog_window
+    from esop_spark.streaming.commitlog_stream import archived_commitlogs
+
+    inv = archived_commitlogs(spark, bucket_dir)
+    selected = commitlog_window(inv, start_ms, end_ms)
+    os.makedirs(target_dir, exist_ok=True)
+    n = 0
+    for r in selected.select("name", "ts").collect():
+        src = os.path.join(bucket_dir, "commitlog", f"{r['name']}.{r['ts']}")
+        shutil.copyfile(src, os.path.join(target_dir, r["name"]))
+        n += 1
+    return n
+
+
 def remove_backup(
     spark: SparkSession,
     bucket_dir: str,

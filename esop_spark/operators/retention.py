@@ -67,6 +67,22 @@ def round_robin_assign(
     )
 
 
+def filter_manifests_prefix(
+    manifests: DataFrame,
+    snapshot_tag: str,
+    schema_version: str | None = None,
+) -> DataFrame:
+    """P7: longest-prefix manifest selection — name starts with the snapshot
+    tag, optionally refined to an exact ``-<schemaVersion>`` match
+    (RestorationUtilities.java:22-63). Combine with
+    latest_manifest_per_prefix for the full W1 'longest prefix wins, then
+    latest wins' resolution."""
+    out = manifests.filter(F.col("backup_name").startswith(snapshot_tag))
+    if schema_version is not None:
+        out = out.filter(F.col("schema_version") == schema_version)
+    return out
+
+
 def latest_manifest_per_prefix(manifests: DataFrame) -> DataFrame:
     """Q5: latest-wins resolution per (snapshot, schema_version) prefix."""
     w = Window.partitionBy("snapshot", "schema_version").orderBy(

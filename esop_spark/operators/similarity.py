@@ -101,6 +101,81 @@ def ann_topk(
     )
 
 
+def ivf_ann_topk(
+    embeddings: DataFrame,
+    query_ids: list[int],
+    k: int = 5,
+    n_centroids: int = 16,
+    n_probe: int = 4,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """IVF (inverted-file) approximate top-k: corpus partitioned into
+    centroid cells, queries probe only the ``n_probe`` nearest cells.
+
+    Centroids are a deterministic sample of the corpus (a k-means iteration
+    would refine them; cell-assignment mechanics — the part that matters for
+    the Spark plan — are identical). Assignment is a broadcast-centroid
+    argmax (one corpus scan); the query side scans only matching cells via
+    an equi-join on cell id — at 100 TB that's the difference between a full
+    cross product and touching n_probe/n_centroids of the data.
+    """
+    e = with_norm(embeddings, vec_col, id_col)
+    centroids = [
+        (int(r[id_col]), [float(x) for x in r["v"]])
+        for r in e.orderBy(F.col(id_col).asc()).limit(n_centroids).collect()
+    ]
+
+    def cell_scores(v: Column, norm: Column) -> list[Column]:
+        out = []
+        for cid, cv in centroids:
+            carr = F.array(*[F.lit(x) for x in cv])
+            cnorm = sum(x * x for x in cv) ** 0.5
+            out.append(
+                F.struct(
+                    (_dot(v, carr) / (norm * F.lit(cnorm))).alias("score"),
+                    F.lit(cid).alias("cell"),
+                )
+            )
+        return out
+
+    # corpus side: argmax cell per vector
+    assigned = e.withColumn(
+        "cell",
+        F.sort_array(F.array(*cell_scores(F.col("v"), F.col("norm"))), asc=False)[0]["cell"],
+    )
+    # query side: top n_probe cells per query, exploded → (query, cell)
+    q = e.filter(F.col(id_col).isin(query_ids)).select(
+        F.col(id_col).alias("query_id"),
+        F.col("v").alias("qv"),
+        F.col("norm").alias("qnorm"),
+        F.slice(
+            F.sort_array(F.array(*cell_scores(F.col("v"), F.col("norm"))), asc=False),
+            1,
+            n_probe,
+        ).alias("probes"),
+    ).select(
+        "query_id", "qv", "qnorm", F.explode("probes.cell").alias("cell")
+    )
+    cos = _dot(F.col("qv"), F.col("v")) / (F.col("qnorm") * F.col("norm"))
+    scored = (
+        assigned.join(F.broadcast(q), "cell")
+        .filter(F.col("query_id") != F.col(id_col))
+        .select(
+            "query_id",
+            F.col(id_col).alias("neighbor_id"),
+            F.round(cos, 6).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rank") <= k)
+    )
+
+
 def lsh_cosine_pairs(
     embeddings: DataFrame,
     threshold: float = 0.45,

@@ -15,6 +15,37 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
+TOPOLOGY_SCHEMA = (
+    "timestamp bigint, clusterName string, schemaVersion string, "
+    "topology array<struct<hostname:string, cluster:string, dc:string, "
+    "rack:string, nodeId:string, ipAddress:string>>"
+)
+
+
+def read_topology_json(spark, path: str):
+    """S10: topology JSON file(s) → flat topology DataFrame (header fields
+    denormalized onto each node row), explicit schema, no inference
+    (InPlaceRestorationStrategy.java:171-182; README 'Topology File')."""
+    from pyspark.sql import functions as FF
+
+    raw = spark.read.schema(TOPOLOGY_SCHEMA).option("multiLine", "true").json(path)
+    return raw.select(
+        FF.col("timestamp").alias("ts"),
+        FF.col("clusterName").alias("cluster"),
+        FF.col("schemaVersion").alias("schema_version"),
+        FF.explode("topology").alias("n"),
+    ).select(
+        "ts",
+        "cluster",
+        "schema_version",
+        FF.col("n.hostname").alias("hostname"),
+        FF.col("n.dc").alias("dc"),
+        FF.col("n.rack").alias("rack"),
+        FF.col("n.nodeId").alias("node_id"),
+        FF.col("n.ipAddress").alias("ip_address"),
+    )
+
+
 def filter_dcs(topology: DataFrame, dcs: list[str]) -> DataFrame:
     """P15: restrict topology to the given datacenters."""
     return topology.filter(F.col("dc").isin(dcs))
