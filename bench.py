@@ -32,6 +32,7 @@ BENCH_QUERIES = [
     "q16_window_rank",
     "q20_events_windows",
     "q21_dedup_exact",
+    "q22_dedup_minhash_lsh",
     "q23_ngram_jaccard",
     "q26_ann_topk",
     "q28_quality_score",
@@ -44,9 +45,12 @@ def main() -> None:
     spark = get_spark("esop-bench")
     qs = entry_mod.queries()
 
-    # Warm the JVM + parquet footers once so per-query numbers measure the
-    # steady-state plan, not first-touch JIT/IO.
-    qs["q01_list_backups"](spark, sf_dir).write.format("noop").mode("overwrite").save()
+    # Warm the JVM, parquet footers, and the cached fixture derivation so
+    # per-query numbers measure the steady-state plan, not first-touch
+    # JIT/IO/cache-materialization (two passes: the first materializes the
+    # manifest_entries cache, the second warms codegen).
+    for _ in range(2):
+        qs["q01_list_backups"](spark, sf_dir).write.format("noop").mode("overwrite").save()
 
     timings: dict[str, float] = {}
     for name in BENCH_QUERIES:

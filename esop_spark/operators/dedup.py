@@ -177,8 +177,41 @@ def minhash_lsh_pairs(
         .select(F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b"))
         .distinct()
     )
-    exact = ngram_jaccard_pairs(documents, n, threshold, text_col, id_col)
-    return exact.join(candidates, ["id_a", "id_b"], "left_semi")
+    # Verify ONLY the candidates: shared-shingle counts are computed by
+    # joining the shingle relation to the candidate pair list, never across
+    # all pairs — this is what makes LSH the scale path (cost ∝ candidates,
+    # not ∝ pairs-sharing-a-shingle).
+    sh = shingles(documents, n, text_col, id_col).select(
+        id_col, F.xxhash64("shingle").alias("sh")
+    )
+    counts = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
+    sa = sh.select(F.col(id_col).alias("id_a"), F.col("sh").alias("sh_a"))
+    sb = sh.select(F.col(id_col).alias("id_b"), F.col("sh").alias("sh_b"))
+    shared = (
+        candidates.join(sa, "id_a")
+        .join(
+            sb.withColumnRenamed("id_b", "_idb"),
+            (F.col("id_b") == F.col("_idb")) & (F.col("sh_a") == F.col("sh_b")),
+        )
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("shared"))
+    )
+    ca = counts.select(F.col(id_col).alias("id_a"), F.col("n_sh").alias("n_a"))
+    cb = counts.select(F.col(id_col).alias("id_b"), F.col("n_sh").alias("n_b"))
+    return (
+        shared.join(ca, "id_a")
+        .join(cb, "id_b")
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("shared").cast("double")
+                / (F.col("n_a") + F.col("n_b") - F.col("shared")),
+                6,
+            ),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
 
 
 def simhash_signatures(
