@@ -36,5 +36,8 @@ def get_spark(
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
         .config("spark.ui.enabled", "false")
+        # managed-table state (bucketed materializations) stays out of the repo
+        .config("spark.sql.warehouse.dir", "/tmp/esop-spark-warehouse")
+        .config("spark.driver.extraJavaOptions", "-Dderby.system.home=/tmp/esop-spark-derby")
         .getOrCreate()
     )

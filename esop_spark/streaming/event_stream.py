@@ -62,6 +62,29 @@ def sliding_counts(
     )
 
 
+def session_counts(
+    events: DataFrame,
+    gap: str = "30 minutes",
+    watermark: str = "30 minutes",
+    ts_col: str = "ts",
+    user_col: str = "user_id",
+) -> DataFrame:
+    """Native session windows: per-user sessions closed after ``gap`` of
+    inactivity (the streaming counterpart of operators.analytics.sessionize;
+    see streaming.stateful for the applyInPandasWithState custom variant)."""
+    return (
+        events.withWatermark(ts_col, watermark)
+        .groupBy(F.session_window(F.col(ts_col), gap).alias("w"), F.col(user_col))
+        .agg(F.count(F.lit(1)).alias("events"))
+        .select(
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            user_col,
+            "events",
+        )
+    )
+
+
 def dedup_within_watermark(
     events: DataFrame,
     keys: list[str],

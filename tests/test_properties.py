@@ -1,0 +1,83 @@
+"""Property-based tests (hypothesis) — a strength the reference's test suite
+lacks (SURVEY.md §5: no randomized testing)."""
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from esop_spark.functions.render import human_bytes, render_table, render_timestamp
+from esop_spark.operators.entities import parse_entities
+
+
+@given(st.integers(min_value=-(2**63), max_value=2**63 - 1))
+@settings(max_examples=300, deadline=None)
+def test_human_bytes_total_function(n):
+    s = human_bytes(n)
+    assert s.endswith("B")
+    # magnitude monotonicity markers: unit ladder never exceeds E
+    assert s[-2] in " kMGTPE" or s[-2].isdigit()
+
+
+@given(st.integers(min_value=1000, max_value=2**62))
+@settings(max_examples=200, deadline=None)
+def test_human_bytes_value_consistency(n):
+    """The rendered mantissa re-scaled by its unit is within rounding
+    distance of the true value."""
+    s = human_bytes(n)
+    num, unit = s.split(" ")
+    power = {"kB": 3, "MB": 6, "GB": 9, "TB": 12, "PB": 15, "EB": 18}[unit]
+    approx = float(num) * 10**power
+    assert abs(approx - n) / n < 0.051  # 1-decimal truncating ladder bound
+
+
+@given(st.integers(min_value=0, max_value=4 * 10**12))
+@settings(max_examples=200, deadline=None)
+def test_render_timestamp_parses_back(ms):
+    s = render_timestamp(ms)
+    from datetime import datetime, timezone
+
+    parsed = datetime.fromisoformat(s).replace(tzinfo=timezone.utc)
+    assert abs(parsed.timestamp() * 1000 - ms) < 60_000  # minute truncation max
+
+
+_ident = st.text(
+    alphabet=st.characters(whitelist_categories=("Ll", "Nd"), whitelist_characters="_"),
+    min_size=1,
+    max_size=8,
+).filter(lambda s: not s[0].isdigit())
+
+
+@given(st.lists(_ident, min_size=1, max_size=5))
+@settings(max_examples=100, deadline=None)
+def test_parse_entities_keyspace_roundtrip(keyspaces):
+    ks, pairs = parse_entities(",".join(keyspaces))
+    assert ks == keyspaces and pairs == []
+
+
+@given(st.lists(st.tuples(_ident, _ident), min_size=1, max_size=5))
+@settings(max_examples=100, deadline=None)
+def test_parse_entities_pairs_roundtrip(items):
+    expr = ",".join(f"{a}.{b}" for a, b in items)
+    ks, pairs = parse_entities(expr)
+    assert ks == [] and pairs == items
+
+
+@given(
+    st.lists(
+        st.lists(st.text(alphabet="ab c", min_size=0, max_size=6), min_size=1, max_size=4),
+        min_size=1,
+        max_size=5,
+    )
+)
+@settings(max_examples=100, deadline=None)
+def test_render_table_column_alignment(rows):
+    out = render_table(rows)
+    lines = out.splitlines()
+    assert len(lines) == len(rows)
+    # every delimiter column index is consistent: cells padded to max width
+    widths = {}
+    for r in rows:
+        for i, c in enumerate(r):
+            widths[i] = max(widths.get(i, 0), len(c))
+    for r, line in zip(rows, lines):
+        rebuilt = " ".join(c.ljust(widths[i]) for i, c in enumerate(r)).rstrip()
+        assert line == rebuilt

@@ -49,6 +49,31 @@ def test_commitlog_archive_stream_and_pit_window(spark, tmp_path):
     assert got == [1001000, 1002000, 1003000, 1004000]
 
 
+def test_session_windows_stream(spark, tmp_path):
+    src_dir = str(tmp_path / "sess_in")
+    spark.createDataFrame(
+        [(1, "2024-01-01 10:00:00"), (1, "2024-01-01 10:10:00"),
+         (1, "2024-01-01 12:00:00"), (2, "2024-01-01 10:00:00")],
+        "user_id bigint, ts_s string",
+    ).selectExpr("user_id", "cast(ts_s as timestamp) as ts").coalesce(1).write.parquet(src_dir)
+    stream = spark.readStream.schema("user_id bigint, ts timestamp").parquet(src_dir)
+    q = (
+        event_stream.session_counts(stream, gap="30 minutes")
+        .writeStream.format("memory")
+        .queryName("sess_test")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (r["user_id"], r["session_start"].minute, r["events"])
+        for r in spark.sql("select * from sess_test").collect()
+    }
+    # user 1: one session (10:00+10:10), one singleton at 12:00; user 2: one
+    assert got == {(1, 0, 2), (1, 0, 1), (2, 0, 1)}
+
+
 def test_event_windows_streaming_matches_batch(spark, tmp_path):
     # stream the events fixture through a file source → memory sink, compare
     # against the same aggregation computed in batch
