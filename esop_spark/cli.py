@@ -1,0 +1,196 @@
+"""Command-line surface mirroring the reference's command set
+(/root/reference/core/src/main/java/com/instaclustr/esop/cli/Esop.java:35-48:
+backup, restore, commitlog-backup, commitlog-restore, list, remove-backup).
+
+Usage: ``python -m esop_spark <command> [options]``. Storage locations are
+directories (file paths here; any Hadoop-FS URI at deployment). Every command
+is a thin shell over the DataFrame operators — parsing and printing live
+here, computation lives in ``esop_spark.operators``.
+"""
+
+from __future__ import annotations
+
+import argparse
+import re
+import sys
+
+from esop_spark.session import get_spark
+
+_RATE_UNITS = {"BPS": 1, "KBPS": 1000, "MBPS": 1000_000, "GBPS": 1000_000_000}
+
+
+def parse_data_rate_bps(measure: str) -> int:
+    """F13 data-rate measure: ``"10MBPS"`` → bytes/sec
+    (/root/reference/core/src/main/java/com/instaclustr/measure/DataRate.java)."""
+    m = re.fullmatch(r"\s*(\d+)\s*(BPS|KBPS|MBPS|GBPS)\s*", measure.upper())
+    if not m:
+        raise ValueError(f"invalid data rate: {measure!r}")
+    return int(m.group(1)) * _RATE_UNITS[m.group(2)]
+
+
+def _build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(prog="esop-spark")
+    sub = p.add_subparsers(dest="command", required=True)
+
+    b = sub.add_parser("backup", help="snapshot scan → incremental upload → manifest")
+    b.add_argument("--data-dirs", required=True, help="comma-separated data dirs")
+    b.add_argument("--tag", required=True, help="snapshot tag to back up")
+    b.add_argument("--storage-location", required=True, help="bucket directory")
+    b.add_argument("--schema-version", default="00000000")
+    b.add_argument("--ts-millis", type=int, default=0)
+    b.add_argument("--bandwidth", default=None, help="e.g. 10MBPS (per task)")
+
+    r = sub.add_parser("restore", help="manifest diff → download/delete/heal")
+    r.add_argument("--storage-location", required=True)
+    r.add_argument("--target-dir", required=True)
+    r.add_argument("--backup-name", default=None, help="default: latest")
+    r.add_argument("--keep-extras", action="store_true")
+
+    ls = sub.add_parser("list", help="per-backup files/size/reclaimable report")
+    ls.add_argument("--storage-location", required=True)
+    ls.add_argument("--json", action="store_true")
+    ls.add_argument("--human-units", action="store_true")
+    ls.add_argument("--from-timestamp", type=int, default=None)
+    ls.add_argument("--last-n", type=int, default=None)
+    ls.add_argument("--to-file", default=None)
+
+    rm = sub.add_parser("remove-backup", help="delete only victim-unique objects")
+    rm.add_argument("--storage-location", required=True)
+    g = rm.add_mutually_exclusive_group(required=True)
+    g.add_argument("--backup-name", default=None)
+    g.add_argument("--oldest", action="store_true")
+    g.add_argument("--older-than", default=None, help='e.g. "14day"')
+    rm.add_argument("--dry-run", action="store_true")
+
+    cb = sub.add_parser("commitlog-backup", help="archive commit-log segments")
+    cb.add_argument("--archive-dir", required=True)
+    cb.add_argument("--storage-location", required=True)
+    cb.add_argument("--checkpoint-dir", required=True)
+
+    cr = sub.add_parser("commitlog-restore", help="point-in-time segment download")
+    cr.add_argument("--storage-location", required=True)
+    cr.add_argument("--target-dir", required=True)
+    cr.add_argument("--timestamp-start", type=int, required=True)
+    cr.add_argument("--timestamp-end", type=int, required=True)
+    return p
+
+
+def main(argv: list[str] | None = None) -> int:
+    try:
+        return _run(_build_parser().parse_args(argv))
+    except ValueError as e:
+        print(f"error: {e}", file=sys.stderr)
+        return 2
+
+
+def _run(args: argparse.Namespace) -> int:
+    spark = get_spark("esop-spark-cli")
+
+    if args.command == "backup":
+        from esop_spark.operators.pipelines import backup
+
+        rate = parse_data_rate_bps(args.bandwidth) if args.bandwidth else None
+        uploaded = backup(
+            spark,
+            args.data_dirs.split(","),
+            args.tag,
+            args.storage_location,
+            schema_version=args.schema_version,
+            ts_millis=args.ts_millis,
+            max_bytes_per_sec=rate,
+        )
+        print(f"uploaded {uploaded.count()} objects")
+        return 0
+
+    if args.command == "restore":
+        from esop_spark.operators.pipelines import restore
+
+        stats = restore(
+            spark,
+            args.storage_location,
+            args.target_dir,
+            backup_name=args.backup_name,
+            delete_extras=not args.keep_extras,
+        )
+        print(f"downloaded {stats['downloaded']}, deleted {stats['deleted']}")
+        return 0
+
+    if args.command == "list":
+        import os
+
+        from esop_spark.operators.manifest import render_report
+        from esop_spark.sources.manifest_json import read_manifests
+
+        entries = read_manifests(
+            spark, os.path.join(args.storage_location, "manifests")
+        )
+        out = render_report(
+            entries,
+            fmt="json" if args.json else "table",
+            human_units=args.human_units,
+            from_timestamp=args.from_timestamp,
+            last_n=args.last_n,
+        )
+        if args.to_file:
+            with open(args.to_file, "w") as f:
+                f.write(out)
+        else:
+            print(out, end="")
+        return 0
+
+    if args.command == "remove-backup":
+        from esop_spark.operators.pipelines import remove_backup
+        from esop_spark.operators.retention import parse_duration_ms
+
+        older_than_ms = None
+        if args.older_than:
+            import time
+
+            older_than_ms = int(time.time() * 1000) - parse_duration_ms(args.older_than)
+        stats = remove_backup(
+            spark,
+            args.storage_location,
+            backup_name=args.backup_name,
+            oldest=args.oldest,
+            older_than_ms=older_than_ms,
+            dry_run=args.dry_run,
+        )
+        print(
+            f"removed {stats['backups_removed']} backups, "
+            f"{stats['objects_removed']} objects"
+            + (" (dry run)" if args.dry_run else "")
+        )
+        return 0
+
+    if args.command == "commitlog-backup":
+        from esop_spark.streaming.commitlog_stream import archive_commitlogs
+
+        q = archive_commitlogs(
+            spark,
+            args.archive_dir,
+            args.storage_location,
+            args.checkpoint_dir,
+            available_now=True,
+        )
+        q.awaitTermination()
+        print("commit logs archived")
+        return 0
+
+    if args.command == "commitlog-restore":
+        from esop_spark.operators.pipelines import restore_commitlogs
+
+        n = restore_commitlogs(
+            spark,
+            args.storage_location,
+            args.target_dir,
+            args.timestamp_start,
+            args.timestamp_end,
+        )
+        print(f"restored {n} commit log segments")
+        return 0
+
+    return 2
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,72 @@
+"""CLI surface: full backup → list → remove → restore → commitlog lifecycle
+through main(argv) (same session via getOrCreate)."""
+
+import json
+import os
+
+import pytest
+
+from esop_spark.cli import main, parse_data_rate_bps
+from tests.test_pipelines import BASE_FILES, make_tree
+from tests.test_streaming import _write_segment
+
+
+def test_parse_data_rate():
+    assert parse_data_rate_bps("10MBPS") == 10_000_000
+    assert parse_data_rate_bps("500 kbps") == 500_000
+    with pytest.raises(ValueError):
+        parse_data_rate_bps("fast")
+
+
+def test_cli_lifecycle(spark, tmp_path, capsys):
+    data, bucket = str(tmp_path / "data"), str(tmp_path / "bucket")
+    make_tree(data, "snap1", BASE_FILES)
+
+    assert main([
+        "backup", "--data-dirs", data, "--tag", "snap1",
+        "--storage-location", bucket, "--schema-version", "sv", "--ts-millis", "1000",
+    ]) == 0
+    assert "uploaded 4 objects" in capsys.readouterr().out
+
+    make_tree(data, "snap2", BASE_FILES)
+    main([
+        "backup", "--data-dirs", data, "--tag", "snap2",
+        "--storage-location", bucket, "--schema-version", "sv", "--ts-millis", "2000",
+    ])
+    assert "uploaded 0 objects" in capsys.readouterr().out  # incremental
+
+    out_file = str(tmp_path / "report.json")
+    assert main([
+        "list", "--storage-location", bucket, "--json", "--to-file", out_file,
+    ]) == 0
+    report = json.loads(open(out_file).read())
+    assert report["totalFiles"] == 4 and len(report["reports"]) == 2
+
+    assert main([
+        "remove-backup", "--storage-location", bucket, "--oldest",
+    ]) == 0
+    assert "removed 1 backups, 0 objects" in capsys.readouterr().out
+
+    target = str(tmp_path / "restored")
+    assert main([
+        "restore", "--storage-location", bucket, "--target-dir", target,
+    ]) == 0
+    assert "downloaded 4" in capsys.readouterr().out
+    assert os.path.exists(os.path.join(target, "ks1"))
+
+
+def test_cli_commitlogs(spark, tmp_path, capsys):
+    src, bucket = str(tmp_path / "cl"), str(tmp_path / "bucket")
+    os.makedirs(src)
+    for i in range(4):
+        _write_segment(src, f"CommitLog-7-{i}.log", f"s{i}", 5000 + i)
+    assert main([
+        "commitlog-backup", "--archive-dir", src,
+        "--storage-location", bucket, "--checkpoint-dir", str(tmp_path / "ck"),
+    ]) == 0
+    target = str(tmp_path / "recovery")
+    assert main([
+        "commitlog-restore", "--storage-location", bucket, "--target-dir", target,
+        "--timestamp-start", "5001000", "--timestamp-end", "5002000",
+    ]) == 0
+    assert "restored 3 commit log segments" in capsys.readouterr().out
