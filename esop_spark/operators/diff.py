@@ -43,22 +43,27 @@ def restore_diff(manifest_files: DataFrame, local_files: DataFrame) -> DataFrame
     """
     mf = manifest_files.select(
         F.col("object_key").alias("rel_file"),
-        F.col("size"),
+        F.col("size").alias("m_size"),
         F.col("hash").alias("manifest_hash"),
     ).distinct()
-    lf = local_files.select("rel_file", "size", F.col("hash").alias("local_hash"))
-
-    to_download = (
-        mf.join(lf.select("rel_file"), "rel_file", "left_anti")
-        .select(F.lit("download").alias("action"), "rel_file", "size")
+    lf = local_files.select(
+        "rel_file", F.col("size").alias("l_size"), F.col("hash").alias("local_hash")
     )
-    to_delete = (
-        lf.join(mf.select("rel_file"), "rel_file", "left_anti")
-        .select(F.lit("delete").alias("action"), "rel_file", "size")
+    # ONE full-outer join classifies all three legs (the reference's two
+    # rounds + mismatch check) — one shuffle on rel_file instead of three
+    # separate anti/inner joins re-scanning both sides.
+    joined = mf.join(lf, "rel_file", "full_outer")
+    action = (
+        F.when(F.col("local_hash").isNull(), F.lit("download"))
+        .when(F.col("manifest_hash").isNull(), F.lit("delete"))
+        .when(F.col("manifest_hash") != F.col("local_hash"), F.lit("mismatch"))
     )
-    mismatched = (
-        mf.join(lf, "rel_file")
-        .filter(F.col("manifest_hash") != F.col("local_hash"))
-        .select(F.lit("mismatch").alias("action"), "rel_file", mf["size"].alias("size"))
+    return (
+        joined.withColumn("action", action)
+        .filter(F.col("action").isNotNull())
+        .select(
+            "action",
+            "rel_file",
+            F.coalesce("m_size", "l_size").alias("size"),
+        )
     )
-    return to_download.unionByName(to_delete).unionByName(mismatched)

@@ -203,9 +203,10 @@ def restore(
     The mismatch (corruption) leg re-downloads; extras are deleted only after
     downloads succeed (ordering gate).
     """
-    manifests = manifest_json.read_manifests(
-        spark, os.path.join(bucket_dir, "manifests")
-    )
+    manifests_dir = os.path.join(bucket_dir, "manifests")
+    if not os.path.isdir(manifests_dir):
+        raise ValueError(f"no manifests directory in {bucket_dir!r} — nothing to restore")
+    manifests = manifest_json.read_manifests(spark, manifests_dir)
     if backup_name is None:
         latest = (
             manifests.select("backup_name", "backup_ts")
