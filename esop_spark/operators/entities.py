@@ -48,6 +48,16 @@ def parse_entities(expr: str) -> tuple[list[str], list[tuple[str, str]]]:
     return items, []
 
 
+def format_entities(keyspaces: list[str], pairs: list[tuple[str, str]]) -> str:
+    """F9: inverse of parse_entities — ``"ks1,ks2"`` or ``"ks1.t1,ks2.t2"``
+    (DatabaseEntities.java:282-317). XOR enforced like the parser."""
+    if keyspaces and pairs:
+        raise ValueError("entities are keyspaces XOR (keyspace, table) pairs")
+    if pairs:
+        return ",".join(f"{ks}.{t}" for ks, t in pairs)
+    return ",".join(keyspaces)
+
+
 def classify_keyspace(col: F.Column | str) -> F.Column:
     """P4: entity_type column — SYSTEM / SYSTEM_AUTH / SCHEMA / OTHER
     (KeyspaceTable.java:63-94)."""

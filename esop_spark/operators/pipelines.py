@@ -177,17 +177,27 @@ def remove_backup(
             "left_anti",
         )
     )
-    keys = [r["object_key"] for r in removable.collect()]
+    removable = removable.persist()
+    n_objects = removable.count()
     if not dry_run:
-        for k in keys:
-            p = os.path.join(bucket_dir, k)
-            if os.path.exists(p):
-                os.remove(p)
+        abs_bucket = os.path.abspath(bucket_dir)
+
+        # distributed delete — partition-batched, the DeleteObjects-batch
+        # analog (BaseS3Restorer.java:252-276); victim manifests (one per
+        # backup, driver-small) removed last so a crashed run stays listable
+        def delete_partition(rows):
+            for row in rows:
+                p = os.path.join(abs_bucket, row["object_key"])
+                if os.path.exists(p):
+                    os.remove(p)
+
+        removable.foreachPartition(delete_partition)
         for name in victim_names:
             mp = os.path.join(bucket_dir, "manifests", f"{name}.json")
             if os.path.exists(mp):
                 os.remove(mp)
-    return {"backups_removed": len(victim_names), "objects_removed": len(keys)}
+    removable.unpersist()
+    return {"backups_removed": len(victim_names), "objects_removed": n_objects}
 
 
 def restore(
@@ -245,25 +255,46 @@ def restore(
         target_dir
     ) and os.listdir(target_dir) else None
     if local is not None:
+        # hash-verify gate: local files are re-hashed (distributed binaryFile
+        # read over the explicit path list) so corrupted files join the
+        # download set — the reference's round-2 mismatch leg
+        # (DataSynchronizator.java:79-91, SSTableUtils.isExistingSStable)
+        from esop_spark.functions.scalars import content_hash
+
+        paths = [r["local_path"] for r in local.collect()]
+        hashed = (
+            spark.read.format("binaryFile")
+            .load(paths)
+            .select(
+                F.regexp_replace(F.col("path"), "^file:", "").alias("local_path"),
+                content_hash(F.col("content")).alias("local_hash"),
+            )
+        )
         lp = F.col("local_path")
-        local = local.select(
+        local = hashed.select(
             F.substring(lp, len(os.path.abspath(target_dir)) + 2, 1 << 20).alias("rel_file"),
             "local_path",
-            "size",
+            "local_hash",
         )
-        to_download = mf_files.join(local.select("rel_file"), "rel_file", "left_anti")
-        to_delete = local.join(mf_files.select("rel_file"), "rel_file", "left_anti")
+        joined = mf_files.join(local, "rel_file", "full_outer")
+        to_download = joined.filter(
+            F.col("local_hash").isNull()
+            | (F.col("hash").isNotNull() & (F.col("hash") != F.col("local_hash")))
+        ).select("rel_file", "object_key")
+        to_delete = joined.filter(F.col("object_key").isNull()).select("local_path")
     else:
-        to_download = mf_files
+        to_download = mf_files.select("rel_file", "object_key")
         to_delete = None
 
-    dl = [
-        (os.path.join(bucket_dir, r["object_key"]), os.path.join(target_dir, r["rel_file"]))
-        for r in to_download.select("object_key", "rel_file").collect()
-    ]
-    dl_df = spark.createDataFrame(dl or [("", "")], "src string, dst string").filter(
-        F.col("src") != ""
-    )
+    # src/dst are computed as columns and the copy runs in foreachPartition:
+    # nothing proportional to file count ever lands on the driver (only the
+    # two counts come back).
+    abs_bucket, abs_target = os.path.abspath(bucket_dir), os.path.abspath(target_dir)
+    dl_df = to_download.select(
+        F.concat(F.lit(abs_bucket + "/"), F.col("object_key")).alias("src"),
+        F.concat(F.lit(abs_target + "/"), F.col("rel_file")).alias("dst"),
+    ).persist()
+    n_downloaded = dl_df.count()
     dl_df.foreachPartition(
         lambda rows: [
             (
@@ -273,9 +304,13 @@ def restore(
             for row in rows
         ]
     )
+    dl_df.unpersist()
     n_deleted = 0
     if to_delete is not None and delete_extras:
-        for row in to_delete.select("local_path").collect():
-            os.remove(row["local_path"])
-            n_deleted += 1
-    return {"downloaded": len(dl), "deleted": n_deleted}
+        del_df = to_delete.select("local_path").persist()
+        n_deleted = del_df.count()
+        del_df.foreachPartition(
+            lambda rows: [os.remove(row["local_path"]) for row in rows]
+        )
+        del_df.unpersist()
+    return {"downloaded": n_downloaded, "deleted": n_deleted}

@@ -98,7 +98,10 @@ def test_backup_is_incremental_and_restore_round_trips(spark, tree):
         f.write("stray")
     stats = pipelines.restore(spark, bucket, target, backup_name="snap2-sv1-2000")
     assert stats["deleted"] == 1
+    assert stats["downloaded"] == 1  # the corrupted file re-downloads
     assert not os.path.exists(extra)
+    with open(victim) as f:
+        assert f.read() == BASE_FILES[("ks1", "t1", "me-1-big-Data.db")]  # healed
 
 
 def test_manifest_json_round_trip(spark, tree):

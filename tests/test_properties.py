@@ -5,7 +5,7 @@ from hypothesis import given, settings
 from hypothesis import strategies as st
 
 from esop_spark.functions.render import human_bytes, render_table, render_timestamp
-from esop_spark.operators.entities import parse_entities
+from esop_spark.operators.entities import format_entities, parse_entities
 
 
 @given(st.integers(min_value=-(2**63), max_value=2**63 - 1))
@@ -59,6 +59,16 @@ def test_parse_entities_pairs_roundtrip(items):
     expr = ",".join(f"{a}.{b}" for a, b in items)
     ks, pairs = parse_entities(expr)
     assert ks == [] and pairs == items
+
+
+@given(st.lists(st.tuples(_ident, _ident), min_size=0, max_size=5), st.lists(_ident, max_size=5))
+@settings(max_examples=100, deadline=None)
+def test_format_parse_entities_inverse(pairs, keyspaces):
+    """format → parse is the identity on either XOR arm."""
+    if pairs:
+        assert parse_entities(format_entities([], pairs)) == ([], pairs)
+    elif keyspaces:
+        assert parse_entities(format_entities(keyspaces, [])) == (keyspaces, [])
 
 
 @given(
