@@ -312,6 +312,10 @@ def q37_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     return analytics.sessionize(_base(spark, sf_dir, "events"), gap_s=1800)
 
 
+def q38_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return analytics.percentiles(_base(spark, sf_dir, "orders"))
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001: the backup-listing report."""
     return q01_list_backups(spark, "/root/testdata/sf0.001")
@@ -356,6 +360,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q35_import_join": q35_import_join,
         "q36_asof_join": q36_asof_join,
         "q37_sessions": q37_sessions,
+        "q38_percentiles": q38_percentiles,
     }
 
 
@@ -743,5 +748,13 @@ def oracle_sql() -> dict[str, str]:
                 FROM marked
             )
             GROUP BY 1, 2
+        """,
+        "q38_percentiles": """
+            SELECT o_orderpriority,
+                   ROUND(quantile_cont(o_totalprice, 0.5), 4) AS p50,
+                   ROUND(quantile_cont(o_totalprice, 0.95), 4) AS p95,
+                   CAST(COUNT(*) AS BIGINT) AS n
+            FROM orders
+            GROUP BY 1
         """,
     }

@@ -193,6 +193,16 @@ def sliding_window_agg(
     )
 
 
+def percentiles(orders: DataFrame) -> DataFrame:
+    """Q38: exact interpolated percentiles per group (Spark `percentile`;
+    approx_percentile is the sketch variant for wide-cardinality keys)."""
+    return orders.groupBy("o_orderpriority").agg(
+        F.round(F.expr("percentile(o_totalprice, 0.5)"), 4).alias("p50"),
+        F.round(F.expr("percentile(o_totalprice, 0.95)"), 4).alias("p95"),
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+    )
+
+
 def asof_join(
     left: DataFrame,
     right: DataFrame,
