@@ -176,6 +176,51 @@ def ivf_ann_topk(
     )
 
 
+def refine_centroids(
+    embeddings: DataFrame,
+    centroids: list[tuple[int, list[float]]],
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> list[tuple[int, list[float]]]:
+    """One k-means refinement step for IVF cells via grouped applyInPandas.
+
+    Vectors are assigned to their nearest centroid (broadcast argmax, same
+    machinery as ivf_ann_topk) and each cell's new centroid is the Arrow-
+    batched mean of its members — the grouped-map counterpart to the
+    engine's mapInPandas (multimodal) and applyInPandasWithState (stateful)
+    surfaces. Returns updated (cell_id, centroid) pairs.
+    """
+    import numpy as np
+    import pandas as pd
+
+    e = with_norm(embeddings, vec_col, id_col)
+    score_structs = []
+    for cid, cv in centroids:
+        carr = F.array(*[F.lit(float(x)) for x in cv])
+        cnorm = float(sum(x * x for x in cv) ** 0.5) or 1.0
+        score_structs.append(
+            F.struct(
+                (_dot(F.col("v"), carr) / (F.col("norm") * F.lit(cnorm))).alias("score"),
+                F.lit(cid).alias("cell"),
+            )
+        )
+    assigned = e.withColumn(
+        "cell", F.sort_array(F.array(*score_structs), asc=False)[0]["cell"]
+    ).select("cell", "v")
+
+    def mean_vec(pdf: pd.DataFrame) -> pd.DataFrame:
+        mat = np.stack(pdf["v"].to_numpy())
+        return pd.DataFrame(
+            {"cell": [int(pdf["cell"].iloc[0])], "centroid": [mat.mean(axis=0).tolist()]}
+        )
+
+    out = assigned.groupBy("cell").applyInPandas(
+        mean_vec, schema="cell int, centroid array<double>"
+    )
+    updated = {r["cell"]: list(r["centroid"]) for r in out.collect()}
+    return [(cid, updated.get(cid, cv)) for cid, cv in centroids]
+
+
 def lsh_cosine_pairs(
     embeddings: DataFrame,
     threshold: float = 0.45,
