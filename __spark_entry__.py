@@ -316,6 +316,16 @@ def q38_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     return analytics.percentiles(_base(spark, sf_dir, "orders"))
 
 
+def q39_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return text_ops.chunk_documents(
+        _base(spark, sf_dir, "documents"), chunk_tokens=50, stride=40
+    )
+
+
+def q40_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return text_ops.curate(_base(spark, sf_dir, "documents"), min_quality=55, lang="en")
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001: the backup-listing report."""
     return q01_list_backups(spark, "/root/testdata/sf0.001")
@@ -361,6 +371,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q36_asof_join": q36_asof_join,
         "q37_sessions": q37_sessions,
         "q38_percentiles": q38_percentiles,
+        "q39_chunking": q39_chunking,
+        "q40_curation": q40_curation,
     }
 
 
@@ -756,5 +768,57 @@ def oracle_sql() -> dict[str, str]:
                    CAST(COUNT(*) AS BIGINT) AS n
             FROM orders
             GROUP BY 1
+        """,
+        "q39_chunking": """
+            WITH words AS (
+                SELECT doc_id, string_split(text, ' ') AS w FROM documents
+            ),
+            chunks AS (
+                SELECT doc_id,
+                       CAST(t.i AS BIGINT) AS chunk_idx,
+                       array_to_string(w[1 + t.i * 40 : 1 + t.i * 40 + 49], ' ') AS chunk_text
+                FROM words,
+                     unnest(range(0, CAST(ceil(greatest(len(w) - 1, 1) / 40.0) AS BIGINT))) t(i)
+            )
+            SELECT doc_id, chunk_idx,
+                   CAST(len(string_split(chunk_text, ' ')) AS BIGINT) AS chunk_tokens,
+                   md5(chunk_text) AS chunk_hash
+            FROM chunks
+            WHERE chunk_text <> ''
+        """,
+        "q40_curation": """
+            WITH scored AS (
+                SELECT doc_id,
+                       md5(array_to_string(list_sort(list_distinct(string_split(text, ' '))), ' '))
+                           AS dedup_key,
+                       CAST(ROUND((0.5 * (1.0 - len(list_filter(string_split(text, ' '),
+                                w -> w IN ('a', 'the'))) * 1.0 / len(string_split(text, ' ')))
+                             + 0.5 * len(list_distinct(string_split(text, ' '))) * 1.0
+                               / len(string_split(text, ' '))) * 100) AS BIGINT) AS quality_score,
+                       len(list_filter(string_split(text, ' '),
+                           w -> w IN ('the', 'a', 'of', 'and', 'is'))) AS s_en,
+                       greatest(
+                           len(list_filter(string_split(text, ' '),
+                               w -> w IN ('und','der','die','das','nicht'))),
+                           len(list_filter(string_split(text, ' '),
+                               w -> w IN ('the','a','of','and','is'))),
+                           len(list_filter(string_split(text, ' '),
+                               w -> w IN ('el','los','y','que','una'))),
+                           len(list_filter(string_split(text, ' '),
+                               w -> w IN ('le','la','et','les','une')))) AS best
+                FROM documents
+            ),
+            survivors AS (
+                -- pred_lang = 'en' iff s_en = best > 0 (de/es/fr marker
+                -- tokens do not occur in this corpus's vocabulary, so the
+                -- alphabetical tiebreak cannot select them)
+                SELECT * FROM scored
+                WHERE quality_score >= 55 AND best > 0 AND s_en = best
+            )
+            SELECT CAST(MIN(doc_id) AS BIGINT) AS doc_id, dedup_key,
+                   CAST(COUNT(*) AS BIGINT) AS n_dups,
+                   CAST(MAX(quality_score) AS BIGINT) AS quality_score
+            FROM survivors
+            GROUP BY dedup_key
         """,
     }

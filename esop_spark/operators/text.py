@@ -102,6 +102,74 @@ def lang_id(
     )
 
 
+def chunk_documents(
+    documents: DataFrame,
+    chunk_tokens: int = 50,
+    stride: int = 40,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Token-window chunking with overlap — the standard pre-tokenization
+    split for long documents in training pipelines.
+
+    Chunks start every ``stride`` tokens and span ``chunk_tokens`` (the final
+    chunk may be shorter; empty tails are not emitted). Pure JVM sequence/
+    slice/explode — one narrow pass, no shuffle.
+    """
+    words = documents.select(
+        F.col(id_col), F.split(F.col(text_col), " ").alias("words")
+    )
+    starts = F.expr(
+        f"sequence(1, greatest(size(words) - 1, 1), {stride})"
+    )
+    chunks = words.select(
+        F.col(id_col),
+        F.posexplode(
+            F.transform(
+                starts, lambda s: F.array_join(F.slice(F.col("words"), s, chunk_tokens), " ")
+            )
+        ).alias("chunk_idx", "chunk_text"),
+    ).filter(F.col("chunk_text") != "")
+    return chunks.select(
+        id_col,
+        F.col("chunk_idx").cast("bigint").alias("chunk_idx"),
+        F.size(F.split(F.col("chunk_text"), " ")).cast("bigint").alias("chunk_tokens"),
+        F.md5(F.col("chunk_text")).alias("chunk_hash"),
+    )
+
+
+def curate(
+    documents: DataFrame,
+    min_quality: int = 55,
+    lang: str = "en",
+    text_col: str = "text",
+) -> DataFrame:
+    """Composed curation pipeline: quality gate → language gate → exact
+    near-order dedup (token-set key, min doc_id canonical wins).
+
+    The canonical training-data filtering chain, composed entirely from the
+    engine's own operators — one aggregation shuffle total (the dedup),
+    everything before it fused into the scan stage.
+    """
+    q = quality_score(documents, text_col).select("doc_id", "quality_score")
+    lid = lang_id(documents, text_col).select("doc_id", "pred_lang")
+    keyed = documents.select(
+        "doc_id", tokenset_key(text_col).alias("dedup_key")
+    )
+    survivors = (
+        documents.select("doc_id")
+        .join(q.filter(F.col("quality_score") >= min_quality), "doc_id")
+        .join(lid.filter(F.col("pred_lang") == lang), "doc_id")
+        .join(keyed, "doc_id")
+    )
+    canonical = survivors.groupBy("dedup_key").agg(
+        F.min("doc_id").cast("bigint").alias("doc_id"),
+        F.count(F.lit(1)).cast("bigint").alias("n_dups"),
+        F.max("quality_score").cast("bigint").alias("quality_score"),
+    )
+    return canonical.select("doc_id", "dedup_key", "n_dups", "quality_score")
+
+
 def fingerprint(documents: DataFrame, text_col: str = "text") -> DataFrame:
     """Document fingerprinting: exact content hash, normalized token-set key,
     and a 256-way shard prefix (content-addressed partitioning at scale)."""
