@@ -78,7 +78,9 @@ def backup(
     data uploads nothing.
     """
     backup_name = backup_name or f"{snapshot_tag}-{schema_version}-{ts_millis}"
-    entries = snapshot_scan.scan_snapshot_tree(spark, data_dirs, snapshot_tag)
+    # persist the scan itself: it feeds BOTH the upload diff and the manifest
+    # writer — without this the file hashing pass runs twice
+    entries = snapshot_scan.scan_snapshot_tree(spark, data_dirs, snapshot_tag).persist()
     data_dir = os.path.join(bucket_dir, "data")
     if os.path.isdir(data_dir):
         remote = snapshot_scan.list_remote_objects(spark, bucket_dir)
@@ -104,6 +106,7 @@ def backup(
     uploaded = to_upload.select("object_key", "size", "hash")
     uploaded.count()  # materialize before unpersist
     to_upload.unpersist()
+    entries.unpersist()
     return uploaded
 
 
@@ -262,13 +265,8 @@ def restore(
         from esop_spark.functions.scalars import content_hash
 
         paths = [r["local_path"] for r in local.collect()]
-        hashed = (
-            spark.read.format("binaryFile")
-            .load(paths)
-            .select(
-                F.regexp_replace(F.col("path"), "^file:", "").alias("local_path"),
-                content_hash(F.col("content")).alias("local_hash"),
-            )
+        hashed = snapshot_scan.load_binary_files(spark, paths).select(
+            "local_path", content_hash(F.col("content")).alias("local_hash")
         )
         lp = F.col("local_path")
         local = hashed.select(

@@ -28,6 +28,8 @@ key cardinality = number of sstables, uniformly distributed).
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
@@ -60,6 +62,29 @@ def _walk_files(roots: list[str]) -> list[tuple[str, int]]:
     return out
 
 
+def load_binary_files(spark: SparkSession, paths: list[str]) -> DataFrame:
+    """Distributed binaryFile read of an exact file set, without the
+    per-file listing job.
+
+    Passing N explicit file paths to ``load`` makes Spark's FileIndex run a
+    listing job with one task PER PATH (observed: 2000 files → 2000 listing
+    tasks dominating wall-clock). Instead the N files' parent DIRECTORIES are
+    the load roots — root paths are exempt from the hidden-name filter (so
+    ``.idx`` dirs work) and their direct children are bin-packed normally —
+    then an inner join against the walked file set drops anything the walk
+    didn't see. Root count ∝ directories, not files.
+    """
+    dirs = sorted({os.path.dirname(p) for p in paths})
+    listing = spark.read.format("binaryFile").load(dirs)
+    wanted = spark.createDataFrame([(p,) for p in paths], "local_path string")
+    return (
+        listing.withColumn(
+            "local_path", F.regexp_replace(F.col("path"), "^file:", "")
+        )
+        .join(F.broadcast(wanted), "local_path")
+    )
+
+
 def scan_snapshot_tree(
     spark: SparkSession, data_dirs: list[str], snapshot_tag: str
 ) -> DataFrame:
@@ -67,7 +92,7 @@ def scan_snapshot_tree(
 
     Output: (keyspace, table_name, table_id, sstable_base, object_key,
     size, hash, type, local_path, index_dir). Listing is driver-side
-    (see _walk_files); hashing is distributed over the explicit file list.
+    (see _walk_files); hashing is distributed over the walked file set.
     """
     needle = f"/snapshots/{snapshot_tag}/"
     paths = [p for p, _ in _walk_files(data_dirs) if needle in p]
@@ -78,8 +103,8 @@ def scan_snapshot_tree(
             "sstable_base string, object_key string, size long, hash string, "
             "type string, local_path string, index_dir string",
         )
-    listing = spark.read.format("binaryFile").load(paths)
-    p = F.regexp_replace(F.col("path"), "^file:", "")
+    listing = load_binary_files(spark, paths)
+    p = F.col("local_path")
     parsed = listing.select(
         p.alias("local_path"),
         F.col("length").alias("size"),
