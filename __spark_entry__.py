@@ -326,6 +326,31 @@ def q40_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text_ops.curate(_base(spark, sf_dir, "documents"), min_quality=55, lang="en")
 
 
+def q41_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bucketized interval join: lineitem shipments falling inside 7-day
+    windows opened by sampled orders (no cross product — equi-join on
+    time buckets + residual filter)."""
+    fx.load_base_tables(spark, sf_dir)
+    ranges = (
+        spark.table("orders")
+        .filter(F.col("o_orderkey") % 100 == 0)
+        .select(
+            "o_orderkey",
+            F.unix_timestamp("o_orderdate").alias("w_start"),
+            (F.unix_timestamp("o_orderdate") + 7 * 86400).alias("w_end"),
+        )
+    )
+    points = spark.table("lineitem").select(
+        F.unix_timestamp("l_shipdate").alias("ship_s")
+    )
+    joined = analytics.range_join(
+        ranges, points, "w_start", "w_end", "ship_s", bucket_width=7 * 86400
+    )
+    return joined.groupBy("o_orderkey").agg(
+        F.count(F.lit(1)).cast("bigint").alias("shipments_in_window")
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001: the backup-listing report."""
     return q01_list_backups(spark, "/root/testdata/sf0.001")
@@ -373,6 +398,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q38_percentiles": q38_percentiles,
         "q39_chunking": q39_chunking,
         "q40_curation": q40_curation,
+        "q41_range_join": q41_range_join,
     }
 
 
@@ -820,5 +846,14 @@ def oracle_sql() -> dict[str, str]:
                    CAST(MAX(quality_score) AS BIGINT) AS quality_score
             FROM survivors
             GROUP BY dedup_key
+        """,
+        "q41_range_join": """
+            SELECT o.o_orderkey,
+                   CAST(COUNT(*) AS BIGINT) AS shipments_in_window
+            FROM (SELECT o_orderkey, epoch(o_orderdate) AS ws FROM orders
+                  WHERE o_orderkey % 100 = 0) o
+            JOIN (SELECT epoch(l_shipdate) AS ship_s FROM lineitem) l
+              ON l.ship_s >= o.ws AND l.ship_s <= o.ws + 7 * 86400
+            GROUP BY 1
         """,
     }

@@ -193,6 +193,57 @@ def sliding_window_agg(
     )
 
 
+def range_join(
+    ranges: DataFrame,
+    points: DataFrame,
+    start_col: str,
+    end_col: str,
+    point_col: str,
+    bucket_width: int,
+) -> DataFrame:
+    """Q41: interval containment join (point ∈ [start, end]) via bucketized
+    equi-join.
+
+    A naive theta join is a cross product; instead each range explodes into
+    its covered buckets and each point maps to one bucket, so the join is an
+    equi-join on bucket id + residual filter. Cost ∝ rows × (range_width /
+    bucket_width) — linear, shuffle on a uniform key, survives 100× scale-up.
+    All columns are epoch-seconds BIGINTs.
+    """
+    r = ranges.withColumn(
+        "_bucket",
+        F.explode(
+            F.sequence(
+                (F.col(start_col) / bucket_width).cast("bigint"),
+                (F.col(end_col) / bucket_width).cast("bigint"),
+            )
+        ),
+    )
+    p = points.withColumn("_bucket", (F.col(point_col) / bucket_width).cast("bigint"))
+    return (
+        r.join(p, "_bucket")
+        .filter(
+            (F.col(point_col) >= F.col(start_col))
+            & (F.col(point_col) <= F.col(end_col))
+        )
+        .drop("_bucket")
+    )
+
+
+def sketch_distinct(
+    df: DataFrame, keys: list[str], col: str, rsd: float = 0.02
+) -> DataFrame:
+    """HLL++ approximate distinct counts per group — the sketch path for
+    cardinalities where exact countDistinct's expand+double-shuffle is too
+    expensive. Mergeable across partitions (one pass, map-side partials).
+    Verified against exact counts within rsd tolerance in tests (approx
+    results are engine-specific, so no DuckDB hash-match)."""
+    return df.groupBy(*keys).agg(
+        F.approx_count_distinct(col, rsd).alias("approx_distinct"),
+        F.count(F.lit(1)).cast("bigint").alias("rows"),
+    )
+
+
 def percentiles(orders: DataFrame) -> DataFrame:
     """Q38: exact interpolated percentiles per group (Spark `percentile`;
     approx_percentile is the sketch variant for wide-cardinality keys)."""

@@ -69,6 +69,39 @@ def test_backup_rate_limit_throttles(spark, tmp_path):
     assert elapsed >= 0.5
 
 
+def test_sketch_distinct_within_tolerance(spark):
+    from esop_spark.operators.analytics import sketch_distinct
+    import pyspark.sql.functions as F
+
+    df = spark.range(0, 20000).selectExpr("id % 4 as g", "concat('v', id % 3000) as v")
+    got = {r["g"]: r["approx_distinct"] for r in sketch_distinct(df, ["g"], "v", rsd=0.02).collect()}
+    exact = {
+        r["g"]: r["d"]
+        for r in df.groupBy("g").agg(F.countDistinct("v").alias("d")).collect()
+    }
+    for g, d in exact.items():
+        assert abs(got[g] - d) / d < 0.06, (g, got[g], d)
+
+
+def test_range_join_matches_theta(spark):
+    from esop_spark.operators.analytics import range_join
+
+    ranges = spark.createDataFrame(
+        [(1, 100, 200), (2, 150, 160), (3, 900, 1000)], "rid long, s long, e long"
+    )
+    points = spark.createDataFrame(
+        [(i,) for i in range(0, 1100, 25)], "p long"
+    )
+    got = {(r["rid"], r["p"]) for r in range_join(ranges, points, "s", "e", "p", 50).collect()}
+    expected = {
+        (rid, p)
+        for rid, s, e in [(1, 100, 200), (2, 150, 160), (3, 900, 1000)]
+        for p in range(0, 1100, 25)
+        if s <= p <= e
+    }
+    assert got == expected
+
+
 def test_backup_secondary_index_dirs(spark, tmp_path):
     """2.2-style secondary index: components under a .idx subdir produce
     6-component object keys and restore back into the .idx subdir (P14/F16)."""
