@@ -55,6 +55,39 @@ def test_cli_lifecycle(spark, tmp_path, capsys):
     assert os.path.exists(os.path.join(target, "ks1"))
 
 
+def test_cli_list_filters_and_keep_extras(spark, tmp_path, capsys):
+    data, bucket = str(tmp_path / "data"), str(tmp_path / "bucket")
+    make_tree(data, "s1", BASE_FILES)
+    main(["backup", "--data-dirs", data, "--tag", "s1",
+          "--storage-location", bucket, "--ts-millis", "1000"])
+    make_tree(data, "s2", BASE_FILES)
+    main(["backup", "--data-dirs", data, "--tag", "s2",
+          "--storage-location", bucket, "--ts-millis", "2000"])
+    capsys.readouterr()
+
+    # --from-timestamp keeps only backups at/before the bound (P9)
+    main(["list", "--storage-location", bucket, "--json",
+          "--from-timestamp", "1500"])
+    rep = json.loads(capsys.readouterr().out)
+    assert [r["name"] for r in rep["reports"]] == ["s1-00000000-1000"]
+
+    # --last-n keeps the oldest n of the newest-first listing (W4)
+    main(["list", "--storage-location", bucket, "--json", "--last-n", "1"])
+    rep = json.loads(capsys.readouterr().out)
+    assert [r["name"] for r in rep["reports"]] == ["s1-00000000-1000"]
+
+    # --keep-extras leaves unknown local files alone
+    target = str(tmp_path / "restored")
+    main(["restore", "--storage-location", bucket, "--target-dir", target])
+    stray = os.path.join(target, "stray.bin")
+    open(stray, "w").write("keep me")
+    capsys.readouterr()
+    main(["restore", "--storage-location", bucket, "--target-dir", target,
+          "--keep-extras"])
+    assert "deleted 0" in capsys.readouterr().out
+    assert os.path.exists(stray)
+
+
 def test_cli_commitlogs(spark, tmp_path, capsys):
     src, bucket = str(tmp_path / "cl"), str(tmp_path / "bucket")
     os.makedirs(src)
