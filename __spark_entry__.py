@@ -351,6 +351,14 @@ def q41_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q42_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return analytics.grouping_sets_agg(_base(spark, sf_dir, "lineitem"))
+
+
+def q43_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return analytics.pivot_counts(_base(spark, sf_dir, "lineitem"))
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001: the backup-listing report."""
     return q01_list_backups(spark, "/root/testdata/sf0.001")
@@ -399,6 +407,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q39_chunking": q39_chunking,
         "q40_curation": q40_curation,
         "q41_range_join": q41_range_join,
+        "q42_grouping_sets": q42_grouping_sets,
+        "q43_pivot": q43_pivot,
     }
 
 
@@ -854,6 +864,21 @@ def oracle_sql() -> dict[str, str]:
                   WHERE o_orderkey % 100 = 0) o
             JOIN (SELECT epoch(l_shipdate) AS ship_s FROM lineitem) l
               ON l.ship_s >= o.ws AND l.ship_s <= o.ws + 7 * 86400
+            GROUP BY 1
+        """,
+        "q42_grouping_sets": """
+            SELECT l_returnflag, l_linestatus,
+                   CAST(GROUPING(l_returnflag) AS BIGINT) AS g_flag,
+                   CAST(GROUPING(l_linestatus) AS BIGINT) AS g_status,
+                   CAST(COUNT(*) AS BIGINT) AS count_rows
+            FROM lineitem
+            GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+        """,
+        "q43_pivot": """
+            SELECT l_returnflag,
+                   CAST(COUNT(*) FILTER (WHERE l_linestatus = 'F') AS BIGINT) AS status_f,
+                   CAST(COUNT(*) FILTER (WHERE l_linestatus = 'O') AS BIGINT) AS status_o
+            FROM lineitem
             GROUP BY 1
         """,
     }

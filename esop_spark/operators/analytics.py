@@ -193,6 +193,41 @@ def sliding_window_agg(
     )
 
 
+def grouping_sets_agg(lineitem: DataFrame) -> DataFrame:
+    """Q42: explicit grouping sets — per-flag, per-status, and grand total
+    (the general form behind rollup/cube). GROUPING() masks disambiguate
+    real NULLs from subtotal rows."""
+    spark = lineitem.sparkSession
+    lineitem.createOrReplaceTempView("_gs_lineitem")
+    return spark.sql(
+        """
+        SELECT l_returnflag, l_linestatus,
+               CAST(GROUPING(l_returnflag) AS BIGINT) AS g_flag,
+               CAST(GROUPING(l_linestatus) AS BIGINT) AS g_status,
+               CAST(COUNT(*) AS BIGINT) AS count_rows
+        FROM _gs_lineitem
+        GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+        """
+    )
+
+
+def pivot_counts(lineitem: DataFrame) -> DataFrame:
+    """Q43: pivot — linestatus values become columns, counted per returnflag.
+
+    Values are enumerated explicitly (required for a deterministic schema at
+    scale; implicit pivot would scan once just to discover them)."""
+    return (
+        lineitem.groupBy("l_returnflag")
+        .pivot("l_linestatus", ["F", "O"])
+        .agg(F.count(F.lit(1)))
+        .select(
+            "l_returnflag",
+            F.coalesce(F.col("F"), F.lit(0)).cast("bigint").alias("status_f"),
+            F.coalesce(F.col("O"), F.lit(0)).cast("bigint").alias("status_o"),
+        )
+    )
+
+
 def range_join(
     ranges: DataFrame,
     points: DataFrame,
