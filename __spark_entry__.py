@@ -359,6 +359,25 @@ def q43_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     return analytics.pivot_counts(_base(spark, sf_dir, "lineitem"))
 
 
+def q44_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.6 set-op surface: nations with customers but no suppliers (EXCEPT)
+    and nations with both (INTERSECT), tagged and unioned."""
+    fx.load_base_tables(spark, sf_dir)
+    cust_nations = spark.table("customer").select(
+        F.col("c_nationkey").alias("nationkey")
+    ).distinct()
+    supp_nations = spark.table("supplier").select(
+        F.col("s_nationkey").alias("nationkey")
+    ).distinct()
+    only_cust = cust_nations.exceptAll(supp_nations).withColumn(
+        "tag", F.lit("customers_only")
+    )
+    both = cust_nations.intersect(supp_nations).withColumn("tag", F.lit("both"))
+    return only_cust.unionByName(both).select(
+        F.col("nationkey").cast("bigint").alias("nationkey"), "tag"
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001: the backup-listing report."""
     return q01_list_backups(spark, "/root/testdata/sf0.001")
@@ -409,6 +428,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q41_range_join": q41_range_join,
         "q42_grouping_sets": q42_grouping_sets,
         "q43_pivot": q43_pivot,
+        "q44_setops": q44_setops,
     }
 
 
@@ -880,5 +900,16 @@ def oracle_sql() -> dict[str, str]:
                    CAST(COUNT(*) FILTER (WHERE l_linestatus = 'O') AS BIGINT) AS status_o
             FROM lineitem
             GROUP BY 1
+        """,
+        "q44_setops": """
+            SELECT CAST(nationkey AS BIGINT) AS nationkey, 'customers_only' AS tag
+            FROM (SELECT DISTINCT c_nationkey AS nationkey FROM customer
+                  EXCEPT
+                  SELECT DISTINCT s_nationkey FROM supplier)
+            UNION ALL
+            SELECT CAST(nationkey AS BIGINT) AS nationkey, 'both' AS tag
+            FROM (SELECT DISTINCT c_nationkey AS nationkey FROM customer
+                  INTERSECT
+                  SELECT DISTINCT s_nationkey FROM supplier)
         """,
     }
