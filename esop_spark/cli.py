@@ -37,7 +37,10 @@ def _build_parser() -> argparse.ArgumentParser:
     b.add_argument("--tag", required=True, help="snapshot tag to back up")
     b.add_argument("--storage-location", required=True, help="bucket directory")
     b.add_argument("--schema-version", default="00000000")
-    b.add_argument("--ts-millis", type=int, default=0)
+    # default None → "now" at run time; an explicit value keeps tests
+    # deterministic. A constant default would make every backup of a tag
+    # share one backup_name and silently overwrite the previous manifest.
+    b.add_argument("--ts-millis", type=int, default=None)
     b.add_argument("--bandwidth", default=None, help="e.g. 10MBPS (per task)")
 
     r = sub.add_parser("restore", help="manifest diff → download/delete/heal")
@@ -89,14 +92,19 @@ def _run(args: argparse.Namespace) -> int:
     if args.command == "backup":
         from esop_spark.operators.pipelines import backup
 
+        import time
+
         rate = parse_data_rate_bps(args.bandwidth) if args.bandwidth else None
+        ts_millis = (
+            args.ts_millis if args.ts_millis is not None else int(time.time() * 1000)
+        )
         uploaded = backup(
             spark,
             args.data_dirs.split(","),
             args.tag,
             args.storage_location,
             schema_version=args.schema_version,
-            ts_millis=args.ts_millis,
+            ts_millis=ts_millis,
             max_bytes_per_sec=rate,
         )
         print(f"uploaded {uploaded.count()} objects")

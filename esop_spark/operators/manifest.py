@@ -82,17 +82,23 @@ def render_report(
     from esop_spark.functions.render import human_bytes, render_table, render_timestamp
 
     report = list_backups(entries)
+    all_rows = report.orderBy(
+        F.col("backup_ts").desc(), F.col("backup_name").desc()
+    ).collect()
+    rows = all_rows
     if from_timestamp is not None:
-        report = report.filter(F.col("backup_ts") <= from_timestamp)
-    rows = report.orderBy(F.col("backup_ts").desc(), F.col("backup_name").desc()).collect()
+        rows = [r for r in rows if r["backup_ts"] <= from_timestamp]
     if last_n is not None:
         rows = rows[-last_n:]  # oldest N of the newest-first list, order kept
     # totals are DISTINCT-object totals (A2, README "Listing of backups":
     # backup-1 154 files/113.1kB + backup-2 138 files → totals 154/113.1kB),
-    # not the sum of per-backup rows
+    # not the sum of per-backup rows — and ALL THREE totals are computed over
+    # the unfiltered listing (the reference builds totals at report-build
+    # time, before --from-timestamp/--last-n trim the display rows), so the
+    # footer stays mutually consistent on filtered listings
     t = totals(entries).collect()[0]
     tot_files, tot_size = t["total_files"], t["total_size"]
-    tot_reclaim = sum(r["reclaimable_bytes"] for r in rows)
+    tot_reclaim = sum(r["reclaimable_bytes"] for r in all_rows)
 
     def fmt_size(n: int) -> str:
         return human_bytes(n) if human_units else str(n)

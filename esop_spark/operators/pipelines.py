@@ -156,8 +156,10 @@ def remove_backup(
     if backup_name is not None:
         victims = manifests.filter(F.col("backup_name") == backup_name)
     elif oldest:
+        # nulls last: a manifest whose name lacks a parseable -<millis> tail
+        # must never win --oldest by default (Spark sorts NULLS FIRST asc)
         victims = manifests.orderBy(
-            F.col("backup_ts").asc(), F.col("backup_name").asc()
+            F.col("backup_ts").asc_nulls_last(), F.col("backup_name").asc()
         ).limit(1)
     elif older_than_ms is not None:
         victims = manifests.filter(F.col("backup_ts") < older_than_ms)
@@ -259,13 +261,21 @@ def restore(
     ) and os.listdir(target_dir) else None
     if local is not None:
         # hash-verify gate: local files are re-hashed (distributed binaryFile
-        # read over the explicit path list) so corrupted files join the
-        # download set — the reference's round-2 mismatch leg
-        # (DataSynchronizator.java:79-91, SSTableUtils.isExistingSStable)
+        # read rooted at the walked parent dirs, semi-joined to the walked
+        # file set) so corrupted files join the download set — the
+        # reference's round-2 mismatch leg (DataSynchronizator.java:79-91,
+        # SSTableUtils.isExistingSStable). Only the DIRECTORY list touches
+        # the driver; the file set stays a DataFrame end-to-end.
         from esop_spark.functions.scalars import content_hash
 
-        paths = [r["local_path"] for r in local.collect()]
-        hashed = snapshot_scan.load_binary_files(spark, paths).select(
+        local_dirs = [
+            dp
+            for dp, _dns, fns in os.walk(target_dir)
+            if fns
+            and "/snapshots/" not in dp + "/"
+            and "/backups/" not in dp + "/"
+        ]
+        hashed = snapshot_scan.load_binary_files_for(spark, local_dirs, local).select(
             "local_path", content_hash(F.col("content")).alias("local_hash")
         )
         lp = F.col("local_path")

@@ -103,10 +103,15 @@ def retention_older_than(manifests: DataFrame, cutoff_ts_millis: int) -> DataFra
 
 
 def oldest_backup(manifests: DataFrame) -> DataFrame:
-    """--oldest victim selection (deterministic tiebreak on name)."""
-    return manifests.orderBy(F.col("ts").asc(), F.col("backup_name").asc()).limit(1)
+    """--oldest victim selection (deterministic tiebreak on name; null-ts
+    manifests sort last so an unparseable name is never the default victim)."""
+    return manifests.orderBy(
+        F.col("ts").asc_nulls_last(), F.col("backup_name").asc()
+    ).limit(1)
 
 
 def last_n(manifests: DataFrame, n: int) -> DataFrame:
     """W4 --last-n: the oldest N backups of the newest-first listing."""
-    return manifests.orderBy(F.col("ts").asc(), F.col("backup_name").asc()).limit(n)
+    return manifests.orderBy(
+        F.col("ts").asc_nulls_last(), F.col("backup_name").asc()
+    ).limit(n)

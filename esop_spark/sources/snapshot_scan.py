@@ -75,14 +75,25 @@ def load_binary_files(spark: SparkSession, paths: list[str]) -> DataFrame:
     didn't see. Root count ∝ directories, not files.
     """
     dirs = sorted({os.path.dirname(p) for p in paths})
-    listing = spark.read.format("binaryFile").load(dirs)
     wanted = spark.createDataFrame([(p,) for p in paths], "local_path string")
-    return (
-        listing.withColumn(
-            "local_path", F.regexp_replace(F.col("path"), "^file:", "")
-        )
-        .join(F.broadcast(wanted), "local_path")
-    )
+    return load_binary_files_for(spark, dirs, wanted)
+
+
+def load_binary_files_for(
+    spark: SparkSession, dirs: list[str], wanted: DataFrame
+) -> DataFrame:
+    """DataFrame-native variant of :func:`load_binary_files`: read exactly the
+    files named in ``wanted`` (a DataFrame with a ``local_path`` column),
+    given their parent DIRECTORIES as load roots.
+
+    Nothing proportional to file count touches the driver — roots ∝
+    directories. The wanted side is broadcast so the content-bearing listing
+    never shuffles (shuffling the ``content`` column would move every byte).
+    """
+    listing = spark.read.format("binaryFile").load(sorted(set(dirs)))
+    return listing.withColumn(
+        "local_path", F.regexp_replace(F.col("path"), "^file:", "")
+    ).join(F.broadcast(wanted.select("local_path")), "local_path")
 
 
 def scan_snapshot_tree(

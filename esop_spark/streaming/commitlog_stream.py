@@ -38,7 +38,10 @@ def commitlog_stream(spark: SparkSession, archive_dir: str) -> DataFrame:
         .select(
             F.regexp_replace("path", "^file:", "").alias("local_path"),
             F.element_at(F.split("path", "/"), -1).alias("name"),
-            (F.unix_timestamp("modificationTime") * 1000).alias("mtime_ms"),
+            # millisecond precision: the reference keys segments by ms
+            # (RestoreCommitLogsOperation parses ms); unix_timestamp would
+            # truncate to seconds and can collide same-second re-archives
+            F.unix_millis(F.col("modificationTime")).alias("mtime_ms"),
             F.col("length").alias("size"),
         )
     )
