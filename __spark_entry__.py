@@ -23,6 +23,7 @@ from esop_spark.operators import (
     dedup,
     diff,
     entities,
+    fleet,
     manifest,
     multimodal,
     retention,
@@ -378,6 +379,30 @@ def q44_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# fleet fixture: backup-0 is older than the cutoff on every node; backup-1/2
+# survive (backup_ts = 1600000000000 + idx*86400000 + node_jitter*1000)
+FLEET_CUTOFF_MS = 1600000000000 + 86400000
+
+
+def q45_global_listing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fleet-scoped listing: per-(dc, node, backup) report over the union of
+    every node's manifest set (LocalFileRestorer.java:279-313 node
+    resolution + per-node AllManifestsReport)."""
+    return fleet.global_list_backups(
+        _fixture(spark, sf_dir, "fleet_manifest_entries")
+    )
+
+
+def q46_global_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global removal dry-run: per-node victims under --older-than and the
+    objects deletable because no surviving backup of any node references
+    them (RemoveBackupOperation.java:100-190)."""
+    return fleet.global_removal_report(
+        _fixture(spark, sf_dir, "fleet_manifest_entries"),
+        older_than_ms=FLEET_CUTOFF_MS,
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001: the backup-listing report."""
     return q01_list_backups(spark, "/root/testdata/sf0.001")
@@ -429,6 +454,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q42_grouping_sets": q42_grouping_sets,
         "q43_pivot": q43_pivot,
         "q44_setops": q44_setops,
+        "q45_global_listing": q45_global_listing,
+        "q46_global_removal": q46_global_removal,
     }
 
 
@@ -900,6 +927,54 @@ def oracle_sql() -> dict[str, str]:
                    CAST(COUNT(*) FILTER (WHERE l_linestatus = 'O') AS BIGINT) AS status_o
             FROM lineitem
             GROUP BY 1
+        """,
+        "q45_global_listing": W("fleet_manifest_entries") + """
+            , refcounts AS (
+                SELECT dc, node, object_key,
+                       COUNT(DISTINCT backup_name) AS n_backups
+                FROM fleet_manifest_entries GROUP BY 1, 2, 3
+            )
+            SELECT e.dc, e.node, e.backup_name, e.backup_ts,
+                   CAST(COUNT(*) AS BIGINT) AS files,
+                   CAST(SUM(e.size) AS BIGINT) AS size_bytes,
+                   CAST(SUM(CASE WHEN r.n_backups = 1 THEN e.size ELSE 0 END)
+                        AS BIGINT) AS reclaimable_bytes
+            FROM fleet_manifest_entries e
+            JOIN refcounts r USING (dc, node, object_key)
+            GROUP BY 1, 2, 3, 4
+        """,
+        "q46_global_removal": W("fleet_manifest_entries") + f"""
+            , victims AS (
+                SELECT DISTINCT dc, node, backup_name
+                FROM fleet_manifest_entries WHERE backup_ts < {FLEET_CUTOFF_MS}
+            ),
+            vic_objs AS (
+                SELECT DISTINCT e.dc, e.node, e.object_key, e.size
+                FROM fleet_manifest_entries e
+                JOIN victims v USING (dc, node, backup_name)
+            ),
+            sur_objs AS (
+                SELECT DISTINCT e.dc, e.node, e.object_key
+                FROM fleet_manifest_entries e
+                ANTI JOIN victims v
+                  ON e.dc = v.dc AND e.node = v.node
+                 AND e.backup_name = v.backup_name
+            ),
+            removable AS (
+                SELECT vo.* FROM vic_objs vo
+                ANTI JOIN sur_objs s
+                  ON vo.dc = s.dc AND vo.node = s.node
+                 AND vo.object_key = s.object_key
+            )
+            SELECT v.dc, v.node,
+                   CAST(v.backups_removed AS BIGINT) AS backups_removed,
+                   CAST(COALESCE(r.objects_removed, 0) AS BIGINT) AS objects_removed,
+                   CAST(COALESCE(r.bytes_removed, 0) AS BIGINT) AS bytes_removed
+            FROM (SELECT dc, node, COUNT(*) AS backups_removed
+                  FROM victims GROUP BY 1, 2) v
+            LEFT JOIN (SELECT dc, node, COUNT(*) AS objects_removed,
+                              SUM(size) AS bytes_removed
+                       FROM removable GROUP BY 1, 2) r USING (dc, node)
         """,
         "q44_setops": """
             SELECT CAST(nationkey AS BIGINT) AS nationkey, 'customers_only' AS tag

@@ -56,6 +56,11 @@ def _build_parser() -> argparse.ArgumentParser:
     ls.add_argument("--from-timestamp", type=int, default=None)
     ls.add_argument("--last-n", type=int, default=None)
     ls.add_argument("--to-file", default=None)
+    ls.add_argument("--global-request", action="store_true")
+    ls.add_argument(
+        "--dcs", action="append", default=None,
+        help="restrict a global listing to these dcs (repeatable)",
+    )
 
     rm = sub.add_parser("remove-backup", help="delete only victim-unique objects")
     rm.add_argument("--storage-location", required=True)
@@ -64,6 +69,14 @@ def _build_parser() -> argparse.ArgumentParser:
     g.add_argument("--oldest", action="store_true")
     g.add_argument("--older-than", default=None, help='e.g. "14day"')
     rm.add_argument("--dry-run", action="store_true")
+    # --global-request: storage-location names ONE node
+    # (<base>/<cluster>/<dc>/<node>); every sibling dc/node is resolved and
+    # the victim rule runs per node (README.adoc "Global removal of backups")
+    rm.add_argument("--global-request", action="store_true")
+    rm.add_argument(
+        "--dcs", action="append", default=None,
+        help="restrict a global request to these dcs (repeatable)",
+    )
 
     cb = sub.add_parser("commitlog-backup", help="archive commit-log segments")
     cb.add_argument("--archive-dir", required=True)
@@ -129,6 +142,36 @@ def _run(args: argparse.Namespace) -> int:
         from esop_spark.operators.manifest import render_report
         from esop_spark.sources.manifest_json import read_manifests
 
+        if args.global_request:
+            from pyspark.sql import functions as F
+
+            from esop_spark.functions.render import render_table
+            from esop_spark.operators.fleet import (
+                global_list_backups,
+                read_fleet_manifests,
+                split_node_location,
+            )
+
+            base, cluster, _dc, _node = split_node_location(args.storage_location)
+            report = global_list_backups(
+                read_fleet_manifests(spark, base, cluster, args.dcs)
+            ).orderBy("dc", "node", F.col("backup_ts").desc())
+            table = [["dc", "node", "name", "files", "size", "reclaimable"]]
+            for r in report.collect():
+                table.append(
+                    [
+                        r["dc"], r["node"], r["backup_name"], str(r["files"]),
+                        str(r["size_bytes"]), str(r["reclaimable_bytes"]),
+                    ]
+                )
+            out = render_table(table)
+            if args.to_file:
+                with open(args.to_file, "w") as f:
+                    f.write(out)
+            else:
+                print(out, end="")
+            return 0
+
         entries = read_manifests(
             spark, os.path.join(args.storage_location, "manifests")
         )
@@ -155,14 +198,27 @@ def _run(args: argparse.Namespace) -> int:
             import time
 
             older_than_ms = int(time.time() * 1000) - parse_duration_ms(args.older_than)
-        stats = remove_backup(
-            spark,
-            args.storage_location,
-            backup_name=args.backup_name,
-            oldest=args.oldest,
-            older_than_ms=older_than_ms,
-            dry_run=args.dry_run,
-        )
+        if args.global_request:
+            from esop_spark.operators.fleet import global_remove_backup
+
+            stats = global_remove_backup(
+                spark,
+                args.storage_location,
+                backup_name=args.backup_name,
+                oldest=args.oldest,
+                older_than_ms=older_than_ms,
+                dcs=args.dcs,
+                dry_run=args.dry_run,
+            )
+        else:
+            stats = remove_backup(
+                spark,
+                args.storage_location,
+                backup_name=args.backup_name,
+                oldest=args.oldest,
+                older_than_ms=older_than_ms,
+                dry_run=args.dry_run,
+            )
         print(
             f"removed {stats['backups_removed']} backups, "
             f"{stats['objects_removed']} objects"

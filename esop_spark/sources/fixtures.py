@@ -147,6 +147,24 @@ FROM (SELECT DISTINCT keyspace, table_name FROM manifest_entries) t
 WHERE table_name <> 't6'
 """
 
+# -- fleet_manifest_entries: multi-node bucket layout (<cluster>/<dc>/<node>)
+# for --global-request listing/removal (LocalFileRestorer.java:279-313,
+# RemoveBackupOperation.java:100-190). 2 dcs × 3 nodes each; object keys are
+# shared across backups AND across nodes (replica copies of the same
+# immutable sstable); backup_ts jitters per node so per-node --oldest is a
+# real per-node decision; size is a function of object_key alone.
+_FLEET_MANIFEST_ENTRIES = """
+SELECT DISTINCT
+  'cluster1' AS cluster,
+  'dc' || CAST(l_suppkey % 2 AS STRING) AS dc,
+  'node-' || CAST(l_suppkey % 6 AS STRING) AS node,
+  'backup-' || CAST(l_orderkey % 3 AS STRING) AS backup_name,
+  1600000000000 + (l_orderkey % 3) * 86400000 + (l_suppkey % 6) * 1000 AS backup_ts,
+  'obj-' || CAST(l_partkey AS STRING) || '-' || CAST(l_orderkey % 10 AS STRING) AS object_key,
+  (l_partkey % 997) * 100 + (l_orderkey % 10) + 13 AS size
+FROM lineitem
+"""
+
 # -- snapshot_schemas: per-backup table schema digests (Snapshots.java:643-656)
 # backup-3 drifts on t1/t3 to exercise the schema-diff join (J8).
 _SNAPSHOT_SCHEMAS = """
@@ -166,6 +184,7 @@ FIXTURE_SQL: dict[str, str] = {
     "commitlogs": _COMMITLOGS,
     "local_tables": _LOCAL_TABLES,
     "snapshot_schemas": _SNAPSHOT_SCHEMAS,
+    "fleet_manifest_entries": _FLEET_MANIFEST_ENTRIES,
 }
 
 # Derivation order matters: later fixtures reference manifest_entries.
@@ -178,6 +197,7 @@ _FIXTURE_ORDER = [
     "commitlogs",
     "local_tables",
     "snapshot_schemas",
+    "fleet_manifest_entries",
 ]
 
 

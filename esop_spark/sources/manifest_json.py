@@ -79,20 +79,25 @@ MANIFEST_SCHEMA = StructType(
 )
 
 
-def read_manifests(spark: SparkSession, path: str) -> DataFrame:
+def read_manifests(
+    spark: SparkSession, path: str, include_path: bool = False
+) -> DataFrame:
     """S6/S7: manifest JSON dir → flat ``manifest_entries`` DataFrame.
 
     Output: (backup_name, backup_ts, keyspace, table_name, table_id,
-    schema_content, sstable_base, object_key, type, size, hash).
+    schema_content, sstable_base, object_key, type, size, hash)
+    [+ manifest_path when ``include_path`` — used by the fleet reader to
+    recover the <dc>/<node> storage-location components from a glob read].
     """
     raw = (
         spark.read.schema(MANIFEST_SCHEMA)
         .option("multiLine", "true")
         .json(path)
+        .withColumn("manifest_path", F.input_file_name())
         .withColumn(
             "backup_name",
             F.regexp_replace(
-                F.element_at(F.split(F.input_file_name(), "/"), -1), r"\.json$", ""
+                F.element_at(F.split(F.col("manifest_path"), "/"), -1), r"\.json$", ""
             ),
         )
         .withColumn(
@@ -100,11 +105,13 @@ def read_manifests(spark: SparkSession, path: str) -> DataFrame:
             F.substring_index(F.col("backup_name"), "-", -1).cast("bigint"),
         )
     )
+    path_cols = ["manifest_path"] if include_path else []
     ks = raw.select(
         "backup_name",
         "backup_ts",
         F.col("schemaVersion").alias("schema_version"),
         F.explode("snapshot.keyspaces").alias("keyspace", "ksdata"),
+        *path_cols,
     )
     tbl = ks.select(
         "backup_name",
@@ -112,6 +119,7 @@ def read_manifests(spark: SparkSession, path: str) -> DataFrame:
         "schema_version",
         "keyspace",
         F.explode("ksdata.tables").alias("table_name", "t"),
+        *path_cols,
     )
     # modern shape: sstables map; legacy shape: flat entries keyed by the
     # sstable base extracted from each entry's file name (the shim).
@@ -141,6 +149,7 @@ def read_manifests(spark: SparkSession, path: str) -> DataFrame:
         F.col("t.id").alias("table_id"),
         F.col("t.schemaContent").alias("schema_content"),
         F.explode(F.coalesce(modern, legacy)).alias("se"),
+        *path_cols,
     ).select(
         "backup_name",
         "backup_ts",
@@ -154,6 +163,7 @@ def read_manifests(spark: SparkSession, path: str) -> DataFrame:
         F.col("se.e.type").alias("type"),
         F.col("se.e.size").alias("size"),
         F.col("se.e.hash").alias("hash"),
+        *path_cols,
     )
 
 
