@@ -199,8 +199,11 @@ def q21_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q22_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-LSH with the cross-engine md5 hash family: the seeded
+    signature/banding/verify pipeline is replicated verbatim in the DuckDB
+    oracle (xxhash64 stays the production default family)."""
     return dedup.minhash_lsh_pairs(
-        _base(spark, sf_dir, "documents"), threshold=JACCARD_TAU
+        _base(spark, sf_dir, "documents"), threshold=JACCARD_TAU, hash_family="md5"
     )
 
 
@@ -211,7 +214,11 @@ def q23_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q24_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return dedup.simhash_pairs(_base(spark, sf_dir, "documents"))
+    """SimHash (32-bit, md5 family) — fully oracle-replicable; the
+    production default stays 48-bit xxhash64."""
+    return dedup.simhash_pairs(
+        _base(spark, sf_dir, "documents"), num_bits=32, chunks=4, hash_family="md5"
+    )
 
 
 def q25_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -461,6 +468,114 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 # --- DuckDB oracle ----------------------------------------------------------
 
+def _q22_oracle() -> str:
+    """Full MinHash-LSH replication in DuckDB: same md5-derived element hash
+    (CAST('0x'||substr(md5(s),1,8) AS BIGINT) == Spark conv(...,16,10)), the
+    same seeded (a_i, b_i) family inlined as literals, md5 band buckets, and
+    the same candidate-only exact-Jaccard verification."""
+    from esop_spark.operators.dedup import HASH_P, minhash_coeffs
+
+    coeffs = minhash_coeffs(32)
+    sig_cols = ",\n                   ".join(
+        f"MIN((x * {a} + {b}) % {HASH_P}) AS h{i}"
+        for i, (a, b) in enumerate(coeffs)
+    )
+    bucket_terms = "\n                UNION ALL ".join(
+        f"SELECT doc_id, {band} AS band, md5(concat_ws('-', "
+        + ", ".join(f"h{band * 4 + r}" for r in range(4))
+        + ")) AS bucket FROM sig"
+        for band in range(8)
+    )
+    return f"""
+            WITH docs AS (
+                SELECT doc_id, string_split(text, ' ') AS words FROM documents
+            ),
+            sh AS (
+                SELECT DISTINCT doc_id,
+                       words[i] || ' ' || words[i+1] || ' ' || words[i+2] AS shingle
+                FROM docs, unnest(range(1, greatest(len(words) - 1, 1))) t(i)
+            ),
+            hx AS (
+                SELECT doc_id,
+                       CAST(concat('0x', substr(md5(shingle), 1, 8)) AS BIGINT)
+                           % {HASH_P} AS x
+                FROM sh
+            ),
+            sig AS (
+                SELECT doc_id,
+                   {sig_cols}
+                FROM hx GROUP BY doc_id
+            ),
+            buckets AS (
+                {bucket_terms}
+            ),
+            cand AS (
+                SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+                FROM buckets a JOIN buckets b
+                  ON a.band = b.band AND a.bucket = b.bucket
+                 AND a.doc_id < b.doc_id
+            ),
+            cnt AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY 1),
+            shared AS (
+                SELECT c.id_a, c.id_b, COUNT(*) AS shared
+                FROM cand c
+                JOIN sh a ON a.doc_id = c.id_a
+                JOIN sh b ON b.doc_id = c.id_b AND b.shingle = a.shingle
+                GROUP BY 1, 2
+            )
+            SELECT id_a, id_b,
+                   ROUND(shared * 1.0 / (ca.n_sh + cb.n_sh - shared), 6) AS jaccard
+            FROM shared
+            JOIN cnt ca ON id_a = ca.doc_id
+            JOIN cnt cb ON id_b = cb.doc_id
+            WHERE ROUND(shared * 1.0 / (ca.n_sh + cb.n_sh - shared), 6)
+                  >= {JACCARD_TAU}
+    """
+
+
+_Q24_ORACLE = """
+    WITH tok AS (
+        SELECT doc_id, tok, COUNT(*) AS w
+        FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+              FROM documents)
+        GROUP BY 1, 2
+    ),
+    th AS (
+        SELECT doc_id, w,
+               CAST(concat('0x', substr(md5(tok), 1, 8)) AS BIGINT) AS h
+        FROM tok
+    ),
+    contrib AS (
+        SELECT doc_id, t.j AS bit,
+               SUM(CASE WHEN (h >> CAST(t.j AS INTEGER)) & 1 = 1
+                        THEN w ELSE -w END) AS s
+        FROM th, unnest(range(0, 32)) t(j)
+        GROUP BY 1, 2
+    ),
+    sig AS (
+        SELECT doc_id,
+               CAST(SUM(CASE WHEN s > 0
+                             THEN (CAST(1 AS BIGINT) << CAST(bit AS INTEGER))
+                             ELSE CAST(0 AS BIGINT) END) AS BIGINT) AS simhash
+        FROM contrib GROUP BY 1
+    ),
+    chunks AS (
+        SELECT doc_id, simhash, t.c AS chunk_idx,
+               (simhash >> CAST(t.c * 8 AS INTEGER)) & 255 AS chunk_val
+        FROM sig, unnest(range(0, 4)) t(c)
+    ),
+    cand AS (
+        SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+               a.simhash AS sa, b.simhash AS sb
+        FROM chunks a JOIN chunks b
+          ON a.chunk_idx = b.chunk_idx AND a.chunk_val = b.chunk_val
+         AND a.doc_id < b.doc_id
+    )
+    SELECT id_a, id_b, CAST(bit_count(xor(sa, sb)) AS BIGINT) AS hamming
+    FROM cand WHERE bit_count(xor(sa, sb)) <= 3
+"""
+
+
 def oracle_sql() -> dict[str, str]:
     W = fx.oracle_with_clause
     return {
@@ -651,9 +766,10 @@ def oracle_sql() -> dict[str, str]:
             FROM events
             GROUP BY 1, 2
         """,
-        # q22 / q24: MinHash-LSH and SimHash banding are not SQL-expressible
-        # (seeded hash families) → rows-only check; exact counterparts q23/q25
-        # ARE oracle-checked.
+        # q22 / q24 use the cross-engine md5 hash family so the seeded
+        # MinHash/SimHash pipelines are replicated end-to-end in DuckDB.
+        "q22_dedup_minhash_lsh": _q22_oracle(),
+        "q24_simhash_pairs": _Q24_ORACLE,
         "q21_dedup_exact": """
             SELECT md5(array_to_string(list_sort(list_distinct(string_split(text, ' '))), ' '))
                        AS dedup_key,

@@ -27,6 +27,33 @@ from pyspark.sql import functions as F
 HASH_P = 2147483647  # 2^31 - 1 (Mersenne prime)
 
 
+def md5_hash32(col: Column) -> Column:
+    """Cross-engine 32-bit hash: first 8 hex chars of md5, parsed as int.
+
+    Exists so the seeded MinHash/SimHash families are reproducible OUTSIDE
+    Spark: DuckDB computes the identical value as
+    ``CAST(concat('0x', substr(md5(x), 1, 8)) AS BIGINT)``, which is what
+    lets q22/q24 run against a full SQL oracle. xxhash64 stays the default
+    family for production (one JVM intrinsic vs md5's digest cost)."""
+    return F.conv(F.substring(F.md5(col), 1, 8), 16, 10).cast("bigint")
+
+
+def minhash_coeffs(num_hashes: int) -> list[tuple[int, int]]:
+    """The seeded (a_i, b_i) family shared by the Spark operator and any
+    external replication (the oracle SQL inlines these as literals)."""
+    rnd = __import__("random").Random(42)
+    return [
+        (rnd.randrange(1, HASH_P), rnd.randrange(0, HASH_P))
+        for _ in range(num_hashes)
+    ]
+
+
+def _element_hash(col_name: str, hash_family: str) -> Column:
+    if hash_family == "md5":
+        return md5_hash32(F.col(col_name))
+    return F.xxhash64(col_name)
+
+
 def dedup_exact(df: DataFrame, key: Column, id_col: str = "doc_id") -> DataFrame:
     """Exact dedup on a content key: one representative (min id) per group.
 
@@ -118,21 +145,20 @@ def minhash_signatures(
     n: int = 3,
     text_col: str = "text",
     id_col: str = "doc_id",
+    hash_family: str = "xxhash64",
 ) -> DataFrame:
     """MinHash signatures: h_i(S) = min over shingles of (a_i·x + b_i) mod p,
-    x = xxhash64(shingle). All num_hashes minima are computed in ONE hash
-    aggregation over the exploded shingle relation (map-side combine)."""
+    x = hash(shingle). All num_hashes minima are computed in ONE hash
+    aggregation over the exploded shingle relation (map-side combine).
+
+    ``hash_family="md5"`` switches x to the cross-engine 32-bit md5 hash so
+    the whole signature is replicable in plain SQL (the q22 oracle)."""
     sh = shingles(documents, n, text_col, id_col).withColumn(
-        "x", F.pmod(F.xxhash64("shingle"), F.lit(HASH_P))
+        "x", F.pmod(_element_hash("shingle", hash_family), F.lit(HASH_P))
     )
-    rnd = __import__("random").Random(42)
-    coeffs = [
-        (rnd.randrange(1, HASH_P), rnd.randrange(0, HASH_P))
-        for _ in range(num_hashes)
-    ]
     aggs = [
         F.min((F.col("x") * F.lit(a) + F.lit(b)) % HASH_P).alias(f"h{i}")
-        for i, (a, b) in enumerate(coeffs)
+        for i, (a, b) in enumerate(minhash_coeffs(num_hashes))
     ]
     return sh.groupBy(id_col).agg(*aggs)
 
@@ -145,21 +171,27 @@ def minhash_lsh_pairs(
     threshold: float = 0.5,
     text_col: str = "text",
     id_col: str = "doc_id",
+    hash_family: str = "xxhash64",
 ) -> DataFrame:
     """MinHash + LSH near-duplicate pairs, exact-Jaccard-verified.
 
     Candidate pairs agree on at least one band bucket (equi-join on
     (band, bucket_hash)); candidates are then verified with exact n-gram
     Jaccard so there are no false positives (false-negative rate set by
-    bands/rows-per-band).
+    bands/rows-per-band). With ``hash_family="md5"`` the band bucket is the
+    md5 of the signature slice (cross-engine reproducible).
     """
     rows_per_band = num_hashes // bands
-    sig = minhash_signatures(documents, num_hashes, n, text_col, id_col)
+    sig = minhash_signatures(documents, num_hashes, n, text_col, id_col, hash_family)
+
+    def bucket_of(band: int) -> Column:
+        hs = [F.col(f"h{band * rows_per_band + r}") for r in range(rows_per_band)]
+        if hash_family == "md5":
+            return F.md5(F.concat_ws("-", *hs))
+        return F.xxhash64(*hs).cast("string")
+
     band_cols = [
-        F.struct(
-            F.lit(band).alias("band"),
-            F.xxhash64(*[F.col(f"h{band * rows_per_band + r}") for r in range(rows_per_band)]).alias("bucket"),
-        )
+        F.struct(F.lit(band).alias("band"), bucket_of(band).alias("bucket"))
         for band in range(bands)
     ]
     buckets = sig.select(F.col(id_col), F.explode(F.array(*band_cols)).alias("bb")).select(
@@ -219,17 +251,22 @@ def simhash_signatures(
     num_bits: int = 48,
     text_col: str = "text",
     id_col: str = "doc_id",
+    hash_family: str = "xxhash64",
 ) -> DataFrame:
-    """SimHash: token-frequency-weighted bit votes over xxhash64(token).
+    """SimHash: token-frequency-weighted bit votes over hash(token).
 
     Exploded (doc, token, weight) → posexploded bit contributions →
     two hash aggregations. JVM-side bit arithmetic throughout.
+    ``hash_family="md5"`` uses the cross-engine 32-bit hash (num_bits must
+    be ≤ 32 then — the hash only carries 32 bits of entropy).
     """
+    if hash_family == "md5" and num_bits > 32:
+        raise ValueError("md5 hash family carries 32 bits; lower num_bits")
     tok = (
         documents.select(F.col(id_col), F.explode(F.split(F.col(text_col), " ")).alias("tok"))
         .groupBy(id_col, "tok")
         .agg(F.count(F.lit(1)).alias("w"))
-        .withColumn("h", F.xxhash64("tok"))
+        .withColumn("h", _element_hash("tok", hash_family))
     )
     contrib = tok.select(
         id_col,
@@ -259,6 +296,7 @@ def simhash_pairs(
     chunks: int = 4,
     text_col: str = "text",
     id_col: str = "doc_id",
+    hash_family: str = "xxhash64",
 ) -> DataFrame:
     """SimHash near-duplicate pairs within a Hamming radius.
 
@@ -269,7 +307,7 @@ def simhash_pairs(
     """
     chunk_bits = num_bits // chunks
     mask = (1 << chunk_bits) - 1
-    sig = simhash_signatures(documents, num_bits, text_col, id_col)
+    sig = simhash_signatures(documents, num_bits, text_col, id_col, hash_family)
     chunked = sig.select(
         F.col(id_col),
         F.col("simhash"),
@@ -292,9 +330,9 @@ def simhash_pairs(
         .select(
             F.col(f"a.{id_col}").alias("id_a"),
             F.col(f"b.{id_col}").alias("id_b"),
-            F.bit_count(
-                F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))
-            ).alias("hamming"),
+            F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash")))
+            .cast("bigint")
+            .alias("hamming"),
         )
         .distinct()
         .filter(F.col("hamming") <= max_hamming)
