@@ -208,6 +208,11 @@ def q22_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q23_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact corpus-wide Jaccard. This testdata corpus has NO hot shingles
+    (max df = 25 at sf0.1), so the max_df cap is left off — the profiled
+    cost is the pair-aggregation mass itself; the plan win here is carrying
+    n_sh through the self-join (no counts shuffle/joins). Real corpora with
+    boilerplate should pass max_df (see dedup.ngram_jaccard_pairs)."""
     return dedup.ngram_jaccard_pairs(
         _base(spark, sf_dir, "documents"), n=3, threshold=JACCARD_TAU
     )
@@ -788,14 +793,14 @@ def oracle_sql() -> dict[str, str]:
                 FROM docs, unnest(range(1, greatest(len(words) - 1, 1))) t(i)
             ),
             cnt AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY 1),
-            pairs AS (
+            shared AS (
                 SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS shared
                 FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
                 GROUP BY 1, 2
             )
             SELECT id_a, id_b,
                    ROUND(shared * 1.0 / (ca.n_sh + cb.n_sh - shared), 6) AS jaccard
-            FROM pairs
+            FROM shared
             JOIN cnt ca ON id_a = ca.doc_id
             JOIN cnt cb ON id_b = cb.doc_id
             WHERE ROUND(shared * 1.0 / (ca.n_sh + cb.n_sh - shared), 6) >= {JACCARD_TAU}

@@ -52,9 +52,11 @@ def main() -> None:
     for _ in range(2):
         qs["q01_list_backups"](spark, sf_dir).write.format("noop").mode("overwrite").save()
 
-    # best of 2 trials per query: steady-state plan cost, not scheduler noise
+    # one untimed warmup per query (codegen/JIT for THAT plan), then best of
+    # 2 timed trials: steady-state plan cost, not scheduler/JIT noise
     timings: dict[str, float] = {}
     for name in BENCH_QUERIES:
+        qs[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
         trials = []
         for _ in range(2):
             t0 = time.perf_counter()

