@@ -19,6 +19,7 @@ Semantics (with reference citations for parity checking):
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
@@ -75,6 +76,59 @@ def sstable_id(generation: Column | str, digest: Column | str) -> Column:
     """Content-addressed sstable id ``<generation>-<digest>``
     (SSTableUtils.java:48-74) — the key that makes global dedup work."""
     return F.concat_ws("-", _c(generation), _c(digest))
+
+
+# F4 digest parity (SSTableUtils.java:42,54-64): a ``-Digest.{crc32,adler32,
+# sha1}`` sibling is consulted in that order; its first alphanumeric run is
+# the digest — but only when the whole content full-matches Java's
+# ``^([a-zA-Z0-9]+).*`` (dot excludes line terminators, so content with any
+# newline fails matches() and falls through to the next digest type).
+DIGEST_SIBLING_RE = r".*-Digest\.(crc32|adler32|sha1)$"
+ADLER32_TAIL_BYTES = 10 * 1024 * 1024  # SSTableUtils.java:80
+
+
+def digest_file_type(filename: Column | str) -> Column:
+    """``crc32``/``adler32``/``sha1`` for a digest sibling, else ''."""
+    return F.regexp_extract(_c(filename), DIGEST_SIBLING_RE, 1)
+
+
+def digest_file_token(binary_col: Column | str) -> Column:
+    """First alnum token of a digest file's content, null when the content
+    would fail the reference's full-string matcher (embedded newline /
+    non-alnum start — SSTableUtils.java:45,60-63). ``\\z`` forces true
+    end-of-input (rlike '$' would accept a trailing newline Java matches()
+    rejects)."""
+    s = _c(binary_col).cast("string")
+    valid = s.rlike(r"^[a-zA-Z0-9][^\n\r]*\z")
+    return F.when(valid, F.regexp_extract(s, r"^([a-zA-Z0-9]+)", 1))
+
+
+def adler32_tail(binary_col: Column | str, size: Column | str) -> Column:
+    """Adler32 (decimal string) over the last 10 MB of a file's content —
+    the reference's digest-less fallback (SSTableUtils.java:76-102, C* 2.0
+    ``jb`` sstables ship no digest sibling).
+
+    The tail slice is taken JVM-side so at most 10 MB per row crosses into
+    the Arrow batch; the checksum itself is a vectorized pandas UDF (no JVM
+    Adler32 builtin exists). Null input → null (lets callers gate the UDF
+    with ``when()`` so non-Data.db rows pay nothing)."""
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("string")
+    def _adler(tails: pd.Series) -> pd.Series:
+        import zlib
+
+        return tails.map(
+            lambda b: None if b is None else str(zlib.adler32(bytes(b)) & 0xFFFFFFFF)
+        )
+
+    c = _c(binary_col)
+    n = _c(size)
+    tail = F.when(
+        n >= ADLER32_TAIL_BYTES,
+        F.substring(c, -ADLER32_TAIL_BYTES, ADLER32_TAIL_BYTES),
+    ).otherwise(c)
+    return _adler(tail)
 
 
 # --- F5: content hashes -----------------------------------------------------

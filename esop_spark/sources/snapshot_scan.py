@@ -13,17 +13,24 @@ Design:
   walk; Catalyst prunes the ``content`` column away for listing-only uses,
   so hashing is the only pass that actually reads bytes.
 - Content hash = lowercase SHA-256 (the reference default, HashSpec.java).
-- SSTable id = ``<generation>-<digest>`` where the digest is derived from the
-  sstable's ``*-Data.db`` content hash (first 8 hex chars). The reference
-  reads a ``-Digest.crc32``-style sibling or Adler32's the Data.db tail
-  (SSTableUtils.java:48-102); content-derived digests keep the same
-  content-addressing semantics (identical sstable → identical id → global
-  dedup) with one distributed pass instead of per-file random IO.
+- SSTable id = ``<generation>-<digest>`` with reference digest parity
+  (SSTableUtils.java:48-102): the first existing ``-Digest.{crc32,adler32,
+  sha1}`` sibling's leading alnum token wins (tried in that order; content
+  with a newline fails Java's full-string matcher and falls through), else
+  Adler32 over the last 10 MB of ``-Data.db`` (C* 2.0 ``jb`` format ships
+  no digest file). A backup taken here and one taken by the reference over
+  the same snapshot therefore produce identical object keys and dedup
+  against each other.
 - ``truncated-``/``dropped-`` snapshot dirs are skipped (Snapshots.java:761-765).
+- Non-sstable snapshot files (``schema.cql``, Cassandra's own
+  ``manifest.json``) are excluded, matching getSSTables' post-group filter
+  (SSTableUtils.java:122,134).
 
-Scale notes: listing parallelizes over files; the only shuffle is the
-per-sstable digest propagation (a window over (ks, table_id, sstable_base) —
-key cardinality = number of sstables, uniformly distributed).
+Scale notes: listing parallelizes over files; per-row digest candidates
+(sibling token, Adler32 tail) are computed BEFORE the per-sstable window so
+the binary content column never crosses the shuffle — the window moves only
+small scalars over (ks, table_id, sstable_base) keys (cardinality = number
+of sstables, uniformly distributed).
 """
 
 from __future__ import annotations
@@ -33,7 +40,13 @@ import os
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from esop_spark.functions.scalars import SSTABLE_RE, content_hash
+from esop_spark.functions.scalars import (
+    SSTABLE_RE,
+    adler32_tail,
+    content_hash,
+    digest_file_token,
+    digest_file_type,
+)
 
 # .../<keyspace>/<table>-<32hex>/snapshots/<tag>/[.index/]<component>
 _SNAPSHOT_PATH_RE = (
@@ -116,6 +129,7 @@ def scan_snapshot_tree(
         )
     listing = load_binary_files(spark, paths)
     p = F.col("local_path")
+    fn = F.regexp_extract(p, _SNAPSHOT_PATH_RE, 6)
     parsed = listing.select(
         p.alias("local_path"),
         F.col("length").alias("size"),
@@ -125,26 +139,52 @@ def scan_snapshot_tree(
         F.regexp_extract(p, _SNAPSHOT_PATH_RE, 3).alias("table_id"),
         F.regexp_extract(p, _SNAPSHOT_PATH_RE, 4).alias("snapshot_tag"),
         F.regexp_extract(p, _SNAPSHOT_PATH_RE, 5).alias("index_dir"),
-        F.regexp_extract(p, _SNAPSHOT_PATH_RE, 6).alias("file_name"),
+        fn.alias("file_name"),
+        # per-row digest candidates, evaluated while the content is still in
+        # hand (pre-shuffle): the sibling-file token and the Data.db-tail
+        # Adler32 fallback (null input for every non-Data.db row, so the
+        # vectorized UDF does no work there)
+        digest_file_type(fn).alias("digest_file_type"),
+        digest_file_token(F.col("content")).alias("digest_token"),
+        adler32_tail(
+            F.when(fn.endswith("-Data.db"), F.col("content")), F.col("length")
+        ).alias("data_adler32"),
     ).filter(
         (F.col("snapshot_tag") == snapshot_tag)
         & ~F.col("snapshot_tag").startswith("truncated-")
         & ~F.col("snapshot_tag").startswith("dropped-")
         & (F.col("keyspace") != "")
     )
-    with_base = parsed.withColumn(
-        "sstable_base", F.regexp_extract("file_name", SSTABLE_RE, 1)
-    ).withColumn("generation", F.regexp_extract("file_name", SSTABLE_RE, 2))
-
-    # content-addressed sstable id: digest from the Data.db component,
-    # propagated to every component of the sstable
-    w = Window.partitionBy("keyspace", "table_id", "index_dir", "sstable_base")
-    digest = F.max(
-        F.when(
-            F.col("file_name").endswith("-Data.db"), F.substring(F.col("hash"), 1, 8)
+    with_base = (
+        parsed.withColumn(
+            "sstable_base", F.regexp_extract("file_name", SSTABLE_RE, 1)
         )
-    ).over(w)
-    enriched = with_base.withColumn("digest", F.coalesce(digest, F.lit("nodata")))
+        .withColumn("generation", F.regexp_extract("file_name", SSTABLE_RE, 2))
+        # getSSTables drops files that don't parse as sstable components
+        # (schema.cql, Cassandra's own manifest.json — SSTableUtils.java:122,134)
+        .filter(F.col("sstable_base") != "")
+    )
+
+    # reference-parity sstable digest (SSTableUtils.java:48-74), propagated
+    # to every component of the sstable: first existing Digest sibling's
+    # token in crc32 → adler32 → sha1 order (a sibling whose content fails
+    # the matcher yields null and falls through), else the Data.db tail
+    # Adler32, else "nodata" for a component-less group.
+    w = Window.partitionBy("keyspace", "table_id", "index_dir", "sstable_base")
+
+    def _sibling(kind: str):
+        return F.max(
+            F.when(F.col("digest_file_type") == kind, F.col("digest_token"))
+        ).over(w)
+
+    digest = F.coalesce(
+        _sibling("crc32"),
+        _sibling("adler32"),
+        _sibling("sha1"),
+        F.max("data_adler32").over(w),
+        F.lit("nodata"),
+    )
+    enriched = with_base.withColumn("digest", digest)
 
     object_key = F.concat_ws(
         "/",

@@ -52,6 +52,71 @@ def test_scan_groups_and_content_addresses(spark, tree):
     assert len(d["hash"]) == 64
 
 
+def test_sstable_digest_reference_parity(spark, tmp_path):
+    """SSTableUtils.java:48-102 parity: Digest-sibling token (crc32 →
+    adler32 → sha1, invalid content falls through) else Adler32 of the
+    Data.db tail — ids must equal what the reference would compute."""
+    import zlib
+
+    data = str(tmp_path / "data")
+    files = {
+        # crc32 sibling wins; its token is the digest for every component
+        ("ks1", "t1", "me-1-big-Data.db"): "alpha-data",
+        ("ks1", "t1", "me-1-big-Index.db"): "alpha-index",
+        ("ks1", "t1", "me-1-big-Digest.crc32"): "3785158222",
+        # crc32 sibling content has a trailing newline → Java matches()
+        # fails → falls through to the adler32 sibling
+        ("ks1", "t2", "me-2-big-Data.db"): "bravo-data",
+        ("ks1", "t2", "me-2-big-Digest.crc32"): "999\n",
+        ("ks1", "t2", "me-2-big-Digest.adler32"): "424242",
+        # no digest sibling at all (C* 2.0 jb style) → Adler32 of Data.db
+        ("ks2", "t3", "instaclustr-recovery_codes-jb-1-Data.db"): "charlie-data",
+    }
+    make_tree(data, "snap1", files)
+    rows = snapshot_scan.scan_snapshot_tree(spark, [data], "snap1").collect()
+    ids = {
+        os.path.basename(r["local_path"]): r["object_key"].split("/")[-2]
+        for r in rows
+    }
+    assert ids["me-1-big-Data.db"] == "1-3785158222"
+    assert ids["me-1-big-Index.db"] == "1-3785158222"
+    assert ids["me-1-big-Digest.crc32"] == "1-3785158222"
+    assert ids["me-2-big-Data.db"] == "2-424242"
+    expected = str(zlib.adler32(b"charlie-data") & 0xFFFFFFFF)
+    assert ids["instaclustr-recovery_codes-jb-1-Data.db"] == f"1-{expected}"
+
+
+def test_adler32_tail_slices_last_10mb(spark):
+    """Files ≥ 10 MB checksum only their final 10 MB (SSTableUtils.java:80-88)."""
+    import zlib
+
+    from esop_spark.functions import scalars
+
+    big = bytes(range(256)) * (11 * 4096)  # 11 MiB, non-uniform
+    df = spark.createDataFrame([(big, len(big))], "content binary, size long")
+    got = df.select(
+        scalars.adler32_tail("content", "size").alias("a")
+    ).collect()[0]["a"]
+    assert got == str(zlib.adler32(big[-scalars.ADLER32_TAIL_BYTES :]) & 0xFFFFFFFF)
+
+
+def test_scan_excludes_non_sstable_files(spark, tmp_path):
+    """schema.cql / manifest.json in a snapshot dir are not manifest entries
+    (SSTableUtils.java:122,134 post-group filter)."""
+    data = str(tmp_path / "data")
+    make_tree(
+        data,
+        "snap1",
+        {
+            ("ks1", "t1", "me-1-big-Data.db"): "alpha-data",
+            ("ks1", "t1", "schema.cql"): "CREATE TABLE t1 (...);",
+            ("ks1", "t1", "manifest.json"): "{}",
+        },
+    )
+    rows = snapshot_scan.scan_snapshot_tree(spark, [data], "snap1").collect()
+    assert [os.path.basename(r["local_path"]) for r in rows] == ["me-1-big-Data.db"]
+
+
 def test_backup_is_incremental_and_restore_round_trips(spark, tree):
     data, bucket, root = tree
     up1 = pipelines.backup(
