@@ -42,6 +42,8 @@ def _build_parser() -> argparse.ArgumentParser:
     # share one backup_name and silently overwrite the previous manifest.
     b.add_argument("--ts-millis", type=int, default=None)
     b.add_argument("--bandwidth", default=None, help="e.g. 10MBPS (per task)")
+    # --kmsKeyId in the reference (AbstractOperationRequest.java:57-59)
+    b.add_argument("--kms-key-id", default=None, help="KMS key to encrypt uploads with")
 
     r = sub.add_parser("restore", help="manifest diff → download/delete/heal")
     r.add_argument("--storage-location", required=True)
@@ -119,6 +121,7 @@ def _run(args: argparse.Namespace) -> int:
             schema_version=args.schema_version,
             ts_millis=ts_millis,
             max_bytes_per_sec=rate,
+            kms_key_id=args.kms_key_id,
         )
         print(f"uploaded {uploaded.count()} objects")
         return 0

@@ -61,6 +61,21 @@ def _copy_partition_factory(
     return copy_partition
 
 
+def with_kms_key(entries: DataFrame, kms_key_id: str | None) -> DataFrame:
+    """S11 encryption leg: tag entries with the KMS key they are encrypted
+    under — except manifests, which are NEVER encrypted (the reference
+    routes MANIFEST_FILE through the plain ``uploadFile`` path,
+    UploadTracker.java:133-139, Backuper.java:35-43; the S3 backuper stamps
+    ``manifestEntry.kmsKeyId`` only on encrypted uploads,
+    s3/v2/BaseS3Backuper.java:154-178)."""
+    if kms_key_id is None:
+        return entries.withColumn("kms_key_id", F.lit(None).cast("string"))
+    return entries.withColumn(
+        "kms_key_id",
+        F.when(F.col("type") != "MANIFEST_FILE", F.lit(kms_key_id)),
+    )
+
+
 def backup(
     spark: SparkSession,
     data_dirs: list[str],
@@ -70,12 +85,15 @@ def backup(
     schema_version: str = "00000000",
     ts_millis: int = 0,
     max_bytes_per_sec: int | None = None,
+    kms_key_id: str | None = None,
 ) -> DataFrame:
     """Run a backup; returns the manifest entries that were uploaded.
 
     Incremental: files whose content-addressed object key already exists in
     the bucket are skipped (anti-join), so re-running a backup of unchanged
-    data uploads nothing.
+    data uploads nothing. ``kms_key_id`` tags every uploaded object's
+    manifest entry with its encryption key (--kmsKeyId,
+    AbstractOperationRequest.java:57-59).
     """
     backup_name = backup_name or f"{snapshot_tag}-{schema_version}-{ts_millis}"
     # persist the scan itself: it feeds BOTH the upload diff and the manifest
@@ -95,10 +113,11 @@ def backup(
             bucket_dir, "object_key", "local_path", max_bytes_per_sec
         )
     )
-    manifest_entries = (
+    manifest_entries = with_kms_key(
         entries.withColumn("backup_name", F.lit(backup_name))
         .withColumn("schema_version", F.lit(schema_version))
-        .withColumn("schema_content", F.lit(None).cast("string"))
+        .withColumn("schema_content", F.lit(None).cast("string")),
+        kms_key_id,
     )
     manifest_json.write_manifests(
         manifest_entries, os.path.join(bucket_dir, "manifests")

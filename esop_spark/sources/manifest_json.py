@@ -40,6 +40,13 @@ ENTRY_SCHEMA = StructType(
         StructField("type", StringType()),
         StructField("size", LongType()),
         StructField("hash", StringType()),
+        # KMS key the object was encrypted with (ManifestEntry.kmsKeyId,
+        # impl/ManifestEntry.java:48-49). The reference keeps it off-JSON
+        # (@JsonIgnore) because S3 object tags carry it; this engine has no
+        # tag store, so the manifest — our only durable metadata — carries it
+        # as an OPTIONAL field: to_json drops nulls, so unencrypted backups
+        # serialize byte-identically to the reference shape.
+        StructField("kmsKeyId", StringType()),
     ]
 )
 
@@ -163,6 +170,7 @@ def read_manifests(
         F.col("se.e.type").alias("type"),
         F.col("se.e.size").alias("size"),
         F.col("se.e.hash").alias("hash"),
+        F.col("se.e.kmsKeyId").alias("kms_key_id"),
         *path_cols,
     )
 
@@ -182,6 +190,11 @@ def manifest_json_rows(entries: DataFrame) -> DataFrame:
                 F.col("type"),
                 F.col("size"),
                 F.col("hash"),
+                (
+                    F.col("kms_key_id")
+                    if "kms_key_id" in entries.columns
+                    else F.lit(None).cast("string")
+                ).alias("kmsKeyId"),
             )
         ).alias("entry_list")
     )

@@ -52,6 +52,37 @@ def test_scan_groups_and_content_addresses(spark, tree):
     assert len(d["hash"]) == 64
 
 
+def test_kms_key_round_trips_and_never_encrypts_manifests(spark, tree):
+    """S11 encryption leg: --kms-key-id tags every FILE entry and survives
+    the manifest JSON round trip; manifests are never encrypted
+    (UploadTracker.java:133-139); unencrypted backups serialize without the
+    field (reference JSON-shape parity — ManifestEntry.kmsKeyId is
+    @JsonIgnore there)."""
+    data, bucket, _ = tree
+    pipelines.backup(
+        spark, [data], "snap1", bucket,
+        schema_version="sv1", ts_millis=1000, kms_key_id="arn:key/123",
+    )
+    entries = manifest_json.read_manifests(spark, os.path.join(bucket, "manifests"))
+    rows = entries.collect()
+    assert rows and all(r["kms_key_id"] == "arn:key/123" for r in rows)
+
+    make_tree(data, "snap2", BASE_FILES)
+    pipelines.backup(spark, [data], "snap2", bucket, schema_version="sv1", ts_millis=2000)
+    with open(os.path.join(bucket, "manifests", "snap2-sv1-2000.json")) as f:
+        assert "kmsKeyId" not in f.read()
+
+    mixed = spark.createDataFrame(
+        [("a", "FILE"), ("c", "COMMIT_LOG"), ("m", "MANIFEST_FILE")],
+        "object_key string, type string",
+    )
+    tagged = {
+        r["object_key"]: r["kms_key_id"]
+        for r in pipelines.with_kms_key(mixed, "k1").collect()
+    }
+    assert tagged == {"a": "k1", "c": "k1", "m": None}
+
+
 def test_sstable_digest_reference_parity(spark, tmp_path):
     """SSTableUtils.java:48-102 parity: Digest-sibling token (crc32 →
     adler32 → sha1, invalid content falls through) else Adler32 of the
