@@ -44,6 +44,11 @@ def _build_parser() -> argparse.ArgumentParser:
     b.add_argument("--bandwidth", default=None, help="e.g. 10MBPS (per task)")
     # --kmsKeyId in the reference (AbstractOperationRequest.java:57-59)
     b.add_argument("--kms-key-id", default=None, help="KMS key to encrypt uploads with")
+    b.add_argument(
+        "--skip-refreshing", action="store_true",
+        help="presence alone freshens remote objects; never touch their mtime "
+        "(BaseBackupOperationRequest.java:50-54)",
+    )
 
     r = sub.add_parser("restore", help="manifest diff → download/delete/heal")
     r.add_argument("--storage-location", required=True)
@@ -58,6 +63,13 @@ def _build_parser() -> argparse.ArgumentParser:
     ls.add_argument("--from-timestamp", type=int, default=None)
     ls.add_argument("--last-n", type=int, default=None)
     ls.add_argument("--to-file", default=None)
+    # manifest cache (ListOperationRequest.java:50-57): listings read from a
+    # local cache dir, refreshed from the store unless --skip-download
+    ls.add_argument("--cache-dir", default=None)
+    ls.add_argument(
+        "--skip-download", action="store_true",
+        help="serve the listing from --cache-dir without touching the store",
+    )
     ls.add_argument("--global-request", action="store_true")
     ls.add_argument(
         "--dcs", action="append", default=None,
@@ -122,6 +134,7 @@ def _run(args: argparse.Namespace) -> int:
             ts_millis=ts_millis,
             max_bytes_per_sec=rate,
             kms_key_id=args.kms_key_id,
+            skip_refreshing=args.skip_refreshing,
         )
         print(f"uploaded {uploaded.count()} objects")
         return 0
@@ -175,9 +188,23 @@ def _run(args: argparse.Namespace) -> int:
                 print(out, end="")
             return 0
 
-        entries = read_manifests(
-            spark, os.path.join(args.storage_location, "manifests")
-        )
+        manifests_dir = os.path.join(args.storage_location, "manifests")
+        if args.cache_dir:
+            # refresh-then-read-local, mirroring ListOperation.run0's
+            # cacheDir dance (ListOperation.java:117-140): --skip-download
+            # serves a prior sync (and requires one to exist)
+            if not args.skip_download:
+                import shutil
+
+                if os.path.isdir(args.cache_dir):
+                    shutil.rmtree(args.cache_dir)
+                shutil.copytree(manifests_dir, args.cache_dir)
+            elif not os.path.isdir(args.cache_dir):
+                raise ValueError(
+                    f"--skip-download with no cached listing at {args.cache_dir!r}"
+                )
+            manifests_dir = args.cache_dir
+        entries = read_manifests(spark, manifests_dir)
         out = render_report(
             entries,
             fmt="json" if args.json else "table",

@@ -86,6 +86,7 @@ def backup(
     ts_millis: int = 0,
     max_bytes_per_sec: int | None = None,
     kms_key_id: str | None = None,
+    skip_refreshing: bool = False,
 ) -> DataFrame:
     """Run a backup; returns the manifest entries that were uploaded.
 
@@ -94,6 +95,14 @@ def backup(
     data uploads nothing. ``kms_key_id`` tags every uploaded object's
     manifest entry with its encryption key (--kmsKeyId,
     AbstractOperationRequest.java:57-59).
+
+    Freshen semantics (LocalFileBackuper.freshenRemoteObject,
+    local/LocalFileBackuper.java:48-61): by default an already-present
+    remote object has its last-modified time refreshed (so mtime-based
+    retention sees it as live), re-uploading if the touch fails;
+    ``skip_refreshing`` (--skip-refreshing,
+    impl/backup/BaseBackupOperationRequest.java:50-54) makes presence alone
+    count as freshened and leaves remote mtimes untouched.
     """
     backup_name = backup_name or f"{snapshot_tag}-{schema_version}-{ts_millis}"
     # persist the scan itself: it feeds BOTH the upload diff and the manifest
@@ -105,6 +114,24 @@ def backup(
         to_upload = entries.join(
             remote.select("object_key"), "object_key", "left_anti"
         )
+        if not skip_refreshing:
+            abs_bucket = os.path.abspath(bucket_dir)
+
+            def freshen_partition(rows):
+                import time as _time
+
+                now = _time.time()
+                for row in rows:
+                    p = os.path.join(abs_bucket, row["object_key"])
+                    try:
+                        os.utime(p, (now, now))
+                    except OSError:
+                        # touch failed → re-upload (FreshenResult.UPLOAD_REQUIRED)
+                        shutil.copyfile(row["local_path"], p)
+
+            entries.join(
+                remote.select("object_key"), "object_key", "left_semi"
+            ).select("object_key", "local_path").foreachPartition(freshen_partition)
     else:
         to_upload = entries
     to_upload = to_upload.persist()

@@ -88,6 +88,66 @@ def test_cli_list_filters_and_keep_extras(spark, tmp_path, capsys):
     assert os.path.exists(stray)
 
 
+def test_cli_skip_refreshing_controls_remote_mtime_touch(spark, tmp_path, capsys):
+    """LocalFileBackuper.java:48-61: a re-backup of unchanged data freshens
+    (touches) existing remote objects' mtimes by default; --skip-refreshing
+    leaves them untouched. Neither re-uploads anything."""
+    data, bucket = str(tmp_path / "data"), str(tmp_path / "bucket")
+    make_tree(data, "s1", BASE_FILES)
+    main(["backup", "--data-dirs", data, "--tag", "s1",
+          "--storage-location", bucket, "--ts-millis", "1000"])
+    remote = [
+        os.path.join(dp, f)
+        for dp, _, fns in os.walk(os.path.join(bucket, "data"))
+        for f in fns
+    ]
+    assert remote
+    old = 1_000_000_000.0  # park mtimes far in the past
+    for p in remote:
+        os.utime(p, (old, old))
+
+    capsys.readouterr()
+    make_tree(data, "s2", BASE_FILES)
+    main(["backup", "--data-dirs", data, "--tag", "s2",
+          "--storage-location", bucket, "--ts-millis", "2000",
+          "--skip-refreshing"])
+    assert "uploaded 0 objects" in capsys.readouterr().out
+    assert all(os.path.getmtime(p) == old for p in remote)
+
+    make_tree(data, "s3", BASE_FILES)
+    main(["backup", "--data-dirs", data, "--tag", "s3",
+          "--storage-location", bucket, "--ts-millis", "3000"])
+    assert "uploaded 0 objects" in capsys.readouterr().out
+    assert all(os.path.getmtime(p) > old for p in remote)
+
+
+def test_cli_list_cache_dir_and_skip_download(spark, tmp_path, capsys):
+    """ListOperationRequest.java:50-57: listings flow through a local cache;
+    --skip-download serves the cache without the store (even after the store
+    is gone), and errors when no cache exists."""
+    import shutil
+
+    data, bucket = str(tmp_path / "data"), str(tmp_path / "bucket")
+    cache = str(tmp_path / "cache")
+    make_tree(data, "s1", BASE_FILES)
+    main(["backup", "--data-dirs", data, "--tag", "s1",
+          "--storage-location", bucket, "--ts-millis", "1000"])
+    capsys.readouterr()
+
+    main(["list", "--storage-location", bucket, "--json", "--cache-dir", cache])
+    fresh = json.loads(capsys.readouterr().out)
+    assert fresh["totalFiles"] == 4
+
+    shutil.rmtree(os.path.join(bucket, "manifests"))  # store goes away
+    main(["list", "--storage-location", bucket, "--json",
+          "--cache-dir", cache, "--skip-download"])
+    cached = json.loads(capsys.readouterr().out)
+    assert cached == fresh
+
+    assert main(["list", "--storage-location", bucket, "--json",
+                 "--cache-dir", str(tmp_path / "nope"), "--skip-download"]) == 2
+
+
 def test_cli_commitlogs(spark, tmp_path, capsys):
     src, bucket = str(tmp_path / "cl"), str(tmp_path / "bucket")
     os.makedirs(src)
