@@ -109,22 +109,34 @@ def ivf_ann_topk(
     n_probe: int = 4,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
+    centroids: list[tuple[int, list[float]]] | None = None,
+    kmeans_iters: int = 0,
 ) -> DataFrame:
     """IVF (inverted-file) approximate top-k: corpus partitioned into
     centroid cells, queries probe only the ``n_probe`` nearest cells.
 
-    Centroids are a deterministic sample of the corpus (a k-means iteration
-    would refine them; cell-assignment mechanics — the part that matters for
-    the Spark plan — are identical). Assignment is a broadcast-centroid
-    argmax (one corpus scan); the query side scans only matching cells via
-    an equi-join on cell id — at 100 TB that's the difference between a full
-    cross product and touching n_probe/n_centroids of the data.
+    Cell centroids: pass trained ``centroids`` (from
+    :func:`kmeans_centroids`), or set ``kmeans_iters`` > 0 to train in place
+    (Lloyd's to convergence, capped at that many iterations), or leave both
+    unset for a deterministic corpus sample (cheapest; assignment mechanics —
+    the part that matters for the Spark plan — are identical). Assignment is
+    a broadcast-centroid argmax (one corpus scan); the query side scans only
+    matching cells via an equi-join on cell id — at 100 TB that's the
+    difference between a full cross product and touching
+    n_probe/n_centroids of the data.
     """
     e = with_norm(embeddings, vec_col, id_col)
-    centroids = [
-        (int(r[id_col]), [float(x) for x in r["v"]])
-        for r in e.orderBy(F.col(id_col).asc()).limit(n_centroids).collect()
-    ]
+    if centroids is None:
+        if kmeans_iters > 0:
+            centroids = kmeans_centroids(
+                embeddings, n_centroids, max_iter=kmeans_iters,
+                vec_col=vec_col, id_col=id_col,
+            )
+        else:
+            centroids = [
+                (int(r[id_col]), [float(x) for x in r["v"]])
+                for r in e.orderBy(F.col(id_col).asc()).limit(n_centroids).collect()
+            ]
 
     def cell_scores(v: Column, norm: Column) -> list[Column]:
         out = []
@@ -176,24 +188,15 @@ def ivf_ann_topk(
     )
 
 
-def refine_centroids(
-    embeddings: DataFrame,
-    centroids: list[tuple[int, list[float]]],
-    vec_col: str = "embedding",
-    id_col: str = "vec_id",
+def _refine_once(
+    e: DataFrame, centroids: list[tuple[int, list[float]]]
 ) -> list[tuple[int, list[float]]]:
-    """One k-means refinement step for IVF cells via grouped applyInPandas.
-
-    Vectors are assigned to their nearest centroid (broadcast argmax, same
-    machinery as ivf_ann_topk) and each cell's new centroid is the Arrow-
-    batched mean of its members — the grouped-map counterpart to the
-    engine's mapInPandas (multimodal) and applyInPandasWithState (stateful)
-    surfaces. Returns updated (cell_id, centroid) pairs.
-    """
+    """One Lloyd's step over a pre-normed corpus ``e = (id, v, norm)``:
+    broadcast-argmax assignment + grouped Arrow-batched mean. Empty cells
+    keep their previous centroid."""
     import numpy as np
     import pandas as pd
 
-    e = with_norm(embeddings, vec_col, id_col)
     score_structs = []
     for cid, cv in centroids:
         carr = F.array(*[F.lit(float(x)) for x in cv])
@@ -219,6 +222,60 @@ def refine_centroids(
     )
     updated = {r["cell"]: list(r["centroid"]) for r in out.collect()}
     return [(cid, updated.get(cid, cv)) for cid, cv in centroids]
+
+
+def refine_centroids(
+    embeddings: DataFrame,
+    centroids: list[tuple[int, list[float]]],
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> list[tuple[int, list[float]]]:
+    """One k-means refinement step for IVF cells via grouped applyInPandas.
+
+    Vectors are assigned to their nearest centroid (broadcast argmax, same
+    machinery as ivf_ann_topk) and each cell's new centroid is the Arrow-
+    batched mean of its members — the grouped-map counterpart to the
+    engine's mapInPandas (multimodal) and applyInPandasWithState (stateful)
+    surfaces. Returns updated (cell_id, centroid) pairs.
+    """
+    return _refine_once(with_norm(embeddings, vec_col, id_col), centroids)
+
+
+def kmeans_centroids(
+    embeddings: DataFrame,
+    n_centroids: int = 16,
+    max_iter: int = 10,
+    tol: float = 1e-4,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> list[tuple[int, list[float]]]:
+    """Lloyd's k-means to convergence for IVF cell training.
+
+    Deterministic init (first ``n_centroids`` vectors by id), then refine
+    until the largest centroid displacement drops below ``tol`` or
+    ``max_iter`` steps. Each iteration is ONE scan of the (persisted) normed
+    corpus plus a k-row grouped mean; the only driver-side state is the
+    k×dim centroid table — the standard distributed-k-means shape, so
+    iteration count, not data volume, bounds driver work at 100 TB.
+    """
+    e = with_norm(embeddings, vec_col, id_col).persist()
+    try:
+        centroids = [
+            (int(r[id_col]), [float(x) for x in r["v"]])
+            for r in e.orderBy(F.col(id_col).asc()).limit(n_centroids).collect()
+        ]
+        for _ in range(max_iter):
+            updated = _refine_once(e, centroids)
+            move = max(
+                sum((a - b) ** 2 for a, b in zip(cv, uv)) ** 0.5
+                for (_, cv), (_, uv) in zip(centroids, updated)
+            )
+            centroids = updated
+            if move < tol:
+                break
+        return centroids
+    finally:
+        e.unpersist()
 
 
 def lsh_cosine_pairs(

@@ -25,6 +25,58 @@ def test_ivf_topk_recall(spark):
     assert recall >= 0.6, recall
 
 
+def test_ivf_kmeans_trained_recall(spark):
+    """Multi-iteration Lloyd's training: IVF over converged cells recovers
+    ≥0.9 of the exact top-5 at n_probe=4."""
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    qids = list(range(10))
+    exact = {
+        (r["query_id"], r["neighbor_id"])
+        for r in similarity.ann_topk(emb, query_ids=qids, k=5).collect()
+    }
+    ivf = {
+        (r["query_id"], r["neighbor_id"])
+        for r in similarity.ivf_ann_topk(
+            emb, query_ids=qids, k=5, n_centroids=8, n_probe=4, kmeans_iters=10
+        ).collect()
+    }
+    recall = len(ivf & exact) / len(exact)
+    assert recall >= 0.9, recall
+
+
+def test_kmeans_converges_to_cluster_means(spark):
+    """Two separated clusters, k=2: Lloyd's iterations move the seed points
+    to the cluster means and stop on the tol gate before max_iter."""
+    import random
+
+    rnd = random.Random(3)
+    dim = 8
+    rows = []
+    for i in range(20):
+        base = [1.0] + [0.0] * (dim - 1) if i % 2 == 0 else [0.0, 1.0] + [0.0] * (dim - 2)
+        rows.append((i, [x + rnd.uniform(-0.05, 0.05) for x in base]))
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    cents = similarity.kmeans_centroids(emb, n_centroids=2, max_iter=25, tol=1e-6)
+    assert len(cents) == 2
+    means = {}
+    for i, (_, v) in enumerate(rows):
+        means.setdefault(i % 2, []).append(v)
+    true_means = [
+        [sum(col) / len(vs) for col in zip(*vs)] for vs in means.values()
+    ]
+    for _, cv in cents:
+        dists = [
+            sum((a - b) ** 2 for a, b in zip(cv, tm)) ** 0.5 for tm in true_means
+        ]
+        assert min(dists) < 0.05, (cv, dists)
+    # both clusters captured (centroids not collapsed onto one mean)
+    closest = {
+        min(range(2), key=lambda j: sum((a - b) ** 2 for a, b in zip(cv, true_means[j])))
+        for _, cv in cents
+    }
+    assert closest == {0, 1}
+
+
 def test_lsh_pairs_subset_of_exact(spark):
     emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     exact = {
