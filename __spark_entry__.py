@@ -259,6 +259,15 @@ def q31_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     return multimodal.decode_media(media, fake=True)
 
 
+def q47_container_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Non-fake multimodal decode: documents → REAL BMP/WAV containers
+    (mapInPandas encode) → header-parsing decode (mapInPandas). The oracle
+    predicts every metadata column from the documents table alone, so any
+    packing/parsing drift on either side breaks the hash match."""
+    media = multimodal.encode_containers(_base(spark, sf_dir, "documents"))
+    return multimodal.decode_containers(media)
+
+
 def q32_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
     return analytics.cube_agg(_base(spark, sf_dir, "lineitem"))
 
@@ -468,6 +477,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q44_setops": q44_setops,
         "q45_global_listing": q45_global_listing,
         "q46_global_removal": q46_global_removal,
+        "q47_container_decode": q47_container_decode,
     }
 
 
@@ -1107,5 +1117,27 @@ def oracle_sql() -> dict[str, str]:
             FROM (SELECT DISTINCT c_nationkey AS nationkey FROM customer
                   INTERSECT
                   SELECT DISTINCT s_nationkey FROM supplier)
+        """,
+        # end-to-end check of the REAL container codec: the Spark side
+        # builds + parses genuine BMP/WAV bytes; the oracle recomputes the
+        # metadata those headers must carry straight from documents
+        "q47_container_decode": """
+            SELECT doc_id AS media_id,
+                   CASE WHEN doc_id % 2 = 0 THEN 'bmp' ELSE 'wav' END AS container,
+                   CASE WHEN doc_id % 2 = 0
+                        THEN CAST(strlen(text) % 31 + 1 AS BIGINT) END AS width,
+                   CASE WHEN doc_id % 2 = 0
+                        THEN CAST((strlen(text) // 31) % 31 + 1 AS BIGINT) END AS height,
+                   CASE WHEN doc_id % 2 = 0 THEN CAST(3 AS BIGINT)
+                        WHEN doc_id % 4 = 1 THEN CAST(1 AS BIGINT)
+                        ELSE CAST(2 AS BIGINT) END AS channels,
+                   CASE WHEN doc_id % 2 = 1
+                        THEN CAST(CASE WHEN doc_id % 8 < 4 THEN 8000 ELSE 16000 END
+                                  AS BIGINT) END AS sample_rate,
+                   CASE WHEN doc_id % 2 = 0
+                        THEN CAST((strlen(text) % 31 + 1)
+                                  * ((strlen(text) // 31) % 31 + 1) AS BIGINT)
+                        ELSE CAST(strlen(text) AS BIGINT) END AS n_frames
+            FROM documents
         """,
     }

@@ -5,11 +5,17 @@ metadata columns alongside; decode / feature-extraction runs as Arrow-batched
 ``mapInPandas`` (the only place Python touches the data, amortized per batch,
 never per row).
 
-The actual codec libraries (PIL/ffmpeg/...) are NOT available in this
-container, so the decode step is STUBBED: ``decode_stub`` raises
-``NotImplementedError`` unless ``fake=True``, in which case a deterministic
-fake decoder derives metadata purely from the byte content. The Spark-side
-plumbing — schema, batch iteration, partitioning — is real and tested.
+Decode comes in two layers:
+- ``decode_media``: the general codec seam. Third-party codec libraries
+  (PIL/ffmpeg/...) are NOT available in this container, so with
+  ``fake=False`` it raises ``NotImplementedError``; ``fake=True`` runs a
+  deterministic byte-derived stand-in. The Spark-side plumbing — schema,
+  batch iteration, partitioning — is real and tested either way.
+- ``encode_containers`` / ``decode_containers``: a REAL, dependency-free
+  codec path for self-describing containers (24-bit BMP, PCM WAV): payloads
+  are genuine spec-conformant files and the decoder parses their headers
+  (RIFF chunk walk / BITMAPINFOHEADER offsets) inside the Arrow batch.
+  WAV output round-trips against the stdlib ``wave`` module in tests.
 
 Scale notes: binary payloads should be size-bucketed before ``mapInPandas``
 (`spark.sql.files.maxPartitionBytes` governs scan-side splits; use
@@ -97,6 +103,159 @@ def decode_media(media: DataFrame, fake: bool = True) -> DataFrame:
             yield pdf[["media_id", "media_type", "n_bytes", "width", "height", "checksum"]]
 
     return media.mapInPandas(batches, schema=DECODED_SCHEMA)
+
+
+CONTAINER_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("payload", BinaryType()),
+    ]
+)
+
+DECODED_CONTAINER_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("container", StringType()),
+        StructField("width", LongType()),
+        StructField("height", LongType()),
+        StructField("channels", LongType()),
+        StructField("sample_rate", LongType()),
+        StructField("n_frames", LongType()),
+    ]
+)
+
+
+def _bmp_bytes(text: bytes) -> bytes:
+    """A real 24-bit BITMAPINFOHEADER BMP whose pixel data is the text bytes
+    (tiled); width/height derive from the text length so an oracle can
+    predict them without parsing binary."""
+    import struct
+
+    n = len(text)
+    w = n % 31 + 1
+    h = (n // 31) % 31 + 1
+    row = w * 3
+    pad = (4 - row % 4) % 4
+    pix = bytearray()
+    src = text or b"\x00"
+    for y in range(h):
+        for i in range(row):
+            pix.append(src[(y * row + i) % len(src)])
+        pix += b"\x00" * pad
+    size = 14 + 40 + len(pix)
+    return (
+        b"BM"
+        + struct.pack("<IHHI", size, 0, 0, 54)
+        + struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, len(pix), 2835, 2835, 0, 0)
+        + bytes(pix)
+    )
+
+
+def _wav_bytes(text: bytes, media_id: int) -> bytes:
+    """A real RIFF/WAVE (PCM s16le) container: one frame per text byte;
+    channel count and sample rate derive from the id (oracle-predictable)."""
+    import struct
+
+    channels = 1 if media_id % 4 == 1 else 2
+    sample_rate = 8000 if media_id % 8 < 4 else 16000
+    n_frames = len(text)
+    block_align = channels * 2
+    src = text or b"\x00"
+    data = bytes(
+        src[i % len(src)] for i in range(n_frames * block_align)
+    )
+    fmt = struct.pack(
+        "<HHIIHH", 1, channels, sample_rate, sample_rate * block_align, block_align, 16
+    )
+    return (
+        b"RIFF"
+        + struct.pack("<I", 4 + 8 + len(fmt) + 8 + len(data))
+        + b"WAVE"
+        + b"fmt "
+        + struct.pack("<I", len(fmt))
+        + fmt
+        + b"data"
+        + struct.pack("<I", len(data))
+        + data
+    )
+
+
+def encode_containers(documents: DataFrame) -> DataFrame:
+    """Ingest seam: documents → REAL self-describing media containers
+    (BMP for even doc ids, WAV for odd), built in an Arrow-batched
+    mapInPandas. This is where a camera/scraper dump would enter the
+    pipeline; generating the containers ourselves keeps the decode step
+    honest without codec libraries."""
+
+    def batches(it: Iterator) -> Iterator:
+        import pandas as pd
+
+        for pdf in it:
+            ids = pdf["doc_id"]
+            texts = pdf["text"].map(lambda s: s.encode("utf-8"))
+            payloads = [
+                _bmp_bytes(t) if i % 2 == 0 else _wav_bytes(t, int(i))
+                for i, t in zip(ids, texts)
+            ]
+            yield pd.DataFrame({"media_id": ids, "payload": payloads})
+
+    return documents.select("doc_id", "text").mapInPandas(
+        batches, schema=CONTAINER_SCHEMA
+    )
+
+
+def _parse_container(payload: bytes) -> tuple:
+    """REAL header parse — no codec libraries, just the container specs:
+    BMP's BITMAPINFOHEADER fixed offsets; WAV by walking RIFF chunks (not
+    fixed offsets — encoders may insert LIST chunks)."""
+    import struct
+
+    if payload[:2] == b"BM":
+        w, h = struct.unpack_from("<ii", payload, 18)
+        bpp = struct.unpack_from("<H", payload, 28)[0]
+        return ("bmp", w, abs(h), bpp // 8, None, w * abs(h))
+    if payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
+        channels = sample_rate = block_align = None
+        n_frames = None
+        off = 12
+        while off + 8 <= len(payload):
+            cid = payload[off : off + 4]
+            clen = struct.unpack_from("<I", payload, off + 4)[0]
+            if cid == b"fmt ":
+                _, channels, sample_rate, _, block_align, _ = struct.unpack_from(
+                    "<HHIIHH", payload, off + 8
+                )
+            elif cid == b"data" and block_align:
+                n_frames = clen // block_align
+            off += 8 + clen + (clen % 2)  # RIFF chunks are word-aligned
+        return ("wav", None, None, channels, sample_rate, n_frames)
+    return ("unknown", None, None, None, None, None)
+
+
+def decode_containers(media: DataFrame) -> DataFrame:
+    """Non-fake decode path: parse each payload's self-describing header in
+    the Arrow batch → typed metadata. The q47 oracle predicts every output
+    column from the documents table alone, so a packing/parsing drift on
+    either side breaks the hash match."""
+
+    def batches(it: Iterator) -> Iterator:
+        import pandas as pd
+
+        for pdf in it:
+            parsed = pdf["payload"].map(_parse_container)
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "container": parsed.map(lambda t: t[0]),
+                    "width": parsed.map(lambda t: t[1]),
+                    "height": parsed.map(lambda t: t[2]),
+                    "channels": parsed.map(lambda t: t[3]),
+                    "sample_rate": parsed.map(lambda t: t[4]),
+                    "n_frames": parsed.map(lambda t: t[5]),
+                }
+            )
+
+    return media.mapInPandas(batches, schema=DECODED_CONTAINER_SCHEMA)
 
 
 def frame_sample(media: DataFrame, every_n_bytes: int = 100) -> DataFrame:

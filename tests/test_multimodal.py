@@ -1,0 +1,63 @@
+"""Real container codec: generated BMP/WAV bytes are spec-conformant
+(WAV validated by the stdlib ``wave`` reader — an independent decoder),
+and the mapInPandas decode recovers exactly the metadata the oracle
+predicts from documents."""
+
+import io
+import struct
+import wave
+
+from esop_spark.operators import multimodal
+
+
+def test_wav_bytes_parse_with_stdlib_wave():
+    for media_id, text in [(1, b"hello world"), (3, b""), (5, b"x" * 100), (7, b"ab")]:
+        payload = multimodal._wav_bytes(text, media_id)
+        with wave.open(io.BytesIO(payload)) as w:
+            assert w.getnchannels() == (1 if media_id % 4 == 1 else 2)
+            assert w.getframerate() == (8000 if media_id % 8 < 4 else 16000)
+            assert w.getsampwidth() == 2
+            assert w.getnframes() == len(text)
+
+
+def test_bmp_bytes_header_fields():
+    text = b"q" * 100  # w = 100%31+1 = 8, h = (100//31)%31+1 = 4
+    payload = multimodal._bmp_bytes(text)
+    assert payload[:2] == b"BM"
+    file_size, _, _, data_off = struct.unpack_from("<IHHI", payload, 2)
+    assert file_size == len(payload) and data_off == 54
+    hdr_size, w, h, planes, bpp = struct.unpack_from("<IiiHH", payload, 14)
+    assert (hdr_size, w, h, planes, bpp) == (40, 8, 4, 1, 24)
+    row_bytes = (w * 3 + 3) // 4 * 4
+    assert len(payload) == 54 + row_bytes * h
+
+
+def test_parse_container_walks_riff_chunks():
+    """A LIST chunk between fmt and data must not break the parse (real
+    encoders emit them)."""
+    base = multimodal._wav_bytes(b"abcd", 2)
+    fmt_end = 12 + 8 + 16
+    listed = base[:fmt_end] + b"LIST" + struct.pack("<I", 4) + b"INFO" + base[fmt_end:]
+    kind, w, h, channels, rate, frames = multimodal._parse_container(listed)
+    assert (kind, channels, rate, frames) == ("wav", 2, 8000, 4)
+
+
+def test_encode_decode_end_to_end(spark):
+    docs = spark.createDataFrame(
+        [(0, "a" * 40), (1, "b" * 10), (2, ""), (5, "hello")],
+        "doc_id long, text string",
+    )
+    out = {
+        r["media_id"]: r
+        for r in multimodal.decode_containers(
+            multimodal.encode_containers(docs)
+        ).collect()
+    }
+    assert out[0]["container"] == "bmp"
+    assert (out[0]["width"], out[0]["height"]) == (40 % 31 + 1, (40 // 31) % 31 + 1)
+    assert out[0]["channels"] == 3 and out[0]["sample_rate"] is None
+    assert out[0]["n_frames"] == out[0]["width"] * out[0]["height"]
+    assert out[2]["container"] == "bmp" and out[2]["width"] == 1
+    assert out[1]["container"] == "wav"
+    assert (out[1]["channels"], out[1]["sample_rate"], out[1]["n_frames"]) == (1, 8000, 10)
+    assert (out[5]["channels"], out[5]["sample_rate"], out[5]["n_frames"]) == (1, 16000, 5)
