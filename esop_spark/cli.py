@@ -49,12 +49,22 @@ def _build_parser() -> argparse.ArgumentParser:
         help="presence alone freshens remote objects; never touch their mtime "
         "(BaseBackupOperationRequest.java:50-54)",
     )
+    # bucket lifecycle gate (BucketService.checkBucket, BucketService.java:30-45):
+    # a missing bucket fails the backup unless created or the check is skipped
+    b.add_argument("--create-missing-bucket", action="store_true")
+    b.add_argument("--skip-bucket-verification", action="store_true")
 
     r = sub.add_parser("restore", help="manifest diff → download/delete/heal")
     r.add_argument("--storage-location", required=True)
     r.add_argument("--target-dir", required=True)
     r.add_argument("--backup-name", default=None, help="default: latest")
     r.add_argument("--keep-extras", action="store_true")
+    # in-place = node down (InPlaceRestorationStrategy); hardlinks / import =
+    # phased restore against a running node (RestorationStrategyResolverImpl)
+    r.add_argument(
+        "--restoration-strategy-type", default="in-place",
+        choices=["in-place", "hardlinks", "import"],
+    )
 
     ls = sub.add_parser("list", help="per-backup files/size/reclaimable report")
     ls.add_argument("--storage-location", required=True)
@@ -118,9 +128,15 @@ def _run(args: argparse.Namespace) -> int:
 
     if args.command == "backup":
         from esop_spark.operators.pipelines import backup
+        from esop_spark.operators.strategies import BucketServiceException, check_bucket
 
         import time
 
+        if not args.skip_bucket_verification:
+            try:
+                check_bucket(args.storage_location, args.create_missing_bucket)
+            except BucketServiceException as e:
+                raise ValueError(str(e)) from e
         rate = parse_data_rate_bps(args.bandwidth) if args.bandwidth else None
         ts_millis = (
             args.ts_millis if args.ts_millis is not None else int(time.time() * 1000)
@@ -140,6 +156,22 @@ def _run(args: argparse.Namespace) -> int:
         return 0
 
     if args.command == "restore":
+        if args.restoration_strategy_type != "in-place":
+            from esop_spark.operators.strategies import restore_phased
+
+            stats = restore_phased(
+                spark,
+                args.storage_location,
+                args.target_dir,
+                strategy=args.restoration_strategy_type,
+                backup_name=args.backup_name,
+            )
+            print(
+                f"downloaded {stats['downloaded']}, linked {stats['linked']}, "
+                f"skipped {stats['skipped']}; "
+                f"jmx phase: {len(stats['jmx_calls'])} calls"
+            )
+            return 0
         from esop_spark.operators.pipelines import restore
 
         stats = restore(

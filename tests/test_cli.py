@@ -22,9 +22,17 @@ def test_cli_lifecycle(spark, tmp_path, capsys):
     data, bucket = str(tmp_path / "data"), str(tmp_path / "bucket")
     make_tree(data, "snap1", BASE_FILES)
 
+    # missing bucket without --create-missing-bucket fails the verification
+    # gate (BucketService.checkBucket, BucketService.java:30-45)
+    assert main([
+        "backup", "--data-dirs", data, "--tag", "snap1",
+        "--storage-location", bucket,
+    ]) == 2
+
     assert main([
         "backup", "--data-dirs", data, "--tag", "snap1",
         "--storage-location", bucket, "--schema-version", "sv", "--ts-millis", "1000",
+        "--create-missing-bucket",
     ]) == 0
     assert "uploaded 4 objects" in capsys.readouterr().out
 
@@ -59,7 +67,8 @@ def test_cli_list_filters_and_keep_extras(spark, tmp_path, capsys):
     data, bucket = str(tmp_path / "data"), str(tmp_path / "bucket")
     make_tree(data, "s1", BASE_FILES)
     main(["backup", "--data-dirs", data, "--tag", "s1",
-          "--storage-location", bucket, "--ts-millis", "1000"])
+          "--storage-location", bucket, "--ts-millis", "1000",
+          "--create-missing-bucket"])
     make_tree(data, "s2", BASE_FILES)
     main(["backup", "--data-dirs", data, "--tag", "s2",
           "--storage-location", bucket, "--ts-millis", "2000"])
@@ -95,7 +104,8 @@ def test_cli_skip_refreshing_controls_remote_mtime_touch(spark, tmp_path, capsys
     data, bucket = str(tmp_path / "data"), str(tmp_path / "bucket")
     make_tree(data, "s1", BASE_FILES)
     main(["backup", "--data-dirs", data, "--tag", "s1",
-          "--storage-location", bucket, "--ts-millis", "1000"])
+          "--storage-location", bucket, "--ts-millis", "1000",
+          "--create-missing-bucket"])
     remote = [
         os.path.join(dp, f)
         for dp, _, fns in os.walk(os.path.join(bucket, "data"))
@@ -131,7 +141,8 @@ def test_cli_list_cache_dir_and_skip_download(spark, tmp_path, capsys):
     cache = str(tmp_path / "cache")
     make_tree(data, "s1", BASE_FILES)
     main(["backup", "--data-dirs", data, "--tag", "s1",
-          "--storage-location", bucket, "--ts-millis", "1000"])
+          "--storage-location", bucket, "--ts-millis", "1000",
+          "--create-missing-bucket"])
     capsys.readouterr()
 
     main(["list", "--storage-location", bucket, "--json", "--cache-dir", cache])
