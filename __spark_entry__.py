@@ -210,9 +210,10 @@ def q22_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q23_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact corpus-wide Jaccard. This testdata corpus has NO hot shingles
     (max df = 25 at sf0.1), so the max_df cap is left off — the profiled
-    cost is the pair-aggregation mass itself; the plan win here is carrying
-    n_sh through the self-join (no counts shuffle/joins). Real corpora with
-    boilerplate should pass max_df (see dedup.ngram_jaccard_pairs)."""
+    cost is the pair-aggregation mass itself; the plan win is per-doc counts
+    as a narrow `size(array_distinct(...))` projection (no counts shuffle).
+    Real corpora with boilerplate should pass max_df (see
+    dedup.ngram_jaccard_pairs)."""
     return dedup.ngram_jaccard_pairs(
         _base(spark, sf_dir, "documents"), n=3, threshold=JACCARD_TAU
     )
