@@ -425,6 +425,16 @@ def q46_global_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q48_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-duplicate clusters: exact-Jaccard pairs folded into connected
+    components (min-label propagation, dedup.dedup_clusters). The oracle
+    replicates the closure with a recursive CTE over the same pair list."""
+    pairs = dedup.ngram_jaccard_pairs(
+        _base(spark, sf_dir, "documents"), n=3, threshold=JACCARD_TAU
+    )
+    return dedup.dedup_clusters(pairs)
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001: the backup-listing report."""
     return q01_list_backups(spark, "/root/testdata/sf0.001")
@@ -479,6 +489,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q45_global_listing": q45_global_listing,
         "q46_global_removal": q46_global_removal,
         "q47_container_decode": q47_container_decode,
+        "q48_dedup_clusters": q48_dedup_clusters,
     }
 
 
@@ -1140,5 +1151,51 @@ def oracle_sql() -> dict[str, str]:
                                   * ((strlen(text) // 31) % 31 + 1) AS BIGINT)
                         ELSE CAST(strlen(text) AS BIGINT) END AS n_frames
             FROM documents
+        """,
+        # connected components via recursive transitive closure over the
+        # same exact-Jaccard pair list q23 checks (UNION dedups rows, so the
+        # recursion terminates); component id = min reachable doc id
+        "q48_dedup_clusters": f"""
+            WITH RECURSIVE docs AS (
+                SELECT doc_id, string_split(text, ' ') AS words FROM documents
+            ),
+            sh AS (
+                SELECT DISTINCT doc_id,
+                       words[i] || ' ' || words[i+1] || ' ' || words[i+2] AS shingle
+                FROM docs, unnest(range(1, greatest(len(words) - 1, 1))) t(i)
+            ),
+            cnt AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY 1),
+            shared AS (
+                SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS shared
+                FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+                GROUP BY 1, 2
+            ),
+            pairs AS (
+                SELECT id_a, id_b
+                FROM shared
+                JOIN cnt ca ON id_a = ca.doc_id
+                JOIN cnt cb ON id_b = cb.doc_id
+                WHERE ROUND(shared * 1.0 / (ca.n_sh + cb.n_sh - shared), 6)
+                      >= {JACCARD_TAU}
+            ),
+            edges AS (
+                SELECT id_a AS src, id_b AS dst FROM pairs
+                UNION
+                SELECT id_b, id_a FROM pairs
+            ),
+            reach(src, dst) AS (
+                SELECT src, dst FROM edges
+                UNION
+                SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src
+            ),
+            comp AS (
+                SELECT src AS doc_id, LEAST(src, MIN(dst)) AS cluster_id
+                FROM reach GROUP BY src
+            )
+            SELECT CAST(doc_id AS BIGINT) AS doc_id,
+                   CAST(cluster_id AS BIGINT) AS cluster_id,
+                   CAST(COUNT(*) OVER (PARTITION BY cluster_id) AS BIGINT)
+                       AS cluster_size
+            FROM comp
         """,
     }

@@ -235,6 +235,71 @@ def ngram_jaccard_pairs(
     return _verify_jaccard(candidates, sh, counts, threshold, id_col)
 
 
+def dedup_clusters(pairs: DataFrame, max_iters: int = 50) -> DataFrame:
+    """Connected components over near-duplicate pairs → canonical clusters.
+
+    The missing tail of dedup-at-scale: pair lists (from any of the exact /
+    MinHash-LSH / SimHash paths) must be folded into groups so one canonical
+    document survives per cluster. The reference's analogue is content-
+    addressed identity (one object per sstable id, SSTableUtils.java:48-74);
+    for fuzzy duplicates identity is the transitive closure of the pair
+    relation.
+
+    Iterative min-label propagation: every node starts labeled with itself;
+    each round every node takes the min label across itself and its
+    neighbors; fixpoint = components. Per round: one shuffle join (edges ⋈
+    labels) + one hash aggregation — no driver-side graph state, O(diameter)
+    rounds. Near-dup clusters are short-diameter (dups of a doc are dups of
+    each other), so this converges in a handful of rounds even at corpus
+    scale; `localCheckpoint` truncates lineage so plans don't grow per
+    round. (For adversarial long-chain graphs swap in the alternating
+    large-star/small-star variant — same join/agg building blocks.)
+
+    Input: (id_a, id_b [, ...]) pair DataFrame. Output: one row per
+    distinct doc appearing in any pair — (doc_id, cluster_id, cluster_size)
+    with cluster_id = min doc_id in the component.
+    """
+    edges = (
+        pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
+        .union(pairs.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst")))
+        .distinct()
+        .persist()
+    )
+    labels = edges.select(F.col("src").alias("node")).distinct().withColumn(
+        "label", F.col("node")
+    ).localCheckpoint()
+    for _ in range(max_iters):
+        neighbor = edges.join(
+            labels, edges["dst"] == labels["node"], "inner"
+        ).select(F.col("src").alias("node"), F.col("label"))
+        new_labels = (
+            labels.unionByName(neighbor)
+            .groupBy("node")
+            .agg(F.min("label").alias("label"))
+            .localCheckpoint()
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "node")
+            .filter(F.col("n.label") != F.col("o.label"))
+            .limit(1)
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    edges.unpersist()
+    sizes = labels.groupBy("label").agg(F.count(F.lit(1)).alias("cluster_size"))
+    return (
+        labels.join(sizes, "label")
+        .select(
+            F.col("node").cast("bigint").alias("doc_id"),
+            F.col("label").cast("bigint").alias("cluster_id"),
+            F.col("cluster_size").cast("bigint").alias("cluster_size"),
+        )
+    )
+
+
 def minhash_signatures(
     documents: DataFrame,
     num_hashes: int = 32,

@@ -113,6 +113,21 @@ def test_ngram_jaccard_df_cap(spark):
     assert [(r["id_a"], r["id_b"]) for r in capped] == [(0, 1)]
 
 
+def test_dedup_clusters_transitive_chain(spark):
+    # 0-1, 1-2, 2-3 chain (diameter 3 → needs >1 propagation round) plus a
+    # separate 10-11 pair; min label must flow end-to-end through the chain.
+    pairs = spark.createDataFrame(
+        [(1, 2), (0, 1), (2, 3), (10, 11)], "id_a long, id_b long"
+    )
+    got = sorted(
+        (r["doc_id"], r["cluster_id"], r["cluster_size"])
+        for r in dedup.dedup_clusters(pairs).collect()
+    )
+    assert got == [
+        (0, 0, 4), (1, 0, 4), (2, 0, 4), (3, 0, 4), (10, 10, 2), (11, 10, 2),
+    ]
+
+
 def test_simhash_identical_docs_distance_zero(spark):
     t = "alpha beta gamma delta epsilon zeta eta theta"
     docs = spark.createDataFrame(
