@@ -27,6 +27,7 @@ from esop_spark.operators import (
     manifest,
     multimodal,
     retention,
+    sampling,
     similarity,
     snapshots,
     text as text_ops,
@@ -435,6 +436,42 @@ def q48_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.dedup_clusters(pairs)
 
 
+def q49_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train/test decontamination signal: even doc_ids are the train corpus,
+    odd the eval split; per eval doc, the fraction of its distinct 3-gram
+    shingles contained anywhere in train (dedup.contamination)."""
+    docs = _base(spark, sf_dir, "documents")
+    return dedup.contamination(
+        docs.filter(F.col("doc_id") % 2 == 0),
+        docs.filter(F.col("doc_id") % 2 == 1),
+        n=3,
+    )
+
+
+SAMPLE_RATES = {"en": 0.5, "de": 1.0, "fr": 0.25}
+SAMPLE_DEFAULT = 0.1
+SAMPLE_K = 5
+
+
+def q50_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-rebalancing sample: per-stratum keep rates decided by a
+    content hash of doc_id (sampling.stratified_sample) — reproducible
+    across runs, partitionings and engines; zero shuffles."""
+    docs = _base(spark, sf_dir, "documents")
+    return sampling.stratified_sample(
+        docs, "lang", SAMPLE_RATES, F.col("doc_id"), default_rate=SAMPLE_DEFAULT
+    ).select("doc_id", "lang", "source")
+
+
+def q51_sample_k_per_stratum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic k-per-language uniform sample (hash-ordered window
+    top-k, sampling.sample_k_per_stratum)."""
+    docs = _base(spark, sf_dir, "documents")
+    return sampling.sample_k_per_stratum(
+        docs, "lang", SAMPLE_K, F.col("doc_id")
+    ).select("doc_id", "lang")
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001: the backup-listing report."""
     return q01_list_backups(spark, "/root/testdata/sf0.001")
@@ -490,6 +527,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q46_global_removal": q46_global_removal,
         "q47_container_decode": q47_container_decode,
         "q48_dedup_clusters": q48_dedup_clusters,
+        "q49_contamination": q49_contamination,
+        "q50_stratified_sample": q50_stratified_sample,
+        "q51_sample_k_per_stratum": q51_sample_k_per_stratum,
     }
 
 
@@ -1197,5 +1237,65 @@ def oracle_sql() -> dict[str, str]:
                    CAST(COUNT(*) OVER (PARTITION BY cluster_id) AS BIGINT)
                        AS cluster_size
             FROM comp
+        """,
+        "q49_contamination": """
+            WITH docs AS (
+                SELECT doc_id, string_split(text, ' ') AS words FROM documents
+            ),
+            sh AS (
+                SELECT DISTINCT doc_id,
+                       words[i] || ' ' || words[i+1] || ' ' || words[i+2] AS shingle
+                FROM docs, unnest(range(1, greatest(len(words) - 1, 1))) t(i)
+            ),
+            train_sh AS (
+                SELECT DISTINCT shingle FROM sh WHERE doc_id % 2 = 0
+            ),
+            test_cnt AS (
+                SELECT doc_id, COUNT(*) AS n_sh FROM sh
+                WHERE doc_id % 2 = 1 GROUP BY 1
+            ),
+            matched AS (
+                SELECT doc_id, COUNT(*) AS n_contaminated
+                FROM sh
+                WHERE doc_id % 2 = 1
+                  AND shingle IN (SELECT shingle FROM train_sh)
+                GROUP BY 1
+            )
+            SELECT CAST(c.doc_id AS BIGINT) AS doc_id,
+                   CAST(c.n_sh AS BIGINT) AS n_sh,
+                   CAST(COALESCE(m.n_contaminated, 0) AS BIGINT) AS n_contaminated,
+                   ROUND(COALESCE(m.n_contaminated, 0) * 1.0
+                         / GREATEST(c.n_sh, 1), 6) AS contamination
+            FROM test_cnt c LEFT JOIN matched m ON c.doc_id = m.doc_id
+        """,
+        # same cross-engine md5 bucket as Spark's sampling.sample_bucket:
+        # first 8 hex chars of md5('s0:' || key) as int, mod 1e6
+        "q50_stratified_sample": f"""
+            WITH b AS (
+                SELECT doc_id, lang, source,
+                       CAST(concat('0x', substr(md5('s0:' || CAST(doc_id AS VARCHAR)), 1, 8))
+                            AS BIGINT) % 1000000 AS bucket
+                FROM documents
+            )
+            SELECT doc_id, lang, source FROM b
+            WHERE bucket < CASE lang
+                WHEN 'de' THEN {int(SAMPLE_RATES['de'] * 1000000)}
+                WHEN 'en' THEN {int(SAMPLE_RATES['en'] * 1000000)}
+                WHEN 'fr' THEN {int(SAMPLE_RATES['fr'] * 1000000)}
+                ELSE {int(SAMPLE_DEFAULT * 1000000)} END
+        """,
+        "q51_sample_k_per_stratum": f"""
+            WITH b AS (
+                SELECT doc_id, lang,
+                       CAST(concat('0x', substr(md5('s0:' || CAST(doc_id AS VARCHAR)), 1, 8))
+                            AS BIGINT) % 1000000 AS bucket
+                FROM documents
+            )
+            SELECT doc_id, lang FROM (
+                SELECT doc_id, lang,
+                       ROW_NUMBER() OVER (PARTITION BY lang
+                           ORDER BY bucket ASC, CAST(doc_id AS VARCHAR) ASC) AS rn
+                FROM b
+            ) WHERE rn <= {SAMPLE_K}
         """,
     }

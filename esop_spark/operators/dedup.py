@@ -300,6 +300,59 @@ def dedup_clusters(pairs: DataFrame, max_iters: int = 50) -> DataFrame:
     )
 
 
+def contamination(
+    train: DataFrame,
+    test: DataFrame,
+    n: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Cross-corpus n-gram containment: per test document, the fraction of
+    its distinct shingles that appear ANYWHERE in the train corpus — the
+    standard decontamination signal for eval/test splits of a training set.
+
+    One distinct over the train shingle relation (global set, hashed keys),
+    one LEFT SEMI-ish aggregation join for matches, per-doc totals from the
+    narrow :func:`doc_shingle_counts` projection. Both legs are plain hash
+    shuffles on a 64-bit shingle hash — uniform keys, no skew; at corpus
+    scale the train-distinct side can additionally be bloom-pruned before
+    the join, and n is typically raised to 8–13 so the shingle sets shrink.
+
+    Output: (doc_id, n_sh, n_contaminated, contamination) for every test
+    document, contamination = matched/n_sh rounded to 6dp (0.0 when the
+    document is shorter than one shingle).
+    """
+    train_sh = (
+        shingles(train, n, text_col, id_col)
+        .select(F.xxhash64("shingle").alias("sh"))
+        .distinct()
+    )
+    test_sh = shingles(test, n, text_col, id_col).select(
+        id_col, F.xxhash64("shingle").alias("sh")
+    )
+    matched = (
+        test_sh.join(train_sh, "sh", "left_semi")
+        .groupBy(id_col)
+        .agg(F.count(F.lit(1)).alias("n_contaminated"))
+    )
+    counts = doc_shingle_counts(test, n, text_col, id_col)
+    return (
+        counts.join(matched, id_col, "left")
+        .select(
+            F.col(id_col).cast("bigint").alias(id_col),
+            F.col("n_sh").cast("bigint").alias("n_sh"),
+            F.coalesce(F.col("n_contaminated"), F.lit(0))
+            .cast("bigint")
+            .alias("n_contaminated"),
+            F.round(
+                F.coalesce(F.col("n_contaminated"), F.lit(0))
+                / F.greatest(F.col("n_sh"), F.lit(1)),
+                6,
+            ).alias("contamination"),
+        )
+    )
+
+
 def minhash_signatures(
     documents: DataFrame,
     num_hashes: int = 32,

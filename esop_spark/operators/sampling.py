@@ -1,0 +1,78 @@
+"""Deterministic sampling operators for training-data pipelines.
+
+Spark's built-in ``df.sample`` is seed-stable only per partitioning — the
+rows it picks change when the upstream layout changes, which is useless for
+reproducible corpus curation. These operators key every decision on a
+CONTENT hash (the cross-engine 32-bit md5 family from
+:mod:`esop_spark.operators.dedup`), so a sample is a pure function of the
+data: re-runs, re-partitions and other engines (the DuckDB oracle) agree
+row-for-row.
+
+Scale design: `hash_sample`/`stratified_sample` are narrow filters (no
+shuffle at all — the rate lookup is a broadcast of a tiny per-stratum map);
+`sample_k_per_stratum` is one window over the stratum key (same shape as
+any per-group top-k; for pathologically hot strata, pre-filter with
+`hash_sample` to bound the window input).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from esop_spark.operators.dedup import md5_hash32
+
+# Sampling decisions compare a hash bucket in [0, 1e6) against rate*1e6 —
+# 6 decimal digits of rate resolution, plenty for curation mixes.
+BUCKETS = 1_000_000
+
+
+def sample_bucket(key: Column, seed: str = "s0") -> Column:
+    """Deterministic bucket in [0, BUCKETS) from a content key. The seed is
+    concatenated into the hashed string, so independent samples (train/
+    holdout splits, repeated trials) use different, uncorrelated buckets."""
+    return F.pmod(md5_hash32(F.concat(F.lit(seed), F.lit(":"), key.cast("string"))), F.lit(BUCKETS))
+
+
+def hash_sample(df: DataFrame, rate: float, key: Column, seed: str = "s0") -> DataFrame:
+    """Keep ~rate of rows, decided per-row by content hash. Narrow filter —
+    no shuffle, no state, reproducible across engines and runs."""
+    return df.filter(sample_bucket(key, seed) < int(rate * BUCKETS))
+
+
+def stratified_sample(
+    df: DataFrame,
+    strata_col: str,
+    rates: dict[str, float],
+    key: Column,
+    default_rate: float = 0.0,
+    seed: str = "s0",
+) -> DataFrame:
+    """Per-stratum rates (e.g. language rebalancing: keep 10% of 'en', all
+    of 'fr'). The rates map becomes a literal CASE expression — evaluated
+    JVM-side in the scan projection, so the whole operator stays a narrow
+    filter with zero shuffles (no join, not even a broadcast)."""
+    rate_col = F.lit(int(default_rate * BUCKETS))
+    for stratum, rate in sorted(rates.items()):
+        rate_col = F.when(
+            F.col(strata_col) == stratum, F.lit(int(rate * BUCKETS))
+        ).otherwise(rate_col)
+    return df.filter(sample_bucket(key, seed) < rate_col)
+
+
+def sample_k_per_stratum(
+    df: DataFrame, strata_col: str, k: int, key: Column, seed: str = "s0"
+) -> DataFrame:
+    """Exactly min(k, |stratum|) rows per stratum, chosen by hash order —
+    a deterministic uniform-without-replacement sample per group. One
+    window shuffle on the stratum key; ties broken by the key itself so
+    the pick is total-ordered and engine-independent."""
+    w = Window.partitionBy(strata_col).orderBy(
+        sample_bucket(key, seed).asc(), key.cast("string").asc()
+    )
+    return (
+        df.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= k)
+        .drop("_rn")
+    )

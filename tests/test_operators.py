@@ -128,6 +128,24 @@ def test_dedup_clusters_transitive_chain(spark):
     ]
 
 
+def test_contamination_planted_overlap(spark):
+    train = spark.createDataFrame(
+        [(0, "a b c d e f")], "doc_id long, text string"
+    )
+    test = spark.createDataFrame(
+        # doc 1: shingles {abc,bcd,cde,def} all in train → 1.0
+        # doc 3: {xyz...} none in train → 0.0
+        # doc 5: "a b c x y z" → {abc, bcx, cxy, xyz} → 1/4
+        [(1, "a b c d e f"), (3, "x y z w v u"), (5, "a b c x y z")],
+        "doc_id long, text string",
+    )
+    got = {
+        r["doc_id"]: (r["n_sh"], r["n_contaminated"], r["contamination"])
+        for r in dedup.contamination(train, test).collect()
+    }
+    assert got == {1: (4, 4, 1.0), 3: (4, 0, 0.0), 5: (4, 1, 0.25)}
+
+
 def test_simhash_identical_docs_distance_zero(spark):
     t = "alpha beta gamma delta epsilon zeta eta theta"
     docs = spark.createDataFrame(
