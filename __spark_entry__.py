@@ -472,6 +472,24 @@ def q51_sample_k_per_stratum(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("doc_id", "lang")
 
 
+TFIDF_K = 5
+
+
+def q52_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-k characteristic terms per language by summed TF-IDF
+    (text_ops.tfidf_top_terms): two uniform-key hash aggs + one window."""
+    return text_ops.tfidf_top_terms(
+        _base(spark, sf_dir, "documents"), group_col="lang", k=TFIDF_K
+    )
+
+
+def q53_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetric int8 quantization of the embedding column with per-vector
+    reconstruction MSE (similarity.quantize_int8) — a zero-shuffle narrow
+    projection (the 4×-smaller-index scale path for ANN)."""
+    return similarity.quantize_int8(_base(spark, sf_dir, "embeddings"))
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001: the backup-listing report."""
     return q01_list_backups(spark, "/root/testdata/sf0.001")
@@ -530,6 +548,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q49_contamination": q49_contamination,
         "q50_stratified_sample": q50_stratified_sample,
         "q51_sample_k_per_stratum": q51_sample_k_per_stratum,
+        "q52_tfidf_top_terms": q52_tfidf_top_terms,
+        "q53_quantize_int8": q53_quantize_int8,
     }
 
 
@@ -1297,5 +1317,59 @@ def oracle_sql() -> dict[str, str]:
                            ORDER BY bucket ASC, CAST(doc_id AS VARCHAR) ASC) AS rn
                 FROM b
             ) WHERE rn <= {SAMPLE_K}
+        """,
+        "q52_tfidf_top_terms": f"""
+            WITH tok AS (
+                SELECT doc_id, lang, unnest(string_split(text, ' ')) AS term
+                FROM documents
+            ),
+            df_t AS (
+                SELECT term, COUNT(*) AS df
+                FROM (SELECT DISTINCT doc_id, term FROM tok) GROUP BY 1
+            ),
+            tf AS (
+                SELECT lang, term, COUNT(*) AS tf FROM tok GROUP BY 1, 2
+            ),
+            n AS (SELECT COUNT(*) AS n_docs FROM documents),
+            scored AS (
+                SELECT lang, term, tf, df,
+                       ROUND(tf * ln(n_docs * 1.0 / df), 6) AS tfidf
+                FROM tf JOIN df_t USING (term), n
+            )
+            SELECT lang, term, CAST(tf AS BIGINT) AS tf,
+                   CAST(df AS BIGINT) AS df, tfidf,
+                   CAST(rank AS BIGINT) AS rank
+            FROM (
+                SELECT *, ROW_NUMBER() OVER (PARTITION BY lang
+                           ORDER BY tfidf DESC, term ASC) AS rank
+                FROM scored
+            ) WHERE rank <= {TFIDF_K}
+        """,
+        # same IEEE arithmetic order as the Spark lambdas: scale = max|x|/127
+        # (left-fold max), codes = round(x/scale), mse = fold of e² / d
+        "q53_quantize_int8": """
+            WITH e AS (
+                SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+            ),
+            s AS (
+                SELECT vec_id, v,
+                       list_aggregate(list_transform(v, x -> abs(x)), 'max')
+                           / 127.0 AS scale
+                FROM e
+            ),
+            r AS (
+                SELECT vec_id, v, scale,
+                       list_transform(v, x -> CASE WHEN scale = 0 THEN 0.0
+                           ELSE x - ROUND(x / scale, 0) * scale END) AS err
+                FROM s
+            )
+            SELECT vec_id,
+                   CAST(len(v) AS BIGINT) AS n_dims,
+                   CAST(FLOOR(scale * 1e9) AS BIGINT) AS scale_e9,
+                   CAST(FLOOR(CAST(list_aggregate(
+                             list_transform(err, x -> CAST(x * x AS DECIMAL(38,24))),
+                             'sum') AS DOUBLE)
+                         / len(v) * 1e9) AS BIGINT) AS mse_e9
+            FROM r
         """,
     }

@@ -44,6 +44,56 @@ def with_norm(embeddings: DataFrame, vec_col: str = "embedding", id_col: str = "
     )
 
 
+def quantize_int8(
+    embeddings: DataFrame, vec_col: str = "embedding", id_col: str = "vec_id"
+) -> DataFrame:
+    """Symmetric per-vector int8 quantization + reconstruction error.
+
+    The storage-scale path for ANN at 100 TB: float32 embeddings quantized
+    to int8 codes shrink the index 4× (and the shuffle/broadcast volume with
+    it) at a small recall cost. scale = max|x|/127, code = round(x/scale),
+    reconstruction x̂ = code·scale.
+
+    Pure narrow projection — per-row higher-order functions, zero shuffles,
+    scales embarrassingly. Output: (id, n_dims, scale_e9, mse_e9) with
+    scale/mse as fixed-point nano units (floor(x·1e9) — ROUND differs
+    across engines at half boundaries, floor of an identical double never
+    does); zero vectors quantize to scale 0 with mse 0.
+    """
+    # Staged projections: `scale` must be a materialized attribute before
+    # the codes/err lambdas reference it — lambda bodies get no CSE, so an
+    # inlined max-aggregate would re-run per ELEMENT (O(d²) per vector).
+    staged = embeddings.select(
+        F.col(id_col), _vec_double(vec_col).alias("v")
+    ).withColumn(
+        "scale",
+        F.aggregate(F.col("v"), F.lit(0.0), lambda acc, x: F.greatest(acc, F.abs(x)))
+        / F.lit(127.0),
+    )
+    codes = F.transform(
+        F.col("v"),
+        lambda x: F.when(F.col("scale") == 0.0, F.lit(0.0)).otherwise(
+            F.round(x / F.col("scale"), 0)
+        ),
+    )
+    err = F.zip_with(F.col("v"), codes, lambda x, c: x - c * F.col("scale"))
+    # accumulate e² in DECIMAL: float addition is order-sensitive across
+    # engines at the 6dp rounding boundary; decimal addition is exact, so
+    # the sum is a pure function of the (identical) per-element doubles
+    sq_sum = F.aggregate(
+        err,
+        F.lit(0).cast("decimal(38,24)"),
+        lambda acc, e: (acc + (e * e).cast("decimal(38,24)")).cast("decimal(38,24)"),
+    )
+    mse = sq_sum.cast("double") / F.size("v")
+    return staged.select(
+        F.col(id_col),
+        F.size("v").cast("bigint").alias("n_dims"),
+        F.floor(F.col("scale") * F.lit(1e9)).cast("bigint").alias("scale_e9"),
+        F.floor(mse * F.lit(1e9)).cast("bigint").alias("mse_e9"),
+    )
+
+
 def cosine_pairs(
     embeddings: DataFrame,
     threshold: float = 0.45,

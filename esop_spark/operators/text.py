@@ -170,6 +170,63 @@ def curate(
     return canonical.select("doc_id", "dedup_key", "n_dups", "quality_score")
 
 
+def tfidf_top_terms(
+    documents: DataFrame,
+    group_col: str = "lang",
+    k: int = 5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Top-k characteristic terms per group by summed TF-IDF.
+
+    tf(g, t) = total occurrences of t in group g; df(t) = documents
+    containing t; score = tf · ln(N/df). Two hash aggregations (df over the
+    per-doc-distinct term relation, tf over the full term relation — both
+    uniform term keys, map-side partial) + one broadcast of the 1-row corpus
+    count + one window per group for the top-k. No driver actions — N comes
+    from a cross-joined 1-row aggregate, so the whole operator is one lazy
+    plan.
+
+    Output: (group, term, tf, df, tfidf, rank), rank 1..k per group with
+    deterministic (score DESC, term ASC) ordering; tfidf rounded to 6dp
+    to be engine-comparable.
+    """
+    tok = documents.select(
+        F.col(id_col), F.col(group_col), F.explode(tokens(text_col)).alias("term")
+    )
+    df_t = (
+        tok.select(id_col, "term")
+        .distinct()
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("df"))
+    )
+    tf = tok.groupBy(group_col, "term").agg(F.count(F.lit(1)).alias("tf"))
+    n_docs = documents.agg(F.count(F.lit(1)).alias("n_docs"))
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy(group_col).orderBy(
+        F.col("tfidf").desc(), F.col("term").asc()
+    )
+    return (
+        tf.join(df_t, "term")
+        .crossJoin(F.broadcast(n_docs))
+        .withColumn(
+            "tfidf",
+            F.round(F.col("tf") * F.log(F.col("n_docs") / F.col("df")), 6),
+        )
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            group_col,
+            "term",
+            F.col("tf").cast("bigint").alias("tf"),
+            F.col("df").cast("bigint").alias("df"),
+            "tfidf",
+            F.col("rank").cast("bigint").alias("rank"),
+        )
+    )
+
+
 def fingerprint(documents: DataFrame, text_col: str = "text") -> DataFrame:
     """Document fingerprinting: exact content hash, normalized token-set key,
     and a 256-way shard prefix (content-addressed partitioning at scale)."""

@@ -146,6 +146,44 @@ def test_contamination_planted_overlap(spark):
     assert got == {1: (4, 4, 1.0), 3: (4, 0, 0.0), 5: (4, 1, 0.25)}
 
 
+def test_quantize_int8_known_vectors(spark):
+    emb = spark.createDataFrame(
+        [(0, [127.0, 0.0, -127.0]), (1, [0.0, 0.0, 0.0]), (2, [1.0, 0.5])],
+        "vec_id long, embedding array<double>",
+    )
+    got = {
+        r["vec_id"]: (r["n_dims"], r["scale_e9"], r["mse_e9"])
+        for r in similarity.quantize_int8(emb).collect()
+    }
+    # vec 0: scale=1.0, codes reconstruct exactly → mse 0
+    assert got[0] == (3, 1_000_000_000, 0)
+    # zero vector: scale 0, codes 0, mse 0
+    assert got[1] == (3, 0, 0)
+    # vec 2: scale=1/127; 0.5/scale=63.5 rounds half-up to 64 → err=0.5-64/127
+    scale = 1.0 / 127.0
+    mse = ((0.5 - 64 * scale) ** 2) / 2
+    assert got[2] == (2, int(scale * 1e9), int(mse * 1e9))
+
+
+def test_tfidf_top_terms_ranking(spark):
+    docs = spark.createDataFrame(
+        [
+            (0, "en", "apple apple banana"),
+            (1, "en", "apple cherry"),
+            (2, "fr", "banana banana banana"),
+        ],
+        "doc_id long, lang string, text string",
+    )
+    from esop_spark.operators.text import tfidf_top_terms
+
+    rows = tfidf_top_terms(docs, k=2).collect()
+    top = {(r["lang"], r["rank"]): (r["term"], r["tf"], r["df"]) for r in rows}
+    # en: apple tf=3 df=2 → 3·ln(1.5); banana/cherry tf=1 — apple wins
+    assert top[("en", 1)] == ("apple", 3, 2)
+    # fr: banana tf=3 df=2 → ln(1.5)·3 tops the group
+    assert top[("fr", 1)] == ("banana", 3, 2)
+
+
 def test_simhash_identical_docs_distance_zero(spark):
     t = "alpha beta gamma delta epsilon zeta eta theta"
     docs = spark.createDataFrame(
