@@ -21,7 +21,8 @@ import __spark_entry__ as entry_mod
 from esop_spark.session import get_spark
 
 # Representative spread: manifest analytics, diffs, joins, agg, window,
-# event windows, dedup (exact + ngram + minhash), similarity, text.
+# event windows, dedup (exact + ngram + minhash), similarity, text,
+# contamination, sampling, tf-idf, quantization.
 BENCH_QUERIES = [
     "q01_list_backups",
     "q03_upload_diff",
@@ -36,6 +37,10 @@ BENCH_QUERIES = [
     "q23_ngram_jaccard",
     "q26_ann_topk",
     "q28_quality_score",
+    "q49_contamination",
+    "q50_stratified_sample",
+    "q52_tfidf_top_terms",
+    "q53_quantize_int8",
 ]
 
 
