@@ -490,6 +490,100 @@ def q53_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.quantize_int8(_base(spark, sf_dir, "embeddings"))
 
 
+def _pii_injected(docs: DataFrame) -> DataFrame:
+    """Deterministically splice synthetic PII into the corpus (the shared
+    parquet contains none) so q54 exercises nonzero match paths; the oracle
+    builds the identical derived text in SQL."""
+    did = F.col("doc_id")
+    suffix = (
+        F.when(
+            did % 7 == 0,
+            F.concat(
+                F.lit(" contact user"), did.cast("string"), F.lit("@example.com now")
+            ),
+        )
+        .when(
+            did % 11 == 0,
+            F.concat(
+                F.lit(" node 10.0."), (did % 256).cast("string"), F.lit(".25 up")
+            ),
+        )
+        .when(
+            did % 13 == 0,
+            F.concat(F.lit(" ref 99"), (did * 7919).cast("string")),
+        )
+        .otherwise(F.lit(""))
+    )
+    return docs.withColumn("text", F.concat(F.col("text"), suffix))
+
+
+def q54_pii_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII detection/redaction over the corpus (text_ops.pii_scan): email /
+    IPv4 / long-digit-run counts + redacted-text hash, all JVM regexp —
+    a zero-shuffle narrow projection."""
+    return text_ops.pii_scan(_pii_injected(_base(spark, sf_dir, "documents")))
+
+
+def q55_boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document boilerplate fraction from corpus-wide segment document
+    frequency (text_ops.boilerplate_stats) — CCNet-style paragraph-dedup
+    signal; two uniform-key shuffles."""
+    return text_ops.boilerplate_stats(
+        _base(spark, sf_dir, "documents"), chunk_tokens=10, min_df=3
+    )
+
+
+SEMDEDUP_PLANES = 12
+
+
+def q56_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-space dedup: deterministic ±1-hyperplane sign bucket, keep
+    min-id per bucket (similarity.semantic_dedup). Narrow projection + one
+    hash agg on the bucket key."""
+    return similarity.semantic_dedup(
+        _base(spark, sf_dir, "embeddings"), num_planes=SEMDEDUP_PLANES, dim=64
+    )
+
+
+MIX_WEIGHTS_PPM = {"de": 250000, "en": 300000, "es": 250000, "fr": 200000}
+
+
+def q57_mixture_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-mixture language re-weighting (sampling.mixture_resample):
+    all-integer keep-count math + hash-ordered per-stratum rank; 'zh' has
+    no weight and is dropped entirely."""
+    return sampling.mixture_resample(
+        _base(spark, sf_dir, "documents"),
+        "lang",
+        MIX_WEIGHTS_PPM,
+        F.col("doc_id"),
+    ).select("doc_id", "lang", "source")
+
+
+NGRAM_SPAN_N = 8
+NGRAM_SPAN_K = 20
+
+
+def q58_repeated_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top duplicated 8-gram spans corpus-wide (text_ops.repeated_ngrams) —
+    the bounded-n distributed form of substring-level dedup."""
+    return text_ops.repeated_ngrams(
+        _base(spark, sf_dir, "documents"), n=NGRAM_SPAN_N, k=NGRAM_SPAN_K
+    )
+
+
+BM25_TERMS = ("spark", "hash", "window")
+BM25_K = 15
+
+
+def q59_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 keyword top-k over the corpus (text_ops.bm25_topk): term filter
+    pushed into the scan stage, 1-row corpus-stats broadcast."""
+    return text_ops.bm25_topk(
+        _base(spark, sf_dir, "documents"), BM25_TERMS, k=BM25_K
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001: the backup-listing report."""
     return q01_list_backups(spark, "/root/testdata/sf0.001")
@@ -550,6 +644,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q51_sample_k_per_stratum": q51_sample_k_per_stratum,
         "q52_tfidf_top_terms": q52_tfidf_top_terms,
         "q53_quantize_int8": q53_quantize_int8,
+        "q54_pii_scan": q54_pii_scan,
+        "q55_boilerplate": q55_boilerplate,
+        "q56_semantic_dedup": q56_semantic_dedup,
+        "q57_mixture_resample": q57_mixture_resample,
+        "q58_repeated_ngrams": q58_repeated_ngrams,
+        "q59_bm25": q59_bm25,
     }
 
 
@@ -661,6 +761,73 @@ _Q24_ORACLE = """
     SELECT id_a, id_b, CAST(bit_count(xor(sa, sb)) AS BIGINT) AS hamming
     FROM cand WHERE bit_count(xor(sa, sb)) <= 3
 """
+
+
+# Oracle fragments for q54/q56 are concatenated (not f-strings): the PII
+# regexes contain `{m,n}` repeats that f-strings would eat, and the semantic
+# dedup needs a generated ±1 sign matrix shared verbatim with Spark.
+_PII_DERIVED_SQL = (
+    "WITH d AS (\n"
+    "    SELECT doc_id, text ||\n"
+    "      CASE WHEN doc_id % 7 = 0 THEN ' contact user' || doc_id || '@example.com now'\n"
+    "           WHEN doc_id % 11 = 0 THEN ' node 10.0.' || (doc_id % 256) || '.25 up'\n"
+    "           WHEN doc_id % 13 = 0 THEN ' ref 99' || (doc_id * 7919)\n"
+    "           ELSE '' END AS text\n"
+    "    FROM documents\n"
+    ")\n"
+)
+
+
+def _pii_oracle() -> str:
+    from esop_spark.operators.text import PII_DIGIT_RUN_RE, PII_EMAIL_RE, PII_IPV4_RE
+
+    e, i, d = PII_EMAIL_RE, PII_IPV4_RE, PII_DIGIT_RUN_RE
+    return (
+        _PII_DERIVED_SQL
+        + "SELECT CAST(doc_id AS BIGINT) AS doc_id,\n"
+        + f"       CAST(len(regexp_extract_all(text, '{e}')) AS BIGINT) AS n_emails,\n"
+        + f"       CAST(len(regexp_extract_all(text, '{i}')) AS BIGINT) AS n_ipv4,\n"
+        + f"       CAST(len(regexp_extract_all(text, '{d}')) AS BIGINT) AS n_digit_runs,\n"
+        + f"       CAST(len(regexp_extract_all(text, '{e}')) + len(regexp_extract_all(text, '{i}'))\n"
+        + f"            + len(regexp_extract_all(text, '{d}')) AS BIGINT) AS n_pii,\n"
+        + f"       md5(regexp_replace(regexp_replace(regexp_replace(text,\n"
+        + f"           '{e}', '<EMAIL>', 'g'), '{i}', '<IP>', 'g'), '{d}', '<NUM>', 'g')) AS redacted_hash\n"
+        + "FROM d"
+    )
+
+
+def _semdedup_oracle(num_planes: int, dim: int) -> str:
+    signs = similarity.hyperplane_signs(num_planes, dim)
+    rows = ", ".join(
+        f"({j}, {i + 1}, {signs[j][i]})" for j in range(num_planes) for i in range(dim)
+    )
+    return f"""
+        WITH e AS (
+            SELECT vec_id,
+                   list_transform(CAST(embedding AS DOUBLE[]),
+                                  x -> CAST(FLOOR(x * {similarity.SEM_SCALE}) AS BIGINT)) AS vq
+            FROM embeddings
+        ),
+        signs(j, i, s) AS (VALUES {rows}),
+        u AS (
+            SELECT vec_id, t.i AS i, vq[t.i] AS val
+            FROM e, unnest(range(1, {dim + 1})) t(i)
+        ),
+        proj AS (
+            SELECT u.vec_id, signs.j, SUM(u.val * signs.s) AS p
+            FROM u JOIN signs ON signs.i = u.i
+            GROUP BY 1, 2
+        ),
+        buckets AS (
+            SELECT vec_id,
+                   SUM(CASE WHEN p > 0 THEN CAST(POW(2, j) AS BIGINT) ELSE 0 END) AS bucket
+            FROM proj GROUP BY 1
+        )
+        SELECT CAST(bucket AS BIGINT) AS bucket,
+               CAST(MIN(vec_id) AS BIGINT) AS keeper_id,
+               CAST(COUNT(*) AS BIGINT) AS bucket_size
+        FROM buckets GROUP BY 1
+    """
 
 
 def oracle_sql() -> dict[str, str]:
@@ -1371,5 +1538,116 @@ def oracle_sql() -> dict[str, str]:
                              'sum') AS DOUBLE)
                          / len(v) * 1e9) AS BIGINT) AS mse_e9
             FROM r
+        """,
+        "q54_pii_scan": _pii_oracle(),
+        "q55_boilerplate": """
+            WITH docs AS (
+                SELECT doc_id, string_split(text, ' ') AS words FROM documents
+            ),
+            segs AS (
+                SELECT doc_id,
+                       list_aggregate(words[i:i+9], 'string_agg', ' ') AS seg
+                FROM docs, unnest(range(1, len(words) + 1, 10)) t(i)
+            ),
+            nonempty AS (SELECT * FROM segs WHERE seg <> ''),
+            segdf AS (
+                SELECT seg, COUNT(DISTINCT doc_id) AS seg_docs
+                FROM nonempty GROUP BY 1
+            )
+            SELECT CAST(s.doc_id AS BIGINT) AS doc_id,
+                   CAST(COUNT(*) AS BIGINT) AS n_segments,
+                   CAST(SUM(CASE WHEN d.seg_docs >= 3 THEN 1 ELSE 0 END) AS BIGINT)
+                       AS n_boilerplate,
+                   ROUND(SUM(CASE WHEN d.seg_docs >= 3 THEN 1 ELSE 0 END) * 1.0
+                         / COUNT(*), 6) AS boilerplate_frac
+            FROM nonempty s JOIN segdf d USING (seg)
+            GROUP BY 1
+        """,
+        "q56_semantic_dedup": _semdedup_oracle(SEMDEDUP_PLANES, 64),
+        "q57_mixture_resample": f"""
+            WITH w(lang, w) AS (VALUES
+                ('de', 250000), ('en', 300000), ('es', 250000), ('fr', 200000)
+            ),
+            counts AS (
+                SELECT d.lang, COUNT(*) AS n, ANY_VALUE(w.w) AS w
+                FROM documents d JOIN w ON d.lang = w.lang
+                GROUP BY 1
+            ),
+            c2 AS (SELECT lang, n, w, (n * 1000000) // w AS feasible FROM counts),
+            t AS (SELECT MIN(feasible) AS t FROM c2),
+            keeps AS (SELECT lang, (t.t * w) // 1000000 AS keep FROM c2, t),
+            ranked AS (
+                SELECT doc_id, d.lang, source,
+                       ROW_NUMBER() OVER (
+                           PARTITION BY d.lang
+                           ORDER BY CAST(CONCAT('0x', SUBSTR(md5('s0:' || doc_id), 1, 8)) AS BIGINT)
+                                    % 1000000 ASC,
+                                    CAST(doc_id AS VARCHAR) ASC
+                       ) AS rn
+                FROM documents d JOIN w ON d.lang = w.lang
+            )
+            SELECT CAST(doc_id AS BIGINT) AS doc_id, lang, source
+            FROM ranked JOIN keeps USING (lang)
+            WHERE rn <= keep
+        """,
+        "q58_repeated_ngrams": f"""
+            WITH docs AS (
+                SELECT doc_id, string_split(text, ' ') AS words FROM documents
+            ),
+            spans AS (
+                SELECT doc_id,
+                       list_aggregate(words[i:i+{NGRAM_SPAN_N - 1}], 'string_agg', ' ') AS span,
+                       len(words[i:i+{NGRAM_SPAN_N - 1}]) AS span_len
+                FROM docs,
+                     unnest(range(1, GREATEST(len(words) - {NGRAM_SPAN_N - 1}, 1) + 1)) t(i)
+            ),
+            agg AS (
+                SELECT span,
+                       COUNT(*) AS n_occ,
+                       COUNT(DISTINCT doc_id) AS span_docs
+                FROM spans WHERE span_len = {NGRAM_SPAN_N}
+                GROUP BY 1
+                HAVING COUNT(DISTINCT doc_id) >= 2
+            )
+            SELECT md5(span) AS span_hash,
+                   CAST(span_docs AS BIGINT) AS span_docs,
+                   CAST(n_occ AS BIGINT) AS n_occ
+            FROM agg
+            ORDER BY span_docs DESC, n_occ DESC, span ASC
+            LIMIT {NGRAM_SPAN_K}
+        """,
+        "q59_bm25": f"""
+            WITH stats AS (
+                SELECT CAST(COUNT(*) AS DOUBLE) AS n_docs,
+                       AVG(len(string_split(text, ' '))) AS avgdl
+                FROM documents
+            ),
+            toks AS (
+                SELECT doc_id,
+                       CAST(len(string_split(text, ' ')) AS BIGINT) AS dl,
+                       unnest(string_split(text, ' ')) AS term
+                FROM documents
+            ),
+            tf AS (
+                SELECT doc_id, term,
+                       CAST(COUNT(*) AS DOUBLE) AS tf,
+                       ANY_VALUE(dl) AS dl
+                FROM toks
+                WHERE term IN ('spark', 'hash', 'window')
+                GROUP BY 1, 2
+            ),
+            dft AS (
+                SELECT term, CAST(COUNT(*) AS DOUBLE) AS df FROM tf GROUP BY 1
+            )
+            SELECT CAST(tf.doc_id AS BIGINT) AS doc_id,
+                   ROUND(SUM(
+                       LN(1.0 + (n_docs - df + 0.5) / (df + 0.5))
+                       * tf * 2.2
+                       / (tf + 1.2 * (0.25 + 0.75 * dl / avgdl))
+                   ), 6) AS bm25
+            FROM tf JOIN dft USING (term), stats
+            GROUP BY 1
+            ORDER BY bm25 DESC, doc_id ASC
+            LIMIT {BM25_K}
         """,
     }

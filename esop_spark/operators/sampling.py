@@ -76,3 +76,57 @@ def sample_k_per_stratum(
         .filter(F.col("_rn") <= k)
         .drop("_rn")
     )
+
+
+def mixture_resample(
+    df: DataFrame,
+    strata_col: str,
+    weights_ppm: dict[str, int],
+    key: Column,
+    seed: str = "s0",
+) -> DataFrame:
+    """Down-sample to an exact target mixture (domain/language re-weighting
+    for training corpora): given integer parts-per-million weights per
+    stratum, keep the LARGEST corpus whose stratum proportions match the
+    weights exactly, choosing survivors by content-hash order.
+
+    All-integer arithmetic (counts, ppm weights, floor division) so every
+    engine lands on identical keep-counts:
+
+        feasible_total T = min_s floor(n_s · 1e6 / w_s)   (w_s > 0)
+        keep_s           = floor(T · w_s / 1e6)
+
+    Strata not in the weights map (or with weight 0) are dropped. Plan:
+    one tiny per-stratum count agg (broadcast back), then the same
+    hash-ordered window as `sample_k_per_stratum` with a per-stratum k.
+    At 100 TB the window sorts within each stratum; for a hot stratum,
+    pre-thin with `hash_sample` at ~2× the implied rate first, then rank.
+    """
+    w_items = sorted((s, int(w)) for s, w in weights_ppm.items() if int(w) > 0)
+    strata = [s for s, _ in w_items]
+    counts = (
+        df.filter(F.col(strata_col).isin(strata))
+        .groupBy(strata_col)
+        .agg(F.count(F.lit(1)).alias("_n"))
+    )
+    w_col = F.lit(None).cast("bigint")
+    for stratum, w in w_items:
+        w_col = F.when(F.col(strata_col) == stratum, F.lit(w)).otherwise(w_col)
+    counts = counts.withColumn("_w", w_col).withColumn(
+        "_feasible", F.expr(f"_n * {BUCKETS} div _w")
+    )
+    total = counts.agg(F.min("_feasible").alias("_t"))
+    keeps = (
+        counts.crossJoin(F.broadcast(total))
+        .withColumn("_keep", F.expr(f"_t * _w div {BUCKETS}"))
+        .select(strata_col, "_keep")
+    )
+    w = Window.partitionBy(strata_col).orderBy(
+        sample_bucket(key, seed).asc(), key.cast("string").asc()
+    )
+    return (
+        df.join(F.broadcast(keeps), strata_col)
+        .withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= F.col("_keep"))
+        .drop("_rn", "_keep")
+    )

@@ -379,3 +379,87 @@ def lsh_cosine_pairs(
     )
     exact = cosine_pairs(embeddings, threshold, vec_col, id_col)
     return exact.join(candidates, ["id_a", "id_b"], "left_semi")
+
+
+# Fixed-point scale for the semantic-dedup projection: embeddings are
+# floor-quantized to integers before the ±1 dot product, so the projection is
+# pure bigint arithmetic — order-independent and bit-identical in any engine
+# (float summation order differences can never flip a bucket bit).
+SEM_SCALE = 1_000_000
+
+
+def hyperplane_signs(num_planes: int = 16, dim: int = 64, seed: str = "hp") -> list[list[int]]:
+    """Deterministic ±1 (Rademacher) hyperplane matrix from
+    md5(seed:plane:dim) parity — reproducible in any engine; the DuckDB
+    oracle injects the same literal matrix."""
+    import hashlib
+
+    return [
+        [
+            1
+            if int(hashlib.md5(f"{seed}:{j}:{i}".encode()).hexdigest()[:8], 16) % 2
+            else -1
+            for i in range(dim)
+        ]
+        for j in range(num_planes)
+    ]
+
+
+def semantic_buckets(
+    embeddings: DataFrame,
+    num_planes: int = 16,
+    dim: int = 64,
+    seed: str = "hp",
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """(id, bucket): bucket = Σ_j (⟨floor(v·SEM_SCALE), r_j⟩ > 0) · 2^j over
+    the deterministic ±1 planes from ``hyperplane_signs``. A narrow
+    zero-shuffle projection — the SimHash of the embedding space, in exact
+    fixed-point arithmetic."""
+    planes = hyperplane_signs(num_planes, dim, seed)
+    c = F.col(vec_col)
+    vq = F.transform(c, lambda x: F.floor(x.cast("double") * SEM_SCALE).cast("bigint"))
+    quantized = embeddings.select(F.col(id_col), vq.alias("vq"))
+    bucket = None
+    for j, p in enumerate(planes):
+        proj = F.aggregate(
+            F.zip_with(
+                F.col("vq"),
+                F.array(*[F.lit(int(x)) for x in p]),
+                lambda a, b: a * b,
+            ),
+            F.lit(0).cast("bigint"),
+            lambda acc, v: acc + v,
+        )
+        bit = (proj > 0).cast("bigint") * (1 << j)
+        bucket = bit if bucket is None else bucket + bit
+    return quantized.select(F.col(id_col), bucket.alias("bucket"))
+
+
+def semantic_dedup(
+    embeddings: DataFrame,
+    num_planes: int = 16,
+    dim: int = 64,
+    seed: str = "hp",
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Semantic (embedding-space) dedup: bucket by hyperplane sign pattern,
+    keep the min-id vector per bucket (SemDeDup-style cluster-and-keep-one,
+    with LSH buckets standing in for k-means cells).
+
+    Plan: narrow bucket projection → one hash agg on the bucket key. At
+    100 TB this is a single shuffle whose key domain is 2^num_planes —
+    raise num_planes to keep bucket cardinality ≥ executor-count × 1000
+    for even distribution; the agg is map-side partial either way.
+    """
+    b = semantic_buckets(embeddings, num_planes, dim, seed, vec_col, id_col)
+    return (
+        b.groupBy("bucket")
+        .agg(
+            F.min(id_col).cast("bigint").alias("keeper_id"),
+            F.count(F.lit(1)).cast("bigint").alias("bucket_size"),
+        )
+        .select("bucket", "keeper_id", "bucket_size")
+    )

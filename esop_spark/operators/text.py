@@ -227,6 +227,211 @@ def tfidf_top_terms(
     )
 
 
+# PII patterns shared verbatim with the DuckDB oracle: both Java regex and
+# RE2 interpret these identically (char classes, \d, \b, bounded repeats).
+PII_EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PII_IPV4_RE = r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"
+PII_DIGIT_RUN_RE = r"\d{7,}"
+
+
+def pii_scan(documents: DataFrame, text_col: str = "text") -> DataFrame:
+    """PII detection + redaction: per-document match counts for emails,
+    IPv4 addresses, and long digit runs (ids/phones), plus the md5 of the
+    redacted text (emails → <EMAIL>, then IPs → <IP>, then digit runs →
+    <NUM> — order matters and is fixed).
+
+    Pure JVM regexp machinery (regexp_extract_all / regexp_replace) — a
+    narrow zero-shuffle projection that scales linearly with partitions.
+    Training pipelines run exactly this shape corpus-wide before release.
+    """
+    c = F.col(text_col)
+    n_emails = F.size(F.regexp_extract_all(c, F.lit(PII_EMAIL_RE), F.lit(0)))
+    n_ipv4 = F.size(F.regexp_extract_all(c, F.lit(PII_IPV4_RE), F.lit(0)))
+    n_digits = F.size(F.regexp_extract_all(c, F.lit(PII_DIGIT_RUN_RE), F.lit(0)))
+    redacted = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(c, PII_EMAIL_RE, "<EMAIL>"),
+            PII_IPV4_RE,
+            "<IP>",
+        ),
+        PII_DIGIT_RUN_RE,
+        "<NUM>",
+    )
+    return documents.select(
+        "doc_id",
+        n_emails.cast("bigint").alias("n_emails"),
+        n_ipv4.cast("bigint").alias("n_ipv4"),
+        n_digits.cast("bigint").alias("n_digit_runs"),
+        (n_emails + n_ipv4 + n_digits).cast("bigint").alias("n_pii"),
+        F.md5(redacted).alias("redacted_hash"),
+    )
+
+
+def boilerplate_stats(
+    documents: DataFrame,
+    chunk_tokens: int = 10,
+    min_df: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Boilerplate detection (CCNet-style paragraph dedup signal): split each
+    document into non-overlapping ``chunk_tokens``-token segments, count how
+    many distinct documents each segment appears in (its df), and report the
+    per-document fraction of segments that are boilerplate (df ≥ min_df).
+
+    Plan: one narrow explode projection → one hash agg on the segment key
+    (uniform md5 domain — no skew) → broadcast-free equi-join back on the
+    same key → per-doc agg. Two shuffles total, both on uniform keys; at
+    100 TB the segment-df relation is the only wide intermediate and it
+    shrinks with dedup rate.
+    """
+    words = documents.select(
+        F.col(id_col), F.split(F.col(text_col), " ").alias("words")
+    )
+    starts = F.expr(f"sequence(1, size(words), {chunk_tokens})")
+    segs = words.select(
+        F.col(id_col),
+        F.explode(
+            F.transform(
+                starts,
+                lambda s: F.array_join(F.slice(F.col("words"), s, chunk_tokens), " "),
+            )
+        ).alias("seg"),
+    ).filter(F.col("seg") != "")
+    seg_df = (
+        segs.select(id_col, "seg")
+        .distinct()
+        .groupBy("seg")
+        .agg(F.count(F.lit(1)).alias("seg_docs"))
+    )
+    return (
+        segs.join(seg_df, "seg")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_segments"),
+            F.sum((F.col("seg_docs") >= min_df).cast("bigint"))
+            .cast("bigint")
+            .alias("n_boilerplate"),
+        )
+        .select(
+            id_col,
+            "n_segments",
+            "n_boilerplate",
+            F.round(F.col("n_boilerplate") / F.col("n_segments"), 6).alias(
+                "boilerplate_frac"
+            ),
+        )
+    )
+
+
+def repeated_ngrams(
+    documents: DataFrame,
+    n: int = 8,
+    k: int = 20,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Substring-level duplication audit: the top-k ``n``-gram spans that
+    occur in ≥2 distinct documents, with document frequency and total
+    occurrence counts. The corpus-wide signal behind span-level dedup
+    (Lee et al., "Deduplicating Training Data Makes Language Models
+    Better" — suffix-array substring dedup; this is the bounded-n
+    distributed approximation).
+
+    One explode → one hash agg (count + count-distinct on the span key) →
+    global top-k via TakeOrderedAndProject. The agg key domain is uniform
+    (md5 of the span) so no skew; the top-k never materializes the full
+    sorted relation.
+    """
+    words = documents.select(
+        F.col(id_col), F.split(F.col(text_col), " ").alias("words")
+    )
+    starts = F.expr(f"sequence(1, greatest(size(words) - {n - 1}, 1))")
+    spans = words.select(
+        F.col(id_col),
+        F.explode(
+            F.transform(
+                starts, lambda s: F.array_join(F.slice(F.col("words"), s, n), " ")
+            )
+        ).alias("span"),
+    ).filter(F.size(F.split(F.col("span"), " ")) == n)
+    return (
+        spans.groupBy("span")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_occ"),
+            F.countDistinct(id_col).cast("bigint").alias("span_docs"),
+        )
+        .filter(F.col("span_docs") >= 2)
+        .orderBy(F.col("span_docs").desc(), F.col("n_occ").desc(), F.col("span").asc())
+        .limit(k)
+        .select(F.md5("span").alias("span_hash"), "span_docs", "n_occ")
+    )
+
+
+def bm25_topk(
+    documents: DataFrame,
+    query_terms: tuple[str, ...],
+    k: int = 15,
+    k1: float = 1.2,
+    b: float = 0.75,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """BM25 keyword retrieval: top-k documents for a bag-of-words query.
+
+    idf(t) = ln(1 + (N - df + 0.5)/(df + 0.5)); score(d) = Σ_t idf(t) ·
+    tf·(k1+1) / (tf + k1·(1 − b + b·dl/avgdl)). The per-term relation is
+    filtered to the query terms BEFORE any shuffle (predicate on the
+    exploded term — only matching tokens survive the scan stage), so the
+    aggregation input is |matches|, not |tokens|. Corpus stats (N, avgdl)
+    are a 1-row broadcast. Plan: narrow explode+filter → tf hash agg →
+    df hash agg (tiny: ≤|query| keys) → broadcast joins → score agg →
+    TakeOrderedAndProject.
+    """
+    lit_terms = F.array(*[F.lit(t) for t in query_terms])
+    toks = documents.select(
+        F.col(id_col),
+        F.size(F.split(F.col(text_col), " ")).cast("bigint").alias("dl"),
+        F.explode(F.split(F.col(text_col), " ")).alias("term"),
+    ).filter(F.array_contains(lit_terms, F.col("term")))
+    tf = toks.groupBy(id_col, "term").agg(
+        F.count(F.lit(1)).cast("double").alias("tf"), F.first("dl").alias("dl")
+    )
+    df_t = tf.groupBy("term").agg(F.count(F.lit(1)).cast("double").alias("df"))
+    stats = documents.agg(
+        F.count(F.lit(1)).cast("double").alias("n_docs"),
+        F.avg(F.size(F.split(F.col(text_col), " "))).alias("avgdl"),
+    )
+    scored = (
+        tf.join(F.broadcast(df_t), "term")
+        .crossJoin(F.broadcast(stats))
+        .withColumn(
+            "idf",
+            F.log(
+                1.0
+                + (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5)
+            ),
+        )
+        .withColumn(
+            "contrib",
+            F.col("idf")
+            * F.col("tf")
+            * (k1 + 1.0)
+            / (
+                F.col("tf")
+                + k1 * (1.0 - b + b * F.col("dl") / F.col("avgdl"))
+            ),
+        )
+    )
+    return (
+        scored.groupBy(id_col)
+        .agg(F.round(F.sum("contrib"), 6).alias("bm25"))
+        .orderBy(F.col("bm25").desc(), F.col(id_col).asc())
+        .limit(k)
+        .select(F.col(id_col).cast("bigint").alias(id_col), "bm25")
+    )
+
+
 def fingerprint(documents: DataFrame, text_col: str = "text") -> DataFrame:
     """Document fingerprinting: exact content hash, normalized token-set key,
     and a 256-way shard prefix (content-addressed partitioning at scale)."""

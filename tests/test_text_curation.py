@@ -1,0 +1,121 @@
+"""Tests for the round-2 curation operators: PII scan, boilerplate
+detection, repeated n-gram spans, BM25, semantic dedup, mixture resample."""
+
+import sys
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+from pyspark.sql import functions as F
+
+from esop_spark.operators import sampling, similarity
+from esop_spark.operators import text as text_ops
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id bigint, text string")
+
+
+def test_pii_scan_counts_and_redacts(spark):
+    docs = _docs(
+        spark,
+        [
+            (1, "mail me at bob@example.com or alice@test.org today"),
+            (2, "server 192.168.1.10 answered"),
+            (3, "card 12345678901 on file"),
+            (4, "nothing sensitive here"),
+        ],
+    )
+    got = {r["doc_id"]: r for r in text_ops.pii_scan(docs).collect()}
+    assert got[1]["n_emails"] == 2 and got[1]["n_pii"] == 2
+    assert got[2]["n_ipv4"] == 1 and got[2]["n_emails"] == 0
+    assert got[3]["n_digit_runs"] == 1
+    assert got[4]["n_pii"] == 0
+    # redaction is total: redacted text of doc 1 contains no '@'
+    red = docs.filter(F.col("doc_id") == 1).select(
+        F.regexp_replace("text", text_ops.PII_EMAIL_RE, "<EMAIL>").alias("r")
+    ).first()["r"]
+    assert "@" not in red and red.count("<EMAIL>") == 2
+
+
+def test_boilerplate_flags_common_segments(spark):
+    header = "this is the standard header line of ten tokens exactly no"
+    # 10-token chunks: docs 1-3 share the same first segment (df=3);
+    # tails are unique.
+    rows = [(i, f"{header} unique tail {i} body") for i in (1, 2, 3)]
+    rows.append((4, "completely different text without any shared segment at all"))
+    got = {
+        r["doc_id"]: r
+        for r in text_ops.boilerplate_stats(
+            _docs(spark, rows), chunk_tokens=10, min_df=3
+        ).collect()
+    }
+    assert got[1]["n_boilerplate"] == 1 and got[1]["n_segments"] == 2
+    assert got[4]["n_boilerplate"] == 0
+    assert abs(got[1]["boilerplate_frac"] - 0.5) < 1e-9
+
+
+def test_repeated_ngrams_finds_shared_span(spark):
+    span = "a b c d e f g h"
+    docs = _docs(
+        spark,
+        [
+            (1, f"x {span} y"),
+            (2, f"z {span} w"),
+            (3, "totally unrelated words only here nothing shared at all ok"),
+        ],
+    )
+    out = text_ops.repeated_ngrams(docs, n=8, k=5).collect()
+    assert len(out) == 1
+    assert out[0]["span_docs"] == 2 and out[0]["n_occ"] == 2
+
+
+def test_bm25_ranks_heavier_tf_higher(spark):
+    docs = _docs(
+        spark,
+        [
+            (1, "spark spark spark runs fast"),
+            (2, "spark runs on a cluster"),
+            (3, "nothing relevant at all here"),
+        ],
+    )
+    out = text_ops.bm25_topk(docs, ("spark",), k=3).collect()
+    assert [r["doc_id"] for r in out] == [1, 2]
+    assert out[0]["bm25"] > out[1]["bm25"] > 0
+
+
+def test_semantic_dedup_identical_vectors_share_bucket(spark):
+    v = [0.1 * (i % 7) - 0.3 for i in range(8)]
+    w = [-x for x in v]
+    emb = spark.createDataFrame(
+        [(1, v), (2, v), (3, w)], "vec_id bigint, embedding array<float>"
+    )
+    out = similarity.semantic_dedup(emb, num_planes=6, dim=8)
+    rows = out.collect()
+    by_keeper = {r["keeper_id"]: r["bucket_size"] for r in rows}
+    # identical vectors collapse into one bucket (keeper = min id); the
+    # negated vector lands in the complementary bucket
+    assert by_keeper[1] == 2 and by_keeper[3] == 1
+    # buckets are a pure function of content: re-running yields same rows
+    assert sorted(map(tuple, rows)) == sorted(
+        map(tuple, similarity.semantic_dedup(emb, num_planes=6, dim=8).collect())
+    )
+
+
+def test_mixture_resample_hits_exact_mixture(spark):
+    rows = [(i, "en" if i < 80 else ("de" if i < 95 else "zh")) for i in range(110)]
+    df = spark.createDataFrame(rows, "doc_id bigint, lang string")
+    # target 50/50 en/de; de (15 docs) is the binding stratum
+    out = sampling.mixture_resample(
+        df, "lang", {"en": 500000, "de": 500000}, F.col("doc_id")
+    )
+    counts = {r["lang"]: r["n"] for r in out.groupBy("lang").agg(F.count("*").alias("n")).collect()}
+    assert counts == {"en": 15, "de": 15}
+    assert "zh" not in counts
+    # deterministic: independent of partitioning
+    out2 = sampling.mixture_resample(
+        df.repartition(7), "lang", {"en": 500000, "de": 500000}, F.col("doc_id")
+    )
+    assert sorted(r["doc_id"] for r in out.collect()) == sorted(
+        r["doc_id"] for r in out2.collect()
+    )
