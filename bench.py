@@ -41,6 +41,11 @@ BENCH_QUERIES = [
     "q50_stratified_sample",
     "q52_tfidf_top_terms",
     "q53_quantize_int8",
+    "q54_pii_scan",
+    "q55_boilerplate",
+    "q56_semantic_dedup",
+    "q58_repeated_ngrams",
+    "q59_bm25",
 ]
 
 

@@ -420,19 +420,28 @@ def semantic_buckets(
     planes = hyperplane_signs(num_planes, dim, seed)
     c = F.col(vec_col)
     vq = F.transform(c, lambda x: F.floor(x.cast("double") * SEM_SCALE).cast("bigint"))
-    quantized = embeddings.select(F.col(id_col), vq.alias("vq"))
+    # ⟨vq, s_j⟩ with s ∈ {±1} rewritten as 2·Σ_{s_ij=+1} vq_i − Σ_i vq_i:
+    # one shared total + per-plane gathers over only the +1 positions —
+    # halves the per-row work vs a full zip_with product per plane, with
+    # bit-identical integer results.
+    total = F.aggregate(
+        F.col("vq"), F.lit(0).cast("bigint"), lambda acc, v: acc + v
+    )
+    quantized = embeddings.select(
+        F.col(id_col), vq.alias("vq")
+    ).select(F.col(id_col), F.col("vq"), total.alias("vq_total"))
     bucket = None
     for j, p in enumerate(planes):
-        proj = F.aggregate(
-            F.zip_with(
-                F.col("vq"),
-                F.array(*[F.lit(int(x)) for x in p]),
-                lambda a, b: a * b,
+        plus_idx = [i + 1 for i, s in enumerate(p) if s == 1]  # 1-based
+        s_plus = F.aggregate(
+            F.transform(
+                F.array(*[F.lit(i) for i in plus_idx]),
+                lambda i: F.element_at(F.col("vq"), i),
             ),
             F.lit(0).cast("bigint"),
             lambda acc, v: acc + v,
         )
-        bit = (proj > 0).cast("bigint") * (1 << j)
+        bit = (2 * s_plus - F.col("vq_total") > 0).cast("bigint") * (1 << j)
         bucket = bit if bucket is None else bucket + bit
     return quantized.select(F.col(id_col), bucket.alias("bucket"))
 

@@ -338,15 +338,21 @@ def repeated_ngrams(
     Better" — suffix-array substring dedup; this is the bounded-n
     distributed approximation).
 
-    One explode → one hash agg (count + count-distinct on the span key) →
-    global top-k via TakeOrderedAndProject. The agg key domain is uniform
-    (md5 of the span) so no skew; the top-k never materializes the full
-    sorted relation.
+    One explode → per-(span, doc) partial agg → per-span roll-up → global
+    top-k via TakeOrderedAndProject. Two plain hash aggs instead of a
+    countDistinct (which would Expand 2× every exploded row before the
+    map-side combine); the first agg's key includes the doc id so same-doc
+    repeats collapse map-side. The span key domain is uniform — no skew;
+    the top-k never materializes the full sorted relation.
     """
     words = documents.select(
         F.col(id_col), F.split(F.col(text_col), " ").alias("words")
     )
-    starts = F.expr(f"sequence(1, greatest(size(words) - {n - 1}, 1))")
+    # only starts that yield a full n-gram: docs shorter than n emit nothing
+    starts = F.expr(
+        f"CASE WHEN size(words) >= {n} THEN sequence(1, size(words) - {n - 1}) "
+        f"ELSE array() END"
+    )
     spans = words.select(
         F.col(id_col),
         F.explode(
@@ -354,12 +360,15 @@ def repeated_ngrams(
                 starts, lambda s: F.array_join(F.slice(F.col("words"), s, n), " ")
             )
         ).alias("span"),
-    ).filter(F.size(F.split(F.col("span"), " ")) == n)
+    )
+    per_doc = spans.groupBy("span", id_col).agg(
+        F.count(F.lit(1)).alias("occ_in_doc")
+    )
     return (
-        spans.groupBy("span")
+        per_doc.groupBy("span")
         .agg(
-            F.count(F.lit(1)).cast("bigint").alias("n_occ"),
-            F.countDistinct(id_col).cast("bigint").alias("span_docs"),
+            F.sum("occ_in_doc").cast("bigint").alias("n_occ"),
+            F.count(F.lit(1)).cast("bigint").alias("span_docs"),
         )
         .filter(F.col("span_docs") >= 2)
         .orderBy(F.col("span_docs").desc(), F.col("n_occ").desc(), F.col("span").asc())
