@@ -584,6 +584,21 @@ def q59_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+VOCAB_K = 30
+
+
+def q60_oov_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document OOV rate vs the corpus top-30 vocabulary
+    (text_ops.oov_rate): vocab is a k-row broadcast, corpus never shuffles."""
+    return text_ops.oov_rate(_base(spark, sf_dir, "documents"), vocab_k=VOCAB_K)
+
+
+def q61_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mean per-token negative log-prob under the corpus unigram LM
+    (text_ops.unigram_logprob) — the LM-perplexity quality-filter proxy."""
+    return text_ops.unigram_logprob(_base(spark, sf_dir, "documents"))
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001: the backup-listing report."""
     return q01_list_backups(spark, "/root/testdata/sf0.001")
@@ -650,6 +665,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q57_mixture_resample": q57_mixture_resample,
         "q58_repeated_ngrams": q58_repeated_ngrams,
         "q59_bm25": q59_bm25,
+        "q60_oov_rate": q60_oov_rate,
+        "q61_unigram_logprob": q61_unigram_logprob,
     }
 
 
@@ -1649,5 +1666,44 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY 1
             ORDER BY bm25 DESC, doc_id ASC
             LIMIT {BM25_K}
+        """,
+        "q60_oov_rate": f"""
+            WITH tok AS (
+                SELECT doc_id, unnest(string_split(text, ' ')) AS term
+                FROM documents
+            ),
+            vocab AS (
+                SELECT term FROM tok GROUP BY 1
+                ORDER BY COUNT(*) DESC, term ASC LIMIT {VOCAB_K}
+            ),
+            base AS (
+                SELECT doc_id,
+                       CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+                FROM documents
+            ),
+            inv AS (
+                SELECT doc_id, COUNT(*) AS n_in_vocab
+                FROM tok WHERE term IN (SELECT term FROM vocab)
+                GROUP BY 1
+            )
+            SELECT CAST(b.doc_id AS BIGINT) AS doc_id,
+                   b.n_tokens,
+                   CAST(COALESCE(i.n_in_vocab, 0) AS BIGINT) AS n_in_vocab,
+                   ROUND((b.n_tokens - COALESCE(i.n_in_vocab, 0)) * 1.0
+                         / b.n_tokens, 6) AS oov_rate
+            FROM base b LEFT JOIN inv i ON b.doc_id = i.doc_id
+        """,
+        "q61_unigram_logprob": """
+            WITH tok AS (
+                SELECT doc_id, unnest(string_split(text, ' ')) AS term
+                FROM documents
+            ),
+            tf AS (SELECT term, COUNT(*) AS n FROM tok GROUP BY 1),
+            total AS (SELECT CAST(SUM(n) AS BIGINT) AS total FROM tf)
+            SELECT CAST(tok.doc_id AS BIGINT) AS doc_id,
+                   CAST(COUNT(*) AS BIGINT) AS n_tokens,
+                   ROUND(-SUM(LN(n * 1.0 / total)) / COUNT(*), 6) AS mean_nll
+            FROM tok JOIN tf USING (term), total
+            GROUP BY 1
         """,
     }

@@ -441,6 +441,91 @@ def bm25_topk(
     )
 
 
+def vocab_topk(
+    documents: DataFrame, k: int = 1000, text_col: str = "text"
+) -> DataFrame:
+    """Corpus vocabulary: the k most frequent tokens (count DESC, token ASC
+    tiebreak). One explode → uniform-key hash agg → TakeOrderedAndProject."""
+    return (
+        documents.select(F.explode(tokens(text_col)).alias("term"))
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+        .orderBy(F.col("n").desc(), F.col("term").asc())
+        .limit(k)
+    )
+
+
+def oov_rate(
+    documents: DataFrame,
+    vocab_k: int = 30,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-document out-of-vocabulary rate against the corpus top-k
+    vocabulary — the tokenizer-coverage check run before committing a vocab.
+
+    Two-pass: vocab build (small result — broadcast), then a narrow
+    left-semi-style membership count per document. The vocab side is k rows
+    regardless of corpus size, so the second pass is a broadcast join — no
+    shuffle of the corpus at any scale.
+    """
+    vocab = vocab_topk(documents, vocab_k, text_col).select("term")
+    tok = documents.select(
+        F.col(id_col),
+        F.size(tokens(text_col)).cast("bigint").alias("n_tokens"),
+        F.explode(tokens(text_col)).alias("term"),
+    )
+    in_vocab = (
+        tok.join(F.broadcast(vocab), "term", "left_semi")
+        .groupBy(id_col)
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_in_vocab"))
+    )
+    base = documents.select(
+        F.col(id_col), F.size(tokens(text_col)).cast("bigint").alias("n_tokens")
+    )
+    return (
+        base.join(in_vocab, id_col, "left")
+        .select(
+            id_col,
+            "n_tokens",
+            F.coalesce(F.col("n_in_vocab"), F.lit(0)).cast("bigint").alias("n_in_vocab"),
+            F.round(
+                (F.col("n_tokens") - F.coalesce(F.col("n_in_vocab"), F.lit(0)))
+                / F.col("n_tokens"),
+                6,
+            ).alias("oov_rate"),
+        )
+    )
+
+
+def unigram_logprob(
+    documents: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Per-document mean negative log-probability under the corpus unigram
+    LM — the cheap stand-in for LM-perplexity quality filtering (CCNet-style
+    pipelines gate on exactly this shape of score).
+
+    nll(d) = −(1/|d|) Σ_t ln(count(t)/total). The term-frequency relation is
+    one uniform-key agg; scoring joins the exploded corpus back on the term
+    key (shuffle ∝ corpus tokens — at 100 TB, broadcast a top-K freq table
+    and bucket the long tail instead; the plan here is the exact variant).
+    """
+    tok = documents.select(F.col(id_col), F.explode(tokens(text_col)).alias("term"))
+    tf = tok.groupBy("term").agg(F.count(F.lit(1)).alias("n"))
+    total = tf.agg(F.sum("n").alias("total"))
+    return (
+        tok.join(tf, "term")
+        .crossJoin(F.broadcast(total))
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_tokens"),
+            F.round(
+                -F.sum(F.log(F.col("n") / F.col("total"))) / F.count(F.lit(1)), 6
+            ).alias("mean_nll"),
+        )
+    )
+
+
 def fingerprint(documents: DataFrame, text_col: str = "text") -> DataFrame:
     """Document fingerprinting: exact content hash, normalized token-set key,
     and a 256-way shard prefix (content-addressed partitioning at scale)."""

@@ -119,3 +119,29 @@ def test_mixture_resample_hits_exact_mixture(spark):
     assert sorted(r["doc_id"] for r in out.collect()) == sorted(
         r["doc_id"] for r in out2.collect()
     )
+
+
+def test_oov_rate_counts_unknown_tokens(spark):
+    docs = _docs(
+        spark,
+        [
+            (1, "a a a b"),          # vocab will be {a, b} with k=2
+            (2, "a b rare1 rare2"),
+        ],
+    )
+    got = {r["doc_id"]: r for r in text_ops.oov_rate(docs, vocab_k=2).collect()}
+    assert got[1]["oov_rate"] == 0.0
+    assert got[2]["n_in_vocab"] == 2 and abs(got[2]["oov_rate"] - 0.5) < 1e-9
+
+
+def test_unigram_logprob_rare_docs_score_higher(spark):
+    docs = _docs(
+        spark,
+        [
+            (1, "common common common common"),
+            (2, "common rare"),
+        ],
+    )
+    got = {r["doc_id"]: r["mean_nll"] for r in text_ops.unigram_logprob(docs).collect()}
+    # doc 2 contains a rare token -> higher mean negative log-prob
+    assert got[2] > got[1] > 0
