@@ -360,14 +360,19 @@ def minhash_signatures(
     text_col: str = "text",
     id_col: str = "doc_id",
     hash_family: str = "xxhash64",
+    base: DataFrame | None = None,
 ) -> DataFrame:
     """MinHash signatures: h_i(S) = min over shingles of (a_i·x + b_i) mod p,
     x = hash(shingle). All num_hashes minima are computed in ONE hash
     aggregation over the exploded shingle relation (map-side combine).
 
     ``hash_family="md5"`` switches x to the cross-engine 32-bit md5 hash so
-    the whole signature is replicable in plain SQL (the q22 oracle)."""
-    sh = shingles(documents, n, text_col, id_col).withColumn(
+    the whole signature is replicable in plain SQL (the q22 oracle).
+
+    ``base`` (optional) supplies an already-built — typically persisted —
+    (id, shingle) relation so LSH callers share one shingle materialization
+    across the signature and verification legs."""
+    sh = (base if base is not None else shingles(documents, n, text_col, id_col)).withColumn(
         "x", F.pmod(_element_hash("shingle", hash_family), F.lit(HASH_P))
     )
     aggs = [
@@ -396,7 +401,13 @@ def minhash_lsh_pairs(
     md5 of the signature slice (cross-engine reproducible).
     """
     rows_per_band = num_hashes // bands
-    sig = minhash_signatures(documents, num_hashes, n, text_col, id_col, hash_family)
+    # one persisted (id, shingle) materialization feeds BOTH the signature
+    # aggregation and the verification leg (measured ~20% off q22 at sf0.1;
+    # MEMORY_AND_DISK default, so an oversized corpus spills, not OOMs)
+    base = shingles(documents, n, text_col, id_col).persist()
+    sig = minhash_signatures(
+        documents, num_hashes, n, text_col, id_col, hash_family, base=base
+    )
 
     def bucket_of(band: int) -> Column:
         hs = [F.col(f"h{band * rows_per_band + r}") for r in range(rows_per_band)]
@@ -427,9 +438,7 @@ def minhash_lsh_pairs(
     # joining the shingle relation to the candidate pair list, never across
     # all pairs — this is what makes LSH the scale path (cost ∝ candidates,
     # not ∝ pairs-sharing-a-shingle).
-    sh = shingles(documents, n, text_col, id_col).select(
-        id_col, F.xxhash64("shingle").alias("sh")
-    )
+    sh = base.select(id_col, F.xxhash64("shingle").alias("sh"))
     counts = doc_shingle_counts(documents, n, text_col, id_col)
     return _verify_jaccard(candidates, sh, counts, threshold, id_col)
 
