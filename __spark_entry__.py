@@ -599,6 +599,22 @@ def q61_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text_ops.unigram_logprob(_base(spark, sf_dir, "documents"))
 
 
+GATE_MIN_QUALITY = 66
+GATE_MAX_BOILER = 0.1
+
+
+def q62_release_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full curation waterfall with per-source drop attribution
+    (text_ops.release_gate): quality → language → boilerplate → dedup,
+    each doc attributed to the first gate it fails."""
+    return text_ops.release_gate(
+        _base(spark, sf_dir, "documents"),
+        min_quality=GATE_MIN_QUALITY,
+        lang="en",
+        max_boiler_frac=GATE_MAX_BOILER,
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001: the backup-listing report."""
     return q01_list_backups(spark, "/root/testdata/sf0.001")
@@ -667,6 +683,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q59_bm25": q59_bm25,
         "q60_oov_rate": q60_oov_rate,
         "q61_unigram_logprob": q61_unigram_logprob,
+        "q62_release_gate": q62_release_gate,
     }
 
 
@@ -1704,6 +1721,85 @@ def oracle_sql() -> dict[str, str]:
                    CAST(COUNT(*) AS BIGINT) AS n_tokens,
                    ROUND(-SUM(LN(n * 1.0 / total)) / COUNT(*), 6) AS mean_nll
             FROM tok JOIN tf USING (term), total
+            GROUP BY 1
+        """,
+        "q62_release_gate": f"""
+            WITH sig AS (
+                SELECT doc_id, source,
+                       md5(array_to_string(list_sort(list_distinct(string_split(text, ' '))), ' '))
+                           AS dk,
+                       CAST(ROUND((0.5 * (1.0 - len(list_filter(string_split(text, ' '),
+                                w -> w IN ('a', 'the'))) * 1.0 / len(string_split(text, ' ')))
+                             + 0.5 * len(list_distinct(string_split(text, ' '))) * 1.0
+                               / len(string_split(text, ' '))) * 100) AS BIGINT) AS quality,
+                       len(list_filter(string_split(text, ' '),
+                           w -> w IN ('und','der','die','das','nicht'))) AS s_de,
+                       len(list_filter(string_split(text, ' '),
+                           w -> w IN ('the','a','of','and','is'))) AS s_en,
+                       len(list_filter(string_split(text, ' '),
+                           w -> w IN ('el','los','y','que','una'))) AS s_es,
+                       len(list_filter(string_split(text, ' '),
+                           w -> w IN ('le','la','et','les','une'))) AS s_fr
+                FROM documents
+            ),
+            langed AS (
+                SELECT *, CASE WHEN greatest(s_de, s_en, s_es, s_fr) = 0 THEN 'unknown'
+                               WHEN s_de = greatest(s_de, s_en, s_es, s_fr) THEN 'de'
+                               WHEN s_en = greatest(s_de, s_en, s_es, s_fr) THEN 'en'
+                               WHEN s_es = greatest(s_de, s_en, s_es, s_fr) THEN 'es'
+                               ELSE 'fr' END AS pred_lang
+                FROM sig
+            ),
+            docs2 AS (
+                SELECT doc_id, string_split(text, ' ') AS words FROM documents
+            ),
+            segs AS (
+                SELECT doc_id,
+                       list_aggregate(words[i:i+9], 'string_agg', ' ') AS seg
+                FROM docs2, unnest(range(1, len(words) + 1, 10)) t(i)
+            ),
+            nonempty AS (SELECT * FROM segs WHERE seg <> ''),
+            segdf AS (
+                SELECT seg, COUNT(DISTINCT doc_id) AS seg_docs
+                FROM nonempty GROUP BY 1
+            ),
+            boiler AS (
+                SELECT s.doc_id,
+                       ROUND(SUM(CASE WHEN d.seg_docs >= 3 THEN 1 ELSE 0 END) * 1.0
+                             / COUNT(*), 6) AS bf
+                FROM nonempty s JOIN segdf d USING (seg)
+                GROUP BY 1
+            ),
+            flagged AS (
+                SELECT l.source, l.doc_id, l.dk,
+                       l.quality >= {GATE_MIN_QUALITY}
+                           AND l.pred_lang = 'en'
+                           AND b.bf <= {GATE_MAX_BOILER} AS pre,
+                       l.quality, l.pred_lang, b.bf
+                FROM langed l JOIN boiler b USING (doc_id)
+            ),
+            keepers AS (
+                SELECT *, MIN(CASE WHEN pre THEN doc_id END)
+                              OVER (PARTITION BY dk) AS keeper
+                FROM flagged
+            ),
+            gated AS (
+                SELECT source,
+                       CASE WHEN quality < {GATE_MIN_QUALITY} THEN 'quality_fail'
+                            WHEN pred_lang <> 'en' THEN 'lang_fail'
+                            WHEN bf > {GATE_MAX_BOILER} THEN 'boiler_fail'
+                            WHEN doc_id <> keeper THEN 'dup_drop'
+                            ELSE 'released' END AS gate
+                FROM keepers
+            )
+            SELECT source,
+                   CAST(COUNT(*) AS BIGINT) AS n_docs,
+                   CAST(SUM(CASE WHEN gate = 'quality_fail' THEN 1 ELSE 0 END) AS BIGINT) AS n_quality_fail,
+                   CAST(SUM(CASE WHEN gate = 'lang_fail' THEN 1 ELSE 0 END) AS BIGINT) AS n_lang_fail,
+                   CAST(SUM(CASE WHEN gate = 'boiler_fail' THEN 1 ELSE 0 END) AS BIGINT) AS n_boiler_fail,
+                   CAST(SUM(CASE WHEN gate = 'dup_drop' THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_drop,
+                   CAST(SUM(CASE WHEN gate = 'released' THEN 1 ELSE 0 END) AS BIGINT) AS n_released
+            FROM gated
             GROUP BY 1
         """,
     }

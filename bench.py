@@ -46,6 +46,7 @@ BENCH_QUERIES = [
     "q56_semantic_dedup",
     "q58_repeated_ngrams",
     "q59_bm25",
+    "q62_release_gate",
 ]
 
 

@@ -526,6 +526,74 @@ def unigram_logprob(
     )
 
 
+def release_gate(
+    documents: DataFrame,
+    min_quality: int = 66,
+    lang: str = "en",
+    max_boiler_frac: float = 0.1,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    source_col: str = "source",
+) -> DataFrame:
+    """Corpus release report: the full curation waterfall composed from the
+    engine's own operators — quality gate → language gate → boilerplate
+    gate → exact near-order dedup (keep min id per token-set key, judged
+    among gate survivors only) — with per-source drop attribution.
+
+    Each document is attributed to the FIRST gate it fails (the standard
+    release-report convention: counts sum to n_docs). Output one row per
+    source: n_docs, n_quality_fail, n_lang_fail, n_boiler_fail,
+    n_dup_drop, n_released.
+
+    Plan: the quality/lang signals are scan-stage projections; boilerplate
+    adds its two uniform-key shuffles; the dedup winner is a window over
+    the content key restricted to survivors; the report is one final tiny
+    agg on source. Nothing here is driver-side.
+    """
+    q = quality_score(documents, text_col).select(id_col, "quality_score")
+    lid = lang_id(documents, text_col).select(id_col, "pred_lang")
+    boiler = boilerplate_stats(documents, text_col=text_col, id_col=id_col).select(
+        id_col, "boilerplate_frac"
+    )
+    keyed = documents.select(
+        F.col(id_col), F.col(source_col), tokenset_key(text_col).alias("dk")
+    )
+    joined = (
+        keyed.join(q, id_col).join(lid, id_col).join(boiler, id_col)
+    )
+    survives_pre = (
+        (F.col("quality_score") >= min_quality)
+        & (F.col("pred_lang") == lang)
+        & (F.col("boilerplate_frac") <= max_boiler_frac)
+    )
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("dk")
+    # dedup winner: min id among pre-gate survivors of the same content key
+    flagged = joined.withColumn(
+        "keeper",
+        F.min(F.when(survives_pre, F.col(id_col))).over(w),
+    ).withColumn(
+        "gate",
+        F.when(F.col("quality_score") < min_quality, F.lit("quality_fail"))
+        .when(F.col("pred_lang") != lang, F.lit("lang_fail"))
+        .when(F.col("boilerplate_frac") > max_boiler_frac, F.lit("boiler_fail"))
+        .when(F.col(id_col) != F.col("keeper"), F.lit("dup_drop"))
+        .otherwise(F.lit("released")),
+    )
+    return (
+        flagged.groupBy(source_col)
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum((F.col("gate") == "quality_fail").cast("bigint")).cast("bigint").alias("n_quality_fail"),
+            F.sum((F.col("gate") == "lang_fail").cast("bigint")).cast("bigint").alias("n_lang_fail"),
+            F.sum((F.col("gate") == "boiler_fail").cast("bigint")).cast("bigint").alias("n_boiler_fail"),
+            F.sum((F.col("gate") == "dup_drop").cast("bigint")).cast("bigint").alias("n_dup_drop"),
+            F.sum((F.col("gate") == "released").cast("bigint")).cast("bigint").alias("n_released"),
+        )
+    )
+
+
 def fingerprint(documents: DataFrame, text_col: str = "text") -> DataFrame:
     """Document fingerprinting: exact content hash, normalized token-set key,
     and a 256-way shard prefix (content-addressed partitioning at scale)."""

@@ -145,3 +145,31 @@ def test_unigram_logprob_rare_docs_score_higher(spark):
     got = {r["doc_id"]: r["mean_nll"] for r in text_ops.unigram_logprob(docs).collect()}
     # doc 2 contains a rare token -> higher mean negative log-prob
     assert got[2] > got[1] > 0
+
+
+def test_release_gate_waterfall_attribution(spark):
+    rows = [
+        # high-quality en doc, duplicated content (ids 1, 2) -> 1 released, 1 dup_drop
+        (1, "s1", "the quick brown fox jumps over one lazy dog today fine"),
+        (2, "s1", "the quick brown fox jumps over one lazy dog today fine"),
+        # low-quality (all stopwords) -> quality_fail
+        (3, "s1", "the the the the the the the the the the the the"),
+        # no marker tokens at all -> lang_fail (pred unknown)
+        (4, "s2", "zzz yyy xxx www vvv uuu ttt sss rrr qqq ppp ooo"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id bigint, source string, text string")
+    got = {
+        r["source"]: r
+        for r in text_ops.release_gate(df, min_quality=60, max_boiler_frac=1.0).collect()
+    }
+    s1 = got["s1"]
+    assert s1["n_docs"] == 3 and s1["n_released"] == 1
+    assert s1["n_dup_drop"] == 1 and s1["n_quality_fail"] == 1
+    s2 = got["s2"]
+    assert s2["n_lang_fail"] == 1 and s2["n_released"] == 0
+    # waterfall counts always sum to n_docs
+    for r in got.values():
+        assert (
+            r["n_quality_fail"] + r["n_lang_fail"] + r["n_boiler_fail"]
+            + r["n_dup_drop"] + r["n_released"] == r["n_docs"]
+        )
