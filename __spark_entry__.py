@@ -615,6 +615,13 @@ def q62_release_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q63_embedding_dim_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-dimension embedding moments (similarity.embedding_dim_stats):
+    the quantizer/normalizer calibration pass — mergeable statistics, one
+    tiny-key agg."""
+    return similarity.embedding_dim_stats(_base(spark, sf_dir, "embeddings"))
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001: the backup-listing report."""
     return q01_list_backups(spark, "/root/testdata/sf0.001")
@@ -684,6 +691,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q60_oov_rate": q60_oov_rate,
         "q61_unigram_logprob": q61_unigram_logprob,
         "q62_release_gate": q62_release_gate,
+        "q63_embedding_dim_stats": q63_embedding_dim_stats,
     }
 
 
@@ -1801,5 +1809,21 @@ def oracle_sql() -> dict[str, str]:
                    CAST(SUM(CASE WHEN gate = 'released' THEN 1 ELSE 0 END) AS BIGINT) AS n_released
             FROM gated
             GROUP BY 1
+        """,
+        "q63_embedding_dim_stats": """
+            WITH e AS (
+                SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+            ),
+            u AS (
+                SELECT CAST(t.i - 1 AS BIGINT) AS dim, v[t.i] AS x
+                FROM e, unnest(range(1, 65)) t(i)
+            )
+            SELECT dim,
+                   CAST(COUNT(*) AS BIGINT) AS n,
+                   ROUND(MIN(x), 6) AS min_x,
+                   ROUND(MAX(x), 6) AS max_x,
+                   ROUND(SUM(x) / COUNT(*), 6) AS mean_x,
+                   ROUND(SUM(x * x) / COUNT(*), 6) AS mean_sq
+            FROM u GROUP BY 1
         """,
     }

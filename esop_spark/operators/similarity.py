@@ -472,3 +472,32 @@ def semantic_dedup(
         )
         .select("bucket", "keeper_id", "bucket_size")
     )
+
+
+def embedding_dim_stats(
+    embeddings: DataFrame, vec_col: str = "embedding", id_col: str = "vec_id"
+) -> DataFrame:
+    """Per-dimension corpus statistics (min/max/mean/mean-square) — the
+    calibration pass a quantizer or normalizer runs before committing
+    scales (per-dim asymmetric quantization needs exactly these moments).
+
+    posexplode → one hash agg keyed by dimension index (key domain = dim,
+    tiny and perfectly uniform; partial aggregation reduces every partition
+    to ≤dim rows before the exchange, so shuffle volume is executors × dim
+    regardless of corpus size — the textbook mergeable-statistics shape).
+    """
+    exploded = embeddings.select(
+        F.posexplode(_vec_double(vec_col)).alias("dim", "x")
+    )
+    n = F.count(F.lit(1))
+    return (
+        exploded.groupBy("dim")
+        .agg(
+            n.cast("bigint").alias("n"),
+            F.round(F.min("x"), 6).alias("min_x"),
+            F.round(F.max("x"), 6).alias("max_x"),
+            F.round(F.sum("x") / n, 6).alias("mean_x"),
+            F.round(F.sum(F.col("x") * F.col("x")) / n, 6).alias("mean_sq"),
+        )
+        .select(F.col("dim").cast("bigint").alias("dim"), "n", "min_x", "max_x", "mean_x", "mean_sq")
+    )

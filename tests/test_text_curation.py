@@ -173,3 +173,15 @@ def test_release_gate_waterfall_attribution(spark):
             r["n_quality_fail"] + r["n_lang_fail"] + r["n_boiler_fail"]
             + r["n_dup_drop"] + r["n_released"] == r["n_docs"]
         )
+
+
+def test_embedding_dim_stats_mergeable(spark):
+    emb = spark.createDataFrame(
+        [(1, [1.0, -2.0]), (2, [3.0, 4.0])], "vec_id bigint, embedding array<float>"
+    )
+    got = {r["dim"]: r for r in similarity.embedding_dim_stats(emb).collect()}
+    assert got[0]["min_x"] == 1.0 and got[0]["max_x"] == 3.0 and got[0]["mean_x"] == 2.0
+    assert got[1]["mean_sq"] == 10.0  # (4 + 16) / 2
+    # partitioning-invariant (mergeable partials)
+    got2 = {r["dim"]: r for r in similarity.embedding_dim_stats(emb.repartition(5)).collect()}
+    assert {k: tuple(v) for k, v in got.items()} == {k: tuple(v) for k, v in got2.items()}
