@@ -44,9 +44,13 @@ BENCH_QUERIES = [
     "q54_pii_scan",
     "q55_boilerplate",
     "q56_semantic_dedup",
+    "q57_mixture_resample",
     "q58_repeated_ngrams",
     "q59_bm25",
+    "q60_oov_rate",
+    "q61_unigram_logprob",
     "q62_release_gate",
+    "q63_embedding_dim_stats",
 ]
 
 
@@ -64,12 +68,13 @@ def main() -> None:
         qs["q01_list_backups"](spark, sf_dir).write.format("noop").mode("overwrite").save()
 
     # one untimed warmup per query (codegen/JIT for THAT plan), then best of
-    # 2 timed trials: steady-state plan cost, not scheduler/JIT noise
+    # 3 timed trials: steady-state plan cost, not scheduler/GC/JIT noise
+    # (best-of-2 showed run-to-run swings up to 2x on the cheap queries)
     timings: dict[str, float] = {}
     for name in BENCH_QUERIES:
         qs[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
         trials = []
-        for _ in range(2):
+        for _ in range(3):
             t0 = time.perf_counter()
             qs[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
             trials.append(time.perf_counter() - t0)
