@@ -185,3 +185,81 @@ def test_embedding_dim_stats_mergeable(spark):
     # partitioning-invariant (mergeable partials)
     got2 = {r["dim"]: r for r in similarity.embedding_dim_stats(emb.repartition(5)).collect()}
     assert {k: tuple(v) for k, v in got.items()} == {k: tuple(v) for k, v in got2.items()}
+
+
+# --- property-based checks (small corpora vs Python brute force) -----------
+
+import re
+from collections import Counter
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+WORD = st.sampled_from(["alpha", "beta", "gamma", "delta", "x1", "y2"])
+TEXT = st.lists(WORD, min_size=1, max_size=12).map(" ".join)
+
+
+@settings(max_examples=5, deadline=None)
+@given(st.lists(TEXT, min_size=1, max_size=6))
+def test_prop_pii_redaction_complete(spark, texts):
+    rows = [
+        (i, t + (" u%d@ex.com 10.0.0.%d id 123456789" % (i, i) if i % 2 else ""))
+        for i, t in enumerate(texts)
+    ]
+    out = text_ops.pii_scan(_docs(spark, rows)).collect()
+    # counts reproduce a Python regex brute force on the same text
+    for r, (_, t) in zip(sorted(out, key=lambda r: r["doc_id"]), rows):
+        assert r["n_emails"] == len(re.findall(text_ops.PII_EMAIL_RE, t))
+        assert r["n_ipv4"] == len(re.findall(text_ops.PII_IPV4_RE, t))
+
+
+@settings(max_examples=5, deadline=None)
+@given(st.lists(TEXT, min_size=2, max_size=8))
+def test_prop_repeated_ngrams_matches_bruteforce(spark, texts):
+    n = 2
+    rows = list(enumerate(texts))
+    out = text_ops.repeated_ngrams(_docs(spark, rows), n=n, k=100).collect()
+    docs_of = {}
+    occ = Counter()
+    for i, t in rows:
+        w = t.split(" ")
+        for j in range(len(w) - n + 1):
+            g = " ".join(w[j : j + n])
+            occ[g] += 1
+            docs_of.setdefault(g, set()).add(i)
+    expect = {
+        g: (len(ids), occ[g]) for g, ids in docs_of.items() if len(ids) >= 2
+    }
+    got = {r["span_hash"]: (r["span_docs"], r["n_occ"]) for r in out}
+    import hashlib
+
+    expect_hashed = {
+        hashlib.md5(g.encode()).hexdigest(): v for g, v in expect.items()
+    }
+    assert got == expect_hashed
+
+
+@settings(max_examples=5, deadline=None)
+@given(
+    st.dictionaries(
+        st.sampled_from(["en", "de", "fr"]),
+        st.integers(min_value=1, max_value=40),
+        min_size=2,
+        max_size=3,
+    )
+)
+def test_prop_mixture_resample_exact_counts(spark, sizes):
+    rows = []
+    i = 0
+    for lang, cnt in sorted(sizes.items()):
+        for _ in range(cnt):
+            rows.append((i, lang))
+            i += 1
+    df = spark.createDataFrame(rows, "doc_id bigint, lang string")
+    weights = {lang: 1_000_000 // len(sizes) for lang in sizes}
+    out = sampling.mixture_resample(df, "lang", weights, F.col("doc_id"))
+    got = {r["lang"]: r["n"] for r in out.groupBy("lang").agg(F.count("*").alias("n")).collect()}
+    t = min(n * 1_000_000 // weights[lang] for lang, n in sizes.items())
+    expect = {lang: t * weights[lang] // 1_000_000 for lang in sizes}
+    expect = {k: v for k, v in expect.items() if v > 0}
+    assert got == expect
