@@ -239,6 +239,11 @@ def write_manifests(entries: DataFrame, out_dir: str) -> list[str]:
     Manifests are a per-backup singleton (small) — written driver-side after
     the distributed nesting aggregation, mirroring the reference's
     manifest-uploaded-last ordering (BaseBackupOperationCoordinator.java:151-153).
+    Driver memory bound: the largest single manifest document (one node's
+    sstable list — the same in-heap bound the reference's Jackson writer has,
+    impl/Manifest.java). For a node with 10^7+ sstables, switch to
+    ``manifest_json_rows(...).write.text`` partitioned by backup_name to
+    stream each document from executors instead.
     """
     os.makedirs(out_dir, exist_ok=True)
     paths = []
