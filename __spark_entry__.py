@@ -30,6 +30,7 @@ from esop_spark.operators import (
     sampling,
     similarity,
     snapshots,
+    splits,
     text as text_ops,
     topology,
 )
@@ -622,6 +623,59 @@ def q63_embedding_dim_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.embedding_dim_stats(_base(spark, sf_dir, "embeddings"))
 
 
+SPLIT_FRACTIONS = {"train": 0.8, "val": 0.1, "test": 0.1}
+SHARD_BUDGET = 2048
+KCENTER_K = 8
+BIGRAM_ADD_K = 0.5
+
+
+def q64_train_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic train/val/test assignment keyed on content hash
+    (splits.split_report): per (split, lang) doc/token mass and stratum
+    share — the eval-set stability contract for a growing corpus."""
+    docs = _base(spark, sf_dir, "documents")
+    return splits.split_report(
+        docs,
+        key=F.col("doc_id"),
+        fractions=SPLIT_FRACTIONS,
+        token_col=F.size(F.split(F.col("text"), " ")),
+        strata_col="lang",
+    )
+
+
+def q65_shard_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Concat-and-chunk pretraining shard layout (splits.shard_report):
+    distributed prefix sum of token counts, cut every SHARD_BUDGET tokens —
+    no single-task global window."""
+    docs = _base(spark, sf_dir, "documents").select(
+        "doc_id", F.size(F.split(F.col("text"), " ")).cast("bigint").alias("n_tokens")
+    )
+    return splits.shard_report(docs, "doc_id", "n_tokens", SHARD_BUDGET)
+
+
+def q66_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document mean NLL under the add-k-smoothed corpus bigram LM
+    (text_ops.bigram_logprob) — the KenLM-perplexity-filter stand-in."""
+    return text_ops.bigram_logprob(
+        _base(spark, sf_dir, "documents"), add_k=BIGRAM_ADD_K
+    )
+
+
+def q67_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style structural quality rules per source
+    (text_ops.gopher_rules): per-rule fail counts + pass-all count, pure
+    scan-shaped job."""
+    return text_ops.gopher_rules(_base(spark, sf_dir, "documents"))
+
+
+def q68_kcenter_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cluster-balance report over embeddings (similarity.kcenter_assign):
+    nearest-of-k deterministic centers, per-center mass and cohesion."""
+    return similarity.kcenter_assign(
+        _base(spark, sf_dir, "embeddings"), k=KCENTER_K
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001: the backup-listing report."""
     return q01_list_backups(spark, "/root/testdata/sf0.001")
@@ -692,6 +746,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q61_unigram_logprob": q61_unigram_logprob,
         "q62_release_gate": q62_release_gate,
         "q63_embedding_dim_stats": q63_embedding_dim_stats,
+        "q64_train_split": q64_train_split,
+        "q65_shard_packing": q65_shard_packing,
+        "q66_bigram_logprob": q66_bigram_logprob,
+        "q67_gopher_rules": q67_gopher_rules,
+        "q68_kcenter_assign": q68_kcenter_assign,
     }
 
 
@@ -1825,5 +1884,140 @@ def oracle_sql() -> dict[str, str]:
                    ROUND(SUM(x) / COUNT(*), 6) AS mean_x,
                    ROUND(SUM(x * x) / COUNT(*), 6) AS mean_sq
             FROM u GROUP BY 1
+        """,
+        # same cross-engine md5 bucket as sampling.sample_bucket, seed 'split0';
+        # cumulative thresholds 0.8 / 0.9 of 1e6 buckets
+        "q64_train_split": f"""
+            WITH b AS (
+                SELECT lang AS stratum,
+                       CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+                       CAST(concat('0x', substr(md5('split0:' || CAST(doc_id AS VARCHAR)), 1, 8))
+                            AS BIGINT) % 1000000 AS bucket
+                FROM documents
+            ),
+            a AS (
+                SELECT CASE WHEN bucket < {int(0.8 * 1000000)} THEN 'train'
+                            WHEN bucket < {int((0.8 + 0.1) * 1000000)} THEN 'val'
+                            ELSE 'test' END AS split,
+                       stratum, n_tokens
+                FROM b
+            ),
+            per AS (
+                SELECT split, stratum,
+                       CAST(COUNT(*) AS BIGINT) AS n_docs,
+                       CAST(SUM(n_tokens) AS BIGINT) AS sum_tokens
+                FROM a GROUP BY 1, 2
+            )
+            SELECT split, stratum, n_docs, sum_tokens,
+                   ROUND(n_docs * 1.0 / SUM(n_docs) OVER (PARTITION BY stratum), 6)
+                       AS stratum_share
+            FROM per
+        """,
+        "q65_shard_packing": f"""
+            WITH d AS (
+                SELECT doc_id,
+                       CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+                FROM documents
+            ),
+            c AS (
+                SELECT doc_id, n_tokens,
+                       CAST(SUM(n_tokens) OVER (ORDER BY doc_id) AS BIGINT) AS cum
+                FROM d
+            )
+            SELECT CAST((cum - n_tokens) // {SHARD_BUDGET} AS BIGINT) AS shard_id,
+                   CAST(COUNT(*) AS BIGINT) AS n_docs,
+                   CAST(SUM(n_tokens) AS BIGINT) AS sum_tokens,
+                   CAST(MIN(doc_id) AS BIGINT) AS first_doc,
+                   CAST(MAX(doc_id) AS BIGINT) AS last_doc,
+                   ROUND(CAST(SUM(n_tokens) AS BIGINT) / {float(SHARD_BUDGET)}, 6)
+                       AS fill_ratio
+            FROM c GROUP BY 1
+        """,
+        "q66_bigram_logprob": f"""
+            WITH docs AS (
+                SELECT doc_id, string_split(text, ' ') AS words FROM documents
+            ),
+            pairs AS (
+                SELECT doc_id, words[t.i] AS w1, words[t.i + 1] AS w2
+                FROM docs, unnest(range(1, len(words))) t(i)
+            ),
+            bc AS (SELECT w1, w2, COUNT(*) AS n12 FROM pairs GROUP BY 1, 2),
+            hc AS (SELECT w1, COUNT(*) AS n1 FROM pairs GROUP BY 1),
+            vv AS (SELECT COUNT(DISTINCT w2) AS nv FROM pairs)
+            SELECT CAST(p.doc_id AS BIGINT) AS doc_id,
+                   CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+                   ROUND(-SUM(LN((n12 + {BIGRAM_ADD_K}) / (n1 + {BIGRAM_ADD_K} * nv)))
+                         / COUNT(*), 6) AS mean_nll
+            FROM pairs p JOIN bc USING (w1, w2) JOIN hc USING (w1), vv
+            GROUP BY 1
+        """,
+        "q67_gopher_rules": """
+            WITH w AS (
+                SELECT source, string_split(text, ' ') AS words FROM documents
+            ),
+            m AS (
+                SELECT source,
+                       len(words) AS n_words,
+                       list_sum(list_transform(words, x -> length(x))) * 1.0
+                           / len(words) AS mean_word_len,
+                       len(list_filter(words, x -> x IN ('#', '...'))) * 1.0
+                           / len(words) AS symbol_frac,
+                       len(list_filter(words, x -> x IN ('a', 'the'))) AS stopword_hits
+                FROM w
+            ),
+            f AS (
+                SELECT source,
+                       CASE WHEN n_words < 30 THEN 1 ELSE 0 END AS f_too_short,
+                       CASE WHEN n_words > 100000 THEN 1 ELSE 0 END AS f_too_long,
+                       CASE WHEN mean_word_len < 2.0 OR mean_word_len > 10.0
+                            THEN 1 ELSE 0 END AS f_word_len,
+                       CASE WHEN symbol_frac > 0.1 THEN 1 ELSE 0 END AS f_symbol,
+                       CASE WHEN stopword_hits < 2 THEN 1 ELSE 0 END AS f_stopword
+                FROM m
+            )
+            SELECT source,
+                   CAST(COUNT(*) AS BIGINT) AS n_docs,
+                   CAST(SUM(f_too_short) AS BIGINT) AS n_too_short,
+                   CAST(SUM(f_too_long) AS BIGINT) AS n_too_long,
+                   CAST(SUM(f_word_len) AS BIGINT) AS n_word_len,
+                   CAST(SUM(f_symbol) AS BIGINT) AS n_symbol,
+                   CAST(SUM(f_stopword) AS BIGINT) AS n_stopword,
+                   CAST(SUM(CASE WHEN f_too_short + f_too_long + f_word_len
+                                      + f_symbol + f_stopword = 0
+                                 THEN 1 ELSE 0 END) AS BIGINT) AS n_pass
+            FROM f GROUP BY 1
+        """,
+        # centers = k smallest md5 buckets of vec_id (seed 'kc:'), assignment =
+        # argmax cosine rounded to 6dp with center-id tiebreak
+        "q68_kcenter_assign": f"""
+            WITH e AS (
+                SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+            ),
+            centers AS (
+                SELECT vec_id AS center_id, v AS cv
+                FROM (
+                    SELECT vec_id, v,
+                           CAST(concat('0x', substr(md5('kc:' || CAST(vec_id AS VARCHAR)), 1, 8))
+                                AS BIGINT) % 1000000 AS bucket
+                    FROM e
+                )
+                ORDER BY bucket ASC, center_id ASC LIMIT {KCENTER_K}
+            ),
+            scored AS (
+                SELECT e.vec_id, c.center_id,
+                       ROUND(list_cosine_similarity(e.v, c.cv), 6) AS cos
+                FROM e, centers c
+            ),
+            best AS (
+                SELECT vec_id, center_id, cos,
+                       ROW_NUMBER() OVER (PARTITION BY vec_id
+                           ORDER BY cos DESC, center_id ASC) AS rn
+                FROM scored
+            )
+            SELECT CAST(center_id AS BIGINT) AS center_id,
+                   CAST(COUNT(*) AS BIGINT) AS n_members,
+                   ROUND(AVG(cos), 6) AS mean_cos,
+                   CAST(MIN(vec_id) AS BIGINT) AS min_member
+            FROM best WHERE rn = 1 GROUP BY 1
         """,
     }

@@ -501,3 +501,65 @@ def embedding_dim_stats(
         )
         .select(F.col("dim").cast("bigint").alias("dim"), "n", "min_x", "max_x", "mean_x", "mean_sq")
     )
+
+
+def kcenter_assign(
+    embeddings: DataFrame,
+    k: int = 8,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Cluster-balance report: assign every vector to its nearest of k
+    deterministic centers and report per-center mass — the cheap
+    cluster-coverage diagnostic for a corpus (the assignment half of
+    :func:`kmeans_centroids` with reproducible, data-derived centers).
+
+    Centers are the k vectors with the smallest cross-engine md5 bucket of
+    their id — a pure function of the data, so re-runs and the DuckDB oracle
+    pick identical centers. Assignment is argmax cosine, rounded to 6dp
+    before the comparison with center-id tiebreak (sub-1e-6 similarity
+    differences cannot flip the winner differently across engines).
+
+    Scale: the center relation is k rows — broadcast; the corpus side is one
+    scan with a k-way per-row argmax (k·d multiply-adds per row, JVM fold),
+    then a k-key aggregate. No wide shuffle of the corpus at any point.
+    """
+    from esop_spark.operators.dedup import md5_hash32
+
+    base = with_norm(embeddings, vec_col, id_col)
+    centers = (
+        base.select(
+            F.col(id_col).alias("center_id"),
+            F.col("v").alias("cv"),
+            F.col("norm").alias("cnorm"),
+            F.pmod(
+                md5_hash32(F.concat(F.lit("kc:"), F.col(id_col).cast("string"))),
+                F.lit(1_000_000),
+            ).alias("bucket"),
+        )
+        .orderBy(F.col("bucket").asc(), F.col("center_id").asc())
+        .limit(k)
+        .drop("bucket")
+    )
+    scored = base.join(F.broadcast(centers)).select(
+        F.col(id_col),
+        F.col("center_id"),
+        F.round(
+            _dot(F.col("v"), F.col("cv")) / (F.col("norm") * F.col("cnorm")), 6
+        ).alias("cos"),
+    )
+    best = scored.groupBy(id_col).agg(
+        F.max(F.struct(F.col("cos"), (-F.col("center_id")).alias("nc"))).alias("b")
+    ).select(
+        F.col(id_col),
+        (-F.col("b.nc")).cast("bigint").alias("center_id"),
+        F.col("b.cos").alias("cos"),
+    )
+    return (
+        best.groupBy("center_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_members"),
+            F.round(F.avg("cos"), 6).alias("mean_cos"),
+            F.min(id_col).cast("bigint").alias("min_member"),
+        )
+    )

@@ -1,0 +1,196 @@
+"""Dataset split assignment and token-budget shard packing.
+
+Two operators every training-data pipeline needs downstream of curation:
+
+* :func:`assign_split` — deterministic train/val/test assignment keyed on a
+  CONTENT hash (the cross-engine md5 family from
+  :mod:`esop_spark.operators.dedup`), so the split is a pure function of the
+  data: re-runs, re-partitions, and other engines (the DuckDB oracle) agree
+  row-for-row. Membership never depends on row order or partition layout —
+  the property that makes eval sets stable as the corpus grows.
+
+* :func:`pack_shards` — concat-and-chunk shard assignment: documents are
+  laid out in a deterministic global order, token counts are prefix-summed,
+  and shard ``i`` owns the token interval ``[i*budget, (i+1)*budget)``. This
+  is the standard fixed-token-window packing used to build pretraining
+  shards. The prefix sum is computed DISTRIBUTED: a range partition by the
+  order key, a per-partition running sum, and a broadcast join of the tiny
+  per-partition offset table — no global single-task window, which is what a
+  naive ``Window.orderBy`` would give (all 100 TB through one task).
+
+Scale design: ``assign_split`` is a narrow projection (zero shuffles).
+``pack_shards`` costs two wide exchanges of the data relation (the range
+layout, then the pid-clustered window sort) plus a partial-aggregated
+per-partition totals leg whose result is ONE ROW PER PARTITION — the offset
+join is a broadcast. Crucially there is no single-task global window: a
+naive ``Window.orderBy(key)`` funnels the whole corpus through one task,
+which is the 100 TB failure mode this module exists to avoid.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from esop_spark.operators.sampling import BUCKETS, sample_bucket
+
+
+def assign_split(
+    key: Column,
+    fractions: dict[str, float],
+    seed: str = "split0",
+) -> Column:
+    """Column expression mapping a content key to a split label.
+
+    ``fractions`` maps label -> fraction (must sum to <= 1.0; any remainder
+    falls into the LAST label, so {"train": .8, "val": .1, "test": .1} is
+    exact). Labels are assigned by cumulative hash-bucket thresholds in
+    iteration order of ``fractions`` — pass an ordered dict.
+
+    Evaluated JVM-side in the scan projection: no shuffle, no join.
+    """
+    if not fractions:
+        raise ValueError("fractions must be non-empty")
+    total = sum(fractions.values())
+    if total > 1.0 + 1e-9:
+        raise ValueError(f"fractions sum to {total} > 1")
+    bucket = sample_bucket(key, seed)
+    expr: Column | None = None
+    cum = 0.0
+    labels = list(fractions.items())
+    for label, frac in labels[:-1]:
+        cum += frac
+        cond = bucket < int(cum * BUCKETS)
+        expr = F.when(cond, F.lit(label)) if expr is None else expr.when(cond, F.lit(label))
+    last = F.lit(labels[-1][0])
+    return last if expr is None else expr.otherwise(last)
+
+
+def split_report(
+    df: DataFrame,
+    key: Column,
+    fractions: dict[str, float],
+    token_col: Column,
+    strata_col: str = "lang",
+    seed: str = "split0",
+) -> DataFrame:
+    """Assign splits and report per (split, stratum): doc count, token sum,
+    and the doc-count share of the stratum (rounded to 6dp). One aggregate
+    shuffle on (split, stratum) — a handful of groups, map-side partial."""
+    assigned = df.select(
+        assign_split(key, fractions, seed).alias("split"),
+        F.col(strata_col).alias("stratum"),
+        token_col.cast("bigint").alias("n_tokens"),
+    )
+    per = assigned.groupBy("split", "stratum").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").alias("sum_tokens"),
+    )
+    w_stratum = Window.partitionBy("stratum")
+    return per.select(
+        "split",
+        "stratum",
+        "n_docs",
+        "sum_tokens",
+        F.round(F.col("n_docs") / F.sum("n_docs").over(w_stratum), 6).alias("stratum_share"),
+    )
+
+
+def _distributed_prefix_sum(
+    df: DataFrame,
+    order_col: str,
+    value_col: str,
+    num_partitions: int = 32,
+) -> DataFrame:
+    """Adds ``cum_incl`` = SUM(value) OVER (ORDER BY order_col) without a
+    single-task global window.
+
+    ``order_col`` must be UNIQUE (ties could straddle a range boundary and
+    make intra-tie order ambiguous). Three steps, all bounded:
+
+    1. range-repartition on the order key — partitions hold contiguous,
+       globally ordered key ranges (Spark samples boundaries; the final
+       ``cum_incl`` is invariant to where the boundaries land, so sampling
+       nondeterminism cannot change the result);
+    2. per-partition running sum — a pid-clustered window (one more
+       exchange, but clustered, never single-task);
+    3. per-partition totals -> exclusive offsets. The offsets relation has
+       ONE ROW PER PARTITION, so the window over it is trivially small and
+       the join back is a broadcast hash join.
+    """
+    ranged = df.repartitionByRange(num_partitions, F.col(order_col)).withColumn(
+        "_pid", F.spark_partition_id()
+    )
+    w_local = (
+        Window.partitionBy("_pid")
+        .orderBy(order_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    local = ranged.withColumn("_local_cum", F.sum(value_col).over(w_local))
+    w_off = Window.orderBy("_pid").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = (
+        ranged.groupBy("_pid")
+        .agg(F.sum(value_col).alias("_psum"))
+        .select(
+            "_pid",
+            F.coalesce(F.sum("_psum").over(w_off), F.lit(0)).alias("_offset"),
+        )
+    )
+    return (
+        local.join(F.broadcast(offsets), "_pid")
+        .withColumn("cum_incl", (F.col("_local_cum") + F.col("_offset")).cast("bigint"))
+        .drop("_pid", "_local_cum", "_offset")
+    )
+
+
+def pack_shards(
+    df: DataFrame,
+    order_col: str,
+    token_col: str,
+    budget: int,
+    num_partitions: int = 32,
+) -> DataFrame:
+    """Concat-and-chunk shard ids: lay documents end-to-end in ``order_col``
+    order and cut every ``budget`` tokens. A document whose token interval
+    crosses a cut belongs to the shard where it STARTS (its first token's
+    shard) — the convention that keeps every shard's start aligned to the
+    budget grid and lets the sequence packer split the straddler.
+
+    Adds ``shard_id`` = exclusive-prefix-sum(tokens) // budget.
+    """
+    if budget <= 0:
+        raise ValueError("budget must be positive")
+    with_cum = _distributed_prefix_sum(df, order_col, token_col, num_partitions)
+    return with_cum.withColumn(
+        "shard_id",
+        ((F.col("cum_incl") - F.col(token_col)) / F.lit(budget)).cast("bigint"),
+    )
+
+
+def shard_report(
+    df: DataFrame,
+    order_col: str,
+    token_col: str,
+    budget: int,
+) -> DataFrame:
+    """Per-shard packing report: doc count, token sum, first/last doc in
+    layout order, and fill ratio vs budget (final shard runs short)."""
+    packed = pack_shards(df, order_col, token_col, budget)
+    return (
+        packed.groupBy("shard_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(token_col).cast("bigint").alias("sum_tokens"),
+            F.min(order_col).alias("first_doc"),
+            F.max(order_col).alias("last_doc"),
+        )
+        .select(
+            "shard_id",
+            "n_docs",
+            "sum_tokens",
+            "first_doc",
+            "last_doc",
+            F.round(F.col("sum_tokens") / F.lit(float(budget)), 6).alias("fill_ratio"),
+        )
+    )

@@ -603,3 +603,135 @@ def fingerprint(documents: DataFrame, text_col: str = "text") -> DataFrame:
         tokenset_key(text_col).alias("tokenset_key"),
         F.substring(F.md5(F.col(text_col)), 1, 2).alias("shard"),
     )
+
+
+def bigram_logprob(
+    documents: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    add_k: float = 0.5,
+) -> DataFrame:
+    """Per-document mean negative log-probability under an add-k-smoothed
+    corpus bigram LM — one modeling step past :func:`unigram_logprob` toward
+    the KenLM-style perplexity filters used by CCNet/RedPajama pipelines.
+
+    p(w2|w1) = (c(w1,w2) + k) / (c(w1,·) + k·V), V = |distinct w2|.
+    nll(d) = −(1/|pairs(d)|) Σ ln p(w2|w1); docs with < 2 tokens drop out
+    (no bigrams to score).
+
+    Plan shape: the pair relation is materialized ONCE as a narrow
+    posexplode projection (the word array is materialized first — Spark does
+    no CSE inside higher-order-function lambdas, re-splitting per element is
+    O(n²)); head counts and pair counts are two uniform-key aggs; scoring
+    joins the pair relation back on the (w1, w2) key. Shuffle ∝ corpus
+    tokens, identical asymptotics to the unigram scorer; V and nothing else
+    crosses the driver.
+    """
+    words = documents.select(
+        F.col(id_col), F.split(F.col(text_col), " ").alias("words")
+    )
+    pairs = words.select(
+        F.col(id_col),
+        F.posexplode(
+            F.slice(F.col("words"), 1, F.greatest(F.size("words") - 1, F.lit(0)))
+        ).alias("pos", "w1"),
+        F.col("words"),
+    ).select(
+        F.col(id_col),
+        F.col("w1"),
+        F.element_at(F.col("words"), F.col("pos") + 2).alias("w2"),
+    )
+    pair_counts = pairs.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c12"))
+    head_counts = pairs.groupBy("w1").agg(F.count(F.lit(1)).alias("c1"))
+    vocab = pairs.agg(F.countDistinct("w2").alias("v"))
+    return (
+        pairs.join(pair_counts, ["w1", "w2"])
+        .join(head_counts, "w1")
+        .crossJoin(F.broadcast(vocab))
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_bigrams"),
+            F.round(
+                -F.sum(
+                    F.log(
+                        (F.col("c12") + F.lit(add_k))
+                        / (F.col("c1") + F.lit(add_k) * F.col("v"))
+                    )
+                )
+                / F.count(F.lit(1)),
+                6,
+            ).alias("mean_nll"),
+        )
+    )
+
+
+# Gopher-style heuristic quality rules (Rae et al. 2021, table A1 shape):
+# document-level structural filters that need no model, just token stats.
+GOPHER_MIN_WORDS = 30
+GOPHER_MAX_WORDS = 100_000
+GOPHER_MEAN_WORD_LEN = (2.0, 10.0)
+GOPHER_MAX_SYMBOL_FRAC = 0.1
+GOPHER_MIN_STOPWORD_HITS = 2
+GOPHER_SYMBOLS = ("#", "...")
+
+
+def gopher_rules(
+    documents: DataFrame,
+    text_col: str = "text",
+    source_col: str = "source",
+) -> DataFrame:
+    """Gopher-style heuristic filter battery, reported per source: how many
+    documents fail each structural rule, and how many pass all of them.
+
+    Every rule is a JVM-side expression over ONE materialized word array —
+    the whole battery is a narrow projection followed by a single
+    low-cardinality aggregate (map-side partial). At 100 TB this is a pure
+    scan-shaped job: no joins, no windows, shuffle is |sources| rows.
+    """
+    sym_lits = F.array(*[F.lit(s) for s in GOPHER_SYMBOLS])
+    stop_lits = F.array(*[F.lit(w) for w in DEFAULT_STOPWORDS])
+    lo, hi = GOPHER_MEAN_WORD_LEN
+    w = documents.select(
+        F.col(source_col).alias("source"),
+        F.split(F.col(text_col), " ").alias("words"),
+    ).select(
+        "source",
+        F.size("words").alias("n_words"),
+        (
+            F.aggregate(
+                F.col("words"), F.lit(0).cast("bigint"),
+                lambda acc, x: acc + F.length(x),
+            )
+            / F.size("words")
+        ).alias("mean_word_len"),
+        (
+            F.size(F.filter(F.col("words"), lambda x: F.array_contains(sym_lits, x)))
+            / F.size("words")
+        ).alias("symbol_frac"),
+        F.size(
+            F.filter(F.col("words"), lambda x: F.array_contains(stop_lits, x))
+        ).alias("stopword_hits"),
+    )
+    flags = w.select(
+        "source",
+        (F.col("n_words") < GOPHER_MIN_WORDS).cast("bigint").alias("f_too_short"),
+        (F.col("n_words") > GOPHER_MAX_WORDS).cast("bigint").alias("f_too_long"),
+        (
+            (F.col("mean_word_len") < lo) | (F.col("mean_word_len") > hi)
+        ).cast("bigint").alias("f_word_len"),
+        (F.col("symbol_frac") > GOPHER_MAX_SYMBOL_FRAC).cast("bigint").alias("f_symbol"),
+        (F.col("stopword_hits") < GOPHER_MIN_STOPWORD_HITS).cast("bigint").alias("f_stopword"),
+    )
+    pass_all = (
+        (F.col("f_too_short") + F.col("f_too_long") + F.col("f_word_len")
+         + F.col("f_symbol") + F.col("f_stopword")) == 0
+    ).cast("bigint")
+    return flags.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum("f_too_short").cast("bigint").alias("n_too_short"),
+        F.sum("f_too_long").cast("bigint").alias("n_too_long"),
+        F.sum("f_word_len").cast("bigint").alias("n_word_len"),
+        F.sum("f_symbol").cast("bigint").alias("n_symbol"),
+        F.sum("f_stopword").cast("bigint").alias("n_stopword"),
+        F.sum(pass_all).cast("bigint").alias("n_pass"),
+    )

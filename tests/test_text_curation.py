@@ -263,3 +263,72 @@ def test_prop_mixture_resample_exact_counts(spark, sizes):
     expect = {lang: t * weights[lang] // 1_000_000 for lang in sizes}
     expect = {k: v for k, v in expect.items() if v > 0}
     assert got == expect
+
+
+# --- bigram LM + Gopher rules + k-center ------------------------------------
+
+def test_bigram_logprob_repeated_doc_scores_lower(spark):
+    from esop_spark.operators import text as text_ops
+
+    docs = spark.createDataFrame(
+        [
+            (0, "a b a b a b a b"),        # one dominant bigram pattern
+            (1, "q w e r t y u i"),        # all-unique bigrams
+        ],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r for r in text_ops.bigram_logprob(docs).collect()}
+    assert got[0]["n_bigrams"] == 7 and got[1]["n_bigrams"] == 7
+    # frequent bigrams are more probable -> lower NLL
+    assert got[0]["mean_nll"] < got[1]["mean_nll"]
+
+
+def test_bigram_logprob_short_docs_drop_out(spark):
+    from esop_spark.operators import text as text_ops
+
+    docs = spark.createDataFrame(
+        [(0, "single"), (1, "two words")], "doc_id long, text string"
+    )
+    rows = text_ops.bigram_logprob(docs).collect()
+    assert {r["doc_id"] for r in rows} == {1}
+
+
+def test_gopher_rules_flags(spark):
+    from esop_spark.operators import text as text_ops
+
+    long_ok = " ".join(["the"] * 15 + ["a"] * 15 + ["word"] * 10)  # 40 words, passes
+    short = "the a tiny doc"                                       # too short
+    symbols = " ".join(["#"] * 20 + ["the", "a"] + ["w"] * 18)     # symbol_frac 0.5
+    rows = text_ops.gopher_rules(
+        spark.createDataFrame(
+            [("s0", long_ok), ("s0", short), ("s1", symbols)],
+            "source string, text string",
+        )
+    ).collect()
+    by_src = {r["source"]: r for r in rows}
+    assert by_src["s0"]["n_pass"] == 1
+    assert by_src["s0"]["n_too_short"] == 1
+    assert by_src["s1"]["n_symbol"] == 1
+    assert by_src["s1"]["n_pass"] == 0
+
+
+def test_kcenter_assign_total_mass_and_self_assignment(spark):
+    from esop_spark.operators import similarity
+
+    import math
+
+    # 12 unit vectors in 2 tight groups along axes 0 and 1
+    rows = []
+    for i in range(12):
+        axis = i % 2
+        v = [0.0] * 8
+        v[axis] = 1.0
+        v[(axis + 2) % 8] = 0.01 * (i // 2)  # slight spread, keeps argmax stable
+        n = math.sqrt(sum(x * x for x in v))
+        rows.append((i, [x / n for x in v]))
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    rep = similarity.kcenter_assign(emb, k=2).collect()
+    assert sum(r["n_members"] for r in rep) == 12
+    assert len(rep) == 2
+    for r in rep:
+        assert r["mean_cos"] > 0.9  # members cohere with their center
