@@ -623,6 +623,7 @@ def q63_embedding_dim_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.embedding_dim_stats(_base(spark, sf_dir, "embeddings"))
 
 
+CONTAINMENT_TAU = 0.6
 SPLIT_FRACTIONS = {"train": 0.8, "val": 0.1, "test": 0.1}
 SHARD_BUDGET = 2048
 KCENTER_K = 8
@@ -674,6 +675,23 @@ def q68_kcenter_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.kcenter_assign(
         _base(spark, sf_dir, "embeddings"), k=KCENTER_K
     )
+
+
+def q69_containment_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Containment near-dups — short-doc-inside-long-doc, the asymmetric
+    case Jaccard misses (dedup.containment_pairs): shared LSH candidate
+    generation, containment-verified, md5 family for the oracle."""
+    return dedup.containment_pairs(
+        _base(spark, sf_dir, "documents"),
+        threshold=CONTAINMENT_TAU,
+        hash_family="md5",
+    )
+
+
+def q70_bpe_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE-ish piece counts + fertility vs whitespace words
+    (text_ops.bpe_token_stats): regexp scan projection, zero shuffles."""
+    return text_ops.bpe_token_stats(_base(spark, sf_dir, "documents"))
 
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -751,18 +769,23 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q66_bigram_logprob": q66_bigram_logprob,
         "q67_gopher_rules": q67_gopher_rules,
         "q68_kcenter_assign": q68_kcenter_assign,
+        "q69_containment_dedup": q69_containment_dedup,
+        "q70_bpe_token_stats": q70_bpe_token_stats,
     }
 
 
 # --- DuckDB oracle ----------------------------------------------------------
 
-def _q22_oracle() -> str:
+def _lsh_oracle(measure_expr: str, alias: str, tau: float, bands: int = 8) -> str:
     """Full MinHash-LSH replication in DuckDB: same md5-derived element hash
     (CAST('0x'||substr(md5(s),1,8) AS BIGINT) == Spark conv(...,16,10)), the
     same seeded (a_i, b_i) family inlined as literals, md5 band buckets, and
-    the same candidate-only exact-Jaccard verification."""
+    the same candidate-only exact verification. ``measure_expr`` is the
+    final similarity formula over (shared, ca.n_sh, cb.n_sh) — jaccard for
+    q22 (8 bands × 4 rows), containment for q69 (32 × 1)."""
     from esop_spark.operators.dedup import HASH_P, minhash_coeffs
 
+    rows = 32 // bands
     coeffs = minhash_coeffs(32)
     sig_cols = ",\n                   ".join(
         f"MIN((x * {a} + {b}) % {HASH_P}) AS h{i}"
@@ -770,9 +793,9 @@ def _q22_oracle() -> str:
     )
     bucket_terms = "\n                UNION ALL ".join(
         f"SELECT doc_id, {band} AS band, md5(concat_ws('-', "
-        + ", ".join(f"h{band * 4 + r}" for r in range(4))
+        + ", ".join(f"h{band * rows + r}" for r in range(rows))
         + ")) AS bucket FROM sig"
-        for band in range(8)
+        for band in range(bands)
     )
     return f"""
             WITH docs AS (
@@ -812,13 +835,27 @@ def _q22_oracle() -> str:
                 GROUP BY 1, 2
             )
             SELECT id_a, id_b,
-                   ROUND(shared * 1.0 / (ca.n_sh + cb.n_sh - shared), 6) AS jaccard
+                   ROUND({measure_expr}, 6) AS {alias}
             FROM shared
             JOIN cnt ca ON id_a = ca.doc_id
             JOIN cnt cb ON id_b = cb.doc_id
-            WHERE ROUND(shared * 1.0 / (ca.n_sh + cb.n_sh - shared), 6)
-                  >= {JACCARD_TAU}
+            WHERE ROUND({measure_expr}, 6) >= {tau}
     """
+
+
+def _q22_oracle() -> str:
+    return _lsh_oracle(
+        "shared * 1.0 / (ca.n_sh + cb.n_sh - shared)", "jaccard", JACCARD_TAU
+    )
+
+
+def _q69_oracle() -> str:
+    return _lsh_oracle(
+        "shared * 1.0 / least(ca.n_sh, cb.n_sh)",
+        "containment",
+        CONTAINMENT_TAU,
+        bands=32,
+    )
 
 
 _Q24_ORACLE = """
@@ -2019,5 +2056,16 @@ def oracle_sql() -> dict[str, str]:
                    ROUND(AVG(cos), 6) AS mean_cos,
                    CAST(MIN(vec_id) AS BIGINT) AS min_member
             FROM best WHERE rn = 1 GROUP BY 1
+        """,
+        "q69_containment_dedup": _q69_oracle(),
+        "q70_bpe_token_stats": """
+            SELECT CAST(doc_id AS BIGINT) AS doc_id,
+                   CAST(len(regexp_extract_all(text,
+                        '[A-Za-z]{1,4}|[0-9]|[^A-Za-z0-9 ]')) AS BIGINT) AS n_pieces,
+                   CAST(len(string_split(text, ' ')) AS BIGINT) AS n_words,
+                   ROUND(len(regexp_extract_all(text,
+                         '[A-Za-z]{1,4}|[0-9]|[^A-Za-z0-9 ]')) * 1.0
+                         / len(string_split(text, ' ')), 6) AS fertility
+            FROM documents
         """,
     }

@@ -51,6 +51,11 @@ BENCH_QUERIES = [
     "q61_unigram_logprob",
     "q62_release_gate",
     "q63_embedding_dim_stats",
+    "q64_train_split",
+    "q65_shard_packing",
+    "q66_bigram_logprob",
+    "q67_gopher_rules",
+    "q68_kcenter_assign",
 ]
 
 

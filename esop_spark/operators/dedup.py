@@ -382,24 +382,19 @@ def minhash_signatures(
     return sh.groupBy(id_col).agg(*aggs)
 
 
-def minhash_lsh_pairs(
+def _lsh_candidates(
     documents: DataFrame,
-    num_hashes: int = 32,
-    bands: int = 8,
-    n: int = 3,
-    threshold: float = 0.5,
-    text_col: str = "text",
-    id_col: str = "doc_id",
-    hash_family: str = "xxhash64",
-) -> DataFrame:
-    """MinHash + LSH near-duplicate pairs, exact-Jaccard-verified.
-
-    Candidate pairs agree on at least one band bucket (equi-join on
-    (band, bucket_hash)); candidates are then verified with exact n-gram
-    Jaccard so there are no false positives (false-negative rate set by
-    bands/rows-per-band). With ``hash_family="md5"`` the band bucket is the
-    md5 of the signature slice (cross-engine reproducible).
-    """
+    num_hashes: int,
+    bands: int,
+    n: int,
+    text_col: str,
+    id_col: str,
+    hash_family: str,
+) -> tuple[DataFrame, DataFrame]:
+    """Shared MinHash-band candidate generation: returns (candidates, base)
+    where ``candidates`` is the distinct (id_a < id_b) pair list agreeing on
+    ≥1 band bucket and ``base`` is the persisted (id, shingle) relation that
+    fed the signatures (callers reuse it for their verification leg)."""
     rows_per_band = num_hashes // bands
     # one persisted (id, shingle) materialization feeds BOTH the signature
     # aggregation and the verification leg (measured ~20% off q22 at sf0.1;
@@ -434,6 +429,30 @@ def minhash_lsh_pairs(
         .select(F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b"))
         .distinct()
     )
+    return candidates, base
+
+
+def minhash_lsh_pairs(
+    documents: DataFrame,
+    num_hashes: int = 32,
+    bands: int = 8,
+    n: int = 3,
+    threshold: float = 0.5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    hash_family: str = "xxhash64",
+) -> DataFrame:
+    """MinHash + LSH near-duplicate pairs, exact-Jaccard-verified.
+
+    Candidate pairs agree on at least one band bucket (equi-join on
+    (band, bucket_hash)); candidates are then verified with exact n-gram
+    Jaccard so there are no false positives (false-negative rate set by
+    bands/rows-per-band). With ``hash_family="md5"`` the band bucket is the
+    md5 of the signature slice (cross-engine reproducible).
+    """
+    candidates, base = _lsh_candidates(
+        documents, num_hashes, bands, n, text_col, id_col, hash_family
+    )
     # Verify ONLY the candidates: shared-shingle counts are computed by
     # joining the shingle relation to the candidate pair list, never across
     # all pairs — this is what makes LSH the scale path (cost ∝ candidates,
@@ -441,6 +460,67 @@ def minhash_lsh_pairs(
     sh = base.select(id_col, F.xxhash64("shingle").alias("sh"))
     counts = doc_shingle_counts(documents, n, text_col, id_col)
     return _verify_jaccard(candidates, sh, counts, threshold, id_col)
+
+
+def containment_pairs(
+    documents: DataFrame,
+    num_hashes: int = 32,
+    bands: int = 32,
+    n: int = 3,
+    threshold: float = 0.8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    hash_family: str = "xxhash64",
+) -> DataFrame:
+    """Containment near-duplicates: |S(a) ∩ S(b)| / min(|S(a)|, |S(b)|) ≥
+    threshold — catches a short document embedded in a long one, the case
+    symmetric Jaccard structurally misses (a ⊂ b with |b| = 4|a| caps
+    jaccard at 0.25 but containment at 1.0). Quote-inclusion and
+    template-expansion dedup in real corpora is this shape.
+
+    Same MinHash-band candidate generation and candidate-restricted exact
+    verification as :func:`minhash_lsh_pairs` (shared `_lsh_candidates`);
+    only the verification formula differs. CRITICALLY, the default is
+    ONE-ROW bands (bands == num_hashes): band collision probability is
+    driven by the pair's JACCARD, and the containment-high pairs this
+    operator exists for are jaccard-LOW (a 4× length ratio caps jaccard at
+    0.25, giving a 4-row band only j⁴ ≈ 0.4% collision odds per band —
+    near-zero recall). With 1-row bands P(candidate) = 1-(1-j)^32, > 95%
+    even at j = 0.1. The cost is more candidates (any single minhash
+    collision), which the exact verify then filters — the right trade for
+    a containment miner.
+    """
+    candidates, base = _lsh_candidates(
+        documents, num_hashes, bands, n, text_col, id_col, hash_family
+    )
+    sh = base.select(id_col, F.xxhash64("shingle").alias("sh"))
+    sa = sh.select(F.col(id_col).alias("id_a"), F.col("sh").alias("sh_a"))
+    sb = sh.select(F.col(id_col).alias("id_b"), F.col("sh").alias("sh_b"))
+    shared = (
+        candidates.join(sa, "id_a")
+        .join(
+            sb.withColumnRenamed("id_b", "_idb"),
+            (F.col("id_b") == F.col("_idb")) & (F.col("sh_a") == F.col("sh_b")),
+        )
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("shared"))
+    )
+    counts = doc_shingle_counts(documents, n, text_col, id_col)
+    ca = counts.select(F.col(id_col).alias("id_a"), F.col("n_sh").alias("n_a"))
+    cb = counts.select(F.col(id_col).alias("id_b"), F.col("n_sh").alias("n_b"))
+    return (
+        shared.join(ca, "id_a")
+        .join(cb, "id_b")
+        .withColumn(
+            "containment",
+            F.round(
+                F.col("shared").cast("double") / F.least(F.col("n_a"), F.col("n_b")),
+                6,
+            ),
+        )
+        .filter(F.col("containment") >= threshold)
+        .select("id_a", "id_b", "containment")
+    )
 
 
 def simhash_signatures(

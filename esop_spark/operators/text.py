@@ -735,3 +735,31 @@ def gopher_rules(
         F.sum("f_stopword").cast("bigint").alias("n_stopword"),
         F.sum(pass_all).cast("bigint").alias("n_pass"),
     )
+
+
+# BPE-ish pre-tokenizer: letter runs capped at 4 chars (greedy regex — a
+# long word splits into 4-char pieces like subword units), single digits,
+# single non-alphanumeric marks. Portable across Java regex (Spark) and
+# DuckDB's RE2 — no lookarounds, no \p classes.
+BPE_PIECE_RE = "[A-Za-z]{1,4}|[0-9]|[^A-Za-z0-9 ]"
+
+
+def bpe_token_stats(documents: DataFrame, text_col: str = "text") -> DataFrame:
+    """Subword-style token accounting: BPE-ish regex piece count next to the
+    whitespace word count, and fertility = pieces per word — the number that
+    decides context-window budgeting and tokenizer choice for a corpus.
+
+    Pure JVM ``regexp_extract_all`` projection + trivial per-doc math: zero
+    shuffles, scales with partition count. (A real trained-BPE vocab merge
+    is a per-row trie walk — the regex pre-tokenizer is the corpus-stats
+    proxy used before committing to training one.)
+    """
+    c = F.col(text_col)
+    pieces = F.size(F.regexp_extract_all(c, F.lit(BPE_PIECE_RE), F.lit(0)))
+    words = F.size(F.split(c, " "))
+    return documents.select(
+        "doc_id",
+        pieces.cast("bigint").alias("n_pieces"),
+        words.cast("bigint").alias("n_words"),
+        F.round(pieces / words, 6).alias("fertility"),
+    )

@@ -332,3 +332,33 @@ def test_kcenter_assign_total_mass_and_self_assignment(spark):
     assert len(rep) == 2
     for r in rep:
         assert r["mean_cos"] > 0.9  # members cohere with their center
+
+
+def test_containment_catches_subset_doc_jaccard_misses(spark):
+    from esop_spark.operators import dedup
+
+    short = "alpha beta gamma delta epsilon zeta"
+    filler = " ".join(f"w{i} x{i} y{i}" for i in range(20))
+    docs = spark.createDataFrame(
+        [(0, short), (1, short + " " + filler)], "doc_id long, text string"
+    )
+    # jaccard between the pair is small (long doc has ~16x the shingles)
+    jac = dedup.minhash_lsh_pairs(docs, threshold=0.5).collect()
+    assert jac == []
+    got = dedup.containment_pairs(docs, threshold=0.8).collect()
+    assert [(r["id_a"], r["id_b"]) for r in got] == [(0, 1)]
+    assert got[0]["containment"] == 1.0
+
+
+def test_bpe_token_stats_fertility(spark):
+    from esop_spark.operators import text as text_ops
+
+    docs = spark.createDataFrame(
+        [(0, "hello worlds"), (1, "ab 12 c!")], "doc_id long, text string"
+    )
+    got = {r["doc_id"]: r for r in text_ops.bpe_token_stats(docs).collect()}
+    # hello -> hell+o, worlds -> worl+ds : 4 pieces / 2 words
+    assert got[0]["n_pieces"] == 4 and got[0]["n_words"] == 2
+    assert got[0]["fertility"] == 2.0
+    # ab(1) 1(1) 2(1) c(1) !(1) = 5 pieces / 3 words
+    assert got[1]["n_pieces"] == 5 and got[1]["n_words"] == 3
