@@ -31,6 +31,7 @@ from esop_spark.operators import (
     similarity,
     snapshots,
     splits,
+    versioning,
     text as text_ops,
     topology,
 )
@@ -694,6 +695,51 @@ def q70_bpe_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text_ops.bpe_token_stats(_base(spark, sf_dir, "documents"))
 
 
+Z_THRESH = 3.0
+
+
+def _documents_v2(docs: DataFrame) -> DataFrame:
+    """Deterministic second corpus snapshot for the versioning diff: drop
+    doc_id%7==0, append ' v2' to text of doc_id%5==0 survivors, add new
+    docs (doc_id+1000000) for doc_id%11==0. Same derivation inlined in the
+    q71 oracle SQL so both engines diff identical snapshots."""
+    kept = docs.filter(F.col("doc_id") % 7 != 0).select(
+        "doc_id",
+        F.when(F.col("doc_id") % 5 == 0, F.concat(F.col("text"), F.lit(" v2")))
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+    new = docs.filter(F.col("doc_id") % 11 == 0).select(
+        (F.col("doc_id") + 1000000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" new")).alias("text"),
+    )
+    return kept.unionAll(new)
+
+
+def q71_corpus_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus snapshot diff (versioning.diff_report): added/removed/changed/
+    unchanged via one hash-compare full-outer join — the incremental-
+    curation bookkeeping, same plan shape as the q04 restore diff."""
+    docs = _base(spark, sf_dir, "documents")
+    return versioning.diff_report(docs, _documents_v2(docs))
+
+
+def q72_quality_cdf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-score histogram + cumulative fraction (text_ops.quality_cdf):
+    the threshold-picking curve; cumulative window runs over ≤101 integer
+    scores, never over documents."""
+    return text_ops.quality_cdf(_base(spark, sf_dir, "documents"))
+
+
+def q73_embedding_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-vector max |z| vs per-dim corpus moments
+    (similarity.embedding_outliers): embedding-space data-quality gate,
+    dim-key broadcast join, no corpus shuffle."""
+    return similarity.embedding_outliers(
+        _base(spark, sf_dir, "embeddings"), z_thresh=Z_THRESH
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001: the backup-listing report."""
     return q01_list_backups(spark, "/root/testdata/sf0.001")
@@ -771,6 +817,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q68_kcenter_assign": q68_kcenter_assign,
         "q69_containment_dedup": q69_containment_dedup,
         "q70_bpe_token_stats": q70_bpe_token_stats,
+        "q71_corpus_diff": q71_corpus_diff,
+        "q72_quality_cdf": q72_quality_cdf,
+        "q73_embedding_outliers": q73_embedding_outliers,
     }
 
 
@@ -2058,6 +2107,73 @@ def oracle_sql() -> dict[str, str]:
             FROM best WHERE rn = 1 GROUP BY 1
         """,
         "q69_containment_dedup": _q69_oracle(),
+        "q71_corpus_diff": """
+            WITH v2 AS (
+                SELECT doc_id,
+                       CASE WHEN doc_id % 5 = 0 THEN text || ' v2' ELSE text END AS text
+                FROM documents WHERE doc_id % 7 <> 0
+                UNION ALL
+                SELECT doc_id + 1000000 AS doc_id, text || ' new' AS text
+                FROM documents WHERE doc_id % 11 = 0
+            ),
+            a AS (SELECT doc_id, md5(text) AS h1 FROM documents),
+            b AS (SELECT doc_id, md5(text) AS h2 FROM v2),
+            st AS (
+                SELECT COALESCE(a.doc_id, b.doc_id) AS doc_id,
+                       CASE WHEN h1 IS NULL THEN 'added'
+                            WHEN h2 IS NULL THEN 'removed'
+                            WHEN h1 <> h2 THEN 'changed'
+                            ELSE 'unchanged' END AS status
+                FROM a FULL OUTER JOIN b ON a.doc_id = b.doc_id
+            )
+            SELECT status,
+                   CAST(COUNT(*) AS BIGINT) AS n_docs,
+                   CAST(MIN(doc_id) AS BIGINT) AS min_id,
+                   CAST(MAX(doc_id) AS BIGINT) AS max_id
+            FROM st GROUP BY 1
+        """,
+        # same integer quality score formula as quality_score/q62
+        "q72_quality_cdf": """
+            WITH s AS (
+                SELECT CAST(ROUND((0.5 * (1.0 - len(list_filter(string_split(text, ' '),
+                                w -> w IN ('a', 'the'))) * 1.0 / len(string_split(text, ' ')))
+                          + 0.5 * len(list_distinct(string_split(text, ' '))) * 1.0
+                            / len(string_split(text, ' '))) * 100) AS BIGINT) AS quality_score
+                FROM documents
+            ),
+            h AS (SELECT quality_score, CAST(COUNT(*) AS BIGINT) AS n_docs
+                  FROM s GROUP BY 1),
+            t AS (SELECT CAST(SUM(n_docs) AS BIGINT) AS total FROM h)
+            SELECT quality_score, n_docs,
+                   CAST(SUM(n_docs) OVER (ORDER BY quality_score) AS BIGINT) AS cum_docs,
+                   ROUND(CAST(SUM(n_docs) OVER (ORDER BY quality_score) AS BIGINT)
+                         * 1.0 / total, 6) AS cum_frac
+            FROM h, t
+        """,
+        "q73_embedding_outliers": f"""
+            WITH e AS (
+                SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+            ),
+            u AS (
+                SELECT vec_id, CAST(t.i - 1 AS BIGINT) AS dim, v[t.i] AS x
+                FROM e, unnest(range(1, 65)) t(i)
+            ),
+            st AS (
+                SELECT dim, SUM(x) / COUNT(*) AS mu,
+                       sqrt(greatest(SUM(x * x) / COUNT(*)
+                            - (SUM(x) / COUNT(*)) * (SUM(x) / COUNT(*)), 0)) AS sd
+                FROM u GROUP BY 1
+            ),
+            z AS (
+                SELECT u.vec_id, ROUND(abs(u.x - st.mu) / nullif(st.sd, 0), 6) AS z
+                FROM u JOIN st USING (dim)
+            )
+            SELECT CAST(vec_id AS BIGINT) AS vec_id,
+                   MAX(z) AS max_absz,
+                   CAST(SUM(CASE WHEN z > {Z_THRESH} THEN 1 ELSE 0 END) AS BIGINT) AS n_over,
+                   MAX(z) > {Z_THRESH} AS is_outlier
+            FROM z GROUP BY 1
+        """,
         "q70_bpe_token_stats": """
             SELECT CAST(doc_id AS BIGINT) AS doc_id,
                    CAST(len(regexp_extract_all(text,

@@ -56,6 +56,9 @@ BENCH_QUERIES = [
     "q66_bigram_logprob",
     "q67_gopher_rules",
     "q68_kcenter_assign",
+    "q69_containment_dedup",
+    "q71_corpus_diff",
+    "q73_embedding_outliers",
 ]
 
 

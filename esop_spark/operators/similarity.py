@@ -563,3 +563,46 @@ def kcenter_assign(
             F.min(id_col).cast("bigint").alias("min_member"),
         )
     )
+
+
+def embedding_outliers(
+    embeddings: DataFrame,
+    z_thresh: float = 3.0,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Per-vector outlier report against per-dimension corpus statistics:
+    max |z-score| across dimensions, how many dimensions exceed the
+    threshold, and the outlier verdict. The embedding-space data-quality
+    gate (truncated/corrupt/out-of-distribution vectors) that runs before
+    any ANN index build.
+
+    The per-dim stats are the same mergeable moments as
+    :func:`embedding_dim_stats` (partial aggs reduce each partition to
+    ≤dim rows); they broadcast back onto the exploded corpus, so the whole
+    operator is two scans + a dim-key broadcast join — no corpus-wide
+    shuffle. z is rounded to 6dp BEFORE comparisons so sub-1e-6 float
+    differences can't flip a verdict across engines.
+    """
+    u = embeddings.select(
+        F.col(id_col), F.posexplode(_vec_double(vec_col)).alias("dim", "x")
+    )
+    stats = u.groupBy("dim").agg(
+        (F.sum("x") / F.count(F.lit(1))).alias("mu"),
+        (F.sum(F.col("x") * F.col("x")) / F.count(F.lit(1))).alias("msq"),
+    ).select(
+        "dim",
+        "mu",
+        F.sqrt(F.greatest(F.col("msq") - F.col("mu") * F.col("mu"), F.lit(0.0))).alias("sd"),
+    )
+    z = u.join(F.broadcast(stats), "dim").select(
+        F.col(id_col),
+        F.round(
+            F.abs(F.col("x") - F.col("mu")) / F.nullif(F.col("sd"), F.lit(0.0)), 6
+        ).alias("z"),
+    )
+    return z.groupBy(id_col).agg(
+        F.max("z").alias("max_absz"),
+        F.sum((F.col("z") > F.lit(z_thresh)).cast("bigint")).cast("bigint").alias("n_over"),
+        (F.max("z") > F.lit(z_thresh)).alias("is_outlier"),
+    )

@@ -763,3 +763,35 @@ def bpe_token_stats(documents: DataFrame, text_col: str = "text") -> DataFrame:
         words.cast("bigint").alias("n_words"),
         F.round(pieces / words, 6).alias("fertility"),
     )
+
+
+def quality_cdf(documents: DataFrame, text_col: str = "text") -> DataFrame:
+    """Quality-score histogram with cumulative fraction — the curve a
+    curator reads to pick a gate threshold for a target keep rate ("drop
+    the bottom 20%" = smallest score with cum_frac ≥ 0.2).
+
+    The corpus pass is the same zero-shuffle scoring projection as
+    :func:`quality_score` plus one ~100-group aggregate; the cumulative
+    window runs over the ≤101 distinct integer scores — a driver-trivial
+    relation at ANY corpus size, which is why this is scale-safe where a
+    per-document global rank (ntile/percent_rank) would funnel the whole
+    corpus through one task.
+    """
+    scored = quality_score(documents, text_col).select("quality_score")
+    hist = scored.groupBy("quality_score").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs")
+    )
+    from pyspark.sql.window import Window
+
+    w = Window.orderBy("quality_score").rowsBetween(Window.unboundedPreceding, 0)
+    total = hist.agg(F.sum("n_docs").alias("total"))
+    return (
+        hist.withColumn("cum_docs", F.sum("n_docs").over(w).cast("bigint"))
+        .crossJoin(F.broadcast(total))
+        .select(
+            "quality_score",
+            "n_docs",
+            "cum_docs",
+            F.round(F.col("cum_docs") / F.col("total"), 6).alias("cum_frac"),
+        )
+    )

@@ -362,3 +362,29 @@ def test_bpe_token_stats_fertility(spark):
     assert got[0]["fertility"] == 2.0
     # ab(1) 1(1) 2(1) c(1) !(1) = 5 pieces / 3 words
     assert got[1]["n_pieces"] == 5 and got[1]["n_words"] == 3
+
+
+def test_quality_cdf_monotone_and_total(spark):
+    from esop_spark.operators import text as text_ops
+
+    docs = spark.createDataFrame(
+        [(i, " ".join(f"w{j % (i + 1)}" for j in range(20))) for i in range(30)],
+        "doc_id long, text string",
+    )
+    rows = sorted(text_ops.quality_cdf(docs).collect(), key=lambda r: r["quality_score"])
+    assert sum(r["n_docs"] for r in rows) == 30
+    fracs = [r["cum_frac"] for r in rows]
+    assert fracs == sorted(fracs) and abs(fracs[-1] - 1.0) < 1e-9
+    assert rows[-1]["cum_docs"] == 30
+
+
+def test_embedding_outliers_flags_spike(spark):
+    from esop_spark.operators import similarity
+
+    # 40 tame vectors + one with a huge spike in dim 2
+    rows = [(i, [float((i * 7 + d) % 5) / 5.0 for d in range(8)]) for i in range(40)]
+    rows.append((99, [0.0, 0.0, 50.0, 0.0, 0.0, 0.0, 0.0, 0.0]))
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    got = {r["vec_id"]: r for r in similarity.embedding_outliers(emb, 3.0).collect()}
+    assert got[99]["is_outlier"] and got[99]["n_over"] >= 1
+    assert sum(1 for r in got.values() if r["is_outlier"]) == 1
