@@ -56,6 +56,20 @@ def token_stats(documents: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+def quality_score_col(
+    text_col: str | Column = "text",
+    stopwords: tuple[str, ...] = DEFAULT_STOPWORDS,
+) -> Column:
+    """The 0–100 quality score as a plain Column expression — composable
+    into any projection (release_gate, curate_stream) without a join."""
+    toks = tokens(text_col)
+    n = F.size(toks)
+    stop = token_match_count(text_col, stopwords)
+    ttr = F.size(F.array_distinct(toks)).cast("double") / n
+    stop_ratio = stop.cast("double") / n
+    return F.round((0.5 * (1.0 - stop_ratio) + 0.5 * ttr) * 100).cast("bigint")
+
+
 def quality_score(
     documents: DataFrame,
     text_col: str = "text",
@@ -69,24 +83,22 @@ def quality_score(
     stop = token_match_count(text_col, stopwords)
     ttr = F.size(F.array_distinct(toks)).cast("double") / n
     stop_ratio = stop.cast("double") / n
-    score = F.round((0.5 * (1.0 - stop_ratio) + 0.5 * ttr) * 100).cast("bigint")
     return documents.select(
         "doc_id",
         n.cast("bigint").alias("n_tokens"),
         F.round(stop_ratio, 6).alias("stopword_ratio"),
         F.round(ttr, 6).alias("type_token_ratio"),
-        score.alias("quality_score"),
+        quality_score_col(text_col, stopwords).alias("quality_score"),
     )
 
 
-def lang_id(
-    documents: DataFrame,
-    text_col: str = "text",
+def lang_pred_cols(
+    text_col: str | Column = "text",
     profiles: dict[str, tuple[str, ...]] | None = None,
-) -> DataFrame:
-    """Marker-token language-ID heuristic: score = marker-token occurrences
-    per language profile; argmax wins (language-name ascending tiebreak);
-    all-zero scores → 'unknown'."""
+) -> tuple[Column, Column]:
+    """(pred_lang, best_score) as plain Column expressions: marker-token
+    score per language profile; argmax wins (language-name ascending
+    tiebreak); all-zero scores → 'unknown'. Composable without a join."""
     profiles = profiles or LANG_PROFILES
     langs = sorted(profiles)
     scores = {lang: token_match_count(text_col, profiles[lang]) for lang in langs}
@@ -95,6 +107,17 @@ def lang_id(
     # build when-chain in reverse so earlier languages win ties
     for lang in reversed(langs):
         pred = F.when((scores[lang] == best) & (best > 0), F.lit(lang)).otherwise(pred)
+    return pred, best
+
+
+def lang_id(
+    documents: DataFrame,
+    text_col: str = "text",
+    profiles: dict[str, tuple[str, ...]] | None = None,
+) -> DataFrame:
+    """Marker-token language-ID heuristic (DataFrame form of
+    :func:`lang_pred_cols`)."""
+    pred, best = lang_pred_cols(text_col, profiles)
     return documents.select(
         "doc_id",
         pred.alias("pred_lang"),
@@ -148,19 +171,19 @@ def curate(
     near-order dedup (token-set key, min doc_id canonical wins).
 
     The canonical training-data filtering chain, composed entirely from the
-    engine's own operators — one aggregation shuffle total (the dedup),
-    everything before it fused into the scan stage.
+    engine's own operators — one aggregation shuffle total (the dedup):
+    the quality/lang/content-key signals are all columns of one scan
+    projection (no self-joins on doc_id), so everything before the dedup
+    agg is fused into the scan stage.
     """
-    q = quality_score(documents, text_col).select("doc_id", "quality_score")
-    lid = lang_id(documents, text_col).select("doc_id", "pred_lang")
-    keyed = documents.select(
-        "doc_id", tokenset_key(text_col).alias("dedup_key")
-    )
-    survivors = (
-        documents.select("doc_id")
-        .join(q.filter(F.col("quality_score") >= min_quality), "doc_id")
-        .join(lid.filter(F.col("pred_lang") == lang), "doc_id")
-        .join(keyed, "doc_id")
+    pred_lang, _best = lang_pred_cols(text_col)
+    survivors = documents.select(
+        "doc_id",
+        tokenset_key(text_col).alias("dedup_key"),
+        quality_score_col(text_col).alias("quality_score"),
+        pred_lang.alias("pred_lang"),
+    ).filter(
+        (F.col("quality_score") >= min_quality) & (F.col("pred_lang") == lang)
     )
     canonical = survivors.groupBy("dedup_key").agg(
         F.min("doc_id").cast("bigint").alias("doc_id"),
@@ -545,22 +568,26 @@ def release_gate(
     source: n_docs, n_quality_fail, n_lang_fail, n_boiler_fail,
     n_dup_drop, n_released.
 
-    Plan: the quality/lang signals are scan-stage projections; boilerplate
-    adds its two uniform-key shuffles; the dedup winner is a window over
-    the content key restricted to survivors; the report is one final tiny
-    agg on source. Nothing here is driver-side.
+    Plan: the quality/lang/content-key signals are columns of ONE scan
+    projection (no self-joins — computing them as separate DataFrames and
+    joining on doc_id cost two extra full-corpus shuffles, measured ~25%
+    of q62 at sf0.1); boilerplate genuinely aggregates across documents,
+    so its join-back is the single corpus join; the dedup winner is a
+    window over the content key restricted to survivors; the report is one
+    final tiny agg on source. Nothing here is driver-side.
     """
-    q = quality_score(documents, text_col).select(id_col, "quality_score")
-    lid = lang_id(documents, text_col).select(id_col, "pred_lang")
     boiler = boilerplate_stats(documents, text_col=text_col, id_col=id_col).select(
         id_col, "boilerplate_frac"
     )
+    pred_lang, _best = lang_pred_cols(text_col)
     keyed = documents.select(
-        F.col(id_col), F.col(source_col), tokenset_key(text_col).alias("dk")
+        F.col(id_col),
+        F.col(source_col),
+        tokenset_key(text_col).alias("dk"),
+        quality_score_col(text_col).alias("quality_score"),
+        pred_lang.alias("pred_lang"),
     )
-    joined = (
-        keyed.join(q, id_col).join(lid, id_col).join(boiler, id_col)
-    )
+    joined = keyed.join(boiler, id_col)
     survives_pre = (
         (F.col("quality_score") >= min_quality)
         & (F.col("pred_lang") == lang)

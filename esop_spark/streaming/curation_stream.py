@@ -19,10 +19,8 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from esop_spark.operators.text import (
-    DEFAULT_STOPWORDS,
-    LANG_PROFILES,
-    token_match_count,
-    tokens,
+    lang_pred_cols,
+    quality_score_col,
     tokenset_key,
 )
 
@@ -42,21 +40,8 @@ def curate_stream(
     pred_lang); duplicates of a content key arriving within the watermark
     are dropped with bounded state.
     """
-    toks = tokens(text_col)
-    n = F.size(toks)
-    stop = token_match_count(text_col, DEFAULT_STOPWORDS)
-    ttr = F.size(F.array_distinct(toks)).cast("double") / n
-    score = F.round(
-        (0.5 * (1.0 - stop.cast("double") / n) + 0.5 * ttr) * 100
-    ).cast("bigint")
-
-    profiles = LANG_PROFILES
-    langs = sorted(profiles)
-    scores = {lg: token_match_count(text_col, profiles[lg]) for lg in langs}
-    best = F.greatest(*scores.values())
-    pred = F.lit("unknown")
-    for lg in reversed(langs):
-        pred = F.when((scores[lg] == best) & (best > 0), F.lit(lg)).otherwise(pred)
+    score = quality_score_col(text_col)
+    pred, _best = lang_pred_cols(text_col)
 
     gated = (
         documents.withColumn("quality_score", score)
