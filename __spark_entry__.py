@@ -740,6 +740,15 @@ def q73_embedding_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q74_dup_span_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc duplicated-content fraction via exact union-of-intervals
+    over corpus-hot n-gram spans (text_ops.dup_span_coverage) — the
+    document-level score a span-dedup gate thresholds on."""
+    return text_ops.dup_span_coverage(
+        _base(spark, sf_dir, "documents"), n=NGRAM_SPAN_N
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001: the backup-listing report."""
     return q01_list_backups(spark, "/root/testdata/sf0.001")
@@ -820,6 +829,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q71_corpus_diff": q71_corpus_diff,
         "q72_quality_cdf": q72_quality_cdf,
         "q73_embedding_outliers": q73_embedding_outliers,
+        "q74_dup_span_coverage": q74_dup_span_coverage,
     }
 
 
@@ -2107,6 +2117,42 @@ def oracle_sql() -> dict[str, str]:
             FROM best WHERE rn = 1 GROUP BY 1
         """,
         "q69_containment_dedup": _q69_oracle(),
+        "q74_dup_span_coverage": f"""
+            WITH docs AS (
+                SELECT doc_id, string_split(text, ' ') AS words FROM documents
+            ),
+            base AS (
+                SELECT doc_id, CAST(len(words) AS BIGINT) AS n_tokens FROM docs
+            ),
+            spans AS (
+                SELECT doc_id, CAST(i AS BIGINT) AS pos,
+                       list_aggregate(words[i:i+{NGRAM_SPAN_N - 1}], 'string_agg', ' ') AS span
+                FROM docs,
+                     unnest(range(1, GREATEST(len(words) - {NGRAM_SPAN_N - 1}, 0) + 1)) t(i)
+                WHERE len(words) >= {NGRAM_SPAN_N}
+            ),
+            hot AS (
+                SELECT span FROM (
+                    SELECT span, COUNT(DISTINCT doc_id) AS d FROM spans GROUP BY 1
+                ) WHERE d >= 2
+            ),
+            hp AS (
+                SELECT doc_id, pos,
+                       LAG(pos) OVER (PARTITION BY doc_id ORDER BY pos) AS prev
+                FROM spans WHERE span IN (SELECT span FROM hot)
+            ),
+            cov AS (
+                SELECT doc_id,
+                       CAST(SUM(CASE WHEN prev IS NULL THEN {NGRAM_SPAN_N}
+                                     ELSE LEAST({NGRAM_SPAN_N}, pos - prev) END)
+                            AS BIGINT) AS covered
+                FROM hp GROUP BY 1
+            )
+            SELECT CAST(b.doc_id AS BIGINT) AS doc_id, b.n_tokens,
+                   CAST(COALESCE(c.covered, 0) AS BIGINT) AS covered_tokens,
+                   ROUND(COALESCE(c.covered, 0) * 1.0 / b.n_tokens, 6) AS dup_frac
+            FROM base b LEFT JOIN cov c USING (doc_id)
+        """,
         "q71_corpus_diff": """
             WITH v2 AS (
                 SELECT doc_id,

@@ -59,6 +59,7 @@ BENCH_QUERIES = [
     "q69_containment_dedup",
     "q71_corpus_diff",
     "q73_embedding_outliers",
+    "q74_dup_span_coverage",
 ]
 
 

@@ -822,3 +822,73 @@ def quality_cdf(documents: DataFrame, text_col: str = "text") -> DataFrame:
             F.round(F.col("cum_docs") / F.col("total"), 6).alias("cum_frac"),
         )
     )
+
+
+def dup_span_coverage(
+    documents: DataFrame,
+    n: int = 8,
+    min_docs: int = 2,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-document duplicated-content coverage: the fraction of each
+    document's tokens covered by at least one ``n``-gram span that occurs
+    in ≥ ``min_docs`` distinct documents — the document-level companion to
+    :func:`repeated_ngrams` (that one ranks the spans; this one scores the
+    docs, the number a span-dedup gate actually thresholds on).
+
+    Coverage is an exact union-of-intervals: hot-span start positions are
+    sorted per doc and each contributes min(n, gap-to-previous-start) newly
+    covered tokens — overlapping spans never double-count.
+
+    Plan: one explode → two uniform-key span aggs (the q58 two-level shape,
+    no countDistinct Expand) → semi-join positions against hot spans → one
+    per-doc window over hot positions only (orders of magnitude fewer rows
+    than tokens) → per-doc agg, left-joined onto the narrow per-doc token
+    counts so clean docs report 0.0.
+    """
+    from pyspark.sql.window import Window
+
+    words = documents.select(
+        F.col(id_col), F.split(F.col(text_col), " ").alias("words")
+    )
+    starts = F.expr(
+        f"CASE WHEN size(words) >= {n} THEN sequence(1, size(words) - {n - 1}) "
+        f"ELSE array() END"
+    )
+    spans = words.select(
+        F.col(id_col),
+        F.posexplode(
+            F.transform(
+                starts, lambda s: F.array_join(F.slice(F.col("words"), s, n), " ")
+            )
+        ).alias("pos0", "span"),
+    ).select(F.col(id_col), (F.col("pos0") + 1).alias("pos"), "span")
+    per_doc = spans.groupBy("span", id_col).agg(F.count(F.lit(1)).alias("occ"))
+    hot = (
+        per_doc.groupBy("span")
+        .agg(F.count(F.lit(1)).alias("span_docs"))
+        .filter(F.col("span_docs") >= min_docs)
+        .select("span")
+    )
+    hot_pos = spans.join(hot, "span", "left_semi")
+    w = Window.partitionBy(id_col).orderBy("pos")
+    inc = F.when(F.lag("pos").over(w).isNull(), F.lit(n)).otherwise(
+        F.least(F.lit(n), F.col("pos") - F.lag("pos").over(w))
+    )
+    cov = (
+        hot_pos.withColumn("inc", inc)
+        .groupBy(id_col)
+        .agg(F.sum("inc").cast("bigint").alias("covered_tokens"))
+    )
+    base = documents.select(
+        F.col(id_col), F.size(F.split(F.col(text_col), " ")).cast("bigint").alias("n_tokens")
+    )
+    return base.join(cov, id_col, "left").select(
+        F.col(id_col),
+        "n_tokens",
+        F.coalesce(F.col("covered_tokens"), F.lit(0)).cast("bigint").alias("covered_tokens"),
+        F.round(
+            F.coalesce(F.col("covered_tokens"), F.lit(0)) / F.col("n_tokens"), 6
+        ).alias("dup_frac"),
+    )

@@ -388,3 +388,35 @@ def test_embedding_outliers_flags_spike(spark):
     got = {r["vec_id"]: r for r in similarity.embedding_outliers(emb, 3.0).collect()}
     assert got[99]["is_outlier"] and got[99]["n_over"] >= 1
     assert sum(1 for r in got.values() if r["is_outlier"]) == 1
+
+
+def test_dup_span_coverage_interval_union(spark):
+    from esop_spark.operators import text as text_ops
+
+    shared = "s1 s2 s3 s4"  # one hot 4-gram shared by docs 0 and 1
+    docs = spark.createDataFrame(
+        [
+            (0, shared + " u1 u2 u3 u4"),        # covered 4 of 8
+            (1, "v1 " + shared + " v2 v3"),      # covered 4 of 7
+            (2, "w1 w2 w3 w4 w5 w6 w7 w8"),      # clean
+        ],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r for r in text_ops.dup_span_coverage(docs, n=4).collect()}
+    assert got[0]["covered_tokens"] == 4 and got[0]["dup_frac"] == 0.5
+    assert got[1]["covered_tokens"] == 4
+    assert got[2]["covered_tokens"] == 0 and got[2]["dup_frac"] == 0.0
+
+
+def test_dup_span_coverage_overlaps_not_double_counted(spark):
+    from esop_spark.operators import text as text_ops
+
+    # doc 0 repeats 'a b a b a b' so overlapping hot 2-grams tile it;
+    # doc 1 shares the 2-grams, making them corpus-hot
+    docs = spark.createDataFrame(
+        [(0, "a b a b a b"), (1, "x a b y")], "doc_id long, text string"
+    )
+    got = {r["doc_id"]: r for r in text_ops.dup_span_coverage(docs, n=2).collect()}
+    # every position in doc 0 starts a hot 2-gram: full coverage, not 2*5
+    assert got[0]["covered_tokens"] == 6 and got[0]["dup_frac"] == 1.0
+    assert got[1]["covered_tokens"] == 2
