@@ -749,6 +749,14 @@ def q74_dup_span_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q75_temperature_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature (alpha=0.5) mixture flattening per language
+    (sampling.temperature_resample): isqrt-exact weights feed the
+    all-integer exact-mixture machinery; report per-stratum keep rates."""
+    docs = _base(spark, sf_dir, "documents")
+    return sampling.temperature_resample(docs, "lang", F.col("doc_id"))
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001: the backup-listing report."""
     return q01_list_backups(spark, "/root/testdata/sf0.001")
@@ -830,6 +838,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q72_quality_cdf": q72_quality_cdf,
         "q73_embedding_outliers": q73_embedding_outliers,
         "q74_dup_span_coverage": q74_dup_span_coverage,
+        "q75_temperature_resample": q75_temperature_resample,
     }
 
 
@@ -1786,6 +1795,41 @@ def oracle_sql() -> dict[str, str]:
             SELECT CAST(doc_id AS BIGINT) AS doc_id, lang, source
             FROM ranked JOIN keeps USING (lang)
             WHERE rn <= keep
+        """,
+        # temperature alpha=0.5: integer weights FLOOR(sqrt(n*1e6)) ==
+        # Python isqrt(n*1e6); then the q57 all-integer mixture machinery
+        "q75_temperature_resample": """
+            WITH counts0 AS (
+                SELECT lang, COUNT(*) AS n FROM documents GROUP BY 1
+            ),
+            w AS (
+                SELECT lang, n,
+                       CAST(FLOOR(sqrt(CAST(n AS DOUBLE) * 1000000)) AS BIGINT) AS w
+                FROM counts0
+            ),
+            c2 AS (SELECT lang, n, w, (n * 1000000) // w AS feasible FROM w),
+            t AS (SELECT MIN(feasible) AS t FROM c2),
+            keeps AS (SELECT lang, n, (t.t * w) // 1000000 AS keep FROM c2, t),
+            ranked AS (
+                SELECT doc_id, lang,
+                       ROW_NUMBER() OVER (
+                           PARTITION BY lang
+                           ORDER BY CAST(CONCAT('0x', SUBSTR(md5('s0:' || doc_id), 1, 8)) AS BIGINT)
+                                    % 1000000 ASC,
+                                    CAST(doc_id AS VARCHAR) ASC
+                       ) AS rn
+                FROM documents
+            ),
+            kept AS (
+                SELECT r.lang, COUNT(*) AS n_kept
+                FROM ranked r JOIN keeps k USING (lang)
+                WHERE r.rn <= k.keep GROUP BY 1
+            )
+            SELECT w.lang,
+                   CAST(w.n AS BIGINT) AS n_before,
+                   CAST(COALESCE(kept.n_kept, 0) AS BIGINT) AS n_kept,
+                   ROUND(COALESCE(kept.n_kept, 0) * 1.0 / w.n, 6) AS kept_frac
+            FROM w LEFT JOIN kept USING (lang)
         """,
         "q58_repeated_ngrams": f"""
             WITH docs AS (

@@ -130,3 +130,65 @@ def mixture_resample(
         .filter(F.col("_rn") <= F.col("_keep"))
         .drop("_rn", "_keep")
     )
+
+
+def temperature_weights(counts: dict[str, int], alpha: float = 0.5) -> dict[str, int]:
+    """Integer mixture weights implementing temperature resampling: weight
+    per stratum ∝ n_s^alpha, so alpha < 1 flattens the distribution toward
+    rare strata (the multilingual-rebalancing trick from the mBERT/XLM-R
+    line of work) and alpha = 1 reproduces the natural mixture.
+
+    For the default alpha = 0.5 the weight is ``isqrt(n · 1e6)`` — EXACT
+    integer arithmetic, so any engine (and the DuckDB oracle, via
+    ``FLOOR(sqrt(n * 1e6))``) lands on identical weights with no libm/
+    rounding divergence. Other alphas use float pow scaled to 1e6 —
+    deterministic per platform but not cross-engine-exactness-guaranteed
+    (documented trade; 0.5 is the common production setting).
+    """
+    import math
+
+    if alpha == 0.5:
+        return {s: math.isqrt(int(n) * 1_000_000) for s, n in counts.items() if n > 0}
+    return {
+        s: max(1, int((float(n) ** alpha) * 1_000_000))
+        for s, n in counts.items()
+        if n > 0
+    }
+
+
+def temperature_resample(
+    df: DataFrame,
+    strata_col: str,
+    key: Column,
+    alpha: float = 0.5,
+    seed: str = "s0",
+) -> DataFrame:
+    """Temperature-flattened resampling report: derive n_s^alpha weights
+    from observed stratum counts, keep the largest exact mixture matching
+    them (delegating to :func:`mixture_resample`'s all-integer math), and
+    report per stratum (n_before, n_kept, kept_frac).
+
+    The stratum-count collect is k rows (languages/domains — driver-tiny,
+    same bound as the IVF centroid collect); everything row-scale stays
+    distributed. mixture_resample's weights stay valid at ANY positive
+    integer scale (only ratios matter through the feasibility/keep floors),
+    so the isqrt(n·1e6) weights plug straight in.
+    """
+    counts_df = df.groupBy(strata_col).agg(F.count(F.lit(1)).alias("n"))
+    counts = {r[strata_col]: r["n"] for r in counts_df.collect()}
+    weights = temperature_weights(counts, alpha)
+    kept = mixture_resample(df, strata_col, weights, key, seed)
+    kept_counts = kept.groupBy(strata_col).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_kept")
+    )
+    return (
+        counts_df.join(kept_counts, strata_col, "left")
+        .select(
+            F.col(strata_col),
+            F.col("n").cast("bigint").alias("n_before"),
+            F.coalesce(F.col("n_kept"), F.lit(0)).cast("bigint").alias("n_kept"),
+            F.round(
+                F.coalesce(F.col("n_kept"), F.lit(0)) / F.col("n"), 6
+            ).alias("kept_frac"),
+        )
+    )

@@ -60,3 +60,32 @@ def test_sample_k_per_stratum_exact_k_and_deterministic(spark):
     for lang, _ in rows1:
         counts[lang] = counts.get(lang, 0) + 1
     assert counts == {"0": 7, "1": 7, "2": 7}
+
+
+def test_temperature_resample_flattens_mixture(spark):
+    from pyspark.sql import functions as F
+
+    from esop_spark.operators import sampling
+
+    # 800 'a' vs 50 'b': natural ratio 16:1, sqrt-flattened target 4:1
+    docs = spark.range(850).select(
+        F.col("id").alias("doc_id"),
+        F.when(F.col("id") < 800, "a").otherwise("b").alias("lang"),
+    )
+    rep = {r["lang"]: r for r in sampling.temperature_resample(
+        docs, "lang", F.col("doc_id")
+    ).collect()}
+    # minority stratum is the binding one — kept ~whole (floors may shave 1)
+    assert rep["b"]["n_kept"] in (49, 50)
+    ratio = rep["a"]["n_kept"] / rep["b"]["n_kept"]
+    assert 3.5 < ratio < 4.5  # ~sqrt(16) = 4, floors allowed
+    assert rep["a"]["n_before"] == 800
+
+
+def test_temperature_weights_isqrt_exact():
+    import math
+
+    from esop_spark.operators import sampling
+
+    w = sampling.temperature_weights({"x": 9, "y": 16}, alpha=0.5)
+    assert w == {"x": math.isqrt(9_000_000), "y": 4000}
