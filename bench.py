@@ -60,6 +60,7 @@ BENCH_QUERIES = [
     "q71_corpus_diff",
     "q73_embedding_outliers",
     "q74_dup_span_coverage",
+    "q75_temperature_resample",
 ]
 
 
