@@ -94,3 +94,31 @@ def test_shard_report_token_conservation(spark):
     # every non-final shard starts a new doc within budget of the grid cut:
     # fill_ratio >= 1 - max_doc/budget is loose; just check all > 0
     assert all(r["fill_ratio"] > 0 for r in rep)
+
+
+import pytest as _pytest
+
+
+@_pytest.mark.parametrize("n_rows,n_parts", [(1, 1), (37, 7), (500, 3)])
+def test_prefix_sum_matches_window_across_shapes(spark, n_rows, n_parts):
+    docs = _docs(spark, n_rows).repartition(5)
+    got = {
+        r["doc_id"]: r["cum_incl"]
+        for r in splits._distributed_prefix_sum(docs, "doc_id", "n_tokens", n_parts).collect()
+    }
+    w = Window.orderBy("doc_id").rowsBetween(Window.unboundedPreceding, 0)
+    want = {
+        r["doc_id"]: r["c"]
+        for r in docs.withColumn("c", F.sum("n_tokens").over(w)).collect()
+    }
+    assert got == want
+
+
+@_pytest.mark.parametrize("budget", [1, 10, 10**9])
+def test_pack_shards_budget_extremes(spark, budget):
+    docs = _docs(spark, 60)
+    packed = splits.pack_shards(docs, "doc_id", "n_tokens", budget).collect()
+    for r in packed:
+        assert r["shard_id"] == (r["cum_incl"] - r["n_tokens"]) // budget
+    if budget == 10**9:
+        assert {r["shard_id"] for r in packed} == {0}  # everything fits shard 0
