@@ -9,10 +9,16 @@ data: re-runs, re-partitions and other engines (the DuckDB oracle) agree
 row-for-row.
 
 Scale design: `hash_sample`/`stratified_sample` are narrow filters (no
-shuffle at all — the rate lookup is a broadcast of a tiny per-stratum map);
-`sample_k_per_stratum` is one window over the stratum key (same shape as
-any per-group top-k; for pathologically hot strata, pre-filter with
-`hash_sample` to bound the window input).
+shuffle at all — the rate lookup is a broadcast of a tiny per-stratum map).
+The exact per-stratum selections (`sample_k_per_stratum`,
+`mixture_resample`, `temperature_resample`) rank with
+:func:`_distributed_stratum_rank` — a range partition on
+(stratum, bucket, key), a per-(partition, stratum) local row_number, and a
+broadcast join of the tiny per-(partition, stratum) offset table. A hot
+stratum (50% of a 100 TB corpus in one language) is spread across ALL
+partitions by its bucket range instead of funnelling through the single
+reducer a ``Window.partitionBy(stratum)`` sort would use; no task ever
+sees more than ~1/num_partitions of any stratum.
 """
 
 from __future__ import annotations
@@ -61,21 +67,81 @@ def stratified_sample(
     return df.filter(sample_bucket(key, seed) < rate_col)
 
 
-def sample_k_per_stratum(
-    df: DataFrame, strata_col: str, k: int, key: Column, seed: str = "s0"
+def _distributed_stratum_rank(
+    df: DataFrame,
+    strata_col: str,
+    bucket: Column,
+    key: Column,
+    num_partitions: int = 32,
 ) -> DataFrame:
-    """Exactly min(k, |stratum|) rows per stratum, chosen by hash order —
-    a deterministic uniform-without-replacement sample per group. One
-    window shuffle on the stratum key; ties broken by the key itself so
-    the pick is total-ordered and engine-independent."""
-    w = Window.partitionBy(strata_col).orderBy(
-        sample_bucket(key, seed).asc(), key.cast("string").asc()
+    """Adds ``_rn`` = row_number() within each stratum ordered by
+    (bucket, key) WITHOUT a per-stratum single-task window.
+
+    The naive ``Window.partitionBy(stratum).orderBy(bucket, key)`` funnels
+    every row of a stratum through one reducer — the 100 TB failure mode
+    when one stratum dominates (e.g. English web text). Instead, the same
+    construction as :func:`esop_spark.operators.splits._distributed_prefix_sum`,
+    generalized to a composite range key:
+
+    1. range-repartition on (stratum, bucket, key) — partitions hold
+       contiguous slices of the global lexicographic order, so within a
+       partition a stratum's rows are a contiguous run of that stratum's
+       own (bucket, key) order. Spark's RangePartitioner sends equal keys
+       to one partition, so ties never straddle a boundary.
+    2. per-(partition, stratum) local row_number — a pid-clustered window;
+       no task sorts more than its ~1/num_partitions slice of any stratum.
+    3. per-(partition, stratum) counts -> exclusive offsets. The offsets
+       relation has at most num_partitions rows PER STRATUM (tiny), so its
+       window is trivial and the join back is a broadcast hash join.
+
+    Global rank = local rank + offset; exactness is preserved, and the
+    result is invariant to where the sampled range boundaries land.
+    """
+    tagged = df.withColumn("_b", bucket).withColumn("_k", key.cast("string"))
+    ranged = tagged.repartitionByRange(
+        num_partitions, F.col(strata_col), F.col("_b"), F.col("_k")
+    ).withColumn("_pid", F.spark_partition_id())
+    w_local = Window.partitionBy("_pid", strata_col).orderBy("_b", "_k")
+    local = ranged.withColumn("_local_rn", F.row_number().over(w_local))
+    w_off = (
+        Window.partitionBy(strata_col)
+        .orderBy("_pid")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offsets = (
+        ranged.groupBy("_pid", strata_col)
+        .agg(F.count(F.lit(1)).alias("_cnt"))
+        .select(
+            "_pid",
+            strata_col,
+            F.coalesce(F.sum("_cnt").over(w_off), F.lit(0)).alias("_off"),
+        )
     )
     return (
-        df.withColumn("_rn", F.row_number().over(w))
-        .filter(F.col("_rn") <= k)
-        .drop("_rn")
+        local.join(F.broadcast(offsets), ["_pid", strata_col])
+        .withColumn("_rn", (F.col("_local_rn") + F.col("_off")).cast("bigint"))
+        .drop("_pid", "_b", "_k", "_local_rn", "_off")
     )
+
+
+def sample_k_per_stratum(
+    df: DataFrame,
+    strata_col: str,
+    k: int,
+    key: Column,
+    seed: str = "s0",
+    num_partitions: int = 32,
+) -> DataFrame:
+    """Exactly min(k, |stratum|) rows per stratum, chosen by hash order —
+    a deterministic uniform-without-replacement sample per group. Ranking
+    uses :func:`_distributed_stratum_rank` (range partition + broadcast
+    offsets), so a pathologically hot stratum spreads over every task
+    instead of one reducer; ties broken by the key itself so the pick is
+    total-ordered and engine-independent."""
+    ranked = _distributed_stratum_rank(
+        df, strata_col, sample_bucket(key, seed), key, num_partitions
+    )
+    return ranked.filter(F.col("_rn") <= k).drop("_rn")
 
 
 def mixture_resample(
@@ -84,6 +150,7 @@ def mixture_resample(
     weights_ppm: dict[str, int],
     key: Column,
     seed: str = "s0",
+    num_partitions: int = 32,
 ) -> DataFrame:
     """Down-sample to an exact target mixture (domain/language re-weighting
     for training corpora): given integer parts-per-million weights per
@@ -98,9 +165,10 @@ def mixture_resample(
 
     Strata not in the weights map (or with weight 0) are dropped. Plan:
     one tiny per-stratum count agg (broadcast back), then the same
-    hash-ordered window as `sample_k_per_stratum` with a per-stratum k.
-    At 100 TB the window sorts within each stratum; for a hot stratum,
-    pre-thin with `hash_sample` at ~2× the implied rate first, then rank.
+    distributed hash-ordered ranking as `sample_k_per_stratum`
+    (:func:`_distributed_stratum_rank`) with a per-stratum keep count —
+    at 100 TB a hot stratum is range-spread across all tasks, never
+    funnelled through one reducer.
     """
     w_items = sorted((s, int(w)) for s, w in weights_ppm.items() if int(w) > 0)
     strata = [s for s, _ in w_items]
@@ -121,12 +189,15 @@ def mixture_resample(
         .withColumn("_keep", F.expr(f"_t * _w div {BUCKETS}"))
         .select(strata_col, "_keep")
     )
-    w = Window.partitionBy(strata_col).orderBy(
-        sample_bucket(key, seed).asc(), key.cast("string").asc()
+    ranked = _distributed_stratum_rank(
+        df.filter(F.col(strata_col).isin(strata)),
+        strata_col,
+        sample_bucket(key, seed),
+        key,
+        num_partitions,
     )
     return (
-        df.join(F.broadcast(keeps), strata_col)
-        .withColumn("_rn", F.row_number().over(w))
+        ranked.join(F.broadcast(keeps), strata_col)
         .filter(F.col("_rn") <= F.col("_keep"))
         .drop("_rn", "_keep")
     )
@@ -162,6 +233,7 @@ def temperature_resample(
     key: Column,
     alpha: float = 0.5,
     seed: str = "s0",
+    num_partitions: int = 32,
 ) -> DataFrame:
     """Temperature-flattened resampling report: derive n_s^alpha weights
     from observed stratum counts, keep the largest exact mixture matching
@@ -177,7 +249,7 @@ def temperature_resample(
     counts_df = df.groupBy(strata_col).agg(F.count(F.lit(1)).alias("n"))
     counts = {r[strata_col]: r["n"] for r in counts_df.collect()}
     weights = temperature_weights(counts, alpha)
-    kept = mixture_resample(df, strata_col, weights, key, seed)
+    kept = mixture_resample(df, strata_col, weights, key, seed, num_partitions)
     kept_counts = kept.groupBy(strata_col).agg(
         F.count(F.lit(1)).cast("bigint").alias("n_kept")
     )

@@ -204,20 +204,27 @@ _FIXTURE_ORDER = [
 def load_base_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     """Register the driver parquet tables as temp views and return them.
 
-    ``events.ts`` is written as parquet TIMESTAMP(NANOS), which Spark cannot
-    read natively — read it as long (legacy conf) and truncate to micros
-    (integer division: ns values exceed double's 53-bit mantissa).
+    ``events.ts`` has been written by the driver as either parquet
+    TIMESTAMP(NANOS) (which Spark cannot read natively — read it as long
+    via the legacy conf and truncate to micros; integer division because
+    ns values exceed double's 53-bit mantissa) or plain TIMESTAMP(MICROS)
+    (read natively). Sniff the footer with pyarrow and handle both.
     """
+    import pyarrow.parquet as pq
     from pyspark.sql import functions as F
 
     out = {}
     for name in BASE_TABLES:
         path = f"{sf_dir}/{name}.parquet"
         if name == "events":
-            spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-            df = spark.read.parquet(path).withColumn(
-                "ts", F.timestamp_micros(F.expr("ts div 1000"))
-            )
+            ts_type = str(pq.read_schema(path).field("ts").type)
+            if ts_type == "timestamp[ns]":
+                spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+                df = spark.read.parquet(path).withColumn(
+                    "ts", F.timestamp_micros(F.expr("ts div 1000"))
+                )
+            else:
+                df = spark.read.parquet(path)
         else:
             df = spark.read.parquet(path)
         df.createOrReplaceTempView(name)

@@ -62,6 +62,77 @@ def test_sample_k_per_stratum_exact_k_and_deterministic(spark):
     assert counts == {"0": 7, "1": 7, "2": 7}
 
 
+def test_skewed_stratum_spreads_and_stays_exact(spark):
+    """One stratum holds 90% of rows — the 100 TB hot-language shape. The
+    distributed ranking must (a) agree exactly with the naive per-stratum
+    window, (b) be layout-invariant, and (c) never sort a whole stratum in
+    one task (no Window.partitionBy(stratum) over the full data in the
+    plan)."""
+    docs = spark.range(1000).select(
+        F.col("id").alias("doc_id"),
+        F.when(F.col("id") < 900, "hot").otherwise("cold").alias("lang"),
+    )
+    got = sampling.sample_k_per_stratum(docs, "lang", 40, F.col("doc_id"))
+    # (a) exactness: naive single-window reference computed inline
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("lang").orderBy(
+        sampling.sample_bucket(F.col("doc_id")).asc(),
+        F.col("doc_id").cast("string").asc(),
+    )
+    ref = (
+        docs.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= 40)
+        .drop("_rn")
+    )
+    assert sorted((r["lang"], r["doc_id"]) for r in got.collect()) == sorted(
+        (r["lang"], r["doc_id"]) for r in ref.collect()
+    )
+    # (b) layout invariance
+    got2 = sampling.sample_k_per_stratum(
+        docs.repartition(17, "doc_id"), "lang", 40, F.col("doc_id")
+    )
+    assert sorted((r["lang"], r["doc_id"]) for r in got2.collect()) == sorted(
+        (r["lang"], r["doc_id"]) for r in got.collect()
+    )
+    # (c) plan shape: every window partitions on (_pid, stratum) or runs
+    # over the tiny offsets relation — never a bare [lang] spec over the
+    # full input (ignore the offsets window, whose input is <= P rows/stratum)
+    plan = got._jdf.queryExecution().executedPlan().toString()
+    import re
+
+    bare = [
+        ln
+        for ln in plan.splitlines()
+        if re.search(r"row_number\(\).*partition.*\blang\b", ln, re.I)
+        and "_pid" not in ln
+    ]
+    assert bare == [], f"per-stratum single-task window found:\n{bare}"
+
+
+def test_mixture_resample_distributed_matches_naive(spark):
+    """mixture_resample through the distributed rank must equal the naive
+    windowed construction on a skewed corpus."""
+    docs = spark.range(1200).select(
+        F.col("id").alias("doc_id"),
+        F.when(F.col("id") < 1000, "en").otherwise("fr").alias("lang"),
+    )
+    weights = {"en": 500_000, "fr": 500_000}
+    got = sampling.mixture_resample(docs, "lang", weights, F.col("doc_id"))
+    got_r = sampling.mixture_resample(
+        docs.repartition(23), "lang", weights, F.col("doc_id")
+    )
+    a = sorted((r["lang"], r["doc_id"]) for r in got.collect())
+    b = sorted((r["lang"], r["doc_id"]) for r in got_r.collect())
+    assert a == b
+    by_lang = {}
+    for lang, _ in a:
+        by_lang[lang] = by_lang.get(lang, 0) + 1
+    # equal-weight mixture: keep = min over strata of n_s/w_s scaled — fr
+    # is binding (200 rows), so both strata keep 200
+    assert by_lang == {"en": 200, "fr": 200}
+
+
 def test_temperature_resample_flattens_mixture(spark):
     from pyspark.sql import functions as F
 
