@@ -22,6 +22,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 # 31-bit hash domain: a*x+b stays < 2^62, safe under ANSI int64 arithmetic.
 HASH_P = 2147483647  # 2^31 - 1 (Mersenne prime)
@@ -390,11 +391,27 @@ def _lsh_candidates(
     text_col: str,
     id_col: str,
     hash_family: str,
+    max_bucket: int = 100,
 ) -> tuple[DataFrame, DataFrame]:
     """Shared MinHash-band candidate generation: returns (candidates, base)
     where ``candidates`` is the distinct (id_a < id_b) pair list agreeing on
     ≥1 band bucket and ``base`` is the persisted (id, shingle) relation that
-    fed the signatures (callers reuse it for their verification leg)."""
+    fed the signatures (callers reuse it for their verification leg).
+
+    Hot-bucket guard: a degenerate band bucket of B near-identical documents
+    (empty docs, boilerplate headers — certain at corpus scale) would emit
+    B(B-1)/2 pairs from the naive self-join; 10M empty docs is 5·10^13
+    pairs from ONE bucket. Buckets larger than ``max_bucket`` therefore
+    switch from all-pairs to STAR pairing: every member pairs with the
+    bucket's min-id anchor (B-1 pairs, O(B) not O(B²)). The anchor edges
+    keep the duplicate cluster fully connected — connected-components
+    dedup (`neardup_clusters`) reconstitutes the same clusters — while the
+    pairwise recall inside an oversized bucket degrades exactly where
+    pairwise enumeration is meaningless anyway. Mirrors the `max_df`
+    hot-shingle cap the exact n-gram join already has (see
+    `ngram_jaccard_pairs`). Bucket sizing and the star switch share one
+    hash shuffle on (band, bucket) via a window, the same key the pair
+    join shuffles on."""
     rows_per_band = num_hashes // bands
     # one persisted (id, shingle) materialization feeds BOTH the signature
     # aggregation and the verification leg (measured ~20% off q22 at sf0.1;
@@ -417,18 +434,28 @@ def _lsh_candidates(
     buckets = sig.select(F.col(id_col), F.explode(F.array(*band_cols)).alias("bb")).select(
         id_col, F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket")
     )
-    a = buckets.alias("a")
-    b = buckets.alias("b")
-    candidates = (
-        a.join(
-            b,
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.bucket") == F.col("b.bucket"))
-            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
-        )
-        .select(F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b"))
-        .distinct()
+    w_bucket = Window.partitionBy("band", "bucket")
+    sized = buckets.select(
+        id_col,
+        "band",
+        "bucket",
+        F.count(F.lit(1)).over(w_bucket).alias("_bsz"),
+        F.min(id_col).over(w_bucket).alias("_anchor"),
     )
+    small = sized.filter(F.col("_bsz") <= max_bucket)
+    a = small.alias("a")
+    b = small.alias("b")
+    pairs_small = a.join(
+        b,
+        (F.col("a.band") == F.col("b.band"))
+        & (F.col("a.bucket") == F.col("b.bucket"))
+        & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+    ).select(F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b"))
+    pairs_big = (
+        sized.filter((F.col("_bsz") > max_bucket) & (F.col(id_col) != F.col("_anchor")))
+        .select(F.col("_anchor").alias("id_a"), F.col(id_col).alias("id_b"))
+    )
+    candidates = pairs_small.unionByName(pairs_big).distinct()
     return candidates, base
 
 

@@ -92,6 +92,54 @@ def test_minhash_lsh_finds_planted_neardups(spark):
     assert [(r["id_a"], r["id_b"]) for r in pairs] == [(0, 1)]
 
 
+def test_lsh_hot_bucket_cap_bounds_candidates(spark):
+    """500 near-identical boilerplate docs — the degenerate bucket every
+    100 TB corpus contains. Uncapped band buckets would emit ~500²/2 ≈ 125k
+    candidate pairs; the hot-bucket star cap must bound candidates to
+    O(bands · B) while keeping every doc attached to its duplicate cluster
+    via the anchor edges."""
+    boiler = " ".join(f"w{i}" for i in range(40))
+    docs = spark.createDataFrame(
+        [(i, boiler) for i in range(500)] + [(1000, " ".join(f"v{i}" for i in range(40)))],
+        "doc_id long, text string",
+    )
+    candidates, base = dedup._lsh_candidates(
+        docs, num_hashes=32, bands=8, n=3, text_col="text", id_col="doc_id",
+        hash_family="xxhash64", max_bucket=50,
+    )
+    n_cand = candidates.count()
+    base.unpersist()
+    # star pairing: each of 8 bands emits <= 499 anchor pairs, distinct
+    # collapses them (identical docs share every bucket) — far below B²/2
+    assert n_cand <= 8 * 499
+    assert n_cand >= 499  # every non-anchor doc still reaches the anchor
+    # cluster connectivity survives the cap: all 500 in one cluster
+    clusters = dedup.dedup_clusters(candidates)
+    sizes = {r["cluster_size"] for r in clusters.collect()}
+    assert sizes == {500}
+
+
+def test_lsh_cap_inactive_below_threshold_is_identical(spark):
+    """With bucket sizes under max_bucket the guarded join must emit exactly
+    the all-pairs candidates (the sf0.01 oracle relies on this)."""
+    base_txt = " ".join(f"w{i}" for i in range(60))
+    near = " ".join(f"w{i}" for i in range(59)) + " zzz"
+    far = " ".join(f"v{i}" for i in range(60))
+    docs = spark.createDataFrame(
+        [(0, base_txt), (1, near), (2, far)], "doc_id long, text string"
+    )
+    capped, b1 = dedup._lsh_candidates(
+        docs, 32, 8, 3, "text", "doc_id", "xxhash64", max_bucket=100
+    )
+    uncapped, b2 = dedup._lsh_candidates(
+        docs, 32, 8, 3, "text", "doc_id", "xxhash64", max_bucket=10**9
+    )
+    got = sorted((r["id_a"], r["id_b"]) for r in capped.collect())
+    ref = sorted((r["id_a"], r["id_b"]) for r in uncapped.collect())
+    b1.unpersist(); b2.unpersist()
+    assert got == ref and (0, 1) in got
+
+
 def test_ngram_jaccard_df_cap(spark):
     # Every doc shares the same hot boilerplate prefix; docs 0/1 are near-dups
     # beyond it. With max_df=2 the boilerplate shingles leave the candidate
