@@ -87,6 +87,7 @@ def backup(
     max_bytes_per_sec: int | None = None,
     kms_key_id: str | None = None,
     skip_refreshing: bool = False,
+    tokens: list[str] | None = None,
 ) -> DataFrame:
     """Run a backup; returns the manifest entries that were uploaded.
 
@@ -147,7 +148,7 @@ def backup(
         kms_key_id,
     )
     manifest_json.write_manifests(
-        manifest_entries, os.path.join(bucket_dir, "manifests")
+        manifest_entries, os.path.join(bucket_dir, "manifests"), tokens=tokens
     )
     uploaded = to_upload.select("object_key", "size", "hash")
     uploaded.count()  # materialize before unpersist
@@ -257,12 +258,19 @@ def restore(
     target_dir: str,
     backup_name: str | None = None,
     delete_extras: bool = True,
+    cassandra_config_dir: str | None = None,
 ) -> dict[str, int]:
     """Restore a backup into ``target_dir``; returns action counts.
 
     Files land under ``<target_dir>/<keyspace>/<table>-<id>/<component>``.
     The mismatch (corruption) leg re-downloads; extras are deleted only after
     downloads succeed (ordering gate).
+
+    ``cassandra_config_dir`` opts into the in-place finish: rewrite that
+    directory's ``cassandra.yaml`` (``auto_bootstrap: false`` + the
+    manifest's ``initial_token`` fragment) so the node rejoins at its old
+    ring position — the reference's ``--update-cassandra-yaml``
+    (InPlaceRestorationStrategy.java:125-160).
     """
     manifests_dir = os.path.join(bucket_dir, "manifests")
     if not os.path.isdir(manifests_dir):
@@ -367,4 +375,12 @@ def restore(
             lambda rows: [os.remove(row["local_path"]) for row in rows]
         )
         del_df.unpersist()
-    return {"downloaded": n_downloaded, "deleted": n_deleted}
+    out = {"downloaded": n_downloaded, "deleted": n_deleted}
+    if cassandra_config_dir is not None:
+        from esop_spark.operators import cassandra_yaml
+
+        tokens = manifest_json.read_backup_tokens(spark, manifests_dir, backup_name)
+        out["cassandra_yaml"] = cassandra_yaml.update_cassandra_yaml(
+            os.path.join(cassandra_config_dir, "cassandra.yaml"), tokens
+        )
+    return out

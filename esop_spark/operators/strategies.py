@@ -111,6 +111,7 @@ def restore_phased(
     data_dir: str,
     strategy: str = "hardlinks",
     backup_name: str | None = None,
+    cassandra_config_dir: str | None = None,
 ) -> dict:
     """HARDLINKS / IMPORT restore against a "running node" whose live data
     lives in ``data_dir``.
@@ -231,7 +232,7 @@ def restore_phased(
     # strategy == "import": files stay staged in download_dir for the
     # nodetool-import JMX call; cleanup happens after that boundary
 
-    return {
+    out = {
         "strategy": strategy,
         "downloaded": stats["downloaded"],
         "linked": linked,
@@ -239,3 +240,16 @@ def restore_phased(
         "jmx_calls": jmx_calls,
         "staged_dir": None if strategy == "hardlinks" else download_dir,
     }
+    if cassandra_config_dir is not None:
+        # opt-in in-place finish (--update-cassandra-yaml analog): applied
+        # AFTER the import phase so a rolled-back restore never edits config
+        from esop_spark.operators import cassandra_yaml
+        from esop_spark.sources import manifest_json as mj
+
+        tokens = mj.read_backup_tokens(
+            spark, os.path.join(bucket_dir, "manifests"), backup_name
+        )
+        out["cassandra_yaml"] = cassandra_yaml.update_cassandra_yaml(
+            os.path.join(cassandra_config_dir, "cassandra.yaml"), tokens
+        )
+    return out

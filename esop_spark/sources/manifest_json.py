@@ -175,11 +175,33 @@ def read_manifests(
     )
 
 
-def manifest_json_rows(entries: DataFrame) -> DataFrame:
+def read_backup_tokens(
+    spark: SparkSession, manifests_dir: str, backup_name: str
+) -> list[str]:
+    """Ring tokens recorded in one backup's manifest (impl/Manifest.java
+    tokens field) — the input to the in-place restore's ``initial_token``
+    yaml fragment. One manifest document, driver-tiny."""
+    raw = (
+        spark.read.schema(MANIFEST_SCHEMA)
+        .option("multiLine", "true")
+        .json(os.path.join(manifests_dir, f"{backup_name}.json"))
+        .select("tokens")
+        .collect()
+    )
+    if not raw or raw[0]["tokens"] is None:
+        return []
+    return list(raw[0]["tokens"])
+
+
+def manifest_json_rows(
+    entries: DataFrame, tokens: list[str] | None = None
+) -> DataFrame:
     """S14: flat entries → one (backup_name, json) row per backup, nested in
     the reference's manifest shape. Aggregation is distributed (three
     map_from_entries rollups); only the final per-backup JSON string comes
-    back to the caller."""
+    back to the caller. ``tokens`` (the backing node's ring tokens,
+    impl/Manifest.java tokens field) are embedded verbatim in each doc —
+    they feed the in-place restore's ``initial_token`` rewrite."""
     per_sstable = entries.groupBy(
         "backup_name", "schema_version", "keyspace", "table_name", "table_id",
         "schema_content", "sstable_base",
@@ -224,16 +246,22 @@ def manifest_json_rows(entries: DataFrame) -> DataFrame:
             )
         ).alias("keyspaces")
     )
-    doc = F.struct(
+    doc_fields = [
         F.struct(
             F.col("backup_name").alias("name"), F.col("keyspaces")
         ).alias("snapshot"),
         F.col("schema_version").alias("schemaVersion"),
-    )
-    return per_backup.select("backup_name", F.to_json(doc).alias("json"))
+    ]
+    if tokens is not None:
+        doc_fields.append(
+            F.array(*[F.lit(t) for t in tokens]).alias("tokens")
+        )
+    return per_backup.select("backup_name", F.to_json(F.struct(*doc_fields)).alias("json"))
 
 
-def write_manifests(entries: DataFrame, out_dir: str) -> list[str]:
+def write_manifests(
+    entries: DataFrame, out_dir: str, tokens: list[str] | None = None
+) -> list[str]:
     """Write one ``<backup_name>.json`` per backup under ``out_dir``.
 
     Manifests are a per-backup singleton (small) — written driver-side after
@@ -247,7 +275,7 @@ def write_manifests(entries: DataFrame, out_dir: str) -> list[str]:
     """
     os.makedirs(out_dir, exist_ok=True)
     paths = []
-    for row in manifest_json_rows(entries).collect():
+    for row in manifest_json_rows(entries, tokens=tokens).collect():
         p = os.path.join(out_dir, f"{row['backup_name']}.json")
         with open(p, "w") as f:
             # round-trip through json for stable pretty formatting
