@@ -32,7 +32,11 @@ from esop_spark.sources import manifest_json, snapshot_scan
 
 
 def _copy_partition_factory(
-    dest_root: str, key_col: str, src_col: str, max_bytes_per_sec: int | None = None
+    dest_root: str,
+    key_col: str,
+    src_col: str,
+    max_bytes_per_sec: int | None = None,
+    kms_key_id: str | None = None,
 ):
     """Per-partition file copier with an optional token-bucket throttle.
 
@@ -41,8 +45,13 @@ def _copy_partition_factory(
     here each task budgets bytes/sec — cluster-wide rate ≈ limit × tasks, so
     the caller divides by expected parallelism, exactly like the reference
     divides bandwidth by --concurrent-connections.
+
+    ``kms_key_id`` routes payloads through the encryption leg
+    (uploadEncryptedFile, Backuper.java:29-43 → functions/crypto.py).
     """
     import time
+
+    from esop_spark.functions import crypto
 
     def copy_partition(rows):
         window_start = time.monotonic()
@@ -50,7 +59,10 @@ def _copy_partition_factory(
         for row in rows:
             dst = os.path.join(dest_root, row[key_col])
             os.makedirs(os.path.dirname(dst), exist_ok=True)
-            shutil.copyfile(row[src_col], dst)
+            if kms_key_id is not None:
+                crypto.encrypt_file(row[src_col], dst, kms_key_id)
+            else:
+                shutil.copyfile(row[src_col], dst)
             if max_bytes_per_sec:
                 sent += os.path.getsize(dst)
                 due = sent / max_bytes_per_sec
@@ -121,6 +133,8 @@ def backup(
             def freshen_partition(rows):
                 import time as _time
 
+                from esop_spark.functions import crypto
+
                 now = _time.time()
                 for row in rows:
                     p = os.path.join(abs_bucket, row["object_key"])
@@ -128,7 +142,10 @@ def backup(
                         os.utime(p, (now, now))
                     except OSError:
                         # touch failed → re-upload (FreshenResult.UPLOAD_REQUIRED)
-                        shutil.copyfile(row["local_path"], p)
+                        if kms_key_id is not None:
+                            crypto.encrypt_file(row["local_path"], p, kms_key_id)
+                        else:
+                            shutil.copyfile(row["local_path"], p)
 
             entries.join(
                 remote.select("object_key"), "object_key", "left_semi"
@@ -138,7 +155,8 @@ def backup(
     to_upload = to_upload.persist()
     to_upload.foreachPartition(
         _copy_partition_factory(
-            bucket_dir, "object_key", "local_path", max_bytes_per_sec
+            bucket_dir, "object_key", "local_path", max_bytes_per_sec,
+            kms_key_id=kms_key_id,
         )
     )
     manifest_entries = with_kms_key(
@@ -307,7 +325,7 @@ def restore(
         )
     )
     mf_files = mf.select(
-        rel.alias("rel_file"), "object_key", "size", "hash"
+        rel.alias("rel_file"), "object_key", "size", "hash", "kms_key_id"
     ).distinct()
 
     local = snapshot_scan.list_local_files(spark, [target_dir]) if os.path.isdir(
@@ -342,10 +360,10 @@ def restore(
         to_download = joined.filter(
             F.col("local_hash").isNull()
             | (F.col("hash").isNotNull() & (F.col("hash") != F.col("local_hash")))
-        ).select("rel_file", "object_key")
+        ).select("rel_file", "object_key", "kms_key_id")
         to_delete = joined.filter(F.col("object_key").isNull()).select("local_path")
     else:
-        to_download = mf_files.select("rel_file", "object_key")
+        to_download = mf_files.select("rel_file", "object_key", "kms_key_id")
         to_delete = None
 
     # src/dst are computed as columns and the copy runs in foreachPartition:
@@ -355,17 +373,19 @@ def restore(
     dl_df = to_download.select(
         F.concat(F.lit(abs_bucket + "/"), F.col("object_key")).alias("src"),
         F.concat(F.lit(abs_target + "/"), F.col("rel_file")).alias("dst"),
+        "kms_key_id",
     ).persist()
     n_downloaded = dl_df.count()
-    dl_df.foreachPartition(
-        lambda rows: [
-            (
-                os.makedirs(os.path.dirname(row["dst"]), exist_ok=True),
-                shutil.copyfile(row["src"], row["dst"]),
-            )
-            for row in rows
-        ]
-    )
+
+    def download_partition(rows):
+        from esop_spark.functions import crypto
+
+        for row in rows:
+            os.makedirs(os.path.dirname(row["dst"]), exist_ok=True)
+            # decrypt-aware copy: plaintext objects pass through untouched
+            crypto.decrypt_to(row["src"], row["dst"], row["kms_key_id"])
+
+    dl_df.foreachPartition(download_partition)
     dl_df.unpersist()
     n_deleted = 0
     if to_delete is not None and delete_extras:
