@@ -680,8 +680,11 @@ def q68_kcenter_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q69_containment_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Containment near-dups — short-doc-inside-long-doc, the asymmetric
-    case Jaccard misses (dedup.containment_pairs): shared LSH candidate
-    generation, containment-verified, md5 family for the oracle."""
+    case Jaccard misses (dedup.containment_pairs): asymmetric bottom-k
+    probe candidates (collision prob tracks containment, 45× fewer
+    candidates than 1-row MinHash bands), exact containment verify. The
+    oracle enumerates a candidate SUPERSET (full 1-row-band LSH); outputs
+    agree because both end at the same exact-verified pair set."""
     return dedup.containment_pairs(
         _base(spark, sf_dir, "documents"),
         threshold=CONTAINMENT_TAU,

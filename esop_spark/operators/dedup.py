@@ -489,6 +489,80 @@ def minhash_lsh_pairs(
     return _verify_jaccard(candidates, sh, counts, threshold, id_col)
 
 
+def containment_candidates(
+    base: DataFrame,
+    id_col: str = "doc_id",
+    k: int = 8,
+    min_hits: int = 2,
+    max_df: int | None = 10_000,
+    counts: DataFrame | None = None,
+) -> DataFrame:
+    """Asymmetric candidate generation for CONTAINMENT: bottom-k shingle
+    probes joined against the inverted shingle index.
+
+    Symmetric MinHash bands collide with probability driven by JACCARD,
+    which is structurally low for the short-in-long pairs a containment
+    miner exists for (4× length ratio caps jaccard at 0.25) and barely
+    above the background jaccard of a same-domain corpus — 1-row bands
+    turned ~every pair into a candidate (288k background candidates at
+    sf0.01, SCALE.md). The asymmetric fix: each document PROBES with its
+    own bottom-k shingles (the k smallest by hash — a uniform sample of
+    its shingle set), and a probe hits every document containing that
+    shingle. For the SHORTER doc of a true pair, P(one probe hits) is
+    exactly the containment I/min — the candidate probability tracks the
+    quantity being mined, not jaccard. Requiring ``min_hits ≥ 2`` distinct
+    probe shingles (adaptively lowered for docs with < min_hits shingles)
+    prunes the background: at C = 0.12 a pair survives with p ≈ 0.25, at
+    C = 0.8 recall is 1 - P[Binom(8, 0.8) ≤ 1] ≈ 1 - 8.5e-5.
+
+    Scale: probes are N·k rows; the inverted side drops shingles with
+    document frequency > ``max_df`` (the q23 hot-shingle cap — boilerplate
+    shingles that would pair everything with everything), so candidate
+    volume is ≤ N·k·max_df and the join is a plain equi-join on the
+    shingle hash. The per-doc bottom-k window partitions on doc_id, whose
+    groups are bounded by document length — no stratum-style skew."""
+    hashed = base.select(F.col(id_col), F.xxhash64("shingle").alias("h"))
+    w_doc = Window.partitionBy(id_col).orderBy("h")
+    probes = (
+        hashed.withColumn("_rn", F.row_number().over(w_doc))
+        .filter(F.col("_rn") <= k)
+        .select(F.col(id_col).alias("_pid"), "h")
+    )
+    inv = hashed.select(F.col(id_col).alias("_iid"), "h")
+    if max_df is not None:
+        w_sh = Window.partitionBy("h")
+        inv = (
+            inv.withColumn("_df", F.count(F.lit(1)).over(w_sh))
+            .filter(F.col("_df") <= max_df)
+            .drop("_df")
+        )
+    hits = (
+        probes.join(inv, "h")
+        .filter(F.col("_pid") != F.col("_iid"))
+        .select(
+            F.least("_pid", "_iid").alias("id_a"),
+            F.greatest("_pid", "_iid").alias("id_b"),
+            "h",
+        )
+        .distinct()
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("_hits"))
+    )
+    if counts is None:
+        raise ValueError("containment_candidates requires the per-doc counts relation")
+    ca = counts.select(F.col(id_col).alias("id_a"), F.col("n_sh").alias("_na"))
+    cb = counts.select(F.col(id_col).alias("id_b"), F.col("n_sh").alias("_nb"))
+    return (
+        hits.join(ca, "id_a")
+        .join(cb, "id_b")
+        .filter(
+            F.col("_hits")
+            >= F.least(F.lit(min_hits), F.col("_na"), F.col("_nb"))
+        )
+        .select("id_a", "id_b")
+    )
+
+
 def containment_pairs(
     documents: DataFrame,
     num_hashes: int = 32,
@@ -498,6 +572,9 @@ def containment_pairs(
     text_col: str = "text",
     id_col: str = "doc_id",
     hash_family: str = "xxhash64",
+    probe_k: int = 8,
+    min_hits: int = 2,
+    max_df: int | None = 10_000,
 ) -> DataFrame:
     """Containment near-duplicates: |S(a) ∩ S(b)| / min(|S(a)|, |S(b)|) ≥
     threshold — catches a short document embedded in a long one, the case
@@ -505,20 +582,17 @@ def containment_pairs(
     jaccard at 0.25 but containment at 1.0). Quote-inclusion and
     template-expansion dedup in real corpora is this shape.
 
-    Same MinHash-band candidate generation and candidate-restricted exact
-    verification as :func:`minhash_lsh_pairs` (shared `_lsh_candidates`);
-    only the verification formula differs. CRITICALLY, the default is
-    ONE-ROW bands (bands == num_hashes): band collision probability is
-    driven by the pair's JACCARD, and the containment-high pairs this
-    operator exists for are jaccard-LOW (a 4× length ratio caps jaccard at
-    0.25, giving a 4-row band only j⁴ ≈ 0.4% collision odds per band —
-    near-zero recall). With 1-row bands P(candidate) = 1-(1-j)^32, > 95%
-    even at j = 0.1. The cost is more candidates (any single minhash
-    collision), which the exact verify then filters — the right trade for
-    a containment miner.
-    """
-    candidates, base = _lsh_candidates(
-        documents, num_hashes, bands, n, text_col, id_col, hash_family
+    Candidates come from :func:`containment_candidates` (asymmetric
+    bottom-k probes — collision probability tracks containment, unlike the
+    earlier 1-row MinHash bands whose jaccard-driven collisions made
+    ~every pair a candidate); verification is the exact containment count
+    restricted to candidates, identical to before. ``num_hashes``/
+    ``bands``/``hash_family`` are retained for signature compatibility but
+    no longer drive candidate generation."""
+    base = shingles(documents, n, text_col, id_col).persist()
+    counts = doc_shingle_counts(documents, n, text_col, id_col)
+    candidates = containment_candidates(
+        base, id_col, k=probe_k, min_hits=min_hits, max_df=max_df, counts=counts
     )
     sh = base.select(id_col, F.xxhash64("shingle").alias("sh"))
     sa = sh.select(F.col(id_col).alias("id_a"), F.col("sh").alias("sh_a"))
@@ -532,7 +606,6 @@ def containment_pairs(
         .groupBy("id_a", "id_b")
         .agg(F.count(F.lit(1)).alias("shared"))
     )
-    counts = doc_shingle_counts(documents, n, text_col, id_col)
     ca = counts.select(F.col(id_col).alias("id_a"), F.col("n_sh").alias("n_a"))
     cb = counts.select(F.col(id_col).alias("id_b"), F.col("n_sh").alias("n_b"))
     return (

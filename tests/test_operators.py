@@ -161,6 +161,33 @@ def test_ngram_jaccard_df_cap(spark):
     assert [(r["id_a"], r["id_b"]) for r in capped] == [(0, 1)]
 
 
+def test_containment_asymmetric_finds_short_in_long(spark):
+    """A short doc embedded in a 6×-longer one: jaccard ≈ 0.17 (below any
+    symmetric-LSH radar) but containment = 1.0 — the asymmetric bottom-k
+    probe candidates must surface it, while unrelated docs produce no
+    verified pair."""
+    short = " ".join(f"w{i}" for i in range(20))
+    long_doc = short + " " + " ".join(f"x{i}" for i in range(100))
+    other = " ".join(f"y{i}" for i in range(100))
+    docs = spark.createDataFrame(
+        [(0, short), (1, long_doc), (2, other)], "doc_id long, text string"
+    )
+    got = dedup.containment_pairs(docs, threshold=0.8).collect()
+    assert [(r["id_a"], r["id_b"], r["containment"]) for r in got] == [(0, 1, 1.0)]
+
+
+def test_containment_tiny_doc_adaptive_min_hits(spark):
+    """A doc with fewer shingles than min_hits must still be findable —
+    the hit threshold adapts to min(min_hits, n_sh)."""
+    tiny = "a b c"  # exactly one 3-shingle
+    big = "a b c " + " ".join(f"z{i}" for i in range(50))
+    docs = spark.createDataFrame(
+        [(0, tiny), (1, big)], "doc_id long, text string"
+    )
+    got = dedup.containment_pairs(docs, threshold=0.8).collect()
+    assert [(r["id_a"], r["id_b"], r["containment"]) for r in got] == [(0, 1, 1.0)]
+
+
 def test_dedup_clusters_transitive_chain(spark):
     # 0-1, 1-2, 2-3 chain (diameter 3 → needs >1 propagation round) plus a
     # separate 10-11 pair; min label must flow end-to-end through the chain.
