@@ -64,10 +64,23 @@ BENCH_QUERIES = [
 ]
 
 
+def _pinned_shuffle_partitions(sf: float) -> int:
+    """Per-SF shuffle sizing so partition counts (and therefore per-task
+    input sizes) are stable run-to-run instead of inheriting whatever
+    SPARK_GRAFT_CPUS implies: ~CPU-count at the test SFs, scaled up once
+    data outgrows them (the same rule a cluster job would apply:
+    partitions ≈ max(cores, data / target-partition-size))."""
+    if sf >= 1:
+        return 64
+    return 32
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in sf_dir else -1.0
-    spark = get_spark("esop-bench")
+    spark = get_spark(
+        "esop-bench", shuffle_partitions=_pinned_shuffle_partitions(sf)
+    )
     qs = entry_mod.queries()
 
     # Warm the JVM, parquet footers, and the cached fixture derivation so
@@ -77,18 +90,22 @@ def main() -> None:
     for _ in range(2):
         qs["q01_list_backups"](spark, sf_dir).write.format("noop").mode("overwrite").save()
 
-    # one untimed warmup per query (codegen/JIT for THAT plan), then best of
-    # 3 timed trials: steady-state plan cost, not scheduler/GC/JIT noise
-    # (best-of-2 showed run-to-run swings up to 2x on the cheap queries)
+    # one untimed warmup per query (codegen/JIT for THAT plan), then 5 timed
+    # trials. "queries" stays best-of-first-3 (comparable with earlier
+    # rounds); "queries_median" is the median of all 5 — the
+    # variance-honest stat (cheap queries swing up to 2x run-to-run, so a
+    # best-of-N-only report can manufacture methodology-only "wins").
     timings: dict[str, float] = {}
+    medians: dict[str, float] = {}
     for name in BENCH_QUERIES:
         qs[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
         trials = []
-        for _ in range(3):
+        for _ in range(5):
             t0 = time.perf_counter()
             qs[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
             trials.append(time.perf_counter() - t0)
-        timings[name] = round(min(trials), 3)
+        timings[name] = round(min(trials[:3]), 3)
+        medians[name] = round(sorted(trials)[2], 3)
 
     total = round(sum(timings.values()), 3)
     print(
@@ -98,6 +115,8 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
+                "queries_median": medians,
+                "median_total_seconds": round(sum(medians.values()), 3),
                 "sf": sf,
             }
         )

@@ -434,14 +434,15 @@ def _lsh_candidates(
     buckets = sig.select(F.col(id_col), F.explode(F.array(*band_cols)).alias("bb")).select(
         id_col, F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket")
     )
-    w_bucket = Window.partitionBy("band", "bucket")
-    sized = buckets.select(
-        id_col,
-        "band",
-        "bucket",
-        F.count(F.lit(1)).over(w_bucket).alias("_bsz"),
-        F.min(id_col).over(w_bucket).alias("_anchor"),
+    # bucket sizes via partial-agg groupBy (map-side combine), joined back;
+    # the annotated relation is persisted because THREE legs consume it
+    # (both sides of the small self-join + the star leg) — without the
+    # persist the whole signature pipeline re-runs per leg (measured 2×
+    # q22 at sf0.1). N·bands narrow rows, MEMORY_AND_DISK.
+    sizes = buckets.groupBy("band", "bucket").agg(
+        F.count(F.lit(1)).alias("_bsz"), F.min(id_col).alias("_anchor")
     )
+    sized = buckets.join(sizes, ["band", "bucket"]).persist()
     small = sized.filter(F.col("_bsz") <= max_bucket)
     a = small.alias("a")
     b = small.alias("b")

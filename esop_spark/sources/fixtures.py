@@ -26,6 +26,8 @@ window with >=2 segments past the end.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession
 
 BASE_TABLES = [
@@ -217,7 +219,16 @@ def load_base_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     for name in BASE_TABLES:
         path = f"{sf_dir}/{name}.parquet"
         if name == "events":
-            ts_type = str(pq.read_schema(path).field("ts").type)
+            # path may be a single file (driver testdata) or a parquet
+            # directory (generated scale-rehearsal data) — sniff one footer
+            foot = path
+            if os.path.isdir(path):
+                foot = next(
+                    os.path.join(path, f)
+                    for f in sorted(os.listdir(path))
+                    if f.endswith(".parquet")
+                )
+            ts_type = str(pq.read_schema(foot).field("ts").type)
             if ts_type == "timestamp[ns]":
                 spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
                 df = spark.read.parquet(path).withColumn(
