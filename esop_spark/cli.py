@@ -28,6 +28,29 @@ def parse_data_rate_bps(measure: str) -> int:
     return int(m.group(1)) * _RATE_UNITS[m.group(2)]
 
 
+def _add_retry_args(p) -> None:
+    """Per-file transfer retry knobs (RetrySpec.java:17-55)."""
+    p.add_argument("--retry-enabled", action="store_true")
+    p.add_argument(
+        "--retry-strategy", default="linear", choices=["linear", "exponential"]
+    )
+    p.add_argument("--retry-interval", type=int, default=10, help="seconds")
+    p.add_argument("--retry-max-attempts", type=int, default=3)
+
+
+def _retry_spec(args):
+    from esop_spark.functions.retry import RetrySpec
+
+    if not args.retry_enabled:
+        return None
+    return RetrySpec(
+        interval=args.retry_interval,
+        strategy=args.retry_strategy,
+        max_attempts=args.retry_max_attempts,
+        enabled=True,
+    )
+
+
 def _build_parser() -> argparse.ArgumentParser:
     p = argparse.ArgumentParser(prog="esop-spark")
     sub = p.add_subparsers(dest="command", required=True)
@@ -53,6 +76,7 @@ def _build_parser() -> argparse.ArgumentParser:
     # a missing bucket fails the backup unless created or the check is skipped
     b.add_argument("--create-missing-bucket", action="store_true")
     b.add_argument("--skip-bucket-verification", action="store_true")
+    _add_retry_args(b)
 
     r = sub.add_parser("restore", help="manifest diff → download/delete/heal")
     r.add_argument("--storage-location", required=True)
@@ -65,6 +89,18 @@ def _build_parser() -> argparse.ArgumentParser:
         "--restoration-strategy-type", default="in-place",
         choices=["in-place", "hardlinks", "import"],
     )
+    # --update-cassandra-yaml (InPlaceRestorationStrategy.java:125-160):
+    # finish the restore by pointing the node at its old ring position
+    r.add_argument(
+        "--update-cassandra-yaml", action="store_true",
+        help="rewrite cassandra.yaml (auto_bootstrap false + initial_token "
+        "from the manifest) after the restore",
+    )
+    r.add_argument(
+        "--cassandra-config-directory", default="/etc/cassandra",
+        help="directory holding cassandra.yaml (default /etc/cassandra)",
+    )
+    _add_retry_args(r)
 
     ls = sub.add_parser("list", help="per-backup files/size/reclaimable report")
     ls.add_argument("--storage-location", required=True)
@@ -151,6 +187,7 @@ def _run(args: argparse.Namespace) -> int:
             max_bytes_per_sec=rate,
             kms_key_id=args.kms_key_id,
             skip_refreshing=args.skip_refreshing,
+            retry=_retry_spec(args),
         )
         print(f"uploaded {uploaded.count()} objects")
         return 0
@@ -165,6 +202,11 @@ def _run(args: argparse.Namespace) -> int:
                 args.target_dir,
                 strategy=args.restoration_strategy_type,
                 backup_name=args.backup_name,
+                cassandra_config_dir=(
+                    args.cassandra_config_directory
+                    if args.update_cassandra_yaml
+                    else None
+                ),
             )
             print(
                 f"downloaded {stats['downloaded']}, linked {stats['linked']}, "
@@ -180,6 +222,12 @@ def _run(args: argparse.Namespace) -> int:
             args.target_dir,
             backup_name=args.backup_name,
             delete_extras=not args.keep_extras,
+            cassandra_config_dir=(
+                args.cassandra_config_directory
+                if args.update_cassandra_yaml
+                else None
+            ),
+            retry=_retry_spec(args),
         )
         print(f"downloaded {stats['downloaded']}, deleted {stats['deleted']}")
         return 0

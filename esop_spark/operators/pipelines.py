@@ -37,6 +37,7 @@ def _copy_partition_factory(
     src_col: str,
     max_bytes_per_sec: int | None = None,
     kms_key_id: str | None = None,
+    retry=None,
 ):
     """Per-partition file copier with an optional token-bucket throttle.
 
@@ -47,11 +48,14 @@ def _copy_partition_factory(
     divides bandwidth by --concurrent-connections.
 
     ``kms_key_id`` routes payloads through the encryption leg
-    (uploadEncryptedFile, Backuper.java:29-43 → functions/crypto.py).
+    (uploadEncryptedFile, Backuper.java:29-43 → functions/crypto.py);
+    ``retry`` (a :class:`esop_spark.functions.retry.RetrySpec`) wraps each
+    file transfer in the reference's per-file retrier (U3 knob).
     """
     import time
 
     from esop_spark.functions import crypto
+    from esop_spark.functions.retry import with_retries
 
     def copy_partition(rows):
         window_start = time.monotonic()
@@ -60,9 +64,14 @@ def _copy_partition_factory(
             dst = os.path.join(dest_root, row[key_col])
             os.makedirs(os.path.dirname(dst), exist_ok=True)
             if kms_key_id is not None:
-                crypto.encrypt_file(row[src_col], dst, kms_key_id)
+                with_retries(
+                    lambda: crypto.encrypt_file(row[src_col], dst, kms_key_id),
+                    retry,
+                )
             else:
-                shutil.copyfile(row[src_col], dst)
+                with_retries(
+                    lambda: shutil.copyfile(row[src_col], dst), retry
+                )
             if max_bytes_per_sec:
                 sent += os.path.getsize(dst)
                 due = sent / max_bytes_per_sec
@@ -100,6 +109,7 @@ def backup(
     kms_key_id: str | None = None,
     skip_refreshing: bool = False,
     tokens: list[str] | None = None,
+    retry=None,
 ) -> DataFrame:
     """Run a backup; returns the manifest entries that were uploaded.
 
@@ -156,7 +166,7 @@ def backup(
     to_upload.foreachPartition(
         _copy_partition_factory(
             bucket_dir, "object_key", "local_path", max_bytes_per_sec,
-            kms_key_id=kms_key_id,
+            kms_key_id=kms_key_id, retry=retry,
         )
     )
     manifest_entries = with_kms_key(
@@ -277,6 +287,7 @@ def restore(
     backup_name: str | None = None,
     delete_extras: bool = True,
     cassandra_config_dir: str | None = None,
+    retry=None,
 ) -> dict[str, int]:
     """Restore a backup into ``target_dir``; returns action counts.
 
@@ -379,11 +390,15 @@ def restore(
 
     def download_partition(rows):
         from esop_spark.functions import crypto
+        from esop_spark.functions.retry import with_retries
 
         for row in rows:
             os.makedirs(os.path.dirname(row["dst"]), exist_ok=True)
             # decrypt-aware copy: plaintext objects pass through untouched
-            crypto.decrypt_to(row["src"], row["dst"], row["kms_key_id"])
+            with_retries(
+                lambda: crypto.decrypt_to(row["src"], row["dst"], row["kms_key_id"]),
+                retry,
+            )
 
     dl_df.foreachPartition(download_partition)
     dl_df.unpersist()
