@@ -760,6 +760,41 @@ def q75_temperature_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sampling.temperature_resample(docs, "lang", F.col("doc_id"))
 
 
+SOURCE_CAP_K = 10
+
+
+def q76_source_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-domain quota report: cap every source at K docs, chosen by the
+    deterministic hash order (sampling.sample_k_per_stratum — the
+    distributed range-partitioned ranking, no per-source single-task
+    window). The per-domain cap is the curation step that stops one crawl
+    domain from dominating a mix."""
+    docs = _base(spark, sf_dir, "documents")
+    kept = sampling.sample_k_per_stratum(docs, "source", SOURCE_CAP_K, F.col("doc_id"))
+    before = docs.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_before")
+    )
+    after = kept.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_kept")
+    )
+    return before.join(after, "source").select("source", "n_before", "n_kept")
+
+
+def q77_slice_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-distribution KL of each source vs the corpus
+    (text_ops.slice_divergence): the data-mix drift diagnostic."""
+    docs = _base(spark, sf_dir, "documents")
+    return text_ops.slice_divergence(docs, "source")
+
+
+def q78_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing (MOSS) fingerprint sketch per document
+    (dedup.winnow_fingerprints, md5 family for the oracle): guaranteed
+    detection of shared substrings ≥ w+k-1 tokens."""
+    docs = _base(spark, sf_dir, "documents")
+    return dedup.winnow_fingerprints(docs, hash_family="md5")
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001: the backup-listing report."""
     return q01_list_backups(spark, "/root/testdata/sf0.001")
@@ -842,6 +877,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q73_embedding_outliers": q73_embedding_outliers,
         "q74_dup_span_coverage": q74_dup_span_coverage,
         "q75_temperature_resample": q75_temperature_resample,
+        "q76_source_cap": q76_source_cap,
+        "q77_slice_divergence": q77_slice_divergence,
+        "q78_winnow_fingerprints": q78_winnow_fingerprints,
     }
 
 
@@ -1833,6 +1871,67 @@ def oracle_sql() -> dict[str, str]:
                    CAST(COALESCE(kept.n_kept, 0) AS BIGINT) AS n_kept,
                    ROUND(COALESCE(kept.n_kept, 0) * 1.0 / w.n, 6) AS kept_frac
             FROM w LEFT JOIN kept USING (lang)
+        """,
+        "q76_source_cap": f"""
+            WITH ranked AS (
+                SELECT source, doc_id,
+                       ROW_NUMBER() OVER (
+                           PARTITION BY source
+                           ORDER BY CAST(CONCAT('0x', SUBSTR(md5('s0:' || doc_id), 1, 8)) AS BIGINT)
+                                    % 1000000 ASC,
+                                    CAST(doc_id AS VARCHAR) ASC
+                       ) AS rn
+                FROM documents
+            )
+            SELECT source,
+                   CAST(COUNT(*) AS BIGINT) AS n_before,
+                   CAST(SUM(CASE WHEN rn <= {SOURCE_CAP_K} THEN 1 ELSE 0 END) AS BIGINT)
+                       AS n_kept
+            FROM ranked GROUP BY source
+        """,
+        "q77_slice_divergence": """
+            WITH tok AS (
+                SELECT source AS s, unnest(string_split(text, ' ')) AS t
+                FROM documents
+            ),
+            st AS (SELECT s, t, COUNT(*) AS c_st FROM tok GROUP BY 1, 2),
+            t_tot AS (SELECT t, SUM(c_st) AS c_t FROM st GROUP BY 1),
+            s_tot AS (SELECT s, SUM(c_st) AS n_s FROM st GROUP BY 1),
+            grand AS (SELECT SUM(n_s) AS n_total FROM s_tot)
+            SELECT st.s AS source,
+                   CAST(s_tot.n_s AS BIGINT) AS n_tokens,
+                   ROUND(SUM((st.c_st * 1.0 / s_tot.n_s)
+                             * LN((st.c_st * 1.0 / s_tot.n_s)
+                                  / (t_tot.c_t * 1.0 / grand.n_total))), 6) AS kl
+            FROM st JOIN t_tot USING (t) JOIN s_tot USING (s), grand
+            GROUP BY st.s, s_tot.n_s
+        """,
+        "q78_winnow_fingerprints": """
+            WITH docs AS (
+                SELECT doc_id, string_split(text, ' ') AS words FROM documents
+            ),
+            kg AS (
+                SELECT doc_id, CAST(i AS BIGINT) AS pos,
+                       CAST(CONCAT('0x', SUBSTR(md5(
+                           list_aggregate(words[i:i+3], 'string_agg', ' ')
+                       ), 1, 8)) AS BIGINT) AS h
+                FROM docs,
+                     unnest(range(1, GREATEST(len(words) - 3, 0) + 1)) t(i)
+            ),
+            comb AS (
+                SELECT doc_id, pos, h * 1048576 + (1048576 - pos) AS c FROM kg
+            ),
+            sel AS (
+                SELECT doc_id,
+                       MIN(c) OVER (PARTITION BY doc_id ORDER BY pos
+                                    ROWS BETWEEN CURRENT ROW AND 4 FOLLOWING) AS fp
+                FROM comb
+            ),
+            fp AS (SELECT DISTINCT doc_id, fp FROM sel)
+            SELECT doc_id,
+                   CAST(COUNT(*) AS BIGINT) AS n_fp,
+                   CAST(SUM(fp) AS BIGINT) AS fp_checksum
+            FROM fp GROUP BY doc_id
         """,
         "q58_repeated_ngrams": f"""
             WITH docs AS (

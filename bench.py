@@ -61,6 +61,9 @@ BENCH_QUERIES = [
     "q73_embedding_outliers",
     "q74_dup_span_coverage",
     "q75_temperature_resample",
+    "q76_source_cap",
+    "q77_slice_divergence",
+    "q78_winnow_fingerprints",
 ]
 
 

@@ -624,6 +624,72 @@ def containment_pairs(
     )
 
 
+def _positional_kgram_expr(n: int) -> str:
+    # like _shingle_array_expr but ORDER-PRESERVING and non-distinct: the
+    # array index IS the k-gram's position, which winnowing needs
+    return (
+        f"filter(transform(sequence(1, size(words)),"
+        f" i -> IF(i + {n - 1} <= size(words),"
+        f" concat_ws(' ', slice(words, i, {n})), NULL)),"
+        f" x -> x IS NOT NULL)"
+    )
+
+
+_WINNOW_POS_M = 1 << 20  # position packing base; docs are ≪ 1M tokens
+
+
+def winnow_fingerprints(
+    documents: DataFrame,
+    k: int = 4,
+    w: int = 5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    hash_family: str = "xxhash64",
+) -> DataFrame:
+    """Winnowing document fingerprints (Schleimer/Wilkerson/Aiken,
+    SIGMOD'03 — the MOSS algorithm): hash every k-gram, slide a w-window
+    over the hash sequence, keep the minimum of each window (ties →
+    RIGHTMOST position, the paper's rule). The selected (hash, pos) set is
+    a position-robust sketch: any shared substring of length ≥ w+k-1
+    guarantees a shared fingerprint, which plain bottom-k sampling cannot
+    promise. Output: (id, n_fp, fp_checksum) — count and sum of the
+    distinct packed fingerprints (hash·2²⁰ + 2²⁰−pos, so one bigint
+    carries the tie-broken identity).
+
+    Scale: position windows partition per document and are bounded by
+    document length (never corpus-size skew); everything else is
+    projection + one per-doc agg. ``hash_family="md5"`` swaps in the
+    cross-engine 32-bit md5 family so a SQL oracle replicates the sketch
+    bit-for-bit. Trailing windows shorter than ``w`` still emit (frame
+    truncates at the document end) — deterministic and mirrored in the
+    oracle."""
+    kg = _words(documents, text_col, id_col).select(
+        F.col(id_col),
+        F.posexplode(F.expr(_positional_kgram_expr(k))).alias("pos0", "kgram"),
+    )
+    # fold to unsigned 32 bits so hash·2²⁰ never overflows bigint
+    # (md5_hash32 is already < 2³², xxhash64 is full signed 64-bit)
+    h = F.pmod(_element_hash("kgram", hash_family), F.lit(1 << 32))
+    packed = kg.select(
+        F.col(id_col),
+        F.col("pos0"),
+        (
+            h * F.lit(_WINNOW_POS_M)
+            + (F.lit(_WINNOW_POS_M) - (F.col("pos0") + 1))
+        ).alias("c"),
+    )
+    win = (
+        Window.partitionBy(id_col).orderBy("pos0").rowsBetween(0, w - 1)
+    )
+    sel = packed.select(
+        F.col(id_col), F.min("c").over(win).alias("fp")
+    ).distinct()
+    return sel.groupBy(id_col).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_fp"),
+        F.sum("fp").cast("bigint").alias("fp_checksum"),
+    )
+
+
 def simhash_signatures(
     documents: DataFrame,
     num_bits: int = 48,

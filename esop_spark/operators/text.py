@@ -892,3 +892,56 @@ def dup_span_coverage(
             F.coalesce(F.col("covered_tokens"), F.lit(0)) / F.col("n_tokens"), 6
         ).alias("dup_frac"),
     )
+
+
+def slice_divergence(
+    documents: DataFrame,
+    slice_col: str = "source",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-slice KL divergence of the token distribution vs the whole
+    corpus: KL(P_s || P) = Σ_t p_s(t)·ln(p_s(t)/p(t)) — the data-mix
+    diagnostic that flags a source/domain whose language drifted from the
+    blend it is being mixed into (tokenizer-mismatch detection, crawl-dump
+    regression checks, mix re-weighting inputs all read this number).
+
+    Output: (slice, n_tokens, kl) — kl ≥ 0, 0 iff the slice matches the
+    corpus distribution exactly.
+
+    Scale: one token explode feeding ONE (slice, token) aggregation; the
+    corpus marginals derive from that same relation (second small agg on
+    its output — ∝ vocab, not corpus), the per-slice totals are a k-row
+    broadcast, and the grand total is a 1-row cross join. p_s(t) > 0
+    everywhere by construction (counts come from the slice itself), so the
+    KL is always finite — no smoothing needed."""
+    tok = documents.select(
+        F.col(slice_col).alias("s"),
+        F.explode(F.split(F.col(text_col), " ")).alias("t"),
+    )
+    st = tok.groupBy("s", "t").agg(F.count(F.lit(1)).alias("c_st"))
+    t_tot = st.groupBy("t").agg(F.sum("c_st").alias("c_t"))
+    s_tot = st.groupBy("s").agg(F.sum("c_st").alias("n_s"))
+    grand = s_tot.agg(F.sum("n_s").alias("n_total"))
+    return (
+        st.join(t_tot, "t")
+        .join(F.broadcast(s_tot), "s")
+        .crossJoin(F.broadcast(grand))
+        .groupBy("s", "n_s")
+        .agg(
+            F.round(
+                F.sum(
+                    (F.col("c_st") / F.col("n_s"))
+                    * F.log(
+                        (F.col("c_st") / F.col("n_s"))
+                        / (F.col("c_t") / F.col("n_total"))
+                    )
+                ),
+                6,
+            ).alias("kl")
+        )
+        .select(
+            F.col("s").alias(slice_col),
+            F.col("n_s").cast("bigint").alias("n_tokens"),
+            "kl",
+        )
+    )

@@ -235,7 +235,14 @@ def load_base_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
                     "ts", F.timestamp_micros(F.expr("ts div 1000"))
                 )
             else:
-                df = spark.read.parquet(path)
+                # micros without isAdjustedToUTC reads as TIMESTAMP_NTZ;
+                # cast to TIMESTAMP (session tz is pinned UTC, so the digits
+                # are unchanged) — downstream unix_millis/window functions
+                # require the LTZ type, and DuckDB reads the same file as a
+                # naive timestamp, so both engines see identical instants
+                df = spark.read.parquet(path).withColumn(
+                    "ts", F.col("ts").cast("timestamp")
+                )
         else:
             df = spark.read.parquet(path)
         df.createOrReplaceTempView(name)

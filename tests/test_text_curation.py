@@ -420,3 +420,93 @@ def test_dup_span_coverage_overlaps_not_double_counted(spark):
     # every position in doc 0 starts a hot 2-gram: full coverage, not 2*5
     assert got[0]["covered_tokens"] == 6 and got[0]["dup_frac"] == 1.0
     assert got[1]["covered_tokens"] == 2
+
+
+def test_slice_divergence_identical_slices_zero(spark):
+    from esop_spark.operators import text as text_ops
+
+    docs = spark.createDataFrame(
+        [(0, "a b c", "s1"), (1, "a b c", "s2")],
+        "doc_id long, text string, source string",
+    )
+    got = {r["source"]: r for r in text_ops.slice_divergence(docs, "source").collect()}
+    assert got["s1"]["kl"] == 0.0 and got["s2"]["kl"] == 0.0
+    assert got["s1"]["n_tokens"] == 3
+
+
+def test_slice_divergence_drifted_slice_positive(spark):
+    from esop_spark.operators import text as text_ops
+
+    docs = spark.createDataFrame(
+        [(0, "a a a a", "base"), (1, "a a a a", "base"), (2, "z z z z", "drift")],
+        "doc_id long, text string, source string",
+    )
+    got = {r["source"]: r["kl"] for r in text_ops.slice_divergence(docs, "source").collect()}
+    # drift's tokens are 1/3 of the corpus mass it claims fully: KL = ln(3)
+    import math
+
+    assert abs(got["drift"] - round(math.log(3), 6)) < 1e-6
+    assert 0 < got["base"] < got["drift"]
+
+
+def test_winnow_shared_substring_guarantee(spark):
+    """Winnowing's core property: two docs sharing a token run of length
+    >= w+k-1 (= 8 with w=5, k=4) MUST share at least one fingerprint."""
+    from esop_spark.operators import dedup
+
+    shared = "s1 s2 s3 s4 s5 s6 s7 s8"
+    a = "a1 a2 a3 " + shared + " a4 a5"
+    b = "b1 " + shared + " b2 b3 b4 b5 b6"
+    c = " ".join(f"c{i}" for i in range(20))
+    docs = spark.createDataFrame(
+        [(0, a), (1, b), (2, c)], "doc_id long, text string"
+    )
+    kg = dedup._words(docs, "text", "doc_id").select(
+        F.col("doc_id"),
+        F.posexplode(F.expr(dedup._positional_kgram_expr(4))).alias("pos0", "kgram"),
+    )
+    # recompute the packed fingerprints per doc to compare HASH parts only
+    # (positions differ between the two docs by construction)
+    fps = (
+        kg.select(
+            "doc_id",
+            (F.pmod(F.xxhash64("kgram"), F.lit(1 << 32))).alias("h"),
+            "pos0",
+        )
+    )
+    from pyspark.sql.window import Window
+
+    M = 1 << 20
+    win = Window.partitionBy("doc_id").orderBy("pos0").rowsBetween(0, 4)
+    sel = (
+        fps.select(
+            "doc_id",
+            F.min(F.col("h") * M + (M - (F.col("pos0") + 1))).over(win).alias("fp"),
+        )
+        .distinct()
+        .select("doc_id", (F.col("fp") / M).cast("bigint").alias("fph"))
+    )
+    by_doc = {
+        r["doc_id"]: set()
+        for r in docs.collect()
+    }
+    for r in sel.collect():
+        by_doc[r["doc_id"]].add(r["fph"])
+    assert by_doc[0] & by_doc[1], "shared 8-token run must share a fingerprint"
+    assert not (by_doc[0] & by_doc[2]) and not (by_doc[1] & by_doc[2])
+
+
+def test_winnow_fingerprints_shape_and_determinism(spark):
+    from esop_spark.operators import dedup
+
+    docs = spark.createDataFrame(
+        [(0, " ".join(f"w{i}" for i in range(30))), (1, "x y z")],
+        "doc_id long, text string",
+    )
+    a = {r["doc_id"]: (r["n_fp"], r["fp_checksum"])
+         for r in dedup.winnow_fingerprints(docs).collect()}
+    b = {r["doc_id"]: (r["n_fp"], r["fp_checksum"])
+         for r in dedup.winnow_fingerprints(docs.repartition(7)).collect()}
+    assert a == b
+    assert a[0][0] >= 1
+    assert 1 not in a  # doc with < k tokens emits no k-grams → absent
