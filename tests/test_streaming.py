@@ -78,11 +78,11 @@ def test_event_windows_streaming_matches_batch(spark, tmp_path):
     # stream the events fixture through a file source → memory sink, compare
     # against the same aggregation computed in batch
     src_dir = str(tmp_path / "events_in")
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    events = (
-        spark.read.parquet("/root/testdata/sf0.001/events.parquet")
-        .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-    )
+    # the fixture loader handles both the NANOS and MICROS(NTZ) driver
+    # encodings of events.ts — go through it rather than re-reading raw
+    from esop_spark.sources.fixtures import load_base_tables
+
+    events = load_base_tables(spark, "/root/testdata/sf0.001")["events"]
     events.write.mode("overwrite").parquet(src_dir)
     schema = events.schema
 
