@@ -235,12 +235,21 @@ def global_remove_backup(
         cluster_dir = os.path.abspath(os.path.join(base, cluster))
 
         def delete_partition(rows):
-            for row in rows:
-                p = os.path.join(
-                    cluster_dir, row["dc"], row["node"], row["object_key"]
-                )
-                if os.path.exists(p):
-                    os.remove(p)
+            from itertools import islice
+
+            from esop_spark.sources.cloud_profiles import DELETE_BATCH_SIZE
+
+            # chunked like the provider API (DeleteObjects caps at 100 keys
+            # per request, BaseS3Restorer.java:251-253): one round-trip per
+            # batch against an object store, plain unlinks locally
+            it = iter(rows)
+            while batch := list(islice(it, DELETE_BATCH_SIZE)):
+                for row in batch:
+                    p = os.path.join(
+                        cluster_dir, row["dc"], row["node"], row["object_key"]
+                    )
+                    if os.path.exists(p):
+                        os.remove(p)
 
         removable.foreachPartition(delete_partition)
         for r in victim_rows:

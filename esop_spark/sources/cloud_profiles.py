@@ -1,0 +1,87 @@
+"""Cloud-connector configuration profiles (U2 storage SPI, concrete).
+
+The reference ships three provider modules (s3/, azure/, gcp/) whose
+engine-relevant behavior reduces to a handful of transfer tunables; this
+repo delegates the byte transport to Hadoop FileSystem connectors (COVERAGE
+§2.7), so those tunables become Spark/Hadoop configs. This module encodes
+them so parity is code, not prose:
+
+- **s3** (s3a connector): multipart upload sizing and connection pool —
+  the analog of the reference's TransferManager settings; DeleteObjects
+  batching is client-side there (100 per request,
+  s3/v2/BaseS3Restorer.java:251-253) and maps to our partition-batched
+  delete sink (``DELETE_BATCH_SIZE``).
+- **azure** (abfss connector): the reference caps blob blocks at 4 MiB
+  (AzureBackuper.java:28-30, ``azure.max.blob.block.size``); abfss
+  expresses the same bound as ``fs.azure.write.request.size``.
+- **gcp** (gs connector): resumable-upload chunk size, the GCS analog of
+  the block cap.
+
+``apply_cloud_profile`` sets the configs on a builder or a live session;
+``profile_for`` returns the dict (inspectable, testable). Unknown
+providers raise — a typo'd profile silently falling back to defaults is
+exactly the config drift this module exists to prevent.
+"""
+
+from __future__ import annotations
+
+# partition-batched removal sink batch bound — the DeleteObjects-batch
+# analog (BaseS3Restorer.java:251-253 splits deletions 100 per request)
+DELETE_BATCH_SIZE = 100
+
+_PROFILES: dict[str, dict[str, str]] = {
+    "s3": {
+        # multipart threshold/size ≈ the TransferManager part sizing
+        "spark.hadoop.fs.s3a.multipart.size": "67108864",  # 64 MiB parts
+        "spark.hadoop.fs.s3a.multipart.threshold": "134217728",
+        "spark.hadoop.fs.s3a.connection.maximum": "96",
+        "spark.hadoop.fs.s3a.fast.upload": "true",
+        # job-commit safety for object stores (no atomic rename)
+        "spark.hadoop.fs.s3a.committer.name": "magic",
+        "spark.sql.sources.commitProtocolClass": (
+            "org.apache.spark.internal.io.cloud.PathOutputCommitProtocol"
+        ),
+        "spark.sql.parquet.output.committer.class": (
+            "org.apache.spark.internal.io.cloud.BindingParquetOutputCommitter"
+        ),
+    },
+    "azure": {
+        # reference caps blob blocks at 4 MiB (AzureBackuper.java:28-30);
+        # abfss write request size is the same knob
+        "spark.hadoop.fs.azure.write.request.size": str(4 * 1024 * 1024),
+        "spark.hadoop.fs.azure.read.request.size": str(4 * 1024 * 1024),
+        "spark.hadoop.fs.azure.io.retry.max.retries": "7",
+    },
+    "gcp": {
+        # resumable-upload chunk — GCS analog of the block cap
+        "spark.hadoop.fs.gs.outputstream.upload.chunk.size": "8388608",
+        "spark.hadoop.fs.gs.inputstream.support.gzip.encoding.enable": "false",
+        "spark.hadoop.fs.gs.status.parallel.enable": "true",
+    },
+    # local / test harness: nothing to tune
+    "local": {},
+}
+
+
+def profile_for(provider: str) -> dict[str, str]:
+    try:
+        return dict(_PROFILES[provider])
+    except KeyError:
+        raise ValueError(
+            f"unknown cloud provider {provider!r}; expected one of "
+            f"{sorted(_PROFILES)}"
+        ) from None
+
+
+def apply_cloud_profile(target, provider: str):
+    """Apply a profile to a SparkSession.Builder (``.config`` chaining) or a
+    live SparkSession (runtime ``conf.set`` — Hadoop configs are readable
+    at FS-instantiation time, so setting them pre-first-use is valid)."""
+    profile = profile_for(provider)
+    if hasattr(target, "config"):  # builder
+        for k, v in profile.items():
+            target = target.config(k, v)
+        return target
+    for k, v in profile.items():
+        target.conf.set(k, v)
+    return target
