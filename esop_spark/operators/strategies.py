@@ -112,16 +112,24 @@ def restore_phased(
     strategy: str = "hardlinks",
     backup_name: str | None = None,
     cassandra_config_dir: str | None = None,
+    jmx_executor=None,
 ) -> dict:
     """HARDLINKS / IMPORT restore against a "running node" whose live data
     lives in ``data_dir``.
 
     Phases (HardlinkingRestorationStrategy.java:35-44): download into a
     temp dir under the node root → hash-verify → (hardlink into table dirs
-    | stage for nodetool import) → per-table refresh/import JMX ops
-    (returned, fixture boundary) → cleanup. Hardlinking skips
-    already-present targets and rolls back every created link if any link
-    fails (RestorationPhase.java:536-570).
+    | stage for nodetool import) → per-table refresh/import JMX ops →
+    cleanup. Hardlinking skips already-present targets and rolls back
+    every created link if any link fails (RestorationPhase.java:536-570).
+
+    ``jmx_executor``: optional callable ``(op, keyspace, table) -> None``
+    invoked for each JMX call IN ORDER (truncates first, then
+    refresh/import — RestorationPhase.java:571-584), making the phased
+    restore executable end-to-end against a real node: pass a wrapper
+    around your JMX client / ``nodetool``. Without it the calls are only
+    returned in the plan (the SURVEY §2.7 fixture boundary). An executor
+    exception aborts before cleanup so the staged files survive for retry.
     """
     if strategy not in ("hardlinks", "import"):
         raise ValueError(f"unknown phased strategy: {strategy!r}")
@@ -179,6 +187,12 @@ def restore_phased(
     jmx_calls = [("truncate", ks, t) for ks, t in tables] + [
         (jmx_op, ks, t) for ks, t in tables
     ]
+    if jmx_executor is not None:
+        # truncates run BEFORE any data lands in the live dirs
+        # (RestorationPhase CLEANING phase precedes the import phase)
+        for op, ks, t in jmx_calls:
+            if op == "truncate":
+                jmx_executor(op, ks, t)
 
     linked = skipped = 0
     if strategy == "hardlinks":
@@ -228,9 +242,19 @@ def restore_phased(
                 "(RestorationPhase.java:559-570)"
             )
         results.unpersist()
+        if jmx_executor is not None:
+            # refresh AFTER the links exist; executor failure aborts before
+            # cleanup so staged files survive for a retry
+            for op, ks, t in jmx_calls:
+                if op != "truncate":
+                    jmx_executor(op, ks, t)
         shutil.rmtree(download_dir, ignore_errors=True)  # CLEANUP phase
     # strategy == "import": files stay staged in download_dir for the
     # nodetool-import JMX call; cleanup happens after that boundary
+    elif jmx_executor is not None:
+        for op, ks, t in jmx_calls:
+            if op != "truncate":
+                jmx_executor(op, ks, t)
 
     out = {
         "strategy": strategy,

@@ -103,3 +103,33 @@ def test_verify_gate_aborts_on_corrupt_download(spark, backed_up, monkeypatch):
         strategies.restore_phased(spark, bucket, node, strategy="hardlinks")
     # nothing was linked into the live dirs
     assert not os.path.exists(os.path.join(node, "ks1"))
+
+
+def test_jmx_executor_receives_ordered_calls(spark, backed_up):
+    bucket, root = backed_up
+    node = os.path.join(root, "node_jmx")
+    calls = []
+    stats = strategies.restore_phased(
+        spark, bucket, node, strategy="hardlinks",
+        jmx_executor=lambda op, ks, t: calls.append((op, ks, t)),
+    )
+    assert calls == stats["jmx_calls"]
+    # all truncates strictly precede all refreshes
+    ops = [op for op, _, _ in calls]
+    assert ops == ["truncate"] * (len(ops) // 2) + ["refresh"] * (len(ops) // 2)
+
+
+def test_jmx_executor_failure_preserves_staged_files(spark, backed_up):
+    bucket, root = backed_up
+    node = os.path.join(root, "node_jmx_fail")
+
+    def failing(op, ks, t):
+        if op == "refresh":
+            raise RuntimeError("node unreachable")
+
+    with pytest.raises(RuntimeError, match="node unreachable"):
+        strategies.restore_phased(
+            spark, bucket, node, strategy="hardlinks", jmx_executor=failing
+        )
+    # cleanup did NOT run: the staged download dir survives for retry
+    assert os.path.isdir(os.path.join(node, ".esop-import"))
