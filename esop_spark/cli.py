@@ -142,12 +142,14 @@ def _build_parser() -> argparse.ArgumentParser:
     cb.add_argument("--archive-dir", required=True)
     cb.add_argument("--storage-location", required=True)
     cb.add_argument("--checkpoint-dir", required=True)
+    cb.add_argument("--kms-key-id", default=None)
 
     cr = sub.add_parser("commitlog-restore", help="point-in-time segment download")
     cr.add_argument("--storage-location", required=True)
     cr.add_argument("--target-dir", required=True)
     cr.add_argument("--timestamp-start", type=int, required=True)
     cr.add_argument("--timestamp-end", type=int, required=True)
+    cr.add_argument("--kms-key-id", default=None)
     return p
 
 
@@ -345,6 +347,7 @@ def _run(args: argparse.Namespace) -> int:
             args.storage_location,
             args.checkpoint_dir,
             available_now=True,
+            kms_key_id=args.kms_key_id,
         )
         q.awaitTermination()
         print("commit logs archived")
@@ -359,6 +362,7 @@ def _run(args: argparse.Namespace) -> int:
             args.target_dir,
             args.timestamp_start,
             args.timestamp_end,
+            kms_key_id=args.kms_key_id,
         )
         print(f"restored {n} commit log segments")
         return 0

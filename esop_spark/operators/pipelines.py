@@ -191,10 +191,17 @@ def restore_commitlogs(
     target_dir: str,
     start_ms: int,
     end_ms: int,
+    kms_key_id: str | None = None,
 ) -> int:
     """Point-in-time commit-log restore: download the segments selected by
     the PIT window (+overhang) into the node's recovery directory
-    (RestoreCommitLogsOperation.java:106-163). Returns segment count."""
+    (RestoreCommitLogsOperation.java:106-163). Returns segment count.
+
+    ``kms_key_id`` decrypts segments archived with encryption on (commitlog
+    objects carry no manifest entry, so the key arrives with the request —
+    same as the reference's --kmsKeyId on the restore operation).
+    Plaintext segments pass through untouched either way."""
+    from esop_spark.functions import crypto
     from esop_spark.operators.commitlog import commitlog_window
     from esop_spark.streaming.commitlog_stream import archived_commitlogs
 
@@ -204,7 +211,7 @@ def restore_commitlogs(
     n = 0
     for r in selected.select("name", "ts").collect():
         src = os.path.join(bucket_dir, "commitlog", f"{r['name']}.{r['ts']}")
-        shutil.copyfile(src, os.path.join(target_dir, r["name"]))
+        crypto.decrypt_to(src, os.path.join(target_dir, r["name"]), kms_key_id)
         n += 1
     return n
 

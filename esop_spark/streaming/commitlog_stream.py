@@ -53,21 +53,28 @@ def archive_commitlogs(
     bucket_dir: str,
     checkpoint_dir: str,
     available_now: bool = True,
+    kms_key_id: str | None = None,
 ) -> StreamingQuery:
     """ST1 pipeline: archive dir → object store under mtime-keyed names.
 
     ``available_now=True`` drains the current backlog and stops (test/batch
-    catch-up mode); ``False`` runs continuously.
-    """
+    catch-up mode); ``False`` runs continuously. ``kms_key_id`` encrypts
+    archived segments with the same payload leg as backup uploads
+    (commitlogs route through the same Backuper in the reference)."""
 
     def archive_batch(batch_df: DataFrame, batch_id: int) -> None:
+        from esop_spark.functions import crypto
+
         dest_root = os.path.join(bucket_dir, "commitlog")
         os.makedirs(dest_root, exist_ok=True)
         for row in batch_df.select("local_path", "name", "mtime_ms").collect():
             # idempotent content-keyed object name → replayed batches rewrite
             # the same object (exactly-once effect)
             dst = os.path.join(dest_root, f"{row['name']}.{row['mtime_ms']}")
-            shutil.copyfile(row["local_path"], dst)
+            if kms_key_id is not None:
+                crypto.encrypt_file(row["local_path"], dst, kms_key_id)
+            else:
+                shutil.copyfile(row["local_path"], dst)
 
     writer = (
         commitlog_stream(spark, archive_dir)

@@ -112,3 +112,31 @@ def test_event_windows_streaming_matches_batch(spark, tmp_path):
     assert len(got) > 0
     for r in got:
         assert batch_map[(r["window_start"], r["event_type"])] == r["events"]
+
+
+def test_commitlog_encrypted_archive_and_pit_restore(spark, tmp_path):
+    """Segments archived with a KMS key are ciphertext at rest and decrypt
+    transparently on the PIT restore (same payload leg as backup uploads)."""
+    from esop_spark.functions import crypto
+    from esop_spark.operators import pipelines
+
+    src, bucket, ckpt, out = (str(tmp_path / n) for n in ("cl", "b", "ck", "out"))
+    os.makedirs(src)
+    for i in range(3):
+        _write_segment(src, f"CommitLog-7-{200 + i}.log", f"payload{i}", 2000 + i)
+
+    q = commitlog_stream.archive_commitlogs(
+        spark, src, bucket, ckpt, available_now=True, kms_key_id="clk"
+    )
+    q.awaitTermination(120)
+    cl_dir = os.path.join(bucket, "commitlog")
+    objs = sorted(os.listdir(cl_dir))
+    assert len(objs) == 3
+    assert all(crypto.is_encrypted(os.path.join(cl_dir, o)) for o in objs)
+
+    n = pipelines.restore_commitlogs(
+        spark, bucket, out, 2000_000, 2003_000, kms_key_id="clk"
+    )
+    assert n == 3
+    got = sorted(open(os.path.join(out, f)).read() for f in os.listdir(out))
+    assert got == ["payload0", "payload1", "payload2"]
