@@ -91,3 +91,87 @@ def test_render_table_column_alignment(rows):
     for r, line in zip(rows, lines):
         rebuilt = " ".join(c.ljust(widths[i]) for i, c in enumerate(r)).rstrip()
         assert line == rebuilt
+
+
+@given(
+    st.integers(min_value=0, max_value=8),
+    st.integers(min_value=1, max_value=4),
+    st.sampled_from(["linear", "exponential"]),
+)
+@settings(max_examples=200, deadline=None)
+def test_retry_execution_count_law(fail_times, max_attempts, strategy):
+    """Executions = fail_times+1 when retries suffice, else max_attempts+1
+    then re-raise (Retrier.java semantics: max_attempts counts failures)."""
+    from esop_spark.functions.retry import RetrySpec, with_retries
+
+    calls = {"n": 0}
+    sleeps = []
+
+    def fn():
+        calls["n"] += 1
+        if calls["n"] <= fail_times:
+            raise OSError("flaky")
+        return "ok"
+
+    spec = RetrySpec(
+        interval=1, strategy=strategy, max_attempts=max_attempts, enabled=True
+    )
+    if fail_times <= max_attempts:
+        assert with_retries(fn, spec, sleep=sleeps.append) == "ok"
+        assert calls["n"] == fail_times + 1
+    else:
+        try:
+            with_retries(fn, spec, sleep=sleeps.append)
+            raise AssertionError("expected OSError")
+        except OSError:
+            pass
+        assert calls["n"] == max_attempts + 1
+    if strategy == "exponential":
+        assert sleeps == [2**i for i in range(len(sleeps))]
+    else:
+        assert sleeps == [1] * len(sleeps)
+
+
+@given(st.binary(max_size=4096), st.text(min_size=1, max_size=20))
+@settings(max_examples=100, deadline=None)
+def test_crypto_roundtrip_identity(data, key):
+    from esop_spark.functions import crypto
+
+    assert crypto.roundtrip_bytes(data, key) == data
+
+
+@given(
+    st.lists(
+        st.sampled_from(
+            [
+                "cluster_name: 'x'",
+                "auto_bootstrap: true",
+                "auto_bootstrap: false",
+                "# initial_token:",
+                "num_tokens: 16",
+                "",
+            ]
+        ),
+        max_size=6,
+    )
+)
+@settings(max_examples=150, deadline=None)
+def test_cassandra_yaml_update_is_idempotent(lines):
+    """update∘update == update for any composition of stock yaml lines."""
+    import os
+    import tempfile
+
+    from esop_spark.operators.cassandra_yaml import update_cassandra_yaml
+
+    with tempfile.TemporaryDirectory() as d:
+        p = os.path.join(d, "cassandra.yaml")
+        with open(p, "w") as f:
+            f.write("\n".join(lines))
+        update_cassandra_yaml(p, ["1", "2"])
+        once = open(p).read()
+        second = update_cassandra_yaml(p, ["1", "2"])
+        assert open(p).read() == once
+        assert "appended" not in second.values() and "replaced" not in second.values()
+        # invariants of the edited file
+        assert "auto_bootstrap: true" not in once
+        assert "initial_token: 1,2" in once or "initial_token" in "\n".join(lines)
