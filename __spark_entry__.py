@@ -795,6 +795,20 @@ def q78_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.winnow_fingerprints(docs, hash_family="md5")
 
 
+def q79_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-weighted sampling (sampling.score_weighted_sample): keep
+    probability = quality_score/100 per doc, content-hash decided — soft
+    quality filtering in one zero-shuffle projection (the score column
+    builder fuses into the same scan)."""
+    docs = _base(spark, sf_dir, "documents")
+    kept = sampling.score_weighted_sample(
+        docs, text_ops.quality_score_col("text"), F.col("doc_id")
+    )
+    return kept.select(
+        "doc_id", "lang", text_ops.quality_score_col("text").alias("quality_score")
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001: the backup-listing report."""
     return q01_list_backups(spark, "/root/testdata/sf0.001")
@@ -880,6 +894,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q76_source_cap": q76_source_cap,
         "q77_slice_divergence": q77_slice_divergence,
         "q78_winnow_fingerprints": q78_winnow_fingerprints,
+        "q79_weighted_sample": q79_weighted_sample,
     }
 
 
@@ -1905,6 +1920,28 @@ def oracle_sql() -> dict[str, str]:
                                   / (t_tot.c_t * 1.0 / grand.n_total))), 6) AS kl
             FROM st JOIN t_tot USING (t) JOIN s_tot USING (s), grand
             GROUP BY st.s, s_tot.n_s
+        """,
+        "q79_weighted_sample": """
+            WITH t AS (
+                SELECT doc_id, lang,
+                       len(string_split(text, ' ')) AS n,
+                       len(list_filter(string_split(text, ' '),
+                           w -> w IN ('a', 'the'))) AS stop,
+                       len(list_distinct(string_split(text, ' '))) AS nd
+                FROM documents
+            ),
+            scored AS (
+                SELECT doc_id, lang,
+                       CAST(ROUND((0.5 * (1.0 - stop * 1.0 / n)
+                                   + 0.5 * nd * 1.0 / n) * 100) AS BIGINT)
+                           AS quality_score,
+                       CAST(concat('0x', substr(md5('s0:' || CAST(doc_id AS VARCHAR)), 1, 8))
+                            AS BIGINT) % 1000000 AS bucket
+                FROM t
+            )
+            SELECT doc_id, lang, quality_score
+            FROM scored
+            WHERE bucket * 100 < quality_score * 1000000
         """,
         "q78_winnow_fingerprints": """
             WITH docs AS (

@@ -64,6 +64,7 @@ BENCH_QUERIES = [
     "q76_source_cap",
     "q77_slice_divergence",
     "q78_winnow_fingerprints",
+    "q79_weighted_sample",
 ]
 
 

@@ -67,6 +67,26 @@ def stratified_sample(
     return df.filter(sample_bucket(key, seed) < rate_col)
 
 
+def score_weighted_sample(
+    df: DataFrame,
+    score: Column,
+    key: Column,
+    score_max: int = 100,
+    seed: str = "s0",
+) -> DataFrame:
+    """Soft quality filtering: keep each row with probability
+    score/score_max, decided by the content hash — a doc scoring 80/100
+    survives with p = 0.8, junk at 5/100 mostly drops but retains a
+    calibrated trace (the DCLM-style alternative to a hard threshold,
+    which wastes the signal's resolution). Pure filter, zero shuffles;
+    the comparison is all-integer (bucket·score_max < score·BUCKETS) so
+    other engines reproduce the exact keep set."""
+    return df.filter(
+        sample_bucket(key, seed) * F.lit(int(score_max))
+        < score.cast("bigint") * F.lit(BUCKETS)
+    )
+
+
 def _distributed_stratum_rank(
     df: DataFrame,
     strata_col: str,

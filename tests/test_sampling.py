@@ -160,3 +160,24 @@ def test_temperature_weights_isqrt_exact():
 
     w = sampling.temperature_weights({"x": 9, "y": 16}, alpha=0.5)
     assert w == {"x": math.isqrt(9_000_000), "y": 4000}
+
+
+def test_score_weighted_sample_extremes_and_determinism(spark):
+    docs = spark.range(500).select(
+        F.col("id").alias("doc_id"),
+        F.when(F.col("id") < 100, 0).when(F.col("id") < 200, 100).otherwise(50)
+        .cast("bigint").alias("score"),
+    )
+    kept = sampling.score_weighted_sample(docs, F.col("score"), F.col("doc_id"))
+    rows = {r["doc_id"] for r in kept.collect()}
+    assert not any(i in rows for i in range(100))        # p=0 drops all
+    assert all(i in rows for i in range(100, 200))       # p=1 keeps all
+    mid = sum(1 for i in range(200, 500) if i in rows)
+    assert 100 < mid < 200                               # p=0.5 ~ half
+    again = {
+        r["doc_id"]
+        for r in sampling.score_weighted_sample(
+            docs.repartition(13), F.col("score"), F.col("doc_id")
+        ).collect()
+    }
+    assert again == rows
