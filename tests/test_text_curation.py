@@ -510,3 +510,25 @@ def test_winnow_fingerprints_shape_and_determinism(spark):
     assert a == b
     assert a[0][0] >= 1
     assert 1 not in a  # doc with < k tokens emits no k-grams → absent
+
+
+def test_lm_head_tail_join_matches_naive(spark):
+    """The broadcast-head/shuffle-tail scoring plan must produce the exact
+    same per-doc NLLs as the single shuffle join, including when the head
+    is smaller than the vocabulary (tail leg active)."""
+    from esop_spark.operators import text as text_ops
+
+    docs = spark.createDataFrame(
+        [(i, " ".join(f"w{(i * 7 + j) % 23}" for j in range(12))) for i in range(40)],
+        "doc_id long, text string",
+    )
+    naive = {r["doc_id"]: (r["n_tokens"], r["mean_nll"])
+             for r in text_ops.unigram_logprob(docs).collect()}
+    ht = {r["doc_id"]: (r["n_tokens"], r["mean_nll"])
+          for r in text_ops.unigram_logprob(docs, head_k=5).collect()}
+    assert ht == naive
+    naive_b = {r["doc_id"]: r["mean_nll"]
+               for r in text_ops.bigram_logprob(docs).collect()}
+    ht_b = {r["doc_id"]: r["mean_nll"]
+            for r in text_ops.bigram_logprob(docs, head_k=7).collect()}
+    assert ht_b == naive_b
