@@ -606,3 +606,164 @@ def embedding_outliers(
         F.sum((F.col("z") > F.lit(z_thresh)).cast("bigint")).cast("bigint").alias("n_over"),
         (F.max("z") > F.lit(z_thresh)).alias("is_outlier"),
     )
+
+
+# -- Product quantization (IVF-PQ's compression half) ------------------------
+#
+# At 100 TB the ANN bottleneck is MEMORY, not compute: a 64-dim float64
+# vector is 512 bytes; its PQ code (m=16 subspaces × 4-bit centroid ids)
+# is 8 bytes — a 64× compression that lets a scan-shaped ADC search sweep
+# the whole corpus from cache. Training is per-subspace L2 k-means (same
+# driver-bounded shape as the IVF centroid training: k·dim floats of
+# driver state, one corpus scan per Lloyd's iteration); encoding and ADC
+# query are pure scan projections with zero shuffles (the final top-k is
+# the same per-query window as ann_topk).
+
+
+def _l2_code_col(sv: Column, book: list[list[float]]) -> Column:
+    """argmin_i ||sv − book[i]||² as a column. ||sv||² is common to every
+    candidate, so the comparison key is −2·<sv,c> + ||c||²; ties break on
+    the code id for determinism."""
+    structs = []
+    for i, c in enumerate(book):
+        carr = F.array(*[F.lit(float(x)) for x in c])
+        c2 = float(sum(x * x for x in c))
+        structs.append(
+            F.struct(
+                (F.lit(c2) - 2.0 * _dot(sv, carr)).alias("d"),
+                F.lit(i).alias("code"),
+            )
+        )
+    return F.sort_array(F.array(*structs), asc=True)[0]["code"]
+
+
+def pq_train(
+    embeddings: DataFrame,
+    m: int = 16,
+    k: int = 16,
+    max_iter: int = 8,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> list[list[list[float]]]:
+    """Train m per-subspace codebooks of k centroids each (classic PQ,
+    Jégou et al., TPAMI'11) with L2 Lloyd's iterations. Deterministic init
+    (first k subvectors by id). Returns books[m][k][dim/m]."""
+    import numpy as np
+    import pandas as pd
+
+    dim = len(embeddings.select(_vec_double(vec_col).alias("v")).first()["v"])
+    if dim % m:
+        raise ValueError(f"dim {dim} not divisible by m {m}")
+    sub = dim // m
+    books: list[list[list[float]]] = []
+    base = embeddings.select(
+        F.col(id_col).alias("_id"), _vec_double(vec_col).alias("_v")
+    ).persist()
+    try:
+        for j in range(m):
+            sl = base.select("_id", F.slice("_v", j * sub + 1, sub).alias("sv"))
+            book = [
+                [float(x) for x in r["sv"]]
+                for r in sl.orderBy(F.col("_id").asc()).limit(k).collect()
+            ]
+            for _ in range(max_iter):
+                assigned = sl.withColumn("code", _l2_code_col(F.col("sv"), book))
+
+                def mean_sv(pdf: pd.DataFrame) -> pd.DataFrame:
+                    mat = np.stack(pdf["sv"].to_numpy())
+                    return pd.DataFrame(
+                        {
+                            "code": [int(pdf["code"].iloc[0])],
+                            "c": [mat.mean(axis=0).tolist()],
+                        }
+                    )
+
+                got = {
+                    r["code"]: [float(x) for x in r["c"]]
+                    for r in assigned.groupBy("code")
+                    .applyInPandas(mean_sv, schema="code int, c array<double>")
+                    .collect()
+                }
+                book = [got.get(i, c) for i, c in enumerate(book)]
+            books.append(book)
+        return books
+    finally:
+        base.unpersist()
+
+
+def pq_encode(
+    embeddings: DataFrame,
+    books: list[list[list[float]]],
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """(id, codes array<int>) — one zero-shuffle projection; every
+    subspace's argmin is a JVM sort_array over k literal structs."""
+    dim = sum(len(b[0]) for b in books)  # m · sub
+    sub = len(books[0][0])
+    v = _vec_double(vec_col)
+    codes = [
+        _l2_code_col(F.slice(v, j * sub + 1, sub), book)
+        for j, book in enumerate(books)
+    ]
+    return embeddings.select(
+        F.col(id_col), F.array(*codes).alias("codes")
+    )
+
+
+def pq_ann_topk(
+    embeddings: DataFrame,
+    books: list[list[list[float]]],
+    query_ids: list[int],
+    k: int = 5,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """ADC top-k: per query, the distance to each corpus vector is
+    approximated by Σ_j lut_q[j][code_j], where lut_q[j][i] =
+    ||q_j − books[j][i]||² is computed driver-side (m·k floats per query)
+    and shipped as one flat literal array. The corpus side reads only the
+    8-byte codes — scan-shaped, zero shuffles, then the ann_topk window."""
+    m, kk = len(books), len(books[0])
+    sub = len(books[0][0])
+    qrows = (
+        embeddings.filter(F.col(id_col).isin(query_ids))
+        .select(F.col(id_col).alias("query_id"), _vec_double(vec_col).alias("qv"))
+        .collect()
+    )
+    spark = embeddings.sparkSession
+    lut_rows = []
+    for r in qrows:
+        qv = [float(x) for x in r["qv"]]
+        flat = []
+        for j, book in enumerate(books):
+            qj = qv[j * sub : (j + 1) * sub]
+            for c in book:
+                flat.append(sum((a - b) ** 2 for a, b in zip(qj, c)))
+        lut_rows.append((int(r["query_id"]), flat))
+    luts = spark.createDataFrame(lut_rows, "query_id long, lut array<double>")
+    codes = pq_encode(embeddings, books, vec_col, id_col)
+    dist = F.aggregate(
+        F.sequence(F.lit(0), F.lit(m - 1)),
+        F.lit(0.0),
+        lambda acc, j: acc
+        + F.element_at(
+            F.col("lut"), (j * kk + F.element_at(F.col("codes"), j + 1) + 1).cast("int")
+        ),
+    )
+    scored = (
+        codes.crossJoin(F.broadcast(luts))
+        .filter(F.col(id_col) != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col(id_col).alias("neighbor_id"),
+            F.round(dist, 6).alias("adc_dist"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("adc_dist").asc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rank") <= k)
+    )

@@ -90,3 +90,53 @@ def test_lsh_pairs_subset_of_exact(spark):
     assert lsh <= exact  # verified candidates: no false positives
     if exact:
         assert len(lsh) / len(exact) >= 0.5  # decent recall at these params
+
+
+def test_pq_recall_on_clustered_corpus(spark):
+    """PQ codes must retrieve same-cluster neighbors: 4 well-separated
+    clusters of 25 vectors; ADC top-10 for one query per cluster must come
+    entirely from its own cluster (coarse recall — the property PQ
+    guarantees; within-cluster fine ranking needs exact re-ranking of the
+    shortlist, which is what the codes' 64x memory saving buys room for)."""
+    import random
+
+    from esop_spark.operators import similarity
+
+    rnd = random.Random(7)
+    rows = []
+    for c in range(4):
+        center = [10.0 * (1 if (c >> b) & 1 else -1) for b in range(2)] * 32
+        for i in range(25):
+            rows.append(
+                (c * 100 + i, [x + rnd.gauss(0, 0.5) for x in center[:64]])
+            )
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    books = similarity.pq_train(emb, m=16, k=8, max_iter=4)
+    assert len(books) == 16 and len(books[0]) == 8 and len(books[0][0]) == 4
+
+    queries = [0, 100, 200, 300]
+    got = similarity.pq_ann_topk(emb, books, queries, k=10)
+    by_q = {}
+    for r in got.collect():
+        by_q.setdefault(r["query_id"], []).append(r["neighbor_id"])
+    for q in queries:
+        assert len(by_q[q]) == 10
+        # every retrieved neighbor is from the query's own cluster — on
+        # well-separated clusters ADC cross-cluster distances dwarf
+        # within-cluster ones, so coarse recall must be perfect
+        assert all(n // 100 == q // 100 for n in by_q[q]), (q, by_q[q])
+
+
+def test_pq_encode_is_deterministic_and_layout_invariant(spark):
+    from esop_spark.operators import similarity
+
+    rows = [(i, [float((i * 13 + j) % 7) for j in range(16)]) for i in range(40)]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    books = similarity.pq_train(emb, m=4, k=4, max_iter=3)
+    a = {r["vec_id"]: list(r["codes"]) for r in similarity.pq_encode(emb, books).collect()}
+    b = {
+        r["vec_id"]: list(r["codes"])
+        for r in similarity.pq_encode(emb.repartition(11), books).collect()
+    }
+    assert a == b and len(a) == 40
+    assert all(0 <= c < 4 for cs in a.values() for c in cs)
