@@ -767,3 +767,112 @@ def pq_ann_topk(
         scored.withColumn("rank", F.row_number().over(w).cast("bigint"))
         .filter(F.col("rank") <= k)
     )
+
+
+def ivfpq_ann_topk(
+    embeddings: DataFrame,
+    query_ids: list[int],
+    k: int = 5,
+    n_centroids: int = 16,
+    n_probe: int = 4,
+    books: list[list[list[float]]] | None = None,
+    m: int = 16,
+    pq_k: int = 16,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    centroids: list[tuple[int, list[float]]] | None = None,
+) -> DataFrame:
+    """IVF+PQ: the full FAISS-style composition — coarse cells bound WHICH
+    vectors a query touches (n_probe/n_centroids of the corpus), PQ codes
+    bound WHAT is read per touched vector (8-byte codes, driver-shipped
+    ADC lookup tables). Both halves reuse their standalone operators, so
+    the plan is the IVF cell equi-join over the code relation with the ADC
+    distance as the ranking key; at 100 TB the scan cost is
+    codes(8 B/vector) · n_probe/n_centroids, with the float vectors never
+    read at query time."""
+    e = with_norm(embeddings, vec_col, id_col)
+    if centroids is None:
+        centroids = [
+            (int(r[id_col]), [float(x) for x in r["v"]])
+            for r in e.orderBy(F.col(id_col).asc()).limit(n_centroids).collect()
+        ]
+    if books is None:
+        books = pq_train(embeddings, m=m, k=pq_k, vec_col=vec_col, id_col=id_col)
+    mm, kk = len(books), len(books[0])
+    sub = len(books[0][0])
+
+    def cell_scores(v: Column, norm: Column) -> list[Column]:
+        out = []
+        for cid, cv in centroids:
+            carr = F.array(*[F.lit(x) for x in cv])
+            cnorm = sum(x * x for x in cv) ** 0.5 or 1.0
+            out.append(
+                F.struct(
+                    (_dot(v, carr) / (norm * F.lit(cnorm))).alias("score"),
+                    F.lit(cid).alias("cell"),
+                )
+            )
+        return out
+
+    codes = pq_encode(embeddings, books, vec_col, id_col)
+    assigned = e.withColumn(
+        "cell",
+        F.sort_array(F.array(*cell_scores(F.col("v"), F.col("norm"))), asc=False)[0]["cell"],
+    ).select(id_col, "cell").join(codes, id_col)
+
+    qrows = (
+        e.filter(F.col(id_col).isin(query_ids))
+        .select(F.col(id_col).alias("query_id"), "v", "norm")
+        .collect()
+    )
+    spark = embeddings.sparkSession
+    probe_rows = []
+    for r in qrows:
+        qv = [float(x) for x in r["v"]]
+        qnorm = float(r["norm"]) or 1.0
+        ranked = sorted(
+            (
+                (
+                    sum(a * b for a, b in zip(qv, cv))
+                    / (qnorm * (sum(x * x for x in cv) ** 0.5 or 1.0)),
+                    cid,
+                )
+                for cid, cv in centroids
+            ),
+            key=lambda t: (-t[0], t[1]),
+        )
+        cells = [cid for _, cid in ranked[:n_probe]]
+        flat = []
+        for j, book in enumerate(books):
+            qj = qv[j * sub : (j + 1) * sub]
+            for c in book:
+                flat.append(sum((a - b) ** 2 for a, b in zip(qj, c)))
+        for cell in cells:
+            probe_rows.append((int(r["query_id"]), cell, flat))
+    probes = spark.createDataFrame(
+        probe_rows, "query_id long, cell int, lut array<double>"
+    )
+    dist = F.aggregate(
+        F.sequence(F.lit(0), F.lit(mm - 1)),
+        F.lit(0.0),
+        lambda acc, j: acc
+        + F.element_at(
+            F.col("lut"), (j * kk + F.element_at(F.col("codes"), j + 1) + 1).cast("int")
+        ),
+    )
+    scored = (
+        assigned.join(F.broadcast(probes), "cell")
+        .filter(F.col("query_id") != F.col(id_col))
+        .select(
+            "query_id",
+            F.col(id_col).alias("neighbor_id"),
+            F.round(dist, 6).alias("adc_dist"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("adc_dist").asc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rank") <= k)
+    )

@@ -140,3 +140,28 @@ def test_pq_encode_is_deterministic_and_layout_invariant(spark):
     }
     assert a == b and len(a) == 40
     assert all(0 <= c < 4 for cs in a.values() for c in cs)
+
+
+def test_ivfpq_coarse_recall(spark):
+    """IVF probing + PQ codes composed: same clustered corpus, top-10 per
+    query must still come entirely from the query's own cluster."""
+    import random
+
+    from esop_spark.operators import similarity
+
+    rnd = random.Random(11)
+    rows = []
+    for c in range(4):
+        center = [8.0 * (1 if (c >> b) & 1 else -1) for b in range(2)] * 32
+        for i in range(25):
+            rows.append((c * 100 + i, [x + rnd.gauss(0, 0.4) for x in center[:64]]))
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    got = similarity.ivfpq_ann_topk(
+        emb, [0, 100, 200, 300], k=10, n_centroids=8, n_probe=3, m=16, pq_k=8
+    )
+    by_q = {}
+    for r in got.collect():
+        by_q.setdefault(r["query_id"], []).append(r["neighbor_id"])
+    for q in (0, 100, 200, 300):
+        assert len(by_q[q]) == 10
+        assert all(n // 100 == q // 100 for n in by_q[q]), (q, by_q[q])
