@@ -809,6 +809,74 @@ def q79_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+CHUNK_DEDUP_TOKENS = 20
+EVAL_SOURCES = ("src0", "src1", "src2")
+DSIR_BUCKETS = 8192
+SEARCH_TERMS = ("spark", "window", "join")
+
+
+def q80_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chunk-level (paragraph-analog) exact span dedup, C4/Dolma style
+    (text_ops.chunk_dedup_stats): per-doc duplicated-chunk fraction and
+    how many chunks a keep-first-occurrence pass would strip."""
+    return text_ops.chunk_dedup_stats(
+        _base(spark, sf_dir, "documents"), chunk_tokens=CHUNK_DEDUP_TOKENS
+    )
+
+
+def q81_bloom_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decontamination of the train split against a benchmark slice with a
+    broadcast bloom prefilter ahead of the exact shingle semi-join
+    (dedup.bloom_contamination). The bloom changes the plan (corpus
+    shingles die in the scan stage), never the answer — the oracle is the
+    plain exact semi-join."""
+    docs = _base(spark, sf_dir, "documents")
+    test = docs.filter(F.col("source").isin(*EVAL_SOURCES))
+    train = docs.filter(~F.col("source").isin(*EVAL_SOURCES))
+    return dedup.bloom_contamination(train, test, n=3)
+
+
+def q82_dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR-style importance weights (text_ops.dsir_importance): hashed
+    unigram log-likelihood ratio of the English slice vs the raw corpus,
+    averaged per document — the importance-resampling score."""
+    return text_ops.dsir_importance(
+        _base(spark, sf_dir, "documents"),
+        target_pred=F.col("lang") == "en",
+        buckets=DSIR_BUCKETS,
+        hash_family="md5",
+    )
+
+
+def q83_conjunctive_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Boolean-AND retrieval over the inverted-index shape
+    (text_ops.conjunctive_search): docs containing every query term, with
+    total query-term frequency as the rank key."""
+    return text_ops.conjunctive_search(
+        _base(spark, sf_dir, "documents"), SEARCH_TERMS
+    )
+
+
+def q84_canonical_reps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-aware canonical selection per near-duplicate cluster
+    (dedup.canonical_reps over dedup_clusters): highest quality_score
+    wins, ties to smallest doc_id, via a packed max_by key — no window."""
+    docs = _base(spark, sf_dir, "documents")
+    pairs = dedup.ngram_jaccard_pairs(docs, n=3, threshold=JACCARD_TAU)
+    clusters = dedup.dedup_clusters(pairs)
+    scored = docs.select(
+        "doc_id", text_ops.quality_score_col("text").alias("quality_score")
+    )
+    return dedup.canonical_reps(clusters, scored)
+
+
+def q85_centroid_purity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding cluster-quality report (similarity.centroid_purity):
+    per-label centroid assignment accuracy by 6dp-rounded cosine with
+    smallest-label tiebreak."""
+    return similarity.centroid_purity(_base(spark, sf_dir, "embeddings"))
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001: the backup-listing report."""
     return q01_list_backups(spark, "/root/testdata/sf0.001")
@@ -895,6 +963,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q77_slice_divergence": q77_slice_divergence,
         "q78_winnow_fingerprints": q78_winnow_fingerprints,
         "q79_weighted_sample": q79_weighted_sample,
+        "q80_chunk_dedup": q80_chunk_dedup,
+        "q81_bloom_decontaminate": q81_bloom_decontaminate,
+        "q82_dsir_importance": q82_dsir_importance,
+        "q83_conjunctive_search": q83_conjunctive_search,
+        "q84_canonical_reps": q84_canonical_reps,
+        "q85_centroid_purity": q85_centroid_purity,
     }
 
 
@@ -2412,5 +2486,207 @@ def oracle_sql() -> dict[str, str]:
                          '[A-Za-z]{1,4}|[0-9]|[^A-Za-z0-9 ]')) * 1.0
                          / len(string_split(text, ' ')), 6) AS fertility
             FROM documents
+        """,
+        "q80_chunk_dedup": f"""
+            WITH docs AS (
+                SELECT doc_id, string_split(text, ' ') AS words FROM documents
+            ),
+            ch AS (
+                SELECT doc_id,
+                       CAST((t.s - 1) / {CHUNK_DEDUP_TOKENS} AS BIGINT) AS chunk_idx,
+                       md5(list_aggregate(
+                           words[t.s:t.s + {CHUNK_DEDUP_TOKENS} - 1],
+                           'string_agg', ' ')) AS chunk_hash
+                FROM docs,
+                     unnest(range(1, greatest(len(words) - 1, 1) + 1,
+                                  {CHUNK_DEDUP_TOKENS})) t(s)
+            ),
+            occ AS (
+                SELECT doc_id, chunk_hash,
+                       doc_id * 1000000 + chunk_idx AS occ_key
+                FROM ch
+            ),
+            freq AS (
+                SELECT chunk_hash, COUNT(*) AS n_occ, MIN(occ_key) AS first_key
+                FROM occ GROUP BY 1
+            )
+            SELECT CAST(o.doc_id AS BIGINT) AS doc_id,
+                   CAST(COUNT(*) AS BIGINT) AS n_chunks,
+                   CAST(SUM(CASE WHEN f.n_occ > 1 THEN 1 ELSE 0 END) AS BIGINT)
+                       AS n_dup_chunks,
+                   CAST(SUM(CASE WHEN o.occ_key != f.first_key THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_removable,
+                   ROUND(SUM(CASE WHEN f.n_occ > 1 THEN 1 ELSE 0 END) * 1.0
+                         / COUNT(*), 6) AS dup_frac
+            FROM occ o JOIN freq f USING (chunk_hash)
+            GROUP BY o.doc_id
+        """,
+        "q81_bloom_decontaminate": f"""
+            WITH docs AS (
+                SELECT doc_id, source, string_split(text, ' ') AS words
+                FROM documents
+            ),
+            sh AS (
+                SELECT DISTINCT doc_id, source,
+                       words[t.i] || ' ' || words[t.i+1] || ' ' || words[t.i+2]
+                           AS shingle
+                FROM docs, unnest(range(1, greatest(len(words) - 1, 1))) t(i)
+            ),
+            eval_sh AS (
+                SELECT DISTINCT shingle FROM sh
+                WHERE source IN {EVAL_SOURCES!r}
+            ),
+            train_cnt AS (
+                SELECT doc_id, COUNT(*) AS n_sh FROM sh
+                WHERE source NOT IN {EVAL_SOURCES!r} GROUP BY 1
+            ),
+            matched AS (
+                SELECT doc_id, COUNT(*) AS n_contaminated
+                FROM sh
+                WHERE source NOT IN {EVAL_SOURCES!r}
+                  AND shingle IN (SELECT shingle FROM eval_sh)
+                GROUP BY 1
+            )
+            SELECT CAST(c.doc_id AS BIGINT) AS doc_id,
+                   CAST(c.n_sh AS BIGINT) AS n_sh,
+                   CAST(COALESCE(m.n_contaminated, 0) AS BIGINT) AS n_contaminated,
+                   ROUND(COALESCE(m.n_contaminated, 0) * 1.0
+                         / GREATEST(c.n_sh, 1), 6) AS contamination
+            FROM train_cnt c LEFT JOIN matched m ON c.doc_id = m.doc_id
+        """,
+        "q82_dsir_importance": f"""
+            WITH tok AS (
+                SELECT doc_id, lang = 'en' AS is_t,
+                       CAST(concat('0x', substr(md5(t.w), 1, 8)) AS BIGINT)
+                           % {DSIR_BUCKETS} AS b
+                FROM (SELECT doc_id, lang,
+                             unnest(string_split(text, ' ')) AS w
+                      FROM documents) t
+            ),
+            stats AS (
+                SELECT b,
+                       SUM(CASE WHEN is_t THEN 1 ELSE 0 END) AS c_t,
+                       COUNT(*) AS c_r
+                FROM tok GROUP BY 1
+            ),
+            tot AS (SELECT SUM(c_t) AS n_t, SUM(c_r) AS n_r FROM stats)
+            SELECT CAST(tok.doc_id AS BIGINT) AS doc_id,
+                   CAST(COUNT(*) AS BIGINT) AS n_tokens,
+                   ROUND(SUM(LN((s.c_t + 1.0) / (tot.n_t + {DSIR_BUCKETS}))
+                             - LN((s.c_r + 1.0) / (tot.n_r + {DSIR_BUCKETS})))
+                         / COUNT(*), 6) AS dsir_score
+            FROM tok JOIN stats s USING (b), tot
+            GROUP BY tok.doc_id
+        """,
+        "q83_conjunctive_search": f"""
+            WITH tok AS (
+                SELECT doc_id, unnest(string_split(text, ' ')) AS term
+                FROM documents
+            )
+            SELECT CAST(doc_id AS BIGINT) AS doc_id,
+                   CAST(COUNT(*) AS BIGINT) AS total_tf
+            FROM tok
+            WHERE term IN {SEARCH_TERMS!r}
+            GROUP BY doc_id
+            HAVING COUNT(DISTINCT term) = {len(SEARCH_TERMS)}
+        """,
+        "q84_canonical_reps": f"""
+            WITH RECURSIVE docs AS (
+                SELECT doc_id, string_split(text, ' ') AS words FROM documents
+            ),
+            sh AS (
+                SELECT DISTINCT doc_id,
+                       words[i] || ' ' || words[i+1] || ' ' || words[i+2] AS shingle
+                FROM docs, unnest(range(1, greatest(len(words) - 1, 1))) t(i)
+            ),
+            cnt AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY 1),
+            shared AS (
+                SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS shared
+                FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+                GROUP BY 1, 2
+            ),
+            pairs AS (
+                SELECT id_a, id_b
+                FROM shared
+                JOIN cnt ca ON id_a = ca.doc_id
+                JOIN cnt cb ON id_b = cb.doc_id
+                WHERE ROUND(shared * 1.0 / (ca.n_sh + cb.n_sh - shared), 6)
+                      >= {JACCARD_TAU}
+            ),
+            edges AS (
+                SELECT id_a AS src, id_b AS dst FROM pairs
+                UNION
+                SELECT id_b, id_a FROM pairs
+            ),
+            reach(src, dst) AS (
+                SELECT src, dst FROM edges
+                UNION
+                SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src
+            ),
+            comp AS (
+                SELECT src AS doc_id, LEAST(src, MIN(dst)) AS cluster_id
+                FROM reach GROUP BY src
+            ),
+            q AS (
+                SELECT doc_id,
+                       CAST(ROUND((0.5 * (1.0 - len(list_filter(
+                                 string_split(text, ' '),
+                                 w -> w IN ('a', 'the'))) * 1.0
+                                 / len(string_split(text, ' ')))
+                             + 0.5 * len(list_distinct(string_split(text, ' ')))
+                                   * 1.0 / len(string_split(text, ' '))) * 100)
+                            AS BIGINT) AS quality_score
+                FROM documents
+            ),
+            j AS (
+                SELECT c.cluster_id, c.doc_id, q.quality_score,
+                       q.quality_score * 1000000000 - c.doc_id AS ordkey
+                FROM comp c JOIN q USING (doc_id)
+            )
+            SELECT CAST(cluster_id AS BIGINT) AS cluster_id,
+                   CAST(arg_max(doc_id, ordkey) AS BIGINT) AS rep_doc_id,
+                   CAST(MAX(quality_score) AS BIGINT) AS rep_score,
+                   CAST(COUNT(*) AS BIGINT) AS cluster_size,
+                   CAST(COUNT(*) - 1 AS BIGINT) AS n_dropped
+            FROM j GROUP BY cluster_id
+        """,
+        "q85_centroid_purity": """
+            WITH e AS (
+                SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v
+                FROM embeddings
+            ),
+            dims AS (
+                SELECT e.label AS clabel, t.i AS dim, e.v[t.i] AS x
+                FROM e, unnest(range(1, len(e.v) + 1)) t(i)
+            ),
+            cent AS (
+                SELECT clabel, dim, ROUND(AVG(x), 6) AS c
+                FROM dims GROUP BY 1, 2
+            ),
+            cv AS (
+                SELECT clabel, list(c ORDER BY dim) AS cvec
+                FROM cent GROUP BY 1
+            ),
+            scored AS (
+                SELECT e.vec_id, e.label,
+                       cv.clabel,
+                       ROUND(list_cosine_similarity(e.v, cv.cvec), 6) AS cos
+                FROM e CROSS JOIN cv
+            ),
+            best AS (
+                SELECT vec_id, label,
+                       -((max(struct_pack(c := cos, nc := -clabel))).nc)
+                           AS pred_label,
+                       (max(struct_pack(c := cos, nc := -clabel))).c AS cos
+                FROM scored GROUP BY 1, 2
+            )
+            SELECT CAST(label AS BIGINT) AS label,
+                   CAST(COUNT(*) AS BIGINT) AS n_members,
+                   CAST(SUM(CASE WHEN pred_label = label THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_correct,
+                   ROUND(SUM(CASE WHEN pred_label = label THEN 1 ELSE 0 END)
+                         * 1.0 / COUNT(*), 6) AS purity,
+                   ROUND(AVG(cos), 6) AS mean_cos
+            FROM best GROUP BY label
         """,
     }

@@ -781,3 +781,152 @@ def simhash_pairs(
         .distinct()
         .filter(F.col("hamming") <= max_hamming)
     )
+
+
+def bloom_positions(col: Column, m_bits: int, k: int) -> list[Column]:
+    """The k bloom bit positions of a key: independent seeded xxhash64
+    draws mod m. Shared by build and probe sides so membership is exact
+    on the no-false-negative side."""
+    return [
+        F.pmod(F.xxhash64(col, F.lit(i)), F.lit(m_bits)) for i in range(k)
+    ]
+
+
+def bloom_build(keys: DataFrame, key_col: str, m_bits: int, k: int) -> list[int]:
+    """Collect the m-bit bloom filter of a (small) key relation as a list
+    of 64-bit words. Driver-bounded by construction: the collect is the
+    DISTINCT bit-position set (≤ min(k·|keys|, m_bits) ints), never the
+    keys themselves — an eval benchmark of 10M shingles at k=4 collects
+    ≤ 40M ints once, and the broadcast bitmap itself is m/8 bytes
+    (2^27 bits = 16 MB), the classic prefilter trade."""
+    pos = (
+        keys.select(
+            F.explode(F.array(*bloom_positions(F.col(key_col), m_bits, k))).alias("p")
+        )
+        .distinct()
+        .collect()
+    )
+    words = [0] * ((m_bits + 63) // 64)
+    for row in pos:
+        p = row["p"]
+        words[p >> 6] |= 1 << (p & 63)
+    # Two's-complement to signed 64-bit so the words are valid LongType
+    # literals (bit tests are position-exact either way).
+    return [w - (1 << 64) if w >= (1 << 63) else w for w in words]
+
+
+def bloom_probe_col(col: Column, words: list[int], m_bits: int, k: int) -> Column:
+    """True iff every one of the key's k positions is set in the broadcast
+    bitmap — a pure JVM column expression (array literal + bit tests), so
+    the prefilter fuses into the scan stage with zero shuffle."""
+    lit_words = F.array(*[F.lit(w) for w in words])
+    checks = [
+        (
+            F.call_function(
+                "shiftright",
+                F.element_at(lit_words, (p / 64).cast("int") + 1),
+                p.cast("int") % 64,
+            ).bitwiseAND(F.lit(1))
+        )
+        == 1
+        for p in bloom_positions(col, m_bits, k)
+    ]
+    out = checks[0]
+    for c in checks[1:]:
+        out = out & c
+    return out
+
+
+def bloom_contamination(
+    train: DataFrame,
+    test: DataFrame,
+    n: int = 3,
+    m_bits: int = 1 << 18,
+    k: int = 4,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Contamination of the TRAIN corpus against an eval/benchmark set,
+    with a broadcast bloom prefilter ahead of the exact semi-join — the
+    100 TB decontamination shape (same role as the reference's freshen
+    probe before upload, UploadTracker.java:106-124: cheap membership test
+    first, exact work only on probable hits).
+
+    The bloom is built from the eval shingles (the SMALL side); train
+    shingles that fail the bloom are dropped inside the scan stage, so the
+    semi-join shuffle carries only probable hits (fp rate (1-e^{-kn/m})^k).
+    False positives are then removed by the exact semi-join on the shingle
+    text, so the result is byte-identical to the unfiltered exact join —
+    the filter changes the plan, never the answer.
+
+    Output: (doc_id, n_sh, n_contaminated, contamination) per train doc.
+    """
+    eval_sh = (
+        shingles(test, n, text_col, id_col).select("shingle").distinct()
+    )
+    words = bloom_build(eval_sh, "shingle", m_bits, k)
+    train_sh = (
+        shingles(train, n, text_col, id_col)
+        .select(id_col, "shingle")
+        .distinct()
+        .filter(bloom_probe_col(F.col("shingle"), words, m_bits, k))
+    )
+    matched = (
+        train_sh.join(eval_sh, "shingle", "left_semi")
+        .groupBy(id_col)
+        .agg(F.count(F.lit(1)).alias("n_contaminated"))
+    )
+    counts = doc_shingle_counts(train, n, text_col, id_col)
+    return counts.join(matched, id_col, "left").select(
+        F.col(id_col).cast("bigint").alias(id_col),
+        F.col("n_sh").cast("bigint").alias("n_sh"),
+        F.coalesce(F.col("n_contaminated"), F.lit(0))
+        .cast("bigint")
+        .alias("n_contaminated"),
+        F.round(
+            F.coalesce(F.col("n_contaminated"), F.lit(0))
+            / F.greatest(F.col("n_sh"), F.lit(1)),
+            6,
+        ).alias("contamination"),
+    )
+
+
+def canonical_reps(
+    clusters: DataFrame,
+    scored: DataFrame,
+    id_col: str = "doc_id",
+    score_col: str = "quality_score",
+) -> DataFrame:
+    """Pick the canonical surviving document of every near-duplicate
+    cluster: highest score wins, ties break to the SMALLEST doc id — the
+    quality-aware refinement of the reference's "first writer wins"
+    content-addressed rule (and of dedup_exact's min-id winner).
+
+    `clusters` is dedup_clusters output (doc_id, cluster_id, cluster_size);
+    `scored` provides (doc_id, score_col). Output: one row per cluster —
+    (cluster_id, rep_doc_id, rep_score, cluster_size, n_dropped).
+
+    Scale: one join on doc_id plus one cluster aggregation using max_by on
+    a single packed order key (score·10^9 − doc_id: strict total order, so
+    the argmax is deterministic and identical cross-engine). No window, no
+    per-cluster single-task structure."""
+    ordkey = (
+        F.col(score_col).cast("bigint") * F.lit(1_000_000_000) - F.col(id_col)
+    )
+    return (
+        clusters.join(scored.select(id_col, score_col), id_col)
+        .groupBy("cluster_id")
+        .agg(
+            F.max_by(F.col(id_col), ordkey).cast("bigint").alias("rep_doc_id"),
+            F.max(F.col(score_col)).cast("bigint").alias("rep_score"),
+            F.count(F.lit(1)).cast("bigint").alias("cluster_size"),
+            (F.count(F.lit(1)) - 1).cast("bigint").alias("n_dropped"),
+        )
+        .select(
+            F.col("cluster_id").cast("bigint").alias("cluster_id"),
+            "rep_doc_id",
+            "rep_score",
+            "cluster_size",
+            "n_dropped",
+        )
+    )

@@ -876,3 +876,89 @@ def ivfpq_ann_topk(
         scored.withColumn("rank", F.row_number().over(w).cast("bigint"))
         .filter(F.col("rank") <= k)
     )
+
+
+def centroid_purity(
+    embeddings: DataFrame,
+    vec_col: str = "embedding",
+    label_col: str = "label",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Embedding-space cluster-quality report: build the per-label mean
+    vector (centroid), assign every vector to its nearest centroid by
+    cosine, and report per-label how often the nearest centroid is the
+    vector's own label — the standard embedding-health metric (a degraded
+    encoder or a mislabeled slice shows up as purity collapse long before
+    a downstream eval does).
+
+    Cross-engine determinism: centroid components are rounded to 6dp
+    (averaging order can differ between engines below that), and the
+    argmax compares 6dp-rounded cosines with a smallest-label tiebreak —
+    same scheme kcenter_assign uses.
+
+    Output: (label, n_members, n_correct, purity, mean_cos) per label.
+
+    Scale: centroids via posexplode → (label, dim) mergeable mean — the
+    shuffle is executors × labels × dim rows, corpus-independent; the
+    centroid relation (k rows) broadcasts back; assignment is a k-way
+    per-row fold inside the scan stage; final agg is k keys. The corpus
+    is never shuffled."""
+    v = _vec_double(vec_col)
+    base = embeddings.select(
+        F.col(id_col),
+        F.col(label_col).alias("true_label"),
+        v.alias("v"),
+        F.sqrt(_dot(v, v)).alias("norm"),
+    )
+    dims = embeddings.select(
+        F.col(label_col).alias("clabel"),
+        F.posexplode(_vec_double(vec_col)).alias("dim", "x"),
+    )
+    cents = (
+        dims.groupBy("clabel", "dim")
+        .agg(F.round(F.avg("x"), 6).alias("c"))
+        .groupBy("clabel")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("dim", "c"))),
+                lambda s: s["c"],
+            ).alias("cvec")
+        )
+        .select(
+            "clabel",
+            "cvec",
+            F.sqrt(_dot(F.col("cvec"), F.col("cvec"))).alias("cnorm"),
+        )
+    )
+    scored = base.join(F.broadcast(cents)).select(
+        id_col,
+        "true_label",
+        "clabel",
+        F.round(
+            _dot(F.col("v"), F.col("cvec")) / (F.col("norm") * F.col("cnorm")), 6
+        ).alias("cos"),
+    )
+    best = scored.groupBy(id_col, "true_label").agg(
+        F.max(F.struct(F.col("cos"), (-F.col("clabel")).alias("nc"))).alias("b")
+    ).select(
+        F.col("true_label"),
+        (-F.col("b.nc")).alias("pred_label"),
+        F.col("b.cos").alias("cos"),
+    )
+    return (
+        best.groupBy("true_label")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_members"),
+            F.sum(
+                F.when(F.col("pred_label") == F.col("true_label"), 1).otherwise(0)
+            ).cast("bigint").alias("n_correct"),
+            F.round(F.avg("cos"), 6).alias("mean_cos"),
+        )
+        .select(
+            F.col("true_label").cast("bigint").alias("label"),
+            "n_members",
+            "n_correct",
+            F.round(F.col("n_correct") / F.col("n_members"), 6).alias("purity"),
+            "mean_cos",
+        )
+    )

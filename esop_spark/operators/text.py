@@ -989,3 +989,194 @@ def slice_divergence(
             "kl",
         )
     )
+
+
+def chunk_dedup_stats(
+    documents: DataFrame,
+    chunk_tokens: int = 20,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Chunk-level (paragraph-analog) exact dedup statistics, C4/Dolma
+    style: split every document into non-overlapping ``chunk_tokens``-token
+    windows, hash each window, and report per document how much of it is
+    corpus-duplicated content and how many of its chunks a
+    keep-first-occurrence span-dedup pass would strip.
+
+    A chunk occurrence is *removable* when an identical chunk appears
+    earlier in the corpus under the global (doc_id, chunk_idx) order — the
+    deterministic "first writer wins" rule the reference applies to
+    content-addressed SSTable uploads (UploadTracker.java:106-124),
+    re-expressed at sub-document granularity.
+
+    Output: (doc_id, n_chunks, n_dup_chunks, n_removable, dup_frac).
+
+    Scale: chunking is a narrow slice/explode; the only shuffles are the
+    chunk-hash aggregation (md5 keys — uniform, no skew) and the join
+    back, both map-side combinable. Chunk count ∝ corpus tokens /
+    chunk_tokens, so the shuffled relation is a fixed fraction of the
+    scan — the same shape at 100 TB."""
+    chunks = chunk_documents(
+        documents, chunk_tokens, chunk_tokens, text_col, id_col
+    ).select(
+        id_col,
+        "chunk_idx",
+        "chunk_hash",
+        # Global first-occurrence order: doc_id then position within doc.
+        (F.col(id_col) * F.lit(1_000_000) + F.col("chunk_idx")).alias("occ_key"),
+    )
+    freq = chunks.groupBy("chunk_hash").agg(
+        F.count(F.lit(1)).alias("n_occ"),
+        F.min("occ_key").alias("first_key"),
+    )
+    return (
+        chunks.join(freq, "chunk_hash")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_chunks"),
+            F.sum(F.when(F.col("n_occ") > 1, 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_dup_chunks"),
+            F.sum(F.when(F.col("occ_key") != F.col("first_key"), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_removable"),
+        )
+        .select(
+            F.col(id_col).cast("bigint").alias(id_col),
+            "n_chunks",
+            "n_dup_chunks",
+            "n_removable",
+            F.round(F.col("n_dup_chunks") / F.col("n_chunks"), 6).alias("dup_frac"),
+        )
+    )
+
+
+def conjunctive_search(
+    documents: DataFrame,
+    terms: tuple[str, ...],
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Boolean-AND term search over the corpus via the inverted-index
+    shape: explode to (doc, term) postings, keep only the query terms, and
+    a document matches when it covers every term.
+
+    Output: (doc_id, total_tf) for matching docs — total_tf = summed
+    occurrences of the query terms, the rank key a retrieval layer sorts
+    on (bm25_topk is the scored sibling).
+
+    Scale: the `isin` filter reduces the posting relation to query-term
+    rows BEFORE any shuffle (predicate on the exploded column, pushed into
+    the same stage as the scan); the aggregation shuffle carries only docs
+    containing ≥1 query term. Equivalent to probing |q| posting lists and
+    intersecting — no full-corpus shuffle."""
+    hits = (
+        documents.select(
+            F.col(id_col), F.explode(tokens(text_col)).alias("term")
+        )
+        .filter(F.col("term").isin(*terms))
+        .groupBy(id_col)
+        .agg(
+            F.count_distinct(F.col("term")).alias("n_terms"),
+            F.count(F.lit(1)).cast("bigint").alias("total_tf"),
+        )
+    )
+    return (
+        hits.filter(F.col("n_terms") == len(terms))
+        .select(F.col(id_col).cast("bigint").alias(id_col), "total_tf")
+    )
+
+
+def build_postings(
+    documents: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_postings: int = 10_000,
+) -> DataFrame:
+    """Materialized inverted index: one row per term with document
+    frequency and the (truncated, ascending) posting list of doc ids.
+
+    `max_postings` caps the stored list for stop-word-grade terms (their
+    full lists are useless for retrieval and quadratic to materialize);
+    `df` remains exact either way.
+
+    Scale: one (term, doc) distinct + one term aggregation; `slice` after
+    `array_sort` bounds output row width. Posting lists for genuinely hot
+    terms should live behind the cap; exact intersection for such terms
+    routes through :func:`conjunctive_search` instead (never reads the
+    materialized list)."""
+    td = documents.select(
+        F.col(id_col), F.explode(tokens(text_col)).alias("term")
+    ).groupBy("term", id_col).agg(F.count(F.lit(1)).alias("tf"))
+    return td.groupBy("term").agg(
+        F.count(F.lit(1)).cast("bigint").alias("df"),
+        F.sum("tf").cast("bigint").alias("total_tf"),
+        F.slice(
+            F.array_sort(F.collect_list(F.col(id_col).cast("bigint"))),
+            1,
+            max_postings,
+        ).alias("postings"),
+    )
+
+
+def dsir_importance(
+    documents: DataFrame,
+    target_pred: Column,
+    buckets: int = 8192,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    hash_family: str = "xxhash64",
+) -> DataFrame:
+    """DSIR-style importance weights (Xie et al. 2023, "Data Selection for
+    Language Models via Importance Resampling"): score every document by
+    the average hashed-unigram log-likelihood ratio between a target
+    distribution (rows where ``target_pred`` holds) and the raw corpus.
+
+    w(doc) = (1/n_tokens) · Σ_t [ln p̂_target(b(t)) − ln p̂_raw(b(t))]
+    with b(t) = hash(t) mod `buckets` and add-one smoothing on both
+    distributions; positive scores mean "looks like the target".
+
+    Output: (doc_id, n_tokens, dsir_score) for ALL docs, score rounded to
+    6dp. Resampling = feed `dsir_score` to sampling.score_weighted_sample
+    or threshold at a chosen quantile.
+
+    Scale: the two bucket histograms aggregate to ≤ `buckets` rows each —
+    broadcast-sized by construction (that is the point of hashed
+    features). Token rows join the broadcast stats map-side, then one
+    aggregation per doc: a scan plus two bounded broadcasts, no
+    corpus-scale shuffle beyond the per-doc agg."""
+    from .dedup import md5_hash32
+
+    def bucket_of(col: Column) -> Column:
+        h = md5_hash32(col) if hash_family == "md5" else F.xxhash64(col)
+        return F.pmod(h, F.lit(buckets))
+
+    tok = documents.select(
+        F.col(id_col),
+        target_pred.alias("is_target"),
+        F.explode(tokens(text_col)).alias("w"),
+    ).select(F.col(id_col), "is_target", bucket_of(F.col("w")).alias("b"))
+    stats = tok.groupBy("b").agg(
+        F.sum(F.when(F.col("is_target"), 1).otherwise(0)).alias("c_t"),
+        F.count(F.lit(1)).alias("c_r"),
+    )
+    totals = stats.agg(
+        F.sum("c_t").alias("n_t"), F.sum("c_r").alias("n_r")
+    )
+    weighted = (
+        tok.join(F.broadcast(stats), "b")
+        .crossJoin(F.broadcast(totals))
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.sum(
+                F.log((F.col("c_t") + 1) / (F.col("n_t") + buckets))
+                - F.log((F.col("c_r") + 1) / (F.col("n_r") + buckets))
+            ).alias("llr_sum"),
+        )
+    )
+    return weighted.select(
+        F.col(id_col).cast("bigint").alias(id_col),
+        F.col("n_tokens").cast("bigint").alias("n_tokens"),
+        F.round(F.col("llr_sum") / F.col("n_tokens"), 6).alias("dsir_score"),
+    )

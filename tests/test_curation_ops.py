@@ -1,0 +1,181 @@
+"""Round-3 curation operators: chunk dedup, bloom decontamination, DSIR,
+conjunctive search / postings, canonical reps, centroid purity."""
+
+import math
+
+from pyspark.sql import functions as F
+
+from esop_spark.operators import dedup, similarity, text as text_ops
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+# --- chunk_dedup_stats ------------------------------------------------------
+
+def test_chunk_dedup_counts_and_first_occurrence(spark):
+    # doc 0 and doc 1 share an identical 3-token chunk; doc 2 is unique.
+    docs = _docs(
+        spark,
+        [
+            (0, "a b c x y z"),
+            (1, "a b c q r s"),
+            (2, "u v w m n o"),
+        ],
+    )
+    out = {
+        r["doc_id"]: r
+        for r in text_ops.chunk_dedup_stats(docs, chunk_tokens=3).collect()
+    }
+    assert out[0]["n_chunks"] == 2 and out[1]["n_chunks"] == 2
+    # the shared chunk "a b c": dup for both, removable only for doc 1
+    assert out[0]["n_dup_chunks"] == 1 and out[0]["n_removable"] == 0
+    assert out[1]["n_dup_chunks"] == 1 and out[1]["n_removable"] == 1
+    assert out[2]["n_dup_chunks"] == 0 and out[2]["n_removable"] == 0
+    assert out[1]["dup_frac"] == 0.5
+
+
+def test_chunk_dedup_within_doc_repeat(spark):
+    # the same chunk twice inside ONE doc: first occurrence kept
+    docs = _docs(spark, [(5, "p q r p q r")])
+    row = text_ops.chunk_dedup_stats(docs, chunk_tokens=3).collect()[0]
+    assert row["n_chunks"] == 2
+    assert row["n_dup_chunks"] == 2
+    assert row["n_removable"] == 1
+
+
+# --- bloom prefilter + decontamination --------------------------------------
+
+def test_bloom_probe_no_false_negatives(spark):
+    keys = spark.createDataFrame([(f"k{i}",) for i in range(50)], "k string")
+    words = dedup.bloom_build(keys, "k", m_bits=1 << 12, k=4)
+    hits = keys.filter(
+        dedup.bloom_probe_col(F.col("k"), words, 1 << 12, 4)
+    ).count()
+    assert hits == 50  # every inserted key passes
+
+
+def test_bloom_prefilter_rejects_most_non_members(spark):
+    keys = spark.createDataFrame([(f"k{i}",) for i in range(50)], "k string")
+    words = dedup.bloom_build(keys, "k", m_bits=1 << 14, k=4)
+    others = spark.createDataFrame(
+        [(f"other{i}",) for i in range(2000)], "k string"
+    )
+    fp = others.filter(
+        dedup.bloom_probe_col(F.col("k"), words, 1 << 14, 4)
+    ).count()
+    # fp rate at n=50,k=4,m=16384 is ~(1-e^{-200/16384})^4 ≈ 2e-8
+    assert fp <= 2
+
+
+def test_bloom_contamination_matches_exact(spark):
+    train = _docs(
+        spark,
+        [(0, "w1 w2 w3 w4 w5"), (1, "x1 x2 x3 x4"), (2, "w3 w4 w5 z9")],
+    )
+    test = _docs(spark, [(100, "w2 w3 w4 w5 hello")])
+    got = {
+        r["doc_id"]: r
+        for r in dedup.bloom_contamination(train, test, n=3).collect()
+    }
+    exact = {
+        r["doc_id"]: r for r in dedup.contamination(train, test, n=3).collect()
+    }
+    # bloom path returns per-TRAIN-doc rows; compare against the exact
+    # semi-join computed directly
+    assert set(got) == {0, 1, 2}
+    assert got[0]["n_contaminated"] == 2  # "w2 w3 w4", "w3 w4 w5"
+    assert got[1]["n_contaminated"] == 0
+    assert got[2]["n_contaminated"] == 1  # "w3 w4 w5"
+    assert exact[100]["n_sh"] == 3  # sanity: the exact op still works
+
+
+# --- DSIR -------------------------------------------------------------------
+
+def test_dsir_scores_separate_target_like_docs(spark):
+    rows = [(i, "tt tt tt tt") for i in range(5)] + [
+        (i + 10, "rr rr rr rr") for i in range(5)
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = text_ops.dsir_importance(
+        docs, target_pred=F.col("doc_id") < 5, buckets=64
+    )
+    got = {r["doc_id"]: r["dsir_score"] for r in out.collect()}
+    # docs made of target-only tokens score higher than raw-only docs
+    assert got[0] > got[10]
+    assert all(abs(got[i] - got[0]) < 1e-9 for i in range(5))
+
+
+def test_dsir_zero_for_uniform_corpus(spark):
+    docs = _docs(spark, [(0, "z z z"), (1, "z z z")])
+    out = text_ops.dsir_importance(docs, target_pred=F.lit(True), buckets=16)
+    for r in out.collect():
+        # target == raw distribution exactly -> llr == ln((c+1)/(n+B)) diff 0
+        assert math.isclose(r["dsir_score"], 0.0, abs_tol=1e-9)
+
+
+# --- inverted index / search ------------------------------------------------
+
+def test_conjunctive_search_requires_all_terms(spark):
+    docs = _docs(
+        spark,
+        [(0, "spark window join x"), (1, "spark join y"), (2, "window join")],
+    )
+    out = {r["doc_id"]: r["total_tf"] for r in
+           text_ops.conjunctive_search(docs, ("spark", "window", "join")).collect()}
+    assert out == {0: 3}
+
+
+def test_build_postings_df_and_cap(spark):
+    docs = _docs(spark, [(0, "t t u"), (1, "t v"), (2, "t u")])
+    out = {r["term"]: r for r in text_ops.build_postings(docs, max_postings=2).collect()}
+    assert out["t"]["df"] == 3 and out["t"]["total_tf"] == 4
+    assert out["t"]["postings"] == [0, 1]  # capped at 2, ascending
+    assert out["u"]["postings"] == [0, 2]
+
+
+# --- canonical reps ---------------------------------------------------------
+
+def test_canonical_reps_quality_then_min_id(spark):
+    clusters = spark.createDataFrame(
+        [(0, 0, 3), (1, 0, 3), (2, 0, 3), (7, 7, 2), (9, 7, 2)],
+        "doc_id long, cluster_id long, cluster_size long",
+    )
+    scored = spark.createDataFrame(
+        [(0, 50), (1, 90), (2, 90), (7, 10), (9, 10)],
+        "doc_id long, quality_score long",
+    )
+    out = {r["cluster_id"]: r for r in
+           dedup.canonical_reps(clusters, scored).collect()}
+    # cluster 0: quality tie 90 between docs 1,2 -> smaller id wins
+    assert out[0]["rep_doc_id"] == 1 and out[0]["rep_score"] == 90
+    assert out[0]["cluster_size"] == 3 and out[0]["n_dropped"] == 2
+    # cluster 7: tie at 10 -> doc 7
+    assert out[7]["rep_doc_id"] == 7
+
+
+# --- centroid purity --------------------------------------------------------
+
+def test_centroid_purity_separable_labels(spark):
+    rows = [(i, [1.0 + 0.01 * i, 0.0], 0) for i in range(4)] + [
+        (10 + i, [0.0, 1.0 + 0.01 * i], 1) for i in range(4)
+    ]
+    emb = spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>, label long"
+    )
+    out = {r["label"]: r for r in similarity.centroid_purity(emb).collect()}
+    assert out[0]["purity"] == 1.0 and out[1]["purity"] == 1.0
+    assert out[0]["n_members"] == 4 and out[0]["n_correct"] == 4
+
+
+def test_centroid_purity_flags_mislabeled(spark):
+    rows = [(i, [1.0, 0.0], 0) for i in range(4)] + [
+        (10 + i, [0.0, 1.0], 1) for i in range(3)
+    ] + [(20, [1.0, 0.0], 1)]  # mislabeled: axis-0 vector under label 1
+    emb = spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>, label long"
+    )
+    out = {r["label"]: r for r in similarity.centroid_purity(emb).collect()}
+    assert out[0]["purity"] == 1.0
+    assert out[1]["n_correct"] == 3 and out[1]["n_members"] == 4
