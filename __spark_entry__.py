@@ -877,6 +877,42 @@ def q85_centroid_purity(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.centroid_purity(_base(spark, sf_dir, "embeddings"))
 
 
+ZIPF_TOP_V = 2000
+
+
+def q86_slice_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-source duplication matrix (dedup.slice_overlap): distinct-
+    shingle containment between every source pair — the mirror-domain
+    detector doc-pair dedup can't see."""
+    return dedup.slice_overlap(_base(spark, sf_dir, "documents"), "source", n=3)
+
+
+def q87_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc novelty (dedup.novelty_scores): fraction of a doc's distinct
+    shingles first contributed by this doc under min-doc_id attribution."""
+    return dedup.novelty_scores(_base(spark, sf_dir, "documents"), n=3)
+
+
+def q88_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf slope/intercept of the corpus token distribution over the
+    top-V terms (text_ops.zipf_fit) — distribution-health diagnostic."""
+    return text_ops.zipf_fit(_base(spark, sf_dir, "documents"), top_v=ZIPF_TOP_V)
+
+
+def q89_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental release dedup (dedup.incremental_minhash_pairs): the new
+    half of the corpus (odd doc ids) LSH-deduped against the shipped half
+    (even ids) — candidates restricted to cross-release pairs, exact-
+    Jaccard verified, md5 family for the oracle."""
+    docs = _base(spark, sf_dir, "documents")
+    return dedup.incremental_minhash_pairs(
+        docs,
+        is_new=F.col("doc_id") % 2 == 1,
+        threshold=JACCARD_TAU,
+        hash_family="md5",
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001: the backup-listing report."""
     return q01_list_backups(spark, "/root/testdata/sf0.001")
@@ -969,12 +1005,23 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q83_conjunctive_search": q83_conjunctive_search,
         "q84_canonical_reps": q84_canonical_reps,
         "q85_centroid_purity": q85_centroid_purity,
+        "q86_slice_overlap": q86_slice_overlap,
+        "q87_novelty": q87_novelty,
+        "q88_zipf_fit": q88_zipf_fit,
+        "q89_incremental_dedup": q89_incremental_dedup,
     }
 
 
 # --- DuckDB oracle ----------------------------------------------------------
 
-def _lsh_oracle(measure_expr: str, alias: str, tau: float, bands: int = 8) -> str:
+def _lsh_oracle(
+    measure_expr: str,
+    alias: str,
+    tau: float,
+    bands: int = 8,
+    cand_pred: str = "a.doc_id < b.doc_id",
+    id_names: tuple[str, str] = ("id_a", "id_b"),
+) -> str:
     """Full MinHash-LSH replication in DuckDB: same md5-derived element hash
     (CAST('0x'||substr(md5(s),1,8) AS BIGINT) == Spark conv(...,16,10)), the
     same seeded (a_i, b_i) family inlined as literals, md5 band buckets, and
@@ -1022,7 +1069,7 @@ def _lsh_oracle(measure_expr: str, alias: str, tau: float, bands: int = 8) -> st
                 SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
                 FROM buckets a JOIN buckets b
                   ON a.band = b.band AND a.bucket = b.bucket
-                 AND a.doc_id < b.doc_id
+                 AND {cand_pred}
             ),
             cnt AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY 1),
             shared AS (
@@ -1032,7 +1079,7 @@ def _lsh_oracle(measure_expr: str, alias: str, tau: float, bands: int = 8) -> st
                 JOIN sh b ON b.doc_id = c.id_b AND b.shingle = a.shingle
                 GROUP BY 1, 2
             )
-            SELECT id_a, id_b,
+            SELECT id_a AS {id_names[0]}, id_b AS {id_names[1]},
                    ROUND({measure_expr}, 6) AS {alias}
             FROM shared
             JOIN cnt ca ON id_a = ca.doc_id
@@ -2689,4 +2736,84 @@ def oracle_sql() -> dict[str, str]:
                    ROUND(AVG(cos), 6) AS mean_cos
             FROM best GROUP BY label
         """,
+        "q86_slice_overlap": """
+            WITH docs AS (
+                SELECT doc_id, source, string_split(text, ' ') AS words
+                FROM documents
+            ),
+            sh AS (
+                SELECT DISTINCT source AS s,
+                       words[i] || ' ' || words[i+1] || ' ' || words[i+2] AS shingle
+                FROM docs, unnest(range(1, greatest(len(words) - 1, 1))) t(i)
+            ),
+            cnt AS (SELECT s, COUNT(*) AS n_sh FROM sh GROUP BY 1),
+            sharedcte AS (
+                SELECT a.s AS sa, b.s AS sb, COUNT(*) AS n_shared
+                FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.s < b.s
+                GROUP BY 1, 2
+            )
+            SELECT sa AS slice_a, sb AS slice_b,
+                   CAST(ca.n_sh AS BIGINT) AS n_a,
+                   CAST(cb.n_sh AS BIGINT) AS n_b,
+                   CAST(n_shared AS BIGINT) AS shared,
+                   ROUND(n_shared * 1.0 / LEAST(ca.n_sh, cb.n_sh), 6) AS overlap
+            FROM sharedcte
+            JOIN cnt ca ON sa = ca.s
+            JOIN cnt cb ON sb = cb.s
+        """,
+        "q87_novelty": """
+            WITH docs AS (
+                SELECT doc_id, string_split(text, ' ') AS words FROM documents
+            ),
+            sh AS (
+                SELECT DISTINCT doc_id,
+                       words[i] || ' ' || words[i+1] || ' ' || words[i+2] AS shingle
+                FROM docs, unnest(range(1, greatest(len(words) - 1, 1))) t(i)
+            ),
+            first AS (
+                SELECT shingle, MIN(doc_id) AS f FROM sh GROUP BY 1
+            )
+            SELECT CAST(sh.doc_id AS BIGINT) AS doc_id,
+                   CAST(COUNT(*) AS BIGINT) AS n_sh,
+                   CAST(SUM(CASE WHEN first.f = sh.doc_id THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_novel,
+                   ROUND(SUM(CASE WHEN first.f = sh.doc_id THEN 1 ELSE 0 END)
+                         * 1.0 / COUNT(*), 6) AS novelty
+            FROM sh JOIN first USING (shingle)
+            GROUP BY sh.doc_id
+        """,
+        "q88_zipf_fit": f"""
+            WITH tf AS (
+                SELECT t.w AS t, COUNT(*) AS c
+                FROM (SELECT unnest(string_split(text, ' ')) AS w
+                      FROM documents) t
+                GROUP BY 1
+            ),
+            top AS (
+                SELECT t, c FROM tf ORDER BY c DESC, t ASC LIMIT {ZIPF_TOP_V}
+            ),
+            xy AS (
+                SELECT LN(CAST(ROW_NUMBER() OVER (ORDER BY c DESC, t ASC)
+                               AS DOUBLE)) AS x,
+                       LN(CAST(c AS DOUBLE)) AS y
+                FROM top
+            ),
+            agg AS (
+                SELECT COUNT(*) * 1.0 AS n, SUM(x) AS sx, SUM(y) AS sy,
+                       SUM(x * y) AS sxy, SUM(x * x) AS sxx
+                FROM xy
+            )
+            SELECT CAST(n AS BIGINT) AS n_terms,
+                   ROUND((n * sxy - sx * sy) / (n * sxx - sx * sx), 6) AS slope,
+                   ROUND((sy - (n * sxy - sx * sy) / (n * sxx - sx * sx) * sx)
+                         / n, 6) AS intercept
+            FROM agg
+        """,
+        "q89_incremental_dedup": _lsh_oracle(
+            "shared * 1.0 / (ca.n_sh + cb.n_sh - shared)",
+            "jaccard",
+            JACCARD_TAU,
+            cand_pred="a.doc_id % 2 = 0 AND b.doc_id % 2 = 1",
+            id_names=("id_old", "id_new"),
+        ),
     }

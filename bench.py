@@ -65,6 +65,15 @@ BENCH_QUERIES = [
     "q77_slice_divergence",
     "q78_winnow_fingerprints",
     "q79_weighted_sample",
+    "q80_chunk_dedup",
+    "q81_bloom_decontaminate",
+    "q82_dsir_importance",
+    "q83_conjunctive_search",
+    "q84_canonical_reps",
+    "q85_centroid_purity",
+    "q86_slice_overlap",
+    "q87_novelty",
+    "q89_incremental_dedup",
 ]
 
 

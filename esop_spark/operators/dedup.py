@@ -383,6 +383,33 @@ def minhash_signatures(
     return sh.groupBy(id_col).agg(*aggs)
 
 
+def _band_buckets(
+    sig: DataFrame,
+    num_hashes: int,
+    bands: int,
+    hash_family: str,
+    id_col: str,
+) -> DataFrame:
+    """Signature rows → exploded (id, band, bucket) relation. The bucket is
+    the hash of one band's signature slice (md5 for the cross-engine
+    family, xxhash64 for production)."""
+    rows_per_band = num_hashes // bands
+
+    def bucket_of(band: int) -> Column:
+        hs = [F.col(f"h{band * rows_per_band + r}") for r in range(rows_per_band)]
+        if hash_family == "md5":
+            return F.md5(F.concat_ws("-", *hs))
+        return F.xxhash64(*hs).cast("string")
+
+    band_cols = [
+        F.struct(F.lit(band).alias("band"), bucket_of(band).alias("bucket"))
+        for band in range(bands)
+    ]
+    return sig.select(F.col(id_col), F.explode(F.array(*band_cols)).alias("bb")).select(
+        id_col, F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket")
+    )
+
+
 def _lsh_candidates(
     documents: DataFrame,
     num_hashes: int,
@@ -412,7 +439,6 @@ def _lsh_candidates(
     `ngram_jaccard_pairs`). Bucket sizing and the star switch share one
     hash shuffle on (band, bucket) via a window, the same key the pair
     join shuffles on."""
-    rows_per_band = num_hashes // bands
     # one persisted (id, shingle) materialization feeds BOTH the signature
     # aggregation and the verification leg (measured ~20% off q22 at sf0.1;
     # MEMORY_AND_DISK default, so an oversized corpus spills, not OOMs)
@@ -420,20 +446,7 @@ def _lsh_candidates(
     sig = minhash_signatures(
         documents, num_hashes, n, text_col, id_col, hash_family, base=base
     )
-
-    def bucket_of(band: int) -> Column:
-        hs = [F.col(f"h{band * rows_per_band + r}") for r in range(rows_per_band)]
-        if hash_family == "md5":
-            return F.md5(F.concat_ws("-", *hs))
-        return F.xxhash64(*hs).cast("string")
-
-    band_cols = [
-        F.struct(F.lit(band).alias("band"), bucket_of(band).alias("bucket"))
-        for band in range(bands)
-    ]
-    buckets = sig.select(F.col(id_col), F.explode(F.array(*band_cols)).alias("bb")).select(
-        id_col, F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket")
-    )
+    buckets = _band_buckets(sig, num_hashes, bands, hash_family, id_col)
     # bucket sizes via partial-agg groupBy (map-side combine), joined back;
     # the annotated relation is persisted because THREE legs consume it
     # (both sides of the small self-join + the star leg) — without the
@@ -928,5 +941,174 @@ def canonical_reps(
             "rep_score",
             "cluster_size",
             "n_dropped",
+        )
+    )
+
+
+def incremental_minhash_pairs(
+    documents: DataFrame,
+    is_new: Column,
+    num_hashes: int = 32,
+    bands: int = 8,
+    n: int = 3,
+    threshold: float = 0.5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    hash_family: str = "xxhash64",
+    max_bucket: int = 100,
+) -> DataFrame:
+    """Incremental corpus dedup: near-duplicate (old, new) pairs between an
+    existing release (rows where ``is_new`` is false) and a delta (true),
+    via the same MinHash band machinery as minhash_lsh_pairs but with
+    candidates restricted to CROSS-release pairs — the composition of
+    corpus versioning (q71's delta worklist) with near-dup detection, and
+    the shape a production pipeline runs on every crawl refresh (dedupe
+    the new dump against what is already shipped, not all-pairs again).
+
+    Candidates = (old, new) sharing ≥1 band bucket; exact-Jaccard verified
+    (no false positives). Output: (id_old, id_new, jaccard).
+
+    Scale: the old side's signatures would be PRECOMPUTED and stored in a
+    real deployment (signatures are an embarrassingly-parallel projection
+    of each release — this function recomputes them only because its input
+    is one DataFrame); the band join is old×new per bucket, so candidate
+    volume tracks the delta size, not the full corpus. Old-side buckets
+    larger than ``max_bucket`` route new members to the bucket's min-id
+    anchor (star pairing), the same hot-bucket guard as _lsh_candidates.
+    """
+    base = shingles(documents, n, text_col, id_col).persist()
+    sig = minhash_signatures(
+        documents, num_hashes, n, text_col, id_col, hash_family, base=base
+    )
+    buckets = _band_buckets(sig, num_hashes, bands, hash_family, id_col)
+    flags = documents.select(F.col(id_col), is_new.alias("_new"))
+    fb = buckets.join(flags, id_col)
+    old_b = fb.filter(~F.col("_new")).drop("_new")
+    new_b = fb.filter(F.col("_new")).drop("_new")
+    sizes = old_b.groupBy("band", "bucket").agg(
+        F.count(F.lit(1)).alias("_bsz"), F.min(id_col).alias("_anchor")
+    )
+    annotated_new = new_b.join(sizes, ["band", "bucket"]).persist()
+    pairs_small = (
+        annotated_new.filter(F.col("_bsz") <= max_bucket)
+        .join(
+            old_b.select(
+                "band", "bucket", F.col(id_col).alias("id_a")
+            ),
+            ["band", "bucket"],
+        )
+        .select("id_a", F.col(id_col).alias("id_b"))
+    )
+    pairs_big = annotated_new.filter(F.col("_bsz") > max_bucket).select(
+        F.col("_anchor").alias("id_a"), F.col(id_col).alias("id_b")
+    )
+    candidates = pairs_small.unionByName(pairs_big).distinct()
+    sh = base.select(id_col, F.xxhash64("shingle").alias("sh"))
+    counts = doc_shingle_counts(documents, n, text_col, id_col)
+    verified = _verify_jaccard(candidates, sh, counts, threshold, id_col)
+    return verified.select(
+        F.col("id_a").alias("id_old"),
+        F.col("id_b").alias("id_new"),
+        "jaccard",
+    )
+
+
+def slice_overlap(
+    documents: DataFrame,
+    slice_col: str = "source",
+    n: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Cross-slice duplication matrix: for every pair of slices (sources,
+    domains, crawl dumps), the overlap of their distinct shingle sets —
+    which feeds the "these two domains mirror each other" decision that
+    doc-pair dedup can't see directly.
+
+    Output: (slice_a, slice_b, n_a, n_b, shared, overlap) for pairs with
+    shared > 0, slice_a < slice_b; overlap = shared / min(n_a, n_b)
+    (containment of the smaller side).
+
+    Scale: the joined relation is the DISTINCT (slice, shingle) set — one
+    hash shuffle on the shingle — and each shingle contributes at most
+    C(slices_with_it, 2) ≤ C(k, 2) pair rows before the (a, b) aggregation,
+    so the blow-up is bounded by the slice count, not the corpus. Per-slice
+    totals are a k-row broadcast."""
+    sh = (
+        shingles(documents, n, text_col, id_col)
+        .join(
+            documents.select(F.col(id_col), F.col(slice_col).alias("s")), id_col
+        )
+        .select("s", F.xxhash64("shingle").alias("sh"))
+        .distinct()
+    )
+    cnt = sh.groupBy("s").agg(F.count(F.lit(1)).alias("n_sh"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    shared = (
+        a.join(
+            b,
+            (F.col("a.sh") == F.col("b.sh")) & (F.col("a.s") < F.col("b.s")),
+        )
+        .groupBy(F.col("a.s").alias("slice_a"), F.col("b.s").alias("slice_b"))
+        .agg(F.count(F.lit(1)).alias("shared"))
+    )
+    ca = cnt.select(F.col("s").alias("slice_a"), F.col("n_sh").alias("n_a"))
+    cb = cnt.select(F.col("s").alias("slice_b"), F.col("n_sh").alias("n_b"))
+    return (
+        shared.join(F.broadcast(ca), "slice_a")
+        .join(F.broadcast(cb), "slice_b")
+        .select(
+            "slice_a",
+            "slice_b",
+            F.col("n_a").cast("bigint").alias("n_a"),
+            F.col("n_b").cast("bigint").alias("n_b"),
+            F.col("shared").cast("bigint").alias("shared"),
+            F.round(
+                F.col("shared") / F.least(F.col("n_a"), F.col("n_b")), 6
+            ).alias("overlap"),
+        )
+    )
+
+
+def novelty_scores(
+    documents: DataFrame,
+    n: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-document novelty: the fraction of a doc's distinct shingles
+    whose FIRST corpus occurrence (min doc id) is this document — i.e. how
+    much genuinely new text the doc contributes under the deterministic
+    ingestion order. Boilerplate-heavy docs score near 0 even when no
+    single other document duplicates them (the signal pairwise dedup
+    misses); a dedup sweep ordered by ascending novelty drops the least
+    original content first.
+
+    Output: (doc_id, n_sh, n_novel, novelty).
+
+    Scale: one distinct over (id, shingle-hash), one min-aggregation per
+    shingle (uniform 64-bit keys), one join back, one per-doc agg — every
+    stage map-side combinable, nothing quadratic."""
+    sh = (
+        shingles(documents, n, text_col, id_col)
+        .select(F.col(id_col), F.xxhash64("shingle").alias("sh"))
+        .distinct()
+    )
+    first = sh.groupBy("sh").agg(F.min(id_col).alias("_first"))
+    return (
+        sh.join(first, "sh")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_sh"),
+            F.sum(F.when(F.col("_first") == F.col(id_col), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_novel"),
+        )
+        .select(
+            F.col(id_col).cast("bigint").alias(id_col),
+            "n_sh",
+            "n_novel",
+            F.round(F.col("n_novel") / F.col("n_sh"), 6).alias("novelty"),
         )
     )

@@ -15,6 +15,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 DEFAULT_STOPWORDS = ("a", "the")
 
@@ -1179,4 +1180,57 @@ def dsir_importance(
         F.col(id_col).cast("bigint").alias(id_col),
         F.col("n_tokens").cast("bigint").alias("n_tokens"),
         F.round(F.col("llr_sum") / F.col("n_tokens"), 6).alias("dsir_score"),
+    )
+
+
+def zipf_fit(
+    documents: DataFrame,
+    top_v: int = 2000,
+    text_col: str = "text",
+) -> DataFrame:
+    """Zipf's-law fit of the corpus token distribution: least-squares slope
+    of ln(freq) against ln(rank) over the top ``top_v`` terms — natural
+    language sits near slope −1; a slope collapse flags template/boilerplate
+    floods or tokenizer damage long before eval metrics move.
+
+    Output: one row (n_terms, slope, intercept), 6dp.
+
+    Scale: term frequencies are one map-side-combinable aggregation
+    (shuffle ∝ vocab); the top-V cut is a distributed TakeOrdered (per-
+    partition heaps, never a global sort of the vocab); the rank window
+    and the closed-form regression then run on ≤ top_v rows — the same
+    bounded-grain argument as the quality CDF (q72)."""
+    tf = (
+        documents.select(F.explode(tokens(text_col)).alias("t"))
+        .groupBy("t")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    top = tf.orderBy(F.col("c").desc(), F.col("t").asc()).limit(top_v)
+    w = Window.orderBy(F.col("c").desc(), F.col("t").asc())
+    xy = top.select(
+        F.log(F.row_number().over(w).cast("double")).alias("x"),
+        F.log(F.col("c").cast("double")).alias("y"),
+    )
+    n = F.count(F.lit(1)).cast("double")
+    agg = xy.agg(
+        n.alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+    )
+    return agg.select(
+        F.col("n").cast("bigint").alias("n_terms"),
+        F.round(
+            (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy"))
+            / (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")),
+            6,
+        ).alias("slope"),
+        F.round(
+            (F.col("sy") - (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy"))
+             / (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx"))
+             * F.col("sx"))
+            / F.col("n"),
+            6,
+        ).alias("intercept"),
     )

@@ -179,3 +179,74 @@ def test_centroid_purity_flags_mislabeled(spark):
     out = {r["label"]: r for r in similarity.centroid_purity(emb).collect()}
     assert out[0]["purity"] == 1.0
     assert out[1]["n_correct"] == 3 and out[1]["n_members"] == 4
+
+
+# --- slice overlap ----------------------------------------------------------
+
+def test_slice_overlap_detects_mirror_sources(spark):
+    rows = [
+        (0, "m1 m2 m3 m4 m5", "srcA"),
+        (1, "m1 m2 m3 m4 m5", "srcB"),   # mirror of srcA
+        (2, "z1 z2 z3 z4", "srcC"),      # disjoint
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    out = {(r["slice_a"], r["slice_b"]): r
+           for r in dedup.slice_overlap(docs, "source").collect()}
+    assert out[("srcA", "srcB")]["overlap"] == 1.0
+    assert ("srcA", "srcC") not in out and ("srcB", "srcC") not in out
+
+
+# --- novelty ----------------------------------------------------------------
+
+def test_novelty_first_writer_wins(spark):
+    docs = _docs(
+        spark,
+        [(0, "n1 n2 n3 n4"), (1, "n1 n2 n3 n4"), (2, "f1 f2 f3")],
+    )
+    got = {r["doc_id"]: r for r in dedup.novelty_scores(docs, n=3).collect()}
+    assert got[0]["novelty"] == 1.0   # first occurrence of every shingle
+    assert got[1]["novelty"] == 0.0   # full copy of doc 0
+    assert got[2]["novelty"] == 1.0
+
+
+# --- zipf -------------------------------------------------------------------
+
+def test_zipf_fit_exact_power_law(spark):
+    # freq(rank r) = 64 >> (r-1): ln(c) = ln(64) - r ln 2 ... not ln(rank).
+    # Use c_r = round(C / r) with C big so slope ≈ -1.
+    rows = []
+    did = 0
+    for rank, term in enumerate(["w%02d" % i for i in range(1, 9)], start=1):
+        for _ in range(1024 // rank):
+            rows.append((did, term))
+            did += 1
+    docs = spark.createDataFrame(
+        [(i, " ".join(t for _, t in rows[i:i+1])) for i, (d, t) in enumerate(rows)],
+        "doc_id long, text string",
+    )
+    out = text_ops.zipf_fit(docs, top_v=8).collect()[0]
+    assert out["n_terms"] == 8
+    assert abs(out["slope"] + 1.0) < 0.05  # near-perfect 1/r law
+
+
+# --- incremental dedup ------------------------------------------------------
+
+def test_incremental_dedup_cross_release_only(spark):
+    base = "alpha beta gamma delta epsilon zeta eta theta"
+    docs = _docs(
+        spark,
+        [
+            (0, base),                      # old release
+            (2, "unrelated q w e r t y"),   # old release
+            (1, base),                      # new: dup of old 0
+            (3, base),                      # new: dup of old 0 (and of new 1)
+            (5, "fresh u i o p a s"),       # new: novel
+        ],
+    )
+    pairs = dedup.incremental_minhash_pairs(
+        docs, is_new=F.col("doc_id") % 2 == 1, threshold=0.5
+    ).collect()
+    got = {(r["id_old"], r["id_new"]) for r in pairs}
+    # only old→new pairs; the new-new dup (1,3) must NOT appear
+    assert got == {(0, 1), (0, 3)}
+    assert all(r["jaccard"] == 1.0 for r in pairs)

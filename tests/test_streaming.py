@@ -140,3 +140,28 @@ def test_commitlog_encrypted_archive_and_pit_restore(spark, tmp_path):
     assert n == 3
     got = sorted(open(os.path.join(out, f)).read() for f in os.listdir(out))
     assert got == ["payload0", "payload1", "payload2"]
+
+
+def test_dedup_within_watermark_stream(spark, tmp_path):
+    src_dir = str(tmp_path / "dedup_in")
+    # duplicate content keys arriving close together: only first kept
+    spark.createDataFrame(
+        [("k1", "2024-01-01 10:00:00"), ("k1", "2024-01-01 10:05:00"),
+         ("k2", "2024-01-01 10:01:00"), ("k2", "2024-01-01 10:02:00"),
+         ("k3", "2024-01-01 10:03:00")],
+        "content_key string, ts_s string",
+    ).selectExpr(
+        "content_key", "cast(ts_s as timestamp) as ts"
+    ).coalesce(1).write.parquet(src_dir)
+    stream = spark.readStream.schema("content_key string, ts timestamp").parquet(src_dir)
+    q = (
+        event_stream.dedup_within_watermark(stream, ["content_key"], watermark="30 minutes")
+        .writeStream.format("memory")
+        .queryName("dedup_wm_test")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    rows = spark.sql("select * from dedup_wm_test").collect()
+    assert sorted(r["content_key"] for r in rows) == ["k1", "k2", "k3"]
