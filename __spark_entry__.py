@@ -913,6 +913,54 @@ def q89_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+CMS_TOP_K = 20
+CMS_DEPTH = 4
+CMS_WIDTH = 1024
+PMI_TOP_K = 50
+PMI_MIN_COUNT = 5
+PSI_BINS = 10
+
+
+def q90_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min-sketch term estimates vs exact counts for the top terms
+    (text_ops.cms_term_counts) — the mergeable-sketch path for frequency
+    queries too wide to aggregate exactly."""
+    return text_ops.cms_term_counts(
+        _base(spark, sf_dir, "documents"),
+        query_top_k=CMS_TOP_K,
+        depth=CMS_DEPTH,
+        width=CMS_WIDTH,
+    )
+
+
+def q91_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-PMI adjacent-token collocations (text_ops.pmi_collocations) —
+    tokenizer-merge candidates and template detection."""
+    return text_ops.pmi_collocations(
+        _base(spark, sf_dir, "documents"), top_k=PMI_TOP_K, min_count=PMI_MIN_COUNT
+    )
+
+
+def q92_score_drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source PSI of the quality-score decile distribution vs the
+    corpus (text_ops.score_drift_psi) — quality-drift monitor."""
+    return text_ops.score_drift_psi(
+        _base(spark, sf_dir, "documents"), "source", n_bins=PSI_BINS
+    )
+
+
+def q93_image_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual near-duplicate image pairs: real BMP containers →
+    grayscale dHash (multimodal.image_dhash, Arrow-batched binary decode)
+    → pigeonhole Hamming banding (multimodal.dhash_neardup_pairs). The
+    binary pixel decode is genuinely non-SQL-expressible, so this entry
+    has no oracle_sql (driver records the rows-only check); the codec and
+    hash are pytest-verified instead."""
+    media = multimodal.encode_containers(_base(spark, sf_dir, "documents"))
+    hashes = multimodal.image_dhash(media)
+    return multimodal.dhash_neardup_pairs(hashes, max_hamming=4)
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001: the backup-listing report."""
     return q01_list_backups(spark, "/root/testdata/sf0.001")
@@ -1009,6 +1057,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q87_novelty": q87_novelty,
         "q88_zipf_fit": q88_zipf_fit,
         "q89_incremental_dedup": q89_incremental_dedup,
+        "q90_cms_heavy_hitters": q90_cms_heavy_hitters,
+        "q91_pmi_collocations": q91_pmi_collocations,
+        "q92_score_drift_psi": q92_score_drift_psi,
+        "q93_image_neardup": q93_image_neardup,
     }
 
 
@@ -2816,4 +2868,100 @@ def oracle_sql() -> dict[str, str]:
             cand_pred="a.doc_id % 2 = 0 AND b.doc_id % 2 = 1",
             id_names=("id_old", "id_new"),
         ),
+        "q90_cms_heavy_hitters": f"""
+            WITH tok AS (
+                SELECT unnest(string_split(text, ' ')) AS t FROM documents
+            ),
+            seeds AS (
+                SELECT * FROM (VALUES {', '.join(f'({d})' for d in range(CMS_DEPTH))}) s(d)
+            ),
+            rows_ AS (
+                SELECT t, seeds.d AS d,
+                       CAST(concat('0x', substr(md5('cms' || seeds.d || ':' || t),
+                                                1, 8)) AS BIGINT)
+                           % {CMS_WIDTH} AS b
+                FROM tok, seeds
+            ),
+            sketch AS (SELECT d, b, COUNT(*) AS c FROM rows_ GROUP BY 1, 2),
+            exact AS (
+                SELECT t, COUNT(*) AS exact_c FROM tok GROUP BY 1
+                ORDER BY exact_c DESC, t ASC LIMIT {CMS_TOP_K}
+            ),
+            probes AS (
+                SELECT e.t, e.exact_c, seeds.d AS d,
+                       CAST(concat('0x', substr(md5('cms' || seeds.d || ':' || e.t),
+                                                1, 8)) AS BIGINT)
+                           % {CMS_WIDTH} AS b
+                FROM exact e, seeds
+            )
+            SELECT p.t AS term,
+                   CAST(p.exact_c AS BIGINT) AS exact_c,
+                   CAST(MIN(s.c) AS BIGINT) AS est_c
+            FROM probes p JOIN sketch s USING (d, b)
+            GROUP BY 1, 2
+        """,
+        "q91_pmi_collocations": f"""
+            WITH wsrc AS (
+                SELECT string_split(text, ' ') AS ws FROM documents
+            ),
+            bi AS (
+                SELECT ws[t.i] AS w1, ws[t.i + 1] AS w2
+                FROM wsrc, unnest(range(1, len(ws))) t(i)
+            ),
+            uni AS (
+                SELECT unnest(string_split(text, ' ')) AS w FROM documents
+            ),
+            cb AS (SELECT w1, w2, COUNT(*) AS c_xy FROM bi GROUP BY 1, 2),
+            cu AS (SELECT w, COUNT(*) AS c_w FROM uni GROUP BY 1),
+            t1 AS (SELECT COUNT(*) * 1.0 AS n FROM uni),
+            t2 AS (SELECT COUNT(*) * 1.0 AS nb FROM bi)
+            SELECT cb.w1 AS w1, cb.w2 AS w2,
+                   CAST(cb.c_xy AS BIGINT) AS c_xy,
+                   ROUND(LN((cb.c_xy / nb)
+                            / ((cx.c_w / n) * (cy.c_w / n))), 6) AS pmi
+            FROM cb
+            JOIN cu cx ON cb.w1 = cx.w
+            JOIN cu cy ON cb.w2 = cy.w, t1, t2
+            WHERE cb.c_xy >= {PMI_MIN_COUNT}
+            ORDER BY pmi DESC, w1 ASC, w2 ASC
+            LIMIT {PMI_TOP_K}
+        """,
+        "q92_score_drift_psi": f"""
+            WITH q AS (
+                SELECT source AS s,
+                       CAST(LEAST({PSI_BINS - 1}, FLOOR(
+                           CAST(ROUND((0.5 * (1.0 - len(list_filter(
+                                     string_split(text, ' '),
+                                     w -> w IN ('a', 'the'))) * 1.0
+                                     / len(string_split(text, ' ')))
+                                 + 0.5 * len(list_distinct(string_split(text, ' ')))
+                                       * 1.0 / len(string_split(text, ' ')))
+                                * 100) AS BIGINT)
+                           * {PSI_BINS} / 100)) AS INT) AS bin
+                FROM documents
+            ),
+            sb AS (SELECT s, bin, COUNT(*) AS c_sb FROM q GROUP BY 1, 2),
+            dense AS (
+                SELECT sl.s, t.bin, COALESCE(sb.c_sb, 0) AS c_sb
+                FROM (SELECT DISTINCT s FROM sb) sl
+                CROSS JOIN (SELECT CAST(t.i AS INT) AS bin
+                            FROM unnest(range(0, {PSI_BINS})) t(i)) t
+                LEFT JOIN sb ON sb.s = sl.s AND sb.bin = t.bin
+            ),
+            s_tot AS (SELECT s, SUM(c_sb) AS n_s FROM dense GROUP BY 1),
+            b_tot AS (SELECT bin, SUM(c_sb) AS c_b FROM dense GROUP BY 1),
+            grand AS (SELECT SUM(n_s) AS n_total FROM s_tot)
+            SELECT dense.s AS source,
+                   CAST(s_tot.n_s AS BIGINT) AS n_docs,
+                   ROUND(SUM(
+                       (GREATEST(dense.c_sb * 1.0 / s_tot.n_s, 0.0001)
+                        - GREATEST(b_tot.c_b * 1.0 / grand.n_total, 0.0001))
+                       * LN(GREATEST(dense.c_sb * 1.0 / s_tot.n_s, 0.0001)
+                            / GREATEST(b_tot.c_b * 1.0 / grand.n_total, 0.0001))
+                   ), 6) AS psi
+            FROM dense
+            JOIN s_tot USING (s)
+            JOIN b_tot USING (bin), grand
+            GROUP BY dense.s, s_tot.n_s
+        """,
     }

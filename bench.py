@@ -74,6 +74,10 @@ BENCH_QUERIES = [
     "q86_slice_overlap",
     "q87_novelty",
     "q89_incremental_dedup",
+    "q90_cms_heavy_hitters",
+    "q91_pmi_collocations",
+    "q92_score_drift_psi",
+    "q93_image_neardup",
 ]
 
 

@@ -268,3 +268,147 @@ def frame_sample(media: DataFrame, every_n_bytes: int = 100) -> DataFrame:
             F.sequence(F.lit(0), F.greatest((F.col("n_bytes") - 1) / every_n_bytes, F.lit(0)).cast("bigint"))
         ).alias("frame_idx"),
     ).withColumn("byte_offset", F.col("frame_idx") * every_n_bytes)
+
+
+def _bmp_gray_rows(payload: bytes) -> tuple[int, int, list[list[int]]]:
+    """Parse a 24-bit BMP into grayscale rows (top-down). Real container
+    math: pixel array offset from the file header, 4-byte row padding,
+    bottom-up row order, gray = integer mean of BGR."""
+    import struct
+
+    if payload[:2] != b"BM":
+        raise ValueError("not a BMP")
+    data_off = struct.unpack_from("<I", payload, 10)[0]
+    w, h = struct.unpack_from("<ii", payload, 18)
+    h_abs = abs(h)
+    row_bytes = w * 3
+    stride = row_bytes + (4 - row_bytes % 4) % 4
+    rows = []
+    for y in range(h_abs):
+        # BMP stores rows bottom-up (positive height)
+        src_y = (h_abs - 1 - y) if h > 0 else y
+        off = data_off + src_y * stride
+        row = payload[off : off + row_bytes]
+        rows.append(
+            [(row[i] + row[i + 1] + row[i + 2]) // 3 for i in range(0, row_bytes, 3)]
+        )
+    return w, h_abs, rows
+
+
+def _dhash64(gray: list[list[int]], w: int, h: int, size: int = 8) -> int:
+    """Difference hash: average-pool the grayscale image onto a
+    (size+1)×size grid, then one bit per horizontal neighbor comparison —
+    the standard near-duplicate perceptual hash (robust to re-encode,
+    resize, brightness shifts that break byte hashing)."""
+    gw, gh = size + 1, size
+    grid = []
+    for gy in range(gh):
+        y0, y1 = gy * h // gh, max((gy + 1) * h // gh, gy * h // gh + 1)
+        grow = []
+        for gx in range(gw):
+            x0, x1 = gx * w // gw, max((gx + 1) * w // gw, gx * w // gw + 1)
+            acc = cnt = 0
+            for y in range(y0, min(y1, h)):
+                for x in range(x0, min(x1, w)):
+                    acc += gray[y][x]
+                    cnt += 1
+            grow.append(acc // max(cnt, 1))
+        grid.append(grow)
+    bits = 0
+    bit = 0
+    for gy in range(gh):
+        for gx in range(size):
+            if grid[gy][gx] > grid[gy][gx + 1]:
+                bits |= 1 << bit
+            bit += 1
+    # two's-complement signed 64-bit for LongType
+    return bits - (1 << 64) if bits >= (1 << 63) else bits
+
+
+DHASH_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("dhash", LongType()),
+    ]
+)
+
+
+def image_dhash(media: DataFrame) -> DataFrame:
+    """Perceptual dHash per BMP payload (Arrow-batched mapInPandas —
+    binary decode is the one place Python is the right tool; the batch
+    shape keeps transfer vectorized). Non-BMP payloads (audio) are
+    skipped. Output: (media_id, dhash int64).
+
+    Scale: embarrassingly parallel projection — no shuffle; the hash is
+    64 bits per image regardless of resolution, so the downstream dedup
+    relation is tiny compared to the media bytes."""
+
+    def batches(it: Iterator) -> Iterator:
+        import pandas as pd
+
+        for pdf in it:
+            ids, hashes = [], []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                p = bytes(payload)
+                if p[:2] != b"BM":
+                    continue
+                w, h, gray = _bmp_gray_rows(p)
+                ids.append(int(mid))
+                hashes.append(_dhash64(gray, w, h))
+            yield pd.DataFrame({"media_id": ids, "dhash": hashes})
+
+    return media.mapInPandas(batches, schema=DHASH_SCHEMA)
+
+
+def dhash_neardup_pairs(hashes: DataFrame, max_hamming: int = 4) -> DataFrame:
+    """Near-duplicate image pairs by dHash Hamming distance, via pigeonhole
+    banding: two 64-bit hashes within Hamming distance h must agree on at
+    least one of (h+1) disjoint chunks — candidate generation is an
+    equi-join on (chunk_idx, chunk_val), never a cross join (the same
+    construction as SimHash text dedup, dedup.simhash_pairs).
+
+    Output: (id_a, id_b, hamming) with id_a < id_b, hamming ≤ max_hamming.
+    """
+    n_chunks = max_hamming + 1
+    chunk_bits = 64 // n_chunks
+    chunk_cols = [
+        F.struct(
+            F.lit(c).alias("chunk_idx"),
+            F.call_function(
+                "shiftright", F.col("dhash"), F.lit(c * chunk_bits)
+            ).bitwiseAND(F.lit((1 << chunk_bits) - 1)).alias("chunk_val"),
+        )
+        for c in range(n_chunks)
+    ]
+    chunks = hashes.select(
+        F.col("media_id"), F.col("dhash"), F.explode(F.array(*chunk_cols)).alias("c")
+    ).select(
+        "media_id", "dhash",
+        F.col("c.chunk_idx").alias("chunk_idx"),
+        F.col("c.chunk_val").alias("chunk_val"),
+    )
+    a = chunks.alias("a")
+    b = chunks.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.chunk_idx") == F.col("b.chunk_idx"))
+            & (F.col("a.chunk_val") == F.col("b.chunk_val"))
+            & (F.col("a.media_id") < F.col("b.media_id")),
+        )
+        .select(
+            F.col("a.media_id").alias("id_a"),
+            F.col("b.media_id").alias("id_b"),
+            F.col("a.dhash").alias("ha"),
+            F.col("b.dhash").alias("hb"),
+        )
+        .distinct()
+    )
+    return (
+        cand.withColumn(
+            "hamming",
+            F.bit_count(F.col("ha").bitwiseXOR(F.col("hb"))).cast("bigint"),
+        )
+        .filter(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming")
+    )

@@ -1234,3 +1234,217 @@ def zipf_fit(
             6,
         ).alias("intercept"),
     )
+
+
+def cms_term_counts(
+    documents: DataFrame,
+    query_top_k: int = 20,
+    depth: int = 4,
+    width: int = 1024,
+    text_col: str = "text",
+) -> DataFrame:
+    """Count-min-sketch term frequency estimates, checked against exact
+    counts for the corpus's top-``query_top_k`` terms.
+
+    The sketch is depth × width counters; counter (d, b) sums every token
+    whose d-th seeded hash lands in bucket b, and the estimate for a term
+    is the MIN over its depth counters — deterministic (no sampling), always
+    ≥ the true count, expected error ≤ 2N/width with prob 1−2^−depth.
+
+    Output: (term, exact_c, est_c) for the exact top-k (count desc, term
+    asc tiebreak); est_c == exact_c unless the term collided in all rows.
+
+    Scale: this is the sketch the 100 TB path keeps when the vocab itself
+    is too wide to aggregate — the sketch relation is ≤ depth·width rows
+    REGARDLESS of corpus size (mergeable, map-side combinable), and
+    estimating any term is a depth-row lookup. The exact leg exists here
+    for verification; production queries read only the sketch. Hash =
+    cross-engine md5 family, so the whole construction replays in SQL."""
+    from .dedup import md5_hash32
+
+    tok = documents.select(F.explode(tokens(text_col)).alias("t"))
+    rows = tok.select(
+        "t",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(d).alias("d"),
+                        F.pmod(
+                            md5_hash32(F.concat(F.lit(f"cms{d}:"), F.col("t"))),
+                            F.lit(width),
+                        ).alias("b"),
+                    )
+                    for d in range(depth)
+                ]
+            )
+        ).alias("db"),
+    ).select("t", F.col("db.d").alias("d"), F.col("db.b").alias("b"))
+    sketch = rows.groupBy("d", "b").agg(F.count(F.lit(1)).alias("c"))
+    exact = (
+        tok.groupBy("t")
+        .agg(F.count(F.lit(1)).alias("exact_c"))
+        .orderBy(F.col("exact_c").desc(), F.col("t").asc())
+        .limit(query_top_k)
+    )
+    probes = exact.select(
+        "t",
+        "exact_c",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(d).alias("d"),
+                        F.pmod(
+                            md5_hash32(F.concat(F.lit(f"cms{d}:"), F.col("t"))),
+                            F.lit(width),
+                        ).alias("b"),
+                    )
+                    for d in range(depth)
+                ]
+            )
+        ).alias("db"),
+    ).select("t", "exact_c", F.col("db.d").alias("d"), F.col("db.b").alias("b"))
+    return (
+        probes.join(F.broadcast(sketch), ["d", "b"])
+        .groupBy("t", "exact_c")
+        .agg(F.min("c").alias("est_c"))
+        .select(
+            F.col("t").alias("term"),
+            F.col("exact_c").cast("bigint").alias("exact_c"),
+            F.col("est_c").cast("bigint").alias("est_c"),
+        )
+    )
+
+
+def pmi_collocations(
+    documents: DataFrame,
+    top_k: int = 50,
+    min_count: int = 5,
+    text_col: str = "text",
+) -> DataFrame:
+    """Top collocations by pointwise mutual information: adjacent token
+    pairs whose co-occurrence beats chance — the signal a tokenizer/vocab
+    builder uses to decide what deserves a merged token, and a cheap
+    detector of templated text (templates produce impossible-by-chance
+    PMI spikes).
+
+    pmi(x,y) = ln( (c_xy/Nb) / ((c_x/N)(c_y/N)) ), pairs with c_xy ≥
+    ``min_count``; output top_k by (pmi desc, w1 asc, w2 asc), 6dp.
+
+    Scale: bigram and unigram counts are two map-side-combinable aggs
+    (shuffle ∝ vocab/bigram-vocab); totals are 1-row broadcasts, the
+    unigram relation broadcasts onto the bigram one at vocab grain, and
+    the top-k is a distributed TakeOrdered — no corpus-scale sort."""
+    words = documents.select(F.split(F.col(text_col), " ").alias("ws"))
+    bi = words.select(
+        F.explode(
+            F.expr(
+                "filter(transform(sequence(1, size(ws)),"
+                " i -> IF(i < size(ws), struct(ws[i-1] AS w1, ws[i] AS w2), NULL)),"
+                " x -> x IS NOT NULL)"
+            )
+        ).alias("p")
+    ).select(F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2"))
+    uni = documents.select(F.explode(tokens(text_col)).alias("w"))
+    c_bi = bi.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c_xy"))
+    c_uni = uni.groupBy("w").agg(F.count(F.lit(1)).alias("c_w"))
+    n_uni = uni.agg(F.count(F.lit(1)).alias("n")).withColumn("_k", F.lit(1))
+    n_bi = bi.agg(F.count(F.lit(1)).alias("nb")).withColumn("_k", F.lit(1))
+    totals = F.broadcast(n_uni.join(n_bi, "_k").drop("_k"))
+    scored = (
+        c_bi.filter(F.col("c_xy") >= min_count)
+        .join(
+            F.broadcast(c_uni.select(F.col("w").alias("w1"), F.col("c_w").alias("c_x"))),
+            "w1",
+        )
+        .join(
+            F.broadcast(c_uni.select(F.col("w").alias("w2"), F.col("c_w").alias("c_y"))),
+            "w2",
+        )
+        .crossJoin(totals)
+        .select(
+            "w1",
+            "w2",
+            F.col("c_xy").cast("bigint").alias("c_xy"),
+            F.round(
+                F.log(
+                    (F.col("c_xy") / F.col("nb"))
+                    / ((F.col("c_x") / F.col("n")) * (F.col("c_y") / F.col("n")))
+                ),
+                6,
+            ).alias("pmi"),
+        )
+    )
+    return scored.orderBy(
+        F.col("pmi").desc(), F.col("w1").asc(), F.col("w2").asc()
+    ).limit(top_k)
+
+
+def score_drift_psi(
+    documents: DataFrame,
+    slice_col: str = "source",
+    n_bins: int = 10,
+    text_col: str = "text",
+) -> DataFrame:
+    """Population stability index of the quality-score distribution per
+    slice vs the corpus: PSI_s = Σ_bins (p_sb − p_b)·ln(p_sb/p_b) over
+    score deciles, with the standard ε-floor on empty bins (max(p, 1e-4),
+    so identical distributions give exactly 0) — the "did this source's
+    quality profile drift away from the blend" monitor (the score-space
+    sibling of slice_divergence's token-space KL).
+
+    Output: (slice, n_docs, psi), 6dp; PSI < 0.1 is conventionally stable.
+
+    Scale: the score is a scan projection; the only shuffle is the
+    (slice, bin) aggregation — k·n_bins keys. Corpus marginals derive
+    from that same relation; everything downstream is broadcast-grain."""
+    binned = documents.select(
+        F.col(slice_col).alias("s"),
+        F.least(
+            F.lit(n_bins - 1),
+            F.floor(quality_score_col(text_col) * n_bins / 100),
+        ).cast("int").alias("bin"),
+    )
+    sb = binned.groupBy("s", "bin").agg(F.count(F.lit(1)).alias("c_sb"))
+    # densify: every (slice, bin) cell exists so add-one smoothing is uniform
+    slices = sb.select("s").distinct()
+    bins = sb.sparkSession.range(n_bins).select(F.col("id").cast("int").alias("bin"))
+    dense = (
+        slices.crossJoin(F.broadcast(bins))
+        .join(sb, ["s", "bin"], "left")
+        .select("s", "bin", F.coalesce(F.col("c_sb"), F.lit(0)).alias("c_sb"))
+    )
+    s_tot = dense.groupBy("s").agg(F.sum("c_sb").alias("n_s"))
+    b_tot = dense.groupBy("bin").agg(F.sum("c_sb").alias("c_b"))
+    grand = s_tot.agg(F.sum("n_s").alias("n_total"))
+    return (
+        dense.join(F.broadcast(b_tot), "bin")
+        .join(F.broadcast(s_tot), "s")
+        .crossJoin(F.broadcast(grand))
+        .groupBy("s", "n_s")
+        .agg(
+            F.round(
+                F.sum(
+                    (
+                        F.greatest(F.col("c_sb") / F.col("n_s"), F.lit(1e-4))
+                        - F.greatest(
+                            F.col("c_b") / F.col("n_total"), F.lit(1e-4)
+                        )
+                    )
+                    * F.log(
+                        F.greatest(F.col("c_sb") / F.col("n_s"), F.lit(1e-4))
+                        / F.greatest(
+                            F.col("c_b") / F.col("n_total"), F.lit(1e-4)
+                        )
+                    )
+                ),
+                6,
+            ).alias("psi")
+        )
+        .select(
+            F.col("s").alias(slice_col),
+            F.col("n_s").cast("bigint").alias("n_docs"),
+            "psi",
+        )
+    )

@@ -72,3 +72,39 @@ def run_to_sink(
         .start()
         .awaitTermination()
     )
+
+
+def decontaminate_stream(
+    documents: DataFrame,
+    bloom_words: list[int],
+    m_bits: int,
+    k: int = 4,
+    n: int = 3,
+    text_col: str = "text",
+) -> DataFrame:
+    """Streaming decontamination prefilter: drop incoming documents whose
+    text contains ANY shingle that passes the benchmark bloom filter
+    (dedup.bloom_build over the eval set, built once in batch and shipped
+    as the broadcast word list).
+
+    Stateless and narrow — the bloom probe is a pure column expression over
+    the doc's shingle array (exists/forall on JVM arrays), so it composes
+    with any streaming source without extra state or shuffle. Bloom false
+    positives mean a small over-drop (tunable via m/k); false negatives
+    cannot happen, so nothing contaminated survives the gate at shingle
+    granularity. A stricter pipeline routes the flagged docs to a batch
+    exact verify (dedup.bloom_contamination) instead of dropping."""
+    from esop_spark.operators.dedup import _shingle_array_expr, bloom_probe_col
+
+    words_arr = documents.select(
+        "*", F.split(F.col(text_col), " ").alias("words")
+    )
+    flagged = F.exists(
+        F.expr(_shingle_array_expr(n)),
+        lambda sh: bloom_probe_col(sh, bloom_words, m_bits, k),
+    )
+    return (
+        words_arr.withColumn("_contaminated", flagged)
+        .filter(~F.col("_contaminated"))
+        .drop("words", "_contaminated")
+    )

@@ -250,3 +250,49 @@ def test_incremental_dedup_cross_release_only(spark):
     # only old→new pairs; the new-new dup (1,3) must NOT appear
     assert got == {(0, 1), (0, 3)}
     assert all(r["jaccard"] == 1.0 for r in pairs)
+
+
+# --- CMS / PMI / PSI --------------------------------------------------------
+
+def test_cms_estimates_upper_bound_exact(spark):
+    docs = _docs(spark, [(0, "x x x x y y z"), (1, "x y w v u t s")])
+    out = {r["term"]: r for r in
+           text_ops.cms_term_counts(docs, query_top_k=4, width=64).collect()}
+    assert out["x"]["exact_c"] == 5
+    for r in out.values():
+        assert r["est_c"] >= r["exact_c"]  # CMS never underestimates
+
+
+def test_cms_wide_sketch_is_exact(spark):
+    docs = _docs(spark, [(0, "aa bb cc aa aa bb")])
+    out = {r["term"]: r for r in
+           text_ops.cms_term_counts(docs, query_top_k=3, width=8192).collect()}
+    # 3 distinct terms in an 8192-wide sketch: collisions essentially impossible
+    assert all(r["est_c"] == r["exact_c"] for r in out.values())
+
+
+def test_pmi_flags_fixed_collocation(spark):
+    # "hong kong" always adjacent; fillers vary
+    rows = [(i, f"hong kong f{i} g{i} h{i}") for i in range(10)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = text_ops.pmi_collocations(docs, top_k=5, min_count=5).collect()
+    assert out[0]["w1"] == "hong" and out[0]["w2"] == "kong"
+    assert out[0]["c_xy"] == 10 and out[0]["pmi"] > 0
+
+
+def test_psi_zero_for_identical_slices(spark):
+    rows = [(i, "a b c d e f", f"src{i % 2}") for i in range(20)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    out = {r["source"]: r["psi"] for r in
+           text_ops.score_drift_psi(docs, "source").collect()}
+    # both slices have the identical score distribution -> PSI == 0
+    assert all(abs(v) < 1e-9 for v in out.values())
+
+
+def test_psi_positive_for_drifted_slice(spark):
+    good = [(i, "w1 w2 w3 w4 w5 w6 w7 w8", "stable") for i in range(10)]
+    bad = [(100 + i, "a a a a a a a a", "drifted") for i in range(10)]  # low quality
+    docs = spark.createDataFrame(good + bad, "doc_id long, text string, source string")
+    out = {r["source"]: r["psi"] for r in
+           text_ops.score_drift_psi(docs, "source").collect()}
+    assert out["drifted"] > 0.1 and out["stable"] > 0.1  # both drift vs blend

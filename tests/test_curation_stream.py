@@ -48,3 +48,38 @@ def test_curate_stream_matches_batch_gates(spark, tmp_path):
     # restart with same checkpoint: no new input -> no duplicate output
     curation_stream.run_to_sink(curated, str(out), str(ckpt))
     assert spark.read.parquet(str(out)).count() == 2
+
+
+def test_decontaminate_stream_drops_contaminated(spark, tmp_path):
+    from esop_spark.operators import dedup
+    from esop_spark.streaming import curation_stream
+
+    eval_docs = spark.createDataFrame(
+        [(100, "secret bench mark answer tokens")], "doc_id long, text string"
+    )
+    eval_sh = dedup.shingles(eval_docs, 3).select("shingle").distinct()
+    words = dedup.bloom_build(eval_sh, "shingle", m_bits=1 << 14, k=4)
+
+    src_dir = str(tmp_path / "decon_in")
+    spark.createDataFrame(
+        [
+            (0, "clean text with harmless words only here"),
+            (1, "contains secret bench mark answer tokens inline"),
+            (2, "another clean document streaming through fine"),
+        ],
+        "doc_id long, text string",
+    ).coalesce(1).write.parquet(src_dir)
+    stream = spark.readStream.schema("doc_id long, text string").parquet(src_dir)
+    out = curation_stream.decontaminate_stream(stream, words, 1 << 14, 4)
+    q = (
+        out.writeStream.format("memory")
+        .queryName("decon_test")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    kept = sorted(
+        r["doc_id"] for r in spark.sql("select * from decon_test").collect()
+    )
+    assert kept == [0, 2]

@@ -61,3 +61,45 @@ def test_encode_decode_end_to_end(spark):
     assert out[1]["container"] == "wav"
     assert (out[1]["channels"], out[1]["sample_rate"], out[1]["n_frames"]) == (1, 8000, 10)
     assert (out[5]["channels"], out[5]["sample_rate"], out[5]["n_frames"]) == (1, 16000, 5)
+
+
+def test_dhash_identical_and_perturbed_images(spark):
+    from esop_spark.operators import multimodal as mm
+
+    docs = spark.createDataFrame(
+        [
+            (0, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+            (2, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+            (4, "completely different pixels from other words entirely here"),
+        ],
+        "doc_id long, text string",
+    )
+    media = mm.encode_containers(docs)
+    hashes = {r["media_id"]: r["dhash"] for r in mm.image_dhash(media).collect()}
+    assert hashes[0] == hashes[2]          # identical text -> identical image
+    assert hashes[0] != hashes[4]
+
+
+def test_dhash_neardup_pairs_banding(spark):
+    from esop_spark.operators import multimodal as mm
+
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    docs = spark.createDataFrame(
+        [(0, base), (2, base), (4, "zz yy xx ww vv uu tt ss rr qq")],
+        "doc_id long, text string",
+    )
+    pairs = mm.dhash_neardup_pairs(
+        mm.image_dhash(mm.encode_containers(docs)), max_hamming=4
+    ).collect()
+    got = {(r["id_a"], r["id_b"]): r["hamming"] for r in pairs}
+    assert got.get((0, 2)) == 0
+    assert all(k == (0, 2) for k in got)  # the unrelated image pairs with neither
+
+
+def test_bmp_gray_rows_roundtrip_dimensions(spark):
+    from esop_spark.operators import multimodal as mm
+
+    payload = mm._bmp_bytes(b"some pixel text payload for the bmp")
+    w, h, gray = mm._bmp_gray_rows(payload)
+    assert len(gray) == h and all(len(r) == w for r in gray)
+    assert all(0 <= v <= 255 for r in gray for v in r)
