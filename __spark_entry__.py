@@ -961,6 +961,29 @@ def q93_image_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return multimodal.dhash_neardup_pairs(hashes, max_hamming=4)
 
 
+PHRASE = ("fast", "table")
+
+
+def q94_corpus_datasheet(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language + ALL corpus report card (text_ops.corpus_datasheet):
+    volume, token mass, source diversity, exact-dup excess, quality
+    quartiles — two lang-grain rollups joined, no per-group lists."""
+    return text_ops.corpus_datasheet(_base(spark, sf_dir, "documents"))
+
+
+def q95_phrase_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact positional phrase retrieval (text_ops.phrase_search):
+    offset-aligned position intersection over query-term postings."""
+    return text_ops.phrase_search(_base(spark, sf_dir, "documents"), PHRASE)
+
+
+def q96_embedding_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Upper-triangle dimension covariance matrix
+    (similarity.embedding_covariance) — the mergeable-moments input to
+    PCA/whitening (similarity.pca_top_component consumes it driver-side)."""
+    return similarity.embedding_covariance(_base(spark, sf_dir, "embeddings"))
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001: the backup-listing report."""
     return q01_list_backups(spark, "/root/testdata/sf0.001")
@@ -1061,6 +1084,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q91_pmi_collocations": q91_pmi_collocations,
         "q92_score_drift_psi": q92_score_drift_psi,
         "q93_image_neardup": q93_image_neardup,
+        "q94_corpus_datasheet": q94_corpus_datasheet,
+        "q95_phrase_search": q95_phrase_search,
+        "q96_embedding_covariance": q96_embedding_covariance,
     }
 
 
@@ -2963,5 +2989,99 @@ def oracle_sql() -> dict[str, str]:
             JOIN s_tot USING (s)
             JOIN b_tot USING (bin), grand
             GROUP BY dense.s, s_tot.n_s
+        """,
+        "q94_corpus_datasheet": """
+            WITH per_doc AS (
+                SELECT lang, source, md5(text) AS h,
+                       CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok,
+                       CAST(ROUND((0.5 * (1.0 - len(list_filter(
+                                 string_split(text, ' '),
+                                 w -> w IN ('a', 'the'))) * 1.0
+                                 / len(string_split(text, ' ')))
+                             + 0.5 * len(list_distinct(string_split(text, ' ')))
+                                   * 1.0 / len(string_split(text, ' '))) * 100)
+                            AS BIGINT) AS q
+                FROM documents
+            ),
+            doc_lang AS (
+                SELECT lang,
+                       CAST(COUNT(*) AS BIGINT) AS n_docs,
+                       CAST(SUM(n_tok) AS BIGINT) AS n_tokens,
+                       CAST(COUNT(DISTINCT source) AS BIGINT) AS n_sources,
+                       ROUND(quantile_cont(q, 0.25), 4) AS q25,
+                       ROUND(quantile_cont(q, 0.5), 4) AS q50,
+                       ROUND(quantile_cont(q, 0.75), 4) AS q75
+                FROM per_doc GROUP BY lang
+                UNION ALL
+                SELECT 'ALL',
+                       CAST(COUNT(*) AS BIGINT),
+                       CAST(SUM(n_tok) AS BIGINT),
+                       CAST(COUNT(DISTINCT source) AS BIGINT),
+                       ROUND(quantile_cont(q, 0.25), 4),
+                       ROUND(quantile_cont(q, 0.5), 4),
+                       ROUND(quantile_cont(q, 0.75), 4)
+                FROM per_doc
+            ),
+            dups AS (
+                SELECT lang, CAST(SUM(n_same - 1) AS BIGINT) AS dup_docs
+                FROM (SELECT lang, h, COUNT(*) AS n_same
+                      FROM per_doc GROUP BY 1, 2)
+                GROUP BY lang
+                UNION ALL
+                SELECT 'ALL', CAST(SUM(n_same - 1) AS BIGINT)
+                FROM (SELECT h, COUNT(*) AS n_same FROM per_doc GROUP BY 1)
+            )
+            SELECT d.lang AS lang, n_docs, n_tokens, n_sources, dup_docs,
+                   q25, q50, q75
+            FROM doc_lang d JOIN dups USING (lang)
+        """,
+        "q95_phrase_search": f"""
+            WITH docs AS (
+                SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+            ),
+            pos AS (
+                SELECT doc_id, t.i AS p, ws[t.i] AS term
+                FROM docs, unnest(range(1, len(ws) + 1)) t(i)
+                WHERE ws[t.i] IN {PHRASE!r}
+            ),
+            aligned AS (
+                SELECT doc_id, p - 0 AS start, 0 AS off
+                FROM pos WHERE term = '{PHRASE[0]}'
+                UNION ALL
+                SELECT doc_id, p - 1, 1 FROM pos WHERE term = '{PHRASE[1]}'
+            ),
+            hits AS (
+                SELECT doc_id, start, COUNT(DISTINCT off) AS n_off
+                FROM aligned GROUP BY 1, 2
+            )
+            SELECT CAST(doc_id AS BIGINT) AS doc_id,
+                   CAST(COUNT(*) AS BIGINT) AS n_occurrences
+            FROM hits WHERE n_off = {len(PHRASE)}
+            GROUP BY doc_id
+        """,
+        "q96_embedding_covariance": """
+            WITH e AS (
+                SELECT CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+            ),
+            p AS (
+                SELECT ti.i - 1 AS i, tj.j - 1 AS j, v[ti.i] AS xi, v[tj.j] AS xj
+                FROM e,
+                     unnest(range(1, len(v) + 1)) ti(i),
+                     unnest(range(1, len(v) + 1)) tj(j)
+                WHERE tj.j >= ti.i
+            ),
+            m AS (
+                SELECT t.d - 1 AS d, SUM(v[t.d]) / COUNT(*) AS mean
+                FROM e, unnest(range(1, len(v) + 1)) t(d)
+                GROUP BY 1
+            )
+            SELECT CAST(p.i AS BIGINT) AS dim_i,
+                   CAST(p.j AS BIGINT) AS dim_j,
+                   ROUND(SUM(xi * xj) / COUNT(*) - mi.mean * mj.mean, 6)
+                       + 0.0 AS cov
+            FROM p
+            JOIN m mi ON p.i = mi.d
+            JOIN m mj ON p.j = mj.d
+            GROUP BY p.i, p.j, mi.mean, mj.mean
         """,
     }

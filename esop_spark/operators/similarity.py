@@ -962,3 +962,101 @@ def centroid_purity(
             "mean_cos",
         )
     )
+
+
+def embedding_covariance(
+    embeddings: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Upper-triangle covariance matrix of the embedding dimensions:
+    cov(i,j) = E[x_i·x_j] − E[x_i]·E[x_j] — the input every linear
+    compression of the embedding space (PCA/whitening/OPQ rotation)
+    trains on.
+
+    Output: (dim_i, dim_j, cov) for i ≤ j, 6dp.
+
+    Scale: the moment relation aggregates to d(d+1)/2 keys (mergeable
+    sums with map-side combine — shuffle volume is executors × d²
+    regardless of corpus size); per-dim means are a d-row broadcast. The
+    d² blow-up happens per row INSIDE the scan stage (JVM explode), the
+    aggregate output is corpus-independent — exactly the shape that lets
+    a 100 TB corpus train a rotation on one machine afterwards."""
+    v = _vec_double(vec_col)
+    p1 = embeddings.select(v.alias("v")).select(
+        "v", F.posexplode("v").alias("i", "xi")
+    )
+    p2 = p1.select(
+        "i", "xi", F.posexplode("v").alias("j", "xj")
+    ).filter(F.col("j") >= F.col("i"))
+    moments = p2.groupBy("i", "j").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("xi") * F.col("xj")).alias("sxy"),
+    )
+    means = (
+        embeddings.select(v.alias("v"))
+        .select(F.posexplode("v").alias("d", "x"))
+        .groupBy("d")
+        .agg(F.sum("x").alias("sx"), F.count(F.lit(1)).alias("nd"))
+        .select("d", (F.col("sx") / F.col("nd")).alias("mean"))
+    )
+    return (
+        moments.join(
+            F.broadcast(means.select(F.col("d").alias("i"), F.col("mean").alias("mi"))),
+            "i",
+        )
+        .join(
+            F.broadcast(means.select(F.col("d").alias("j"), F.col("mean").alias("mj"))),
+            "j",
+        )
+        .select(
+            F.col("i").cast("bigint").alias("dim_i"),
+            F.col("j").cast("bigint").alias("dim_j"),
+            # + 0.0 canonicalizes IEEE negative zero (-0.0 + 0.0 == +0.0):
+            # near-zero covariances round to zero with an engine-dependent
+            # sign bit otherwise, and a string-keyed row sort tells them apart
+            (
+                F.round(F.col("sxy") / F.col("n") - F.col("mi") * F.col("mj"), 6)
+                + F.lit(0.0)
+            ).alias("cov"),
+        )
+    )
+
+
+def pca_top_component(
+    cov_rows: list,
+    dim: int,
+    iters: int = 100,
+) -> tuple[float, list[float]]:
+    """Top principal component by power iteration over a COLLECTED
+    covariance matrix (d² values — driver-sized by construction, the same
+    boundary as IVF centroids). Deterministic: starts from the all-ones
+    vector, no randomness. Returns (eigenvalue, unit eigenvector with a
+    positive first nonzero component).
+
+    The distributed half is :func:`embedding_covariance`; this half is
+    O(iters·d²) driver math — at d=4096 that is a 16M-entry matrix,
+    still a single-machine job (and the point of aggregating moments
+    instead of shipping vectors)."""
+    import math
+
+    cov = [[0.0] * dim for _ in range(dim)]
+    for r in cov_rows:
+        i, j, c = int(r["dim_i"]), int(r["dim_j"]), float(r["cov"])
+        cov[i][j] = c
+        cov[j][i] = c
+    vec = [1.0] * dim
+    val = 0.0
+    for _ in range(iters):
+        nxt = [sum(cov[i][k] * vec[k] for k in range(dim)) for i in range(dim)]
+        norm = math.sqrt(sum(x * x for x in nxt))
+        if norm == 0.0:
+            return 0.0, vec
+        vec = [x / norm for x in nxt]
+        val = norm
+    for x in vec:
+        if abs(x) > 1e-12:
+            if x < 0:
+                vec = [-y for y in vec]
+            break
+    return val, vec

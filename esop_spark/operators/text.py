@@ -1448,3 +1448,109 @@ def score_drift_psi(
             "psi",
         )
     )
+
+
+def corpus_datasheet(
+    documents: DataFrame,
+    text_col: str = "text",
+) -> DataFrame:
+    """One-pass corpus report card per language plus the ALL row — the
+    datasheet a release ships with: volume, token mass, exact-dup rate,
+    quality quartiles, source diversity.
+
+    Output per (lang | 'ALL'): n_docs, n_tokens, n_sources, dup_docs
+    (docs in excess of one per exact content hash), q25/q50/q75 quality
+    quartiles.
+
+    Scale: every per-doc signal (hash, token count, quality) is one fused
+    scan projection — no self-joins; the doc-grain rollup and the
+    hash-grain dup rollup are two independent aggregations whose outputs
+    are lang-grain (broadcast-sized), joined at the end. Nothing holds a
+    per-group list (dup counting is `sum(n_same − 1)`, not membership).
+    Quartiles are exact percentile per group — at true 100 TB swap for
+    approx_percentile (same schema, documented sketch path)."""
+    per_doc = documents.select(
+        F.col("lang"),
+        F.col("source"),
+        F.md5(F.col(text_col)).alias("h"),
+        F.size(tokens(text_col)).cast("bigint").alias("n_tok"),
+        quality_score_col(text_col).alias("q"),
+    )
+    doc_rollup = (
+        per_doc.rollup("lang")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum("n_tok").cast("bigint").alias("n_tokens"),
+            F.count_distinct("source").cast("bigint").alias("n_sources"),
+            F.round(F.expr("percentile(q, 0.25)"), 4).alias("q25"),
+            F.round(F.expr("percentile(q, 0.5)"), 4).alias("q50"),
+            F.round(F.expr("percentile(q, 0.75)"), 4).alias("q75"),
+        )
+        .withColumn("lang", F.coalesce(F.col("lang"), F.lit("ALL")))
+    )
+    hash_grain = per_doc.groupBy("lang", "h").agg(
+        F.count(F.lit(1)).alias("n_same")
+    )
+    dup_by_lang = (
+        hash_grain.rollup("lang")
+        .agg(F.sum(F.col("n_same") - 1).cast("bigint").alias("dup_docs"))
+        .withColumn("lang", F.coalesce(F.col("lang"), F.lit("ALL")))
+    )
+    # the ALL row of the hash rollup would double-count a hash shared
+    # across languages as distinct groups; recompute the ALL dup count at
+    # the global hash grain instead
+    global_dups = (
+        per_doc.groupBy("h")
+        .agg(F.count(F.lit(1)).alias("n_same"))
+        .agg(F.sum(F.col("n_same") - 1).cast("bigint").alias("dup_docs"))
+        .withColumn("lang", F.lit("ALL"))
+    )
+    dups = dup_by_lang.filter(F.col("lang") != "ALL").unionByName(
+        global_dups.select("lang", "dup_docs")
+    )
+    return doc_rollup.join(dups, "lang").select(
+        "lang", "n_docs", "n_tokens", "n_sources", "dup_docs",
+        "q25", "q50", "q75",
+    )
+
+
+def phrase_search(
+    documents: DataFrame,
+    phrase: tuple[str, ...],
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Exact phrase retrieval via POSITIONAL postings: the query terms must
+    appear consecutively in order. Candidates come from the conjunctive
+    term probe; the adjacency check intersects position lists shifted by
+    the term's offset in the phrase (the classic positional-index
+    algorithm, expressed as a groupBy over (doc, aligned-start)).
+
+    Output: (doc_id, n_occurrences) for docs containing the phrase.
+
+    Scale: postings are filtered to the |q| query terms inside the scan
+    stage (same argument as conjunctive_search); each surviving posting
+    row carries (doc, term-offset-aligned start); a phrase hit is a
+    (doc, start) group covering all |q| offsets — one aggregation whose
+    input is ∝ query-term postings, never the corpus."""
+    plen = len(phrase)
+    # positions of each token, 1-based; align every query-term hit to the
+    # phrase start it would imply
+    pos = documents.select(
+        F.col(id_col),
+        F.posexplode(tokens(text_col)).alias("p", "term"),
+    ).filter(F.col("term").isin(*phrase))
+    aligned = None
+    for off, term in enumerate(phrase):
+        leg = pos.filter(F.col("term") == term).select(
+            id_col, (F.col("p") - off).alias("start"), F.lit(off).alias("off")
+        )
+        aligned = leg if aligned is None else aligned.unionByName(leg)
+    hits = (
+        aligned.groupBy(id_col, "start")
+        .agg(F.count_distinct("off").alias("n_off"))
+        .filter(F.col("n_off") == plen)
+        .groupBy(id_col)
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_occurrences"))
+    )
+    return hits.select(F.col(id_col).cast("bigint").alias(id_col), "n_occurrences")

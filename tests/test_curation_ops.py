@@ -296,3 +296,65 @@ def test_psi_positive_for_drifted_slice(spark):
     out = {r["source"]: r["psi"] for r in
            text_ops.score_drift_psi(docs, "source").collect()}
     assert out["drifted"] > 0.1 and out["stable"] > 0.1  # both drift vs blend
+
+
+# --- corpus datasheet / phrase search / covariance+PCA ----------------------
+
+def test_corpus_datasheet_counts_and_dups(spark):
+    rows = [
+        (0, "w1 w2 w3 w4", "en", "s1"),
+        (1, "w1 w2 w3 w4", "en", "s2"),   # exact dup of 0
+        (2, "x1 x2 x3 x4", "de", "s1"),
+    ]
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string"
+    )
+    out = {r["lang"]: r for r in text_ops.corpus_datasheet(docs).collect()}
+    assert out["en"]["n_docs"] == 2 and out["en"]["dup_docs"] == 1
+    assert out["de"]["dup_docs"] == 0
+    assert out["ALL"]["n_docs"] == 3 and out["ALL"]["n_tokens"] == 12
+    assert out["ALL"]["dup_docs"] == 1
+    assert out["ALL"]["n_sources"] == 2
+
+
+def test_corpus_datasheet_cross_lang_dup_counts_globally(spark):
+    # same text under two langs: per-lang dup 0, global dup 1
+    rows = [(0, "same text here now", "en", "s1"),
+            (1, "same text here now", "de", "s1")]
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string"
+    )
+    out = {r["lang"]: r for r in text_ops.corpus_datasheet(docs).collect()}
+    assert out["en"]["dup_docs"] == 0 and out["de"]["dup_docs"] == 0
+    assert out["ALL"]["dup_docs"] == 1
+
+
+def test_phrase_search_order_and_adjacency(spark):
+    docs = _docs(
+        spark,
+        [
+            (0, "big red fox jumps"),        # phrase present
+            (1, "red big fox"),              # wrong order
+            (2, "big blue red fox"),         # not adjacent ("big...red")
+            (3, "big red big red wolf"),     # two occurrences
+        ],
+    )
+    out = {r["doc_id"]: r["n_occurrences"] for r in
+           text_ops.phrase_search(docs, ("big", "red")).collect()}
+    assert out == {0: 1, 3: 2}
+
+
+def test_embedding_covariance_and_pca_recover_planted_direction(spark):
+    import random
+    rnd = random.Random(7)
+    # planted dominant direction along dim 0 (variance 100x others)
+    rows = [
+        (i, [rnd.gauss(0, 10.0), rnd.gauss(0, 1.0), rnd.gauss(0, 1.0)])
+        for i in range(300)
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    cov_rows = similarity.embedding_covariance(emb).collect()
+    assert len(cov_rows) == 6  # 3*(3+1)/2 upper triangle
+    val, vec = similarity.pca_top_component(cov_rows, dim=3)
+    assert abs(vec[0]) > 0.99          # dominant axis recovered
+    assert val > 50                     # eigenvalue ~ planted variance
