@@ -984,6 +984,60 @@ def q96_embedding_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.embedding_covariance(_base(spark, sf_dir, "embeddings"))
 
 
+FUNNEL_STAGES = ("signup", "view", "click", "purchase")
+PAD_CONTEXT = 128
+ESS_ALPHA = 0.5
+
+
+def q97_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered conversion funnel over the event stream
+    (analytics.funnel): stage k+1 counts only strictly after stage k,
+    folded per user JVM-side in one shuffle."""
+    return analytics.funnel(_base(spark, sf_dir, "events"), FUNNEL_STAGES)
+
+
+def q98_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly cohort retention (analytics.cohort_retention): users grouped
+    by first-activity epoch day, activity in 7-day offsets."""
+    return analytics.cohort_retention(_base(spark, sf_dir, "events"))
+
+
+def q99_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix of event types
+    (analytics.event_transitions) — per-user lead window, type-pair agg."""
+    return analytics.event_transitions(_base(spark, sf_dir, "events"))
+
+
+def q100_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document character entropy (text_ops.char_entropy) — shuffle-
+    free gibberish/repetition quality signal."""
+    return text_ops.char_entropy(_base(spark, sf_dir, "documents"))
+
+
+def q101_padding_waste(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence-length bucketing report (text_ops.padding_waste): pow-2
+    buckets capped at the context length, padded-slot waste + truncation
+    loss per bucket."""
+    return text_ops.padding_waste(
+        _base(spark, sf_dir, "documents"), context_len=PAD_CONTEXT
+    )
+
+
+def q102_langid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-ID confusion matrix vs the labeled lang column
+    (text_ops.langid_confusion)."""
+    return text_ops.langid_confusion(_base(spark, sf_dir, "documents"))
+
+
+def q103_mixture_ess(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-mixture effective-sample-size report
+    (sampling.mixture_ess): per-source shares, importance weights, corpus
+    ESS under temperature alpha=0.5."""
+    return sampling.mixture_ess(
+        _base(spark, sf_dir, "documents"), alpha=ESS_ALPHA
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001: the backup-listing report."""
     return q01_list_backups(spark, "/root/testdata/sf0.001")
@@ -1087,6 +1141,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q94_corpus_datasheet": q94_corpus_datasheet,
         "q95_phrase_search": q95_phrase_search,
         "q96_embedding_covariance": q96_embedding_covariance,
+        "q97_funnel": q97_funnel,
+        "q98_cohort_retention": q98_cohort_retention,
+        "q99_event_transitions": q99_event_transitions,
+        "q100_char_entropy": q100_char_entropy,
+        "q101_padding_waste": q101_padding_waste,
+        "q102_langid_confusion": q102_langid_confusion,
+        "q103_mixture_ess": q103_mixture_ess,
     }
 
 
@@ -3083,5 +3144,198 @@ def oracle_sql() -> dict[str, str]:
             JOIN m mi ON p.i = mi.d
             JOIN m mj ON p.j = mj.d
             GROUP BY p.i, p.j, mi.mean, mj.mean
+        """,
+        "q97_funnel": f"""
+            WITH s0 AS (
+                SELECT user_id, MIN(ts) AS t FROM events
+                WHERE event_type = '{FUNNEL_STAGES[0]}' GROUP BY 1
+            ),
+            s1 AS (
+                SELECT e.user_id, MIN(e.ts) AS t
+                FROM events e JOIN s0 ON e.user_id = s0.user_id
+                WHERE e.event_type = '{FUNNEL_STAGES[1]}' AND e.ts > s0.t
+                GROUP BY 1
+            ),
+            s2 AS (
+                SELECT e.user_id, MIN(e.ts) AS t
+                FROM events e JOIN s1 ON e.user_id = s1.user_id
+                WHERE e.event_type = '{FUNNEL_STAGES[2]}' AND e.ts > s1.t
+                GROUP BY 1
+            ),
+            s3 AS (
+                SELECT e.user_id, MIN(e.ts) AS t
+                FROM events e JOIN s2 ON e.user_id = s2.user_id
+                WHERE e.event_type = '{FUNNEL_STAGES[3]}' AND e.ts > s2.t
+                GROUP BY 1
+            ),
+            c AS (
+                SELECT (SELECT COUNT(*) FROM s0) AS n0,
+                       (SELECT COUNT(*) FROM s1) AS n1,
+                       (SELECT COUNT(*) FROM s2) AS n2,
+                       (SELECT COUNT(*) FROM s3) AS n3
+            )
+            SELECT CAST(0 AS BIGINT) AS stage_idx,
+                   '{FUNNEL_STAGES[0]}' AS stage,
+                   CAST(n0 AS BIGINT) AS n_users,
+                   ROUND(n0 * 1.0 / NULLIF(n0, 0), 6) AS conv_from_prev
+            FROM c
+            UNION ALL
+            SELECT CAST(1 AS BIGINT), '{FUNNEL_STAGES[1]}', CAST(n1 AS BIGINT),
+                   ROUND(n1 * 1.0 / NULLIF(n0, 0), 6) FROM c
+            UNION ALL
+            SELECT CAST(2 AS BIGINT), '{FUNNEL_STAGES[2]}', CAST(n2 AS BIGINT),
+                   ROUND(n2 * 1.0 / NULLIF(n1, 0), 6) FROM c
+            UNION ALL
+            SELECT CAST(3 AS BIGINT), '{FUNNEL_STAGES[3]}', CAST(n3 AS BIGINT),
+                   ROUND(n3 * 1.0 / NULLIF(n2, 0), 6) FROM c
+        """,
+        "q98_cohort_retention": """
+            WITH acts AS (
+                SELECT user_id, epoch_ms(ts) // 86400000 AS day FROM events
+            ),
+            firsts AS (
+                SELECT user_id, MIN(day) AS cohort_day FROM acts GROUP BY 1
+            ),
+            sizes AS (
+                SELECT cohort_day, COUNT(*) AS cohort_users
+                FROM firsts GROUP BY 1
+            ),
+            ret AS (
+                SELECT f.cohort_day,
+                       (a.day - f.cohort_day) // 7 AS week_offset,
+                       CAST(COUNT(DISTINCT a.user_id) AS BIGINT) AS n_users
+                FROM acts a JOIN firsts f ON a.user_id = f.user_id
+                GROUP BY 1, 2
+            )
+            SELECT CAST(r.cohort_day AS BIGINT) AS cohort_day,
+                   CAST(r.week_offset AS BIGINT) AS week_offset,
+                   r.n_users,
+                   ROUND(r.n_users * 1.0 / s.cohort_users, 6)
+                       AS retention_frac
+            FROM ret r JOIN sizes s ON r.cohort_day = s.cohort_day
+        """,
+        "q99_event_transitions": """
+            WITH pairs AS (
+                SELECT event_type AS from_type,
+                       lead(event_type) OVER (
+                           PARTITION BY user_id
+                           ORDER BY ts ASC, event_id ASC) AS to_type
+                FROM events
+            ),
+            cnt AS (
+                SELECT from_type, to_type, CAST(COUNT(*) AS BIGINT) AS n
+                FROM pairs WHERE to_type IS NOT NULL GROUP BY 1, 2
+            )
+            SELECT from_type, to_type, n,
+                   ROUND(n * 1.0 / SUM(n) OVER (PARTITION BY from_type), 6)
+                       AS prob
+            FROM cnt
+        """,
+        "q100_char_entropy": """
+            WITH ch AS (
+                SELECT doc_id,
+                       len(string_split_regex(text, '')) AS n_chars,
+                       unnest(string_split_regex(text, '')) AS c
+                FROM documents
+            ),
+            cnt AS (
+                SELECT doc_id, MAX(n_chars) AS n, c, COUNT(*) AS k
+                FROM ch GROUP BY doc_id, c
+            )
+            SELECT CAST(doc_id AS BIGINT) AS doc_id,
+                   CAST(MAX(n) AS BIGINT) AS n_chars_split,
+                   ROUND(log2(MAX(n)) - SUM(k * log2(k)) / MAX(n), 6)
+                       AS entropy_bits
+            FROM cnt GROUP BY doc_id
+        """,
+        "q101_padding_waste": f"""
+            WITH d AS (
+                SELECT len(string_split(text, ' ')) AS n FROM documents
+            ),
+            b AS (
+                SELECT CASE WHEN n <= 16 THEN 16 WHEN n <= 32 THEN 32
+                            WHEN n <= 64 THEN 64
+                            ELSE {PAD_CONTEXT} END AS bucket_len,
+                       n, LEAST(n, {PAD_CONTEXT}) AS kept
+                FROM d
+            )
+            SELECT CAST(bucket_len AS BIGINT) AS bucket_len,
+                   CAST(COUNT(*) AS BIGINT) AS n_docs,
+                   CAST(SUM(kept) AS BIGINT) AS kept_tokens,
+                   CAST(bucket_len * COUNT(*) - SUM(kept) AS BIGINT)
+                       AS padded_slots,
+                   CAST(SUM(GREATEST(n - {PAD_CONTEXT}, 0)) AS BIGINT)
+                       AS truncated_tokens,
+                   ROUND((bucket_len * COUNT(*) - SUM(kept)) * 1.0
+                         / (bucket_len * COUNT(*)), 6) AS waste_frac
+            FROM b GROUP BY bucket_len
+        """,
+        "q102_langid_confusion": """
+            WITH s AS (
+                SELECT lang,
+                       len(list_filter(string_split(text, ' '),
+                           w -> w IN ('und','der','die','das','nicht'))) AS s_de,
+                       len(list_filter(string_split(text, ' '),
+                           w -> w IN ('the','a','of','and','is'))) AS s_en,
+                       len(list_filter(string_split(text, ' '),
+                           w -> w IN ('el','los','y','que','una'))) AS s_es,
+                       len(list_filter(string_split(text, ' '),
+                           w -> w IN ('le','la','et','les','une'))) AS s_fr
+                FROM documents
+            ),
+            pred AS (
+                SELECT lang AS true_lang,
+                       CASE WHEN greatest(s_de, s_en, s_es, s_fr) = 0
+                                THEN 'unknown'
+                            WHEN s_de = greatest(s_de, s_en, s_es, s_fr)
+                                THEN 'de'
+                            WHEN s_en = greatest(s_de, s_en, s_es, s_fr)
+                                THEN 'en'
+                            WHEN s_es = greatest(s_de, s_en, s_es, s_fr)
+                                THEN 'es'
+                            ELSE 'fr' END AS pred_lang
+                FROM s
+            ),
+            cnt AS (
+                SELECT true_lang, pred_lang,
+                       CAST(COUNT(*) AS BIGINT) AS n_docs
+                FROM pred GROUP BY 1, 2
+            )
+            SELECT true_lang, pred_lang, n_docs,
+                   ROUND(n_docs * 1.0 / SUM(n_docs) OVER (
+                       PARTITION BY true_lang), 6) AS frac_of_true
+            FROM cnt
+        """,
+        "q103_mixture_ess": f"""
+            WITH per AS (
+                SELECT source AS stratum, CAST(COUNT(*) AS BIGINT) AS n_docs
+                FROM documents GROUP BY 1
+            ),
+            t AS (
+                SELECT stratum, n_docs,
+                       n_docs * 1.0 / SUM(n_docs) OVER () AS nat_share,
+                       pow(n_docs * 1.0, {ESS_ALPHA})
+                           / SUM(pow(n_docs * 1.0, {ESS_ALPHA})) OVER ()
+                           AS temp_share
+                FROM per
+            ),
+            t2 AS (
+                SELECT *, temp_share / nat_share AS weight_ratio FROM t
+            ),
+            t3 AS (
+                SELECT *,
+                       SUM(n_docs * weight_ratio) OVER () AS num,
+                       SUM(n_docs * weight_ratio * weight_ratio) OVER ()
+                           AS den,
+                       SUM(n_docs) OVER () AS n_tot
+                FROM t2
+            )
+            SELECT stratum, n_docs,
+                   ROUND(nat_share, 6) AS nat_share,
+                   ROUND(temp_share, 6) AS temp_share,
+                   ROUND(weight_ratio, 6) AS weight_ratio,
+                   ROUND(num * num / den, 6) AS corpus_ess,
+                   ROUND(num * num / den / n_tot, 6) AS ess_frac
+            FROM t3
         """,
     }

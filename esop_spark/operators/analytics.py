@@ -379,3 +379,159 @@ def tumbling_window_agg(
             F.sum(cents("value")).cast("bigint").alias("value_cents"),
         )
     )
+
+
+def funnel(
+    events: DataFrame,
+    stages: tuple[str, ...],
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+    type_col: str = "event_type",
+) -> DataFrame:
+    """Q97: ordered funnel — per user, stage k+1 counts only if an event of
+    that type occurs STRICTLY after the event that completed stage k.
+
+    One shuffle on the user key; the per-user event list is folded JVM-side
+    with ``F.aggregate`` (state = (stages reached, last stage ts)), so the
+    sequential semantics cost no second pass and no Python. Output is one
+    row per stage with the conversion rate from the previous stage. State
+    per user is bounded by events-per-user, not corpus size; timestamps are
+    compared at microsecond precision so the strict-after test agrees with
+    engines that keep native micros.
+    """
+    n = len(stages)
+    per_user = (
+        events.select(
+            F.col(user_col).alias("user_id"),
+            F.unix_micros(F.col(ts_col)).alias("ts_us"),
+            F.col(id_col).alias("eid"),
+            F.col(type_col).alias("etype"),
+        )
+        .groupBy("user_id")
+        .agg(
+            F.sort_array(
+                F.collect_list(F.struct("ts_us", "eid", "etype"))
+            ).alias("evs")
+        )
+    )
+    stage_arr = F.array(*[F.lit(s) for s in stages])
+    init = F.struct(
+        F.lit(0).cast("int").alias("k"), F.lit(-1).cast("bigint").alias("t")
+    )
+
+    def step(acc: Column, ev: Column) -> Column:
+        qualifies = (
+            (acc["k"] < n)
+            & (ev["etype"] == F.element_at(stage_arr, acc["k"] + 1))
+            & ((acc["k"] == 0) | (ev["ts_us"] > acc["t"]))
+        )
+        return F.when(
+            qualifies,
+            F.struct(
+                (acc["k"] + 1).cast("int").alias("k"),
+                ev["ts_us"].cast("bigint").alias("t"),
+            ),
+        ).otherwise(acc)
+
+    reached = per_user.select(
+        F.aggregate("evs", init, step)["k"].alias("reached")
+    )
+    counts = reached.agg(
+        *[
+            F.sum(F.when(F.col("reached") >= i + 1, 1).otherwise(0))
+            .cast("bigint")
+            .alias(f"n{i}")
+            for i in range(n)
+        ]
+    )
+    # n_stages-row unpivot carrying the previous stage count inline — no
+    # window needed for the conversion ratio
+    stack_args = ", ".join(
+        f"{i}, '{stages[i]}', n{i}, n{max(i - 1, 0)}" for i in range(n)
+    )
+    return counts.selectExpr(
+        f"stack({n}, {stack_args}) AS (stage_idx, stage, n_users, prev_users)"
+    ).select(
+        F.col("stage_idx").cast("bigint").alias("stage_idx"),
+        "stage",
+        "n_users",
+        F.round(
+            F.col("n_users") / F.nullif(F.col("prev_users"), F.lit(0)), 6
+        ).alias("conv_from_prev"),
+    )
+
+
+def cohort_retention(
+    events: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Q98: weekly cohort retention — users grouped by first-activity epoch
+    day, activity bucketed into 7-day offsets from that day.
+
+    Two aggregations: first-day per user (shuffle on user), then distinct
+    users per (cohort_day, week_offset) — the second grain is tiny
+    (cohorts × offsets). Epoch-day arithmetic keeps bucket edges
+    timezone-independent. At scale the events⋈firsts join is a sort-merge
+    co-partitioned on the user key with the producing aggregate.
+    """
+    day = (F.unix_millis(F.col(ts_col)) / F.lit(86400000)).cast("bigint")
+    acts = events.select(F.col(user_col).alias("user_id"), day.alias("day"))
+    firsts = acts.groupBy("user_id").agg(F.min("day").alias("cohort_day"))
+    cohort_sizes = firsts.groupBy("cohort_day").agg(
+        F.count(F.lit(1)).cast("bigint").alias("cohort_users")
+    )
+    ret = (
+        acts.join(firsts, "user_id")
+        .withColumn(
+            "week_offset",
+            ((F.col("day") - F.col("cohort_day")) / F.lit(7)).cast("bigint"),
+        )
+        .groupBy("cohort_day", "week_offset")
+        .agg(F.count_distinct("user_id").cast("bigint").alias("n_users"))
+    )
+    return ret.join(cohort_sizes, "cohort_day").select(
+        "cohort_day",
+        "week_offset",
+        "n_users",
+        F.round(F.col("n_users") / F.col("cohort_users"), 6).alias(
+            "retention_frac"
+        ),
+    )
+
+
+def event_transitions(
+    events: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+    type_col: str = "event_type",
+) -> DataFrame:
+    """Q99: first-order Markov transition matrix of event types — counts
+    and row-normalized probabilities of (type → next type) per user stream.
+
+    One per-user window (lead) over the event shuffle, then an aggregation
+    to the type-pair grain; the row-normalizing window runs over that
+    |types|² relation, never per-event. Ordering ties break on event id.
+    """
+    w = Window.partitionBy(user_col).orderBy(
+        F.col(ts_col).asc(), F.col(id_col).asc()
+    )
+    pairs = (
+        events.select(
+            F.col(user_col).alias("user_id"),
+            F.col(type_col).alias("from_type"),
+            F.lead(F.col(type_col)).over(w).alias("to_type"),
+        )
+        .filter(F.col("to_type").isNotNull())
+        .groupBy("from_type", "to_type")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    )
+    totals = Window.partitionBy("from_type")
+    return pairs.select(
+        "from_type",
+        "to_type",
+        "n",
+        F.round(F.col("n") / F.sum("n").over(totals), 6).alias("prob"),
+    )

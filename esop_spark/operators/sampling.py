@@ -284,3 +284,48 @@ def temperature_resample(
             ).alias("kept_frac"),
         )
     )
+
+
+def mixture_ess(
+    documents: DataFrame,
+    stratum_col: str = "source",
+    alpha: float = 0.5,
+) -> DataFrame:
+    """Diagnostic for a temperature-Δ mixture: per-stratum natural vs
+    temperature-``alpha`` shares, the implied per-row importance weight,
+    and the corpus effective sample size under those weights
+    (ESS = (Σ n_s·w_s)² / Σ n_s·w_s²).
+
+    One aggregation to the stratum grain; every share/ESS window after
+    that runs over the ≤|strata|-row relation, so the whole report costs
+    one shuffle regardless of corpus size. ``corpus_ess``/``ess_frac``
+    are repeated on every row (a report, not a fact table).
+    """
+    per = documents.groupBy(F.col(stratum_col).alias("stratum")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs")
+    )
+    w_all = Window.partitionBy()
+    nat = F.col("n_docs") / F.sum("n_docs").over(w_all)
+    tempered = F.pow(F.col("n_docs").cast("double"), F.lit(alpha))
+    temp = tempered / F.sum(tempered).over(w_all)
+    shares = per.select(
+        "stratum",
+        "n_docs",
+        nat.alias("nat_share"),
+        temp.alias("temp_share"),
+        (temp / nat).alias("weight_ratio"),
+    )
+    num = F.sum(F.col("n_docs") * F.col("weight_ratio")).over(w_all)
+    den = F.sum(
+        F.col("n_docs") * F.col("weight_ratio") * F.col("weight_ratio")
+    ).over(w_all)
+    n_tot = F.sum("n_docs").over(w_all)
+    return shares.select(
+        "stratum",
+        "n_docs",
+        F.round("nat_share", 6).alias("nat_share"),
+        F.round("temp_share", 6).alias("temp_share"),
+        F.round("weight_ratio", 6).alias("weight_ratio"),
+        F.round(num * num / den, 6).alias("corpus_ess"),
+        F.round(num * num / den / n_tot, 6).alias("ess_frac"),
+    )

@@ -1554,3 +1554,123 @@ def phrase_search(
         .agg(F.count(F.lit(1)).cast("bigint").alias("n_occurrences"))
     )
     return hits.select(F.col(id_col).cast("bigint").alias(id_col), "n_occurrences")
+
+
+def char_entropy(documents: DataFrame, text_col: str = "text") -> DataFrame:
+    """Q100: per-document character-level Shannon entropy (bits) — a
+    classic gibberish/repetition quality signal.
+
+    Entirely scan-shaped with NO shuffle and no Python: the per-doc char
+    histogram is built with array higher-order functions
+    (distinct → per-char count via filter), then folded into
+    ``H = log2(n) − Σ c·log2(c) / n``. The constant factor is
+    |alphabet|·|text| comparisons per doc inside codegen — alphabet is
+    small for natural text; for huge alphabets an Arrow-batched pandas UDF
+    with a vectorized bincount is the drop-in alternative, at the cost of
+    leaving the JVM.
+    """
+    chars = F.split(F.col(text_col), "")
+    dist = F.array_distinct(chars)
+    counts = F.transform(
+        dist, lambda c: F.size(F.filter(chars, lambda x: x == c))
+    )
+    n = F.size(chars).cast("double")
+    s = F.aggregate(
+        counts,
+        F.lit(0.0),
+        lambda acc, c: acc + c.cast("double") * F.log2(c.cast("double")),
+    )
+    return documents.select(
+        "doc_id",
+        F.size(chars).cast("bigint").alias("n_chars_split"),
+        F.round(F.log2(n) - s / n, 6).alias("entropy_bits"),
+    )
+
+
+PAD_BUCKETS = (16, 32, 64, 128, 256, 512, 1024, 2048)
+
+
+def padding_waste(
+    documents: DataFrame,
+    context_len: int = 128,
+    text_col: str = "text",
+) -> DataFrame:
+    """Q101: sequence-length bucketing report for training-batch planning —
+    docs binned to the smallest power-of-two bucket that fits (capped at
+    ``context_len``), with padded-slot waste and truncation loss per
+    bucket.
+
+    Pure scan + one tiny aggregation on the bucket grain. The bucket edge
+    test is an integer CASE chain (never float log2), so both engines bin
+    identically.
+    """
+    edges = [b for b in PAD_BUCKETS if b < context_len]
+    n = F.size(F.split(F.col(text_col), " "))
+    bucket = F.lit(context_len)
+    for b in reversed(edges):
+        bucket = F.when(n <= b, F.lit(b)).otherwise(bucket)
+    kept = F.least(n, F.lit(context_len))
+    return (
+        documents.select(
+            bucket.cast("bigint").alias("bucket_len"),
+            n.alias("n_tokens"),
+            kept.alias("kept_tokens"),
+        )
+        .groupBy("bucket_len")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum("kept_tokens").cast("bigint").alias("kept_tokens"),
+            (
+                F.col("bucket_len") * F.count(F.lit(1))
+                - F.sum("kept_tokens")
+            ).cast("bigint").alias("padded_slots"),
+            F.sum(
+                F.greatest(F.col("n_tokens") - F.lit(context_len), F.lit(0))
+            ).cast("bigint").alias("truncated_tokens"),
+        )
+        .select(
+            "bucket_len",
+            "n_docs",
+            "kept_tokens",
+            "padded_slots",
+            "truncated_tokens",
+            F.round(
+                F.col("padded_slots")
+                / (F.col("bucket_len") * F.col("n_docs")),
+                6,
+            ).alias("waste_frac"),
+        )
+    )
+
+
+def langid_confusion(
+    documents: DataFrame,
+    text_col: str = "text",
+    lang_col: str = "lang",
+    profiles: dict[str, tuple[str, ...]] | None = None,
+) -> DataFrame:
+    """Q102: confusion matrix of the marker-token language-ID heuristic
+    against the labeled ``lang`` column — per (true, predicted) pair counts
+    and the share of the true language's documents.
+
+    The prediction is the same fused Column expression as q27 (no join);
+    one aggregation to the |langs|² grain, where the row-normalizing
+    window is negligible.
+    """
+    pred, _ = lang_pred_cols(text_col, profiles)
+    pairs = (
+        documents.select(
+            F.col(lang_col).alias("true_lang"), pred.alias("pred_lang")
+        )
+        .groupBy("true_lang", "pred_lang")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_docs"))
+    )
+    w = Window.partitionBy("true_lang")
+    return pairs.select(
+        "true_lang",
+        "pred_lang",
+        "n_docs",
+        F.round(F.col("n_docs") / F.sum("n_docs").over(w), 6).alias(
+            "frac_of_true"
+        ),
+    )

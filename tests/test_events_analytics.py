@@ -1,0 +1,197 @@
+"""Semantic tests for the events analytics operators (q97-q99) and the
+scan-shaped corpus diagnostics added alongside them (q100-q103)."""
+
+import datetime as dt
+
+import pytest
+from pyspark.sql import functions as F
+
+from esop_spark.operators import analytics, sampling
+from esop_spark.operators import text as text_ops
+
+
+def _ts(s):
+    return dt.datetime(2024, 1, 1) + dt.timedelta(seconds=s)
+
+
+def _events(spark, rows):
+    return spark.createDataFrame(
+        [(i, _ts(s), u, t, 1.0, "") for i, (s, u, t) in enumerate(rows)],
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    )
+
+
+class TestFunnel:
+    def test_strict_order_required(self, spark):
+        # user 1 completes a->b->c in order; user 2 has b BEFORE a (b must
+        # not count); user 3 only reaches a.
+        ev = _events(
+            spark,
+            [
+                (0, 1, "a"), (10, 1, "b"), (20, 1, "c"),
+                (0, 2, "b"), (10, 2, "a"),
+                (5, 3, "a"),
+            ],
+        )
+        rows = {
+            r["stage"]: r
+            for r in analytics.funnel(ev, ("a", "b", "c")).collect()
+        }
+        assert rows["a"]["n_users"] == 3
+        assert rows["b"]["n_users"] == 1
+        assert rows["c"]["n_users"] == 1
+        assert rows["a"]["conv_from_prev"] == 1.0
+        assert rows["b"]["conv_from_prev"] == pytest.approx(1 / 3, abs=1e-6)
+        assert rows["c"]["conv_from_prev"] == 1.0
+
+    def test_same_timestamp_does_not_advance(self, spark):
+        # b at the exact same instant as a: strictly-after excludes it
+        ev = _events(spark, [(0, 1, "a"), (0, 1, "b")])
+        rows = {
+            r["stage"]: r["n_users"]
+            for r in analytics.funnel(ev, ("a", "b")).collect()
+        }
+        assert rows == {"a": 1, "b": 0}
+
+    def test_later_retry_counts(self, spark):
+        # first b precedes a; a later b after a completes the funnel
+        ev = _events(spark, [(0, 1, "b"), (5, 1, "a"), (9, 1, "b")])
+        rows = {
+            r["stage"]: r["n_users"]
+            for r in analytics.funnel(ev, ("a", "b")).collect()
+        }
+        assert rows == {"a": 1, "b": 1}
+
+
+class TestCohortRetention:
+    def test_weekly_offsets(self, spark):
+        day = 86400
+        ev = _events(
+            spark,
+            [
+                (0, 1, "view"),           # cohort day 0
+                (8 * day, 1, "view"),     # week offset 1
+                (0, 2, "view"),           # same cohort, only week 0
+                (3 * day, 3, "view"),     # second cohort (day 3)
+            ],
+        )
+        out = {
+            (r["cohort_day"], r["week_offset"]): r
+            for r in analytics.cohort_retention(ev).collect()
+        }
+        d0 = 19723  # 2024-01-01 epoch day
+        assert out[(d0, 0)]["n_users"] == 2
+        assert out[(d0, 1)]["n_users"] == 1
+        assert out[(d0, 1)]["retention_frac"] == 0.5
+        assert out[(d0 + 3, 0)]["n_users"] == 1
+
+    def test_retention_capped_at_one(self, spark):
+        ev = _events(spark, [(0, 1, "view"), (60, 1, "click")])
+        for r in analytics.cohort_retention(ev).collect():
+            assert 0 < r["retention_frac"] <= 1.0
+
+
+class TestEventTransitions:
+    def test_counts_and_probs(self, spark):
+        ev = _events(
+            spark,
+            [(0, 1, "a"), (1, 1, "b"), (2, 1, "a"), (3, 1, "c"),
+             (0, 2, "a"), (1, 2, "b")],
+        )
+        out = {
+            (r["from_type"], r["to_type"]): r
+            for r in analytics.event_transitions(ev).collect()
+        }
+        assert out[("a", "b")]["n"] == 2
+        assert out[("a", "c")]["n"] == 1
+        assert out[("b", "a")]["n"] == 1
+        assert out[("a", "b")]["prob"] == pytest.approx(2 / 3, abs=1e-6)
+        # probabilities per from_type sum to 1
+        sums = {}
+        for (f, _t), r in out.items():
+            sums[f] = sums.get(f, 0) + r["prob"]
+        for v in sums.values():
+            assert v == pytest.approx(1.0, abs=1e-5)
+
+
+class TestCharEntropy:
+    def test_known_values(self, spark):
+        docs = spark.createDataFrame(
+            [(1, "aaaa"), (2, "ab"), (3, "abcd")], "doc_id long, text string"
+        )
+        out = {
+            r["doc_id"]: r for r in text_ops.char_entropy(docs).collect()
+        }
+        assert out[1]["entropy_bits"] == 0.0
+        assert out[2]["entropy_bits"] == 1.0
+        assert out[3]["entropy_bits"] == 2.0
+        assert out[3]["n_chars_split"] == 4
+
+
+class TestPaddingWaste:
+    def test_buckets_and_truncation(self, spark):
+        docs = spark.createDataFrame(
+            [
+                (1, " ".join(["w"] * 10)),    # bucket 16, pad 6
+                (2, " ".join(["w"] * 17)),    # bucket 32, pad 15
+                (3, " ".join(["w"] * 200)),   # bucket 128, truncate 72
+            ],
+            "doc_id long, text string",
+        )
+        out = {
+            r["bucket_len"]: r
+            for r in text_ops.padding_waste(docs, context_len=128).collect()
+        }
+        assert out[16]["padded_slots"] == 6
+        assert out[32]["padded_slots"] == 15
+        assert out[128]["truncated_tokens"] == 72
+        assert out[128]["padded_slots"] == 0
+        assert out[16]["waste_frac"] == pytest.approx(6 / 16, abs=1e-6)
+
+
+class TestLangidConfusion:
+    def test_fracs_sum_to_one(self, spark):
+        docs = spark.createDataFrame(
+            [
+                (1, "the a of and is", "en"),
+                (2, "the the the", "en"),
+                (3, "und der die", "de"),
+                (4, "xyz qrs", "de"),  # predicts unknown
+            ],
+            "doc_id long, text string, lang string",
+        )
+        out = text_ops.langid_confusion(docs).collect()
+        per_true = {}
+        for r in out:
+            per_true.setdefault(r["true_lang"], 0)
+            per_true[r["true_lang"]] += r["frac_of_true"]
+        for v in per_true.values():
+            assert v == pytest.approx(1.0, abs=1e-5)
+        pairs = {(r["true_lang"], r["pred_lang"]): r["n_docs"] for r in out}
+        assert pairs[("en", "en")] == 2
+        assert pairs[("de", "de")] == 1
+        assert pairs[("de", "unknown")] == 1
+
+
+class TestMixtureEss:
+    def test_uniform_strata_full_ess(self, spark):
+        docs = spark.createDataFrame(
+            [(i, "t", f"s{i % 4}") for i in range(40)],
+            "doc_id long, text string, source string",
+        )
+        out = sampling.mixture_ess(docs, alpha=0.5).collect()
+        # equal strata: temperature reweighting is a no-op, ESS == N
+        for r in out:
+            assert r["weight_ratio"] == pytest.approx(1.0, abs=1e-6)
+            assert r["corpus_ess"] == pytest.approx(40.0, abs=1e-4)
+            assert r["ess_frac"] == pytest.approx(1.0, abs=1e-6)
+
+    def test_skewed_strata_reduce_ess(self, spark):
+        docs = spark.createDataFrame(
+            [(i, "t", "big" if i < 90 else "small") for i in range(100)],
+            "doc_id long, text string, source string",
+        )
+        out = {r["stratum"]: r for r in sampling.mixture_ess(docs).collect()}
+        assert out["small"]["weight_ratio"] > 1.0 > out["big"]["weight_ratio"]
+        assert 0 < out["big"]["ess_frac"] < 1.0
