@@ -1038,6 +1038,18 @@ def q103_mixture_ess(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q104_lsh_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Measured precision/recall of the production LSH banding vs fully
+    exact Jaccard ground truth on a 20% content-hash sample
+    (dedup.lsh_recall_audit, md5 family for the oracle)."""
+    return dedup.lsh_recall_audit(
+        _base(spark, sf_dir, "documents"),
+        sample_rate=AUDIT_RATE,
+        threshold=JACCARD_TAU,
+        hash_family="md5",
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001: the backup-listing report."""
     return q01_list_backups(spark, "/root/testdata/sf0.001")
@@ -1148,6 +1160,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q101_padding_waste": q101_padding_waste,
         "q102_langid_confusion": q102_langid_confusion,
         "q103_mixture_ess": q103_mixture_ess,
+        "q104_lsh_recall_audit": q104_lsh_recall_audit,
     }
 
 
@@ -1160,6 +1173,8 @@ def _lsh_oracle(
     bands: int = 8,
     cand_pred: str = "a.doc_id < b.doc_id",
     id_names: tuple[str, str] = ("id_a", "id_b"),
+    docs_where: str = "",
+    tail: str | None = None,
 ) -> str:
     """Full MinHash-LSH replication in DuckDB: same md5-derived element hash
     (CAST('0x'||substr(md5(s),1,8) AS BIGINT) == Spark conv(...,16,10)), the
@@ -1181,9 +1196,18 @@ def _lsh_oracle(
         + ")) AS bucket FROM sig"
         for band in range(bands)
     )
+    final = tail if tail is not None else f"""
+            SELECT id_a AS {id_names[0]}, id_b AS {id_names[1]},
+                   ROUND({measure_expr}, 6) AS {alias}
+            FROM shared
+            JOIN cnt ca ON id_a = ca.doc_id
+            JOIN cnt cb ON id_b = cb.doc_id
+            WHERE ROUND({measure_expr}, 6) >= {tau}
+    """
     return f"""
             WITH docs AS (
                 SELECT doc_id, string_split(text, ' ') AS words FROM documents
+                {docs_where}
             ),
             sh AS (
                 SELECT DISTINCT doc_id,
@@ -1218,18 +1242,64 @@ def _lsh_oracle(
                 JOIN sh b ON b.doc_id = c.id_b AND b.shingle = a.shingle
                 GROUP BY 1, 2
             )
-            SELECT id_a AS {id_names[0]}, id_b AS {id_names[1]},
-                   ROUND({measure_expr}, 6) AS {alias}
-            FROM shared
-            JOIN cnt ca ON id_a = ca.doc_id
-            JOIN cnt cb ON id_b = cb.doc_id
-            WHERE ROUND({measure_expr}, 6) >= {tau}
+            {final}
     """
 
 
 def _q22_oracle() -> str:
     return _lsh_oracle(
         "shared * 1.0 / (ca.n_sh + cb.n_sh - shared)", "jaccard", JACCARD_TAU
+    )
+
+
+AUDIT_RATE = 0.5
+
+
+def _q104_oracle() -> str:
+    docs_where = f"""WHERE CAST(concat('0x',
+                    substr(md5('audit:' || CAST(doc_id AS VARCHAR)), 1, 8))
+                    AS BIGINT) % 1000000 < {int(AUDIT_RATE * 1_000_000)}"""
+    tail = f"""
+            SELECT n_docs, n_true_pairs, n_candidates, n_found,
+                   ROUND(n_found * 1.0 / NULLIF(n_true_pairs, 0), 6)
+                       AS recall,
+                   ROUND(n_found * 1.0 / NULLIF(n_candidates, 0), 6)
+                       AS precision
+            FROM (
+                WITH truth AS (
+                    SELECT s.id_a, s.id_b
+                    FROM (
+                        SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                               COUNT(*) AS shared
+                        FROM sh a JOIN sh b
+                          ON b.shingle = a.shingle AND a.doc_id < b.doc_id
+                        GROUP BY 1, 2
+                    ) s
+                    JOIN cnt ca ON s.id_a = ca.doc_id
+                    JOIN cnt cb ON s.id_b = cb.doc_id
+                    WHERE ROUND(shared * 1.0
+                                / (ca.n_sh + cb.n_sh - shared), 6)
+                          >= {JACCARD_TAU}
+                )
+                SELECT
+                    CAST((SELECT COUNT(*) FROM docs) AS BIGINT) AS n_docs,
+                    CAST((SELECT COUNT(*) FROM truth) AS BIGINT)
+                        AS n_true_pairs,
+                    CAST((SELECT COUNT(*) FROM cand) AS BIGINT)
+                        AS n_candidates,
+                    CAST((SELECT COUNT(*) FROM truth t
+                          WHERE EXISTS (SELECT 1 FROM cand c
+                                        WHERE c.id_a = t.id_a
+                                          AND c.id_b = t.id_b))
+                         AS BIGINT) AS n_found
+            )
+    """
+    return _lsh_oracle(
+        "shared * 1.0 / (ca.n_sh + cb.n_sh - shared)",
+        "jaccard",
+        JACCARD_TAU,
+        docs_where=docs_where,
+        tail=tail,
     )
 
 
@@ -3338,4 +3408,5 @@ def oracle_sql() -> dict[str, str]:
                    ROUND(num * num / den / n_tot, 6) AS ess_frac
             FROM t3
         """,
+        "q104_lsh_recall_audit": _q104_oracle(),
     }

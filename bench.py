@@ -78,6 +78,12 @@ BENCH_QUERIES = [
     "q91_pmi_collocations",
     "q92_score_drift_psi",
     "q93_image_neardup",
+    "q97_funnel",
+    "q98_cohort_retention",
+    "q99_event_transitions",
+    "q100_char_entropy",
+    "q101_padding_waste",
+    "q102_langid_confusion",
 ]
 
 

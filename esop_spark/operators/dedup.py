@@ -1112,3 +1112,76 @@ def novelty_scores(
             F.round(F.col("n_novel") / F.col("n_sh"), 6).alias("novelty"),
         )
     )
+
+
+def lsh_recall_audit(
+    documents: DataFrame,
+    sample_rate: float = 0.2,
+    num_hashes: int = 32,
+    bands: int = 8,
+    n: int = 3,
+    threshold: float = 0.5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    hash_family: str = "xxhash64",
+    seed: str = "audit",
+) -> DataFrame:
+    """Measured precision/recall of the production MinHash-LSH band
+    configuration against ground truth, on a deterministic content-hash
+    sample of the corpus ("measure, don't guess" for the banding knobs).
+
+    Ground truth = fully exact n-gram Jaccard over every pair of the
+    sampled docs (no df cap); candidates = the SAME banding code the
+    production pair generator uses (:func:`_lsh_candidates`). Per-pair
+    band candidacy depends only on the two signatures, so the recall
+    estimate is unbiased for the full corpus; candidate *density* (and so
+    precision) is measured at sample scale, noted in the output.
+
+    Cost is quadratic in the SAMPLE (rate chosen so |S|² stays small —
+    the audit is O((r·N)²) shingle-join work, run occasionally, not per
+    pipeline). Output is a single summary row built from four 1-row
+    aggregates cross-joined driver-free.
+    """
+    from esop_spark.operators.sampling import BUCKETS, sample_bucket
+
+    sampled = documents.filter(
+        sample_bucket(F.col(id_col), seed) < int(sample_rate * BUCKETS)
+    )
+    truth = ngram_jaccard_pairs(
+        sampled, n=n, threshold=threshold, text_col=text_col,
+        id_col=id_col, max_df=None,
+    ).select("id_a", "id_b")
+    cand, base = _lsh_candidates(
+        sampled, num_hashes, bands, n, text_col, id_col, hash_family
+    )
+    cand = cand.select("id_a", "id_b")
+    n_docs = sampled.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs")
+    )
+    n_true = truth.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_true_pairs")
+    )
+    n_cand = cand.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_candidates")
+    )
+    n_found = truth.join(cand, ["id_a", "id_b"], "left_semi").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_found")
+    )
+    # base stays persisted while cand is consumed by both counting legs
+    # (same lifetime convention as minhash_lsh_pairs)
+    _ = base
+    out = (
+        n_docs.crossJoin(n_true).crossJoin(n_cand).crossJoin(n_found)
+    )
+    return out.select(
+        "n_docs",
+        "n_true_pairs",
+        "n_candidates",
+        "n_found",
+        F.round(
+            F.col("n_found") / F.nullif(F.col("n_true_pairs"), F.lit(0)), 6
+        ).alias("recall"),
+        F.round(
+            F.col("n_found") / F.nullif(F.col("n_candidates"), F.lit(0)), 6
+        ).alias("precision"),
+    )

@@ -288,3 +288,32 @@ def test_dedup_exact_groups(spark):
     got = {(r["canonical_id"], r["n_dups"]) for r in
            dedup.dedup_exact(docs, tokenset_key("text")).collect()}
     assert got == {(1, 2), (3, 1)}
+
+
+def test_lsh_recall_audit_planted_pairs(spark):
+    # 40 unrelated docs + one planted near-dup pair; rate=1.0 keeps all
+    # docs, so the audit's ground truth must contain exactly the planted
+    # pair and the production banding must find it.
+    rows = [(i, " ".join(f"u{i}_{j}" for j in range(60))) for i in range(40)]
+    base = " ".join(f"w{j}" for j in range(60))
+    near = " ".join(f"w{j}" for j in range(59)) + " zzz"
+    rows += [(100, base), (101, near)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = dedup.lsh_recall_audit(docs, sample_rate=1.0, threshold=0.5).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert r["n_docs"] == 42
+    assert r["n_true_pairs"] == 1
+    assert r["n_found"] == 1
+    assert r["recall"] == 1.0
+    assert r["precision"] is not None and 0 < r["precision"] <= 1.0
+
+
+def test_lsh_recall_audit_sampling_is_deterministic(spark):
+    docs = spark.createDataFrame(
+        [(i, " ".join(f"t{i}_{j}" for j in range(30))) for i in range(50)],
+        "doc_id long, text string",
+    )
+    a = dedup.lsh_recall_audit(docs, sample_rate=0.4).collect()[0]
+    b = dedup.lsh_recall_audit(docs, sample_rate=0.4).collect()[0]
+    assert a["n_docs"] == b["n_docs"] > 0
