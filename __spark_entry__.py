@@ -1050,6 +1050,24 @@ def q104_lsh_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+BPE_TOP_K = 20
+
+
+def q105_bpe_merge_step(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First BPE tokenizer-training step (text_ops.bpe_merge_candidates):
+    top merge candidates by weighted adjacent-symbol pair count, all on
+    vocabulary grain."""
+    return text_ops.bpe_merge_candidates(
+        _base(spark, sf_dir, "documents"), top_k=BPE_TOP_K
+    )
+
+
+def q106_score_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROC-AUC of the quality score against the lang label
+    (text_ops.score_auc) — histogram-grain Mann-Whitney with midranks."""
+    return text_ops.score_auc(_base(spark, sf_dir, "documents"))
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001: the backup-listing report."""
     return q01_list_backups(spark, "/root/testdata/sf0.001")
@@ -1161,6 +1179,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q102_langid_confusion": q102_langid_confusion,
         "q103_mixture_ess": q103_mixture_ess,
         "q104_lsh_recall_audit": q104_lsh_recall_audit,
+        "q105_bpe_merge_step": q105_bpe_merge_step,
+        "q106_score_auc": q106_score_auc,
     }
 
 
@@ -3409,4 +3429,56 @@ def oracle_sql() -> dict[str, str]:
             FROM t3
         """,
         "q104_lsh_recall_audit": _q104_oracle(),
+        "q105_bpe_merge_step": f"""
+            WITH w AS (
+                SELECT unnest(string_split(text, ' ')) AS word FROM documents
+            ),
+            wc AS (SELECT word, COUNT(*) AS c FROM w GROUP BY 1),
+            ch AS (
+                SELECT c, string_split_regex(word, '') AS cs FROM wc
+            ),
+            p AS (
+                SELECT cs[t.i] AS left_sym, cs[t.i + 1] AS right_sym, c
+                FROM ch, unnest(range(1, len(cs))) t(i)
+                WHERE len(cs) >= 2
+            )
+            SELECT left_sym, right_sym,
+                   CAST(SUM(c) AS BIGINT) AS pair_count
+            FROM p GROUP BY 1, 2
+            ORDER BY pair_count DESC, left_sym ASC, right_sym ASC
+            LIMIT {BPE_TOP_K}
+        """,
+        "q106_score_auc": """
+            WITH t AS (
+                SELECT lang,
+                       len(string_split(text, ' ')) AS n,
+                       len(list_filter(string_split(text, ' '),
+                           w -> w IN ('a', 'the'))) AS stop,
+                       len(list_distinct(string_split(text, ' '))) AS nd
+                FROM documents
+            ),
+            h AS (
+                SELECT CAST(ROUND((0.5 * (1.0 - stop * 1.0 / n)
+                                   + 0.5 * nd * 1.0 / n) * 100) AS BIGINT)
+                           AS s,
+                       SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END)
+                           AS n_pos,
+                       SUM(CASE WHEN lang = 'en' THEN 0 ELSE 1 END)
+                           AS n_neg
+                FROM t GROUP BY 1
+            ),
+            c AS (
+                SELECT s, n_pos, n_neg,
+                       COALESCE(SUM(n_neg) OVER (
+                           ORDER BY s ASC
+                           ROWS BETWEEN UNBOUNDED PRECEDING
+                                    AND 1 PRECEDING), 0) AS cum_neg_before
+                FROM h
+            )
+            SELECT CAST(SUM(n_pos) AS BIGINT) AS n_pos,
+                   CAST(SUM(n_neg) AS BIGINT) AS n_neg,
+                   ROUND(SUM(n_pos * (cum_neg_before + n_neg / 2.0))
+                         / (SUM(n_pos) * SUM(n_neg)), 6) AS auc
+            FROM c
+        """,
     }

@@ -1674,3 +1674,92 @@ def langid_confusion(
             "frac_of_true"
         ),
     )
+
+
+def bpe_merge_candidates(
+    documents: DataFrame, top_k: int = 20, text_col: str = "text"
+) -> DataFrame:
+    """Q105: the first step of BPE tokenizer training — adjacent-symbol
+    pair counts over the word-frequency table, ranked by merge priority
+    (count desc, pair asc tiebreak).
+
+    Two aggregations, both on VOCABULARY grain (≪ corpus): word counts,
+    then exploded symbol-pair counts weighted by word frequency. The
+    corpus text is touched exactly once; iterating merges re-runs only
+    the vocab-grain half with the merged symbol applied.
+    """
+    words = (
+        documents.select(F.explode(tokens(text_col)).alias("word"))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+        .withColumn("cs", F.split("word", ""))
+    )
+    pair_structs = F.when(
+        F.size("cs") >= 2,
+        F.transform(
+            F.sequence(F.lit(0), F.size("cs") - 2),
+            lambda i: F.struct(
+                F.get(F.col("cs"), i).alias("left_sym"),
+                F.get(F.col("cs"), i + 1).alias("right_sym"),
+            ),
+        ),
+    ).otherwise(F.array())
+    return (
+        words.select("c", F.explode(pair_structs).alias("p"))
+        .groupBy(
+            F.col("p.left_sym").alias("left_sym"),
+            F.col("p.right_sym").alias("right_sym"),
+        )
+        .agg(F.sum("c").cast("bigint").alias("pair_count"))
+        .orderBy(F.desc("pair_count"), "left_sym", "right_sym")
+        .limit(top_k)
+    )
+
+
+def score_auc(
+    documents: DataFrame,
+    label_col: str = "lang",
+    pos_value: str = "en",
+    text_col: str = "text",
+) -> DataFrame:
+    """Q106: ROC-AUC of the quality score as a classifier for a label
+    (here: does score separate ``lang == pos_value``?) — the calibration
+    check run before trusting a score as a curation gate.
+
+    Mann-Whitney U computed from the score HISTOGRAM with midrank tie
+    handling: the corpus pass is the zero-shuffle scoring projection +
+    one ~100-group aggregate; the cumulative window runs over the ≤101
+    distinct integer scores, never per-document (same scale argument as
+    quality_cdf).
+    """
+    hist = (
+        documents.select(
+            quality_score_col(text_col).alias("s"),
+            (F.col(label_col) == pos_value).alias("pos"),
+        )
+        .groupBy("s")
+        .agg(
+            F.sum(F.when(F.col("pos"), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_pos"),
+            F.sum(F.when(F.col("pos"), 0).otherwise(1))
+            .cast("bigint")
+            .alias("n_neg"),
+        )
+    )
+    w = Window.orderBy("s").rowsBetween(Window.unboundedPreceding, -1)
+    c = hist.withColumn(
+        "cum_neg_before", F.coalesce(F.sum("n_neg").over(w), F.lit(0))
+    )
+    return c.agg(
+        F.sum("n_pos").cast("bigint").alias("n_pos"),
+        F.sum("n_neg").cast("bigint").alias("n_neg"),
+        F.round(
+            F.sum(
+                F.col("n_pos")
+                * (F.col("cum_neg_before") + F.col("n_neg") / 2.0)
+            )
+            / (F.sum("n_pos") * F.sum("n_neg")),
+            6,
+        ).alias("auc"),
+    )

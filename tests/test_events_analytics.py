@@ -195,3 +195,39 @@ class TestMixtureEss:
         out = {r["stratum"]: r for r in sampling.mixture_ess(docs).collect()}
         assert out["small"]["weight_ratio"] > 1.0 > out["big"]["weight_ratio"]
         assert 0 < out["big"]["ess_frac"] < 1.0
+
+
+class TestBpeMergeStep:
+    def test_weighted_pair_counts(self, spark):
+        docs = spark.createDataFrame(
+            [(1, "ab ab abc"), (2, "x")], "doc_id long, text string"
+        )
+        out = [
+            (r["left_sym"], r["right_sym"], r["pair_count"])
+            for r in text_ops.bpe_merge_candidates(docs, top_k=5).collect()
+        ]
+        # ab appears 2x, abc 1x -> (a,b)=3, (b,c)=1; 1-char word x: no pairs
+        assert out[0] == ("a", "b", 3)
+        assert ("b", "c", 1) in out
+        assert all(sym != "x" for sym, _, _ in out)
+
+
+class TestScoreAuc:
+    def test_perfect_separation(self, spark):
+        # positives all high-TTR (score 100), negatives all repetition
+        pos = [(i, "w%d y%d z%d q%d" % (i, i, i, i), "en") for i in range(5)]
+        neg = [(100 + i, "r r r r", "de") for i in range(5)]
+        docs = spark.createDataFrame(
+            pos + neg, "doc_id long, text string, lang string"
+        )
+        r = text_ops.score_auc(docs).collect()[0]
+        assert r["n_pos"] == 5 and r["n_neg"] == 5
+        assert r["auc"] == 1.0
+
+    def test_identical_scores_give_half(self, spark):
+        docs = spark.createDataFrame(
+            [(i, "a b c", "en" if i % 2 else "de") for i in range(10)],
+            "doc_id long, text string, lang string",
+        )
+        r = text_ops.score_auc(docs).collect()[0]
+        assert r["auc"] == pytest.approx(0.5, abs=1e-6)
