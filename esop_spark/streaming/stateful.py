@@ -50,3 +50,51 @@ def running_user_counts(events: DataFrame) -> DataFrame:
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+FUNNEL_OUTPUT = "user_id bigint, stage_reached int, last_ts_us bigint"
+FUNNEL_STATE = "stage int, last_ts bigint"
+
+
+def funnel_stages_stream(events: DataFrame, stages: tuple[str, ...]) -> DataFrame:
+    """Streaming counterpart of ``analytics.funnel``: per-user funnel stage
+    as checkpoint-backed state over an event stream.
+
+    Within a micro-batch the user's events are replayed in (ts, event_id)
+    order with the same strictly-after advancement rule as the batch
+    operator; across batches the state advances monotonically in arrival
+    order (the standard streaming approximation — an event arriving later
+    than a batch boundary cannot retroactively reorder; bound staleness
+    with a watermark upstream if needed). Emits the user's current stage
+    each update.
+    """
+    n = len(stages)
+    stage_of = {s: i for i, s in enumerate(stages)}
+
+    def fn(
+        key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        k, last = state.get if state.exists else (0, -1)
+        for pdf in pdfs:
+            pdf = pdf.sort_values(["ts", "event_id"])
+            for ts, et in zip(pdf["ts"], pdf["event_type"]):
+                ts_us = int(ts.value // 1000)
+                if k < n and stage_of.get(et) == k and (k == 0 or ts_us > last):
+                    k += 1
+                    last = ts_us
+        state.update((k, last))
+        yield pd.DataFrame(
+            {
+                "user_id": [key[0]],
+                "stage_reached": [k],
+                "last_ts_us": [last],
+            }
+        )
+
+    return events.groupBy("user_id").applyInPandasWithState(
+        fn,
+        outputStructType=FUNNEL_OUTPUT,
+        stateStructType=FUNNEL_STATE,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

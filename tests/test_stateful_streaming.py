@@ -44,3 +44,54 @@ def test_state_survives_restart(spark, tmp_path):
     got2 = _run_batch(spark, src, ckpt)
     assert got2[1] == (3, 7.0)  # 2 prior events + 1 new, state carried over
     assert got2[3] == (1, 9.0)
+
+
+def _run_funnel(spark, src_dir, ckpt, stages):
+    from esop_spark.streaming.stateful import funnel_stages_stream
+
+    rows: list = []
+
+    def sink(batch_df, _bid):
+        rows.extend(batch_df.collect())
+
+    stream = spark.readStream.schema(
+        "event_id bigint, ts timestamp, user_id bigint, event_type string"
+    ).parquet(src_dir)
+    q = (
+        funnel_stages_stream(stream, stages)
+        .writeStream.foreachBatch(sink)
+        .outputMode("update")
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    return {r["user_id"]: r["stage_reached"] for r in rows}
+
+
+def test_streaming_funnel_advances_across_restarts(spark, tmp_path):
+    import datetime as dt
+
+    src = str(tmp_path / "fsrc")
+    ckpt = str(tmp_path / "fckpt")
+    os.makedirs(src)
+
+    def ts(s):
+        return dt.datetime(2024, 1, 1) + dt.timedelta(seconds=s)
+
+    schema = "event_id bigint, ts timestamp, user_id bigint, event_type string"
+    # batch 1: user 1 does a; user 2 does b (out of order -> no advance)
+    spark.createDataFrame(
+        [(0, ts(0), 1, "a"), (1, ts(0), 2, "b")], schema
+    ).coalesce(1).write.mode("append").parquet(src)
+    got1 = _run_funnel(spark, src, ckpt, ("a", "b"))
+    assert got1 == {1: 1, 2: 0}
+
+    # restart: user 1 completes b (state resumed from checkpoint); user 2's
+    # a starts their funnel
+    spark.createDataFrame(
+        [(2, ts(5), 1, "b"), (3, ts(5), 2, "a")], schema
+    ).coalesce(1).write.mode("append").parquet(src)
+    got2 = _run_funnel(spark, src, ckpt, ("a", "b"))
+    assert got2[1] == 2
+    assert got2[2] == 1
