@@ -84,6 +84,8 @@ BENCH_QUERIES = [
     "q100_char_entropy",
     "q101_padding_waste",
     "q102_langid_confusion",
+    "q105_bpe_merge_step",
+    "q106_score_auc",
 ]
 
 
