@@ -1068,6 +1068,26 @@ def q106_score_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text_ops.score_auc(_base(spark, sf_dir, "documents"))
 
 
+SESSION_GAP_S = 1800
+
+
+def q107_funnel_in_session(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Within-session funnel (analytics.funnel_in_session): all stages must
+    complete inside one gap-based session; counts are sessions."""
+    return analytics.funnel_in_session(
+        _base(spark, sf_dir, "events"), FUNNEL_STAGES, gap_s=SESSION_GAP_S
+    )
+
+
+def q108_cluster_size_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Size-bucketed near-dup cluster histogram with removable-doc mass
+    (dedup.cluster_size_histogram over dedup_clusters)."""
+    pairs = dedup.ngram_jaccard_pairs(
+        _base(spark, sf_dir, "documents"), n=3, threshold=JACCARD_TAU
+    )
+    return dedup.cluster_size_histogram(dedup.dedup_clusters(pairs))
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001: the backup-listing report."""
     return q01_list_backups(spark, "/root/testdata/sf0.001")
@@ -1181,6 +1201,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q104_lsh_recall_audit": q104_lsh_recall_audit,
         "q105_bpe_merge_step": q105_bpe_merge_step,
         "q106_score_auc": q106_score_auc,
+        "q107_funnel_in_session": q107_funnel_in_session,
+        "q108_cluster_size_histogram": q108_cluster_size_histogram,
     }
 
 
@@ -1273,6 +1295,48 @@ def _q22_oracle() -> str:
 
 
 AUDIT_RATE = 0.5
+
+# Connected-components WITH chain shared by the q48 and q108 oracles: exact
+# jaccard pairs -> symmetric edges -> recursive reachability -> min-label
+# component per doc.
+_CC_CORE = f"""
+            WITH RECURSIVE docs AS (
+                SELECT doc_id, string_split(text, ' ') AS words FROM documents
+            ),
+            sh AS (
+                SELECT DISTINCT doc_id,
+                       words[i] || ' ' || words[i+1] || ' ' || words[i+2] AS shingle
+                FROM docs, unnest(range(1, greatest(len(words) - 1, 1))) t(i)
+            ),
+            cnt AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY 1),
+            shared AS (
+                SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS shared
+                FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+                GROUP BY 1, 2
+            ),
+            pairs AS (
+                SELECT id_a, id_b
+                FROM shared
+                JOIN cnt ca ON id_a = ca.doc_id
+                JOIN cnt cb ON id_b = cb.doc_id
+                WHERE ROUND(shared * 1.0 / (ca.n_sh + cb.n_sh - shared), 6)
+                      >= {JACCARD_TAU}
+            ),
+            edges AS (
+                SELECT id_a AS src, id_b AS dst FROM pairs
+                UNION
+                SELECT id_b, id_a FROM pairs
+            ),
+            reach(src, dst) AS (
+                SELECT src, dst FROM edges
+                UNION
+                SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src
+            ),
+            comp AS (
+                SELECT src AS doc_id, LEAST(src, MIN(dst)) AS cluster_id
+                FROM reach GROUP BY src
+            )
+"""
 
 
 def _q104_oracle() -> str:
@@ -1994,43 +2058,7 @@ def oracle_sql() -> dict[str, str]:
         # connected components via recursive transitive closure over the
         # same exact-Jaccard pair list q23 checks (UNION dedups rows, so the
         # recursion terminates); component id = min reachable doc id
-        "q48_dedup_clusters": f"""
-            WITH RECURSIVE docs AS (
-                SELECT doc_id, string_split(text, ' ') AS words FROM documents
-            ),
-            sh AS (
-                SELECT DISTINCT doc_id,
-                       words[i] || ' ' || words[i+1] || ' ' || words[i+2] AS shingle
-                FROM docs, unnest(range(1, greatest(len(words) - 1, 1))) t(i)
-            ),
-            cnt AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY 1),
-            shared AS (
-                SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS shared
-                FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
-                GROUP BY 1, 2
-            ),
-            pairs AS (
-                SELECT id_a, id_b
-                FROM shared
-                JOIN cnt ca ON id_a = ca.doc_id
-                JOIN cnt cb ON id_b = cb.doc_id
-                WHERE ROUND(shared * 1.0 / (ca.n_sh + cb.n_sh - shared), 6)
-                      >= {JACCARD_TAU}
-            ),
-            edges AS (
-                SELECT id_a AS src, id_b AS dst FROM pairs
-                UNION
-                SELECT id_b, id_a FROM pairs
-            ),
-            reach(src, dst) AS (
-                SELECT src, dst FROM edges
-                UNION
-                SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src
-            ),
-            comp AS (
-                SELECT src AS doc_id, LEAST(src, MIN(dst)) AS cluster_id
-                FROM reach GROUP BY src
-            )
+        "q48_dedup_clusters": _CC_CORE + """
             SELECT CAST(doc_id AS BIGINT) AS doc_id,
                    CAST(cluster_id AS BIGINT) AS cluster_id,
                    CAST(COUNT(*) OVER (PARTITION BY cluster_id) AS BIGINT)
@@ -3480,5 +3508,100 @@ def oracle_sql() -> dict[str, str]:
                    ROUND(SUM(n_pos * (cum_neg_before + n_neg / 2.0))
                          / (SUM(n_pos) * SUM(n_neg)), 6) AS auc
             FROM c
+        """,
+        "q107_funnel_in_session": f"""
+            WITH marked AS (
+                SELECT user_id, event_id, epoch_ms(ts) AS ts_ms,
+                       CASE WHEN lag(epoch_ms(ts)) OVER w IS NULL
+                              OR epoch_ms(ts) - lag(epoch_ms(ts)) OVER w
+                                 > {SESSION_GAP_S * 1000}
+                            THEN 1 ELSE 0 END AS new_session
+                FROM events
+                WINDOW w AS (PARTITION BY user_id
+                             ORDER BY ts ASC, event_id ASC)
+            ),
+            sess AS (
+                SELECT user_id, event_id,
+                       CAST(SUM(new_session) OVER (
+                           PARTITION BY user_id
+                           ORDER BY ts_ms ASC, event_id ASC
+                           ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
+                FROM marked
+            ),
+            ev AS (
+                SELECT e.user_id, s.session_id, e.ts, e.event_type
+                FROM events e JOIN sess s ON e.event_id = s.event_id
+            ),
+            f0 AS (
+                SELECT user_id, session_id, MIN(ts) AS t FROM ev
+                WHERE event_type = '{FUNNEL_STAGES[0]}' GROUP BY 1, 2
+            ),
+            f1 AS (
+                SELECT ev.user_id, ev.session_id, MIN(ev.ts) AS t
+                FROM ev JOIN f0 ON ev.user_id = f0.user_id
+                             AND ev.session_id = f0.session_id
+                WHERE ev.event_type = '{FUNNEL_STAGES[1]}' AND ev.ts > f0.t
+                GROUP BY 1, 2
+            ),
+            f2 AS (
+                SELECT ev.user_id, ev.session_id, MIN(ev.ts) AS t
+                FROM ev JOIN f1 ON ev.user_id = f1.user_id
+                             AND ev.session_id = f1.session_id
+                WHERE ev.event_type = '{FUNNEL_STAGES[2]}' AND ev.ts > f1.t
+                GROUP BY 1, 2
+            ),
+            f3 AS (
+                SELECT ev.user_id, ev.session_id, MIN(ev.ts) AS t
+                FROM ev JOIN f2 ON ev.user_id = f2.user_id
+                             AND ev.session_id = f2.session_id
+                WHERE ev.event_type = '{FUNNEL_STAGES[3]}' AND ev.ts > f2.t
+                GROUP BY 1, 2
+            ),
+            c AS (
+                SELECT (SELECT COUNT(*) FROM f0) AS n0,
+                       (SELECT COUNT(*) FROM f1) AS n1,
+                       (SELECT COUNT(*) FROM f2) AS n2,
+                       (SELECT COUNT(*) FROM f3) AS n3
+            )
+            SELECT CAST(0 AS BIGINT) AS stage_idx,
+                   '{FUNNEL_STAGES[0]}' AS stage,
+                   CAST(n0 AS BIGINT) AS n_sessions,
+                   ROUND(n0 * 1.0 / NULLIF(n0, 0), 6) AS conv_from_prev
+            FROM c
+            UNION ALL
+            SELECT CAST(1 AS BIGINT), '{FUNNEL_STAGES[1]}', CAST(n1 AS BIGINT),
+                   ROUND(n1 * 1.0 / NULLIF(n0, 0), 6) FROM c
+            UNION ALL
+            SELECT CAST(2 AS BIGINT), '{FUNNEL_STAGES[2]}', CAST(n2 AS BIGINT),
+                   ROUND(n2 * 1.0 / NULLIF(n1, 0), 6) FROM c
+            UNION ALL
+            SELECT CAST(3 AS BIGINT), '{FUNNEL_STAGES[3]}', CAST(n3 AS BIGINT),
+                   ROUND(n3 * 1.0 / NULLIF(n2, 0), 6) FROM c
+        """,
+        "q108_cluster_size_histogram": _CC_CORE + """
+            , csize AS (
+                SELECT cluster_id, COUNT(*) AS size
+                FROM comp GROUP BY 1
+            ),
+            b AS (
+                SELECT CASE WHEN size <= 2 THEN 2
+                            WHEN size <= 4 THEN 4
+                            WHEN size <= 8 THEN 8
+                            WHEN size <= 16 THEN 16
+                            WHEN size <= 32 THEN 32
+                            WHEN size <= 64 THEN 64
+                            WHEN size <= 128 THEN 128
+                            WHEN size <= 256 THEN 256
+                            WHEN size <= 512 THEN 512
+                            WHEN size <= 1024 THEN 1024
+                            ELSE 2048 END AS size_le,
+                       size
+                FROM csize
+            )
+            SELECT CAST(size_le AS BIGINT) AS size_le,
+                   CAST(COUNT(*) AS BIGINT) AS n_clusters,
+                   CAST(SUM(size) AS BIGINT) AS n_docs,
+                   CAST(SUM(size) - COUNT(*) AS BIGINT) AS n_removable
+            FROM b GROUP BY size_le
         """,
     }

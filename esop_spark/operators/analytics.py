@@ -400,7 +400,6 @@ def funnel(
     compared at microsecond precision so the strict-after test agrees with
     engines that keep native micros.
     """
-    n = len(stages)
     per_user = (
         events.select(
             F.col(user_col).alias("user_id"),
@@ -415,6 +414,16 @@ def funnel(
             ).alias("evs")
         )
     )
+    return _funnel_report(per_user, stages, "n_users")
+
+
+def _funnel_report(
+    grouped: DataFrame, stages: tuple[str, ...], count_name: str
+) -> DataFrame:
+    """Shared funnel tail: fold each group's sorted ``evs`` list through the
+    strict-after stage machine, then emit the n_stages-row report (the
+    previous-stage count is carried inline in the unpivot — no window)."""
+    n = len(stages)
     stage_arr = F.array(*[F.lit(s) for s in stages])
     init = F.struct(
         F.lit(0).cast("int").alias("k"), F.lit(-1).cast("bigint").alias("t")
@@ -434,7 +443,7 @@ def funnel(
             ),
         ).otherwise(acc)
 
-    reached = per_user.select(
+    reached = grouped.select(
         F.aggregate("evs", init, step)["k"].alias("reached")
     )
     counts = reached.agg(
@@ -445,21 +454,68 @@ def funnel(
             for i in range(n)
         ]
     )
-    # n_stages-row unpivot carrying the previous stage count inline — no
-    # window needed for the conversion ratio
     stack_args = ", ".join(
         f"{i}, '{stages[i]}', n{i}, n{max(i - 1, 0)}" for i in range(n)
     )
     return counts.selectExpr(
-        f"stack({n}, {stack_args}) AS (stage_idx, stage, n_users, prev_users)"
+        f"stack({n}, {stack_args}) AS (stage_idx, stage, cnt, prev_cnt)"
     ).select(
         F.col("stage_idx").cast("bigint").alias("stage_idx"),
         "stage",
-        "n_users",
+        F.col("cnt").alias(count_name),
         F.round(
-            F.col("n_users") / F.nullif(F.col("prev_users"), F.lit(0)), 6
+            F.col("cnt") / F.nullif(F.col("prev_cnt"), F.lit(0)), 6
         ).alias("conv_from_prev"),
     )
+
+
+def funnel_in_session(
+    events: DataFrame,
+    stages: tuple[str, ...],
+    gap_s: int = 1800,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+    type_col: str = "event_type",
+) -> DataFrame:
+    """Q107: funnel completion WITHIN a gap-based session — the product-
+    analytics variant where stages must all happen in one visit.
+
+    Session assignment is the q37 per-user lag+running-sum window; the
+    fold then groups by (user, session) — same single user-key shuffle
+    (the session window and the grouping co-partition on the user hash),
+    same strict-after stage machine, counts are sessions not users.
+    """
+    w = Window.partitionBy(user_col).orderBy(
+        F.col(ts_col).asc(), F.col(id_col).asc()
+    )
+    ts_ms = F.unix_millis(F.col(ts_col))
+    prev = F.lag(ts_ms).over(w)
+    new_session = F.when(
+        prev.isNull() | (ts_ms - prev > gap_s * 1000), F.lit(1)
+    ).otherwise(F.lit(0))
+    sess = events.withColumn(
+        "session_id",
+        F.sum(new_session)
+        .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        .cast("bigint"),
+    )
+    per_session = (
+        sess.select(
+            F.col(user_col).alias("user_id"),
+            "session_id",
+            F.unix_micros(F.col(ts_col)).alias("ts_us"),
+            F.col(id_col).alias("eid"),
+            F.col(type_col).alias("etype"),
+        )
+        .groupBy("user_id", "session_id")
+        .agg(
+            F.sort_array(
+                F.collect_list(F.struct("ts_us", "eid", "etype"))
+            ).alias("evs")
+        )
+    )
+    return _funnel_report(per_session, stages, "n_sessions")
 
 
 def cohort_retention(

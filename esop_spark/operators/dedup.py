@@ -1185,3 +1185,36 @@ def lsh_recall_audit(
             F.col("n_found") / F.nullif(F.col("n_candidates"), F.lit(0)), 6
         ).alias("precision"),
     )
+
+
+CLUSTER_HIST_EDGES = (2, 4, 8, 16, 32, 64, 128, 256, 512, 1024)
+
+
+def cluster_size_histogram(clusters: DataFrame) -> DataFrame:
+    """Size-bucketed histogram of near-dup clusters (input =
+    :func:`dedup_clusters` output) with the removable-doc mass per bucket —
+    the report a curator reads to see whether dup mass sits in a few huge
+    boilerplate clusters (dedup wins concentrated, cheap) or a long tail
+    of pairs (wins diffuse).
+
+    One aggregation to the cluster grain, then a CASE-chain bucket agg on
+    the ≤|edges|-row histogram grain. Integer bucket edges — no float log2
+    at boundaries, so any engine bins identically.
+    """
+    per = clusters.groupBy("cluster_id").agg(
+        F.max("cluster_size").alias("size")
+    )
+    bucket = F.lit(CLUSTER_HIST_EDGES[-1] * 2)
+    for b in reversed(CLUSTER_HIST_EDGES):
+        bucket = F.when(F.col("size") <= b, F.lit(b)).otherwise(bucket)
+    return (
+        per.select(bucket.cast("bigint").alias("size_le"), "size")
+        .groupBy("size_le")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_clusters"),
+            F.sum("size").cast("bigint").alias("n_docs"),
+            (F.sum("size") - F.count(F.lit(1)))
+            .cast("bigint")
+            .alias("n_removable"),
+        )
+    )

@@ -231,3 +231,57 @@ class TestScoreAuc:
         )
         r = text_ops.score_auc(docs).collect()[0]
         assert r["auc"] == pytest.approx(0.5, abs=1e-6)
+
+
+class TestFunnelInSession:
+    def test_cross_session_does_not_convert(self, spark):
+        # user 1: a then b within one session -> converts; user 2: a, then
+        # b only after a >30min gap (new session) -> b's session has no a
+        ev = _events(
+            spark,
+            [
+                (0, 1, "a"), (10, 1, "b"),
+                (0, 2, "a"), (4000, 2, "b"),
+            ],
+        )
+        rows = {
+            r["stage"]: r["n_sessions"]
+            for r in analytics.funnel_in_session(
+                ev, ("a", "b"), gap_s=1800
+            ).collect()
+        }
+        assert rows == {"a": 2, "b": 1}
+
+    def test_two_converting_sessions_same_user(self, spark):
+        ev = _events(
+            spark,
+            [(0, 1, "a"), (5, 1, "b"), (4000, 1, "a"), (4005, 1, "b")],
+        )
+        rows = {
+            r["stage"]: r["n_sessions"]
+            for r in analytics.funnel_in_session(
+                ev, ("a", "b"), gap_s=1800
+            ).collect()
+        }
+        assert rows == {"a": 2, "b": 2}
+
+
+class TestClusterSizeHistogram:
+    def test_bucketing_and_removable(self, spark):
+        from esop_spark.operators import dedup
+
+        clusters = spark.createDataFrame(
+            # cluster 1: size 2; cluster 2: size 5 (bucket 8)
+            [(10, 1, 2), (11, 1, 2)]
+            + [(20 + i, 2, 5) for i in range(5)],
+            "doc_id long, cluster_id long, cluster_size long",
+        )
+        out = {
+            r["size_le"]: r
+            for r in dedup.cluster_size_histogram(clusters).collect()
+        }
+        assert out[2]["n_clusters"] == 1
+        assert out[2]["n_removable"] == 1
+        assert out[8]["n_clusters"] == 1
+        assert out[8]["n_docs"] == 5
+        assert out[8]["n_removable"] == 4
