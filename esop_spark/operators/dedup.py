@@ -812,27 +812,38 @@ def bloom_build(keys: DataFrame, key_col: str, m_bits: int, k: int) -> list[int]
     keys themselves — an eval benchmark of 10M shingles at k=4 collects
     ≤ 40M ints once, and the broadcast bitmap itself is m/8 bytes
     (2^27 bits = 16 MB), the classic prefilter trade."""
-    pos = (
+    # OR the bits into 64-bit words IN SPARK (map-side partial bit_or),
+    # so the driver collects ≤ m/64 words — not the k·|keys| position
+    # list. (The former distinct+collect of raw positions moved ~50×
+    # more rows and was the dominant per-call cost of q81.)
+    packed = (
         keys.select(
             F.explode(F.array(*bloom_positions(F.col(key_col), m_bits, k))).alias("p")
         )
-        .distinct()
+        .select(
+            F.expr("CAST(p DIV 64 AS INT)").alias("w"),
+            F.expr("shiftleft(CAST(1 AS BIGINT), CAST(p % 64 AS INT))").alias("bit"),
+        )
+        .groupBy("w")
+        .agg(F.bit_or("bit").alias("word"))
         .collect()
     )
     words = [0] * ((m_bits + 63) // 64)
-    for row in pos:
-        p = row["p"]
-        words[p >> 6] |= 1 << (p & 63)
-    # Two's-complement to signed 64-bit so the words are valid LongType
-    # literals (bit tests are position-exact either way).
-    return [w - (1 << 64) if w >= (1 << 63) else w for w in words]
+    for row in packed:
+        # rows carry signed 64-bit words already — valid LongType literals
+        words[row["w"]] = row["word"]
+    return words
 
 
 def bloom_probe_col(col: Column, words: list[int], m_bits: int, k: int) -> Column:
     """True iff every one of the key's k positions is set in the broadcast
     bitmap — a pure JVM column expression (array literal + bit tests), so
     the prefilter fuses into the scan stage with zero shuffle."""
-    lit_words = F.array(*[F.lit(w) for w in words])
+    # ONE array<bigint> literal — F.array(*4096 F.lit()s) builds a
+    # CreateArray of 4096 child expressions (evaluated per row, and big
+    # enough to blow past codegen limits); F.lit(list) is a single folded
+    # Literal the bit tests index into.
+    lit_words = F.lit(words)
     checks = [
         (
             F.call_function(
@@ -878,11 +889,21 @@ def bloom_contamination(
         shingles(test, n, text_col, id_col).select("shingle").distinct()
     )
     words = bloom_build(eval_sh, "shingle", m_bits, k)
-    train_sh = (
-        shingles(train, n, text_col, id_col)
-        .select(id_col, "shingle")
-        .distinct()
-        .filter(bloom_probe_col(F.col("shingle"), words, m_bits, k))
+    # shingles() already explodes array_distinct, so (id, shingle) rows are
+    # unique by construction — the former .distinct() here re-shuffled the
+    # full corpus SHINGLE relation (54× the doc rows) for nothing. What it
+    # was accidentally buying was parallelism: with a single-split input
+    # the fused explode→probe→join stage runs in ONE task. Spread the
+    # narrow DOC rows instead when the scan has fewer partitions than the
+    # shuffle width — a shuffle of text rows, not exploded shingles. On a
+    # real multi-split corpus (splits ≫ cores) the repartition is skipped.
+    spark = train.sparkSession
+    target = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    spread = train
+    if train.rdd.getNumPartitions() < target:
+        spread = train.repartition(target, F.col(id_col))
+    train_sh = shingles(spread, n, text_col, id_col).filter(
+        bloom_probe_col(F.col("shingle"), words, m_bits, k)
     )
     matched = (
         train_sh.join(eval_sh, "shingle", "left_semi")
