@@ -1088,6 +1088,21 @@ def q108_cluster_size_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.cluster_size_histogram(dedup.dedup_clusters(pairs))
 
 
+def q109_incremental_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental statistics maintenance (analytics.mergeable_stats /
+    merge_stats / finalize_stats): per-source n_chars stats computed as two
+    independent halves (shipped corpus = even doc ids, delta = odd) and
+    MERGED — the oracle recomputes from scratch, proving merge == rescan."""
+    docs = _base(spark, sf_dir, "documents")
+    old = analytics.mergeable_stats(
+        docs.filter(F.col("doc_id") % 2 == 0), "source", "n_chars"
+    )
+    delta = analytics.mergeable_stats(
+        docs.filter(F.col("doc_id") % 2 == 1), "source", "n_chars"
+    )
+    return analytics.finalize_stats(analytics.merge_stats(old, delta))
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001: the backup-listing report."""
     return q01_list_backups(spark, "/root/testdata/sf0.001")
@@ -1203,6 +1218,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q106_score_auc": q106_score_auc,
         "q107_funnel_in_session": q107_funnel_in_session,
         "q108_cluster_size_histogram": q108_cluster_size_histogram,
+        "q109_incremental_stats": q109_incremental_stats,
     }
 
 
@@ -3603,5 +3619,16 @@ def oracle_sql() -> dict[str, str]:
                    CAST(SUM(size) AS BIGINT) AS n_docs,
                    CAST(SUM(size) - COUNT(*) AS BIGINT) AS n_removable
             FROM b GROUP BY size_le
+        """,
+        "q109_incremental_stats": """
+            SELECT source AS key,
+                   CAST(COUNT(*) AS BIGINT) AS n,
+                   ROUND(AVG(n_chars * 1.0), 6) AS mean,
+                   ROUND(SUM(n_chars * n_chars * 1.0) / COUNT(*)
+                         - AVG(n_chars * 1.0) * AVG(n_chars * 1.0), 6)
+                       AS variance,
+                   ROUND(MIN(n_chars * 1.0), 6) AS min_val,
+                   ROUND(MAX(n_chars * 1.0), 6) AS max_val
+            FROM documents GROUP BY source
         """,
     }

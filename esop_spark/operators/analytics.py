@@ -591,3 +591,53 @@ def event_transitions(
         "n",
         F.round(F.col("n") / F.sum("n").over(totals), 6).alias("prob"),
     )
+
+
+def mergeable_stats(
+    df: DataFrame, key_col: str, val_col: str
+) -> DataFrame:
+    """Per-key mergeable moment sketch: (n, sum, sumsq, min, max). The
+    associative-commutative form that makes incremental corpus statistics
+    possible — partial states from any partitioning (today's delta, last
+    release, per-shard) combine with :func:`merge_stats` into exactly the
+    stats a from-scratch pass would produce."""
+    v = F.col(val_col).cast("double")
+    return df.groupBy(F.col(key_col).alias("key")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum(v).alias("s"),
+        F.sum(v * v).alias("s2"),
+        F.min(v).alias("mn"),
+        F.max(v).alias("mx"),
+    )
+
+
+def merge_stats(a: DataFrame, b: DataFrame) -> DataFrame:
+    """Combine two mergeable-stat relations (union + one tiny key-grain
+    aggregation). This is incremental view maintenance for statistics: a
+    100 TB corpus re-stats only the DELTA, then merges — never rescans."""
+    return (
+        a.unionByName(b)
+        .groupBy("key")
+        .agg(
+            F.sum("n").cast("bigint").alias("n"),
+            F.sum("s").alias("s"),
+            F.sum("s2").alias("s2"),
+            F.min("mn").alias("mn"),
+            F.max("mx").alias("mx"),
+        )
+    )
+
+
+def finalize_stats(stats: DataFrame) -> DataFrame:
+    """Resolve the moment sketch to the human stats (mean, population
+    variance, min, max) — a pure projection on the key grain."""
+    n = F.col("n").cast("double")
+    mean = F.col("s") / n
+    return stats.select(
+        "key",
+        "n",
+        F.round(mean, 6).alias("mean"),
+        F.round(F.col("s2") / n - mean * mean, 6).alias("variance"),
+        F.round("mn", 6).alias("min_val"),
+        F.round("mx", 6).alias("max_val"),
+    )

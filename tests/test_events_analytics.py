@@ -285,3 +285,40 @@ class TestClusterSizeHistogram:
         assert out[8]["n_clusters"] == 1
         assert out[8]["n_docs"] == 5
         assert out[8]["n_removable"] == 4
+
+
+class TestMergeableStats:
+    def test_merge_equals_rescan(self, spark):
+        df = spark.createDataFrame(
+            [(i, f"s{i % 3}", float(i * i % 97)) for i in range(60)],
+            "doc_id long, source string, v double",
+        )
+        whole = analytics.finalize_stats(
+            analytics.mergeable_stats(df, "source", "v")
+        )
+        half_a = analytics.mergeable_stats(
+            df.filter(F.col("doc_id") % 2 == 0), "source", "v"
+        )
+        half_b = analytics.mergeable_stats(
+            df.filter(F.col("doc_id") % 2 == 1), "source", "v"
+        )
+        merged = analytics.finalize_stats(
+            analytics.merge_stats(half_a, half_b)
+        )
+        a = {r["key"]: r.asDict() for r in whole.collect()}
+        b = {r["key"]: r.asDict() for r in merged.collect()}
+        assert a == b
+
+    def test_key_only_in_delta(self, spark):
+        old = analytics.mergeable_stats(
+            spark.createDataFrame([(1, "a", 2.0)], "id long, k string, v double"),
+            "k", "v",
+        )
+        delta = analytics.mergeable_stats(
+            spark.createDataFrame([(2, "b", 5.0)], "id long, k string, v double"),
+            "k", "v",
+        )
+        out = {r["key"]: r for r in
+               analytics.finalize_stats(analytics.merge_stats(old, delta)).collect()}
+        assert out["b"]["n"] == 1 and out["b"]["mean"] == 5.0
+        assert out["a"]["n"] == 1
