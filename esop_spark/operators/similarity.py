@@ -1060,3 +1060,54 @@ def pca_top_component(
                 vec = [-y for y in vec]
             break
     return val, vec
+
+
+def save_ivf_index(
+    spark: "SparkSession",
+    centroids: list[tuple[int, list[float]]],
+    path: str,
+) -> None:
+    """Persist trained IVF centroids as parquet — index lifecycle for the
+    ANN paths (train once on a sample, reuse across sessions/queries
+    instead of re-running Lloyd's per job). Centroid relations are k rows;
+    the parquet is KB-sized regardless of corpus size."""
+    spark.createDataFrame(
+        [(int(c), [float(x) for x in v]) for c, v in centroids],
+        "cell int, centroid array<double>",
+    ).coalesce(1).write.mode("overwrite").parquet(path)
+
+
+def load_ivf_index(
+    spark: "SparkSession", path: str
+) -> list[tuple[int, list[float]]]:
+    """Load :func:`save_ivf_index` output back into the driver-side
+    centroid list the IVF operators consume (k rows — driver-trivial)."""
+    rows = spark.read.parquet(path).orderBy("cell").collect()
+    return [(r["cell"], list(r["centroid"])) for r in rows]
+
+
+def save_pq_codebooks(
+    spark: "SparkSession", books: list[list[list[float]]], path: str
+) -> None:
+    """Persist PQ codebooks (books[m][k][sub_dim]) as parquet rows
+    (subspace, code, centroid) — m·k rows total."""
+    rows = [
+        (m_i, k_i, [float(x) for x in vec])
+        for m_i, book in enumerate(books)
+        for k_i, vec in enumerate(book)
+    ]
+    spark.createDataFrame(
+        rows, "subspace int, code int, centroid array<double>"
+    ).coalesce(1).write.mode("overwrite").parquet(path)
+
+
+def load_pq_codebooks(
+    spark: "SparkSession", path: str
+) -> list[list[list[float]]]:
+    """Load :func:`save_pq_codebooks` output back into books[m][k][...]."""
+    rows = spark.read.parquet(path).orderBy("subspace", "code").collect()
+    m = max(r["subspace"] for r in rows) + 1
+    books: list[list[list[float]]] = [[] for _ in range(m)]
+    for r in rows:
+        books[r["subspace"]].append(list(r["centroid"]))
+    return books

@@ -165,3 +165,28 @@ def test_ivfpq_coarse_recall(spark):
     for q in (0, 100, 200, 300):
         assert len(by_q[q]) == 10
         assert all(n // 100 == q // 100 for n in by_q[q]), (q, by_q[q])
+
+
+def test_index_persistence_round_trip(spark, tmp_path):
+    import pytest
+
+    from esop_spark.operators import similarity as sim
+
+    emb = spark.createDataFrame(
+        [(i, [float((i * 7 + d) % 13) for d in range(8)]) for i in range(40)],
+        "vec_id long, embedding array<float>",
+    )
+    cents = sim.kmeans_centroids(emb, n_centroids=4, max_iter=3)
+    ivf_path = str(tmp_path / "ivf_idx")
+    sim.save_ivf_index(spark, cents, ivf_path)
+    loaded = sim.load_ivf_index(spark, ivf_path)
+    assert loaded == [(c, [float(x) for x in v]) for c, v in sorted(cents)]
+
+    books = sim.pq_train(emb, m=4, k=4, max_iter=2)
+    pq_path = str(tmp_path / "pq_idx")
+    sim.save_pq_codebooks(spark, books, pq_path)
+    books2 = sim.load_pq_codebooks(spark, pq_path)
+    assert len(books2) == len(books)
+    for a, b in zip(books, books2):
+        for va, vb in zip(a, b):
+            assert va == pytest.approx(vb, abs=1e-12)
