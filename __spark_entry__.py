@@ -2689,7 +2689,8 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT CAST(center_id AS BIGINT) AS center_id,
                    CAST(COUNT(*) AS BIGINT) AS n_members,
-                   ROUND(AVG(cos), 6) AS mean_cos,
+                   ROUND(SUM(CAST(ROUND(cos * 1000000) AS BIGINT)) * 1.0
+                         / COUNT(*) / 1000000.0, 6) AS mean_cos,
                    CAST(MIN(vec_id) AS BIGINT) AS min_member
             FROM best WHERE rn = 1 GROUP BY 1
         """,
@@ -2980,7 +2981,9 @@ def oracle_sql() -> dict[str, str]:
                 FROM e, unnest(range(1, len(e.v) + 1)) t(i)
             ),
             cent AS (
-                SELECT clabel, dim, ROUND(AVG(x), 6) AS c
+                SELECT clabel, dim,
+                       ROUND(SUM(CAST(ROUND(x * 1000000000) AS BIGINT)) * 1.0
+                             / COUNT(*) / 1000000000.0, 6) AS c
                 FROM dims GROUP BY 1, 2
             ),
             cv AS (
@@ -3006,7 +3009,8 @@ def oracle_sql() -> dict[str, str]:
                         AS BIGINT) AS n_correct,
                    ROUND(SUM(CASE WHEN pred_label = label THEN 1 ELSE 0 END)
                          * 1.0 / COUNT(*), 6) AS purity,
-                   ROUND(AVG(cos), 6) AS mean_cos
+                   ROUND(SUM(CAST(ROUND(cos * 1000000) AS BIGINT)) * 1.0
+                         / COUNT(*) / 1000000.0, 6) AS mean_cos
             FROM best GROUP BY label
         """,
         "q86_slice_overlap": """

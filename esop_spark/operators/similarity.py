@@ -555,11 +555,16 @@ def kcenter_assign(
         (-F.col("b.nc")).cast("bigint").alias("center_id"),
         F.col("b.cos").alias("cos"),
     )
+    # exact micro-unit mean (see centroid_purity): order-independent
+    # because the 6dp-rounded cos values sum as integers
+    cos_micro = F.round(F.col("cos") * 1e6).cast("bigint")
     return (
         best.groupBy("center_id")
         .agg(
             F.count(F.lit(1)).cast("bigint").alias("n_members"),
-            F.round(F.avg("cos"), 6).alias("mean_cos"),
+            F.round(
+                F.sum(cos_micro) / F.count(F.lit(1)) / F.lit(1000000.0), 6
+            ).alias("mean_cos"),
             F.min(id_col).cast("bigint").alias("min_member"),
         )
     )
@@ -914,9 +919,19 @@ def centroid_purity(
         F.col(label_col).alias("clabel"),
         F.posexplode(_vec_double(vec_col)).alias("dim", "x"),
     )
+    # centroid components summed in exact integer NANO-units (x ≤ ~10, so
+    # Σ round(x·1e9) stays < 2^63): raw-double AVG is summation-order
+    # dependent at the last ulp, and a mean sitting on a .5e-7 rounding
+    # tie then flips the 6th decimal between parallel runs — the q85
+    # failure mode. Integer sums are order-independent.
+    x_nano = F.round(F.col("x") * 1e9).cast("bigint")
     cents = (
         dims.groupBy("clabel", "dim")
-        .agg(F.round(F.avg("x"), 6).alias("c"))
+        .agg(
+            F.round(
+                F.sum(x_nano) / F.count(F.lit(1)) / F.lit(1e9), 6
+            ).alias("c")
+        )
         .groupBy("clabel")
         .agg(
             F.transform(
@@ -945,6 +960,12 @@ def centroid_purity(
         (-F.col("b.nc")).alias("pred_label"),
         F.col("b.cos").alias("cos"),
     )
+    # mean_cos via EXACT integer micro-units: the per-row cos is already
+    # 6dp, so Σ(cos·1e6) is an integer — summation order can no longer
+    # move the average across a rounding boundary (F.avg over doubles
+    # measurably flipped the 6th decimal between parallel runs when the
+    # true mean sat exactly on a .5e-7 tie).
+    cos_micro = F.round(F.col("cos") * 1e6).cast("bigint")
     return (
         best.groupBy("true_label")
         .agg(
@@ -952,7 +973,9 @@ def centroid_purity(
             F.sum(
                 F.when(F.col("pred_label") == F.col("true_label"), 1).otherwise(0)
             ).cast("bigint").alias("n_correct"),
-            F.round(F.avg("cos"), 6).alias("mean_cos"),
+            F.round(
+                F.sum(cos_micro) / F.count(F.lit(1)) / F.lit(1000000.0), 6
+            ).alias("mean_cos"),
         )
         .select(
             F.col("true_label").cast("bigint").alias("label"),
