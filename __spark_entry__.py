@@ -1103,6 +1103,16 @@ def q109_incremental_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return analytics.finalize_stats(analytics.merge_stats(old, delta))
 
 
+PMC_EPS = 100.0
+
+
+def q110_pmc_compression(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Error-bounded piecewise-constant compression census over the event
+    value streams (analytics.pmc_segments, ModelarDB-style PMC-MR greedy;
+    oracle = per-user sequential recursion in a recursive CTE)."""
+    return analytics.pmc_segments(_base(spark, sf_dir, "events"), eps=PMC_EPS)
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001: the backup-listing report."""
     return q01_list_backups(spark, "/root/testdata/sf0.001")
@@ -1219,6 +1229,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q107_funnel_in_session": q107_funnel_in_session,
         "q108_cluster_size_histogram": q108_cluster_size_histogram,
         "q109_incremental_stats": q109_incremental_stats,
+        "q110_pmc_compression": q110_pmc_compression,
     }
 
 
@@ -3634,5 +3645,36 @@ def oracle_sql() -> dict[str, str]:
                    ROUND(MIN(n_chars * 1.0), 6) AS min_val,
                    ROUND(MAX(n_chars * 1.0), 6) AS max_val
             FROM documents GROUP BY source
+        """,
+        "q110_pmc_compression": f"""
+            WITH RECURSIVE ev AS (
+                SELECT user_id, value,
+                       ROW_NUMBER() OVER (PARTITION BY user_id
+                           ORDER BY ts ASC, event_id ASC) AS idx
+                FROM events
+            ),
+            steps AS (
+                SELECT user_id, 1 AS idx, 1 AS segs, value AS mn, value AS mx
+                FROM ev WHERE idx = 1
+                UNION ALL
+                SELECT s.user_id, e.idx,
+                       CASE WHEN greatest(s.mx, e.value)
+                                 - least(s.mn, e.value) <= {2 * PMC_EPS}
+                            THEN s.segs ELSE s.segs + 1 END,
+                       CASE WHEN greatest(s.mx, e.value)
+                                 - least(s.mn, e.value) <= {2 * PMC_EPS}
+                            THEN least(s.mn, e.value) ELSE e.value END,
+                       CASE WHEN greatest(s.mx, e.value)
+                                 - least(s.mn, e.value) <= {2 * PMC_EPS}
+                            THEN greatest(s.mx, e.value) ELSE e.value END
+                FROM steps s JOIN ev e
+                  ON e.user_id = s.user_id AND e.idx = s.idx + 1
+            )
+            SELECT user_id,
+                   CAST(MAX(idx) AS BIGINT) AS n_points,
+                   CAST(arg_max(segs, idx) AS BIGINT) AS n_segments,
+                   ROUND(MAX(idx) * 1.0 / arg_max(segs, idx), 6)
+                       AS points_per_segment
+            FROM steps GROUP BY user_id
         """,
     }

@@ -641,3 +641,74 @@ def finalize_stats(stats: DataFrame) -> DataFrame:
         F.round("mn", 6).alias("min_val"),
         F.round("mx", 6).alias("max_val"),
     )
+
+
+def pmc_segments(
+    events: DataFrame,
+    eps: float,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+    val_col: str = "value",
+) -> DataFrame:
+    """Q110: error-bounded piecewise-constant compression census (the
+    PMC-MR greedy from model-based time-series storage, ModelarDB,
+    VLDB'18): walking each user's value stream in time order, a segment
+    extends while (running max − running min) ≤ 2ε — representing the
+    segment by its midpoint then guarantees |x − rep| ≤ ε for every
+    point. Reports per-series how many segments the stream compresses to.
+
+    Same single-shuffle fold skeleton as :func:`funnel`: sort the per-user
+    struct list, fold JVM-side with ``F.aggregate`` (state = segment
+    count + running min/max). Sequential-greedy semantics cost one pass;
+    state is O(1) per series.
+    """
+    per_user = (
+        events.select(
+            F.col(user_col).alias("user_id"),
+            F.unix_micros(F.col(ts_col)).alias("ts_us"),
+            F.col(id_col).alias("eid"),
+            F.col(val_col).cast("double").alias("v"),
+        )
+        .groupBy("user_id")
+        .agg(
+            F.sort_array(
+                F.collect_list(F.struct("ts_us", "eid", "v"))
+            ).alias("evs")
+        )
+    )
+    init = F.struct(
+        F.lit(0).cast("int").alias("segs"),
+        F.lit(0.0).alias("mn"),
+        F.lit(0.0).alias("mx"),
+    )
+    width = 2.0 * eps
+
+    def step(acc: Column, ev: Column) -> Column:
+        nmn = F.least(acc["mn"], ev["v"])
+        nmx = F.greatest(acc["mx"], ev["v"])
+        fresh = F.struct(
+            (acc["segs"] + 1).cast("int").alias("segs"),
+            ev["v"].alias("mn"),
+            ev["v"].alias("mx"),
+        )
+        extend = F.struct(
+            acc["segs"].alias("segs"), nmn.alias("mn"), nmx.alias("mx")
+        )
+        return F.when(acc["segs"] == 0, fresh).otherwise(
+            F.when(nmx - nmn <= width, extend).otherwise(fresh)
+        )
+
+    folded = per_user.select(
+        "user_id",
+        F.size("evs").cast("bigint").alias("n_points"),
+        F.aggregate("evs", init, step)["segs"].cast("bigint").alias("n_segments"),
+    )
+    return folded.select(
+        "user_id",
+        "n_points",
+        "n_segments",
+        F.round(F.col("n_points") / F.col("n_segments"), 6).alias(
+            "points_per_segment"
+        ),
+    )

@@ -322,3 +322,28 @@ class TestMergeableStats:
                analytics.finalize_stats(analytics.merge_stats(old, delta)).collect()}
         assert out["b"]["n"] == 1 and out["b"]["mean"] == 5.0
         assert out["a"]["n"] == 1
+
+
+class TestPmcSegments:
+    def test_known_segmentation(self, spark):
+        # values 0,1,2 stay in one segment at eps=2 (width 4); the jump to
+        # 100 opens a second; 101 extends it
+        ev = spark.createDataFrame(
+            [(i, _ts(i), 1, "e", v, "") for i, v in
+             enumerate([0.0, 1.0, 2.0, 100.0, 101.0])],
+            "event_id long, ts timestamp, user_id long, event_type string, "
+            "value double, props string",
+        )
+        r = analytics.pmc_segments(ev, eps=2.0).collect()[0]
+        assert r["n_points"] == 5
+        assert r["n_segments"] == 2
+        assert r["points_per_segment"] == 2.5
+
+    def test_eps_zero_splits_on_any_change(self, spark):
+        ev = spark.createDataFrame(
+            [(i, _ts(i), 1, "e", float(i % 2), "") for i in range(6)],
+            "event_id long, ts timestamp, user_id long, event_type string, "
+            "value double, props string",
+        )
+        r = analytics.pmc_segments(ev, eps=0.0).collect()[0]
+        assert r["n_segments"] == 6
