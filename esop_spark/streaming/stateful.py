@@ -98,3 +98,53 @@ def funnel_stages_stream(events: DataFrame, stages: tuple[str, ...]) -> DataFram
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+PMC_OUTPUT = "user_id bigint, n_points bigint, n_segments bigint"
+PMC_STATE = "segs bigint, mn double, mx double, n bigint"
+
+
+def pmc_segments_stream(events: DataFrame, eps: float) -> DataFrame:
+    """Streaming counterpart of ``analytics.pmc_segments``: the
+    error-bounded piecewise-constant segment count maintained as per-key
+    state over an event stream — model-based compression as a continuous
+    process instead of a batch census.
+
+    Same ordering contract as the streaming funnel: in-batch events are
+    replayed in (ts, event_id) order; across batches state advances in
+    arrival order. Emits the series' running (points, segments) each
+    update.
+    """
+    width = 2.0 * eps
+
+    def fn(
+        key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        segs, mn, mx, n = state.get if state.exists else (0, 0.0, 0.0, 0)
+        for pdf in pdfs:
+            pdf = pdf.sort_values(["ts", "event_id"])
+            for v in pdf["value"]:
+                v = float(v)
+                n += 1
+                if segs == 0:
+                    segs, mn, mx = 1, v, v
+                elif max(mx, v) - min(mn, v) <= width:
+                    mn, mx = min(mn, v), max(mx, v)
+                else:
+                    segs, mn, mx = segs + 1, v, v
+        state.update((segs, mn, mx, n))
+        yield pd.DataFrame(
+            {
+                "user_id": [key[0]],
+                "n_points": [n],
+                "n_segments": [segs],
+            }
+        )
+
+    return events.groupBy("user_id").applyInPandasWithState(
+        fn,
+        outputStructType=PMC_OUTPUT,
+        stateStructType=PMC_STATE,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -95,3 +95,49 @@ def test_streaming_funnel_advances_across_restarts(spark, tmp_path):
     got2 = _run_funnel(spark, src, ckpt, ("a", "b"))
     assert got2[1] == 2
     assert got2[2] == 1
+
+
+def test_streaming_pmc_matches_batch_semantics(spark, tmp_path):
+    import datetime as dt
+
+    from esop_spark.streaming.stateful import pmc_segments_stream
+
+    src = str(tmp_path / "psrc")
+    ckpt = str(tmp_path / "pckpt")
+    os.makedirs(src)
+
+    def ts(s):
+        return dt.datetime(2024, 1, 1) + dt.timedelta(seconds=s)
+
+    schema = "event_id bigint, ts timestamp, user_id bigint, value double"
+    rows: list = []
+
+    def sink(batch_df, _bid):
+        rows.extend(batch_df.collect())
+
+    def run():
+        stream = spark.readStream.schema(schema).parquet(src)
+        q = (
+            pmc_segments_stream(stream, eps=2.0)
+            .writeStream.foreachBatch(sink)
+            .outputMode("update")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    # batch 1: values 0,1,2 -> one segment
+    spark.createDataFrame(
+        [(i, ts(i), 1, float(i)) for i in range(3)], schema
+    ).coalesce(1).write.mode("append").parquet(src)
+    run()
+    assert {(r["user_id"], r["n_points"], r["n_segments"]) for r in rows} == {(1, 3, 1)}
+
+    # restart: jump to 100 then 101 -> second segment, state carried over
+    rows.clear()
+    spark.createDataFrame(
+        [(3, ts(10), 1, 100.0), (4, ts(11), 1, 101.0)], schema
+    ).coalesce(1).write.mode("append").parquet(src)
+    run()
+    assert {(r["user_id"], r["n_points"], r["n_segments"]) for r in rows} == {(1, 5, 2)}
