@@ -1113,6 +1113,23 @@ def q110_pmc_compression(spark: SparkSession, sf_dir: str) -> DataFrame:
     return analytics.pmc_segments(_base(spark, sf_dir, "events"), eps=PMC_EPS)
 
 
+ANOMALY_Z = 2.0
+
+
+def q111_window_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Volume-anomaly windows (analytics.window_anomalies): hourly counts
+    per event type z-scored against the type's own window distribution."""
+    return analytics.window_anomalies(
+        _base(spark, sf_dir, "events"), width_s=3600, z_tau=ANOMALY_Z
+    )
+
+
+def q112_heaps_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heaps'-law growth fit over per-source (token mass, vocabulary)
+    points (text_ops.heaps_fit) — vocabulary-growth health diagnostic."""
+    return text_ops.heaps_fit(_base(spark, sf_dir, "documents"))
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001: the backup-listing report."""
     return q01_list_backups(spark, "/root/testdata/sf0.001")
@@ -1230,6 +1247,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q108_cluster_size_histogram": q108_cluster_size_histogram,
         "q109_incremental_stats": q109_incremental_stats,
         "q110_pmc_compression": q110_pmc_compression,
+        "q111_window_anomalies": q111_window_anomalies,
+        "q112_heaps_fit": q112_heaps_fit,
     }
 
 
@@ -3676,5 +3695,61 @@ def oracle_sql() -> dict[str, str]:
                    ROUND(MAX(idx) * 1.0 / arg_max(segs, idx), 6)
                        AS points_per_segment
             FROM steps GROUP BY user_id
+        """,
+        "q111_window_anomalies": f"""
+            WITH counts AS (
+                SELECT (epoch_ms(ts) // 1000 // 3600) * 3600
+                           AS window_start_epoch,
+                       event_type,
+                       CAST(COUNT(*) AS BIGINT) AS n
+                FROM events GROUP BY 1, 2
+            ),
+            stats AS (
+                SELECT event_type,
+                       COUNT(*) AS n_windows,
+                       SUM(n) AS s,
+                       SUM(n * n) AS s2
+                FROM counts GROUP BY 1
+            )
+            SELECT c.window_start_epoch, c.event_type, c.n,
+                   ROUND((c.n - s.s * 1.0 / s.n_windows)
+                         / sqrt(s.s2 * 1.0 / s.n_windows
+                                - (s.s * 1.0 / s.n_windows)
+                                  * (s.s * 1.0 / s.n_windows)), 6) AS z
+            FROM counts c JOIN stats s ON c.event_type = s.event_type
+            WHERE abs((c.n - s.s * 1.0 / s.n_windows)
+                      / sqrt(s.s2 * 1.0 / s.n_windows
+                             - (s.s * 1.0 / s.n_windows)
+                               * (s.s * 1.0 / s.n_windows))) >= {ANOMALY_Z}
+        """,
+        "q112_heaps_fit": """
+            WITH tok AS (
+                SELECT source AS stratum, unnest(string_split(text, ' ')) AS tok
+                FROM documents
+            ),
+            per AS (
+                SELECT stratum,
+                       CAST(SUM(c) AS DOUBLE) AS n_tokens,
+                       CAST(COUNT(*) AS DOUBLE) AS vocab
+                FROM (SELECT stratum, tok, COUNT(*) AS c
+                      FROM tok GROUP BY 1, 2)
+                GROUP BY stratum
+            ),
+            fit AS (
+                SELECT CAST(COUNT(*) AS BIGINT) AS n_strata,
+                       SUM(ln(n_tokens)) AS sx,
+                       SUM(ln(vocab)) AS sy,
+                       SUM(ln(n_tokens) * ln(vocab)) AS sxy,
+                       SUM(ln(n_tokens) * ln(n_tokens)) AS sxx
+                FROM per
+            )
+            SELECT n_strata,
+                   ROUND((sxy - sx * sy / n_strata)
+                         / (sxx - sx * sx / n_strata), 6) AS beta,
+                   ROUND(exp(sy / n_strata
+                             - (sxy - sx * sy / n_strata)
+                               / (sxx - sx * sx / n_strata)
+                               * (sx / n_strata)), 6) AS k
+            FROM fit
         """,
     }

@@ -712,3 +712,45 @@ def pmc_segments(
             "points_per_segment"
         ),
     )
+
+
+def window_anomalies(
+    events: DataFrame,
+    width_s: int = 3600,
+    z_tau: float = 2.0,
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+) -> DataFrame:
+    """Q111: volume-anomaly detection — tumbling-window event counts per
+    type, z-scored against that type's own across-window distribution;
+    windows with |z| ≥ ``z_tau`` are flagged.
+
+    Window counts are one corpus aggregation; the per-type mean/std come
+    from a second aggregation over the WINDOW-GRAIN relation (windows ×
+    types rows — tiny), broadcast back. Integer counts keep every sum
+    exact, so the z-scores are order-independent cross-engine.
+    """
+    bucket = F.expr(f"(unix_timestamp({ts_col}) div {width_s}) * {width_s}")
+    counts = (
+        events.withColumn("window_start_epoch", bucket)
+        .groupBy("window_start_epoch", type_col)
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    )
+    stats = counts.groupBy(type_col).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_windows"),
+        F.sum("n").alias("s"),
+        F.sum(F.col("n") * F.col("n")).alias("s2"),
+    )
+    joined = counts.join(F.broadcast(stats), type_col)
+    mean = F.col("s") / F.col("n_windows")
+    var = F.col("s2") / F.col("n_windows") - mean * mean
+    z = (F.col("n") - mean) / F.sqrt(var)
+    return (
+        joined.select(
+            "window_start_epoch",
+            F.col(type_col).alias("event_type"),
+            "n",
+            F.round(z, 6).alias("z"),
+        )
+        .filter(F.abs(F.col("z")) >= z_tau)
+    )

@@ -1762,3 +1762,51 @@ def score_auc(
             6,
         ).alias("auc"),
     )
+
+
+def heaps_fit(
+    documents: DataFrame,
+    stratum_col: str = "source",
+    text_col: str = "text",
+) -> DataFrame:
+    """Q112: Heaps'-law fit V = K·N^beta over per-stratum (token mass,
+    vocabulary) points — the growth-curve companion to the Zipf slope
+    (q88): a corpus whose vocabulary growth departs from the fitted
+    exponent signals template/boilerplate flooding or synthetic text.
+
+    Two-level agg to the (stratum, token) grain then the stratum grain
+    (≤|strata| points); the least-squares fold runs on those points in
+    one tiny aggregation. Output: one row (n_strata, beta, k).
+    """
+    tok = documents.select(
+        F.col(stratum_col).alias("stratum"),
+        F.explode(tokens(text_col)).alias("tok"),
+    )
+    per = (
+        tok.groupBy("stratum", "tok")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .groupBy("stratum")
+        .agg(
+            F.sum("c").cast("double").alias("n_tokens"),
+            F.count(F.lit(1)).cast("double").alias("vocab"),
+        )
+    )
+    x = F.log("n_tokens")
+    y = F.log("vocab")
+    fit = per.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_strata"),
+        F.sum(x).alias("sx"),
+        F.sum(y).alias("sy"),
+        F.sum(x * y).alias("sxy"),
+        F.sum(x * x).alias("sxx"),
+    )
+    n = F.col("n_strata").cast("double")
+    beta = (F.col("sxy") - F.col("sx") * F.col("sy") / n) / (
+        F.col("sxx") - F.col("sx") * F.col("sx") / n
+    )
+    intercept = F.col("sy") / n - beta * (F.col("sx") / n)
+    return fit.select(
+        "n_strata",
+        F.round(beta, 6).alias("beta"),
+        F.round(F.exp(intercept), 6).alias("k"),
+    )

@@ -347,3 +347,40 @@ class TestPmcSegments:
         )
         r = analytics.pmc_segments(ev, eps=0.0).collect()[0]
         assert r["n_segments"] == 6
+
+
+class TestWindowAnomalies:
+    def test_flags_spike_window(self, spark):
+        # 10 quiet hours with 2 events each, one hour with 40 -> flagged
+        rows = []
+        eid = 0
+        for h in range(10):
+            for j in range(2):
+                rows.append((3600 * h + j, 1, "click"))
+                eid += 1
+        for j in range(40):
+            rows.append((3600 * 10 + j, 1, "click"))
+        ev = _events(spark, [(s, u, t) for s, u, t in rows])
+        out = analytics.window_anomalies(ev, width_s=3600, z_tau=2.0).collect()
+        assert len(out) == 1
+        assert out[0]["n"] == 40
+        assert out[0]["z"] > 2.0
+
+
+class TestHeapsFit:
+    def test_power_law_recovered(self, spark):
+        # strata with V = N^0.5 exactly: N tokens with V distinct values,
+        # each repeated N/V times
+        rows = []
+        did = 0
+        for n, v in [(16, 4), (64, 8), (256, 16)]:
+            words = []
+            for i in range(v):
+                words += [f"s{n}_w{i}"] * (n // v)
+            rows.append((did, " ".join(words), f"src{n}"))
+            did += 1
+        docs = spark.createDataFrame(rows, "doc_id long, text string, source string")
+        r = text_ops.heaps_fit(docs).collect()[0]
+        assert r["n_strata"] == 3
+        assert r["beta"] == pytest.approx(0.5, abs=1e-6)
+        assert r["k"] == pytest.approx(1.0, abs=1e-4)
