@@ -84,8 +84,14 @@ BENCH_QUERIES = [
     "q100_char_entropy",
     "q101_padding_waste",
     "q102_langid_confusion",
+    "q103_mixture_ess",
     "q105_bpe_merge_step",
     "q106_score_auc",
+    "q107_funnel_in_session",
+    "q109_incremental_stats",
+    "q110_pmc_compression",
+    "q111_window_anomalies",
+    "q112_heaps_fit",
 ]
 
 
