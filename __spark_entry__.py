@@ -1130,6 +1130,24 @@ def q112_heaps_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text_ops.heaps_fit(_base(spark, sf_dir, "documents"))
 
 
+COOC_TOP_K = 15
+
+
+def q113_interevent_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inter-event latency percentiles per event type
+    (analytics.interevent_gaps): per-user lag window, exact interpolated
+    percentiles on the |types| grain."""
+    return analytics.interevent_gaps(_base(spark, sf_dir, "events"))
+
+
+def q114_session_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket support of event-type pairs within gap-based sessions
+    (analytics.session_cooccurrence)."""
+    return analytics.session_cooccurrence(
+        _base(spark, sf_dir, "events"), gap_s=SESSION_GAP_S, top_k=COOC_TOP_K
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001: the backup-listing report."""
     return q01_list_backups(spark, "/root/testdata/sf0.001")
@@ -1249,6 +1267,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q110_pmc_compression": q110_pmc_compression,
         "q111_window_anomalies": q111_window_anomalies,
         "q112_heaps_fit": q112_heaps_fit,
+        "q113_interevent_gaps": q113_interevent_gaps,
+        "q114_session_cooccurrence": q114_session_cooccurrence,
     }
 
 
@@ -3751,5 +3771,63 @@ def oracle_sql() -> dict[str, str]:
                                / (sxx - sx * sx / n_strata)
                                * (sx / n_strata)), 6) AS k
             FROM fit
+        """,
+        "q113_interevent_gaps": """
+            WITH gaps AS (
+                SELECT event_type,
+                       epoch_ms(ts) - lag(epoch_ms(ts)) OVER (
+                           PARTITION BY user_id
+                           ORDER BY ts ASC, event_id ASC) AS gap_ms
+                FROM events
+            )
+            SELECT event_type,
+                   CAST(COUNT(*) AS BIGINT) AS n_gaps,
+                   ROUND(quantile_cont(gap_ms, 0.5), 4) AS p50_ms,
+                   ROUND(quantile_cont(gap_ms, 0.9), 4) AS p90_ms,
+                   ROUND(quantile_cont(gap_ms, 0.99), 4) AS p99_ms
+            FROM gaps WHERE gap_ms IS NOT NULL
+            GROUP BY event_type
+        """,
+        "q114_session_cooccurrence": f"""
+            WITH marked AS (
+                SELECT user_id, event_id, event_type, epoch_ms(ts) AS ts_ms,
+                       CASE WHEN lag(epoch_ms(ts)) OVER w IS NULL
+                              OR epoch_ms(ts) - lag(epoch_ms(ts)) OVER w
+                                 > {1800 * 1000}
+                            THEN 1 ELSE 0 END AS new_session
+                FROM events
+                WINDOW w AS (PARTITION BY user_id
+                             ORDER BY ts ASC, event_id ASC)
+            ),
+            sess AS (
+                SELECT user_id, event_type,
+                       CAST(SUM(new_session) OVER (
+                           PARTITION BY user_id
+                           ORDER BY ts_ms ASC, event_id ASC
+                           ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
+                FROM marked
+            ),
+            baskets AS (
+                SELECT user_id, session_id, event_type
+                FROM sess GROUP BY 1, 2, 3
+            ),
+            nb AS (
+                SELECT COUNT(*) AS n_baskets
+                FROM (SELECT DISTINCT user_id, session_id FROM sess)
+            ),
+            pairs AS (
+                SELECT a.user_id, a.session_id,
+                       a.event_type AS type_a, b.event_type AS type_b
+                FROM baskets a JOIN baskets b
+                  ON a.user_id = b.user_id AND a.session_id = b.session_id
+                 AND a.event_type < b.event_type
+            )
+            SELECT type_a, type_b,
+                   CAST(COUNT(*) AS BIGINT) AS n_sessions,
+                   ROUND(COUNT(*) * 1.0 / (SELECT n_baskets FROM nb), 6)
+                       AS support
+            FROM pairs GROUP BY 1, 2
+            ORDER BY n_sessions DESC, type_a ASC, type_b ASC
+            LIMIT {COOC_TOP_K}
         """,
     }

@@ -754,3 +754,108 @@ def window_anomalies(
         )
         .filter(F.abs(F.col("z")) >= z_tau)
     )
+
+
+def interevent_gaps(
+    events: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+    type_col: str = "event_type",
+) -> DataFrame:
+    """Q113: inter-event latency distribution — per event type, exact
+    interpolated percentiles of the gap (ms) since the user's previous
+    event of any type.
+
+    One per-user lag window over the user shuffle, then a percentile
+    aggregation on the |types| grain. Exact percentiles need the per-type
+    value multiset on one reducer — |types| keys spread across reducers;
+    for wide-cardinality keys swap `percentile` for the
+    `approx_percentile` sketch (same call shape, mergeable).
+    """
+    w = Window.partitionBy(user_col).orderBy(
+        F.col(ts_col).asc(), F.col(id_col).asc()
+    )
+    ts_ms = F.unix_millis(F.col(ts_col))
+    gaps = events.select(
+        F.col(type_col).alias("event_type"),
+        (ts_ms - F.lag(ts_ms).over(w)).alias("gap_ms"),
+    ).filter(F.col("gap_ms").isNotNull())
+    return gaps.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_gaps"),
+        F.round(F.expr("percentile(gap_ms, 0.5)"), 4).alias("p50_ms"),
+        F.round(F.expr("percentile(gap_ms, 0.9)"), 4).alias("p90_ms"),
+        F.round(F.expr("percentile(gap_ms, 0.99)"), 4).alias("p99_ms"),
+    )
+
+
+def session_cooccurrence(
+    events: DataFrame,
+    gap_s: int = 1800,
+    top_k: int = 20,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+    type_col: str = "event_type",
+) -> DataFrame:
+    """Q114: market-basket support counting over sessions — for every
+    unordered event-type pair, in how many (user, session) baskets both
+    occur, plus the support fraction. The association-rule-mining
+    primitive, with gap-based sessions as baskets.
+
+    Session window + distinct (session, type) agg share one user-key
+    shuffle; the pair explosion happens on the per-session DISTINCT type
+    list (≤|types| long), so candidate volume is sessions·|types|², never
+    corpus-sized. Top-k by (support desc, pair asc) is a TakeOrdered.
+    """
+    w = Window.partitionBy(user_col).orderBy(
+        F.col(ts_col).asc(), F.col(id_col).asc()
+    )
+    ts_ms = F.unix_millis(F.col(ts_col))
+    prev = F.lag(ts_ms).over(w)
+    new_session = F.when(
+        prev.isNull() | (ts_ms - prev > gap_s * 1000), F.lit(1)
+    ).otherwise(F.lit(0))
+    sess = events.withColumn(
+        "session_id",
+        F.sum(new_session)
+        .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        .cast("bigint"),
+    )
+    baskets = (
+        sess.groupBy(user_col, "session_id")
+        .agg(F.array_sort(F.collect_set(type_col)).alias("types"))
+    )
+    n_baskets = baskets.select(
+        F.count(F.lit(1)).cast("bigint").alias("n_baskets")
+    )
+    pairs_arr = F.filter(
+        F.flatten(
+            F.transform(
+                F.col("types"),
+                lambda a: F.transform(
+                    F.col("types"),
+                    lambda b: F.when(a < b, F.struct(a.alias("ta"), b.alias("tb"))),
+                ),
+            )
+        ),
+        lambda s: s.isNotNull(),
+    )
+    support = (
+        baskets.select(F.explode(pairs_arr).alias("p"))
+        .groupBy(F.col("p.ta").alias("type_a"), F.col("p.tb").alias("type_b"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_sessions"))
+    )
+    return (
+        support.crossJoin(F.broadcast(n_baskets))
+        .select(
+            "type_a",
+            "type_b",
+            "n_sessions",
+            F.round(F.col("n_sessions") / F.col("n_baskets"), 6).alias(
+                "support"
+            ),
+        )
+        .orderBy(F.desc("n_sessions"), "type_a", "type_b")
+        .limit(top_k)
+    )

@@ -384,3 +384,33 @@ class TestHeapsFit:
         assert r["n_strata"] == 3
         assert r["beta"] == pytest.approx(0.5, abs=1e-6)
         assert r["k"] == pytest.approx(1.0, abs=1e-4)
+
+
+class TestIntereventGaps:
+    def test_gap_percentiles(self, spark):
+        # user 1: events at 0,10,30 -> gaps 10000ms (type b), 20000ms (type c)
+        ev = _events(spark, [(0, 1, "a"), (10, 1, "b"), (30, 1, "c")])
+        out = {r["event_type"]: r for r in
+               analytics.interevent_gaps(ev).collect()}
+        assert "a" not in out  # first event has no gap
+        assert out["b"]["p50_ms"] == 10000.0
+        assert out["c"]["p50_ms"] == 20000.0
+        assert out["b"]["n_gaps"] == 1
+
+
+class TestSessionCooccurrence:
+    def test_support_counts(self, spark):
+        # session 1 (user 1): {a,b}; session 2 (user 1, after gap): {a};
+        # session 3 (user 2): {a,b,c}
+        ev = _events(
+            spark,
+            [(0, 1, "a"), (10, 1, "b"), (4000, 1, "a"),
+             (0, 2, "a"), (5, 2, "b"), (9, 2, "c")],
+        )
+        out = {(r["type_a"], r["type_b"]): r for r in
+               analytics.session_cooccurrence(ev, gap_s=1800).collect()}
+        assert out[("a", "b")]["n_sessions"] == 2
+        assert out[("a", "c")]["n_sessions"] == 1
+        assert out[("b", "c")]["n_sessions"] == 1
+        # 3 baskets total
+        assert out[("a", "b")]["support"] == pytest.approx(2 / 3, abs=1e-6)
