@@ -92,6 +92,8 @@ BENCH_QUERIES = [
     "q110_pmc_compression",
     "q111_window_anomalies",
     "q112_heaps_fit",
+    "q113_interevent_gaps",
+    "q114_session_cooccurrence",
 ]
 
 
