@@ -1148,6 +1148,26 @@ def q114_session_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+HARD_NEG_TAU = 0.95
+
+
+def q115_distinct_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct-1/distinct-2 diversity per source
+    (text_ops.distinct_ngram_diversity) — template/degeneration signal."""
+    return text_ops.distinct_ngram_diversity(_base(spark, sf_dir, "documents"))
+
+
+def q116_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hard-negative mining (similarity.hard_negatives): per query the
+    top-k most-similar neighbors below the near-duplicate cosine band."""
+    return similarity.hard_negatives(
+        _base(spark, sf_dir, "embeddings"),
+        ANN_QUERY_IDS,
+        k=ANN_K,
+        dup_tau=HARD_NEG_TAU,
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001: the backup-listing report."""
     return q01_list_backups(spark, "/root/testdata/sf0.001")
@@ -1269,6 +1289,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q112_heaps_fit": q112_heaps_fit,
         "q113_interevent_gaps": q113_interevent_gaps,
         "q114_session_cooccurrence": q114_session_cooccurrence,
+        "q115_distinct_ngrams": q115_distinct_ngrams,
+        "q116_hard_negatives": q116_hard_negatives,
     }
 
 
@@ -3829,5 +3851,57 @@ def oracle_sql() -> dict[str, str]:
             FROM pairs GROUP BY 1, 2
             ORDER BY n_sessions DESC, type_a ASC, type_b ASC
             LIMIT {COOC_TOP_K}
+        """,
+        "q115_distinct_ngrams": """
+            WITH docs AS (
+                SELECT source AS stratum, string_split(text, ' ') AS words
+                FROM documents
+            ),
+            uni AS (SELECT stratum, unnest(words) AS g FROM docs),
+            u1 AS (
+                SELECT stratum,
+                       CAST(SUM(c) AS BIGINT) AS n_unigrams,
+                       CAST(COUNT(*) AS BIGINT) AS distinct_unigrams
+                FROM (SELECT stratum, g, COUNT(*) AS c FROM uni GROUP BY 1, 2)
+                GROUP BY stratum
+            ),
+            bi AS (
+                SELECT stratum, words[t.i] || ' ' || words[t.i + 1] AS g
+                FROM docs, unnest(range(1, len(words))) t(i)
+                WHERE len(words) >= 2
+            ),
+            u2 AS (
+                SELECT stratum,
+                       CAST(SUM(c) AS BIGINT) AS n_bigrams,
+                       CAST(COUNT(*) AS BIGINT) AS distinct_bigrams
+                FROM (SELECT stratum, g, COUNT(*) AS c FROM bi GROUP BY 1, 2)
+                GROUP BY stratum
+            )
+            SELECT u1.stratum, n_unigrams, distinct_unigrams,
+                   ROUND(distinct_unigrams * 1.0 / n_unigrams, 6)
+                       AS distinct_1,
+                   n_bigrams, distinct_bigrams,
+                   ROUND(distinct_bigrams * 1.0 / n_bigrams, 6)
+                       AS distinct_2
+            FROM u1 JOIN u2 ON u1.stratum = u2.stratum
+        """,
+        "q116_hard_negatives": f"""
+            WITH e AS (
+                SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+            ),
+            scored AS (
+                SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,
+                       ROUND(list_cosine_similarity(q.v, e.v), 6) AS cosine
+                FROM e q JOIN e ON q.vec_id <> e.vec_id
+                WHERE q.vec_id < {len(ANN_QUERY_IDS)}
+            )
+            SELECT query_id, neighbor_id, cosine,
+                   CAST(ROW_NUMBER() OVER (
+                       PARTITION BY query_id
+                       ORDER BY cosine DESC, neighbor_id ASC) AS BIGINT)
+                       AS rank
+            FROM scored
+            WHERE cosine < {HARD_NEG_TAU}
+            QUALIFY rank <= {ANN_K}
         """,
     }

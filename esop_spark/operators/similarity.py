@@ -1134,3 +1134,47 @@ def load_pq_codebooks(
     for r in rows:
         books[r["subspace"]].append(list(r["centroid"]))
     return books
+
+
+def hard_negatives(
+    embeddings: DataFrame,
+    query_ids: list[int],
+    k: int = 5,
+    dup_tau: float = 0.95,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Q117: hard-negative mining for contrastive training — per query,
+    the top-k most-similar neighbors whose cosine stays BELOW the
+    near-duplicate threshold (similar enough to be hard, not so similar
+    they're positives/dups).
+
+    Same broadcast-query scan as :func:`ann_topk` with the dup band
+    excluded before ranking; at corpus scale the scan feeds from the IVF
+    probe path instead (drop-in, since the filter is per-candidate).
+    """
+    e = with_norm(embeddings, vec_col, id_col)
+    q = F.broadcast(
+        e.filter(F.col(id_col).isin(query_ids)).select(
+            F.col(id_col).alias("query_id"),
+            F.col("v").alias("qv"),
+            F.col("norm").alias("qnorm"),
+        )
+    )
+    cos = _dot(F.col("qv"), F.col("v")) / (F.col("qnorm") * F.col("norm"))
+    scored = (
+        e.join(q, F.col("query_id") != F.col(id_col))
+        .select(
+            "query_id",
+            F.col(id_col).alias("neighbor_id"),
+            F.round(cos, 6).alias("cosine"),
+        )
+        .filter(F.col("cosine") < dup_tau)
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rank") <= k)
+    )

@@ -1810,3 +1810,69 @@ def heaps_fit(
         F.round(beta, 6).alias("beta"),
         F.round(F.exp(intercept), 6).alias("k"),
     )
+
+
+def distinct_ngram_diversity(
+    documents: DataFrame,
+    stratum_col: str = "source",
+    text_col: str = "text",
+) -> DataFrame:
+    """Q115: distinct-1 / distinct-2 diversity per stratum — the share of
+    unigram and bigram occurrences that are unique types (the standard
+    template/degeneration signal: synthetic or boilerplate-flooded slices
+    collapse toward 0).
+
+    Two (stratum, gram) two-level aggs sharing the scan; output is the
+    |strata| grain.
+    """
+    toks = tokens(text_col)
+    uni = documents.select(
+        F.col(stratum_col).alias("stratum"), F.explode(toks).alias("g")
+    )
+    w = F.col("_w")
+    bi = (
+        documents.select(
+            F.col(stratum_col).alias("stratum"), toks.alias("_w")
+        )
+        .select(
+            "stratum",
+            F.explode(
+                F.when(
+                    F.size(w) >= 2,
+                    F.transform(
+                        F.sequence(F.lit(0), F.size(w) - 2),
+                        lambda i: F.concat_ws(
+                            " ", F.get(w, i), F.get(w, i + 1)
+                        ),
+                    ),
+                ).otherwise(F.array())
+            ).alias("g"),
+        )
+    )
+
+    def _div(grams: DataFrame, total_name: str, distinct_name: str) -> DataFrame:
+        return (
+            grams.groupBy("stratum", "g")
+            .agg(F.count(F.lit(1)).alias("c"))
+            .groupBy("stratum")
+            .agg(
+                F.sum("c").cast("bigint").alias(total_name),
+                F.count(F.lit(1)).cast("bigint").alias(distinct_name),
+            )
+        )
+
+    d1 = _div(uni, "n_unigrams", "distinct_unigrams")
+    d2 = _div(bi, "n_bigrams", "distinct_bigrams")
+    return d1.join(d2, "stratum").select(
+        "stratum",
+        "n_unigrams",
+        "distinct_unigrams",
+        F.round(F.col("distinct_unigrams") / F.col("n_unigrams"), 6).alias(
+            "distinct_1"
+        ),
+        "n_bigrams",
+        "distinct_bigrams",
+        F.round(F.col("distinct_bigrams") / F.col("n_bigrams"), 6).alias(
+            "distinct_2"
+        ),
+    )

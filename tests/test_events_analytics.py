@@ -414,3 +414,40 @@ class TestSessionCooccurrence:
         assert out[("b", "c")]["n_sessions"] == 1
         # 3 baskets total
         assert out[("a", "b")]["support"] == pytest.approx(2 / 3, abs=1e-6)
+
+
+class TestDistinctNgrams:
+    def test_repetition_collapses_diversity(self, spark):
+        docs = spark.createDataFrame(
+            [
+                (1, "a a a a a a", "rep"),          # distinct-1 = 1/6
+                (2, "w x y z q r", "fresh"),        # distinct-1 = 1.0
+            ],
+            "doc_id long, text string, source string",
+        )
+        out = {r["stratum"]: r for r in
+               text_ops.distinct_ngram_diversity(docs).collect()}
+        assert out["fresh"]["distinct_1"] == 1.0
+        assert out["fresh"]["distinct_2"] == 1.0
+        assert out["rep"]["distinct_1"] == pytest.approx(1 / 6, abs=1e-6)
+        assert out["rep"]["distinct_bigrams"] == 1
+
+
+class TestHardNegatives:
+    def test_dup_band_excluded(self, spark):
+        from esop_spark.operators import similarity as sim
+
+        # vec 0 = query; vec 1 identical (cos 1.0, excluded); vecs 2/3
+        # partially similar (hard negatives); vec 4 orthogonal
+        rows = [
+            (0, [1.0, 0.0, 0.0, 0.0]),
+            (1, [1.0, 0.0, 0.0, 0.0]),
+            (2, [1.0, 1.0, 0.0, 0.0]),
+            (3, [1.0, 2.0, 0.0, 0.0]),
+            (4, [0.0, 0.0, 1.0, 0.0]),
+        ]
+        emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+        out = sim.hard_negatives(emb, [0], k=2, dup_tau=0.95).collect()
+        got = [(r["neighbor_id"], r["rank"]) for r in out]
+        # 1 excluded (cos=1.0 >= tau); 2 (cos~.707) then 3 (cos~.447)
+        assert got == [(2, 1), (3, 2)]
