@@ -94,6 +94,8 @@ BENCH_QUERIES = [
     "q112_heaps_fit",
     "q113_interevent_gaps",
     "q114_session_cooccurrence",
+    "q115_distinct_ngrams",
+    "q116_hard_negatives",
 ]
 
 
