@@ -1168,6 +1168,21 @@ def q116_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q117_quality_length_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pearson r of quality score vs token count per source
+    (text_ops.quality_length_correlation) — gate-confound check, exact
+    integer co-moments."""
+    return text_ops.quality_length_correlation(
+        _base(spark, sf_dir, "documents")
+    )
+
+
+def q118_length_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gini coefficient of the token-mass distribution
+    (text_ops.length_gini) — exact, from the length histogram grain."""
+    return text_ops.length_gini(_base(spark, sf_dir, "documents"))
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001: the backup-listing report."""
     return q01_list_backups(spark, "/root/testdata/sf0.001")
@@ -1291,6 +1306,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q114_session_cooccurrence": q114_session_cooccurrence,
         "q115_distinct_ngrams": q115_distinct_ngrams,
         "q116_hard_negatives": q116_hard_negatives,
+        "q117_quality_length_corr": q117_quality_length_corr,
+        "q118_length_gini": q118_length_gini,
     }
 
 
@@ -3903,5 +3920,61 @@ def oracle_sql() -> dict[str, str]:
             FROM scored
             WHERE cosine < {HARD_NEG_TAU}
             QUALIFY rank <= {ANN_K}
+        """,
+        "q117_quality_length_corr": """
+            WITH t AS (
+                SELECT source AS stratum,
+                       CAST(len(string_split(text, ' ')) AS BIGINT) AS x,
+                       CAST(ROUND((0.5 * (1.0 - len(list_filter(
+                                string_split(text, ' '),
+                                w -> w IN ('a', 'the'))) * 1.0
+                                / len(string_split(text, ' ')))
+                            + 0.5 * len(list_distinct(string_split(text, ' ')))
+                              * 1.0 / len(string_split(text, ' '))) * 100)
+                            AS BIGINT) AS y
+                FROM documents
+            ),
+            per AS (
+                SELECT stratum,
+                       CAST(COUNT(*) AS BIGINT) AS n,
+                       CAST(SUM(x) AS BIGINT) AS sx,
+                       CAST(SUM(y) AS BIGINT) AS sy,
+                       CAST(SUM(x * y) AS BIGINT) AS sxy,
+                       CAST(SUM(x * x) AS BIGINT) AS sxx,
+                       CAST(SUM(y * y) AS BIGINT) AS syy
+                FROM t GROUP BY stratum
+            )
+            SELECT stratum, n,
+                   ROUND((sxy - sx * 1.0 * sy / n)
+                         / sqrt((sxx - sx * 1.0 * sx / n)
+                                * (syy - sy * 1.0 * sy / n)), 6)
+                       AS pearson_r
+            FROM per
+        """,
+        "q118_length_gini": """
+            WITH hist AS (
+                SELECT CAST(len(string_split(text, ' ')) AS BIGINT) AS len,
+                       CAST(COUNT(*) AS BIGINT) AS c
+                FROM documents GROUP BY 1
+            ),
+            g AS (
+                SELECT len, c,
+                       COALESCE(SUM(c) OVER (
+                           ORDER BY len ASC
+                           ROWS BETWEEN UNBOUNDED PRECEDING
+                                    AND 1 PRECEDING), 0) AS cum_before
+                FROM hist
+            ),
+            agg AS (
+                SELECT CAST(SUM(c) AS BIGINT) AS n_docs,
+                       CAST(SUM(c * len) AS BIGINT) AS total_tokens,
+                       CAST(SUM(c * len * (2 * cum_before + c + 1))
+                            AS BIGINT) AS weighted
+                FROM g
+            )
+            SELECT n_docs, total_tokens,
+                   ROUND(weighted * 1.0 / (n_docs * 1.0 * total_tokens)
+                         - (n_docs + 1.0) / n_docs, 6) AS gini
+            FROM agg
         """,
     }

@@ -1876,3 +1876,86 @@ def distinct_ngram_diversity(
             "distinct_2"
         ),
     )
+
+
+def quality_length_correlation(
+    documents: DataFrame,
+    stratum_col: str = "source",
+    text_col: str = "text",
+) -> DataFrame:
+    """Q117: Pearson correlation of quality score vs token count per
+    stratum — the confound check run before using either signal as a
+    curation gate (a strong correlation means a length filter silently
+    duplicates the quality filter).
+
+    One scan projecting the two integer signals, one stratum-grain
+    aggregation of integer co-moments — every sum is exact, so the
+    correlation is order-independent cross-engine.
+    """
+    n_tok = F.size(tokens(text_col))
+    q = quality_score_col(text_col)
+    per = documents.select(
+        F.col(stratum_col).alias("stratum"),
+        n_tok.cast("bigint").alias("x"),
+        q.alias("y"),
+    ).groupBy("stratum").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+    )
+    n = F.col("n").cast("double")
+    cov = F.col("sxy") - F.col("sx") * F.col("sy") / n
+    vx = F.col("sxx") - F.col("sx") * F.col("sx") / n
+    vy = F.col("syy") - F.col("sy") * F.col("sy") / n
+    return per.select(
+        "stratum",
+        "n",
+        F.round(cov / F.sqrt(vx * vy), 6).alias("pearson_r"),
+    )
+
+
+def length_gini(documents: DataFrame, text_col: str = "text") -> DataFrame:
+    """Q118: Gini coefficient of the document token-mass distribution —
+    "what share of the corpus token budget do the longest docs hold"
+    (mass concentration drives shard-packing skew and dedup-cluster
+    economics).
+
+    Computed EXACTLY from the length histogram, never a per-doc global
+    sort: for grouped data with lengths sorted ascending,
+    G = (2·Σ_g c_g·x_g·(C_{g-1} + (c_g+1)/2) / (N·T)) − (N+1)/N, where
+    C is the cumulative doc count before the group. Distinct lengths are
+    bounded (≤ max doc length), so the cumulative window runs on the
+    histogram grain — the q72/q106 scale argument.
+    """
+    n_tok = F.size(tokens(text_col)).cast("bigint")
+    hist = (
+        documents.select(n_tok.alias("len"))
+        .groupBy("len")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    )
+    w = Window.orderBy("len").rowsBetween(Window.unboundedPreceding, -1)
+    g = hist.withColumn(
+        "cum_before", F.coalesce(F.sum("c").over(w), F.lit(0))
+    )
+    # Σ c·x·(2·cum_before + c + 1) is an exact integer; assemble G from
+    # the three integer totals in one deterministic expression
+    agg = g.agg(
+        F.sum("c").alias("n_docs"),
+        F.sum(F.col("c") * F.col("len")).alias("total_tokens"),
+        F.sum(
+            F.col("c")
+            * F.col("len")
+            * (F.lit(2) * F.col("cum_before") + F.col("c") + F.lit(1))
+        ).alias("weighted"),
+    )
+    n = F.col("n_docs").cast("double")
+    t = F.col("total_tokens").cast("double")
+    gini = F.col("weighted").cast("double") / (n * t) - (n + 1.0) / n
+    return agg.select(
+        F.col("n_docs").cast("bigint").alias("n_docs"),
+        F.col("total_tokens").cast("bigint").alias("total_tokens"),
+        F.round(gini, 6).alias("gini"),
+    )

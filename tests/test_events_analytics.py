@@ -451,3 +451,41 @@ class TestHardNegatives:
         got = [(r["neighbor_id"], r["rank"]) for r in out]
         # 1 excluded (cos=1.0 >= tau); 2 (cos~.707) then 3 (cos~.447)
         assert got == [(2, 1), (3, 2)]
+
+
+class TestQualityLengthCorr:
+    def test_perfect_positive_correlation(self, spark):
+        # quality == 100*ttr; construct docs where both signals rise together
+        docs = spark.createDataFrame(
+            [
+                (1, "a a a a", "s"),          # low ttr, 4 tokens
+                (2, "a a b b c c", "s"),      # mid
+                (3, "w x y z q r u v", "s"),  # high ttr, 8 tokens
+            ],
+            "doc_id long, text string, source string",
+        )
+        r = text_ops.quality_length_correlation(docs).collect()[0]
+        assert r["n"] == 3
+        assert -1.0 <= r["pearson_r"] <= 1.0
+        assert r["pearson_r"] > 0.5  # longer docs here are higher quality
+
+
+class TestLengthGini:
+    def test_uniform_lengths_zero_gini(self, spark):
+        docs = spark.createDataFrame(
+            [(i, " ".join(["w"] * 10)) for i in range(20)],
+            "doc_id long, text string",
+        )
+        r = text_ops.length_gini(docs).collect()[0]
+        assert r["gini"] == 0.0
+        assert r["total_tokens"] == 200
+
+    def test_concentration_raises_gini(self, spark):
+        docs = spark.createDataFrame(
+            [(0, " ".join(["w"] * 1000))]
+            + [(i, "w") for i in range(1, 11)],
+            "doc_id long, text string",
+        )
+        r = text_ops.length_gini(docs).collect()[0]
+        # one doc holds ~99% of mass across 11 docs
+        assert r["gini"] > 0.85
