@@ -96,6 +96,8 @@ BENCH_QUERIES = [
     "q114_session_cooccurrence",
     "q115_distinct_ngrams",
     "q116_hard_negatives",
+    "q117_quality_length_corr",
+    "q118_length_gini",
 ]
 
 
