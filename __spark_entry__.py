@@ -1183,6 +1183,54 @@ def q118_length_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text_ops.length_gini(_base(spark, sf_dir, "documents"))
 
 
+def q119_fuzzy_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Blocked edit-distance record linkage on document titles
+    (dedup.fuzzy_title_pairs): candidates from (lang, first-token) blocks
+    with a hot-block star-pairing cap, then levenshtein <= max_distance."""
+    return dedup.fuzzy_title_pairs(
+        _base(spark, sf_dir, "documents"),
+        title_tokens=4,
+        max_distance=6,
+        max_block=200,
+    )
+
+
+def q120_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-context causal-LM sequence packing with straddler splitting
+    (splits.sequence_report): documents laid end-to-end in doc_id order,
+    cut every 128 tokens; per-sequence segment/head/carry-in/fill report."""
+    docs = _base(spark, sf_dir, "documents").select(
+        "doc_id", F.size(F.split("text", " ")).cast("bigint").alias("n_tokens")
+    )
+    return splits.sequence_report(docs, "doc_id", "n_tokens", ctx=128)
+
+
+def q121_dedup_rewrite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate-chunk removal rewrite (text_ops.chunk_dedup_rewrite):
+    global first-occurrence wins at 8-token chunk grain; per-doc before/
+    after token counts and the md5 witness of the rebuilt text."""
+    return text_ops.chunk_dedup_rewrite(
+        _base(spark, sf_dir, "documents"), chunk_tokens=8
+    )
+
+
+def q122_matryoshka_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Matryoshka truncation fidelity (similarity.matryoshka_eval):
+    Pearson corr + MAE of prefix-dim cosine vs full cosine over the
+    adjacent-id pair sample, exact integer moment sums."""
+    return similarity.matryoshka_eval(
+        _base(spark, sf_dir, "embeddings"), dims=(8, 16, 32, 64)
+    )
+
+
+def q123_quantized_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Int8 retrieval fidelity (similarity.quantized_ann_recall):
+    recall@k of top-k over int8-reconstructed vectors vs full precision."""
+    return similarity.quantized_ann_recall(
+        _base(spark, sf_dir, "embeddings"), query_ids=ANN_QUERY_IDS, k=ANN_K
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001: the backup-listing report."""
     return q01_list_backups(spark, "/root/testdata/sf0.001")
@@ -1308,6 +1356,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q116_hard_negatives": q116_hard_negatives,
         "q117_quality_length_corr": q117_quality_length_corr,
         "q118_length_gini": q118_length_gini,
+        "q119_fuzzy_join": q119_fuzzy_join,
+        "q120_sequence_packing": q120_sequence_packing,
+        "q121_dedup_rewrite": q121_dedup_rewrite,
+        "q122_matryoshka_eval": q122_matryoshka_eval,
+        "q123_quantized_recall": q123_quantized_recall,
     }
 
 
@@ -3976,5 +4029,220 @@ def oracle_sql() -> dict[str, str]:
                    ROUND(weighted * 1.0 / (n_docs * 1.0 * total_tokens)
                          - (n_docs + 1.0) / n_docs, 6) AS gini
             FROM agg
+        """,
+        "q119_fuzzy_join": """
+            WITH t AS (
+                SELECT doc_id, lang,
+                       array_to_string(list_slice(string_split(text, ' '), 1, 4),
+                                       ' ') AS title,
+                       string_split(text, ' ')[1] AS b0
+                FROM documents
+            ),
+            blocks AS (
+                SELECT lang, b0, COUNT(*) AS bsz, MIN(doc_id) AS anchor,
+                       arg_min(title, doc_id) AS anchor_title
+                FROM t GROUP BY lang, b0
+            ),
+            s AS (
+                SELECT t.*, bsz, anchor, anchor_title
+                FROM t JOIN blocks USING (lang, b0)
+            ),
+            pairs AS (
+                SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                       levenshtein(a.title, b.title) AS edit_distance
+                FROM s a JOIN s b
+                  ON a.lang = b.lang AND a.b0 = b.b0 AND a.doc_id < b.doc_id
+                WHERE a.bsz <= 200
+                UNION ALL
+                SELECT LEAST(anchor, doc_id), GREATEST(anchor, doc_id),
+                       levenshtein(title, anchor_title)
+                FROM s WHERE bsz > 200 AND doc_id <> anchor
+            )
+            SELECT CAST(id_a AS BIGINT) AS id_a, CAST(id_b AS BIGINT) AS id_b,
+                   CAST(edit_distance AS BIGINT) AS edit_distance
+            FROM pairs WHERE edit_distance <= 6
+        """,
+        "q120_sequence_packing": """
+            WITH d AS (
+                SELECT doc_id,
+                       CAST(len(string_split(text, ' ')) AS BIGINT) AS n
+                FROM documents
+            ),
+            c AS (
+                SELECT doc_id, n, SUM(n) OVER (ORDER BY doc_id) AS cum FROM d
+            ),
+            spans AS (
+                SELECT doc_id, n, CAST(cum - n AS BIGINT) AS s,
+                       CAST(cum AS BIGINT) AS e
+                FROM c WHERE n > 0
+            ),
+            segs AS (
+                SELECT UNNEST(generate_series(s // 128, (e - 1) // 128))
+                           AS seq_id,
+                       doc_id, s, e
+                FROM spans
+            ),
+            seg2 AS (
+                SELECT seq_id,
+                       GREATEST(s, seq_id * 128) AS a,
+                       LEAST(e, (seq_id + 1) * 128) AS b,
+                       (s >= seq_id * 128) AS is_head
+                FROM segs
+            )
+            SELECT CAST(seq_id AS BIGINT) AS seq_id,
+                   CAST(COUNT(*) AS BIGINT) AS n_segments,
+                   CAST(SUM(CASE WHEN is_head THEN 1 ELSE 0 END) AS BIGINT)
+                       AS n_heads,
+                   CAST(SUM(CASE WHEN is_head THEN 0 ELSE 1 END) AS BIGINT)
+                       AS n_carryin,
+                   CAST(SUM(b - a) AS BIGINT) AS fill_tokens,
+                   ROUND(SUM(b - a) / 128.0, 6) AS fill_frac
+            FROM seg2 GROUP BY seq_id
+        """,
+        "q121_dedup_rewrite": """
+            WITH w AS (
+                SELECT doc_id, string_split(text, ' ') AS toks,
+                       CAST(len(string_split(text, ' ')) AS BIGINT) AS n
+                FROM documents
+            ),
+            chunks AS (
+                SELECT doc_id,
+                       UNNEST(generate_series(0, (n - 1) // 8)) AS chunk_idx,
+                       toks
+                FROM w
+            ),
+            occ AS (
+                SELECT doc_id, chunk_idx,
+                       array_to_string(
+                           list_slice(toks, chunk_idx * 8 + 1,
+                                      chunk_idx * 8 + 8), ' ') AS chunk,
+                       doc_id * 1000000 + chunk_idx AS occ_key
+                FROM chunks
+            ),
+            winners AS (
+                SELECT chunk, MIN(occ_key) AS first_key FROM occ GROUP BY chunk
+            ),
+            kept AS (
+                SELECT o.doc_id,
+                       string_agg(o.chunk, ' ' ORDER BY o.chunk_idx) AS rebuilt
+                FROM occ o JOIN winners x
+                  ON o.chunk = x.chunk AND o.occ_key = x.first_key
+                GROUP BY o.doc_id
+            )
+            SELECT CAST(w.doc_id AS BIGINT) AS doc_id,
+                   w.n AS n_tokens_before,
+                   CASE WHEN rebuilt IS NULL OR rebuilt = '' THEN 0
+                        ELSE CAST(len(string_split(rebuilt, ' ')) AS BIGINT)
+                   END AS n_tokens_after,
+                   md5(COALESCE(rebuilt, '')) AS text_hash,
+                   ROUND((CASE WHEN rebuilt IS NULL OR rebuilt = '' THEN 0
+                               ELSE len(string_split(rebuilt, ' ')) END)
+                         * 1.0 / w.n, 6) AS kept_frac
+            FROM w LEFT JOIN kept ON w.doc_id = kept.doc_id
+        """,
+        "q122_matryoshka_eval": """
+            WITH e AS (
+                SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+            ),
+            p AS (
+                SELECT a.v AS va, b.v AS vb
+                FROM e a JOIN e b ON a.vec_id + 1 = b.vec_id
+            ),
+            obs AS (
+                SELECT d.dim,
+                       CAST(ROUND(ROUND(list_cosine_similarity(
+                                list_slice(va, 1, d.dim),
+                                list_slice(vb, 1, d.dim)), 6) * 1000000, 0)
+                            AS BIGINT) AS x,
+                       CAST(ROUND(ROUND(list_cosine_similarity(va, vb), 6)
+                                  * 1000000, 0) AS BIGINT) AS y
+                FROM p, (VALUES (8), (16), (32), (64)) AS d(dim)
+            ),
+            agg AS (
+                SELECT CAST(dim AS BIGINT) AS dim,
+                       CAST(COUNT(*) AS BIGINT) AS n_pairs,
+                       SUM(CAST(x AS HUGEINT)) AS sx,
+                       SUM(CAST(y AS HUGEINT)) AS sy,
+                       SUM(CAST(x AS HUGEINT) * y) AS sxy,
+                       SUM(CAST(x AS HUGEINT) * x) AS sxx,
+                       SUM(CAST(y AS HUGEINT) * y) AS syy,
+                       SUM(CAST(ABS(x - y) AS HUGEINT)) AS sabs
+                FROM obs GROUP BY dim
+            )
+            SELECT dim, n_pairs,
+                   ROUND((CAST(sxy AS DOUBLE)
+                          - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE) / n_pairs)
+                         / (sqrt(CAST(sxx AS DOUBLE)
+                                 - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)
+                                   / n_pairs)
+                            * sqrt(CAST(syy AS DOUBLE)
+                                   - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)
+                                     / n_pairs)), 6) AS pearson_corr,
+                   ROUND(CAST(sabs AS DOUBLE) / n_pairs / 1000000.0, 6)
+                       AS mean_abs_err
+            FROM agg
+        """,
+        "q123_quantized_recall": f"""
+            WITH e AS (
+                SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+            ),
+            codes AS (
+                SELECT vec_id,
+                       CASE WHEN scale = 0
+                            THEN list_transform(v, x -> CAST(0 AS BIGINT))
+                            ELSE list_transform(
+                                v, x -> CAST(ROUND(x / scale, 0) AS BIGINT))
+                       END AS c
+                FROM (SELECT vec_id, v,
+                             list_max(list_transform(v, x -> abs(x))) / 127.0
+                                 AS scale
+                      FROM e)
+            ),
+            cn AS (
+                SELECT vec_id, c,
+                       list_aggregate(list_transform(c, x -> x * x), 'sum')
+                           AS n2
+                FROM codes
+            ),
+            exact AS (
+                SELECT query_id, neighbor_id FROM (
+                    SELECT q.vec_id AS query_id, e2.vec_id AS neighbor_id,
+                           ROW_NUMBER() OVER (
+                               PARTITION BY q.vec_id
+                               ORDER BY ROUND(list_cosine_similarity(q.v, e2.v),
+                                              6) DESC,
+                                        e2.vec_id ASC) AS rn
+                    FROM e q JOIN e e2 ON q.vec_id <> e2.vec_id
+                    WHERE q.vec_id < {len(ANN_QUERY_IDS)}
+                ) WHERE rn <= {ANN_K}
+            ),
+            approx AS (
+                SELECT query_id, neighbor_id FROM (
+                    SELECT q.vec_id AS query_id, e2.vec_id AS neighbor_id,
+                           ROW_NUMBER() OVER (
+                               PARTITION BY q.vec_id
+                               ORDER BY ROUND(
+                                   CAST(list_aggregate(
+                                       list_transform(
+                                           list_zip(q.c, e2.c),
+                                           z -> z[1] * z[2]), 'sum')
+                                       AS DOUBLE)
+                                   / (sqrt(CAST(q.n2 AS DOUBLE))
+                                      * sqrt(CAST(e2.n2 AS DOUBLE))), 6) DESC,
+                                        e2.vec_id ASC) AS rn
+                    FROM cn q JOIN cn e2 ON q.vec_id <> e2.vec_id
+                    WHERE q.vec_id < {len(ANN_QUERY_IDS)}
+                ) WHERE rn <= {ANN_K}
+            ),
+            ov AS (
+                SELECT query_id, CAST(COUNT(*) AS BIGINT) AS n_overlap
+                FROM exact JOIN approx USING (query_id, neighbor_id)
+                GROUP BY query_id
+            )
+            SELECT CAST(q.query_id AS BIGINT) AS query_id,
+                   CAST(COALESCE(n_overlap, 0) AS BIGINT) AS n_overlap,
+                   ROUND(COALESCE(n_overlap, 0) / {float(ANN_K)}, 6) AS recall
+            FROM (SELECT DISTINCT query_id FROM exact) q
+            LEFT JOIN ov USING (query_id)
         """,
     }

@@ -1239,3 +1239,77 @@ def cluster_size_histogram(clusters: DataFrame) -> DataFrame:
             .alias("n_removable"),
         )
     )
+
+
+def fuzzy_title_pairs(
+    documents: DataFrame,
+    title_tokens: int = 4,
+    max_distance: int = 6,
+    max_block: int = 200,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    lang_col: str = "lang",
+) -> DataFrame:
+    """Blocked edit-distance record linkage: near-duplicate document TITLES
+    (the first ``title_tokens`` tokens) within Levenshtein ``max_distance``.
+
+    The classic fuzzy-join shape: an un-blocked edit-distance join is
+    O(n²) and un-shardable, so candidates are restricted to a BLOCK — here
+    (lang, first token). Levenshtein is then evaluated only inside blocks,
+    turning the quadratic comparison into an equi-join whose cost is
+    Σ_block |block|², with the standard recall trade (pairs differing in
+    the blocking key are never compared — documented, deterministic).
+
+    Hot-block guard (same shape as ``_lsh_candidates``'s ``max_bucket``):
+    blocks larger than ``max_block`` would still be quadratic (a boilerplate
+    title shared by 10⁶ docs at 100 TB), so oversized blocks degrade to
+    STAR pairing against the block's min-id anchor — linear in block size,
+    deterministic, and SQL-expressible so the oracle replicates it exactly.
+
+    Output: ``id_a, id_b, edit_distance`` with ``id_a < id_b``.
+    Scale: one shuffle to the block grain for sizing/anchor, one equi-join
+    on the block key; ``levenshtein`` is a JVM intrinsic on both engines.
+    """
+    titles = documents.select(
+        F.col(id_col),
+        F.col(lang_col).alias("_lang"),
+        F.array_join(
+            F.slice(F.split(F.col(text_col), " "), 1, title_tokens), " "
+        ).alias("_title"),
+    ).withColumn("_b0", F.split(F.col("_title"), " ").getItem(0))
+    blocks = titles.groupBy("_lang", "_b0").agg(
+        F.count(F.lit(1)).alias("_bsz"),
+        F.min(id_col).alias("_anchor"),
+        F.min_by("_title", F.col(id_col)).alias("_anchor_title"),
+    )
+    sized = titles.join(blocks, ["_lang", "_b0"])
+    small = sized.filter(F.col("_bsz") <= max_block)
+    pairs_small = (
+        small.alias("a")
+        .join(
+            small.alias("b"),
+            (F.col("a._lang") == F.col("b._lang"))
+            & (F.col("a._b0") == F.col("b._b0"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+            F.levenshtein(F.col("a._title"), F.col("b._title")).alias("edit_distance"),
+        )
+    )
+    big = sized.filter(F.col("_bsz") > max_block)
+    pairs_big = big.filter(F.col(id_col) != F.col("_anchor")).select(
+        F.least(F.col("_anchor"), F.col(id_col)).alias("id_a"),
+        F.greatest(F.col("_anchor"), F.col(id_col)).alias("id_b"),
+        F.levenshtein(F.col("_title"), F.col("_anchor_title")).alias("edit_distance"),
+    )
+    return (
+        pairs_small.unionByName(pairs_big)
+        .filter(F.col("edit_distance") <= max_distance)
+        .select(
+            F.col("id_a").cast("bigint"),
+            F.col("id_b").cast("bigint"),
+            F.col("edit_distance").cast("bigint"),
+        )
+    )

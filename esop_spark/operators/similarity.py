@@ -1178,3 +1178,187 @@ def hard_negatives(
         scored.withColumn("rank", F.row_number().over(w).cast("bigint"))
         .filter(F.col("rank") <= k)
     )
+
+
+def matryoshka_eval(
+    embeddings: DataFrame,
+    dims: tuple[int, ...] = (8, 16, 32, 64),
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Truncation-fidelity audit for matryoshka-style retrieval: how well
+    does cosine over only the first ``d`` dimensions agree with full-dim
+    cosine? Reports, per candidate prefix length ``d``: Pearson correlation
+    between truncated and full cosine and the mean absolute error, over the
+    deterministic adjacent-id pair sample (vec_id, vec_id+1).
+
+    Cross-engine determinism follows the q117 recipe: both cosines are
+    quantized to 1e-6 fixed-point BIGINTs, the correlation's moment sums
+    are EXACT decimal/hugeint integer sums, and only the final closed-form
+    division runs in floating point — identical inputs, identical single
+    expression, identical IEEE doubles on both engines.
+
+    Scale: the pair relation is a self-join on an id shift (one shuffle,
+    uniform key); per-pair work is d multiply-adds per prefix via JVM
+    higher-order functions; the aggregation is map-side partial to
+    |dims| groups. At 100 TB the sample would be hash-thinned first
+    (``hash_sample``) — the audit needs pairs, not the corpus.
+    """
+    e = embeddings.select(F.col(id_col).alias("_id"), _vec_double(vec_col).alias("v"))
+    pairs = (
+        e.alias("a")
+        .join(e.alias("b"), F.col("a._id") + 1 == F.col("b._id"))
+        .select(F.col("a.v").alias("va"), F.col("b.v").alias("vb"))
+    )
+
+    def _q6(cos: Column) -> Column:
+        # round to 6dp FIRST (the exact quantity q25/q26 prove equal across
+        # engines), then scale to integer — one extra rounding that kills
+        # any 1e-7-digit disagreement at the fixed-point boundary
+        return F.round(F.round(cos, 6) * F.lit(1_000_000.0), 0).cast("bigint")
+
+    full_cos = _dot(F.col("va"), F.col("vb")) / (
+        F.sqrt(_dot(F.col("va"), F.col("va"))) * F.sqrt(_dot(F.col("vb"), F.col("vb")))
+    )
+    per_dim = F.array(
+        *[
+            F.struct(
+                F.lit(d).cast("bigint").alias("dim"),
+                _q6(
+                    _dot(F.slice("va", 1, d), F.slice("vb", 1, d))
+                    / (
+                        F.sqrt(_dot(F.slice("va", 1, d), F.slice("va", 1, d)))
+                        * F.sqrt(_dot(F.slice("vb", 1, d), F.slice("vb", 1, d)))
+                    )
+                ).alias("x"),
+            )
+            for d in dims
+        ]
+    )
+    obs = (
+        pairs.withColumn("y", _q6(full_cos))
+        .select(F.explode(per_dim).alias("s"), "y")
+        .select(F.col("s.dim").alias("dim"), F.col("s.x").alias("x"), "y")
+    )
+    dec = "decimal(38,0)"
+    agg = obs.groupBy("dim").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_pairs"),
+        F.sum(F.col("x").cast(dec)).alias("sx"),
+        F.sum(F.col("y").cast(dec)).alias("sy"),
+        F.sum((F.col("x") * F.col("y")).cast(dec)).alias("sxy"),
+        F.sum((F.col("x") * F.col("x")).cast(dec)).alias("sxx"),
+        F.sum((F.col("y") * F.col("y")).cast(dec)).alias("syy"),
+        F.sum(F.abs(F.col("x") - F.col("y")).cast(dec)).alias("sabs"),
+    )
+    n = F.col("n_pairs").cast("double")
+    sx = F.col("sx").cast("double")
+    sy = F.col("sy").cast("double")
+    corr = (F.col("sxy").cast("double") - sx * sy / n) / (
+        F.sqrt(F.col("sxx").cast("double") - sx * sx / n)
+        * F.sqrt(F.col("syy").cast("double") - sy * sy / n)
+    )
+    return agg.select(
+        "dim",
+        "n_pairs",
+        F.round(corr, 6).alias("pearson_corr"),
+        F.round(F.col("sabs").cast("double") / n / F.lit(1_000_000.0), 6).alias(
+            "mean_abs_err"
+        ),
+    )
+
+
+def int8_codes(
+    embeddings: DataFrame, vec_col: str = "embedding", id_col: str = "vec_id"
+) -> DataFrame:
+    """Per-vector int8 code arrays (quantize_int8's codes as BIGINTs) —
+    the representation a quantized index actually searches with. Cosine is
+    invariant to the per-vector scale, so searching CODE space is exactly
+    searching the reconstructed vectors, with the bonus that dot products
+    and squared norms become exact integer arithmetic (cross-engine
+    deterministic). Narrow projection, zero shuffles."""
+    staged = embeddings.select(
+        F.col(id_col), _vec_double(vec_col).alias("v0")
+    ).withColumn(
+        "_scale",
+        F.aggregate(F.col("v0"), F.lit(0.0), lambda acc, x: F.greatest(acc, F.abs(x)))
+        / F.lit(127.0),
+    )
+    codes = F.transform(
+        F.col("v0"),
+        lambda x: F.when(F.col("_scale") == 0.0, F.lit(0.0)).otherwise(
+            F.round(x / F.col("_scale"), 0)
+        ).cast("bigint"),
+    )
+    return staged.select(F.col(id_col), codes.alias("c"))
+
+
+def _int8_ann_topk(
+    codes: DataFrame, query_ids: list[int], k: int, id_col: str = "vec_id"
+) -> DataFrame:
+    """Exact top-k cosine over int8 code arrays: integer dot / integer
+    norms (exact on every engine), three final flops, round-6, ranked with
+    the id tiebreak. Same broadcast-query shape as :func:`ann_topk`."""
+    zero = F.lit(0).cast("bigint")
+    sq = F.aggregate(
+        F.zip_with("c", "c", lambda a, b: a * b), zero, lambda acc, v: acc + v
+    )
+    e = codes.withColumn("_n2", sq)
+    q = F.broadcast(
+        e.filter(F.col(id_col).isin(query_ids)).select(
+            F.col(id_col).alias("query_id"),
+            F.col("c").alias("qc"),
+            F.col("_n2").alias("_qn2"),
+        )
+    )
+    dot = F.aggregate(
+        F.zip_with("qc", "c", lambda a, b: a * b), zero, lambda acc, v: acc + v
+    )
+    cos = dot.cast("double") / (
+        F.sqrt(F.col("_qn2").cast("double")) * F.sqrt(F.col("_n2").cast("double"))
+    )
+    scored = e.join(q, F.col("query_id") != F.col(id_col)).select(
+        "query_id",
+        F.col(id_col).alias("neighbor_id"),
+        F.round(cos, 6).alias("cosine"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id").asc()
+    )
+    return scored.withColumn("rank", F.row_number().over(w).cast("bigint")).filter(
+        F.col("rank") <= k
+    )
+
+
+def quantized_ann_recall(
+    embeddings: DataFrame,
+    query_ids: list[int],
+    k: int = 10,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Retrieval-fidelity audit for the int8 storage path: per query,
+    recall@k of exact top-k cosine search in int8 CODE space (= searching
+    the reconstructed vectors, since cosine ignores the per-vector scale)
+    against full-precision top-k. This is the measurement that justifies
+    (or vetoes) shipping the 4×-smaller quantized index at 100 TB — the
+    whole audit is two broadcast-query scans plus a tiny join on the
+    ≤ |queries|·k rank rows.
+
+    Output: ``query_id, n_overlap, recall`` (recall = overlap / k).
+    """
+    exact = ann_topk(embeddings, query_ids, k, vec_col, id_col)
+    approx = _int8_ann_topk(int8_codes(embeddings, vec_col, id_col), query_ids, k, id_col)
+    overlap = (
+        exact.select("query_id", "neighbor_id")
+        .join(approx.select("query_id", "neighbor_id"), ["query_id", "neighbor_id"])
+        .groupBy("query_id")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_overlap"))
+    )
+    base = exact.select("query_id").distinct()
+    return base.join(overlap, "query_id", "left").select(
+        F.col("query_id").cast("bigint"),
+        F.coalesce(F.col("n_overlap"), F.lit(0)).cast("bigint").alias("n_overlap"),
+        F.round(F.coalesce(F.col("n_overlap"), F.lit(0)) / F.lit(float(k)), 6).alias(
+            "recall"
+        ),
+    )

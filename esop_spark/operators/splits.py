@@ -194,3 +194,89 @@ def shard_report(
             F.round(F.col("sum_tokens") / F.lit(float(budget)), 6).alias("fill_ratio"),
         )
     )
+
+
+def pack_sequences(
+    df: DataFrame,
+    order_col: str,
+    token_col: str,
+    ctx: int,
+    num_partitions: int = 32,
+) -> DataFrame:
+    """Fixed-context sequence packing with straddler SPLITTING: lay documents
+    end-to-end in ``order_col`` order and cut the token stream every ``ctx``
+    tokens into training sequences. Unlike :func:`pack_shards` (which assigns
+    a whole document to the shard where it starts), a document whose token
+    interval crosses a cut is SPLIT — it contributes one segment row per
+    sequence it touches, which is exactly what a causal-LM data loader does
+    when it packs documents into fixed-length context windows with
+    cross-document attention masking.
+
+    Returns one row per (sequence, document-segment):
+    ``seq_id, <order_col>, seg_start, seg_len, is_head`` where ``seg_start``
+    is the segment's offset INSIDE the sequence ([0, ctx)), ``seg_len`` its
+    token count, and ``is_head`` marks the segment holding the document's
+    first token (segment 0 of the doc — where its BOS would go).
+
+    Scale: the prefix sum is :func:`_distributed_prefix_sum` (range
+    partition + broadcast offsets — no single-task global window); the
+    per-document fan-out is ``n_tokens/ctx + 1`` rows via a JVM-side
+    ``sequence``+``explode``, proportional to total token count / ctx, i.e.
+    the same order as the output. No shuffle beyond the prefix sum's.
+    """
+    if ctx <= 0:
+        raise ValueError("ctx must be positive")
+    with_cum = _distributed_prefix_sum(df, order_col, token_col, num_partitions)
+    start = (F.col("cum_incl") - F.col(token_col)).cast("bigint")
+    end = F.col("cum_incl").cast("bigint")
+    spanned = (
+        with_cum.withColumn("_start", start)
+        .withColumn("_end", end)
+        .filter(F.col(token_col) > 0)
+        .withColumn(
+            "seq_id",
+            F.explode(
+                F.sequence(
+                    (F.col("_start") / ctx).cast("bigint"),
+                    ((F.col("_end") - 1) / ctx).cast("bigint"),
+                )
+            ),
+        )
+    )
+    seq_lo = F.col("seq_id") * ctx
+    seg_abs_start = F.greatest(F.col("_start"), seq_lo)
+    seg_abs_end = F.least(F.col("_end"), seq_lo + ctx)
+    return spanned.select(
+        F.col("seq_id").cast("bigint"),
+        F.col(order_col),
+        (seg_abs_start - seq_lo).cast("bigint").alias("seg_start"),
+        (seg_abs_end - seg_abs_start).cast("bigint").alias("seg_len"),
+        (F.col("_start") >= seq_lo).alias("is_head"),
+    )
+
+
+def sequence_report(
+    df: DataFrame,
+    order_col: str,
+    token_col: str,
+    ctx: int,
+    num_partitions: int = 32,
+) -> DataFrame:
+    """Per-sequence packing report over :func:`pack_sequences`: segment
+    count, documents starting here (heads), straddlers entering from the
+    previous sequence, fill tokens, and fill fraction (only the final
+    sequence runs short). One aggregate shuffle on ``seq_id`` after the
+    prefix sum — map-side partial, ~corpus_tokens/ctx groups."""
+    segs = pack_sequences(df, order_col, token_col, ctx, num_partitions)
+    return (
+        segs.groupBy("seq_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_segments"),
+            F.sum(F.col("is_head").cast("bigint")).cast("bigint").alias("n_heads"),
+            F.sum(F.when(~F.col("is_head"), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_carryin"),
+            F.sum("seg_len").cast("bigint").alias("fill_tokens"),
+        )
+        .withColumn("fill_frac", F.round(F.col("fill_tokens") / F.lit(float(ctx)), 6))
+    )

@@ -1959,3 +1959,86 @@ def length_gini(documents: DataFrame, text_col: str = "text") -> DataFrame:
         F.col("total_tokens").cast("bigint").alias("total_tokens"),
         F.round(gini, 6).alias("gini"),
     )
+
+
+def chunk_dedup_rewrite(
+    documents: DataFrame,
+    chunk_tokens: int = 8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Duplicate-chunk REMOVAL rewrite — the destructive sibling of
+    :func:`chunk_dedup_stats`: split each document into non-overlapping
+    ``chunk_tokens``-token chunks, keep only each chunk-text's globally
+    FIRST occurrence (deterministic "first writer wins" under the
+    (doc_id, chunk_idx) order — the same rule the reference applies to
+    content-addressed SSTable uploads, UploadTracker.java:106-124), and
+    reassemble what survives into a cleaned document.
+
+    Output per document: ``doc_id, n_tokens_before, n_tokens_after,
+    kept_frac, text_hash`` where ``text_hash`` is the md5 of the rebuilt
+    text (kept chunks joined by a single space, original order) — the
+    cheap cross-engine witness that two engines rebuilt the SAME string
+    without shipping the strings around.
+
+    Scale: chunking is a narrow slice/explode (chunk relation ∝ corpus
+    tokens / chunk_tokens); the winner resolution is one md5-keyed
+    aggregation (uniform keys, map-side combinable) plus a join back; the
+    rebuild is one groupBy(doc_id) whose collect_list is bounded by a
+    single document's chunk count — never corpus-scale state in one task.
+    Documents whose every chunk loses are preserved with
+    ``n_tokens_after = 0`` and the md5 of the empty string via the final
+    left join from the documents relation.
+    """
+    words = documents.select(
+        F.col(id_col), F.split(F.col(text_col), " ").alias("_w")
+    ).withColumn("_n", F.size("_w"))
+    chunks = (
+        words.withColumn(
+            "chunk_idx",
+            F.explode(F.sequence(F.lit(0), ((F.col("_n") - 1) / chunk_tokens).cast("int"))),
+        )
+        .select(
+            id_col,
+            "chunk_idx",
+            F.array_join(
+                F.slice(F.col("_w"), F.col("chunk_idx") * chunk_tokens + 1, chunk_tokens),
+                " ",
+            ).alias("chunk"),
+        )
+        .withColumn(
+            "occ_key", F.col(id_col) * F.lit(1_000_000) + F.col("chunk_idx")
+        )
+    )
+    winners = chunks.groupBy("chunk").agg(F.min("occ_key").alias("first_key"))
+    kept = (
+        chunks.join(winners, "chunk")
+        .filter(F.col("occ_key") == F.col("first_key"))
+        .groupBy(id_col)
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("chunk_idx", "chunk"))),
+                    lambda s: s["chunk"],
+                ),
+                " ",
+            ).alias("_rebuilt"),
+        )
+    )
+    return (
+        words.join(kept, id_col, "left")
+        .select(
+            F.col(id_col).cast("bigint").alias(id_col),
+            F.col("_n").cast("bigint").alias("n_tokens_before"),
+            F.when(
+                F.col("_rebuilt").isNull() | (F.col("_rebuilt") == ""), F.lit(0)
+            )
+            .otherwise(F.size(F.split(F.col("_rebuilt"), " ")))
+            .cast("bigint")
+            .alias("n_tokens_after"),
+            F.md5(F.coalesce(F.col("_rebuilt"), F.lit(""))).alias("text_hash"),
+        )
+        .withColumn(
+            "kept_frac", F.round(F.col("n_tokens_after") / F.col("n_tokens_before"), 6)
+        )
+    )
