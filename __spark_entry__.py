@@ -27,6 +27,7 @@ from esop_spark.operators import (
     manifest,
     multimodal,
     retention,
+    retrieval,
     sampling,
     similarity,
     snapshots,
@@ -1231,6 +1232,45 @@ def q123_quantized_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q124_split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train→test n-gram leakage audit over the shipped hash splits
+    (splits.split_leakage): per stratum, the fraction of test docs and of
+    distinct test 5-gram shingles that also appear in the train slice."""
+    return splits.split_leakage(
+        _base(spark, sf_dir, "documents"), SPLIT_FRACTIONS, n=5
+    )
+
+
+def q125_hybrid_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid BM25+cosine retrieval with reciprocal-rank fusion
+    (retrieval.hybrid_retrieval): per query doc, the RRF-fused top-10 of
+    the keyword leg (first-6-distinct-token query) and the vector leg."""
+    return retrieval.hybrid_retrieval(
+        _base(spark, sf_dir, "documents"),
+        _base(spark, sf_dir, "embeddings"),
+        ANN_QUERY_IDS,
+        k=10,
+    )
+
+
+def q126_anneal_schedule(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Phase-wise mixture annealing plan (sampling.anneal_schedule): per
+    (phase, stratum) sampling weight interpolating natural token share →
+    share^0.25, dyadic alphas so share^alpha is nested-sqrt exact."""
+    return sampling.anneal_schedule(
+        _base(spark, sf_dir, "documents"), phases=4, phase_budget_tokens=100_000
+    )
+
+
+def q127_knn_label_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """kNN label-noise audit on a 10% content-hash sample
+    (similarity.knn_label_audit): majority label of the 5 nearest cosine
+    neighbors vs own label, agreement rate per label."""
+    return similarity.knn_label_audit(
+        _base(spark, sf_dir, "embeddings"), k=5, sample_rate=0.1, seed="knn0"
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001: the backup-listing report."""
     return q01_list_backups(spark, "/root/testdata/sf0.001")
@@ -1361,6 +1401,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q121_dedup_rewrite": q121_dedup_rewrite,
         "q122_matryoshka_eval": q122_matryoshka_eval,
         "q123_quantized_recall": q123_quantized_recall,
+        "q124_split_leakage": q124_split_leakage,
+        "q125_hybrid_retrieval": q125_hybrid_retrieval,
+        "q126_anneal_schedule": q126_anneal_schedule,
+        "q127_knn_label_audit": q127_knn_label_audit,
     }
 
 
@@ -4244,5 +4288,195 @@ def oracle_sql() -> dict[str, str]:
                    ROUND(COALESCE(n_overlap, 0) / {float(ANN_K)}, 6) AS recall
             FROM (SELECT DISTINCT query_id FROM exact) q
             LEFT JOIN ov USING (query_id)
+        """,
+        "q124_split_leakage": f"""
+            WITH d AS (
+                SELECT doc_id, lang AS stratum,
+                       CASE WHEN bucket < {int(0.8 * 1000000)} THEN 'train'
+                            WHEN bucket < {int(0.9 * 1000000)} THEN 'val'
+                            ELSE 'test' END AS split,
+                       string_split(text, ' ') AS words
+                FROM (
+                    SELECT *, CAST(concat('0x',
+                               substr(md5('split0:' || CAST(doc_id AS VARCHAR)), 1, 8))
+                               AS BIGINT) % 1000000 AS bucket
+                    FROM documents
+                )
+            ),
+            sh AS (
+                SELECT DISTINCT doc_id, stratum, split,
+                       array_to_string(list_slice(words, i, i + 4), ' ') AS shingle
+                FROM d, unnest(range(1, greatest(len(words) - 3, 1))) t(i)
+                WHERE split IN ('train', 'test')
+            ),
+            tr AS (SELECT DISTINCT shingle FROM sh WHERE split = 'train'),
+            te AS (
+                SELECT s.doc_id, s.stratum,
+                       CASE WHEN tr.shingle IS NULL THEN 0 ELSE 1 END AS leaked
+                FROM sh s LEFT JOIN tr ON s.shingle = tr.shingle
+                WHERE s.split = 'test'
+            ),
+            per_doc AS (
+                SELECT stratum, doc_id, COUNT(*) AS n_sh, SUM(leaked) AS n_leaked
+                FROM te GROUP BY 1, 2
+            )
+            SELECT stratum,
+                   CAST(COUNT(*) AS BIGINT) AS n_test_docs,
+                   CAST(SUM(CASE WHEN n_leaked > 0 THEN 1 ELSE 0 END) AS BIGINT)
+                       AS n_leaked_docs,
+                   CAST(SUM(n_sh) AS BIGINT) AS n_test_shingles,
+                   CAST(SUM(n_leaked) AS BIGINT) AS n_leaked_shingles,
+                   ROUND(SUM(CASE WHEN n_leaked > 0 THEN 1 ELSE 0 END) * 1.0
+                         / COUNT(*), 6) AS doc_leak_frac,
+                   ROUND(SUM(n_leaked) * 1.0 / SUM(n_sh), 6) AS shingle_leak_frac
+            FROM per_doc GROUP BY stratum
+        """,
+        "q125_hybrid_retrieval": f"""
+            WITH docs AS (
+                SELECT doc_id, string_split(text, ' ') AS words FROM documents
+            ),
+            qt AS (
+                SELECT DISTINCT doc_id AS query_id, w AS term
+                FROM docs, unnest(list_slice(words, 1, 6)) t(w)
+                WHERE doc_id < {len(ANN_QUERY_IDS)}
+            ),
+            stats AS (
+                SELECT CAST(COUNT(*) AS DOUBLE) AS n_docs,
+                       AVG(len(words)) AS avgdl
+                FROM docs
+            ),
+            toks AS (
+                SELECT doc_id, CAST(len(words) AS BIGINT) AS dl,
+                       unnest(words) AS term
+                FROM docs
+            ),
+            tf AS (
+                SELECT doc_id, term, CAST(COUNT(*) AS DOUBLE) AS tf,
+                       ANY_VALUE(dl) AS dl
+                FROM toks
+                WHERE term IN (SELECT term FROM qt)
+                GROUP BY 1, 2
+            ),
+            dft AS (
+                SELECT term, CAST(COUNT(*) AS DOUBLE) AS df FROM tf GROUP BY 1
+            ),
+            bm AS (
+                SELECT qt.query_id, tf.doc_id,
+                       ROUND(SUM(
+                           LN(1.0 + (n_docs - df + 0.5) / (df + 0.5))
+                           * tf * 2.2
+                           / (tf + 1.2 * (0.25 + 0.75 * dl / avgdl))
+                       ), 6) AS bm25
+                FROM tf JOIN dft USING (term) JOIN qt USING (term)
+                CROSS JOIN stats
+                WHERE qt.query_id <> tf.doc_id
+                GROUP BY 1, 2
+            ),
+            bmtop AS (
+                SELECT query_id, doc_id AS doc,
+                       CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                            ORDER BY bm25 DESC, doc_id ASC) AS BIGINT) AS bm25_rank
+                FROM bm QUALIFY bm25_rank <= 10
+            ),
+            e AS (
+                SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+            ),
+            ctop AS (
+                SELECT query_id, neighbor_id, rank AS cos_rank FROM (
+                    SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,
+                           CAST(ROW_NUMBER() OVER (PARTITION BY q.vec_id
+                                ORDER BY ROUND(list_cosine_similarity(q.v, e.v), 6)
+                                    DESC, e.vec_id ASC) AS BIGINT) AS rank
+                    FROM e q JOIN e ON q.vec_id <> e.vec_id
+                    WHERE q.vec_id < {len(ANN_QUERY_IDS)}
+                ) WHERE rank <= 10
+            ),
+            f AS (
+                SELECT COALESCE(b.query_id, c.query_id) AS query_id,
+                       COALESCE(b.doc, c.neighbor_id) AS doc_id,
+                       b.bm25_rank, c.cos_rank,
+                       COALESCE(1.0 / (60 + b.bm25_rank), 0)
+                       + COALESCE(1.0 / (60 + c.cos_rank), 0) AS rrf
+                FROM bmtop b FULL JOIN ctop c
+                  ON b.query_id = c.query_id AND b.doc = c.neighbor_id
+            )
+            SELECT CAST(query_id AS BIGINT) AS query_id,
+                   CAST(doc_id AS BIGINT) AS doc_id,
+                   bm25_rank, cos_rank,
+                   ROUND(rrf, 6) AS rrf_score,
+                   CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                        ORDER BY rrf DESC, doc_id ASC) AS BIGINT) AS fused_rank
+            FROM f QUALIFY fused_rank <= 10
+        """,
+        "q126_anneal_schedule": """
+            WITH per AS (
+                SELECT lang AS stratum,
+                       CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
+                FROM documents GROUP BY 1
+            ),
+            sh AS (
+                SELECT stratum,
+                       n_tokens / CAST((SELECT SUM(n_tokens) FROM per) AS DOUBLE)
+                           AS share
+                FROM per
+            ),
+            st AS (
+                SELECT phase, stratum, share,
+                       CAST(ROUND(CASE phase
+                            WHEN 1 THEN share
+                            WHEN 2 THEN sqrt(share * sqrt(share))
+                            WHEN 3 THEN sqrt(share)
+                            ELSE sqrt(sqrt(share)) END * 1000000000) AS BIGINT)
+                           AS raw_i
+                FROM sh CROSS JOIN (SELECT UNNEST(range(1, 5)) AS phase)
+            )
+            SELECT CAST(phase AS BIGINT) AS phase, stratum,
+                   ROUND(1.0 - 0.75 * (phase - 1) / 3, 6) AS alpha,
+                   ROUND(share, 6) AS natural_share,
+                   ROUND(raw_i * 1.0
+                         / SUM(raw_i) OVER (PARTITION BY phase), 6) AS weight,
+                   CAST(FLOOR(raw_i * 100000.0
+                        / SUM(raw_i) OVER (PARTITION BY phase)) AS BIGINT)
+                       AS expected_tokens
+            FROM st
+        """,
+        "q127_knn_label_audit": """
+            WITH e AS (
+                SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v
+                FROM embeddings
+            ),
+            q AS (
+                SELECT vec_id AS query_id, label AS own_label, v
+                FROM e
+                WHERE CAST(concat('0x',
+                        substr(md5('knn0:' || CAST(vec_id AS VARCHAR)), 1, 8))
+                        AS BIGINT) % 1000000 < 100000
+            ),
+            topk AS (
+                SELECT * FROM (
+                    SELECT q.query_id, q.own_label, e.label AS nb_label,
+                           ROW_NUMBER() OVER (PARTITION BY q.query_id
+                               ORDER BY ROUND(list_cosine_similarity(q.v, e.v), 6)
+                                   DESC, e.vec_id ASC) AS rank
+                    FROM q JOIN e ON q.query_id <> e.vec_id
+                ) WHERE rank <= 5
+            ),
+            votes AS (
+                SELECT query_id, own_label, nb_label, COUNT(*) AS n_votes
+                FROM topk GROUP BY 1, 2, 3
+            ),
+            best AS (
+                SELECT query_id, own_label,
+                       -((max(struct_pack(n := n_votes, nl := -nb_label))).nl)
+                           AS pred_label
+                FROM votes GROUP BY 1, 2
+            )
+            SELECT CAST(own_label AS BIGINT) AS label,
+                   CAST(COUNT(*) AS BIGINT) AS n_queries,
+                   CAST(SUM(CASE WHEN pred_label = own_label THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_agree,
+                   ROUND(SUM(CASE WHEN pred_label = own_label THEN 1 ELSE 0 END)
+                         * 1.0 / COUNT(*), 6) AS agree_rate
+            FROM best GROUP BY 1
         """,
     }

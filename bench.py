@@ -98,6 +98,15 @@ BENCH_QUERIES = [
     "q116_hard_negatives",
     "q117_quality_length_corr",
     "q118_length_gini",
+    "q119_fuzzy_join",
+    "q120_sequence_packing",
+    "q121_dedup_rewrite",
+    "q122_matryoshka_eval",
+    "q123_quantized_recall",
+    "q124_split_leakage",
+    "q125_hybrid_retrieval",
+    "q126_anneal_schedule",
+    "q127_knn_label_audit",
 ]
 
 

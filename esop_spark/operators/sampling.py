@@ -329,3 +329,68 @@ def mixture_ess(
         F.round(num * num / den, 6).alias("corpus_ess"),
         F.round(num * num / den / n_tot, 6).alias("ess_frac"),
     )
+
+
+def anneal_schedule(
+    documents: DataFrame,
+    phases: int = 4,
+    phase_budget_tokens: int = 100_000,
+    strata_col: str = "lang",
+    token_col: Column | None = None,
+) -> DataFrame:
+    """Multi-phase mixture annealing plan: per training phase, the sampling
+    weight for each stratum interpolating from the corpus's NATURAL token
+    share (phase 1) toward a flattened share^alpha distribution
+    (final phase, alpha = 0.25) — the standard "anneal toward uniform /
+    high-quality" schedule for late-stage pretraining data mixes.
+
+    Phase p of P uses alpha_p = 1 - 0.75*(p-1)/(P-1), restricted by
+    construction to the dyadic grid {1, 0.75, 0.5, 0.25} (phases=4), so
+    share^alpha is computed with nested IEEE ``sqrt`` only — exactly
+    reproducible across engines, unlike a libm ``pow``. Weights are
+    normalized per phase; expected_tokens = floor(weight * budget).
+
+    Scale: one map-side-combined aggregation to the |strata| grain; every
+    downstream step (phase cross join, per-phase normalization window) runs
+    on the strata×phases relation — a few dozen rows at any corpus size.
+    """
+    if phases != 4:
+        raise ValueError("anneal_schedule is defined on the dyadic 4-phase grid")
+    tok = token_col if token_col is not None else F.size(F.split(F.col("text"), " "))
+    per = documents.groupBy(F.col(strata_col).alias("stratum")).agg(
+        F.sum(tok.cast("bigint")).alias("n_tokens")
+    )
+    total = Window.partitionBy()
+    shared = per.withColumn(
+        "share", F.col("n_tokens") / F.sum("n_tokens").over(total)
+    )
+    s = F.col("share")
+    raw = (
+        F.when(F.col("phase") == 1, s)
+        .when(F.col("phase") == 2, F.sqrt(s * F.sqrt(s)))
+        .when(F.col("phase") == 3, F.sqrt(s))
+        .otherwise(F.sqrt(F.sqrt(s)))
+    )
+    staged = (
+        shared.select(
+            "stratum",
+            "share",
+            F.explode(F.array(*[F.lit(p) for p in range(1, phases + 1)])).alias("phase"),
+        )
+        # Scale raw weights to exact integers before normalizing: the
+        # per-phase sum is then order-independent (no float-summation
+        # nondeterminism across engines / partitionings).
+        .withColumn("raw_i", F.round(raw * 1_000_000_000).cast("bigint"))
+    )
+    norm = Window.partitionBy("phase")
+    sum_i = F.sum("raw_i").over(norm)
+    return staged.select(
+        F.col("phase").cast("bigint").alias("phase"),
+        "stratum",
+        F.round(F.lit(1.0) - 0.75 * (F.col("phase") - 1) / (phases - 1), 6).alias("alpha"),
+        F.round("share", 6).alias("natural_share"),
+        F.round(F.col("raw_i") / sum_i, 6).alias("weight"),
+        F.floor(F.col("raw_i") * float(phase_budget_tokens) / sum_i)
+        .cast("bigint")
+        .alias("expected_tokens"),
+    )

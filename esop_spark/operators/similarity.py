@@ -1362,3 +1362,80 @@ def quantized_ann_recall(
             "recall"
         ),
     )
+
+
+def knn_label_audit(
+    embeddings: DataFrame,
+    k: int = 5,
+    sample_rate: float = 0.1,
+    seed: str = "knn0",
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    label_col: str = "label",
+) -> DataFrame:
+    """Label-noise audit via k-nearest-neighbor vote on a hash sample.
+
+    For a deterministic content-hash sample of vectors (the audit-sample
+    pattern of the LSH recall audit, q104), find the exact k nearest
+    cosine neighbors in the FULL corpus (self excluded), take the majority
+    neighbor label (ties → smaller label), and report per true label how
+    often the vote agrees — low agreement flags mislabeled or boundary
+    regions in a labeled training set.
+
+    Scale: the sampled query side is broadcast against one scan of the
+    corpus (the q26 plan); per-query top-k is a bounded window over the
+    query grain. Audit cost is sample_rate × corpus per scan — the knob
+    that keeps this O(sample × n), never O(n²).
+    """
+    from esop_spark.operators.sampling import hash_sample
+
+    v = _vec_double(vec_col)
+    e = embeddings.select(
+        F.col(id_col),
+        F.col(label_col),
+        v.alias("v"),
+        F.sqrt(_dot(v, v)).alias("norm"),
+    )
+    q = hash_sample(e, sample_rate, F.col(id_col), seed)
+    q = F.broadcast(
+        q.select(
+            F.col(id_col).alias("query_id"),
+            F.col(label_col).alias("own_label"),
+            F.col("v").alias("qv"),
+            F.col("norm").alias("qnorm"),
+        )
+    )
+    cos = _dot(F.col("qv"), F.col("v")) / (F.col("qnorm") * F.col("norm"))
+    scored = e.join(q, F.col("query_id") != F.col(id_col)).select(
+        "query_id",
+        "own_label",
+        F.col(label_col).alias("nb_label"),
+        F.round(cos, 6).alias("cosine"),
+        F.col(id_col).alias("neighbor_id"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id").asc()
+    )
+    topk = scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+    votes = topk.groupBy("query_id", "own_label", "nb_label").agg(
+        F.count(F.lit(1)).alias("n_votes")
+    )
+    best = votes.groupBy("query_id", "own_label").agg(
+        F.max(F.struct(F.col("n_votes"), (-F.col("nb_label")).alias("neg"))).alias("m")
+    ).select(
+        "query_id",
+        "own_label",
+        (-F.col("m.neg")).alias("pred_label"),
+        F.col("m.n_votes").alias("n_votes"),
+    )
+    return best.groupBy(F.col("own_label").cast("bigint").alias("label")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_queries"),
+        F.sum((F.col("pred_label") == F.col("own_label")).cast("int"))
+        .cast("bigint")
+        .alias("n_agree"),
+        F.round(
+            F.sum((F.col("pred_label") == F.col("own_label")).cast("int"))
+            / F.count(F.lit(1)),
+            6,
+        ).alias("agree_rate"),
+    )

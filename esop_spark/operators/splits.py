@@ -280,3 +280,78 @@ def sequence_report(
         )
         .withColumn("fill_frac", F.round(F.col("fill_tokens") / F.lit(float(ctx)), 6))
     )
+
+
+def split_leakage(
+    documents: DataFrame,
+    fractions: dict[str, float],
+    n: int = 5,
+    train_label: str = "train",
+    test_label: str = "test",
+    seed: str = "split0",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    strata_col: str = "lang",
+) -> DataFrame:
+    """Train→test n-gram leakage audit across hash-assigned splits.
+
+    Assigns every document a split with :func:`assign_split` (the same
+    content-hash rule the split report uses, so the audit covers the splits
+    actually shipped), then measures, per stratum, how much of the test
+    slice's distinct n-gram mass also appears anywhere in the train slice —
+    the leakage companion to cross-corpus decontamination
+    (:func:`esop_spark.operators.dedup.contamination`). Reference analog:
+    the restore-verification membership join
+    (esop/impl/restore/RestorationUtils.java) applied to split hygiene.
+
+    Output per stratum: test docs with ≥1 shingle, docs with any leaked
+    shingle, distinct-shingle totals/leaked, and the two leak fractions.
+
+    Scale: shingles explode from one shared scan; the train side collapses
+    to a distinct 64-bit hash set (map-side combine, uniform keys) and the
+    membership join is a hash equi-join on that key — the same shape as
+    contamination. No window, no skewed key: shuffle volume ∝ distinct
+    shingles. At 100 TB the train-distinct relation can be bloom-pruned
+    before the join exactly like q81's decontamination prefilter.
+    """
+    from esop_spark.operators.dedup import _shingle_array_expr
+
+    base = documents.select(
+        F.col(id_col),
+        F.col(strata_col).alias("stratum"),
+        assign_split(F.col(id_col), fractions, seed).alias("split"),
+        F.split(F.col(text_col), " ").alias("words"),
+    ).filter(F.col("split").isin([train_label, test_label]))
+    sh = base.select(
+        id_col,
+        "stratum",
+        "split",
+        F.explode(F.expr(_shingle_array_expr(n))).alias("shingle"),
+    ).select(
+        id_col, "stratum", "split", F.xxhash64("shingle").alias("sh_h")
+    )
+    train_sh = (
+        sh.filter(F.col("split") == train_label)
+        .select("sh_h")
+        .distinct()
+        .withColumn("leaked", F.lit(1))
+    )
+    per_doc = (
+        sh.filter(F.col("split") == test_label)
+        .join(train_sh, "sh_h", "left")
+        .groupBy("stratum", id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_sh"),
+            F.sum(F.coalesce(F.col("leaked"), F.lit(0))).alias("n_leaked"),
+        )
+    )
+    return per_doc.groupBy("stratum").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_test_docs"),
+        F.sum((F.col("n_leaked") > 0).cast("int")).cast("bigint").alias("n_leaked_docs"),
+        F.sum("n_sh").cast("bigint").alias("n_test_shingles"),
+        F.sum("n_leaked").cast("bigint").alias("n_leaked_shingles"),
+        F.round(
+            F.sum((F.col("n_leaked") > 0).cast("int")) / F.count(F.lit(1)), 6
+        ).alias("doc_leak_frac"),
+        F.round(F.sum("n_leaked") / F.sum("n_sh"), 6).alias("shingle_leak_frac"),
+    )

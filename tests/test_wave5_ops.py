@@ -1,0 +1,156 @@
+"""Wave-5 operators: split leakage audit, hybrid RRF retrieval, mixture
+annealing schedule, kNN label audit. Semantics are oracle-checked by
+q124–q127; these tests pin the invariants a refactor could silently break."""
+
+import math
+
+from pyspark.sql import functions as F
+
+from esop_spark.operators import retrieval, sampling, similarity, splits
+
+
+def _docs(spark):
+    rows = [
+        (0, "alpha beta gamma delta epsilon zeta eta theta", "en", "web"),
+        (1, "alpha beta gamma delta epsilon zeta eta theta", "en", "web"),
+        (2, "one two three four five six seven eight nine", "en", "book"),
+        (3, "uno dos tres cuatro cinco seis siete ocho nueve", "es", "web"),
+        (4, "aaa bbb ccc ddd eee fff ggg hhh iii jjj kkk", "es", "web"),
+        (5, "pqr stu vwx yza bcd efg hij klm nop qrs tuv", "de", "web"),
+    ] + [
+        (i, f"w{i} x{i} y{i} z{i} k{i} l{i} m{i} n{i}", "en", "web")
+        for i in range(6, 40)
+    ]
+    return spark.createDataFrame(rows, ["doc_id", "text", "lang", "source"])
+
+
+def _embeddings(spark, n=40, dim=8):
+    rows = [
+        (i, [float((i * 7 + j * 3) % 5 + 1) for j in range(dim)], i % 3)
+        for i in range(n)
+    ]
+    return spark.createDataFrame(rows, ["vec_id", "embedding", "label"])
+
+
+# --- split_leakage ----------------------------------------------------------
+
+def test_split_leakage_detects_cross_split_duplicate(spark):
+    # docs 0 and 1 are identical; force them into opposite splits by
+    # picking fractions until they separate is flaky — instead use a split
+    # where train gets ~everything so any test doc built from train text
+    # leaks fully.
+    docs = _docs(spark)
+    out = splits.split_leakage(
+        docs, {"train": 0.9, "test": 0.1}, n=3, test_label="test"
+    ).collect()
+    for r in out:
+        assert 0 <= r["n_leaked_docs"] <= r["n_test_docs"]
+        assert 0 <= r["n_leaked_shingles"] <= r["n_test_shingles"]
+        assert abs(r["doc_leak_frac"] - r["n_leaked_docs"] / r["n_test_docs"]) < 1e-6
+
+
+def test_split_leakage_partition_invariant(spark):
+    docs = _docs(spark)
+    a = sorted(
+        splits.split_leakage(docs, {"train": 0.7, "test": 0.3}, n=3).collect()
+    )
+    b = sorted(
+        splits.split_leakage(
+            docs.repartition(7, "lang"), {"train": 0.7, "test": 0.3}, n=3
+        ).collect()
+    )
+    assert a == b
+
+
+# --- hybrid_retrieval -------------------------------------------------------
+
+def test_hybrid_retrieval_rrf_math_and_shape(spark):
+    docs = _docs(spark)
+    emb = _embeddings(spark)
+    out = retrieval.hybrid_retrieval(docs, emb, [0, 2], k=5).collect()
+    by_q = {}
+    for r in out:
+        by_q.setdefault(r["query_id"], []).append(r)
+        assert r["query_id"] != r["doc_id"], "self-match must be excluded"
+        expect = 0.0
+        if r["bm25_rank"] is not None:
+            expect += 1.0 / (60 + r["bm25_rank"])
+        if r["cos_rank"] is not None:
+            expect += 1.0 / (60 + r["cos_rank"])
+        assert abs(r["rrf_score"] - round(expect, 6)) < 1e-9
+    for qid, rows in by_q.items():
+        ranks = sorted(r["fused_rank"] for r in rows)
+        assert ranks == list(range(1, len(rows) + 1))
+        assert len(rows) <= 5
+        # fused order must follow rrf desc
+        srt = sorted(rows, key=lambda r: (-r["rrf_score"], r["doc_id"]))
+        assert [r["fused_rank"] for r in srt] == sorted(r["fused_rank"] for r in rows)
+
+
+def test_hybrid_retrieval_doc0_top_hit_is_its_duplicate(spark):
+    # doc 1 is an exact copy of doc 0's text: it must win the BM25 leg.
+    docs = _docs(spark)
+    emb = _embeddings(spark)
+    out = retrieval.hybrid_retrieval(docs, emb, [0], k=5).collect()
+    bm_best = min(
+        (r for r in out if r["bm25_rank"] is not None), key=lambda r: r["bm25_rank"]
+    )
+    assert bm_best["doc_id"] == 1
+
+
+# --- anneal_schedule --------------------------------------------------------
+
+def test_anneal_schedule_interpolates_natural_to_flat(spark):
+    docs = _docs(spark)
+    out = sampling.anneal_schedule(docs, phases=4, phase_budget_tokens=10_000).collect()
+    by_phase = {}
+    for r in out:
+        by_phase.setdefault(r["phase"], {})[r["stratum"]] = r
+    assert set(by_phase) == {1, 2, 3, 4}
+    for phase, rows in by_phase.items():
+        s = sum(r["weight"] for r in rows.values())
+        assert abs(s - 1.0) < 1e-4, f"phase {phase} weights must normalize"
+        assert sum(r["expected_tokens"] for r in rows.values()) <= 10_000
+    # phase 1 = natural share
+    for r in by_phase[1].values():
+        assert abs(r["weight"] - r["natural_share"]) < 2e-6
+    # later phases flatten: max-share stratum loses weight monotonically
+    big = max(by_phase[1].values(), key=lambda r: r["natural_share"])["stratum"]
+    w = [by_phase[p][big]["weight"] for p in (1, 2, 3, 4)]
+    assert w[0] > w[1] > w[2] > w[3]
+    # alpha grid is dyadic
+    alphas = {p: by_phase[p][big]["alpha"] for p in (1, 2, 3, 4)}
+    assert alphas == {1: 1.0, 2: 0.75, 3: 0.5, 4: 0.25}
+
+
+def test_anneal_phase4_matches_quarter_power(spark):
+    docs = _docs(spark)
+    out = sampling.anneal_schedule(docs, phases=4).collect()
+    p4 = [r for r in out if r["phase"] == 4]
+    raw = {r["stratum"]: r["natural_share"] ** 0.25 for r in p4}
+    tot = sum(raw.values())
+    for r in p4:
+        assert math.isclose(r["weight"], raw[r["stratum"]] / tot, rel_tol=1e-4)
+
+
+# --- knn_label_audit --------------------------------------------------------
+
+def test_knn_label_audit_perfectly_separated_labels_agree(spark):
+    # Two far-apart clusters: label 0 near the origin axis, label 1 scaled
+    # opposite direction — every kNN vote agrees with the own label.
+    rows = [(i, [1.0 + 0.001 * i, 0.0, 0.0, 0.0], 0) for i in range(20)] + [
+        (i, [0.0, 0.0, 0.001 * i, 5.0], 1) for i in range(20, 40)
+    ]
+    emb = spark.createDataFrame(rows, ["vec_id", "embedding", "label"])
+    out = similarity.knn_label_audit(emb, k=3, sample_rate=0.5).collect()
+    assert out, "sample must be non-empty"
+    for r in out:
+        assert r["n_agree"] == r["n_queries"]
+        assert r["agree_rate"] == 1.0
+
+
+def test_knn_label_audit_sample_bounds_queries(spark):
+    emb = _embeddings(spark, n=40)
+    out = similarity.knn_label_audit(emb, k=5, sample_rate=0.25).collect()
+    n_queries = sum(r["n_queries"] for r in out)
+    assert 1 <= n_queries < 40  # strict subset: the audit is sampled
