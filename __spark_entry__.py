@@ -1271,6 +1271,24 @@ def q127_knn_label_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q128_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary coverage curve (text_ops.vocab_coverage): corpus token
+    mass covered by the top-{5,10,20} most frequent tokens — the tokenizer
+    vocab-sizing signal; cumulative window on the bounded head. (The
+    synthetic corpus has a 31-token vocabulary, so these cutoffs trace a
+    real curve; production cutoffs would be 1e3–1e5.)"""
+    return text_ops.vocab_coverage(
+        _base(spark, sf_dir, "documents"), cutoffs=(5, 10, 20)
+    )
+
+
+def q129_dedup_inflation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source exact-duplicate inflation (dedup.dedup_inflation): doc
+    and token multiplicity vs the deduplicated corpus — the effective-
+    dataset-size planning report for a dedup pass."""
+    return dedup.dedup_inflation(_base(spark, sf_dir, "documents"))
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001: the backup-listing report."""
     return q01_list_backups(spark, "/root/testdata/sf0.001")
@@ -1405,6 +1423,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q125_hybrid_retrieval": q125_hybrid_retrieval,
         "q126_anneal_schedule": q126_anneal_schedule,
         "q127_knn_label_audit": q127_knn_label_audit,
+        "q128_vocab_coverage": q128_vocab_coverage,
+        "q129_dedup_inflation": q129_dedup_inflation,
     }
 
 
@@ -4478,5 +4498,41 @@ def oracle_sql() -> dict[str, str]:
                    ROUND(SUM(CASE WHEN pred_label = own_label THEN 1 ELSE 0 END)
                          * 1.0 / COUNT(*), 6) AS agree_rate
             FROM best GROUP BY 1
+        """,
+        "q128_vocab_coverage": """
+            WITH toks AS (
+                SELECT unnest(string_split(text, ' ')) AS term FROM documents
+            ),
+            cnt AS (SELECT term, COUNT(*) AS n FROM toks GROUP BY 1),
+            tot AS (SELECT CAST(SUM(n) AS BIGINT) AS total_tokens FROM cnt),
+            ranked AS (
+                SELECT n, ROW_NUMBER() OVER (ORDER BY n DESC, term ASC) AS r
+                FROM cnt
+            ),
+            cum AS (
+                SELECT r, SUM(n) OVER (ORDER BY r) AS cumn
+                FROM ranked WHERE r <= 20
+            )
+            SELECT CAST(r AS BIGINT) AS cutoff,
+                   CAST(cumn AS BIGINT) AS covered_tokens,
+                   total_tokens,
+                   ROUND(cumn * 1.0 / total_tokens, 6) AS coverage
+            FROM cum CROSS JOIN tot
+            WHERE r IN (5, 10, 20)
+        """,
+        "q129_dedup_inflation": """
+            WITH g AS (
+                SELECT source, md5(text) AS h, COUNT(*) AS cnt,
+                       ANY_VALUE(len(string_split(text, ' '))) AS tok
+                FROM documents GROUP BY 1, 2
+            )
+            SELECT source AS slice,
+                   CAST(SUM(cnt) AS BIGINT) AS n_docs,
+                   CAST(COUNT(*) AS BIGINT) AS n_unique_docs,
+                   CAST(SUM(cnt * tok) AS BIGINT) AS total_tokens,
+                   CAST(SUM(tok) AS BIGINT) AS unique_tokens,
+                   ROUND(SUM(cnt) * 1.0 / COUNT(*), 6) AS doc_inflation,
+                   ROUND(SUM(cnt * tok) * 1.0 / SUM(tok), 6) AS token_inflation
+            FROM g GROUP BY source
         """,
     }

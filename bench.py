@@ -107,6 +107,8 @@ BENCH_QUERIES = [
     "q125_hybrid_retrieval",
     "q126_anneal_schedule",
     "q127_knn_label_audit",
+    "q128_vocab_coverage",
+    "q129_dedup_inflation",
 ]
 
 

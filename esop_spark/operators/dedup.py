@@ -1313,3 +1313,36 @@ def fuzzy_title_pairs(
             F.col("edit_distance").cast("bigint"),
         )
     )
+
+
+def dedup_inflation(
+    documents: DataFrame,
+    text_col: str = "text",
+    slice_col: str = "source",
+) -> DataFrame:
+    """Per-slice exact-duplicate inflation: how much larger the corpus is
+    than its deduplicated form, in documents and in token mass — the
+    "effective dataset size" planning number a dedup pass will reclaim.
+    Within-slice semantics: duplicates are counted against the slice they
+    sit in (cross-slice copies are q86's overlap matrix instead).
+
+    Scale: one hash agg on (slice, md5(text)) — uniform content keys,
+    map-side combine, shuffle volume ∝ distinct texts; then a |slices|-grain
+    rollup. The same shape as exact dedup (q21) with token weights carried.
+    """
+    g = documents.groupBy(
+        F.col(slice_col).alias("slice"), F.md5(F.col(text_col)).alias("h")
+    ).agg(
+        F.count(F.lit(1)).alias("cnt"),
+        F.first(F.size(F.split(F.col(text_col), " "))).cast("bigint").alias("tok"),
+    )
+    return g.groupBy("slice").agg(
+        F.sum("cnt").cast("bigint").alias("n_docs"),
+        F.count(F.lit(1)).cast("bigint").alias("n_unique_docs"),
+        F.sum(F.col("cnt") * F.col("tok")).cast("bigint").alias("total_tokens"),
+        F.sum("tok").cast("bigint").alias("unique_tokens"),
+        F.round(F.sum("cnt") / F.count(F.lit(1)), 6).alias("doc_inflation"),
+        F.round(
+            F.sum(F.col("cnt") * F.col("tok")) / F.sum("tok"), 6
+        ).alias("token_inflation"),
+    )

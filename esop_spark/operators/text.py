@@ -2042,3 +2042,52 @@ def chunk_dedup_rewrite(
             "kept_frac", F.round(F.col("n_tokens_after") / F.col("n_tokens_before"), 6)
         )
     )
+
+
+def vocab_coverage(
+    documents: DataFrame,
+    cutoffs: tuple[int, ...] = (10, 100, 1000),
+    text_col: str = "text",
+) -> DataFrame:
+    """Vocabulary coverage curve: what fraction of the corpus token mass the
+    top-k most frequent tokens cover, at each cutoff — the sizing signal
+    for tokenizer vocab / OOV-budget decisions (companion to
+    :func:`vocab_topk` / :func:`oov_rate`).
+
+    Scale: one explode → uniform-key hash agg to the vocab grain, a single
+    TakeOrderedAndProject for the max(cutoffs) head, then the cumulative
+    window runs on that BOUNDED head relation (≤ max cutoff rows — the q72
+    score-grain argument, never a corpus-sized window). Exact integer
+    counts, so coverage is engine-reproducible.
+    """
+    kmax = max(cutoffs)
+    counts = (
+        documents.select(F.explode(tokens(text_col)).alias("term"))
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    )
+    total = counts.agg(F.sum("n").cast("bigint").alias("total_tokens"))
+    head = counts.orderBy(F.col("n").desc(), F.col("term").asc()).limit(kmax)
+    w = (
+        Window.orderBy(F.col("n").desc(), F.col("term").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    ranked = head.select(
+        F.row_number()
+        .over(Window.orderBy(F.col("n").desc(), F.col("term").asc()))
+        .cast("bigint")
+        .alias("cutoff"),
+        F.sum("n").over(w).cast("bigint").alias("covered_tokens"),
+    )
+    return (
+        ranked.filter(F.col("cutoff").isin(list(cutoffs)))
+        .crossJoin(F.broadcast(total))
+        .select(
+            "cutoff",
+            "covered_tokens",
+            "total_tokens",
+            F.round(F.col("covered_tokens") / F.col("total_tokens"), 6).alias(
+                "coverage"
+            ),
+        )
+    )

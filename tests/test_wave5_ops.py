@@ -154,3 +154,45 @@ def test_knn_label_audit_sample_bounds_queries(spark):
     out = similarity.knn_label_audit(emb, k=5, sample_rate=0.25).collect()
     n_queries = sum(r["n_queries"] for r in out)
     assert 1 <= n_queries < 40  # strict subset: the audit is sampled
+
+
+# --- vocab_coverage ---------------------------------------------------------
+
+def test_vocab_coverage_monotone_and_exact(spark):
+    from esop_spark.operators import text as text_ops
+
+    rows = [(0, "a a a a b b c d"), (1, "a b c e")]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {
+        r["cutoff"]: r
+        for r in text_ops.vocab_coverage(docs, cutoffs=(1, 2, 5)).collect()
+    }
+    # counts: a=5, b=3, c=2, d=1, e=1  (total 12)
+    assert out[1]["covered_tokens"] == 5
+    assert out[2]["covered_tokens"] == 8
+    assert out[5]["covered_tokens"] == 12
+    assert out[5]["coverage"] == 1.0
+    assert out[1]["coverage"] < out[2]["coverage"] < out[5]["coverage"]
+
+
+# --- dedup_inflation --------------------------------------------------------
+
+def test_dedup_inflation_counts_duplicates_within_slice(spark):
+    from esop_spark.operators import dedup
+
+    rows = [
+        (0, "x y z", "web"),
+        (1, "x y z", "web"),
+        (2, "x y z", "web"),
+        (3, "p q", "web"),
+        (4, "x y z", "book"),  # same text, other slice: not inflated there
+    ]
+    docs = spark.createDataFrame(rows, ["doc_id", "text", "source"])
+    out = {r["slice"]: r for r in dedup.dedup_inflation(docs).collect()}
+    web = out["web"]
+    assert web["n_docs"] == 4 and web["n_unique_docs"] == 2
+    assert web["total_tokens"] == 11 and web["unique_tokens"] == 5
+    assert web["doc_inflation"] == 2.0
+    assert abs(web["token_inflation"] - 2.2) < 1e-6
+    book = out["book"]
+    assert book["n_docs"] == 1 and book["doc_inflation"] == 1.0
