@@ -1289,6 +1289,36 @@ def q129_dedup_inflation(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.dedup_inflation(_base(spark, sf_dir, "documents"))
 
 
+def q130_filter_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-fail waterfall over the Gopher rule battery
+    (text_ops.filter_funnel): kill count per funnel stage in fixed rule
+    order and the surviving corpus after each stage — the which-rule-to-
+    tune attribution report (q67 reports overlapping totals instead)."""
+    return text_ops.filter_funnel(_base(spark, sf_dir, "documents"))
+
+
+def q131_subsample_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic subsampling error bar (sampling.subsample_ci): 32
+    content-hash half-samples per stratum, replicate-mean spread around the
+    exact full mean token count — the RNG-free bootstrap stand-in."""
+    return sampling.subsample_ci(
+        _base(spark, sf_dir, "documents"), replicates=32, rate=0.5
+    )
+
+
+def q132_dau_wau(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DAU/WAU stickiness per epoch day (analytics.dau_wau_stickiness):
+    trailing-7-day distinct actives via the bounded covering explode — no
+    day-range join, no per-day window."""
+    return analytics.dau_wau_stickiness(_base(spark, sf_dir, "events"))
+
+
+def q133_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured JSON probe (analytics.json_props_rollup): extract
+    props.k inside the scan projection and roll up per event type."""
+    return analytics.json_props_rollup(_base(spark, sf_dir, "events"))
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001: the backup-listing report."""
     return q01_list_backups(spark, "/root/testdata/sf0.001")
@@ -1425,6 +1455,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q127_knn_label_audit": q127_knn_label_audit,
         "q128_vocab_coverage": q128_vocab_coverage,
         "q129_dedup_inflation": q129_dedup_inflation,
+        "q130_filter_funnel": q130_filter_funnel,
+        "q131_subsample_ci": q131_subsample_ci,
+        "q132_dau_wau": q132_dau_wau,
+        "q133_json_props": q133_json_props,
     }
 
 
@@ -4534,5 +4568,109 @@ def oracle_sql() -> dict[str, str]:
                    ROUND(SUM(cnt) * 1.0 / COUNT(*), 6) AS doc_inflation,
                    ROUND(SUM(cnt * tok) * 1.0 / SUM(tok), 6) AS token_inflation
             FROM g GROUP BY source
+        """,
+        "q130_filter_funnel": """
+            WITH m AS (
+                SELECT len(words) AS n_words,
+                       list_sum(list_transform(words, x -> length(x))) * 1.0
+                           / len(words) AS mean_word_len,
+                       len(list_filter(words, x -> x IN ('#', '...'))) * 1.0
+                           / len(words) AS symbol_frac,
+                       len(list_filter(words, x -> x IN ('a', 'the')))
+                           AS stopword_hits
+                FROM (SELECT string_split(text, ' ') AS words FROM documents)
+            ),
+            lab AS (
+                SELECT CASE WHEN n_words < 30 THEN 1
+                            WHEN n_words > 100000 THEN 2
+                            WHEN mean_word_len < 2.0 OR mean_word_len > 10.0
+                                THEN 3
+                            WHEN symbol_frac > 0.1 THEN 4
+                            WHEN stopword_hits < 2 THEN 5
+                            ELSE 0 END AS stage
+                FROM m
+            ),
+            killed AS (SELECT stage, COUNT(*) AS n_killed FROM lab GROUP BY 1),
+            stages AS (
+                SELECT * FROM (VALUES (1, 'too_short'), (2, 'too_long'),
+                                      (3, 'word_len'), (4, 'symbol'),
+                                      (5, 'stopword')) AS t(stage, rule)
+            ),
+            tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_total FROM lab)
+            SELECT CAST(s.stage AS BIGINT) AS stage, s.rule,
+                   CAST(COALESCE(k.n_killed, 0) AS BIGINT) AS n_killed,
+                   CAST(n_total - SUM(COALESCE(k.n_killed, 0))
+                        OVER (ORDER BY s.stage) AS BIGINT) AS n_remaining,
+                   ROUND(COALESCE(k.n_killed, 0) * 1.0 / n_total, 6)
+                       AS kill_frac
+            FROM stages s LEFT JOIN killed k ON s.stage = k.stage
+            CROSS JOIN tot
+        """,
+        "q131_subsample_ci": """
+            WITH d AS (
+                SELECT lang AS stratum, CAST(doc_id AS VARCHAR) AS k,
+                       CAST(len(string_split(text, ' ')) AS BIGINT) AS score
+                FROM documents
+            ),
+            reps AS (SELECT UNNEST(range(0, 32)) AS rep),
+            member AS (
+                SELECT stratum, rep, score
+                FROM d CROSS JOIN reps
+                WHERE CAST(concat('0x',
+                        substr(md5('ci:' || CAST(rep AS VARCHAR) || ':' || k),
+                               1, 8)) AS BIGINT) % 1000000 < 500000
+            ),
+            rm AS (
+                SELECT stratum, rep, SUM(score) * 1.0 / COUNT(*) AS rep_mean
+                FROM member GROUP BY 1, 2
+            ),
+            spread AS (
+                SELECT stratum,
+                       ROUND(MIN(rep_mean), 6) AS ci_lo,
+                       ROUND(MAX(rep_mean), 6) AS ci_hi,
+                       CAST(COUNT(*) AS BIGINT) AS n_replicates
+                FROM rm GROUP BY 1
+            ),
+            fullm AS (
+                SELECT stratum, CAST(COUNT(*) AS BIGINT) AS n_docs,
+                       ROUND(SUM(score) * 1.0 / COUNT(*), 6) AS mean_score
+                FROM d GROUP BY 1
+            )
+            SELECT f.stratum, n_docs, mean_score, ci_lo, ci_hi, n_replicates
+            FROM fullm f JOIN spread USING (stratum)
+        """,
+        "q132_dau_wau": """
+            WITH ud AS (
+                SELECT DISTINCT user_id,
+                       epoch_ms(ts) // 86400000 AS day
+                FROM events
+            ),
+            dau AS (SELECT day, COUNT(*) AS dau FROM ud GROUP BY 1),
+            cover AS (
+                SELECT DISTINCT user_id, day + o AS day
+                FROM ud, unnest(range(0, 7)) t(o)
+            ),
+            wau AS (SELECT day, COUNT(*) AS wau FROM cover GROUP BY 1)
+            SELECT CAST(d.day AS BIGINT) AS day,
+                   CAST(d.dau AS BIGINT) AS dau,
+                   CAST(w.wau AS BIGINT) AS wau,
+                   ROUND(d.dau * 1.0 / w.wau, 6) AS stickiness
+            FROM dau d JOIN wau w USING (day)
+        """,
+        "q133_json_props": """
+            WITH b AS (
+                SELECT event_type,
+                       CAST(json_extract_string(props, '$.k') AS BIGINT) AS v
+                FROM events
+            )
+            SELECT event_type,
+                   CAST(COUNT(*) AS BIGINT) AS n_events,
+                   CAST(SUM(CASE WHEN v IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+                       AS n_missing,
+                   CAST(SUM(v) AS BIGINT) AS sum_v,
+                   CAST(MIN(v) AS BIGINT) AS min_v,
+                   CAST(MAX(v) AS BIGINT) AS max_v,
+                   ROUND(SUM(v) * 1.0 / COUNT(v), 6) AS mean_v
+            FROM b GROUP BY event_type
         """,
     }

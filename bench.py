@@ -109,6 +109,10 @@ BENCH_QUERIES = [
     "q127_knn_label_audit",
     "q128_vocab_coverage",
     "q129_dedup_inflation",
+    "q130_filter_funnel",
+    "q131_subsample_ci",
+    "q132_dau_wau",
+    "q133_json_props",
 ]
 
 

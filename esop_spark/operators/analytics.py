@@ -859,3 +859,62 @@ def session_cooccurrence(
         .orderBy(F.desc("n_sessions"), "type_a", "type_b")
         .limit(top_k)
     )
+
+
+def dau_wau_stickiness(
+    events: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    window_days: int = 7,
+) -> DataFrame:
+    """Daily/weekly active users and stickiness (DAU/WAU) per epoch day.
+
+    The trailing-window distinct is computed WITHOUT a per-day window or a
+    day×user range join: each distinct (user, day) activity is exploded to
+    the ``window_days`` report days it covers (a bounded 7× pre-combine
+    expansion, the cube-Expand argument), then one distinct+count per day.
+    Shuffle volume ∝ distinct (user, day) pairs × window — never a
+    quadratic day-range join, no single-task window. Only days with ≥1
+    event are reported (the inner join against the DAU grain).
+    """
+    day = (F.unix_millis(F.col(ts_col)) / F.lit(86400000)).cast("bigint")
+    ud = events.select(F.col(user_col).alias("user_id"), day.alias("day")).distinct()
+    dau = ud.groupBy("day").agg(F.count(F.lit(1)).cast("bigint").alias("dau"))
+    cover = ud.select(
+        "user_id",
+        F.explode(
+            F.sequence(F.col("day"), F.col("day") + F.lit(window_days - 1))
+        ).alias("day"),
+    ).distinct()
+    wau = cover.groupBy("day").agg(F.count(F.lit(1)).cast("bigint").alias("wau"))
+    return dau.join(wau, "day").select(
+        "day",
+        "dau",
+        "wau",
+        F.round(F.col("dau") / F.col("wau"), 6).alias("stickiness"),
+    )
+
+
+def json_props_rollup(
+    events: DataFrame,
+    key: str = "k",
+    type_col: str = "event_type",
+    props_col: str = "props",
+) -> DataFrame:
+    """Semi-structured rollup: extract an integer key from the JSON props
+    payload and aggregate it per event type — the canonical JSON-column
+    probe (get_json_object stays JVM-side inside the scan projection, so
+    the parse cost is scan-shaped and the shuffle is |types| rows).
+
+    Rows whose payload lacks the key drop out (n_missing counts them).
+    """
+    v = F.get_json_object(F.col(props_col), f"$.{key}").cast("bigint")
+    base = events.select(F.col(type_col).alias("event_type"), v.alias("v"))
+    return base.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_events"),
+        F.sum((F.col("v").isNull()).cast("int")).cast("bigint").alias("n_missing"),
+        F.sum("v").cast("bigint").alias("sum_v"),
+        F.min("v").cast("bigint").alias("min_v"),
+        F.max("v").cast("bigint").alias("max_v"),
+        F.round(F.sum("v") / F.count("v"), 6).alias("mean_v"),
+    )

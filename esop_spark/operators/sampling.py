@@ -394,3 +394,64 @@ def anneal_schedule(
         .cast("bigint")
         .alias("expected_tokens"),
     )
+
+
+def subsample_ci(
+    documents: DataFrame,
+    replicates: int = 32,
+    rate: float = 0.5,
+    seed: str = "ci",
+    strata_col: str = "lang",
+    token_col: Column | None = None,
+) -> DataFrame:
+    """Deterministic subsampling confidence band for a per-stratum mean.
+
+    Builds ``replicates`` independent half-samples (content-hash membership
+    with per-replicate seeds — reproducible across engines and runs, unlike
+    RNG bootstrap), computes each replicate's mean score, and reports the
+    spread (min/max of replicate means) around the full exact mean — the
+    cheap distribution-free error bar for corpus-stat dashboards.
+
+    Scale: the replicate explode expands each row ×replicates BEFORE the
+    map-side combine (the same pre-combine expansion as a cube's Expand),
+    so shuffle volume is |strata| × replicates groups, never corpus-sized.
+    Cost is replicates extra md5 evaluations per row in the scan stage —
+    the knob to lower at 100 TB is ``replicates``, not the plan shape.
+    """
+    tok = token_col if token_col is not None else F.size(F.split(F.col("text"), " "))
+    base = documents.select(
+        F.col(strata_col).alias("stratum"),
+        tok.cast("bigint").alias("score"),
+        F.explode(
+            F.array(*[F.lit(b) for b in range(replicates)])
+        ).alias("rep"),
+        F.col("doc_id").cast("string").alias("_key"),
+    )
+    # membership: bucket(seed:rep:key) < rate — one md5 per (row, replicate)
+    member = base.filter(
+        F.pmod(
+            md5_hash32(
+                F.concat(
+                    F.lit(seed), F.lit(":"), F.col("rep").cast("string"),
+                    F.lit(":"), F.col("_key"),
+                )
+            ),
+            F.lit(BUCKETS),
+        )
+        < int(rate * BUCKETS)
+    )
+    rep_means = member.groupBy("stratum", "rep").agg(
+        (F.sum("score") / F.count(F.lit(1))).alias("rep_mean")
+    )
+    spread = rep_means.groupBy("stratum").agg(
+        F.round(F.min("rep_mean"), 6).alias("ci_lo"),
+        F.round(F.max("rep_mean"), 6).alias("ci_hi"),
+        F.count(F.lit(1)).cast("bigint").alias("n_replicates"),
+    )
+    full = documents.groupBy(F.col(strata_col).alias("stratum")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.round(F.sum(tok.cast("bigint")) / F.count(F.lit(1)), 6).alias("mean_score"),
+    )
+    return full.join(spread, "stratum").select(
+        "stratum", "n_docs", "mean_score", "ci_lo", "ci_hi", "n_replicates"
+    )

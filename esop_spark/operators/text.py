@@ -2091,3 +2091,80 @@ def vocab_coverage(
             ),
         )
     )
+
+
+FUNNEL_RULES = ("too_short", "too_long", "word_len", "symbol", "stopword")
+
+
+def filter_funnel(
+    documents: DataFrame,
+    text_col: str = "text",
+) -> DataFrame:
+    """First-fail waterfall over the Gopher rule battery: each document is
+    attributed to the FIRST rule (in the fixed order ``FUNNEL_RULES``) it
+    fails, giving the kill count per funnel stage and the surviving corpus
+    after each stage — the attribution report that tells a curation team
+    which rule to tune (a doc failing both length and symbol rules counts
+    once, at the earlier stage; :func:`gopher_rules` reports overlapping
+    per-rule totals instead).
+
+    Scale: same shape as gopher_rules — one narrow projection computing all
+    signals off one word array, one hash agg to the 6-label grain; the
+    funnel assembly (cumulative kill, survivors) runs on ≤6 rows.
+    """
+    sym_lits = F.array(*[F.lit(s) for s in GOPHER_SYMBOLS])
+    stop_lits = F.array(*[F.lit(w) for w in DEFAULT_STOPWORDS])
+    lo, hi = GOPHER_MEAN_WORD_LEN
+    m = documents.select(F.split(F.col(text_col), " ").alias("words")).select(
+        F.size("words").alias("n_words"),
+        (
+            F.aggregate(
+                F.col("words"), F.lit(0).cast("bigint"),
+                lambda acc, x: acc + F.length(x),
+            )
+            / F.size("words")
+        ).alias("mean_word_len"),
+        (
+            F.size(F.filter(F.col("words"), lambda x: F.array_contains(sym_lits, x)))
+            / F.size("words")
+        ).alias("symbol_frac"),
+        F.size(
+            F.filter(F.col("words"), lambda x: F.array_contains(stop_lits, x))
+        ).alias("stopword_hits"),
+    )
+    first_fail = (
+        F.when(F.col("n_words") < GOPHER_MIN_WORDS, 1)
+        .when(F.col("n_words") > GOPHER_MAX_WORDS, 2)
+        .when(
+            (F.col("mean_word_len") < lo) | (F.col("mean_word_len") > hi), 3
+        )
+        .when(F.col("symbol_frac") > GOPHER_MAX_SYMBOL_FRAC, 4)
+        .when(F.col("stopword_hits") < GOPHER_MIN_STOPWORD_HITS, 5)
+        .otherwise(0)
+    )
+    killed = m.select(first_fail.alias("stage")).groupBy("stage").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_killed")
+    )
+    spark = documents.sparkSession
+    stages = spark.createDataFrame(
+        [(i + 1, r) for i, r in enumerate(FUNNEL_RULES)], ["stage", "rule"]
+    )
+    joined = stages.join(killed, "stage", "left").select(
+        F.col("stage").cast("bigint").alias("stage"),
+        "rule",
+        F.coalesce(F.col("n_killed"), F.lit(0)).cast("bigint").alias("n_killed"),
+    )
+    total = m.agg(F.count(F.lit(1)).cast("bigint").alias("n_total"))
+    w = Window.orderBy("stage").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return (
+        joined.crossJoin(F.broadcast(total))
+        .select(
+            "stage",
+            "rule",
+            "n_killed",
+            (F.col("n_total") - F.sum("n_killed").over(w))
+            .cast("bigint")
+            .alias("n_remaining"),
+            F.round(F.col("n_killed") / F.col("n_total"), 6).alias("kill_frac"),
+        )
+    )

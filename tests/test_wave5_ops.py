@@ -196,3 +196,101 @@ def test_dedup_inflation_counts_duplicates_within_slice(spark):
     assert abs(web["token_inflation"] - 2.2) < 1e-6
     book = out["book"]
     assert book["n_docs"] == 1 and book["doc_inflation"] == 1.0
+
+
+# --- filter_funnel ----------------------------------------------------------
+
+def test_filter_funnel_first_fail_attribution(spark):
+    from esop_spark.operators import text as text_ops
+
+    long_doc = " ".join(["the", "a"] * 20)  # 40 words, passes everything
+    rows = [
+        (0, "tiny doc"),          # too_short (stage 1)
+        (1, " ".join(["#"] * 40)),  # 40 words but all symbols → word_len? '#' len 1 <2.0 → stage 3 wins before symbol
+        (2, long_doc),            # pass
+        (3, long_doc),            # pass
+    ]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {r["rule"]: r for r in text_ops.filter_funnel(docs).collect()}
+    assert set(out) == {"too_short", "too_long", "word_len", "symbol", "stopword"}
+    assert out["too_short"]["n_killed"] == 1
+    assert out["word_len"]["n_killed"] == 1  # first-fail: word_len outranks symbol
+    assert out["symbol"]["n_killed"] == 0
+    assert out["stopword"]["n_remaining"] == 2  # survivors after the last stage
+    # waterfall is monotone non-increasing
+    rem = [out[r]["n_remaining"] for r in
+           ("too_short", "too_long", "word_len", "symbol", "stopword")]
+    assert rem == sorted(rem, reverse=True)
+
+
+# --- subsample_ci -----------------------------------------------------------
+
+def test_subsample_ci_brackets_the_mean(spark):
+    from esop_spark.operators import sampling
+
+    rows = [(i, " ".join(["w"] * (10 + i % 7)), "en") for i in range(200)]
+    docs = spark.createDataFrame(rows, ["doc_id", "text", "lang"])
+    out = sampling.subsample_ci(docs, replicates=16, rate=0.5).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert r["n_replicates"] == 16
+    assert r["ci_lo"] <= r["mean_score"] <= r["ci_hi"]
+    assert r["ci_hi"] - r["ci_lo"] < 2.0  # half-samples of 200 docs: tight
+
+
+def test_subsample_ci_deterministic_across_partitioning(spark):
+    from esop_spark.operators import sampling
+
+    rows = [(i, " ".join(["w"] * (5 + i % 13)), ["en", "fr"][i % 2]) for i in range(100)]
+    docs = spark.createDataFrame(rows, ["doc_id", "text", "lang"])
+    a = sorted(sampling.subsample_ci(docs, replicates=8).collect())
+    b = sorted(sampling.subsample_ci(docs.repartition(9), replicates=8).collect())
+    assert a == b
+
+
+# --- dau_wau_stickiness -----------------------------------------------------
+
+def test_dau_wau_trailing_window(spark):
+    import datetime as dt
+    from esop_spark.operators import analytics
+
+    base = dt.datetime(2024, 1, 1)
+    rows = []
+    # user 1 active day 0 only; user 2 active days 0 and 6
+    rows.append((1, base, "a", 0.0, "{}"))
+    rows.append((2, base, "a", 0.0, "{}"))
+    rows.append((2, base + dt.timedelta(days=6), "a", 0.0, "{}"))
+    ev = spark.createDataFrame(
+        [(i, *r) for i, r in enumerate(rows)],
+        ["event_id", "user_id", "ts", "event_type", "value", "props"],
+    )
+    out = {r["day"]: r for r in analytics.dau_wau_stickiness(ev).collect()}
+    days = sorted(out)
+    d0, d6 = days[0], days[-1]
+    assert d6 == d0 + 6
+    assert out[d0]["dau"] == 2 and out[d0]["wau"] == 2
+    # on day 6: only user 2 active that day, but both users still inside
+    # the trailing 7-day window (user 1's day-0 activity covers d0..d6)
+    assert out[d6]["dau"] == 1 and out[d6]["wau"] == 2
+    assert abs(out[d6]["stickiness"] - 0.5) < 1e-9
+
+
+# --- json_props_rollup ------------------------------------------------------
+
+def test_json_props_rollup_extracts_and_counts_missing(spark):
+    import datetime as dt
+    from esop_spark.operators import analytics
+
+    base = dt.datetime(2024, 1, 1)
+    rows = [
+        (0, 1, base, "click", 0.0, '{"k": 10}'),
+        (1, 1, base, "click", 0.0, '{"k": 20}'),
+        (2, 1, base, "view", 0.0, '{"other": 5}'),
+    ]
+    ev = spark.createDataFrame(
+        rows, ["event_id", "user_id", "ts", "event_type", "value", "props"]
+    )
+    out = {r["event_type"]: r for r in analytics.json_props_rollup(ev).collect()}
+    assert out["click"]["n_events"] == 2 and out["click"]["n_missing"] == 0
+    assert out["click"]["sum_v"] == 30 and out["click"]["mean_v"] == 15.0
+    assert out["view"]["n_missing"] == 1 and out["view"]["sum_v"] is None
