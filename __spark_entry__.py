@@ -1263,11 +1263,16 @@ def q126_anneal_schedule(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q127_knn_label_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """kNN label-noise audit on a 10% content-hash sample
+    """kNN label-noise audit on a capped content-hash sample
     (similarity.knn_label_audit): majority label of the 5 nearest cosine
-    neighbors vs own label, agreement rate per label."""
+    neighbors vs own label, agreement rate per label. The 50-query
+    absolute cap keeps the audit linear in corpus size."""
     return similarity.knn_label_audit(
-        _base(spark, sf_dir, "embeddings"), k=5, sample_rate=0.1, seed="knn0"
+        _base(spark, sf_dir, "embeddings"),
+        k=5,
+        sample_rate=0.1,
+        seed="knn0",
+        max_queries=50,
     )
 
 
@@ -1317,6 +1322,13 @@ def q133_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Semi-structured JSON probe (analytics.json_props_rollup): extract
     props.k inside the scan projection and roll up per event type."""
     return analytics.json_props_rollup(_base(spark, sf_dir, "events"))
+
+
+def q134_extremes_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tail-document dashboard (text_ops.extremes_report): top-3 docs per
+    diagnostic metric (longest, most repetitive, lowest quality) via
+    per-metric TakeOrderedAndProject legs."""
+    return text_ops.extremes_report(_base(spark, sf_dir, "documents"), k=3)
 
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -1459,6 +1471,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q131_subsample_ci": q131_subsample_ci,
         "q132_dau_wau": q132_dau_wau,
         "q133_json_props": q133_json_props,
+        "q134_extremes_report": q134_extremes_report,
     }
 
 
@@ -4500,11 +4513,14 @@ def oracle_sql() -> dict[str, str]:
                 FROM embeddings
             ),
             q AS (
-                SELECT vec_id AS query_id, label AS own_label, v
-                FROM e
-                WHERE CAST(concat('0x',
-                        substr(md5('knn0:' || CAST(vec_id AS VARCHAR)), 1, 8))
-                        AS BIGINT) % 1000000 < 100000
+                SELECT query_id, own_label, v FROM (
+                    SELECT vec_id AS query_id, label AS own_label, v,
+                           CAST(concat('0x',
+                                substr(md5('knn0:' || CAST(vec_id AS VARCHAR)),
+                                       1, 8)) AS BIGINT) % 1000000 AS b
+                    FROM e
+                ) WHERE b < 100000
+                ORDER BY b ASC, query_id ASC LIMIT 50
             ),
             topk AS (
                 SELECT * FROM (
@@ -4672,5 +4688,46 @@ def oracle_sql() -> dict[str, str]:
                    CAST(MAX(v) AS BIGINT) AS max_v,
                    ROUND(SUM(v) * 1.0 / COUNT(v), 6) AS mean_v
             FROM b GROUP BY event_type
+        """,
+        "q134_extremes_report": """
+            WITH m AS (
+                SELECT doc_id,
+                       CAST(len(words) AS BIGINT) AS n,
+                       ROUND(1.0 - len(list_distinct(words)) * 1.0
+                             / len(words), 6) AS rep,
+                       CAST(ROUND((0.5 * (1.0 - len(list_filter(words,
+                                w -> w IN ('a', 'the'))) * 1.0 / len(words))
+                            + 0.5 * len(list_distinct(words)) * 1.0
+                              / len(words)) * 100) AS BIGINT) AS q
+                FROM (SELECT doc_id, string_split(text, ' ') AS words
+                      FROM documents)
+            ),
+            longest AS (
+                SELECT 'longest' AS metric,
+                       CAST(ROW_NUMBER() OVER (ORDER BY n DESC, doc_id ASC)
+                            AS BIGINT) AS rank,
+                       CAST(doc_id AS BIGINT) AS doc_id,
+                       ROUND(CAST(n AS DOUBLE), 6) AS value
+                FROM m QUALIFY rank <= 3
+            ),
+            repetitive AS (
+                SELECT 'most_repetitive' AS metric,
+                       CAST(ROW_NUMBER() OVER (ORDER BY rep DESC, doc_id ASC)
+                            AS BIGINT) AS rank,
+                       CAST(doc_id AS BIGINT) AS doc_id,
+                       ROUND(CAST(rep AS DOUBLE), 6) AS value
+                FROM m QUALIFY rank <= 3
+            ),
+            lowq AS (
+                SELECT 'lowest_quality' AS metric,
+                       CAST(ROW_NUMBER() OVER (ORDER BY q ASC, doc_id ASC)
+                            AS BIGINT) AS rank,
+                       CAST(doc_id AS BIGINT) AS doc_id,
+                       ROUND(CAST(q AS DOUBLE), 6) AS value
+                FROM m QUALIFY rank <= 3
+            )
+            SELECT * FROM longest
+            UNION ALL SELECT * FROM repetitive
+            UNION ALL SELECT * FROM lowq
         """,
     }

@@ -113,6 +113,7 @@ BENCH_QUERIES = [
     "q131_subsample_ci",
     "q132_dau_wau",
     "q133_json_props",
+    "q134_extremes_report",
 ]
 
 

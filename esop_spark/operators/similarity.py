@@ -1369,6 +1369,7 @@ def knn_label_audit(
     k: int = 5,
     sample_rate: float = 0.1,
     seed: str = "knn0",
+    max_queries: int | None = None,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
     label_col: str = "label",
@@ -1384,11 +1385,12 @@ def knn_label_audit(
 
     Scale: the sampled query side is broadcast against one scan of the
     corpus (the q26 plan); per-query top-k is a bounded window over the
-    query grain. Audit cost is sample_rate × corpus per scan — the knob
-    that keeps this O(sample × n), never O(n²).
+    query grain. A rate-only sample makes the audit QUADRATIC in corpus
+    size (queries × corpus both grow — measured 15× wall at 10× data);
+    ``max_queries`` caps the query side at an absolute count (the
+    smallest-hash-bucket rows, a fixed-size uniform sample), restoring
+    O(max_queries × n) — linear in the corpus. Set it for any real run.
     """
-    from esop_spark.operators.sampling import hash_sample
-
     v = _vec_double(vec_col)
     e = embeddings.select(
         F.col(id_col),
@@ -1396,9 +1398,15 @@ def knn_label_audit(
         v.alias("v"),
         F.sqrt(_dot(v, v)).alias("norm"),
     )
-    q = hash_sample(e, sample_rate, F.col(id_col), seed)
+    from esop_spark.operators.sampling import BUCKETS, sample_bucket
+
+    qs = e.withColumn("_b", sample_bucket(F.col(id_col), seed)).filter(
+        F.col("_b") < int(sample_rate * BUCKETS)
+    )
+    if max_queries is not None:
+        qs = qs.orderBy(F.col("_b").asc(), F.col(id_col).asc()).limit(max_queries)
     q = F.broadcast(
-        q.select(
+        qs.select(
             F.col(id_col).alias("query_id"),
             F.col(label_col).alias("own_label"),
             F.col("v").alias("qv"),

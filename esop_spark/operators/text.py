@@ -2168,3 +2168,45 @@ def filter_funnel(
             F.round(F.col("n_killed") / F.col("n_total"), 6).alias("kill_frac"),
         )
     )
+
+
+def extremes_report(
+    documents: DataFrame,
+    k: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Tail-document dashboard: the top-k documents per diagnostic metric
+    (longest, most repetitive = lowest distinct-token ratio, lowest
+    quality score) — the "show me the worst offenders" debugging probe a
+    curation team runs after every pipeline change.
+
+    Scale: each metric leg is a scan projection + TakeOrderedAndProject
+    (partial per-partition top-k, k rows to the driver); the rank window
+    then runs on k rows. Three column-pruned scans, no wide shuffle.
+    """
+    toks = tokens(text_col)
+    n = F.size(toks)
+    m = documents.select(
+        F.col(id_col),
+        n.cast("bigint").alias("n"),
+        F.round(1.0 - F.size(F.array_distinct(toks)) / n, 6).alias("rep"),
+        quality_score_col(text_col).alias("q"),
+    )
+
+    def leg(name: str, value: Column, *order: Column) -> DataFrame:
+        top = m.orderBy(*order).limit(k)
+        w = Window.orderBy(*order)
+        return top.select(
+            F.lit(name).alias("metric"),
+            F.row_number().over(w).cast("bigint").alias("rank"),
+            F.col(id_col).cast("bigint").alias(id_col),
+            F.round(value.cast("double"), 6).alias("value"),
+        )
+
+    longest = leg("longest", F.col("n"), F.col("n").desc(), F.col(id_col).asc())
+    repetitive = leg(
+        "most_repetitive", F.col("rep"), F.col("rep").desc(), F.col(id_col).asc()
+    )
+    lowq = leg("lowest_quality", F.col("q"), F.col("q").asc(), F.col(id_col).asc())
+    return longest.unionByName(repetitive).unionByName(lowq)

@@ -294,3 +294,30 @@ def test_json_props_rollup_extracts_and_counts_missing(spark):
     assert out["click"]["n_events"] == 2 and out["click"]["n_missing"] == 0
     assert out["click"]["sum_v"] == 30 and out["click"]["mean_v"] == 15.0
     assert out["view"]["n_missing"] == 1 and out["view"]["sum_v"] is None
+
+
+# --- extremes_report --------------------------------------------------------
+
+def test_extremes_report_picks_the_right_tails(spark):
+    from esop_spark.operators import text as text_ops
+
+    rows = [
+        (0, " ".join(f"u{i}" for i in range(50))),   # longest, all distinct
+        (1, "the the the the the"),                   # most repetitive + low quality
+        (2, "a b c d"),
+        (3, "p q r s t u v w"),
+    ]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = text_ops.extremes_report(docs, k=2).collect()
+    by_metric = {}
+    for r in out:
+        by_metric.setdefault(r["metric"], []).append(r)
+    assert set(by_metric) == {"longest", "most_repetitive", "lowest_quality"}
+    for name in by_metric:
+        by_metric[name] = sorted(by_metric[name], key=lambda r: r["rank"])
+        assert [r["rank"] for r in by_metric[name]] == [1, 2]
+    assert by_metric["longest"][0]["doc_id"] == 0
+    assert by_metric["longest"][0]["value"] == 50.0
+    assert by_metric["most_repetitive"][0]["doc_id"] == 1
+    assert abs(by_metric["most_repetitive"][0]["value"] - 0.8) < 1e-6
+    assert by_metric["lowest_quality"][0]["doc_id"] == 1
