@@ -1041,13 +1041,15 @@ def q103_mixture_ess(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q104_lsh_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Measured precision/recall of the production LSH banding vs fully
-    exact Jaccard ground truth on a 20% content-hash sample
-    (dedup.lsh_recall_audit, md5 family for the oracle)."""
+    exact Jaccard ground truth on a capped content-hash sample
+    (dedup.lsh_recall_audit, md5 family for the oracle). The absolute
+    doc cap keeps the quadratic audit O(cap²) at any corpus size."""
     return dedup.lsh_recall_audit(
         _base(spark, sf_dir, "documents"),
         sample_rate=AUDIT_RATE,
         threshold=JACCARD_TAU,
         hash_family="md5",
+        max_docs=AUDIT_MAX_DOCS,
     )
 
 
@@ -1564,6 +1566,7 @@ def _q22_oracle() -> str:
 
 
 AUDIT_RATE = 0.5
+AUDIT_MAX_DOCS = 200  # absolute cap: the audit is quadratic in its sample
 
 # Connected-components WITH chain shared by the q48 and q108 oracles: exact
 # jaccard pairs -> symmetric edges -> recursive reachability -> min-label
@@ -1611,7 +1614,11 @@ _CC_CORE = f"""
 def _q104_oracle() -> str:
     docs_where = f"""WHERE CAST(concat('0x',
                     substr(md5('audit:' || CAST(doc_id AS VARCHAR)), 1, 8))
-                    AS BIGINT) % 1000000 < {int(AUDIT_RATE * 1_000_000)}"""
+                    AS BIGINT) % 1000000 < {int(AUDIT_RATE * 1_000_000)}
+                ORDER BY CAST(concat('0x',
+                    substr(md5('audit:' || CAST(doc_id AS VARCHAR)), 1, 8))
+                    AS BIGINT) % 1000000 ASC, doc_id ASC
+                LIMIT {AUDIT_MAX_DOCS}"""
     tail = f"""
             SELECT n_docs, n_true_pairs, n_candidates, n_found,
                    ROUND(n_found * 1.0 / NULLIF(n_true_pairs, 0), 6)

@@ -1146,6 +1146,7 @@ def lsh_recall_audit(
     id_col: str = "doc_id",
     hash_family: str = "xxhash64",
     seed: str = "audit",
+    max_docs: int | None = None,
 ) -> DataFrame:
     """Measured precision/recall of the production MinHash-LSH band
     configuration against ground truth, on a deterministic content-hash
@@ -1158,16 +1159,24 @@ def lsh_recall_audit(
     estimate is unbiased for the full corpus; candidate *density* (and so
     precision) is measured at sample scale, noted in the output.
 
-    Cost is quadratic in the SAMPLE (rate chosen so |S|² stays small —
-    the audit is O((r·N)²) shingle-join work, run occasionally, not per
-    pipeline). Output is a single summary row built from four 1-row
+    Cost is quadratic in the SAMPLE. A rate-only sample therefore grows
+    quadratically with the corpus (the q127 lesson, SCALE.md fifth-wave
+    table); ``max_docs`` caps the sample at an absolute count (the
+    smallest-hash-bucket rows, a fixed-size uniform sample) so the audit
+    is O(max_docs²) shingle-join work at any corpus size — set it for any
+    real run. Output is a single summary row built from four 1-row
     aggregates cross-joined driver-free.
     """
     from esop_spark.operators.sampling import BUCKETS, sample_bucket
 
-    sampled = documents.filter(
-        sample_bucket(F.col(id_col), seed) < int(sample_rate * BUCKETS)
-    )
+    sampled = documents.withColumn(
+        "_b", sample_bucket(F.col(id_col), seed)
+    ).filter(F.col("_b") < int(sample_rate * BUCKETS))
+    if max_docs is not None:
+        sampled = sampled.orderBy(F.col("_b").asc(), F.col(id_col).asc()).limit(
+            max_docs
+        )
+    sampled = sampled.drop("_b")
     truth = ngram_jaccard_pairs(
         sampled, n=n, threshold=threshold, text_col=text_col,
         id_col=id_col, max_df=None,
