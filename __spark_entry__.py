@@ -1333,6 +1333,18 @@ def q134_extremes_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text_ops.extremes_report(_base(spark, sf_dir, "documents"), k=3)
 
 
+def q135_integrity_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Doc↔embedding key-integrity audit (versioning.referential_integrity):
+    orphans and duplicate keys on both sides of the doc_id/vec_id join —
+    the trust gate before any text⋈vector operator."""
+    return versioning.referential_integrity(
+        _base(spark, sf_dir, "documents"),
+        _base(spark, sf_dir, "embeddings"),
+        "doc_id",
+        "vec_id",
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001: the backup-listing report."""
     return q01_list_backups(spark, "/root/testdata/sf0.001")
@@ -1474,6 +1486,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q132_dau_wau": q132_dau_wau,
         "q133_json_props": q133_json_props,
         "q134_extremes_report": q134_extremes_report,
+        "q135_integrity_check": q135_integrity_check,
     }
 
 
@@ -4736,5 +4749,25 @@ def oracle_sql() -> dict[str, str]:
             SELECT * FROM longest
             UNION ALL SELECT * FROM repetitive
             UNION ALL SELECT * FROM lowq
+        """,
+        "q135_integrity_check": """
+            WITH lk AS (
+                SELECT doc_id AS k, COUNT(*) AS ln FROM documents GROUP BY 1
+            ),
+            rk AS (
+                SELECT vec_id AS k, COUNT(*) AS rn FROM embeddings GROUP BY 1
+            ),
+            m AS (SELECT * FROM lk FULL JOIN rk USING (k))
+            SELECT CAST(SUM(COALESCE(ln, 0)) AS BIGINT) AS n_left,
+                   CAST(SUM(COALESCE(rn, 0)) AS BIGINT) AS n_right,
+                   CAST(SUM(CASE WHEN rn IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+                       AS n_left_orphan_keys,
+                   CAST(SUM(CASE WHEN ln IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+                       AS n_right_orphan_keys,
+                   CAST(SUM(CASE WHEN ln > 1 THEN 1 ELSE 0 END) AS BIGINT)
+                       AS n_left_dup_keys,
+                   CAST(SUM(CASE WHEN rn > 1 THEN 1 ELSE 0 END) AS BIGINT)
+                       AS n_right_dup_keys
+            FROM m
         """,
     }

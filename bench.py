@@ -114,6 +114,7 @@ BENCH_QUERIES = [
     "q132_dau_wau",
     "q133_json_props",
     "q134_extremes_report",
+    "q135_integrity_check",
 ]
 
 

@@ -77,3 +77,45 @@ def incremental_work(
         F.col("status").isin("added", "changed")
     )
     return v2.join(work.select(id_col), id_col, "semi")
+
+
+def referential_integrity(
+    left: DataFrame,
+    right: DataFrame,
+    left_key: str,
+    right_key: str,
+) -> DataFrame:
+    """Cross-table key-integrity audit: row counts, orphans on each side
+    (keys with no partner), and duplicate-key counts — the sanity gate
+    before any doc⋈embedding (or manifest⋈object) join is trusted. The
+    esop analog is the file↔manifest membership check (J4,
+    impl/list/ListOperation.java reference) generalized to any key pair.
+
+    Scale: two per-side key aggregations (uniform keys, map-side combine)
+    and one full-outer merge on the distinct-key grain — shuffle volume ∝
+    distinct keys, output is a single summary row assembled from
+    driver-free 1-row aggregates.
+    """
+    lk = left.groupBy(F.col(left_key).alias("k")).agg(
+        F.count(F.lit(1)).alias("ln")
+    )
+    rk = right.groupBy(F.col(right_key).alias("k")).agg(
+        F.count(F.lit(1)).alias("rn")
+    )
+    m = lk.join(rk, "k", "full_outer")
+    return m.agg(
+        F.sum(F.coalesce(F.col("ln"), F.lit(0))).cast("bigint").alias("n_left"),
+        F.sum(F.coalesce(F.col("rn"), F.lit(0))).cast("bigint").alias("n_right"),
+        F.sum(F.when(F.col("rn").isNull(), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_left_orphan_keys"),
+        F.sum(F.when(F.col("ln").isNull(), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_right_orphan_keys"),
+        F.sum(F.when(F.col("ln") > 1, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_left_dup_keys"),
+        F.sum(F.when(F.col("rn") > 1, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_right_dup_keys"),
+    )

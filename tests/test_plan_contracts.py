@@ -1,0 +1,98 @@
+"""Plan contracts: assertions over the executed physical plans of
+scale-critical queries, so a refactor that silently reintroduces a
+scale anti-pattern (lost pushdown, stratum-wide window, cartesian
+product, broadcast regression) fails CI instead of surfacing at 100 TB.
+
+These mirror the PLANS.md audit but as enforced invariants on the
+load-bearing subset.
+"""
+
+import re
+
+import pytest
+
+import __spark_entry__ as entry_mod
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def _plan(spark, name: str) -> str:
+    df = entry_mod.queries()[name](spark, SF_DIR)
+    df.collect()  # AQE final plan exists only post-execution
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_filter_project_pushes_predicates(spark):
+    plan = _plan(spark, "q13_filter_project")
+    assert re.search(r"PushedFilters: \[[^\]]*\w", plan), (
+        "q13 must push its filters into the parquet scan"
+    )
+
+
+def test_join_agg_broadcasts_dimensions(spark):
+    plan = _plan(spark, "q14_join_agg")
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_ann_topk_has_no_shuffle_join(spark):
+    plan = _plan(spark, "q26_ann_topk")
+    assert "SortMergeJoin" not in plan, (
+        "the query side must broadcast against one corpus scan"
+    )
+
+
+@pytest.mark.parametrize(
+    "name",
+    ["q51_sample_k_per_stratum", "q57_mixture_resample", "q75_temperature_resample"],
+)
+def test_stratum_selection_uses_distributed_rank(spark, name):
+    plan = _plan(spark, name)
+    assert "_pid" in plan, (
+        f"{name} must rank via the range-partitioned (_pid, stratum) "
+        "construction, not a per-stratum single-task window"
+    )
+    # no window partitioned on the bare stratum column alone
+    for m in re.finditer(r"windowspecdefinition\(([^)]*)\)", plan):
+        spec = m.group(1)
+        if "stratum" in spec or "lang" in spec:
+            assert "_pid" in spec, f"bare stratum window in {name}: {spec}"
+
+
+def test_scan_shaped_queries_have_minimal_exchanges(spark):
+    # Pure signal projections: at most one aggregation exchange.
+    for name in ["q27_lang_id", "q28_quality_score", "q54_pii_scan"]:
+        plan = _plan(spark, name)
+        n_exch = plan.count("Exchange")
+        assert n_exch <= 2, f"{name} grew to {n_exch} exchanges"
+
+
+def test_hash_sampling_is_exchange_free(spark):
+    plan = _plan(spark, "q50_stratified_sample")
+    assert plan.count("Exchange") == 0, (
+        "content-hash sampling must stay a scan-stage filter"
+    )
+
+
+def test_no_cartesian_products_anywhere(spark):
+    # q25 is the documented O(n²) verifier (a broadcast nested loop, not a
+    # cartesian); everything else must never cross-join the corpus.
+    for name in [
+        "q21_dedup_exact",
+        "q22_dedup_minhash_lsh",
+        "q48_dedup_clusters",
+        "q56_semantic_dedup",
+        "q124_split_leakage",
+    ]:
+        plan = _plan(spark, name)
+        assert "CartesianProduct" not in plan, f"cartesian in {name}"
+
+
+def test_shard_packing_avoids_single_task_global_window(spark):
+    plan = _plan(spark, "q65_shard_packing")
+    assert "_pid" in plan, "prefix sum must be the distributed construction"
+    for m in re.finditer(r"windowspecdefinition\(([^)]*)\)", plan):
+        spec_head = m.group(1).split(",")[0]
+        assert "_pid" in m.group(1) or "seq" in spec_head or "shard" in spec_head, (
+            f"global window without pid clustering: {m.group(1)[:80]}"
+        )

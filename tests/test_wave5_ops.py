@@ -321,3 +321,18 @@ def test_extremes_report_picks_the_right_tails(spark):
     assert by_metric["most_repetitive"][0]["doc_id"] == 1
     assert abs(by_metric["most_repetitive"][0]["value"] - 0.8) < 1e-6
     assert by_metric["lowest_quality"][0]["doc_id"] == 1
+
+
+# --- referential_integrity --------------------------------------------------
+
+def test_referential_integrity_orphans_and_dups(spark):
+    from esop_spark.operators import versioning
+
+    left = spark.createDataFrame([(1,), (2,), (2,), (3,)], ["doc_id"])
+    right = spark.createDataFrame([(2,), (3,), (4,)], ["vec_id"])
+    r = versioning.referential_integrity(left, right, "doc_id", "vec_id").collect()[0]
+    assert r["n_left"] == 4 and r["n_right"] == 3
+    assert r["n_left_orphan_keys"] == 1   # key 1
+    assert r["n_right_orphan_keys"] == 1  # key 4
+    assert r["n_left_dup_keys"] == 1      # key 2 twice
+    assert r["n_right_dup_keys"] == 0
