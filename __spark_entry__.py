@@ -1345,6 +1345,19 @@ def q135_integrity_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q136_minhash_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash estimator calibration (dedup.minhash_calibration): signature
+    estimate vs exact Jaccard over every overlapping pair of the capped
+    audit sample — does num_hashes=32 resolve the similarity range the
+    banding (q104) depends on."""
+    return dedup.minhash_calibration(
+        _base(spark, sf_dir, "documents"),
+        sample_rate=AUDIT_RATE,
+        max_docs=AUDIT_MAX_DOCS,
+        hash_family="md5",
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001: the backup-listing report."""
     return q01_list_backups(spark, "/root/testdata/sf0.001")
@@ -1487,6 +1500,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q133_json_props": q133_json_props,
         "q134_extremes_report": q134_extremes_report,
         "q135_integrity_check": q135_integrity_check,
+        "q136_minhash_calibration": q136_minhash_calibration,
     }
 
 
@@ -1674,6 +1688,80 @@ def _q104_oracle() -> str:
         docs_where=docs_where,
         tail=tail,
     )
+
+
+def _q136_oracle() -> str:
+    from esop_spark.operators.dedup import HASH_P, minhash_coeffs
+
+    coeffs = minhash_coeffs(32)
+    sig_cols = ",\n                   ".join(
+        f"MIN((x * {a} + {b}) % {HASH_P}) AS h{i}"
+        for i, (a, b) in enumerate(coeffs)
+    )
+    match_expr = " + ".join(
+        f"(CASE WHEN sa.h{i} = sb.h{i} THEN 1 ELSE 0 END)" for i in range(32)
+    )
+    docs_where = f"""WHERE CAST(concat('0x',
+                    substr(md5('audit:' || CAST(doc_id AS VARCHAR)), 1, 8))
+                    AS BIGINT) % 1000000 < {int(AUDIT_RATE * 1_000_000)}
+                ORDER BY CAST(concat('0x',
+                    substr(md5('audit:' || CAST(doc_id AS VARCHAR)), 1, 8))
+                    AS BIGINT) % 1000000 ASC, doc_id ASC
+                LIMIT {AUDIT_MAX_DOCS}"""
+    return f"""
+            WITH docs AS (
+                SELECT doc_id, string_split(text, ' ') AS words FROM documents
+                {docs_where}
+            ),
+            sh AS (
+                SELECT DISTINCT doc_id,
+                       words[i] || ' ' || words[i+1] || ' ' || words[i+2] AS shingle
+                FROM docs, unnest(range(1, greatest(len(words) - 1, 1))) t(i)
+            ),
+            cnt AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY 1),
+            pairs AS (
+                SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS shared
+                FROM sh a JOIN sh b
+                  ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+                GROUP BY 1, 2
+            ),
+            exact AS (
+                SELECT id_a, id_b,
+                       ROUND(shared * 1.0 / (ca.n_sh + cb.n_sh - shared), 6)
+                           AS exact_jaccard
+                FROM pairs
+                JOIN cnt ca ON id_a = ca.doc_id
+                JOIN cnt cb ON id_b = cb.doc_id
+            ),
+            hx AS (
+                SELECT doc_id,
+                       CAST(concat('0x', substr(md5(shingle), 1, 8)) AS BIGINT)
+                           % {HASH_P} AS x
+                FROM sh
+            ),
+            sig AS (SELECT doc_id, {sig_cols} FROM hx GROUP BY doc_id),
+            scored AS (
+                SELECT e.exact_jaccard,
+                       ROUND(({match_expr}) / 32.0, 6) AS est
+                FROM exact e
+                JOIN sig sa ON e.id_a = sa.doc_id
+                JOIN sig sb ON e.id_b = sb.doc_id
+            ),
+            s2 AS (
+                SELECT exact_jaccard, est,
+                       ROUND(ABS(est - exact_jaccard), 6) AS err
+                FROM scored
+            )
+            SELECT CAST(COUNT(*) AS BIGINT) AS n_pairs,
+                   ROUND(SUM(CAST(ROUND(err * 1000000000) AS BIGINT)) * 1.0
+                         / COUNT(*) / 1000000000.0, 6) AS mean_abs_err,
+                   MAX(err) AS max_abs_err,
+                   ROUND(SUM(CAST(ROUND(exact_jaccard * 1000000000) AS BIGINT))
+                         * 1.0 / COUNT(*) / 1000000000.0, 6) AS mean_exact,
+                   ROUND(SUM(CAST(ROUND(est * 1000000000) AS BIGINT)) * 1.0
+                         / COUNT(*) / 1000000000.0, 6) AS mean_est
+            FROM s2
+    """
 
 
 def _q69_oracle() -> str:
@@ -4750,6 +4838,7 @@ def oracle_sql() -> dict[str, str]:
             UNION ALL SELECT * FROM repetitive
             UNION ALL SELECT * FROM lowq
         """,
+        "q136_minhash_calibration": _q136_oracle(),
         "q135_integrity_check": """
             WITH lk AS (
                 SELECT doc_id AS k, COUNT(*) AS ln FROM documents GROUP BY 1

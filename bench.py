@@ -115,6 +115,7 @@ BENCH_QUERIES = [
     "q133_json_props",
     "q134_extremes_report",
     "q135_integrity_check",
+    "q136_minhash_calibration",
 ]
 
 

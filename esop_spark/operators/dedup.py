@@ -1355,3 +1355,90 @@ def dedup_inflation(
             F.sum(F.col("cnt") * F.col("tok")) / F.sum("tok"), 6
         ).alias("token_inflation"),
     )
+
+
+def minhash_calibration(
+    documents: DataFrame,
+    sample_rate: float = 0.5,
+    max_docs: int | None = 200,
+    num_hashes: int = 32,
+    n: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    hash_family: str = "xxhash64",
+    seed: str = "audit",
+) -> DataFrame:
+    """MinHash estimator calibration on a capped content-hash sample: for
+    every overlapping pair in the sample, compare the signature estimate
+    (matching minima / num_hashes) against the exact n-gram Jaccard, and
+    report the error distribution — the companion audit to
+    :func:`lsh_recall_audit` (that one audits the BANDING; this audits the
+    ESTIMATOR the banding is built on, i.e. whether num_hashes is enough).
+
+    Error means use integer-scaled sums (round(err·1e9) summed as bigint)
+    so the result is summation-order-independent across engines.
+
+    Scale: O(max_docs²) pair work by construction (the capped-audit
+    pattern); signatures are one hash agg over the sample's shingles.
+    """
+    from esop_spark.operators.sampling import BUCKETS, sample_bucket
+
+    sampled = documents.withColumn(
+        "_b", sample_bucket(F.col(id_col), seed)
+    ).filter(F.col("_b") < int(sample_rate * BUCKETS))
+    if max_docs is not None:
+        sampled = sampled.orderBy(F.col("_b").asc(), F.col(id_col).asc()).limit(
+            max_docs
+        )
+    sampled = sampled.drop("_b")
+
+    exact = ngram_jaccard_pairs(
+        sampled, n=n, threshold=0.0, text_col=text_col, id_col=id_col, max_df=None
+    ).select("id_a", "id_b", F.col("jaccard").alias("exact_jaccard"))
+    sig = minhash_signatures(
+        sampled, num_hashes, n, text_col, id_col, hash_family
+    )
+    harr = F.array(*[F.col(f"h{i}") for i in range(num_hashes)])
+    sig_a = sig.select(F.col(id_col).alias("id_a"), harr.alias("ha"))
+    sig_b = sig.select(F.col(id_col).alias("id_b"), harr.alias("hb"))
+    est = (
+        F.aggregate(
+            F.zip_with(F.col("ha"), F.col("hb"), lambda x, y: (x == y).cast("int")),
+            F.lit(0),
+            lambda acc, v: acc + v,
+        )
+        / F.lit(float(num_hashes))
+    )
+    pairs = (
+        exact.join(sig_a, "id_a")
+        .join(sig_b, "id_b")
+        .select(
+            "exact_jaccard",
+            F.round(est, 6).alias("est"),
+        )
+        .select(
+            "exact_jaccard",
+            "est",
+            F.round(F.abs(F.col("est") - F.col("exact_jaccard")), 6).alias("err"),
+        )
+    )
+    scaled = F.round(F.col("err") * 1_000_000_000).cast("bigint")
+    return pairs.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_pairs"),
+        F.round(
+            F.sum(scaled) / F.count(F.lit(1)) / 1_000_000_000.0, 6
+        ).alias("mean_abs_err"),
+        F.max("err").alias("max_abs_err"),
+        F.round(
+            F.sum(F.round(F.col("exact_jaccard") * 1_000_000_000).cast("bigint"))
+            / F.count(F.lit(1))
+            / 1_000_000_000.0,
+            6,
+        ).alias("mean_exact"),
+        F.round(
+            F.sum(F.round(F.col("est") * 1_000_000_000).cast("bigint"))
+            / F.count(F.lit(1))
+            / 1_000_000_000.0,
+            6,
+        ).alias("mean_est"),
+    )

@@ -336,3 +336,32 @@ def test_referential_integrity_orphans_and_dups(spark):
     assert r["n_right_orphan_keys"] == 1  # key 4
     assert r["n_left_dup_keys"] == 1      # key 2 twice
     assert r["n_right_dup_keys"] == 0
+
+
+# --- minhash_calibration ----------------------------------------------------
+
+def test_minhash_calibration_identical_docs_zero_error(spark):
+    from esop_spark.operators import dedup
+
+    # all docs identical: every pair has exact jaccard 1.0 and identical
+    # signatures, so the estimator error must be exactly zero
+    rows = [(i, "alpha beta gamma delta epsilon zeta") for i in range(10)]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    r = dedup.minhash_calibration(docs, sample_rate=1.0, max_docs=None).collect()[0]
+    assert r["n_pairs"] == 45
+    assert r["mean_abs_err"] == 0.0 and r["max_abs_err"] == 0.0
+    assert r["mean_exact"] == 1.0 and r["mean_est"] == 1.0
+
+
+def test_minhash_calibration_error_bounded(spark):
+    from esop_spark.operators import dedup
+
+    rows = [
+        (i, " ".join(f"w{(i * 3 + j) % 25}" for j in range(18))) for i in range(30)
+    ]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    r = dedup.minhash_calibration(docs, sample_rate=1.0, max_docs=None).collect()[0]
+    assert r["n_pairs"] > 0
+    # 32 hashes: estimator std ~ sqrt(j(1-j)/32) <= 0.09; mean abs err well under
+    assert 0 <= r["mean_abs_err"] < 0.15
+    assert r["max_abs_err"] <= 0.5
