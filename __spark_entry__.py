@@ -1358,6 +1358,31 @@ def q136_minhash_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+TEMPORAL_CUTOFF_MS = 1705708800000  # 2024-01-20T00:00Z
+TEMPORAL_EMBARGO_MS = 2 * 86400000  # 2-day leakage buffer
+
+
+def q137_temporal_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temporal train/embargo/test split of the event stream
+    (splits.temporal_split): cutoff + 2-day embargo buffer, per
+    (split, type) counts and time ranges — the leakage-free eval protocol
+    for temporal data."""
+    return splits.temporal_split(
+        _base(spark, sf_dir, "events"),
+        cutoff_ms=TEMPORAL_CUTOFF_MS,
+        embargo_ms=TEMPORAL_EMBARGO_MS,
+    )
+
+
+def q138_group_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Group-aware (per-user) split report (splits.group_split_report):
+    membership hashes the user key so every row of a user lands in one
+    split — the user-level leakage guard."""
+    return splits.group_split_report(
+        _base(spark, sf_dir, "events"), SPLIT_FRACTIONS
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001: the backup-listing report."""
     return q01_list_backups(spark, "/root/testdata/sf0.001")
@@ -1501,6 +1526,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q134_extremes_report": q134_extremes_report,
         "q135_integrity_check": q135_integrity_check,
         "q136_minhash_calibration": q136_minhash_calibration,
+        "q137_temporal_split": q137_temporal_split,
+        "q138_group_split": q138_group_split,
     }
 
 
@@ -4839,6 +4866,43 @@ def oracle_sql() -> dict[str, str]:
             UNION ALL SELECT * FROM lowq
         """,
         "q136_minhash_calibration": _q136_oracle(),
+        "q137_temporal_split": f"""
+            WITH b AS (
+                SELECT CASE WHEN epoch_ms(ts) < {TEMPORAL_CUTOFF_MS}
+                                THEN 'train'
+                            WHEN epoch_ms(ts) <
+                                {TEMPORAL_CUTOFF_MS + TEMPORAL_EMBARGO_MS}
+                                THEN 'embargo'
+                            ELSE 'test' END AS split,
+                       event_type, epoch_ms(ts) AS ms
+                FROM events
+            )
+            SELECT split, event_type,
+                   CAST(COUNT(*) AS BIGINT) AS n_events,
+                   CAST(MIN(ms) AS BIGINT) AS min_ms,
+                   CAST(MAX(ms) AS BIGINT) AS max_ms
+            FROM b GROUP BY 1, 2
+        """,
+        "q138_group_split": f"""
+            WITH a AS (
+                SELECT CASE WHEN bucket < {int(0.8 * 1000000)} THEN 'train'
+                            WHEN bucket < {int(0.9 * 1000000)} THEN 'val'
+                            ELSE 'test' END AS split,
+                       user_id AS grp
+                FROM (
+                    SELECT *, CAST(concat('0x',
+                               substr(md5('grp0:' || CAST(user_id AS VARCHAR)),
+                                      1, 8)) AS BIGINT) % 1000000 AS bucket
+                    FROM events
+                )
+            ),
+            pg AS (SELECT split, grp, COUNT(*) AS n_rows FROM a GROUP BY 1, 2)
+            SELECT split,
+                   CAST(COUNT(*) AS BIGINT) AS n_groups,
+                   CAST(SUM(n_rows) AS BIGINT) AS n_rows,
+                   ROUND(SUM(n_rows) * 1.0 / COUNT(*), 6) AS rows_per_group
+            FROM pg GROUP BY split
+        """,
         "q135_integrity_check": """
             WITH lk AS (
                 SELECT doc_id AS k, COUNT(*) AS ln FROM documents GROUP BY 1

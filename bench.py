@@ -116,6 +116,8 @@ BENCH_QUERIES = [
     "q134_extremes_report",
     "q135_integrity_check",
     "q136_minhash_calibration",
+    "q137_temporal_split",
+    "q138_group_split",
 ]
 
 

@@ -355,3 +355,70 @@ def split_leakage(
         ).alias("doc_leak_frac"),
         F.round(F.sum("n_leaked") / F.sum("n_sh"), 6).alias("shingle_leak_frac"),
     )
+
+
+def temporal_split(
+    events: DataFrame,
+    cutoff_ms: int,
+    embargo_ms: int = 0,
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+) -> DataFrame:
+    """Time-based train/test split with an embargo gap: rows before the
+    cutoff train, rows inside [cutoff, cutoff+embargo) are DISCARDED (the
+    leakage buffer that keeps near-boundary temporal correlations out of
+    the eval set), rows after the embargo test. Reports per (split, type)
+    counts and each split's time range — the standard temporal-eval
+    protocol for forecasting / event-model corpora.
+
+    Scale: a pure scan-stage CASE label + one low-cardinality aggregate.
+    """
+    ms = F.unix_millis(F.col(ts_col))
+    split = (
+        F.when(ms < cutoff_ms, "train")
+        .when(ms < cutoff_ms + embargo_ms, "embargo")
+        .otherwise("test")
+    )
+    return (
+        events.select(
+            split.alias("split"),
+            F.col(type_col).alias("event_type"),
+            ms.alias("ms"),
+        )
+        .groupBy("split", "event_type")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_events"),
+            F.min("ms").cast("bigint").alias("min_ms"),
+            F.max("ms").cast("bigint").alias("max_ms"),
+        )
+    )
+
+
+def group_split_report(
+    events: DataFrame,
+    fractions: dict[str, float],
+    group_col: str = "user_id",
+    seed: str = "grp0",
+) -> DataFrame:
+    """Group-aware split assignment: every row of a group (user) lands in
+    the SAME split, because membership hashes the group key, not the row —
+    the construction that prevents user-level leakage between train and
+    eval (a user's habits appearing in both). Reports per-split group and
+    row counts; by construction each group maps to exactly one split.
+
+    Scale: the assignment is a scan-stage hash CASE (zero shuffles); the
+    report is one (split) and one (split, group)-grain aggregation pair —
+    uniform hash keys, map-side combine.
+    """
+    assigned = events.select(
+        assign_split(F.col(group_col), fractions, seed).alias("split"),
+        F.col(group_col).alias("grp"),
+    )
+    per_group = assigned.groupBy("split", "grp").agg(
+        F.count(F.lit(1)).alias("n_rows")
+    )
+    return per_group.groupBy("split").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_groups"),
+        F.sum("n_rows").cast("bigint").alias("n_rows"),
+        F.round(F.sum("n_rows") / F.count(F.lit(1)), 6).alias("rows_per_group"),
+    )

@@ -365,3 +365,52 @@ def test_minhash_calibration_error_bounded(spark):
     # 32 hashes: estimator std ~ sqrt(j(1-j)/32) <= 0.09; mean abs err well under
     assert 0 <= r["mean_abs_err"] < 0.15
     assert r["max_abs_err"] <= 0.5
+
+
+# --- temporal_split / group_split -------------------------------------------
+
+def test_temporal_split_embargo_discards_boundary(spark):
+    import datetime as dt
+    from esop_spark.operators import splits
+
+    base = dt.datetime(2024, 1, 1)
+    cutoff_ms = int((base + dt.timedelta(days=10)).timestamp() * 1000)
+    rows = [
+        (i, base + dt.timedelta(days=d), "a", 0.0, "{}", 1)
+        for i, d in enumerate([0, 5, 10, 11, 13, 20])
+    ]
+    ev = spark.createDataFrame(
+        rows, ["event_id", "ts", "event_type", "value", "props", "user_id"]
+    )
+    out = splits.temporal_split(ev, cutoff_ms, embargo_ms=3 * 86400000)
+    got = {(r["split"]): r["n_events"] for r in out.collect()}
+    assert got == {"train": 2, "embargo": 2, "test": 2}
+    # ranges must not overlap across splits
+    rngs = {r["split"]: (r["min_ms"], r["max_ms"]) for r in out.collect()}
+    assert rngs["train"][1] < cutoff_ms <= rngs["embargo"][0]
+    assert rngs["embargo"][1] < rngs["test"][0]
+
+
+def test_group_split_each_user_in_one_split(spark):
+    import datetime as dt
+    from pyspark.sql import functions as F
+    from esop_spark.operators import splits
+
+    base = dt.datetime(2024, 1, 1)
+    rows = [
+        (i, base, "a", 0.0, "{}", i % 17) for i in range(200)
+    ]
+    ev = spark.createDataFrame(
+        rows, ["event_id", "ts", "event_type", "value", "props", "user_id"]
+    )
+    rep = splits.group_split_report(ev, {"train": 0.6, "test": 0.4})
+    rows_ = rep.collect()
+    assert sum(r["n_groups"] for r in rows_) == 17  # users partitioned, none split
+    assert sum(r["n_rows"] for r in rows_) == 200
+    # direct check: per-user distinct split count is 1
+    assigned = ev.select(
+        F.col("user_id"),
+        splits.assign_split(F.col("user_id"), {"train": 0.6, "test": 0.4}, "grp0").alias("s"),
+    )
+    per_user = assigned.groupBy("user_id").agg(F.count_distinct("s").alias("ns"))
+    assert per_user.filter(F.col("ns") > 1).count() == 0
