@@ -1383,6 +1383,16 @@ def q138_group_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q139_release_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-release manifest (versioning.release_manifest, md5 family):
+    per-partition doc/token counts and the order-independent bit-XOR
+    content digest — the verifiable what-shipped record the release
+    writer (versioning.write_release) persists."""
+    return versioning.release_manifest(
+        _base(spark, sf_dir, "documents"), "lang", hash_family="md5"
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001: the backup-listing report."""
     return q01_list_backups(spark, "/root/testdata/sf0.001")
@@ -1528,6 +1538,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q136_minhash_calibration": q136_minhash_calibration,
         "q137_temporal_split": q137_temporal_split,
         "q138_group_split": q138_group_split,
+        "q139_release_manifest": q139_release_manifest,
     }
 
 
@@ -4902,6 +4913,16 @@ def oracle_sql() -> dict[str, str]:
                    CAST(SUM(n_rows) AS BIGINT) AS n_rows,
                    ROUND(SUM(n_rows) * 1.0 / COUNT(*), 6) AS rows_per_group
             FROM pg GROUP BY split
+        """,
+        "q139_release_manifest": """
+            SELECT lang AS partition,
+                   CAST(COUNT(*) AS BIGINT) AS n_docs,
+                   CAST(SUM(len(string_split(text, ' '))) AS BIGINT)
+                       AS n_tokens,
+                   CAST(BIT_XOR(CAST(concat('0x',
+                        substr(md5(CAST(doc_id AS VARCHAR) || ':' || text),
+                               1, 8)) AS BIGINT)) AS BIGINT) AS content_digest
+            FROM documents GROUP BY lang
         """,
         "q135_integrity_check": """
             WITH lk AS (

@@ -118,6 +118,7 @@ BENCH_QUERIES = [
     "q136_minhash_calibration",
     "q137_temporal_split",
     "q138_group_split",
+    "q139_release_manifest",
 ]
 
 
