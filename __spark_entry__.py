@@ -1393,6 +1393,16 @@ def q139_release_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q140_uncertainty_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Uncertainty sampling for labeling (sampling.uncertainty_sample):
+    per language, the 5 docs with quality score closest to the keep/drop
+    threshold, ranked through the distributed stratum-rank construction
+    (no per-stratum single-task window)."""
+    return sampling.uncertainty_sample(
+        _base(spark, sf_dir, "documents"), threshold=50, k=5
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001: the backup-listing report."""
     return q01_list_backups(spark, "/root/testdata/sf0.001")
@@ -1539,6 +1549,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q137_temporal_split": q137_temporal_split,
         "q138_group_split": q138_group_split,
         "q139_release_manifest": q139_release_manifest,
+        "q140_uncertainty_sample": q140_uncertainty_sample,
     }
 
 
@@ -4923,6 +4934,34 @@ def oracle_sql() -> dict[str, str]:
                         substr(md5(CAST(doc_id AS VARCHAR) || ':' || text),
                                1, 8)) AS BIGINT)) AS BIGINT) AS content_digest
             FROM documents GROUP BY lang
+        """,
+        "q140_uncertainty_sample": """
+            WITH w AS (
+                SELECT doc_id, lang, string_split(text, ' ') AS words
+                FROM documents
+            ),
+            t AS (
+                SELECT doc_id, lang AS stratum,
+                       CAST(ROUND((0.5 * (1.0
+                            - len(list_filter(words, x -> x IN ('a', 'the')))
+                              * 1.0 / len(words))
+                            + 0.5 * len(list_distinct(words)) * 1.0
+                              / len(words)) * 100) AS BIGINT) AS q
+                FROM w
+            ),
+            d AS (SELECT stratum, doc_id, q, ABS(q - 50) AS dist FROM t),
+            r AS (
+                SELECT stratum, doc_id, q, dist,
+                       ROW_NUMBER() OVER (PARTITION BY stratum
+                           ORDER BY dist ASC, CAST(doc_id AS VARCHAR) ASC)
+                           AS rank
+                FROM d
+            )
+            SELECT stratum, CAST(doc_id AS BIGINT) AS doc_id,
+                   CAST(q AS BIGINT) AS quality_score,
+                   CAST(dist AS BIGINT) AS dist,
+                   CAST(rank AS BIGINT) AS rank
+            FROM r WHERE rank <= 5
         """,
         "q135_integrity_check": """
             WITH lk AS (

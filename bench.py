@@ -119,6 +119,7 @@ BENCH_QUERIES = [
     "q137_temporal_split",
     "q138_group_split",
     "q139_release_manifest",
+    "q140_uncertainty_sample",
 ]
 
 

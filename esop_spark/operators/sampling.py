@@ -455,3 +455,43 @@ def subsample_ci(
     return full.join(spread, "stratum").select(
         "stratum", "n_docs", "mean_score", "ci_lo", "ci_hi", "n_replicates"
     )
+
+
+def uncertainty_sample(
+    documents: DataFrame,
+    threshold: int = 50,
+    k: int = 5,
+    strata_col: str = "lang",
+    id_col: str = "doc_id",
+    num_partitions: int = 32,
+) -> DataFrame:
+    """Uncertainty sampling for human labeling: per stratum, the k
+    documents whose quality score sits CLOSEST to the keep/drop threshold
+    — the boundary cases where a label buys the most classifier
+    improvement (score-certain docs teach nothing).
+
+    Selection ranks by (|score − threshold|, doc_id) through
+    :func:`_distributed_stratum_rank`, so a dominant stratum never funnels
+    through one task — the same scale-safe exact-ranking construction as
+    sample_k_per_stratum, with the uncertainty distance as the bucket key.
+    """
+    from esop_spark.operators.text import quality_score_col
+
+    scored = documents.select(
+        F.col(id_col),
+        F.col(strata_col),
+        quality_score_col("text").alias("q"),
+    ).withColumn("dist", F.abs(F.col("q") - F.lit(threshold)))
+    ranked = _distributed_stratum_rank(
+        scored, strata_col, F.col("dist"), F.col(id_col), num_partitions
+    )
+    return (
+        ranked.filter(F.col("_rn") <= k)
+        .select(
+            F.col(strata_col).alias("stratum"),
+            F.col(id_col).cast("bigint").alias(id_col),
+            F.col("q").cast("bigint").alias("quality_score"),
+            F.col("dist").cast("bigint").alias("dist"),
+            F.col("_rn").cast("bigint").alias("rank"),
+        )
+    )

@@ -414,3 +414,45 @@ def test_group_split_each_user_in_one_split(spark):
     )
     per_user = assigned.groupBy("user_id").agg(F.count_distinct("s").alias("ns"))
     assert per_user.filter(F.col("ns") > 1).count() == 0
+
+
+# --- uncertainty_sample -----------------------------------------------------
+
+def test_uncertainty_sample_picks_boundary_docs(spark):
+    from esop_spark.operators import sampling
+
+    # quality = round((0.5*(1-stop_ratio) + 0.5*ttr)*100); craft docs with
+    # distinct scores around 50 by varying the stopword/distinct mix
+    rows = [
+        (1, "the the the the", "en"),            # low score
+        (2, "a b c d e f g h", "en"),            # high (all distinct, no stop... 'a' is stop)
+        (3, "the a the a w1 w2 w3 w4", "en"),    # middling
+        (4, "w w w w w w w w", "en"),            # ttr low, no stopwords
+    ]
+    docs = spark.createDataFrame(rows, ["doc_id", "text", "lang"])
+    out = sampling.uncertainty_sample(docs, threshold=50, k=2).collect()
+    assert len(out) == 2
+    ranks = sorted(r["rank"] for r in out)
+    assert ranks == [1, 2]
+    # verify selection = the 2 docs with smallest |q-50| (string-id tiebreak)
+    allq = sampling.uncertainty_sample(docs, threshold=50, k=4).collect()
+    dists = sorted(r["dist"] for r in allq)
+    chosen = sorted(r["dist"] for r in out)
+    assert chosen == dists[:2]
+
+
+def test_uncertainty_sample_exact_k_per_stratum(spark):
+    from esop_spark.operators import sampling
+
+    rows = [
+        (i, " ".join(f"w{j % (2 + i % 7)}" for j in range(10)), ["en", "fr"][i % 2])
+        for i in range(60)
+    ]
+    docs = spark.createDataFrame(rows, ["doc_id", "text", "lang"])
+    out = sampling.uncertainty_sample(docs, threshold=50, k=3).collect()
+    per = {}
+    for r in out:
+        per.setdefault(r["stratum"], []).append(r)
+    assert set(per) == {"en", "fr"}
+    for rows_ in per.values():
+        assert len(rows_) == 3
