@@ -1403,6 +1403,14 @@ def q140_uncertainty_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q141_embed_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic content-hash document embedder
+    (similarity.embed_documents): per-doc 8-dim vector + norm — the
+    engine-side embeddings-provenance seam (a real encoder plugs in via
+    the multimodal mapInPandas pattern), cross-engine reproducible."""
+    return similarity.embed_documents(_base(spark, sf_dir, "documents"), dim=8)
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001: the backup-listing report."""
     return q01_list_backups(spark, "/root/testdata/sf0.001")
@@ -1550,6 +1558,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q138_group_split": q138_group_split,
         "q139_release_manifest": q139_release_manifest,
         "q140_uncertainty_sample": q140_uncertainty_sample,
+        "q141_embed_documents": q141_embed_documents,
     }
 
 
@@ -4982,5 +4991,23 @@ def oracle_sql() -> dict[str, str]:
                    CAST(SUM(CASE WHEN rn > 1 THEN 1 ELSE 0 END) AS BIGINT)
                        AS n_right_dup_keys
             FROM m
+        """,
+        "q141_embed_documents": """
+            WITH c AS (
+                SELECT doc_id,
+                       (CAST(concat('0x', substr(md5('emb0:' || text), 1, 8)) AS BIGINT) % 2001 - 1000) / 1000.0 AS e0,
+                       (CAST(concat('0x', substr(md5('emb1:' || text), 1, 8)) AS BIGINT) % 2001 - 1000) / 1000.0 AS e1,
+                       (CAST(concat('0x', substr(md5('emb2:' || text), 1, 8)) AS BIGINT) % 2001 - 1000) / 1000.0 AS e2,
+                       (CAST(concat('0x', substr(md5('emb3:' || text), 1, 8)) AS BIGINT) % 2001 - 1000) / 1000.0 AS e3,
+                       (CAST(concat('0x', substr(md5('emb4:' || text), 1, 8)) AS BIGINT) % 2001 - 1000) / 1000.0 AS e4,
+                       (CAST(concat('0x', substr(md5('emb5:' || text), 1, 8)) AS BIGINT) % 2001 - 1000) / 1000.0 AS e5,
+                       (CAST(concat('0x', substr(md5('emb6:' || text), 1, 8)) AS BIGINT) % 2001 - 1000) / 1000.0 AS e6,
+                       (CAST(concat('0x', substr(md5('emb7:' || text), 1, 8)) AS BIGINT) % 2001 - 1000) / 1000.0 AS e7
+                FROM documents
+            )
+            SELECT doc_id,
+                   list_value(e0, e1, e2, e3, e4, e5, e6, e7) AS embedding,
+                   ROUND(sqrt(e0 * e0 + e1 * e1 + e2 * e2 + e3 * e3 + e4 * e4 + e5 * e5 + e6 * e6 + e7 * e7), 6) AS norm
+            FROM c
         """,
     }

@@ -120,6 +120,7 @@ BENCH_QUERIES = [
     "q138_group_split",
     "q139_release_manifest",
     "q140_uncertainty_sample",
+    "q141_embed_documents",
 ]
 
 

@@ -1447,3 +1447,47 @@ def knn_label_audit(
             6,
         ).alias("agree_rate"),
     )
+
+
+def embed_documents(
+    documents: DataFrame,
+    dim: int = 8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Deterministic content-hash document embedder: dimension j is the
+    seeded 32-bit md5 hash of the text mapped into [-1, 1] (granularity
+    1e-3). This is the ENGINE-side stand-in for a model embedder — the
+    plumbing (schema, per-doc vector, downstream ANN compatibility) is
+    real and cross-engine reproducible; a real encoder plugs in through
+    the same Arrow ``mapInPandas`` seam the multimodal decoder uses
+    (multimodal.py), swapping this column expression for a batched model
+    call.
+
+    Scale: a pure scan projection — ``dim`` hash evaluations per row, no
+    shuffle; the output feeds ann_topk / semantic_dedup unchanged.
+    """
+    from esop_spark.operators.dedup import md5_hash32
+
+    comps = [
+        (
+            (
+                F.pmod(
+                    md5_hash32(
+                        F.concat(F.lit(f"emb{j}:"), F.col(text_col))
+                    ),
+                    F.lit(2001),
+                )
+                - 1000
+            )
+            / 1000.0
+        ).alias(f"_e{j}")
+        for j in range(dim)
+    ]
+    base = documents.select(F.col(id_col), *comps)
+    vec = F.array(*[F.col(f"_e{j}") for j in range(dim)])
+    return base.select(
+        F.col(id_col),
+        vec.alias("embedding"),
+        F.round(F.sqrt(_dot(vec, vec)), 6).alias("norm"),
+    )

@@ -456,3 +456,34 @@ def test_uncertainty_sample_exact_k_per_stratum(spark):
     assert set(per) == {"en", "fr"}
     for rows_ in per.values():
         assert len(rows_) == 3
+
+
+# --- embed_documents --------------------------------------------------------
+
+def test_embed_documents_deterministic_and_ann_compatible(spark):
+    from esop_spark.operators import similarity
+
+    rows = [(i, f"doc number {i} body text {i % 5}") for i in range(30)]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    emb = similarity.embed_documents(docs, dim=8)
+    a = {r["doc_id"]: (tuple(r["embedding"]), r["norm"]) for r in emb.collect()}
+    b = {
+        r["doc_id"]: (tuple(r["embedding"]), r["norm"])
+        for r in similarity.embed_documents(docs.repartition(7), dim=8).collect()
+    }
+    assert a == b, "embedding must be a pure function of content"
+    assert all(len(v[0]) == 8 for v in a.values())
+    assert all(-1.0 <= x <= 1.0 for v in a.values() for x in v[0])
+    # same text => same vector
+    dup = spark.createDataFrame(
+        [(100, "same words"), (200, "same words")], ["doc_id", "text"]
+    )
+    d = {r["doc_id"]: tuple(r["embedding"]) for r in
+         similarity.embed_documents(dup, dim=8).collect()}
+    assert d[100] == d[200]
+    # feeds the ANN surface unchanged
+    topk = similarity.ann_topk(
+        emb.withColumnRenamed("doc_id", "vec_id"), query_ids=[0, 1], k=3
+    ).collect()
+    assert {r["query_id"] for r in topk} == {0, 1}
+    assert all(r["rank"] <= 3 for r in topk)
