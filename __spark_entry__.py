@@ -1411,6 +1411,80 @@ def q141_embed_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.embed_documents(_base(spark, sf_dir, "documents"), dim=8)
 
 
+CURRICULUM_STAGES = 4
+NB_VOCAB_HASH = 4096
+TOPIC_PLANES = 6
+TOPIC_TOP_BUCKETS = 8
+WATERFILL_NUM, WATERFILL_DEN = 2, 5
+# Three sources demand 10x their uniform share, so the water line saturates
+# them (they get their whole capacity) and the surplus spreads over the rest.
+WATERFILL_WEIGHTS = {"src0": 10_000_000, "src1": 10_000_000, "src2": 10_000_000}
+HISTQ_BINS = 128
+
+
+def q142_curriculum_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic curriculum training order (splits.curriculum_order):
+    quality-quartile stages from the bounded score grain, within-stage
+    content-hash layout ranked by the distributed stratum-rank construction
+    (no per-stage single-task window)."""
+    return splits.curriculum_order(
+        _base(spark, sf_dir, "documents"), stages=CURRICULUM_STAGES
+    )
+
+
+def q143_nb_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hashed-unigram Naive Bayes language classifier trained on a
+    content-hash 80% split, scored on the holdout with integer-scaled
+    log-probabilities (text_ops.nb_confusion): the fastText-style curation
+    classifier as one lazy plan; output is the test confusion matrix."""
+    return text_ops.nb_confusion(
+        _base(spark, sf_dir, "documents"), vocab_hash=NB_VOCAB_HASH
+    )
+
+
+def q144_cluster_topics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Topic labels for embedding clusters (similarity.cluster_topic_terms):
+    hyperplane sign buckets -> top-8 clusters by size -> top-3 TF-IDF terms
+    from member documents, joined cross-modally on vec_id = doc_id."""
+    return similarity.cluster_topic_terms(
+        _base(spark, sf_dir, "documents"),
+        _base(spark, sf_dir, "embeddings"),
+        num_planes=TOPIC_PLANES,
+        top_buckets=TOPIC_TOP_BUCKETS,
+        k=3,
+    )
+
+
+def q145_token_waterfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact integer water-filling of a 40% token budget across sources
+    (sampling.token_budget_waterfill): small sources saturate, the surplus
+    spreads by weight — all windows on the |sources| grain."""
+    return sampling.token_budget_waterfill(
+        _base(spark, sf_dir, "documents"),
+        budget_num=WATERFILL_NUM,
+        budget_den=WATERFILL_DEN,
+        weights_ppm=WATERFILL_WEIGHTS,
+    )
+
+
+def q146_hot_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shuffle-skew advisor over the events user_id key (analytics.hot_keys):
+    top-10 hottest keys with exact ppm share and skew multiple — the
+    pre-shuffle probe for salting/AQE decisions."""
+    return analytics.hot_keys(_base(spark, sf_dir, "events"), "user_id")
+
+
+def q147_histogram_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable equi-width-histogram quantiles of document token length
+    (analytics.histogram_quantiles): p50/p90/p99 with a one-bin error
+    bound, all-integer binning — the sortless 100 TB percentile."""
+    return analytics.histogram_quantiles(
+        _base(spark, sf_dir, "documents"),
+        F.size(F.split(F.col("text"), " ")),
+        bins=HISTQ_BINS,
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001: the backup-listing report."""
     return q01_list_backups(spark, "/root/testdata/sf0.001")
@@ -1559,6 +1633,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q139_release_manifest": q139_release_manifest,
         "q140_uncertainty_sample": q140_uncertainty_sample,
         "q141_embed_documents": q141_embed_documents,
+        "q142_curriculum_order": q142_curriculum_order,
+        "q143_nb_confusion": q143_nb_confusion,
+        "q144_cluster_topics": q144_cluster_topics,
+        "q145_token_waterfill": q145_token_waterfill,
+        "q146_hot_keys": q146_hot_keys,
+        "q147_histogram_quantiles": q147_histogram_quantiles,
     }
 
 
@@ -1938,6 +2018,76 @@ def _semdedup_oracle(num_planes: int, dim: int) -> str:
                CAST(MIN(vec_id) AS BIGINT) AS keeper_id,
                CAST(COUNT(*) AS BIGINT) AS bucket_size
         FROM buckets GROUP BY 1
+    """
+
+
+def _q144_oracle() -> str:
+    """Cluster-topic oracle: the q56 hyperplane-bucket CTE at TOPIC_PLANES,
+    top-buckets by (size desc, bucket asc), then the q52 TF-IDF construction
+    restricted to member documents (N = member count)."""
+    signs = similarity.hyperplane_signs(TOPIC_PLANES, 64)
+    rows = ", ".join(
+        f"({j}, {i + 1}, {signs[j][i]})" for j in range(TOPIC_PLANES) for i in range(64)
+    )
+    return f"""
+        WITH e AS (
+            SELECT vec_id,
+                   list_transform(CAST(embedding AS DOUBLE[]),
+                                  x -> CAST(FLOOR(x * {similarity.SEM_SCALE}) AS BIGINT)) AS vq
+            FROM embeddings
+        ),
+        signs(j, i, s) AS (VALUES {rows}),
+        u AS (
+            SELECT vec_id, t.i AS i, vq[t.i] AS val
+            FROM e, unnest(range(1, 65)) t(i)
+        ),
+        proj AS (
+            SELECT u.vec_id, signs.j, SUM(u.val * signs.s) AS p
+            FROM u JOIN signs ON signs.i = u.i
+            GROUP BY 1, 2
+        ),
+        buckets AS (
+            SELECT vec_id,
+                   SUM(CASE WHEN p > 0 THEN CAST(POW(2, j) AS BIGINT) ELSE 0 END) AS bucket
+            FROM proj GROUP BY 1
+        ),
+        bsz AS (SELECT bucket, COUNT(*) AS n_members FROM buckets GROUP BY 1),
+        top AS (
+            SELECT bucket, n_members,
+                   ROW_NUMBER() OVER (ORDER BY n_members DESC, bucket ASC) AS r
+            FROM bsz QUALIFY r <= {TOPIC_TOP_BUCKETS}
+        ),
+        docs_in AS (
+            SELECT d.doc_id, b.bucket, t.n_members, d.text
+            FROM documents d
+            JOIN buckets b ON b.vec_id = d.doc_id
+            JOIN top t USING (bucket)
+        ),
+        n AS (SELECT COUNT(*) AS n_docs FROM docs_in),
+        tok AS (
+            SELECT doc_id, bucket, unnest(string_split(text, ' ')) AS term
+            FROM docs_in
+        ),
+        df_t AS (
+            SELECT term, COUNT(*) AS df
+            FROM (SELECT DISTINCT doc_id, term FROM tok) GROUP BY 1
+        ),
+        tf AS (SELECT bucket, term, COUNT(*) AS tf FROM tok GROUP BY 1, 2),
+        scored AS (
+            SELECT bucket, term, tf, df,
+                   ROUND(tf * ln(n_docs * 1.0 / df), 6) AS tfidf
+            FROM tf JOIN df_t USING (term), n
+        ),
+        ranked AS (
+            SELECT *, ROW_NUMBER() OVER (PARTITION BY bucket
+                       ORDER BY tfidf DESC, term ASC) AS rank
+            FROM scored QUALIFY rank <= 3
+        )
+        SELECT CAST(r.bucket AS BIGINT) AS bucket,
+               CAST(t.n_members AS BIGINT) AS n_members,
+               r.term, CAST(r.tf AS BIGINT) AS tf, CAST(r.df AS BIGINT) AS df,
+               r.tfidf, CAST(r.rank AS BIGINT) AS rank
+        FROM ranked r JOIN top t ON r.bucket = t.bucket
     """
 
 
@@ -5009,5 +5159,204 @@ def oracle_sql() -> dict[str, str]:
                    list_value(e0, e1, e2, e3, e4, e5, e6, e7) AS embedding,
                    ROUND(sqrt(e0 * e0 + e1 * e1 + e2 * e2 + e3 * e3 + e4 * e4 + e5 * e5 + e6 * e6 + e7 * e7), 6) AS norm
             FROM c
+        """,
+        "q142_curriculum_order": f"""
+            WITH w AS (
+                SELECT doc_id, string_split(text, ' ') AS words FROM documents
+            ),
+            t AS (
+                SELECT doc_id,
+                       CAST(ROUND((0.5 * (1.0
+                            - len(list_filter(words, x -> x IN ('a', 'the')))
+                              * 1.0 / len(words))
+                            + 0.5 * len(list_distinct(words)) * 1.0
+                              / len(words)) * 100) AS BIGINT) AS q
+                FROM w
+            ),
+            g AS (SELECT q, COUNT(*) AS n FROM t GROUP BY 1),
+            tot AS (SELECT COUNT(*) AS n FROM t),
+            c AS (
+                SELECT q, COALESCE(SUM(n) OVER (ORDER BY q
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                           0) AS below
+                FROM g
+            ),
+            s AS (
+                SELECT t.doc_id, t.q,
+                       LEAST(1 + (c.below * {CURRICULUM_STAGES}) // tot.n,
+                             {CURRICULUM_STAGES}) AS stage,
+                       CAST(concat('0x', substr(md5('cur0:'
+                            || CAST(t.doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
+                            % 1000000 AS b
+                FROM t JOIN c USING (q), tot
+            )
+            SELECT CAST(doc_id AS BIGINT) AS doc_id,
+                   CAST(q AS BIGINT) AS quality_score,
+                   CAST(stage AS BIGINT) AS stage,
+                   CAST(ROW_NUMBER() OVER (PARTITION BY stage
+                        ORDER BY b, CAST(doc_id AS VARCHAR)) AS BIGINT)
+                       AS position
+            FROM s
+        """,
+        "q143_nb_confusion": f"""
+            WITH sp AS (
+                SELECT doc_id, lang, string_split(text, ' ') AS words,
+                       CAST(concat('0x', substr(md5('nbsplit:'
+                            || CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
+                            % 1000000 < 800000 AS is_train
+                FROM documents
+            ),
+            tok AS (
+                SELECT doc_id, lang, is_train,
+                       CAST(concat('0x', substr(md5('nb0:' || t.w), 1, 8))
+                            AS BIGINT) % {NB_VOCAB_HASH} AS b
+                FROM sp, unnest(words) AS t(w)
+            ),
+            ctot AS (
+                SELECT lang, COUNT(*) AS n_c, COUNT(DISTINCT doc_id) AS docs_c
+                FROM tok WHERE is_train GROUP BY 1
+            ),
+            dall AS (SELECT SUM(docs_c) AS docs_all FROM ctot),
+            cmeta AS (
+                SELECT lang AS cand,
+                       CAST(ROUND(ln(1.0 / (n_c + {NB_VOCAB_HASH})) * 1e9)
+                            AS BIGINT) AS lp0,
+                       CAST(ROUND(ln(docs_c * 1.0 / dall.docs_all) * 1e9)
+                            AS BIGINT) AS prior
+                FROM ctot, dall
+            ),
+            model AS (
+                SELECT tok.lang AS cand, b,
+                       CAST(ROUND(ln((COUNT(*) + 1.0)
+                            / (ANY_VALUE(ctot.n_c) + {NB_VOCAB_HASH})) * 1e9)
+                            AS BIGINT) AS lp
+                FROM tok JOIN ctot USING (lang)
+                WHERE is_train GROUP BY 1, 2
+            ),
+            scored AS (
+                SELECT tt.doc_id, ANY_VALUE(tt.lang) AS true_lang, cm.cand,
+                       ANY_VALUE(cm.prior) + SUM(COALESCE(m.lp, cm.lp0))
+                           AS score
+                FROM (SELECT doc_id, lang, b FROM tok WHERE NOT is_train) tt
+                CROSS JOIN cmeta cm
+                LEFT JOIN model m ON m.cand = cm.cand AND m.b = tt.b
+                GROUP BY tt.doc_id, cm.cand
+            ),
+            best AS (SELECT doc_id, MAX(score) AS ms FROM scored GROUP BY 1),
+            pred AS (
+                SELECT s.doc_id, ANY_VALUE(s.true_lang) AS t, MIN(s.cand) AS p
+                FROM scored s
+                JOIN best b ON s.doc_id = b.doc_id AND s.score = b.ms
+                GROUP BY 1
+            )
+            SELECT t AS label_true, p AS label_pred,
+                   CAST(COUNT(*) AS BIGINT) AS n_docs
+            FROM pred GROUP BY 1, 2
+        """,
+        "q144_cluster_topics": _q144_oracle(),
+        "q145_token_waterfill": f"""
+            WITH caps AS (
+                SELECT source AS stratum,
+                       CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS cap,
+                       CAST(CASE WHEN source IN ('src0', 'src1', 'src2')
+                                 THEN 10000000 ELSE 1000000 END
+                            AS BIGINT) AS w
+                FROM documents GROUP BY 1
+            ),
+            o AS (
+                SELECT *,
+                       ROW_NUMBER() OVER
+                           (ORDER BY (cap * 1000000) // w, stratum) AS pos,
+                       SUM(cap) OVER (ORDER BY (cap * 1000000) // w, stratum
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                           AS cum_cap,
+                       SUM(w) OVER (ORDER BY (cap * 1000000) // w, stratum
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                           AS cum_w,
+                       SUM(cap) OVER () AS total_cap,
+                       SUM(w) OVER () AS total_w
+                FROM caps
+            ),
+            g AS (
+                SELECT *, (total_cap * {WATERFILL_NUM}) // {WATERFILL_DEN}
+                           AS budget,
+                       total_w - cum_w AS rem_w
+                FROM o
+            ),
+            g2 AS (
+                SELECT *, CAST(cap AS HUGEINT) * rem_w
+                           <= CAST(budget - cum_cap AS HUGEINT) * w AS sat
+                FROM g
+            ),
+            g3 AS (
+                SELECT *,
+                       COALESCE(MAX(CASE WHEN sat THEN cum_cap END) OVER (), 0)
+                           AS m_cum_cap,
+                       COALESCE(MIN(CASE WHEN sat THEN rem_w END) OVER (),
+                                total_w) AS m_rem_w
+                FROM g2
+            )
+            SELECT stratum, CAST(cap AS BIGINT) AS cap_tokens,
+                   CAST(w AS BIGINT) AS weight_ppm,
+                   CAST(pos AS BIGINT) AS water_rank,
+                   sat AS saturated,
+                   CAST(CASE WHEN sat THEN cap
+                             WHEN m_rem_w > 0 THEN
+                                 (CAST(budget - m_cum_cap AS HUGEINT) * w)
+                                     // m_rem_w
+                             ELSE 0 END AS BIGINT) AS allocated_tokens
+            FROM g3
+        """,
+        "q146_hot_keys": """
+            WITH pk AS (
+                SELECT CAST(user_id AS VARCHAR) AS key, COUNT(*) AS n_rows
+                FROM events GROUP BY 1
+            ),
+            t AS (SELECT SUM(n_rows) AS total, COUNT(*) AS n_keys FROM pk),
+            r AS (
+                SELECT key, n_rows,
+                       ROW_NUMBER() OVER (ORDER BY n_rows DESC, key ASC) AS rn
+                FROM pk
+            )
+            SELECT key, CAST(n_rows AS BIGINT) AS n_rows,
+                   CAST((n_rows * 1000000) // t.total AS BIGINT) AS share_ppm,
+                   ROUND(n_rows * t.n_keys * 1.0 / t.total, 6) AS skew_x
+            FROM r, t WHERE rn <= 10
+        """,
+        "q147_histogram_quantiles": f"""
+            WITH v AS (
+                SELECT CAST(len(string_split(text, ' ')) AS BIGINT) AS v
+                FROM documents
+            ),
+            mm AS (SELECT MIN(v) AS lo, MAX(v) AS hi, COUNT(*) AS n FROM v),
+            b AS (
+                SELECT (v - mm.lo) // ((mm.hi - mm.lo) // {HISTQ_BINS} + 1)
+                           AS bin,
+                       (mm.hi - mm.lo) // {HISTQ_BINS} + 1 AS w,
+                       mm.lo AS lo, mm.n AS n
+                FROM v, mm
+            ),
+            h AS (
+                SELECT bin, COUNT(*) AS cnt, ANY_VALUE(lo) AS lo,
+                       ANY_VALUE(w) AS w, ANY_VALUE(n) AS n
+                FROM b GROUP BY 1
+            ),
+            c AS (
+                SELECT *, SUM(cnt) OVER (ORDER BY bin
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+                FROM h
+            ),
+            q(q_ppm) AS (VALUES (500000), (900000), (990000)),
+            m AS (
+                SELECT q.q_ppm, c.bin, c.lo, c.w, c.n, c.cum,
+                       (c.n * q.q_ppm + 999999) // 1000000 AS thr
+                FROM c, q
+            )
+            SELECT CAST(q_ppm AS BIGINT) AS q_ppm,
+                   CAST(ANY_VALUE(lo) + MIN(bin) * ANY_VALUE(w) AS BIGINT)
+                       AS approx_value,
+                   CAST(ANY_VALUE(w) AS BIGINT) AS error_bound,
+                   CAST(ANY_VALUE(n) AS BIGINT) AS n_rows
+            FROM m WHERE cum >= thr GROUP BY q_ppm
         """,
     }

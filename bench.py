@@ -121,6 +121,12 @@ BENCH_QUERIES = [
     "q139_release_manifest",
     "q140_uncertainty_sample",
     "q141_embed_documents",
+    "q142_curriculum_order",
+    "q143_nb_confusion",
+    "q144_cluster_topics",
+    "q145_token_waterfill",
+    "q146_hot_keys",
+    "q147_histogram_quantiles",
 ]
 
 

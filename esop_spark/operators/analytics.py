@@ -918,3 +918,109 @@ def json_props_rollup(
         F.max("v").cast("bigint").alias("max_v"),
         F.round(F.sum("v") / F.count("v"), 6).alias("mean_v"),
     )
+
+
+def hot_keys(
+    df: DataFrame,
+    key_col: str,
+    top_k: int = 10,
+) -> DataFrame:
+    """Shuffle-skew advisor: the ``top_k`` hottest values of a prospective
+    join/groupBy key, with each key's row share (exact ppm) and its skew
+    multiple versus the mean key (how many average-sized keys' worth of
+    rows land on the reducer that owns it). The pre-flight probe to run
+    before shuffling 100 TB on a key — a ``skew_x`` in the hundreds says
+    "salt this key or let AQE split it" before the job stalls on one task.
+
+    Plan: one map-side-combined count aggregation to the key grain, a
+    1-row global aggregate broadcast back, and a TakeOrderedAndProject for
+    the top-k (count desc, key asc — deterministic under ties). Nothing
+    corpus-sized crosses the network except the key-grain counts.
+    """
+    per_key = df.groupBy(F.col(key_col).cast("string").alias("key")).agg(
+        F.count(F.lit(1)).alias("n_rows")
+    )
+    totals = per_key.agg(
+        F.sum("n_rows").alias("_total"), F.count(F.lit(1)).alias("_n_keys")
+    )
+    return (
+        per_key.crossJoin(F.broadcast(totals))
+        .orderBy(F.col("n_rows").desc(), F.col("key").asc())
+        .limit(top_k)
+        .select(
+            "key",
+            F.col("n_rows").cast("bigint").alias("n_rows"),
+            F.expr("n_rows * 1000000 div _total").cast("bigint").alias("share_ppm"),
+            F.round(F.col("n_rows") * F.col("_n_keys") / F.col("_total"), 6).alias(
+                "skew_x"
+            ),
+        )
+    )
+
+
+def histogram_quantiles(
+    df: DataFrame,
+    value: Column,
+    bins: int = 128,
+    quantiles_ppm: tuple[int, ...] = (500_000, 900_000, 990_000),
+) -> DataFrame:
+    """Mergeable approximate quantiles from an equi-width integer histogram:
+    the answer to "p50/p90/p99 of document length over 100 TB" without a
+    global sort. Bin width is derived from the exact min/max, each value
+    lands in ``(v - min) div width``, and quantile q is the lower bound of
+    the first bin whose cumulative count reaches ``ceil(q * N)`` — with a
+    guaranteed error bound of one bin width, reported alongside.
+
+    All-integer construction (widths, bin ids, ceil thresholds), so any
+    engine reproduces the exact same bins and answers — unlike
+    ``percentile_approx``'s implementation-defined sketch. The bin-count
+    relation is mergeable state: shards histogram independently (same
+    min/max contract), sums merge, quantiles finalize — the same IVM
+    algebra as :func:`mergeable_stats`.
+
+    Plan: one 1-row min/max aggregate broadcast into the binning
+    projection, one map-side-combined aggregation to the <=bins grain, and
+    windows/joins on that tiny relation only. Two scans total (min/max,
+    then bin) — at 100 TB fix the domain up front to make it one.
+    """
+    vals = df.select(value.cast("bigint").alias("v"))
+    mm = vals.agg(
+        F.min("v").alias("_lo"),
+        F.max("v").alias("_hi"),
+        F.count(F.lit(1)).alias("_n"),
+    )
+    binned = (
+        vals.crossJoin(F.broadcast(mm))
+        .withColumn("_w", F.expr(f"(_hi - _lo) div {bins} + 1"))
+        .withColumn("_bin", F.expr("(v - _lo) div _w"))
+    )
+    hist = binned.groupBy("_bin").agg(
+        F.count(F.lit(1)).alias("_cnt"),
+        F.first("_lo").alias("_lo"),
+        F.first("_w").alias("_w"),
+        F.first("_n").alias("_n"),
+    )
+    w_cum = Window.orderBy("_bin").rowsBetween(Window.unboundedPreceding, 0)
+    cum = hist.withColumn("_cum", F.sum("_cnt").over(w_cum))
+    qs = F.array(*[F.lit(int(q)) for q in quantiles_ppm])
+    want = cum.select(
+        "*", F.explode(qs).alias("q_ppm")
+    ).withColumn("_thr", F.expr("(_n * q_ppm + 999999) div 1000000"))
+    return (
+        want.filter(F.col("_cum") >= F.col("_thr"))
+        .groupBy("q_ppm")
+        .agg(
+            F.min("_bin").alias("_qbin"),
+            F.first("_lo").alias("_lo"),
+            F.first("_w").alias("_w"),
+            F.first("_n").alias("_n"),
+        )
+        .select(
+            F.col("q_ppm").cast("bigint").alias("q_ppm"),
+            (F.col("_lo") + F.col("_qbin") * F.col("_w"))
+            .cast("bigint")
+            .alias("approx_value"),
+            F.col("_w").cast("bigint").alias("error_bound"),
+            F.col("_n").cast("bigint").alias("n_rows"),
+        )
+    )

@@ -495,3 +495,91 @@ def uncertainty_sample(
             F.col("_rn").cast("bigint").alias("rank"),
         )
     )
+
+
+def token_budget_waterfill(
+    documents: DataFrame,
+    budget_num: int = 2,
+    budget_den: int = 5,
+    strata_col: str = "source",
+    weights_ppm: dict[str, int] | None = None,
+    text_col: str = "text",
+) -> DataFrame:
+    """Token-budget allocation across strata by exact water-filling: given
+    a total token budget ``B = total_tokens * budget_num // budget_den``
+    and target mixture weights, each stratum receives
+    ``a_s = min(cap_s, lambda * w_s)`` with the water level ``lambda``
+    chosen maximally subject to ``sum(a_s) <= B`` — the standard answer to
+    "we can afford 40% of the corpus; how much of each source do we take
+    without over-asking tiny sources?". Strata whose whole capacity fits
+    under the water level are ``saturated``; the surplus spreads over the
+    rest in proportion to weight.
+
+    Exactness: the classic sort-by-``cap/weight`` construction, done in
+    integer arithmetic on the |strata|-row grain. The saturation predicate
+    ``cap_i * rem_w_i <= (B - cum_cap_i) * w_i`` is prefix-monotone, so the
+    water line is ``m = argmax(satisfied)`` and unsaturated strata get
+    ``(B - cum_cap_m) * w_s // rem_w_m`` — no float lambda, no rounding
+    drift between engines. Products are computed in DECIMAL(38,0): at
+    100 TB scale (10^13 tokens x 10^6 ppm) they overflow int64 but sit
+    comfortably inside 38 digits.
+
+    Scale: one map-side-combined aggregation from the corpus to the
+    |strata| grain; every window after that runs on the tiny stratum
+    relation. Unlisted strata default to weight 1e6 (uniform).
+    """
+    tok = F.size(F.split(F.col(text_col), " ")).cast("bigint")
+    caps = documents.groupBy(F.col(strata_col).alias("stratum")).agg(
+        F.sum(tok).alias("cap")
+    )
+    if weights_ppm:
+        w_col = F.lit(None).cast("bigint")
+        for s, w in sorted(weights_ppm.items()):
+            w_col = F.when(F.col("stratum") == s, F.lit(int(w))).otherwise(w_col)
+        w_col = F.coalesce(w_col, F.lit(1_000_000))
+    else:
+        w_col = F.lit(1_000_000)
+    d38 = "decimal(38,0)"
+    base = caps.withColumn("w", w_col)
+    w_all = Window.partitionBy()
+    w_ord = Window.orderBy(F.expr("cap * 1000000 div w"), F.col("stratum"))
+    g = (
+        base.withColumn("pos", F.row_number().over(w_ord))
+        .withColumn("cum_cap", F.sum("cap").over(w_ord.rowsBetween(Window.unboundedPreceding, 0)))
+        .withColumn("total_cap", F.sum("cap").over(w_all))
+        .withColumn("total_w", F.sum("w").over(w_all))
+        .withColumn(
+            "budget",
+            F.expr(f"(total_cap * {budget_num}) div {budget_den}").cast("bigint"),
+        )
+        .withColumn("rem_w", (F.col("total_w") - F.sum("w").over(w_ord.rowsBetween(Window.unboundedPreceding, 0))).cast("bigint"))
+        .withColumn(
+            "sat",
+            F.col("cap").cast(d38) * F.col("rem_w").cast(d38)
+            <= (F.col("budget") - F.col("cum_cap")).cast(d38) * F.col("w").cast(d38),
+        )
+    )
+    g = (
+        g.withColumn("m_cum_cap", F.coalesce(F.max(F.when(F.col("sat"), F.col("cum_cap"))).over(w_all), F.lit(0)))
+        .withColumn("m_rem_w", F.coalesce(F.min(F.when(F.col("sat"), F.col("rem_w"))).over(w_all), F.col("total_w")))
+    )
+    alloc = F.when(F.col("sat"), F.col("cap")).otherwise(
+        F.when(
+            F.col("m_rem_w") > 0,
+            # exact floor division on the decimal product (Spark `div`
+            # truncates toward zero == floor for the non-negative operands
+            # here; DuckDB `//` matches)
+            F.expr(
+                "(CAST(budget - m_cum_cap AS DECIMAL(38,0))"
+                " * CAST(w AS DECIMAL(38,0))) div m_rem_w"
+            ),
+        ).otherwise(F.lit(0)),
+    )
+    return g.select(
+        "stratum",
+        F.col("cap").cast("bigint").alias("cap_tokens"),
+        F.col("w").cast("bigint").alias("weight_ppm"),
+        F.col("pos").cast("bigint").alias("water_rank"),
+        F.col("sat").alias("saturated"),
+        alloc.cast("bigint").alias("allocated_tokens"),
+    )

@@ -1491,3 +1491,62 @@ def embed_documents(
         vec.alias("embedding"),
         F.round(F.sqrt(_dot(vec, vec)), 6).alias("norm"),
     )
+
+
+def cluster_topic_terms(
+    documents: DataFrame,
+    embeddings: DataFrame,
+    num_planes: int = 6,
+    top_buckets: int = 8,
+    k: int = 3,
+    dim: int = 64,
+    seed: str = "hp",
+    doc_id_col: str = "doc_id",
+    vec_id_col: str = "vec_id",
+) -> DataFrame:
+    """Topic labeling for embedding-space clusters: bucket vectors by
+    hyperplane sign pattern (the deterministic stand-in for k-means cells,
+    same family as :func:`semantic_dedup`), take the ``top_buckets``
+    largest clusters, and label each with its top-``k`` TF-IDF terms from
+    the member documents — the human-readable "what is this cluster"
+    report curation teams run after clustering a corpus.
+
+    Cross-modal join: embeddings supply the cluster geometry, documents
+    supply the describable text; they meet on the id equality
+    ``vec_id = doc_id``.
+
+    Scale: the bucket projection is narrow; the top-bucket selection is a
+    TakeOrdered over the 2^num_planes-row bucket-size relation; membership
+    and the bucket-size relation are broadcast back (top_buckets rows), so
+    the only corpus-wide shuffles are the TF-IDF term aggregations over
+    MEMBER documents only — the relation shrinks to the clusters under
+    inspection before any term explode happens.
+    """
+    from esop_spark.operators.text import tfidf_top_terms
+
+    buckets = semantic_buckets(
+        embeddings, num_planes, dim, seed, id_col=vec_id_col
+    )
+    top = (
+        buckets.groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("n_members"))
+        .orderBy(F.col("n_members").desc(), F.col("bucket").asc())
+        .limit(top_buckets)
+    )
+    members = buckets.join(F.broadcast(top), "bucket").select(
+        F.col(vec_id_col).alias(doc_id_col), "bucket", "n_members"
+    )
+    docs_in = documents.join(members, doc_id_col)
+    terms = tfidf_top_terms(docs_in, group_col="bucket", k=k)
+    return terms.join(
+        F.broadcast(top.select("bucket", F.col("n_members").cast("bigint").alias("n_members"))),
+        "bucket",
+    ).select(
+        F.col("bucket").cast("bigint").alias("bucket"),
+        "n_members",
+        "term",
+        "tf",
+        "df",
+        "tfidf",
+        "rank",
+    )

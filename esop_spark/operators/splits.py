@@ -422,3 +422,69 @@ def group_split_report(
         F.sum("n_rows").cast("bigint").alias("n_rows"),
         F.round(F.sum("n_rows") / F.count(F.lit(1)), 6).alias("rows_per_group"),
     )
+
+
+def curriculum_order(
+    documents: DataFrame,
+    stages: int = 4,
+    seed: str = "cur0",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_partitions: int = 32,
+) -> DataFrame:
+    """Deterministic curriculum training order: documents are staged from
+    lowest to highest quality quartile (easy-to-hard scheduling), and within
+    a stage laid out in content-hash order — a seeded, reproducible global
+    shuffle. The emitted ``position`` is the exact 1-based rank a data
+    loader would read the document at inside its stage.
+
+    Stage assignment is exact integer math on the BOUNDED score grain: the
+    0-100 quality score distribution is aggregated to ≤101 rows, the
+    cumulative count of strictly-lower scores assigns
+    ``stage = 1 + floor(stages * cum_below / N)`` (equal scores share a
+    stage, so the boundary is data-independent of layout), and the ≤101-row
+    stage map is broadcast back — the same scale-safe grain trick as the
+    quality CDF (q72).
+
+    The within-stage rank uses
+    :func:`esop_spark.operators.sampling._distributed_stratum_rank` (range
+    partition + broadcast offsets), NOT a per-stage ``Window.partitionBy``
+    sort — with 4 stages a naive window would funnel ~25% of a 100 TB
+    corpus through each of 4 tasks.
+    """
+    from esop_spark.operators.sampling import _distributed_stratum_rank
+    from esop_spark.operators.text import quality_score_col
+
+    scored = documents.select(
+        F.col(id_col), quality_score_col(text_col).alias("q")
+    )
+    per_score = scored.groupBy("q").agg(F.count(F.lit(1)).alias("_n"))
+    w_cdf = Window.orderBy("q").rowsBetween(Window.unboundedPreceding, -1)
+    n_total = per_score.agg(F.sum("_n").alias("_total"))
+    stage_map = (
+        per_score.withColumn(
+            "_below", F.coalesce(F.sum("_n").over(w_cdf), F.lit(0))
+        )
+        .crossJoin(F.broadcast(n_total))
+        .select(
+            "q",
+            F.least(
+                F.lit(1) + F.expr(f"(_below * {stages}) div _total"),
+                F.lit(stages).cast("bigint"),
+            ).alias("stage"),
+        )
+    )
+    staged = scored.join(F.broadcast(stage_map), "q")
+    ranked = _distributed_stratum_rank(
+        staged,
+        "stage",
+        sample_bucket(F.col(id_col), seed),
+        F.col(id_col),
+        num_partitions,
+    )
+    return ranked.select(
+        F.col(id_col).cast("bigint").alias(id_col),
+        F.col("q").cast("bigint").alias("quality_score"),
+        F.col("stage").cast("bigint").alias("stage"),
+        F.col("_rn").cast("bigint").alias("position"),
+    )

@@ -2210,3 +2210,125 @@ def extremes_report(
     )
     lowq = leg("lowest_quality", F.col("q"), F.col("q").asc(), F.col(id_col).asc())
     return longest.unionByName(repetitive).unionByName(lowq)
+
+
+def nb_confusion(
+    documents: DataFrame,
+    label_col: str = "lang",
+    vocab_hash: int = 4096,
+    train_ppm: int = 800_000,
+    hash_seed: str = "nb0",
+    split_seed: str = "nbsplit",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Hashed-unigram multinomial Naive Bayes classifier, trained and
+    evaluated inside one lazy plan — the fastText-style quality/domain
+    classifier every curation pipeline keeps around (CCNet wiki-vs-crawl,
+    DCLM's quality model). Returns the held-out confusion matrix at the
+    (true label, predicted label) grain.
+
+    Construction (all cross-engine-exact):
+
+    * deterministic content-hash train/test split (``split_seed``), so the
+      evaluation set is a pure function of the data;
+    * features are unigrams hashed into ``vocab_hash`` buckets with the
+      md5 family — the model is a BOUNDED (label x bucket) relation no
+      matter the corpus size;
+    * Laplace-smoothed log-probabilities are pre-scaled to integers
+      (``round(ln(p) * 1e9)``) at the MODEL grain, so the per-document
+      score is a bigint SUM — order-independent, immune to float
+      summation nondeterminism across partitionings/engines;
+    * argmax with a min-label tiebreak via a max-score semi-join (no
+      engine-specific ``max_by`` struct-ordering semantics).
+
+    Scale: the model and class tables are bounded broadcasts
+    (vocab_hash x |labels| and |labels| rows); scoring is the token scan
+    expanded x|labels| with a broadcast join, then two uniform doc-grain
+    aggregations. No iteration, no driver data path — NB's closed-form
+    training is one aggregation, which is why it (rather than SGD
+    logistic regression) is the idiomatic Spark-first baseline classifier.
+    """
+    from esop_spark.operators.dedup import md5_hash32
+
+    BUCKETS = 1_000_000
+    split_b = F.pmod(
+        md5_hash32(
+            F.concat(F.lit(split_seed), F.lit(":"), F.col(id_col).cast("string"))
+        ),
+        F.lit(BUCKETS),
+    )
+    base = documents.select(
+        F.col(id_col),
+        F.col(label_col).alias("_label"),
+        (split_b < train_ppm).alias("_is_train"),
+        F.explode(tokens(text_col)).alias("_term"),
+    ).withColumn(
+        "_b",
+        F.pmod(
+            md5_hash32(F.concat(F.lit(hash_seed), F.lit(":"), F.col("_term"))),
+            F.lit(vocab_hash),
+        ),
+    )
+    train = base.filter(F.col("_is_train"))
+    # class meta: token totals, doc counts, smoothing default, prior
+    ctot = train.groupBy("_label").agg(
+        F.count(F.lit(1)).alias("_n_c"),
+        F.countDistinct(id_col).alias("_docs_c"),
+    )
+    dtot = ctot.agg(F.sum("_docs_c").alias("_docs_all"))
+    cmeta = ctot.crossJoin(F.broadcast(dtot)).select(
+        "_label",
+        F.round(F.log(F.lit(1.0) / (F.col("_n_c") + vocab_hash)) * 1e9)
+        .cast("bigint")
+        .alias("_lp0"),
+        F.round(F.log(F.col("_docs_c") / F.col("_docs_all")) * 1e9)
+        .cast("bigint")
+        .alias("_prior"),
+    )
+    model = (
+        train.groupBy("_label", "_b")
+        .agg(F.count(F.lit(1)).alias("_n_cb"))
+        .join(ctot.select("_label", "_n_c"), "_label")
+        .select(
+            F.col("_label").alias("_cand"),
+            "_b",
+            F.round(
+                F.log((F.col("_n_cb") + 1.0) / (F.col("_n_c") + vocab_hash)) * 1e9
+            )
+            .cast("bigint")
+            .alias("_lp"),
+        )
+    )
+    cand = cmeta.select(
+        F.col("_label").alias("_cand"),
+        F.col("_lp0"),
+        F.col("_prior"),
+    )
+    test_tok = base.filter(~F.col("_is_train")).select(id_col, "_label", "_b")
+    scored = (
+        test_tok.crossJoin(F.broadcast(cand))
+        .join(F.broadcast(model), ["_cand", "_b"], "left")
+        .groupBy(id_col, "_label", "_cand")
+        .agg(
+            (
+                F.first("_prior") + F.sum(F.coalesce(F.col("_lp"), F.col("_lp0")))
+            ).alias("_score")
+        )
+    )
+    best = scored.groupBy(id_col).agg(F.max("_score").alias("_ms"))
+    pred = (
+        scored.join(best, id_col)
+        .filter(F.col("_score") == F.col("_ms"))
+        .groupBy(id_col)
+        .agg(
+            F.first("_label").alias("_true"),
+            F.min("_cand").alias("_pred"),
+        )
+    )
+    return (
+        pred.groupBy(
+            F.col("_true").alias("label_true"), F.col("_pred").alias("label_pred")
+        )
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_docs"))
+    )
