@@ -1485,6 +1485,40 @@ def q147_histogram_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+BURST_WINDOW_MS = 86_400_000  # sliding day — the synthetic stream is sparse
+BURST_THRESHOLD = 9
+CURVE_THRESHOLDS = (50, 60, 70, 80, 90)
+
+
+def q148_burst_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bot-rate probe (analytics.burst_detection): exact per-user peak
+    events in any sliding day via a RANGE-frame window (value-defined
+    frames — tie-order-free), plus sustained rate; user-grain output."""
+    return analytics.burst_detection(
+        _base(spark, sf_dir, "events"),
+        window_ms=BURST_WINDOW_MS,
+        burst_threshold=BURST_THRESHOLD,
+    )
+
+
+def q149_prototypicality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Prototypicality deciles per label (similarity.prototypicality):
+    cosine to own-label centroid (q85's order-independent integer-nano
+    centroids), ranked via the distributed stratum-rank construction,
+    folded to the labels x deciles grain — the SemDeDup-style pruning
+    signal."""
+    return similarity.prototypicality(_base(spark, sf_dir, "embeddings"))
+
+
+def q150_dedup_threshold_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Jaccard threshold sweep (dedup.dedup_threshold_curve): the q23 exact
+    pair relation computed once, then pair/doc/removal counts at five
+    cutoffs via a |thresholds|-literal explode — the dedup-knee report."""
+    return dedup.dedup_threshold_curve(
+        _base(spark, sf_dir, "documents"), thresholds_pct=CURVE_THRESHOLDS
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001: the backup-listing report."""
     return q01_list_backups(spark, "/root/testdata/sf0.001")
@@ -1639,6 +1673,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q145_token_waterfill": q145_token_waterfill,
         "q146_hot_keys": q146_hot_keys,
         "q147_histogram_quantiles": q147_histogram_quantiles,
+        "q148_burst_detection": q148_burst_detection,
+        "q149_prototypicality": q149_prototypicality,
+        "q150_dedup_threshold_curve": q150_dedup_threshold_curve,
     }
 
 
@@ -5358,5 +5395,136 @@ def oracle_sql() -> dict[str, str]:
                    CAST(ANY_VALUE(w) AS BIGINT) AS error_bound,
                    CAST(ANY_VALUE(n) AS BIGINT) AS n_rows
             FROM m WHERE cum >= thr GROUP BY q_ppm
+        """,
+        "q148_burst_detection": f"""
+            WITH e AS (SELECT user_id, epoch_ms(ts) AS ms FROM events),
+            b AS (
+                SELECT user_id, ms,
+                       COUNT(*) OVER (PARTITION BY user_id ORDER BY ms
+                           RANGE BETWEEN {BURST_WINDOW_MS - 1} PRECEDING
+                           AND CURRENT ROW) AS burst
+                FROM e
+            ),
+            g AS (
+                SELECT user_id, COUNT(*) AS n_events,
+                       MAX(ms) - MIN(ms) AS span_ms, MAX(burst) AS max_burst
+                FROM b GROUP BY 1
+            )
+            SELECT CAST(user_id AS BIGINT) AS user_id,
+                   CAST(n_events AS BIGINT) AS n_events,
+                   CAST(span_ms AS BIGINT) AS span_ms,
+                   CAST(max_burst AS BIGINT) AS max_burst,
+                   ROUND(n_events * 60000.0 / (span_ms + {BURST_WINDOW_MS}), 6)
+                       AS events_per_min,
+                   max_burst >= {BURST_THRESHOLD} AS is_burst
+            FROM g
+        """,
+        "q149_prototypicality": """
+            WITH e AS (
+                SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v
+                FROM embeddings
+            ),
+            dims AS (
+                SELECT e.label AS clabel, t.i AS dim, e.v[t.i] AS x
+                FROM e, unnest(range(1, len(e.v) + 1)) t(i)
+            ),
+            cent AS (
+                SELECT clabel, dim,
+                       ROUND(SUM(CAST(ROUND(x * 1000000000) AS BIGINT)) * 1.0
+                             / COUNT(*) / 1000000000.0, 6) AS c
+                FROM dims GROUP BY 1, 2
+            ),
+            cv AS (
+                SELECT clabel, list(c ORDER BY dim) AS cvec
+                FROM cent GROUP BY 1
+            ),
+            -- cosine replicates Spark's _dot left fold EXACTLY (sequential
+            -- IEEE adds, then dot/(norm*cnorm)): list_cosine_similarity's
+            -- internal order differs in the last ulp, which flips the 6th
+            -- decimal on .5e-7 boundaries (observed once in 500 rows)
+            scored AS (
+                SELECT e.vec_id, e.label AS lbl,
+                       ROUND(
+                           list_reduce(list_transform(range(1, 65),
+                               i -> e.v[i] * cv.cvec[i]), (a, b) -> a + b)
+                           / (sqrt(list_reduce(list_transform(range(1, 65),
+                                  i -> e.v[i] * e.v[i]), (a, b) -> a + b))
+                              * sqrt(list_reduce(list_transform(range(1, 65),
+                                  i -> cv.cvec[i] * cv.cvec[i]),
+                                  (a, b) -> a + b))),
+                           6) AS cos
+                FROM e JOIN cv ON cv.clabel = e.label
+            ),
+            r AS (
+                SELECT *,
+                       ROW_NUMBER() OVER (PARTITION BY lbl ORDER BY
+                           -CAST(ROUND(cos * 1000000) AS BIGINT),
+                           CAST(vec_id AS VARCHAR)) AS rn,
+                       COUNT(*) OVER (PARTITION BY lbl) AS n_lbl
+                FROM scored
+            ),
+            g AS (
+                SELECT CAST(lbl AS BIGINT) AS label,
+                       CAST(1 + ((rn - 1) * 10) // n_lbl AS BIGINT) AS decile,
+                       CAST(COUNT(*) AS BIGINT) AS n_vecs,
+                       ROUND(MAX(cos), 6) AS max_cos,
+                       ROUND(MIN(cos), 6) AS min_cos,
+                       SUM(CAST(ROUND(cos * 1000000) AS BIGINT)) AS s
+                FROM r GROUP BY 1, 2
+            )
+            SELECT label, decile, n_vecs, max_cos, min_cos,
+                   CASE WHEN s >= 0
+                        THEN (2 * s + n_vecs) // (2 * n_vecs)
+                        ELSE -((2 * (-s) + n_vecs) // (2 * n_vecs))
+                   END / 1000000.0 AS mean_cos
+            FROM g
+        """,
+        "q150_dedup_threshold_curve": """
+            WITH docs AS (
+                SELECT doc_id, string_split(text, ' ') AS words FROM documents
+            ),
+            sh AS (
+                SELECT DISTINCT doc_id,
+                       words[i] || ' ' || words[i+1] || ' ' || words[i+2] AS shingle
+                FROM docs, unnest(range(1, greatest(len(words) - 1, 1))) t(i)
+            ),
+            cnt AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY 1),
+            shared AS (
+                SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS shared
+                FROM sh a JOIN sh b ON a.shingle = b.shingle
+                     AND a.doc_id < b.doc_id
+                GROUP BY 1, 2
+            ),
+            p AS (
+                SELECT id_a, id_b,
+                       ROUND(shared * 1.0 / (ca.n_sh + cb.n_sh - shared), 6)
+                           AS jaccard
+                FROM shared
+                JOIN cnt ca ON id_a = ca.doc_id
+                JOIN cnt cb ON id_b = cb.doc_id
+                WHERE ROUND(shared * 1.0 / (ca.n_sh + cb.n_sh - shared), 6)
+                      >= 0.5
+            ),
+            grid AS (
+                SELECT p.*, t.t AS threshold_pct
+                FROM p, unnest([50, 60, 70, 80, 90]) t(t)
+                WHERE CAST(ROUND(jaccard * 1000000) AS BIGINT) >= t.t * 10000
+            ),
+            per_t AS (
+                SELECT threshold_pct, COUNT(*) AS n_pairs,
+                       COUNT(DISTINCT id_b) AS dub
+                FROM grid GROUP BY 1
+            ),
+            docs_t AS (
+                SELECT threshold_pct, COUNT(DISTINCT d) AS n_docs
+                FROM (
+                    SELECT threshold_pct, unnest([id_a, id_b]) AS d FROM grid
+                ) GROUP BY 1
+            )
+            SELECT CAST(threshold_pct AS BIGINT) AS threshold_pct,
+                   CAST(n_pairs AS BIGINT) AS n_pairs,
+                   CAST(n_docs AS BIGINT) AS n_docs_touched,
+                   CAST(dub AS BIGINT) AS drop_upper_bound
+            FROM per_t JOIN docs_t USING (threshold_pct)
         """,
     }

@@ -127,6 +127,9 @@ BENCH_QUERIES = [
     "q145_token_waterfill",
     "q146_hot_keys",
     "q147_histogram_quantiles",
+    "q148_burst_detection",
+    "q149_prototypicality",
+    "q150_dedup_threshold_curve",
 ]
 
 

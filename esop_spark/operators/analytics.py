@@ -1024,3 +1024,56 @@ def histogram_quantiles(
             F.col("_n").cast("bigint").alias("n_rows"),
         )
     )
+
+
+def burst_detection(
+    events: DataFrame,
+    window_ms: int = 60_000,
+    burst_threshold: int = 20,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Bot/abuse rate probe over an event stream: per user, the maximum
+    number of events inside ANY sliding ``window_ms`` window (exact — a
+    per-user range-frame count anchored at each event), the overall active
+    span, and a sustained events-per-minute rate; ``is_burst`` flags users
+    whose peak beats ``burst_threshold``. The standard pre-training-data
+    hygiene pass for interaction logs: scripted traffic shows up as
+    superhuman 60-second bursts long before totals look odd.
+
+    Exactness: the peak burst is computed with a RANGE window frame
+    ``[ts - window_ms + 1, ts]`` — frame membership is defined by the
+    VALUE of the millisecond timestamp, so simultaneous events land in
+    the same frame in every engine and no tie-ordering matters. The rate
+    denominator pads the active span with one window so single-event
+    users get a finite, comparable rate.
+
+    Scale: one shuffle on the user key; each user's window sort is bounded
+    by that user's events (uniform user-grain keys — the hot_keys probe is
+    the guard for when they are not). Output is user-grain."""
+    w = (
+        Window.partitionBy(user_col)
+        .orderBy(F.col("_ms"))
+        .rangeBetween(-(window_ms - 1), 0)
+    )
+    per_event = events.select(
+        F.col(user_col), F.unix_millis(F.col(ts_col)).alias("_ms")
+    ).withColumn("_burst", F.count(F.lit(1)).over(w))
+    return (
+        per_event.groupBy(user_col)
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_events"),
+            (F.max("_ms") - F.min("_ms")).cast("bigint").alias("span_ms"),
+            F.max("_burst").cast("bigint").alias("max_burst"),
+        )
+        .select(
+            F.col(user_col).cast("bigint").alias(user_col),
+            "n_events",
+            "span_ms",
+            "max_burst",
+            F.round(
+                F.col("n_events") * 60_000.0 / (F.col("span_ms") + window_ms), 6
+            ).alias("events_per_min"),
+            (F.col("max_burst") >= burst_threshold).alias("is_burst"),
+        )
+    )

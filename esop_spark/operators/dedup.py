@@ -1442,3 +1442,62 @@ def minhash_calibration(
             6,
         ).alias("mean_est"),
     )
+
+
+def dedup_threshold_curve(
+    documents: DataFrame,
+    n: int = 3,
+    thresholds_pct: tuple[int, ...] = (50, 60, 70, 80, 90),
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_df: int | None = None,
+) -> DataFrame:
+    """Dedup threshold sweep: exact near-dup pair counts at a grid of
+    Jaccard thresholds from ONE pair computation — the curve a curation
+    team reads before committing to a cutoff ("0.8 removes 2% of docs,
+    0.7 removes 9% — where is the knee?"). Per threshold: surviving pair
+    count, documents touched, and the greedy upper bound on removals
+    (dropping every higher-id partner disconnects all pairs).
+
+    Plan: the (capped) exact pair relation of
+    :func:`ngram_jaccard_pairs` at the LOWEST threshold is computed once;
+    the grid is an explode over |thresholds| literals on that pair
+    relation, then countDistinct aggs at the threshold grain. Pair volume
+    is the q23 cost; the sweep itself adds |thresholds| x pairs rows
+    pre-combine — never a second self-join."""
+    t_min = min(thresholds_pct) / 100.0
+    pairs = ngram_jaccard_pairs(
+        documents, n, t_min, text_col, id_col, max_df=max_df
+    )
+    grid = pairs.select(
+        "id_a",
+        "id_b",
+        "jaccard",
+        F.explode(
+            F.array(*[F.lit(int(t)) for t in sorted(thresholds_pct)])
+        ).alias("threshold_pct"),
+    ).filter(
+        # integer comparison: micro-jaccard vs pct*1e4 — no float boundary
+        # ambiguity on exact-threshold pairs in either engine
+        F.round(F.col("jaccard") * 1e6).cast("bigint")
+        >= F.col("threshold_pct") * 10_000
+    )
+    touched = grid.select(
+        "threshold_pct", F.explode(F.array("id_a", "id_b")).alias("d")
+    )
+    per_t = grid.groupBy("threshold_pct").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_pairs"),
+        F.countDistinct("id_b").cast("bigint").alias("drop_upper_bound"),
+    )
+    docs_t = touched.groupBy("threshold_pct").agg(
+        F.countDistinct("d").cast("bigint").alias("n_docs_touched")
+    )
+    return (
+        per_t.join(docs_t, "threshold_pct")
+        .select(
+            F.col("threshold_pct").cast("bigint").alias("threshold_pct"),
+            "n_pairs",
+            "n_docs_touched",
+            "drop_upper_bound",
+        )
+    )

@@ -1550,3 +1550,110 @@ def cluster_topic_terms(
         "tfidf",
         "rank",
     )
+
+
+def prototypicality(
+    embeddings: DataFrame,
+    deciles: int = 10,
+    vec_col: str = "embedding",
+    label_col: str = "label",
+    id_col: str = "vec_id",
+    num_partitions: int = 32,
+) -> DataFrame:
+    """Prototypicality profile for pruning: cosine of every vector to its
+    OWN label centroid, ranked within the label and folded to a per-
+    (label, decile) report — the SSL-prototypes/SemDeDup-style signal
+    ("drop the most prototypical X%, they are redundant; inspect the
+    least prototypical tail, it is noise") with exact decile boundaries.
+
+    Determinism is the q85 scheme end-to-end: centroid components are
+    mean-of-integer-nano sums rounded to 6dp (order-independent), cosines
+    round to 6dp, and the within-label ranking orders by the INTEGER
+    micro-cosine (descending) with the id string as tiebreak — through
+    :func:`esop_spark.operators.sampling._distributed_stratum_rank`, so a
+    dominant label never funnels through one task. Decile =
+    ``1 + (rank-1)*deciles // n_label`` — integer math, exact everywhere.
+
+    Scale: centroids are a (labels x dims)-grain mergeable-mean agg
+    broadcast back (k·d rows); the rank is the range-partitioned
+    construction; the report grain is labels x deciles."""
+    from esop_spark.operators.sampling import _distributed_stratum_rank
+
+    v = _vec_double(vec_col)
+    base = embeddings.select(
+        F.col(id_col),
+        F.col(label_col).alias("lbl"),
+        v.alias("v"),
+        F.sqrt(_dot(v, v)).alias("norm"),
+    )
+    dims = embeddings.select(
+        F.col(label_col).alias("lbl"),
+        F.posexplode(_vec_double(vec_col)).alias("dim", "x"),
+    )
+    x_nano = F.round(F.col("x") * 1e9).cast("bigint")
+    cents = (
+        dims.groupBy("lbl", "dim")
+        .agg(
+            F.round(F.sum(x_nano) / F.count(F.lit(1)) / F.lit(1e9), 6).alias("c")
+        )
+        .groupBy("lbl")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("dim", "c"))),
+                lambda s: s["c"],
+            ).alias("cvec")
+        )
+        .select(
+            "lbl", "cvec", F.sqrt(_dot(F.col("cvec"), F.col("cvec"))).alias("cnorm")
+        )
+    )
+    scored = base.join(F.broadcast(cents), "lbl").select(
+        id_col,
+        "lbl",
+        F.round(
+            _dot(F.col("v"), F.col("cvec")) / (F.col("norm") * F.col("cnorm")), 6
+        ).alias("cos"),
+    )
+    ranked = _distributed_stratum_rank(
+        scored,
+        "lbl",
+        (-F.round(F.col("cos") * 1e6)).cast("bigint"),
+        F.col(id_col),
+        num_partitions,
+    )
+    counts = scored.groupBy("lbl").agg(F.count(F.lit(1)).alias("n_lbl"))
+    cos_micro = F.round(F.col("cos") * 1e6).cast("bigint")
+    return (
+        ranked.join(F.broadcast(counts), "lbl")
+        .withColumn(
+            "decile", F.expr(f"1 + ((_rn - 1) * {deciles}) div n_lbl")
+        )
+        .groupBy(
+            F.col("lbl").cast("bigint").alias("label"),
+            F.col("decile").cast("bigint").alias("decile"),
+        )
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_vecs"),
+            F.round(F.max("cos"), 6).alias("max_cos"),
+            F.round(F.min("cos"), 6).alias("min_cos"),
+            F.sum(cos_micro).alias("_s"),
+        )
+        # mean at micro precision via INTEGER half-away-from-zero division:
+        # float ROUND of sum/n/1e6 diverges across engines when the mean
+        # lands exactly on a .5e-7 decimal (Spark rounds the shortest
+        # decimal repr, DuckDB the binary value) — integer math cannot
+        .select(
+            "label",
+            "decile",
+            "n_vecs",
+            "max_cos",
+            "min_cos",
+            (
+                F.when(
+                    F.col("_s") >= 0,
+                    F.expr("(2 * _s + n_vecs) div (2 * n_vecs)"),
+                ).otherwise(-F.expr("(2 * (-_s) + n_vecs) div (2 * n_vecs)"))
+                / F.lit(1e6)
+            ).alias("mean_cos"),
+        )
+    )

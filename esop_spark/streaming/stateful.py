@@ -148,3 +148,50 @@ def pmc_segments_stream(events: DataFrame, eps: float) -> DataFrame:
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+HH_OUTPUT = "event_type string, n_events bigint, threshold bigint"
+HH_STATE = "count bigint, next_thr bigint"
+
+
+def heavy_hitter_alerts(events: DataFrame, min_emit: int = 8) -> DataFrame:
+    """Streaming heavy-hitter monitor: per event type, a checkpoint-backed
+    running count that EMITS ONLY on doubling thresholds (min_emit, 2x,
+    4x, ...) — the alerting pattern for "this key is getting hot" where a
+    per-batch full dump would swamp the sink. Emission is a pure function
+    of the cumulative count, so a restarted query never re-emits a
+    threshold it already crossed (the state stores the next pending
+    threshold, not a history).
+
+    Scale: state is two bigints per key; output volume is logarithmic in
+    the per-key count. The batch-side reconciliation is ``hot_keys``
+    (q146) over the same stream's sink table.
+    """
+
+    def fn(
+        key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        cnt, thr = state.get if state.exists else (0, min_emit)
+        for pdf in pdfs:
+            cnt += len(pdf)
+        crossed = []
+        while cnt >= thr:
+            crossed.append(thr)
+            thr *= 2
+        state.update((cnt, thr))
+        if crossed:
+            yield pd.DataFrame(
+                {
+                    "event_type": [key[0]] * len(crossed),
+                    "n_events": [cnt] * len(crossed),
+                    "threshold": crossed,
+                }
+            )
+
+    return events.groupBy("event_type").applyInPandasWithState(
+        fn,
+        outputStructType=HH_OUTPUT,
+        stateStructType=HH_STATE,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -141,3 +141,49 @@ def test_streaming_pmc_matches_batch_semantics(spark, tmp_path):
     ).coalesce(1).write.mode("append").parquet(src)
     run()
     assert {(r["user_id"], r["n_points"], r["n_segments"]) for r in rows} == {(1, 5, 2)}
+
+
+def _run_hh(spark, src_dir, ckpt):
+    from esop_spark.streaming.stateful import heavy_hitter_alerts
+
+    rows: list = []
+
+    def sink(batch_df, _bid):
+        rows.extend(batch_df.collect())
+
+    stream = spark.readStream.schema("event_id bigint, event_type string").parquet(
+        src_dir
+    )
+    q = (
+        heavy_hitter_alerts(stream, min_emit=4)
+        .writeStream.foreachBatch(sink)
+        .outputMode("update")
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    return [(r["event_type"], r["threshold"]) for r in rows]
+
+
+def test_heavy_hitter_alerts_fire_once_across_restart(spark, tmp_path):
+    src = str(tmp_path / "hh_src")
+    ckpt = str(tmp_path / "hh_ckpt")
+    os.makedirs(src)
+
+    # batch 1: 5 'a' events (crosses 4), 2 'b' events (no alert)
+    spark.createDataFrame(
+        [(i, "a") for i in range(5)] + [(10, "b"), (11, "b")],
+        "event_id bigint, event_type string",
+    ).coalesce(1).write.mode("append").parquet(src)
+    got1 = _run_hh(spark, src, ckpt)
+    assert got1 == [("a", 4)]
+
+    # restart: +6 'a' (total 11 -> crosses 8), +3 'b' (total 5 -> crosses 4);
+    # the 4-threshold for 'a' must NOT re-fire
+    spark.createDataFrame(
+        [(20 + i, "a") for i in range(6)] + [(30 + i, "b") for i in range(3)],
+        "event_id bigint, event_type string",
+    ).coalesce(1).write.mode("append").parquet(src)
+    got2 = sorted(_run_hh(spark, src, ckpt))
+    assert got2 == [("a", 8), ("b", 4)]
