@@ -1519,6 +1519,34 @@ def q150_dedup_threshold_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+RM_K = 10
+RM_MAX_QUERIES = 25
+
+
+def q151_kn_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interpolated Kneser-Ney bigram NLL per document
+    (text_ops.kn_bigram_logprob): the real KenLM-style smoothing with
+    integer-scaled log-probs and a nano-precision integer mean — no float
+    summation-order or .5-rounding divergence anywhere."""
+    return text_ops.kn_bigram_logprob(_base(spark, sf_dir, "documents"))
+
+
+def q152_quantile_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-source score calibration (text_ops.quantile_normalize_scores):
+    per (source, score) mid-rank quantiles within source and globally —
+    all-integer CDF math on the bounded score grain."""
+    return text_ops.quantile_normalize_scores(_base(spark, sf_dir, "documents"))
+
+
+def q153_retrieval_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Retrieval eval (similarity.retrieval_metrics): MRR / hits@10 /
+    nDCG@10 for exact cosine top-k over a capped deterministic query
+    sample, same-label relevance, driver-literal integer DCG gains."""
+    return similarity.retrieval_metrics(
+        _base(spark, sf_dir, "embeddings"), k=RM_K, max_queries=RM_MAX_QUERIES
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001: the backup-listing report."""
     return q01_list_backups(spark, "/root/testdata/sf0.001")
@@ -1676,6 +1704,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q148_burst_detection": q148_burst_detection,
         "q149_prototypicality": q149_prototypicality,
         "q150_dedup_threshold_curve": q150_dedup_threshold_curve,
+        "q151_kn_bigram_logprob": q151_kn_bigram_logprob,
+        "q152_quantile_normalize": q152_quantile_normalize,
+        "q153_retrieval_metrics": q153_retrieval_metrics,
     }
 
 
@@ -2125,6 +2156,83 @@ def _q144_oracle() -> str:
                r.term, CAST(r.tf AS BIGINT) AS tf, CAST(r.df AS BIGINT) AS df,
                r.tfidf, CAST(r.rank AS BIGINT) AS rank
         FROM ranked r JOIN top t ON r.bucket = t.bucket
+    """
+
+
+def _q153_oracle() -> str:
+    """Retrieval-metrics oracle: same driver-literal integer DCG gains as
+    the Spark operator, cosine via the exact Spark left-fold arithmetic
+    (the q149 parity lesson), rank ties on neighbor id."""
+    gains = similarity._dcg_gains9(RM_K)
+    cum = [sum(gains[: i + 1]) for i in range(RM_K)]
+    gain_case = " ".join(
+        f"WHEN rank = {i} THEN {g}" for i, g in enumerate(gains, start=1)
+    )
+    idcg_case = " ".join(
+        f"WHEN LEAST({RM_K}, n_relevant) = {j} THEN {cum[j - 1]}"
+        for j in range(1, RM_K + 1)
+    )
+    fold = (
+        "list_reduce(list_transform(range(1, 65), i -> {a}[i] * {b}[i]),"
+        " (x, y) -> x + y)"
+    )
+    dot_qv = fold.format(a="q.v", b="e.v")
+    nrm_q = "sqrt(" + fold.format(a="q.v", b="q.v") + ")"
+    nrm_e = "sqrt(" + fold.format(a="e.v", b="e.v") + ")"
+    return f"""
+        WITH e AS (
+            SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v
+            FROM embeddings
+        ),
+        qs AS (
+            SELECT vec_id, label, v,
+                   CAST(concat('0x', substr(md5('rm0:'
+                        || CAST(vec_id AS VARCHAR)), 1, 8)) AS BIGINT)
+                        % 1000000 AS b
+            FROM e
+        ),
+        q AS (
+            SELECT vec_id AS query_id, label AS own_label, v
+            FROM qs WHERE b < 100000
+            ORDER BY b, vec_id LIMIT {RM_MAX_QUERIES}
+        ),
+        lc AS (SELECT label, COUNT(*) AS n_label FROM e GROUP BY 1),
+        scored AS (
+            SELECT q.query_id, q.own_label,
+                   e.label = q.own_label AS rel,
+                   ROUND({dot_qv} / ({nrm_q} * {nrm_e}), 6) AS cosine,
+                   e.vec_id AS neighbor_id
+            FROM q JOIN e ON e.vec_id <> q.query_id
+        ),
+        ranked AS (
+            SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                       ORDER BY cosine DESC, neighbor_id ASC) AS rank
+            FROM scored QUALIFY rank <= {RM_K}
+        ),
+        per_q AS (
+            SELECT query_id, own_label,
+                   SUM(CASE WHEN rel THEN CASE {gain_case} ELSE 0 END
+                       ELSE 0 END) AS dcg9,
+                   SUM(CASE WHEN rel THEN 1 ELSE 0 END) AS hits_at_k,
+                   MIN(CASE WHEN rel THEN rank END) AS first_rel
+            FROM ranked GROUP BY 1, 2
+        ),
+        j AS (
+            SELECT p.*, lc.n_label - 1 AS n_relevant
+            FROM per_q p JOIN lc ON lc.label = p.own_label
+        )
+        SELECT CAST(query_id AS BIGINT) AS query_id,
+               CAST(own_label AS BIGINT) AS label,
+               CAST(n_relevant AS BIGINT) AS n_relevant,
+               CAST(COALESCE(first_rel, 0) AS BIGINT) AS first_rel_rank,
+               ROUND(CASE WHEN first_rel IS NOT NULL
+                          THEN 1.0 / first_rel ELSE 0.0 END, 6) AS mrr,
+               CAST(hits_at_k AS BIGINT) AS hits_at_k,
+               ROUND(CASE WHEN n_relevant > 0
+                          THEN dcg9 * 1.0 / (CASE {idcg_case}
+                                             ELSE {cum[-1]} END)
+                          ELSE 0.0 END, 6) AS ndcg_at_k
+        FROM j
     """
 
 
@@ -5527,4 +5635,82 @@ def oracle_sql() -> dict[str, str]:
                    CAST(dub AS BIGINT) AS drop_upper_bound
             FROM per_t JOIN docs_t USING (threshold_pct)
         """,
+        "q151_kn_bigram_logprob": """
+            WITH docs AS (
+                SELECT doc_id, string_split(text, ' ') AS words FROM documents
+            ),
+            bg AS (
+                SELECT doc_id, words[i] AS w1, words[i+1] AS w2
+                FROM docs, unnest(range(1, len(words))) t(i)
+                WHERE len(words) >= 2
+            ),
+            types AS (SELECT w1, w2, COUNT(*) AS c12 FROM bg GROUP BY 1, 2),
+            lft AS (
+                SELECT w1, SUM(c12) AS c1, COUNT(*) AS n1w1
+                FROM types GROUP BY 1
+            ),
+            rgt AS (SELECT w2, COUNT(*) AS ncont FROM types GROUP BY 1),
+            nb AS (SELECT COUNT(*) AS nbig FROM types),
+            model AS (
+                SELECT t.w1, t.w2,
+                       CAST(ROUND(ln(((t.c12 - 0.75) / l.c1)
+                            + (((0.75 * l.n1w1) / l.c1)
+                               * (r.ncont / nb.nbig))) * 1e9) AS BIGINT) AS lp9
+                FROM types t
+                JOIN lft l USING (w1)
+                JOIN rgt r USING (w2), nb
+            ),
+            sc AS (
+                SELECT bg.doc_id, COUNT(*) AS n_bigrams, SUM(m.lp9) AS s
+                FROM bg JOIN model m ON bg.w1 = m.w1 AND bg.w2 = m.w2
+                GROUP BY 1
+            )
+            SELECT CAST(doc_id AS BIGINT) AS doc_id,
+                   CAST(n_bigrams AS BIGINT) AS n_bigrams,
+                   CAST((2 * (-s) + n_bigrams) // (2 * n_bigrams) AS BIGINT)
+                       / 1000000000.0 AS mean_nll
+            FROM sc
+        """,
+        "q152_quantile_normalize": """
+            WITH w AS (
+                SELECT source, string_split(text, ' ') AS words FROM documents
+            ),
+            t AS (
+                SELECT source,
+                       CAST(ROUND((0.5 * (1.0
+                            - len(list_filter(words, x -> x IN ('a', 'the')))
+                              * 1.0 / len(words))
+                            + 0.5 * len(list_distinct(words)) * 1.0
+                              / len(words)) * 100) AS BIGINT) AS score
+                FROM w
+            ),
+            cells AS (
+                SELECT source, score, COUNT(*) AS n_at FROM t GROUP BY 1, 2
+            ),
+            ps AS (
+                SELECT source, score, n_at,
+                       COALESCE(SUM(n_at) OVER (PARTITION BY source
+                           ORDER BY score ROWS BETWEEN UNBOUNDED PRECEDING
+                           AND 1 PRECEDING), 0) AS below,
+                       SUM(n_at) OVER (PARTITION BY source) AS n_src
+                FROM cells
+            ),
+            gc AS (SELECT score, SUM(n_at) AS g_at FROM cells GROUP BY 1),
+            gg AS (
+                SELECT score, g_at,
+                       COALESCE(SUM(g_at) OVER (ORDER BY score
+                           ROWS BETWEEN UNBOUNDED PRECEDING
+                           AND 1 PRECEDING), 0) AS g_below,
+                       SUM(g_at) OVER () AS g_n
+                FROM gc
+            )
+            SELECT ps.source, CAST(ps.score AS BIGINT) AS score,
+                   CAST(ps.n_at AS BIGINT) AS n_docs,
+                   CAST(((2 * below + n_at) * 1000000) // (2 * n_src)
+                        AS BIGINT) AS src_quantile_ppm,
+                   CAST(((2 * g_below + g_at) * 1000000) // (2 * g_n)
+                        AS BIGINT) AS global_quantile_ppm
+            FROM ps JOIN gg USING (score)
+        """,
+        "q153_retrieval_metrics": _q153_oracle(),
     }

@@ -130,6 +130,9 @@ BENCH_QUERIES = [
     "q148_burst_detection",
     "q149_prototypicality",
     "q150_dedup_threshold_curve",
+    "q151_kn_bigram_logprob",
+    "q152_quantile_normalize",
+    "q153_retrieval_metrics",
 ]
 
 

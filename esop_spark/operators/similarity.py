@@ -1657,3 +1657,118 @@ def prototypicality(
             ).alias("mean_cos"),
         )
     )
+
+
+def _dcg_gains9(k: int) -> list[int]:
+    """Integer nano-scaled DCG gains 1/log2(i+1), i = 1..k, computed ONCE
+    driver-side and inlined as literals in BOTH engines — no runtime
+    libm-log parity to worry about."""
+    import math
+
+    return [round(1e9 / math.log2(i + 1)) for i in range(1, k + 1)]
+
+
+def retrieval_metrics(
+    embeddings: DataFrame,
+    k: int = 10,
+    sample_rate: float = 0.1,
+    max_queries: int | None = 25,
+    seed: str = "rm0",
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    label_col: str = "label",
+) -> DataFrame:
+    """Retrieval quality metrics (MRR, hits@k, nDCG@k) for exact cosine
+    top-k over a deterministic query sample, with same-label as the
+    relevance oracle — the eval every embedding-search stack runs before
+    swapping encoders or index parameters.
+
+    Determinism: DCG gains are driver-computed integer literals (no
+    engine libm), relevance/ranks are exact, and nDCG divides two exact
+    bigints. Ranking ties break on neighbor id.
+
+    Scale: the q26/q127 shape — bounded query broadcast (``max_queries``
+    caps it absolutely; a rate-only sample makes the eval quadratic in
+    corpus size) against one corpus scan; per-query top-k is a window over
+    the query grain; ideal-DCG needs only the per-label count relation
+    (broadcast)."""
+    from esop_spark.operators.sampling import BUCKETS, sample_bucket
+
+    gains = _dcg_gains9(k)
+    cum = [sum(gains[: i + 1]) for i in range(k)]
+    v = _vec_double(vec_col)
+    e = embeddings.select(
+        F.col(id_col),
+        F.col(label_col),
+        v.alias("v"),
+        F.sqrt(_dot(v, v)).alias("norm"),
+    )
+    qs = e.withColumn("_b", sample_bucket(F.col(id_col), seed)).filter(
+        F.col("_b") < int(sample_rate * BUCKETS)
+    )
+    if max_queries is not None:
+        qs = qs.orderBy(F.col("_b").asc(), F.col(id_col).asc()).limit(max_queries)
+    q = F.broadcast(
+        qs.select(
+            F.col(id_col).alias("query_id"),
+            F.col(label_col).alias("own_label"),
+            F.col("v").alias("qv"),
+            F.col("norm").alias("qnorm"),
+        )
+    )
+    label_counts = embeddings.groupBy(F.col(label_col).alias("own_label")).agg(
+        F.count(F.lit(1)).alias("n_label")
+    )
+    cos = _dot(F.col("qv"), F.col("v")) / (F.col("qnorm") * F.col("norm"))
+    scored = e.join(q, F.col("query_id") != F.col(id_col)).select(
+        "query_id",
+        "own_label",
+        (F.col(label_col) == F.col("own_label")).alias("rel"),
+        F.round(cos, 6).alias("cosine"),
+        F.col(id_col).alias("neighbor_id"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id").asc()
+    )
+    topk = scored.withColumn("rank", F.row_number().over(w)).filter(
+        F.col("rank") <= k
+    )
+    gain_case = F.lit(0).cast("bigint")
+    for i, g in enumerate(gains, start=1):
+        gain_case = F.when(F.col("rank") == i, F.lit(g)).otherwise(gain_case)
+    idcg_case = F.lit(cum[-1]).cast("bigint")
+    for j in range(k, 0, -1):
+        idcg_case = F.when(
+            F.least(F.lit(k), F.col("n_relevant")) == j, F.lit(cum[j - 1])
+        ).otherwise(idcg_case)
+    per_q = (
+        topk.groupBy("query_id", "own_label")
+        .agg(
+            F.sum(F.when(F.col("rel"), gain_case).otherwise(0)).alias("dcg9"),
+            F.sum(F.col("rel").cast("bigint")).cast("bigint").alias("hits_at_k"),
+            F.min(F.when(F.col("rel"), F.col("rank"))).alias("first_rel"),
+        )
+        .join(F.broadcast(label_counts), "own_label")
+        .withColumn("n_relevant", (F.col("n_label") - 1).cast("bigint"))
+    )
+    return per_q.select(
+        F.col("query_id").cast("bigint").alias("query_id"),
+        F.col("own_label").cast("bigint").alias("label"),
+        "n_relevant",
+        F.coalesce(F.col("first_rel"), F.lit(0)).cast("bigint").alias(
+            "first_rel_rank"
+        ),
+        F.round(
+            F.when(
+                F.col("first_rel").isNotNull(), F.lit(1.0) / F.col("first_rel")
+            ).otherwise(F.lit(0.0)),
+            6,
+        ).alias("mrr"),
+        "hits_at_k",
+        F.round(
+            F.when(
+                F.col("n_relevant") > 0, F.col("dcg9") / idcg_case
+            ).otherwise(F.lit(0.0)),
+            6,
+        ).alias("ndcg_at_k"),
+    )

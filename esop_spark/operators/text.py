@@ -2332,3 +2332,142 @@ def nb_confusion(
         )
         .agg(F.count(F.lit(1)).cast("bigint").alias("n_docs"))
     )
+
+
+def kn_bigram_logprob(
+    documents: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-document mean negative log-probability under an interpolated
+    Kneser-Ney bigram LM — the real n-gram smoothing (KenLM's default)
+    behind perplexity-based quality filters, one step past the add-k
+    stand-in of :func:`bigram_logprob`:
+
+        P(w2|w1) = (c12 − D)/c1 + (D·N1+(w1,·)/c1) · (N1+(·,w2)/N1+(··))
+
+    with discount D = 0.75 (exactly representable in binary — the float
+    arithmetic is ordered identically in both engines). Every scored
+    bigram is observed in the corpus model (self-scoring), so c12 ≥ 1 and
+    the max(·,0) clause never binds.
+
+    Cross-engine exactness: log-probs are integer-scaled (round(ln·1e9))
+    at the BIGRAM-TYPE grain, so the per-doc score is a bigint sum —
+    order-independent — and the mean divides at nano precision with
+    integer half-up rounding (no float .5e-7 rounding divergence).
+
+    Scale: the model is three uniform-key aggregations over the
+    bigram-type relation plus joins on w1/w2 (vocab-fanout grain); the
+    global N1+(··) is a 1-row broadcast, never an OVER () window. Scoring
+    joins doc bigrams to the model on (w1, w2) — corpus-token shuffle,
+    the documented cost center shared with q61/q66 (head/tail split
+    applies the same way if needed)."""
+    D = 0.75
+    words = documents.select(
+        F.col(id_col), F.split(F.col(text_col), " ").alias("ws")
+    ).filter(F.size("ws") >= 2)
+    bg = words.select(
+        F.col(id_col),
+        F.explode(F.expr("sequence(1, size(ws) - 1)")).alias("i"),
+        F.col("ws"),
+    ).select(
+        id_col,
+        F.element_at("ws", F.col("i")).alias("w1"),
+        F.element_at("ws", F.col("i") + 1).alias("w2"),
+    )
+    types = bg.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c12"))
+    left = types.groupBy("w1").agg(
+        F.sum("c12").alias("c1"), F.count(F.lit(1)).alias("n1w1")
+    )
+    right = types.groupBy("w2").agg(F.count(F.lit(1)).alias("ncont"))
+    nbig = types.agg(F.count(F.lit(1)).alias("nbig"))
+    p = (
+        (F.col("c12") - D) / F.col("c1")
+        + ((D * F.col("n1w1")) / F.col("c1")) * (F.col("ncont") / F.col("nbig"))
+    )
+    model = (
+        types.join(left, "w1")
+        .join(right, "w2")
+        .crossJoin(F.broadcast(nbig))
+        .select(
+            "w1", "w2", F.round(F.log(p) * 1e9).cast("bigint").alias("lp9")
+        )
+    )
+    return (
+        bg.join(model, ["w1", "w2"])
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_bigrams"),
+            F.sum("lp9").alias("_s"),
+        )
+        .select(
+            id_col,
+            "n_bigrams",
+            (
+                F.expr("(2 * (-_s) + n_bigrams) div (2 * n_bigrams)") / F.lit(1e9)
+            ).alias("mean_nll"),
+        )
+    )
+
+
+def quantile_normalize_scores(
+    documents: DataFrame,
+    source_col: str = "source",
+    text_col: str = "text",
+) -> DataFrame:
+    """Cross-source quality-score calibration: for every (source, raw
+    score) cell, the mid-rank quantile of that score WITHIN its source and
+    within the global corpus — the lookup table that makes "keep the top
+    30% of each source" mean the same thing everywhere (raw thresholds
+    don't transfer: a 60 from a clean source is a different quantile than
+    a 60 from a noisy one).
+
+    All-integer mid-rank quantiles on the BOUNDED score grain
+    (sources × ≤101 rows): q_ppm = (2·below + at) · 1e6 div (2·n) — the
+    q72 CDF trick with a per-source partition. Windows run on the tiny
+    grain only; one corpus-wide aggregation total."""
+    scored = documents.select(
+        F.col(source_col).alias("source"),
+        quality_score_col(text_col).alias("score"),
+    )
+    cells = scored.groupBy("source", "score").agg(
+        F.count(F.lit(1)).alias("n_at")
+    )
+    w_src = (
+        Window.partitionBy("source")
+        .orderBy("score")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    per_src = cells.withColumn(
+        "below", F.coalesce(F.sum("n_at").over(w_src), F.lit(0))
+    ).withColumn("n_src", F.sum("n_at").over(Window.partitionBy("source")))
+    glob = (
+        cells.groupBy("score")
+        .agg(F.sum("n_at").alias("g_at"))
+        .withColumn(
+            "g_below",
+            F.coalesce(
+                F.sum("g_at").over(
+                    Window.orderBy("score").rowsBetween(
+                        Window.unboundedPreceding, -1
+                    )
+                ),
+                F.lit(0),
+            ),
+        )
+        .withColumn("g_n", F.sum("g_at").over(Window.partitionBy()))
+    )
+    return (
+        per_src.join(glob.select("score", "g_below", "g_at", "g_n"), "score")
+        .select(
+            "source",
+            F.col("score").cast("bigint").alias("score"),
+            F.col("n_at").cast("bigint").alias("n_docs"),
+            F.expr("((2 * below + n_at) * 1000000) div (2 * n_src)")
+            .cast("bigint")
+            .alias("src_quantile_ppm"),
+            F.expr("((2 * g_below + g_at) * 1000000) div (2 * g_n)")
+            .cast("bigint")
+            .alias("global_quantile_ppm"),
+        )
+    )
