@@ -1547,6 +1547,37 @@ def q153_retrieval_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+SURPRISAL_WINDOW = 8
+
+
+def q154_surprisal_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Junk-span detector (text_ops.surprisal_spans): per doc, the
+    8-token window with the highest mean unigram surprisal — integer-nano
+    vocab-grain surprisal, per-doc bounded sliding window, earliest-span
+    tiebreak."""
+    return text_ops.surprisal_spans(
+        _base(spark, sf_dir, "documents"), window=SURPRISAL_WINDOW
+    )
+
+
+def q155_table_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Release-gate data profiler (analytics.table_profile): per column
+    of the documents table — rows, nulls, exact distinct, string min/max
+    — one aggregation pass, 1-row shuffle, |columns|-grain unpivot."""
+    return analytics.table_profile(_base(spark, sf_dir, "documents"))
+
+
+def q156_join_cardinality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pre-join cardinality probe (analytics.join_cardinality_audit) for
+    orders ⨝ lineitem on orderkey: per-side key-grain aggs, q135-style
+    full-outer merge, exact output-cardinality and worst-fanout — the
+    shuffle-planning companion to hot_keys (q146)."""
+    fx.load_base_tables(spark, sf_dir)
+    return analytics.join_cardinality_audit(
+        spark.table("orders"), spark.table("lineitem"), "o_orderkey", "l_orderkey"
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001: the backup-listing report."""
     return q01_list_backups(spark, "/root/testdata/sf0.001")
@@ -1707,6 +1738,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q151_kn_bigram_logprob": q151_kn_bigram_logprob,
         "q152_quantile_normalize": q152_quantile_normalize,
         "q153_retrieval_metrics": q153_retrieval_metrics,
+        "q154_surprisal_spans": q154_surprisal_spans,
+        "q155_table_profile": q155_table_profile,
+        "q156_join_cardinality": q156_join_cardinality,
     }
 
 
@@ -5713,4 +5747,77 @@ def oracle_sql() -> dict[str, str]:
             FROM ps JOIN gg USING (score)
         """,
         "q153_retrieval_metrics": _q153_oracle(),
+        "q154_surprisal_spans": f"""
+            WITH docs AS (
+                SELECT doc_id, string_split(text, ' ') AS words FROM documents
+            ),
+            pos AS (
+                SELECT doc_id, len(words) AS n_tokens, t.i AS pos,
+                       words[t.i] AS term
+                FROM docs, unnest(range(1, len(words) + 1)) t(i)
+                WHERE len(words) >= {SURPRISAL_WINDOW}
+            ),
+            tf AS (SELECT term, COUNT(*) AS n FROM pos GROUP BY 1),
+            tot AS (SELECT SUM(n) AS total FROM tf),
+            model AS (
+                SELECT term,
+                       CAST(ROUND(-ln(n / tot.total) * 1e9) AS BIGINT) AS s9
+                FROM tf, tot
+            ),
+            spans AS (
+                SELECT p.doc_id, p.n_tokens, p.pos,
+                       SUM(m.s9) OVER (PARTITION BY p.doc_id ORDER BY p.pos
+                           ROWS BETWEEN CURRENT ROW
+                           AND {SURPRISAL_WINDOW - 1} FOLLOWING) AS span9
+                FROM pos p JOIN model m USING (term)
+            ),
+            best AS (
+                SELECT doc_id, ANY_VALUE(n_tokens) AS n_tokens,
+                       MAX(struct_pack(s := span9, np := -pos)) AS b
+                FROM spans
+                WHERE pos <= n_tokens - {SURPRISAL_WINDOW} + 1
+                GROUP BY 1
+            )
+            SELECT CAST(doc_id AS BIGINT) AS doc_id,
+                   CAST(n_tokens AS BIGINT) AS n_tokens,
+                   CAST(-(b.np) AS BIGINT) AS worst_start,
+                   b.s / {float(SURPRISAL_WINDOW) * 1e9} AS worst_mean_nll
+            FROM best
+        """,
+        "q155_table_profile": " UNION ALL ".join(
+            f"""
+            SELECT '{c}' AS column_name,
+                   CAST(COUNT(*) AS BIGINT) AS n_rows,
+                   CAST(SUM(CASE WHEN {c} IS NULL THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_nulls,
+                   CAST(COUNT(DISTINCT CAST({c} AS VARCHAR)) AS BIGINT)
+                       AS n_distinct,
+                   MIN(CAST({c} AS VARCHAR)) AS min_val,
+                   MAX(CAST({c} AS VARCHAR)) AS max_val
+            FROM documents
+            """
+            for c in ["doc_id", "text", "lang", "source", "n_chars"]
+        ),
+        "q156_join_cardinality": """
+            WITH lk AS (
+                SELECT o_orderkey AS k, COUNT(*) AS ln FROM orders GROUP BY 1
+            ),
+            rk AS (
+                SELECT l_orderkey AS k, COUNT(*) AS rn FROM lineitem GROUP BY 1
+            ),
+            m AS (SELECT * FROM lk FULL JOIN rk USING (k))
+            SELECT CAST(SUM(COALESCE(ln, 0)) AS BIGINT) AS n_left_rows,
+                   CAST(SUM(COALESCE(rn, 0)) AS BIGINT) AS n_right_rows,
+                   CAST(SUM(CASE WHEN ln IS NOT NULL THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_left_keys,
+                   CAST(SUM(CASE WHEN rn IS NOT NULL THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_right_keys,
+                   CAST(SUM(CASE WHEN ln IS NOT NULL AND rn IS NOT NULL
+                            THEN 1 ELSE 0 END) AS BIGINT) AS n_matched_keys,
+                   CAST(SUM(COALESCE(ln, 0) * COALESCE(rn, 0)) AS BIGINT)
+                       AS est_rows,
+                   CAST(MAX(COALESCE(ln, 0) * COALESCE(rn, 0)) AS BIGINT)
+                       AS max_fanout
+            FROM m
+        """,
     }

@@ -133,6 +133,9 @@ BENCH_QUERIES = [
     "q151_kn_bigram_logprob",
     "q152_quantile_normalize",
     "q153_retrieval_metrics",
+    "q154_surprisal_spans",
+    "q155_table_profile",
+    "q156_join_cardinality",
 ]
 
 

@@ -1077,3 +1077,85 @@ def burst_detection(
             (F.col("max_burst") >= burst_threshold).alias("is_burst"),
         )
     )
+
+
+def table_profile(df: DataFrame, columns: list[str] | None = None) -> DataFrame:
+    """One-pass data-quality profile: per column, row count, null count,
+    exact distinct count, and lexicographic min/max of the string form —
+    the release-gate profiler run over every shipped table ("did a null
+    flood or a cardinality collapse sneak into this build?").
+
+    One aggregation pass (Spark plans the multiple distinct aggregates as
+    a single Expand — profile-cost CPU in the scan stage, shuffle stays
+    1 row), then an unpivot to the |columns| grain. Values compare as
+    strings so one schema covers every column type; integer columns
+    format identically across engines (floats would not — callers profile
+    those via mergeable_stats instead)."""
+    cols = columns or df.columns
+    aggs = [F.count(F.lit(1)).alias("_n")]
+    for c in cols:
+        s = F.col(c).cast("string")
+        aggs += [
+            F.sum(F.col(c).isNull().cast("bigint")).alias(f"_null_{c}"),
+            F.countDistinct(s).alias(f"_dist_{c}"),
+            F.min(s).alias(f"_min_{c}"),
+            F.max(s).alias(f"_max_{c}"),
+        ]
+    one = df.agg(*aggs)
+    stack_args = ", ".join(
+        f"'{c}', _null_{c}, _dist_{c}, _min_{c}, _max_{c}" for c in cols
+    )
+    return one.selectExpr(
+        "_n",
+        f"stack({len(cols)}, {stack_args})"
+        " as (column_name, n_nulls, n_distinct, min_val, max_val)",
+    ).select(
+        "column_name",
+        F.col("_n").cast("bigint").alias("n_rows"),
+        F.col("n_nulls").cast("bigint").alias("n_nulls"),
+        F.col("n_distinct").cast("bigint").alias("n_distinct"),
+        "min_val",
+        "max_val",
+    )
+
+
+def join_cardinality_audit(
+    left: DataFrame,
+    right: DataFrame,
+    left_key: str,
+    right_key: str,
+) -> DataFrame:
+    """Pre-join cardinality probe: before shuffling two 100 TB relations,
+    the one-row report that predicts the join — per-side row/key counts,
+    matched-key count, the EXACT output cardinality (Σ fanout products)
+    and the worst single-key fanout. ``est_rows`` exploding past the
+    input sizes or ``max_fanout`` in the millions means a key-quality
+    problem (default values, nulls-as-zero) that hot_keys (q146)
+    localizes.
+
+    Plan: each side aggregates to its key grain (map-side combine), the
+    key-grain relations full-outer merge (the q135 shape), one global agg
+    — nothing row-scale crosses the network. Fanout products in
+    DECIMAL(38,0): two billion-row keys would overflow int64."""
+    lk = left.groupBy(F.col(left_key).alias("k")).agg(
+        F.count(F.lit(1)).alias("ln")
+    )
+    rk = right.groupBy(F.col(right_key).alias("k")).agg(
+        F.count(F.lit(1)).alias("rn")
+    )
+    m = lk.join(rk, "k", "full_outer")
+    prod = (
+        F.coalesce(F.col("ln"), F.lit(0)).cast("decimal(38,0)")
+        * F.coalesce(F.col("rn"), F.lit(0)).cast("decimal(38,0)")
+    )
+    return m.agg(
+        F.sum(F.coalesce(F.col("ln"), F.lit(0))).cast("bigint").alias("n_left_rows"),
+        F.sum(F.coalesce(F.col("rn"), F.lit(0))).cast("bigint").alias("n_right_rows"),
+        F.sum(F.col("ln").isNotNull().cast("bigint")).cast("bigint").alias("n_left_keys"),
+        F.sum(F.col("rn").isNotNull().cast("bigint")).cast("bigint").alias("n_right_keys"),
+        F.sum((F.col("ln").isNotNull() & F.col("rn").isNotNull()).cast("bigint"))
+        .cast("bigint")
+        .alias("n_matched_keys"),
+        F.sum(prod).cast("bigint").alias("est_rows"),
+        F.max(prod).cast("bigint").alias("max_fanout"),
+    )

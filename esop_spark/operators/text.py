@@ -2471,3 +2471,66 @@ def quantile_normalize_scores(
             .alias("global_quantile_ppm"),
         )
     )
+
+
+def surprisal_spans(
+    documents: DataFrame,
+    window: int = 8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Junk-span detector: per document, the ``window``-token span with the
+    highest mean unigram surprisal (−ln corpus frequency) — where
+    gibberish, mojibake, or pasted noise lives inside an otherwise fine
+    document. Pipelines use the span report to REPAIR documents (cut the
+    span) instead of dropping whole docs that fail a global perplexity
+    gate.
+
+    Determinism: surprisal is integer-nano-scaled at the VOCAB grain, so
+    window sums are bigint adds; the argmax span breaks ties toward the
+    earliest position. Only full windows compete (docs shorter than
+    ``window`` drop — their global score is q61's job).
+
+    Scale: one vocab-grain frequency agg; the scoring join is the q61
+    corpus-token join (same head/tail escape applies); the sliding-window
+    sum partitions per document ordered by position — bounded by document
+    length, the q74/q78 window argument."""
+    toks = documents.select(
+        F.col(id_col), F.split(F.col(text_col), " ").alias("ws")
+    ).filter(F.size("ws") >= window)
+    pos = toks.select(
+        F.col(id_col),
+        F.size("ws").alias("n_tokens"),
+        F.explode(F.expr("sequence(1, size(ws))")).alias("pos"),
+        F.col("ws"),
+    ).select(
+        id_col, "n_tokens", "pos", F.element_at("ws", F.col("pos")).alias("term")
+    )
+    tf = pos.groupBy("term").agg(F.count(F.lit(1)).alias("n"))
+    total = tf.agg(F.sum("n").alias("total"))
+    model = tf.crossJoin(F.broadcast(total)).select(
+        "term",
+        F.round(-F.log(F.col("n") / F.col("total")) * 1e9)
+        .cast("bigint")
+        .alias("s9"),
+    )
+    w_span = (
+        Window.partitionBy(id_col)
+        .orderBy("pos")
+        .rowsBetween(0, window - 1)
+    )
+    spans = (
+        pos.join(model, "term")
+        .withColumn("span9", F.sum("s9").over(w_span))
+        .filter(F.col("pos") <= F.col("n_tokens") - window + 1)
+    )
+    best = spans.groupBy(id_col).agg(
+        F.first("n_tokens").alias("n_tokens"),
+        F.max(F.struct(F.col("span9"), (-F.col("pos")).alias("np"))).alias("b"),
+    )
+    return best.select(
+        F.col(id_col).cast("bigint").alias(id_col),
+        F.col("n_tokens").cast("bigint").alias("n_tokens"),
+        (-F.col("b.np")).cast("bigint").alias("worst_start"),
+        (F.col("b.span9") / F.lit(float(window) * 1e9)).alias("worst_mean_nll"),
+    )
