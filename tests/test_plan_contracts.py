@@ -96,3 +96,55 @@ def test_shard_packing_avoids_single_task_global_window(spark):
         assert "_pid" in m.group(1) or "seq" in spec_head or "shard" in spec_head, (
             f"global window without pid clustering: {m.group(1)[:80]}"
         )
+
+
+@pytest.mark.parametrize(
+    "name", ["q142_curriculum_order", "q149_prototypicality"]
+)
+def test_new_ranked_queries_use_distributed_rank(spark, name):
+    plan = _plan(spark, name)
+    assert "_pid" in plan, (
+        f"{name} must rank through the range-partitioned construction"
+    )
+
+
+def test_cluster_topics_broadcasts_membership(spark):
+    plan = _plan(spark, "q144_cluster_topics")
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_nb_model_is_broadcast(spark):
+    # the (label x vocab_hash) model and class-meta tables must broadcast;
+    # scoring must not sort-merge the token stream against the model
+    plan = _plan(spark, "q143_nb_confusion")
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
+
+
+def test_retrieval_metrics_broadcasts_queries(spark):
+    plan = _plan(spark, "q153_retrieval_metrics")
+    assert "SortMergeJoin" not in plan, (
+        "the capped query sample must broadcast against one corpus scan"
+    )
+
+
+def test_waterfill_single_corpus_aggregation(spark):
+    # everything after the one corpus->strata agg runs on the tiny grain:
+    # exchanges stay bounded (agg + strata-grain windows), and no
+    # corpus-relation join exists
+    # AQE's executedPlan string renders Initial AND Final plans, so every
+    # count is doubled: <= 2 printed scans == 1 real scan
+    plan = _plan(spark, "q145_token_waterfill")
+    assert plan.count("Scan parquet") <= 2
+    assert "CartesianProduct" not in plan
+
+
+def test_profile_is_single_pass(spark):
+    plan = _plan(spark, "q155_table_profile")
+    assert plan.count("Scan parquet") <= 2, (  # AQE prints initial+final
+        "table_profile must profile every column in ONE scan"
+    )
+    assert "Expand" in plan, (
+        "multi-distinct must plan as a single Expand pass, not re-scans"
+    )
+    assert "Join" not in plan
