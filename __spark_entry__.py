@@ -1578,6 +1578,32 @@ def q156_join_cardinality(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+BLOCKLIST_TERMS = ("big", "merge", "slow")
+
+
+def q157_blocklist_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lexicon gate (text_ops.blocklist_scan): per-doc blocklist hit
+    counts, earliest hit position, flag — the array-literal zero-shuffle
+    scan; bloom prefilter (q81) is the >10^4-term scale path."""
+    return text_ops.blocklist_scan(
+        _base(spark, sf_dir, "documents"), BLOCKLIST_TERMS
+    )
+
+
+def q158_token_mass_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-WEIGHTED length quantiles (analytics.histogram_quantiles with
+    weight): 'the median token lives in a doc of length X' — the
+    length-distribution view that matters for packing and truncation
+    budgets, where long docs dominate by mass not by count."""
+    n_tok = F.size(F.split(F.col("text"), " "))
+    return analytics.histogram_quantiles(
+        _base(spark, sf_dir, "documents"),
+        n_tok,
+        bins=HISTQ_BINS,
+        weight=n_tok,
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001: the backup-listing report."""
     return q01_list_backups(spark, "/root/testdata/sf0.001")
@@ -1741,6 +1767,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q154_surprisal_spans": q154_surprisal_spans,
         "q155_table_profile": q155_table_profile,
         "q156_join_cardinality": q156_join_cardinality,
+        "q157_blocklist_scan": q157_blocklist_scan,
+        "q158_token_mass_quantiles": q158_token_mass_quantiles,
     }
 
 
@@ -5819,5 +5847,65 @@ def oracle_sql() -> dict[str, str]:
                    CAST(MAX(COALESCE(ln, 0) * COALESCE(rn, 0)) AS BIGINT)
                        AS max_fanout
             FROM m
+        """,
+        "q157_blocklist_scan": """
+            WITH w AS (
+                SELECT doc_id, string_split(text, ' ') AS words FROM documents
+            ),
+            h AS (
+                SELECT doc_id,
+                       list_filter(words,
+                           x -> x IN ('big', 'merge', 'slow')) AS hits,
+                       list_filter([list_position(words, 'big'),
+                                    list_position(words, 'merge'),
+                                    list_position(words, 'slow')],
+                           p -> p IS NOT NULL AND p > 0) AS poss
+                FROM w
+            )
+            SELECT CAST(doc_id AS BIGINT) AS doc_id,
+                   CAST(len(hits) AS BIGINT) AS n_hits,
+                   CAST(len(list_distinct(hits)) AS BIGINT)
+                       AS n_distinct_terms,
+                   CAST(COALESCE(list_min(poss), 0) AS BIGINT)
+                       AS first_hit_pos,
+                   len(hits) > 0 AS flagged
+            FROM h
+        """,
+        "q158_token_mass_quantiles": f"""
+            WITH v AS (
+                SELECT CAST(len(string_split(text, ' ')) AS BIGINT) AS v,
+                       CAST(len(string_split(text, ' ')) AS BIGINT) AS wt
+                FROM documents
+            ),
+            mm AS (SELECT MIN(v) AS lo, MAX(v) AS hi, SUM(wt) AS n FROM v),
+            b AS (
+                SELECT (v - mm.lo) // ((mm.hi - mm.lo) // {HISTQ_BINS} + 1)
+                           AS bin,
+                       (mm.hi - mm.lo) // {HISTQ_BINS} + 1 AS w,
+                       mm.lo AS lo, mm.n AS n, v.wt AS wt
+                FROM v, mm
+            ),
+            h AS (
+                SELECT bin, SUM(wt) AS cnt, ANY_VALUE(lo) AS lo,
+                       ANY_VALUE(w) AS w, ANY_VALUE(n) AS n
+                FROM b GROUP BY 1
+            ),
+            c AS (
+                SELECT *, SUM(cnt) OVER (ORDER BY bin
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+                FROM h
+            ),
+            q(q_ppm) AS (VALUES (500000), (900000), (990000)),
+            m AS (
+                SELECT q.q_ppm, c.bin, c.lo, c.w, c.n, c.cum,
+                       (c.n * q.q_ppm + 999999) // 1000000 AS thr
+                FROM c, q
+            )
+            SELECT CAST(q_ppm AS BIGINT) AS q_ppm,
+                   CAST(ANY_VALUE(lo) + MIN(bin) * ANY_VALUE(w) AS BIGINT)
+                       AS approx_value,
+                   CAST(ANY_VALUE(w) AS BIGINT) AS error_bound,
+                   CAST(ANY_VALUE(n) AS BIGINT) AS n_rows
+            FROM m WHERE cum >= thr GROUP BY q_ppm
         """,
     }

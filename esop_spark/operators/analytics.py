@@ -963,6 +963,7 @@ def histogram_quantiles(
     value: Column,
     bins: int = 128,
     quantiles_ppm: tuple[int, ...] = (500_000, 900_000, 990_000),
+    weight: Column | None = None,
 ) -> DataFrame:
     """Mergeable approximate quantiles from an equi-width integer histogram:
     the answer to "p50/p90/p99 of document length over 100 TB" without a
@@ -983,11 +984,15 @@ def histogram_quantiles(
     windows/joins on that tiny relation only. Two scans total (min/max,
     then bin) — at 100 TB fix the domain up front to make it one.
     """
-    vals = df.select(value.cast("bigint").alias("v"))
+    # weight=None counts rows; an integer weight column computes WEIGHTED
+    # quantiles instead ("the median TOKEN lives in a doc of length X") —
+    # same all-integer machinery, thresholds over total weight
+    wt = F.lit(1) if weight is None else weight
+    vals = df.select(value.cast("bigint").alias("v"), wt.cast("bigint").alias("wt"))
     mm = vals.agg(
         F.min("v").alias("_lo"),
         F.max("v").alias("_hi"),
-        F.count(F.lit(1)).alias("_n"),
+        F.sum("wt").alias("_n"),
     )
     binned = (
         vals.crossJoin(F.broadcast(mm))
@@ -995,7 +1000,7 @@ def histogram_quantiles(
         .withColumn("_bin", F.expr("(v - _lo) div _w"))
     )
     hist = binned.groupBy("_bin").agg(
-        F.count(F.lit(1)).alias("_cnt"),
+        F.sum("wt").alias("_cnt"),
         F.first("_lo").alias("_lo"),
         F.first("_w").alias("_w"),
         F.first("_n").alias("_n"),

@@ -1501,3 +1501,21 @@ def dedup_threshold_curve(
             "drop_upper_bound",
         )
     )
+
+
+def save_minhash_index(signatures: DataFrame, path: str) -> None:
+    """Persist the MinHash signature relation
+    (:func:`minhash_signatures` output: id + sig array) as parquet — the
+    dedup-index lifecycle: sign a release ONCE, reuse the signatures for
+    every later cross-release candidate join
+    (:func:`incremental_minhash_pairs`) instead of re-shingling the old
+    corpus each time. Unlike the KB-sized IVF/PQ indexes this relation is
+    corpus-length (one row per doc), so it writes distributed —
+    no coalesce, no driver collect."""
+    signatures.write.mode("overwrite").parquet(path)
+
+
+def load_minhash_index(spark, path: str) -> DataFrame:
+    """Load a :func:`save_minhash_index` signature relation lazily (a
+    DataFrame, never driver-side — corpus-length)."""
+    return spark.read.parquet(path)

@@ -2534,3 +2534,37 @@ def surprisal_spans(
         (-F.col("b.np")).cast("bigint").alias("worst_start"),
         (F.col("b.span9") / F.lit(float(window) * 1e9)).alias("worst_mean_nll"),
     )
+
+
+def blocklist_scan(
+    documents: DataFrame,
+    terms: tuple[str, ...],
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Lexicon gate (bad-words / compliance blocklist): per document, total
+    and distinct blocklist-term hits, the earliest hit position, and the
+    flag — the oldest curation filter there is, still first in every
+    production pipeline because it is a pure scan.
+
+    The lexicon compiles into the projection as an array literal
+    (array_intersect / array_position are JVM HOFs) — zero shuffles, zero
+    joins; at 100 TB the blocklist rides the closure into every task the
+    same way a broadcast would, without being one. For lexicons too large
+    for a literal (>10^4 terms), the bloom-prefilter pattern (q81) is the
+    scale path."""
+    lit_terms = F.array(*[F.lit(t) for t in sorted(terms)])
+    toks = tokens(text_col)
+    hits = F.filter(toks, lambda w: F.array_contains(lit_terms, w))
+    first_pos = F.array_min(
+        F.transform(
+            lit_terms, lambda t: F.nullif(F.array_position(toks, t), F.lit(0))
+        )
+    )
+    return documents.select(
+        F.col(id_col),
+        F.size(hits).cast("bigint").alias("n_hits"),
+        F.size(F.array_distinct(hits)).cast("bigint").alias("n_distinct_terms"),
+        F.coalesce(first_pos, F.lit(0)).cast("bigint").alias("first_hit_pos"),
+        (F.size(hits) > 0).alias("flagged"),
+    )

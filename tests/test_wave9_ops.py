@@ -90,3 +90,57 @@ def test_join_cardinality_flags_hot_key_blowup(spark):
     out = analytics.join_cardinality_audit(left, right, "k", "k2").collect()[0]
     assert out["est_rows"] == 1_000_000
     assert out["max_fanout"] == 1_000_000
+
+
+# --- minhash index lifecycle ------------------------------------------------
+
+def test_minhash_index_round_trip(spark, tmp_path):
+    from esop_spark.operators import dedup
+
+    docs = spark.createDataFrame(
+        [(i, f"alpha beta gamma delta epsilon w{i} x{i} y{i}") for i in range(12)],
+        ["doc_id", "text"],
+    )
+    sigs = dedup.minhash_signatures(docs, num_hashes=8)
+    path = str(tmp_path / "mh_index")
+    dedup.save_minhash_index(sigs, path)
+    back = dedup.load_minhash_index(spark, path)
+    assert sorted(back.columns) == sorted(sigs.columns)
+    a = {tuple(r) for r in sigs.select(*sorted(sigs.columns)).collect()}
+    b = {tuple(r) for r in back.select(*sorted(sigs.columns)).collect()}
+    assert a == b
+
+
+# --- blocklist_scan ---------------------------------------------------------
+
+def test_blocklist_counts_and_position(spark):
+    docs = spark.createDataFrame(
+        [(0, "clean text only here"),
+         (1, "bad word bad again"),
+         (2, "one ugly time")],
+        ["doc_id", "text"],
+    )
+    out = {r["doc_id"]: r for r in text_ops.blocklist_scan(
+        docs, ("bad", "ugly")).collect()}
+    assert out[0]["n_hits"] == 0 and not out[0]["flagged"]
+    assert out[0]["first_hit_pos"] == 0
+    assert out[1]["n_hits"] == 2 and out[1]["n_distinct_terms"] == 1
+    assert out[1]["first_hit_pos"] == 1
+    assert out[2]["first_hit_pos"] == 2 and out[2]["flagged"]
+
+
+# --- weighted histogram quantiles -------------------------------------------
+
+def test_weighted_quantiles_shift_toward_mass(spark):
+    # 99 docs of length 10, 1 doc of length 1000: by count the median is
+    # 10; by token mass the 1000-token doc holds >50% of tokens
+    rows = [(i, 10) for i in range(99)] + [(99, 1000)]
+    df = spark.createDataFrame(rows, ["id", "v"])
+    by_count = analytics.histogram_quantiles(
+        df, F.col("v"), bins=1000, quantiles_ppm=(500_000,)).collect()[0]
+    by_mass = analytics.histogram_quantiles(
+        df, F.col("v"), bins=1000, quantiles_ppm=(500_000,),
+        weight=F.col("v")).collect()[0]
+    assert by_count["approx_value"] <= 11
+    assert by_mass["approx_value"] >= 999
+    assert by_mass["n_rows"] == 99 * 10 + 1000  # total weight
