@@ -24,6 +24,7 @@ from esop_spark.operators import (
     diff,
     entities,
     fleet,
+    graph,
     manifest,
     multimodal,
     retention,
@@ -1604,6 +1605,119 @@ def q158_token_mass_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+PR_ITERS = 3
+PR_TOPK = 20
+
+
+def q159_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank over the part co-order graph (graph.pagerank_topk):
+    3 exact-integer iterations (rank in nanos, contributions by integer
+    division), damping 85% — the link-graph source-weighting primitive,
+    oracle-checked via unrolled CTE iterations."""
+    edges = graph.coorder_edges(_base(spark, sf_dir, "lineitem"), directed=True)
+    return graph.pagerank_topk(edges, k=PR_TOPK, iterations=PR_ITERS)
+
+
+EWMA_LOOKBACK = 8
+EWMA_THRESHOLD_MICROS = 50_000_000
+
+
+def q160_ewma_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user EWMA deviation monitor (analytics.ewma_deviation): dyadic
+    lag-chain weights, integer micros — one user-window shuffle, no
+    self-join."""
+    return analytics.ewma_deviation(
+        _base(spark, sf_dir, "events"),
+        lookback=EWMA_LOOKBACK,
+        threshold_micros=EWMA_THRESHOLD_MICROS,
+    )
+
+
+RULES_MIN_SUPPORT = 20
+
+
+def q161_association_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket rules A→B over per-user event-type baskets
+    (analytics.association_rules): support / confidence(ppm) / lift(milli),
+    all integer-scaled."""
+    return analytics.association_rules(
+        _base(spark, sf_dir, "events"), min_support=RULES_MIN_SUPPORT
+    )
+
+
+def q162_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source Flesch reading-ease census (text_ops.readability_report):
+    integer-milli FRE from words/sentence and vowel-run syllables — the
+    curation-facing readability gate."""
+    return text_ops.readability_report(_base(spark, sf_dir, "documents"))
+
+
+def q163_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source score winsorization audit (text_ops.winsorize_scores):
+    p05/p95 clamp bounds from the bounded score grain, mean shift in exact
+    integer millis."""
+    return text_ops.winsorize_scores(_base(spark, sf_dir, "documents"))
+
+
+def q164_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source language-diversity indices (text_ops.diversity_indices):
+    richness, Gini–Simpson ppm, Berger–Parker ppm — two tiny aggs, zero
+    floats."""
+    return text_ops.diversity_indices(_base(spark, sf_dir, "documents"))
+
+
+def q165_pareto_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-vs-length Pareto frontier (text_ops.pareto_frontier): 2-D
+    skyline via a running max over the bounded score grain — never a
+    per-doc global window."""
+    return text_ops.pareto_frontier(_base(spark, sf_dir, "documents"))
+
+
+def q166_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triangle census of the part co-order graph (graph.triangle_count):
+    degree-oriented node-iterator join — each wedge generated once at its
+    lowest-degree apex; global clustering coefficient in ppm."""
+    edges = graph.coorder_edges(
+        _base(spark, sf_dir, "lineitem"), directed=False
+    )
+    return graph.triangle_count(edges)
+
+
+EPOCH_BUDGET_NUM = 3
+EPOCH_BUDGET_DEN = 1
+EPOCH_MAX = 4
+
+
+def q167_epoch_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-constrained epoch planner (sampling.epoch_allocation): uniform
+    split of a 3× token budget with a 4-epoch repetition cap and one exact
+    redistribution round — the complement of q145's water-fill."""
+    return sampling.epoch_allocation(
+        _base(spark, sf_dir, "documents"),
+        budget_num=EPOCH_BUDGET_NUM,
+        budget_den=EPOCH_BUDGET_DEN,
+        max_epochs=EPOCH_MAX,
+    )
+
+
+def q168_normalization_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canonicalization census (text_ops.normalization_audit): lowercase +
+    whitespace-collapse + trim impact per source — pure scan projection,
+    zero joins."""
+    return text_ops.normalization_audit(_base(spark, sf_dir, "documents"))
+
+
+ENGAGE_TOPK = 15
+
+
+def q169_decayed_engagement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recency-weighted user engagement (analytics.decayed_engagement):
+    dyadic 2^-age_days decay in exact integer micros, TakeOrdered top-k."""
+    return analytics.decayed_engagement(
+        _base(spark, sf_dir, "events"), k=ENGAGE_TOPK
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001: the backup-listing report."""
     return q01_list_backups(spark, "/root/testdata/sf0.001")
@@ -1769,6 +1883,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q156_join_cardinality": q156_join_cardinality,
         "q157_blocklist_scan": q157_blocklist_scan,
         "q158_token_mass_quantiles": q158_token_mass_quantiles,
+        "q159_pagerank": q159_pagerank,
+        "q160_ewma_anomaly": q160_ewma_anomaly,
+        "q161_association_rules": q161_association_rules,
+        "q162_readability": q162_readability,
+        "q163_winsorize": q163_winsorize,
+        "q164_diversity": q164_diversity,
+        "q165_pareto_frontier": q165_pareto_frontier,
+        "q166_triangles": q166_triangles,
+        "q167_epoch_allocation": q167_epoch_allocation,
+        "q168_normalization_audit": q168_normalization_audit,
+        "q169_decayed_engagement": q169_decayed_engagement,
     }
 
 
@@ -2296,6 +2421,59 @@ def _q153_oracle() -> str:
                           ELSE 0.0 END, 6) AS ndcg_at_k
         FROM j
     """
+
+
+_SCORE_T_CTE = """
+            w AS (
+                SELECT * , string_split(text, ' ') AS words FROM documents
+            ),
+            t AS (
+                SELECT w.*,
+                       CAST(ROUND((0.5 * (1.0
+                            - len(list_filter(words, x -> x IN ('a', 'the')))
+                              * 1.0 / len(words))
+                            + 0.5 * len(list_distinct(words)) * 1.0
+                              / len(words)) * 100) AS BIGINT) AS score
+                FROM w
+            )
+"""
+
+
+def _pagerank_oracle(iters: int, k: int) -> str:
+    """Unrolled-iteration integer PageRank over the part co-order graph —
+    the DuckDB mirror of graph.pagerank (same nano units, same integer
+    division order)."""
+    ctes = [
+        """
+            pk AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS p
+                   FROM lineitem),
+            e AS (SELECT DISTINCT a.p AS src, b.p AS dst
+                  FROM pk a JOIN pk b ON a.ok = b.ok AND a.p <> b.p),
+            deg AS (SELECT src, COUNT(*) AS d FROM e GROUP BY 1),
+            r0 AS (SELECT src AS v, d, CAST(1000000000 AS BIGINT) AS r
+                   FROM deg)
+        """
+    ]
+    for i in range(1, iters + 1):
+        ctes.append(
+            f"""
+            c{i} AS (SELECT e.dst AS v, SUM(r{i-1}.r // r{i-1}.d) AS f
+                     FROM e JOIN r{i-1} ON e.src = r{i-1}.v GROUP BY 1),
+            r{i} AS (SELECT r0.v, r0.d,
+                            (15000000000 + 85 * COALESCE(c{i}.f, 0)) // 100
+                                AS r
+                     FROM r0 LEFT JOIN c{i} USING (v))
+            """
+        )
+    return (
+        "WITH "
+        + ",".join(ctes)
+        + f"""
+            SELECT v AS node, CAST(r AS BIGINT) AS rank_nano,
+                   CAST(d AS BIGINT) AS out_deg
+            FROM r{iters} ORDER BY r DESC, v LIMIT {k}
+        """
+    )
 
 
 def oracle_sql() -> dict[str, str]:
@@ -5907,5 +6085,281 @@ def oracle_sql() -> dict[str, str]:
                    CAST(ANY_VALUE(w) AS BIGINT) AS error_bound,
                    CAST(ANY_VALUE(n) AS BIGINT) AS n_rows
             FROM m WHERE cum >= thr GROUP BY q_ppm
+        """,
+        "q159_pagerank": _pagerank_oracle(PR_ITERS, PR_TOPK),
+        "q160_ewma_anomaly": f"""
+            WITH s AS (
+                SELECT user_id, ts, event_id,
+                       CAST(ROUND(value * 1000000) AS BIGINT) AS x
+                FROM events
+            ),
+            l AS (
+                SELECT user_id, x,
+                       LAG(x, 1) OVER u * 128 + LAG(x, 2) OVER u * 64
+                     + LAG(x, 3) OVER u * 32 + LAG(x, 4) OVER u * 16
+                     + LAG(x, 5) OVER u * 8  + LAG(x, 6) OVER u * 4
+                     + LAG(x, 7) OVER u * 2  + LAG(x, 8) OVER u * 1
+                           AS wsum
+                FROM s
+                WINDOW u AS (PARTITION BY user_id ORDER BY ts, event_id)
+            ),
+            d AS (
+                SELECT user_id, x - wsum // 255 AS dev
+                FROM l WHERE wsum IS NOT NULL
+            )
+            SELECT user_id,
+                   CAST(COUNT(*) AS BIGINT) AS n_scored,
+                   CAST(SUM(CASE WHEN ABS(dev) > {EWMA_THRESHOLD_MICROS}
+                            THEN 1 ELSE 0 END) AS BIGINT) AS n_anomalies,
+                   CAST(MAX(ABS(dev)) AS BIGINT) AS max_abs_dev_micros
+            FROM d GROUP BY 1
+            HAVING SUM(CASE WHEN ABS(dev) > {EWMA_THRESHOLD_MICROS}
+                       THEN 1 ELSE 0 END) > 0
+        """,
+        "q161_association_rules": f"""
+            WITH b AS (SELECT DISTINCT user_id, event_type FROM events),
+            n AS (SELECT COUNT(DISTINCT user_id) AS n_users FROM b),
+            s AS (SELECT event_type, COUNT(*) AS sup FROM b GROUP BY 1),
+            p AS (
+                SELECT a.event_type AS antecedent,
+                       c.event_type AS consequent, COUNT(*) AS sup_ab
+                FROM b a JOIN b c ON a.user_id = c.user_id
+                              AND a.event_type <> c.event_type
+                GROUP BY 1, 2 HAVING COUNT(*) >= {RULES_MIN_SUPPORT}
+            )
+            SELECT p.antecedent, p.consequent,
+                   CAST(p.sup_ab AS BIGINT) AS sup_ab,
+                   CAST((p.sup_ab * 1000000) // sa.sup AS BIGINT)
+                       AS confidence_ppm,
+                   CAST((p.sup_ab * n.n_users * 1000) // (sa.sup * sb.sup)
+                        AS BIGINT) AS lift_milli
+            FROM p
+            JOIN s sa ON p.antecedent = sa.event_type
+            JOIN s sb ON p.consequent = sb.event_type
+            CROSS JOIN n
+        """,
+        "q162_readability": """
+            WITH t AS (
+                SELECT source,
+                       len(string_split(text, ' ')) AS w,
+                       GREATEST(1,
+                           len(string_split_regex(text, '[.!?]')) - 1) AS s,
+                       GREATEST(1,
+                           len(regexp_extract_all(text, '[aeiouAEIOU]+')))
+                           AS y
+                FROM documents
+            ),
+            f AS (
+                SELECT source,
+                       206835 - (1015 * w) // s - (84600 * y) // w AS fre
+                FROM t
+            )
+            SELECT source,
+                   CAST(COUNT(*) AS BIGINT) AS n_docs,
+                   CAST(SUM(fre) // COUNT(*) AS BIGINT) AS mean_fre_milli,
+                   CAST(SUM(CASE WHEN fre >= 90000 THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_easy,
+                   CAST(SUM(CASE WHEN fre >= 60000 AND fre < 90000
+                            THEN 1 ELSE 0 END) AS BIGINT) AS n_standard,
+                   CAST(SUM(CASE WHEN fre < 60000 THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_hard
+            FROM f GROUP BY 1
+        """,
+        "q163_winsorize": f"""
+            WITH {_SCORE_T_CTE},
+            cells AS (
+                SELECT source, score, COUNT(*) AS n_at FROM t GROUP BY 1, 2
+            ),
+            c AS (
+                SELECT *,
+                       SUM(n_at) OVER (PARTITION BY source ORDER BY score
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                           AS cum,
+                       SUM(n_at) OVER (PARTITION BY source) AS n_src
+                FROM cells
+            ),
+            bnd AS (
+                SELECT source,
+                       MIN(CASE WHEN cum >= (n_src * 50000 + 999999)
+                                // 1000000 THEN score END) AS lo_score,
+                       MIN(CASE WHEN cum >= (n_src * 950000 + 999999)
+                                // 1000000 THEN score END) AS hi_score
+                FROM c GROUP BY 1
+            )
+            SELECT t.source,
+                   CAST(COUNT(*) AS BIGINT) AS n_docs,
+                   CAST(ANY_VALUE(lo_score) AS BIGINT) AS lo_score,
+                   CAST(ANY_VALUE(hi_score) AS BIGINT) AS hi_score,
+                   CAST((SUM(score) * 1000) // COUNT(*) AS BIGINT)
+                       AS mean_before_milli,
+                   CAST((SUM(GREATEST(lo_score, LEAST(hi_score, score)))
+                         * 1000) // COUNT(*) AS BIGINT)
+                       AS mean_after_milli,
+                   CAST(SUM(CASE WHEN score <>
+                            GREATEST(lo_score, LEAST(hi_score, score))
+                            THEN 1 ELSE 0 END) AS BIGINT) AS n_clamped
+            FROM t JOIN bnd USING (source) GROUP BY 1
+        """,
+        "q164_diversity": """
+            WITH cells AS (
+                SELECT source, lang, COUNT(*) AS c
+                FROM documents GROUP BY 1, 2
+            )
+            SELECT source,
+                   CAST(SUM(c) AS BIGINT) AS n_docs,
+                   CAST(COUNT(*) AS BIGINT) AS richness,
+                   CAST(1000000 - (SUM(c * c) * 1000000)
+                        // (SUM(c) * SUM(c)) AS BIGINT)
+                       AS gini_simpson_ppm,
+                   CAST((MAX(c) * 1000000) // SUM(c) AS BIGINT)
+                       AS berger_parker_ppm
+            FROM cells GROUP BY 1
+        """,
+        "q165_pareto_frontier": f"""
+            WITH {_SCORE_T_CTE},
+            pts AS (SELECT score, n_chars AS len FROM t),
+            cells AS (SELECT score, MAX(len) AS max_len FROM pts GROUP BY 1),
+            f AS (
+                SELECT score, max_len,
+                       COALESCE(MAX(max_len) OVER (ORDER BY score DESC
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                           -1) AS best_above
+                FROM cells
+            ),
+            sel AS (
+                SELECT score, max_len AS frontier_len
+                FROM f WHERE max_len > best_above
+            ),
+            cnt AS (
+                SELECT score, len, COUNT(*) AS n FROM pts GROUP BY 1, 2
+            )
+            SELECT CAST(sel.score AS BIGINT) AS score,
+                   CAST(sel.frontier_len AS BIGINT) AS frontier_len,
+                   CAST(cnt.n AS BIGINT) AS n_docs_at_point
+            FROM sel JOIN cnt
+              ON sel.score = cnt.score AND sel.frontier_len = cnt.len
+        """,
+        "q166_triangles": """
+            WITH pk AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS p
+                        FROM lineitem),
+            e AS (SELECT DISTINCT a.p AS src, b.p AS dst
+                  FROM pk a JOIN pk b ON a.ok = b.ok AND a.p < b.p),
+            deg AS (
+                SELECT v, COUNT(*) AS d FROM (
+                    SELECT src AS v FROM e
+                    UNION ALL SELECT dst AS v FROM e
+                ) GROUP BY 1
+            ),
+            o AS (
+                SELECT CASE WHEN du.d < dv.d
+                              OR (du.d = dv.d AND e.src < e.dst)
+                            THEN e.src ELSE e.dst END AS lo,
+                       CASE WHEN du.d < dv.d
+                              OR (du.d = dv.d AND e.src < e.dst)
+                            THEN e.dst ELSE e.src END AS hi
+                FROM e
+                JOIN deg du ON e.src = du.v
+                JOIN deg dv ON e.dst = dv.v
+            ),
+            wedge AS (
+                SELECT w1.hi AS v, w2.hi AS w
+                FROM o w1 JOIN o w2 ON w1.lo = w2.lo AND w1.hi < w2.hi
+            ),
+            tri AS (
+                SELECT COUNT(*) AS n_tri
+                FROM wedge JOIN e ON wedge.v = e.src AND wedge.w = e.dst
+            ),
+            st AS (
+                SELECT COUNT(*) AS n_nodes,
+                       SUM(d) // 2 AS n_edges,
+                       SUM(d * (d - 1) // 2) AS n_wedges
+                FROM deg
+            )
+            SELECT CAST(n_nodes AS BIGINT) AS n_nodes,
+                   CAST(n_edges AS BIGINT) AS n_edges,
+                   CAST(n_wedges AS BIGINT) AS n_wedges,
+                   CAST(n_tri AS BIGINT) AS n_triangles,
+                   CAST((3 * n_tri * 1000000) // n_wedges AS BIGINT)
+                       AS global_clustering_ppm
+            FROM st, tri
+        """,
+        "q167_epoch_allocation": f"""
+            WITH u AS (
+                SELECT source AS stratum,
+                       SUM(len(string_split(text, ' '))) AS uniq
+                FROM documents GROUP BY 1
+            ),
+            g AS (
+                SELECT stratum, uniq, uniq * {EPOCH_MAX} AS cap,
+                       SUM(uniq) OVER () AS total_uniq,
+                       COUNT(*) OVER () AS n_strata
+                FROM u
+            ),
+            g2 AS (
+                SELECT *,
+                       (total_uniq * {EPOCH_BUDGET_NUM})
+                           // {EPOCH_BUDGET_DEN} AS budget
+                FROM g
+            ),
+            g3 AS (
+                SELECT *, LEAST(budget // n_strata, cap) AS alloc1 FROM g2
+            ),
+            g4 AS (
+                SELECT *,
+                       budget - SUM(alloc1) OVER () AS leftover,
+                       cap - alloc1 AS rem_cap,
+                       SUM(cap - alloc1) OVER () AS total_rem
+                FROM g3
+            ),
+            o AS (
+                SELECT *,
+                       alloc1 + CASE WHEN total_rem <= 0 THEN 0
+                                ELSE LEAST(rem_cap,
+                                    (leftover * rem_cap) // total_rem) END
+                           AS alloc
+                FROM g4
+            )
+            SELECT stratum,
+                   CAST(uniq AS BIGINT) AS unique_tokens,
+                   CAST(cap AS BIGINT) AS cap_tokens,
+                   CAST(alloc AS BIGINT) AS allocated_tokens,
+                   CAST((alloc * 1000) // uniq AS BIGINT) AS epochs_milli,
+                   alloc >= cap AS capped
+            FROM o
+        """,
+        "q168_normalization_audit": """
+            WITH a AS (
+                SELECT source,
+                       text <> TRIM(regexp_replace(LOWER(text), '  +', ' ',
+                                                   'g')) AS changed,
+                       length(text) - length(TRIM(regexp_replace(
+                           LOWER(text), '  +', ' ', 'g'))) AS delta
+                FROM documents
+            )
+            SELECT source,
+                   CAST(COUNT(*) AS BIGINT) AS n_docs,
+                   CAST(SUM(CASE WHEN changed THEN 1 ELSE 0 END) AS BIGINT)
+                       AS n_changed,
+                   CAST((SUM(CASE WHEN changed THEN 1 ELSE 0 END) * 1000000)
+                        // COUNT(*) AS BIGINT) AS changed_ppm,
+                   CAST(SUM(delta) AS BIGINT) AS chars_removed
+            FROM a GROUP BY 1
+        """,
+        "q169_decayed_engagement": f"""
+            WITH mx AS (
+                SELECT MAX(CAST(epoch(ts) AS BIGINT)) AS max_s FROM events
+            ),
+            s AS (
+                SELECT user_id,
+                       CAST(ROUND(value * 1000000) AS BIGINT)
+                       // CAST(POW(2, LEAST(
+                              (mx.max_s - CAST(epoch(ts) AS BIGINT))
+                              // 86400, 20)) AS BIGINT) AS dm
+                FROM events, mx
+            )
+            SELECT user_id,
+                   CAST(SUM(dm) AS BIGINT) AS engagement_micros
+            FROM s GROUP BY 1
+            ORDER BY 2 DESC, 1 LIMIT {ENGAGE_TOPK}
         """,
     }

@@ -1164,3 +1164,129 @@ def join_cardinality_audit(
         F.sum(prod).cast("bigint").alias("est_rows"),
         F.max(prod).cast("bigint").alias("max_fanout"),
     )
+
+
+def ewma_deviation(
+    events: DataFrame,
+    lookback: int = 8,
+    threshold_micros: int = 50_000_000,
+) -> DataFrame:
+    """Per-user EWMA deviation monitor: each event is compared against an
+    exponentially-weighted mean of the previous ``lookback`` values (dyadic
+    weights 2^(L-1)..2^0, newest heaviest — the alpha=1/2 EWMA truncated at
+    L terms), and users are reported with their anomaly counts.
+
+    Exactness: values are scaled to integer micros once; the weighted mean
+    is a lag-chain dot product with power-of-two weights and one integer
+    division by (2^L - 1) — no float accumulation, no summation-order
+    dependence, hash-comparable with any SQL oracle.
+
+    Scale: one window shuffle on ``user_id`` (the per-user event history);
+    the lag chain is a single projection inside that window — no self-join,
+    no per-user explode.  Events with fewer than ``lookback`` predecessors
+    are not scored.
+    """
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    x = F.round(F.col("value") * 1_000_000).cast("bigint")
+    weighted = None
+    for j in range(1, lookback + 1):
+        term = F.lag(x, j).over(w) * F.lit(2 ** (lookback - j)).cast("bigint")
+        weighted = term if weighted is None else weighted + term
+    denom = 2**lookback - 1
+    scored = events.select(
+        "user_id",
+        x.alias("x_micros"),
+        weighted.alias("wsum"),
+    ).filter(F.col("wsum").isNotNull())
+    dev = F.col("x_micros") - F.expr(f"wsum div {denom}")
+    return (
+        scored.select("user_id", dev.alias("dev"))
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_scored"),
+            F.sum((F.abs(F.col("dev")) > threshold_micros).cast("bigint"))
+            .cast("bigint")
+            .alias("n_anomalies"),
+            F.max(F.abs(F.col("dev"))).cast("bigint").alias("max_abs_dev_micros"),
+        )
+        .filter(F.col("n_anomalies") > 0)
+    )
+
+
+def association_rules(
+    events: DataFrame, min_support: int = 20
+) -> DataFrame:
+    """Directed association rules A→B over per-user event-type baskets:
+    support(A,B), confidence = sup(AB)/sup(A), lift = conf/(sup(B)/N) —
+    the market-basket view of q114's symmetric co-occurrence support.
+
+    All ratios are integer-scaled (ppm / milli) with integer division, so
+    both engines agree bit-for-bit.  Grain after the first aggregation is
+    (user × distinct types), then |types|² rule rows — tiny; the only
+    corpus-scale shuffle is the distinct on (user, type).
+    """
+    baskets = events.select("user_id", "event_type").distinct()
+    n_users = baskets.select("user_id").distinct().agg(
+        F.count(F.lit(1)).alias("n_users")
+    )
+    item_sup = baskets.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("sup")
+    )
+    a = baskets.alias("a")
+    b = baskets.alias("b")
+    pair_sup = (
+        a.join(b, "user_id")
+        .filter(F.col("a.event_type") != F.col("b.event_type"))
+        .groupBy(
+            F.col("a.event_type").alias("antecedent"),
+            F.col("b.event_type").alias("consequent"),
+        )
+        .agg(F.count(F.lit(1)).alias("sup_ab"))
+        .filter(F.col("sup_ab") >= min_support)
+    )
+    sa = item_sup.select(
+        F.col("event_type").alias("antecedent"), F.col("sup").alias("sup_a")
+    )
+    sb = item_sup.select(
+        F.col("event_type").alias("consequent"), F.col("sup").alias("sup_b")
+    )
+    return (
+        pair_sup.join(F.broadcast(sa), "antecedent")
+        .join(F.broadcast(sb), "consequent")
+        .crossJoin(F.broadcast(n_users))
+        .select(
+            "antecedent",
+            "consequent",
+            F.col("sup_ab").cast("bigint").alias("sup_ab"),
+            F.expr("(sup_ab * 1000000) div sup_a")
+            .cast("bigint")
+            .alias("confidence_ppm"),
+            F.expr("(sup_ab * n_users * 1000) div (sup_a * sup_b)")
+            .cast("bigint")
+            .alias("lift_milli"),
+        )
+    )
+
+
+def decayed_engagement(events: DataFrame, k: int = 15) -> DataFrame:
+    """Time-decayed per-user engagement: sum of value·2^(−age_days) with
+    age measured from the corpus max timestamp, exponent capped at 20 —
+    the recency-weighted activity score behind retention dashboards.
+
+    Dyadic decay keeps the math exact-integer (micros div 2^age); the
+    corpus max is a 1-row broadcast.  Scan + one user-grain agg +
+    TakeOrdered top-k."""
+    mx = events.agg(F.max(F.unix_timestamp("ts")).alias("max_s"))
+    scored = events.crossJoin(F.broadcast(mx)).select(
+        "user_id",
+        F.expr(
+            "cast(round(value * 1000000) as bigint) div "
+            "cast(pow(2, least((max_s - unix_timestamp(ts)) div 86400, 20)) as bigint)"
+        ).alias("decayed_micros"),
+    )
+    return (
+        scored.groupBy("user_id")
+        .agg(F.sum("decayed_micros").cast("bigint").alias("engagement_micros"))
+        .orderBy(F.desc("engagement_micros"), F.asc("user_id"))
+        .limit(k)
+    )

@@ -1,0 +1,197 @@
+"""Distributed graph operators over DataFrame edge relations.
+
+The reference's near-dup clustering already required one graph algorithm
+(connected components, ``dedup.connected_components``); this module adds the
+two other graph primitives a corpus/curation pipeline reaches for:
+
+- ``pagerank`` — importance scores over a directed edge relation (link-graph
+  weighting of web-crawl sources, citation-style doc ranking).  Fixed
+  iteration count, exact integer arithmetic (rank carried in nano units,
+  contributions via integer division) so Spark and any ANSI-SQL oracle
+  compute bit-identical ranks regardless of partitioning or summation order.
+- ``triangle_count`` — global triangle/wedge census and clustering
+  coefficient via the degree-oriented node-iterator join (each edge is
+  directed from its lower-degree endpoint, which bounds the path-join fanout
+  by O(m^1.5) total instead of sum(deg^2) on hubs — the standard
+  MapReduce/GraphX construction).
+
+Scale notes (100 TB): pagerank is |iters| rounds of (edge ⨝ rank) + one
+aggregation per round — both shuffles are on the node key and AQE handles
+skewed in-degree; no driver-side state beyond the loop counter.  The
+triangle join's worst case is governed by the degree orientation: every
+wedge is generated exactly once at its lowest-degree apex.
+
+Reference parity: generalizes the membership/refcount joins of
+``impl/Manifest.java:407-484`` (J4/J5) from bipartite file↔backup incidence
+to arbitrary graphs, the same way dedup.connected_components generalized
+cross-backup identity.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+RANK_ONE = 1_000_000_000  # 1.0 in nano units
+
+
+def coorder_edges(lineitem: DataFrame, directed: bool = True) -> DataFrame:
+    """Part co-purchase edge relation: (src, dst) part keys that appear in
+    the same order, deduplicated.  ``directed=True`` emits both directions
+    (the symmetric digraph pagerank runs on); ``directed=False`` emits each
+    undirected edge once as src < dst (triangle input).
+
+    One self-join on the order key; per-order fanout is bounded by order
+    size (≤7 lineitems in TPC-H-shaped data), so the pair explode scales
+    linearly with orders.
+    """
+    sides = lineitem.select(
+        F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pk")
+    ).dropDuplicates(["ok", "pk"])
+    a = sides.alias("a")
+    b = sides.alias("b")
+    cond = (F.col("a.ok") == F.col("b.ok")) & (
+        (F.col("a.pk") < F.col("b.pk"))
+        if not directed
+        else (F.col("a.pk") != F.col("b.pk"))
+    )
+    return (
+        a.join(b, cond)
+        .select(F.col("a.pk").alias("src"), F.col("b.pk").alias("dst"))
+        .dropDuplicates(["src", "dst"])
+    )
+
+
+def pagerank(
+    edges: DataFrame, iterations: int = 3, damping_pct: int = 85
+) -> DataFrame:
+    """Integer-exact PageRank over a directed ``(src, dst)`` edge relation.
+
+    Every node starts at rank 1.0 (1e9 nanos); each round every node sends
+    ``rank div out_degree`` nanos along each out-edge and is reset to
+    ``(100-d) + d * inflow`` (integer div by 100).  Dangling nodes don't
+    occur for symmetric edge relations (every node listed as src has
+    out-degree ≥ 1); nodes never appearing as src are excluded by
+    construction, matching the unrolled-CTE oracle.
+
+    Returns ``(node, rank_nano, out_deg)``.  All arithmetic is integer, so
+    the result is independent of partitioning, join order, and summation
+    order — hash-comparable across engines.
+    """
+    deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("out_deg"))
+    nodes = deg.select(F.col("src").alias("node"), "out_deg")
+    ranks = nodes.withColumn("rank_nano", F.lit(RANK_ONE).cast("bigint"))
+    base = (100 - damping_pct) * RANK_ONE
+    for _ in range(iterations):
+        contrib = (
+            edges.join(
+                ranks.select(
+                    F.col("node").alias("src"), "rank_nano", "out_deg"
+                ),
+                "src",
+            )
+            .select(
+                F.col("dst").alias("node"),
+                F.expr("rank_nano div out_deg").alias("c"),
+            )
+            .groupBy("node")
+            .agg(F.sum("c").alias("inflow"))
+        )
+        ranks = (
+            nodes.join(contrib, "node", "left")
+            .select(
+                "node",
+                "out_deg",
+                F.expr(
+                    f"({base} + {damping_pct} * coalesce(inflow, 0)) div 100"
+                )
+                .cast("bigint")
+                .alias("rank_nano"),
+            )
+        )
+    return ranks.select("node", "rank_nano", "out_deg")
+
+
+def pagerank_topk(
+    edges: DataFrame, k: int = 20, iterations: int = 3, damping_pct: int = 85
+) -> DataFrame:
+    """Top-k nodes by PageRank, node key as the deterministic tiebreak.
+    TakeOrderedAndProject — no global sort materialization."""
+    r = pagerank(edges, iterations=iterations, damping_pct=damping_pct)
+    return r.orderBy(F.desc("rank_nano"), F.asc("node")).limit(k)
+
+
+def triangle_count(edges_undirected: DataFrame) -> DataFrame:
+    """Global triangle census over an undirected ``(src, dst)`` edge
+    relation (each edge once, src < dst).
+
+    Degree-oriented node-iterator: orient every edge from its lower-degree
+    endpoint (ties broken by node id), then join wedges ``u→v, u→w`` with
+    the oriented edge ``v→w``.  Each triangle is produced exactly once (at
+    its minimum-degree vertex), and per-node wedge fanout is bounded by the
+    oriented out-degree, which is O(sqrt(m)) — the hub-proof construction.
+
+    Returns one row: ``(n_nodes, n_edges, n_wedges, n_triangles,
+    global_clustering_ppm)`` where clustering = 3·triangles/wedges (wedges
+    counted on the UNDIRECTED degree: sum over v of deg·(deg−1)/2).
+    """
+    sym = edges_undirected.select("src", "dst").union(
+        edges_undirected.select(
+            F.col("dst").alias("src"), F.col("src").alias("dst")
+        )
+    )
+    deg = sym.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+
+    # orient: keep (u, v) iff (deg(u), u) < (deg(v), v)
+    du = deg.select(F.col("src").alias("u"), F.col("deg").alias("du"))
+    dv = deg.select(F.col("src").alias("v"), F.col("deg").alias("dv"))
+    oriented = (
+        edges_undirected.select(
+            F.col("src").alias("u"), F.col("dst").alias("v")
+        )
+        .join(du, "u")
+        .join(dv, "v")
+        .select(
+            F.when(
+                (F.col("du") < F.col("dv"))
+                | ((F.col("du") == F.col("dv")) & (F.col("u") < F.col("v"))),
+                F.struct(F.col("u").alias("a"), F.col("v").alias("b")),
+            )
+            .otherwise(
+                F.struct(F.col("v").alias("a"), F.col("u").alias("b"))
+            )
+            .alias("e")
+        )
+        .select(F.col("e.a").alias("lo"), F.col("e.b").alias("hi"))
+    )
+
+    w1 = oriented.select(F.col("lo").alias("apex"), F.col("hi").alias("v"))
+    w2 = oriented.select(F.col("lo").alias("apex"), F.col("hi").alias("w"))
+    wedge = w1.join(w2, "apex").filter(F.col("v") < F.col("w"))
+    # close the wedge against the undirected edge set (canonical src < dst —
+    # exactly the wedge's (v, w) ordering); each triangle closes exactly once
+    # because its apex is uniquely the minimum-(deg, id) vertex.
+    closing = edges_undirected.select(
+        F.col("src").alias("v"), F.col("dst").alias("w")
+    )
+    tri = wedge.join(closing, ["v", "w"]).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_triangles")
+    )
+
+    stats = (
+        deg.agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_nodes"),
+            (F.sum("deg") / 2).cast("bigint").alias("n_edges"),
+            F.sum(F.expr("deg * (deg - 1) div 2"))
+            .cast("bigint")
+            .alias("n_wedges"),
+        )
+    )
+    return stats.crossJoin(tri).select(
+        "n_nodes",
+        "n_edges",
+        "n_wedges",
+        "n_triangles",
+        F.expr("(3 * n_triangles * 1000000) div n_wedges")
+        .cast("bigint")
+        .alias("global_clustering_ppm"),
+    )

@@ -583,3 +583,72 @@ def token_budget_waterfill(
         F.col("sat").alias("saturated"),
         alloc.cast("bigint").alias("allocated_tokens"),
     )
+
+
+def epoch_allocation(
+    documents: DataFrame,
+    budget_num: int = 3,
+    budget_den: int = 1,
+    max_epochs: int = 4,
+    strata_col: str = "source",
+    text_col: str = "text",
+) -> DataFrame:
+    """Data-constrained epoch allocation (the Muennighoff-style repetition
+    planner): given a token budget ``B = total_unique * budget_num //
+    budget_den`` that may EXCEED the unique corpus, split it uniformly
+    across sources, cap each source at ``max_epochs`` passes over its
+    unique tokens, and redistribute the capped leftover to the remaining
+    sources in proportion to their remaining capacity (one exact round).
+
+    This is the complement of q145's water-fill: water-fill rations a
+    budget SMALLER than the corpus; this plans repetition when the budget
+    is LARGER — the "4-epoch cap" rule from data-constrained scaling.
+
+    Exactness: all integer on the |strata| grain; DECIMAL(38,0) products
+    where budget × capacity can exceed int64. The single redistribution
+    round under-allocates by at most |strata| tokens (integer-division
+    remainders) and never over-allocates — documented, deterministic.
+
+    Returns ``(stratum, unique_tokens, cap_tokens, allocated_tokens,
+    epochs_milli, capped)``.
+    """
+    tok = F.size(F.split(F.col(text_col), " ")).cast("bigint")
+    uniq = documents.groupBy(F.col(strata_col).alias("stratum")).agg(
+        F.sum(tok).alias("uniq")
+    )
+    d38 = "decimal(38,0)"
+    w_all = Window.partitionBy()
+    g = (
+        uniq.withColumn("cap", F.col("uniq") * max_epochs)
+        .withColumn("total_uniq", F.sum("uniq").over(w_all))
+        .withColumn("n_strata", F.count(F.lit(1)).over(w_all))
+        .withColumn(
+            "budget",
+            F.expr(f"(total_uniq * {budget_num}) div {budget_den}").cast(
+                "bigint"
+            ),
+        )
+        .withColumn("desired", F.expr("budget div n_strata"))
+        .withColumn("alloc1", F.least("desired", "cap"))
+        .withColumn("leftover", F.col("budget") - F.sum("alloc1").over(w_all))
+        .withColumn("rem_cap", F.col("cap") - F.col("alloc1"))
+        .withColumn("total_rem", F.sum("rem_cap").over(w_all))
+    )
+    alloc2 = F.when(F.col("total_rem") <= 0, F.lit(0)).otherwise(
+        F.least(
+            F.col("rem_cap"),
+            F.expr(
+                "(CAST(leftover AS DECIMAL(38,0))"
+                " * CAST(rem_cap AS DECIMAL(38,0))) div total_rem"
+            ).cast("bigint"),
+        )
+    )
+    out = g.withColumn("alloc", F.col("alloc1") + alloc2)
+    return out.select(
+        "stratum",
+        F.col("uniq").cast("bigint").alias("unique_tokens"),
+        F.col("cap").cast("bigint").alias("cap_tokens"),
+        F.col("alloc").cast("bigint").alias("allocated_tokens"),
+        F.expr("(alloc * 1000) div uniq").cast("bigint").alias("epochs_milli"),
+        (F.col("alloc") >= F.col("cap")).alias("capped"),
+    )

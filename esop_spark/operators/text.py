@@ -2568,3 +2568,242 @@ def blocklist_scan(
         F.coalesce(first_pos, F.lit(0)).cast("bigint").alias("first_hit_pos"),
         (F.size(hits) > 0).alias("flagged"),
     )
+
+
+def readability_report(
+    documents: DataFrame,
+    source_col: str = "source",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-source Flesch reading-ease census: words/sentence, syllable
+    proxy (vowel runs), and the FRE score in exact integer millis —
+    `206.835 − 1.015·(words/sent) − 84.6·(syll/words)` with every ratio an
+    integer division.  Bands: easy ≥ 90, standard 60–90, hard < 60.
+
+    Scan-shaped: the score is a pure projection (split + regexp count);
+    one aggregation to the source grain.  The syllable proxy is the
+    standard vowel-group count — deterministic and tokenizer-free.
+    """
+    words = F.size(F.split(F.col(text_col), " "))
+    sents = F.greatest(
+        F.lit(1), F.size(F.split(F.col(text_col), "[.!?]")) - 1
+    )
+    syll = F.greatest(
+        F.lit(1),
+        F.size(F.expr(f"regexp_extract_all({text_col}, '[aeiouAEIOU]+', 0)")),
+    )
+    scored = documents.select(
+        F.col(source_col).alias("source"),
+        words.alias("w"),
+        sents.alias("s"),
+        syll.alias("y"),
+    ).select(
+        "source",
+        (
+            F.lit(206835)
+            - F.expr("(1015 * w) div s")
+            - F.expr("(84600 * y) div w")
+        ).alias("fre_milli"),
+    )
+    return scored.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.expr("sum(fre_milli) div count(1)")
+        .cast("bigint")
+        .alias("mean_fre_milli"),
+        F.sum((F.col("fre_milli") >= 90000).cast("bigint"))
+        .cast("bigint")
+        .alias("n_easy"),
+        F.sum(
+            (
+                (F.col("fre_milli") >= 60000) & (F.col("fre_milli") < 90000)
+            ).cast("bigint")
+        )
+        .cast("bigint")
+        .alias("n_standard"),
+        F.sum((F.col("fre_milli") < 60000).cast("bigint"))
+        .cast("bigint")
+        .alias("n_hard"),
+    )
+
+
+def winsorize_scores(
+    documents: DataFrame,
+    lo_ppm: int = 50_000,
+    hi_ppm: int = 950_000,
+    source_col: str = "source",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-source winsorization audit: clamp quality scores at the source's
+    p05/p95 and report the mean shift — the outlier-robust calibration step
+    before score-weighted sampling.
+
+    Percentile bounds use the q158 histogram rule on the BOUNDED score
+    grain (≤101 cells per source): the bound is the smallest score whose
+    cumulative count reaches ceil(n·q) — all-integer, partition-invariant.
+    One doc-grain aggregation to cells; windows only on the tiny grain.
+    """
+    scored = documents.select(
+        F.col(source_col).alias("source"),
+        quality_score_col(text_col).alias("score"),
+    )
+    cells = scored.groupBy("source", "score").agg(
+        F.count(F.lit(1)).alias("n_at")
+    )
+    w_cum = (
+        Window.partitionBy("source")
+        .orderBy("score")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    cum = cells.withColumn("cum", F.sum("n_at").over(w_cum)).withColumn(
+        "n_src", F.sum("n_at").over(Window.partitionBy("source"))
+    )
+    bounds = cum.groupBy("source").agg(
+        F.min(
+            F.when(
+                F.col("cum")
+                >= F.expr(f"(n_src * {lo_ppm} + 999999) div 1000000"),
+                F.col("score"),
+            )
+        ).alias("lo_score"),
+        F.min(
+            F.when(
+                F.col("cum")
+                >= F.expr(f"(n_src * {hi_ppm} + 999999) div 1000000"),
+                F.col("score"),
+            )
+        ).alias("hi_score"),
+    )
+    clamped = scored.join(F.broadcast(bounds), "source").select(
+        "source",
+        "score",
+        F.greatest("lo_score", F.least("hi_score", F.col("score"))).alias(
+            "wscore"
+        ),
+        "lo_score",
+        "hi_score",
+    )
+    return clamped.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.first("lo_score").cast("bigint").alias("lo_score"),
+        F.first("hi_score").cast("bigint").alias("hi_score"),
+        F.expr("(sum(score) * 1000) div count(1)")
+        .cast("bigint")
+        .alias("mean_before_milli"),
+        F.expr("(sum(wscore) * 1000) div count(1)")
+        .cast("bigint")
+        .alias("mean_after_milli"),
+        F.sum((F.col("score") != F.col("wscore")).cast("bigint"))
+        .cast("bigint")
+        .alias("n_clamped"),
+    )
+
+
+def diversity_indices(
+    documents: DataFrame,
+    source_col: str = "source",
+    class_col: str = "lang",
+) -> DataFrame:
+    """Per-source class-diversity indices over ``class_col`` (language by
+    default): richness (distinct classes), Gini–Simpson 1 − Σ(cᵢ/n)² and
+    Berger–Parker max(cᵢ)/n, both in exact integer ppm — the corpus-mix
+    health metrics next to q77's KL drift.
+
+    Two tiny aggregations: doc grain → (source, class) cells → source
+    grain.  No windows, no floats."""
+    cells = documents.groupBy(
+        F.col(source_col).alias("source"), F.col(class_col).alias("cls")
+    ).agg(F.count(F.lit(1)).alias("c"))
+    return cells.groupBy("source").agg(
+        F.sum("c").cast("bigint").alias("n_docs"),
+        F.count(F.lit(1)).cast("bigint").alias("richness"),
+        F.expr(
+            "1000000 - (sum(c * c) * 1000000) div (sum(c) * sum(c))"
+        )
+        .cast("bigint")
+        .alias("gini_simpson_ppm"),
+        F.expr("(max(c) * 1000000) div sum(c)")
+        .cast("bigint")
+        .alias("berger_parker_ppm"),
+    )
+
+
+def pareto_frontier(
+    documents: DataFrame,
+    text_col: str = "text",
+    len_col: str = "n_chars",
+) -> DataFrame:
+    """Quality-vs-length Pareto frontier at the score grain: for each
+    quality score, the maximum document length, kept only where it strictly
+    exceeds every higher score's maximum — the 2-D skyline of "no doc is
+    both higher-quality and longer".
+
+    Scale-safe skyline: the running max runs over the BOUNDED score grain
+    (≤101 rows ordered by score desc), never over documents — the q72
+    bounded-grain trick applied to dominance.  Returns
+    ``(score, frontier_len, n_docs_at_point)``."""
+    scored = documents.select(
+        quality_score_col(text_col).alias("score"),
+        F.col(len_col).alias("len"),
+    )
+    cells = scored.groupBy("score").agg(F.max("len").alias("max_len"))
+    w_above = (
+        Window.orderBy(F.desc("score"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    frontier = (
+        cells.withColumn(
+            "best_above", F.coalesce(F.max("max_len").over(w_above), F.lit(-1))
+        )
+        .filter(F.col("max_len") > F.col("best_above"))
+        .select("score", F.col("max_len").alias("frontier_len"))
+    )
+    counts = scored.groupBy("score", "len").agg(
+        F.count(F.lit(1)).alias("n_docs_at_point")
+    )
+    return (
+        frontier.join(
+            counts,
+            (frontier["score"] == counts["score"])
+            & (frontier["frontier_len"] == counts["len"]),
+        )
+        .select(
+            frontier["score"].cast("bigint").alias("score"),
+            F.col("frontier_len").cast("bigint").alias("frontier_len"),
+            F.col("n_docs_at_point").cast("bigint").alias("n_docs_at_point"),
+        )
+    )
+
+
+def normalization_audit(
+    documents: DataFrame,
+    source_col: str = "source",
+    text_col: str = "text",
+) -> DataFrame:
+    """Text-normalization impact audit: lowercase + whitespace-collapse +
+    trim, reporting per source how many documents change and how many
+    characters normalization removes — the pre-dedup canonicalization
+    census (exact dedup keyed on raw text under-merges when sources differ
+    only in casing/spacing).
+
+    Pure scan projection (lower/regexp_replace/trim) + one source-grain
+    aggregation; zero joins."""
+    norm = F.trim(
+        F.regexp_replace(F.lower(F.col(text_col)), "  +", " ")
+    )
+    audited = documents.select(
+        F.col(source_col).alias("source"),
+        (norm != F.col(text_col)).alias("changed"),
+        (F.length(F.col(text_col)) - F.length(norm)).alias("delta"),
+    )
+    return audited.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum(F.col("changed").cast("bigint"))
+        .cast("bigint")
+        .alias("n_changed"),
+        F.expr(
+            "(sum(cast(changed as bigint)) * 1000000) div count(1)"
+        )
+        .cast("bigint")
+        .alias("changed_ppm"),
+        F.sum("delta").cast("bigint").alias("chars_removed"),
+    )
