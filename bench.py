@@ -136,6 +136,14 @@ BENCH_QUERIES = [
     "q154_surprisal_spans",
     "q155_table_profile",
     "q156_join_cardinality",
+    "q159_pagerank",
+    "q160_ewma_anomaly",
+    "q161_association_rules",
+    "q162_readability",
+    "q163_winsorize",
+    "q165_pareto_frontier",
+    "q166_triangles",
+    "q169_decayed_engagement",
 ]
 
 
