@@ -1718,6 +1718,82 @@ def q169_decayed_engagement(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+PATH_TOPK = 20
+
+
+def q170_path_trigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-k 3-step event sequences (analytics.path_trigrams): lead-chain
+    triples per user, counted corpus-wide — the sequential-pattern view
+    next to q99's pair transitions."""
+    return analytics.path_trigrams(_base(spark, sf_dir, "events"), k=PATH_TOPK)
+
+
+GAP_MIN = 5
+GAP_MAX_CV2 = 250_000
+
+
+def q171_gap_regularity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Metronome-bot detector (analytics.gap_regularity): squared gap-CV in
+    exact integer micros via the co-moment identity — flags users with
+    suspiciously regular inter-event timing."""
+    return analytics.gap_regularity(
+        _base(spark, sf_dir, "events"),
+        min_gaps=GAP_MIN,
+        max_cv2_micro=GAP_MAX_CV2,
+    )
+
+
+KW_TOPK = 3
+
+
+def q172_doc_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc keyword extraction (text_ops.doc_keywords): top-3 TF-IDF
+    terms with integer-nano idf; the rank window partitions by document."""
+    return text_ops.doc_keywords(_base(spark, sf_dir, "documents"), top_k=KW_TOPK)
+
+
+def q173_chi2_independence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Source × quality-band chi-square (text_ops.chi2_independence):
+    exact integer chi²·1000 via the cross-multiplied identity on a dense
+    grid — the 'is quality independent of source' release check."""
+    return text_ops.chi2_independence(_base(spark, sf_dir, "documents"))
+
+
+MMR_QUERY_ID = 0
+MMR_K = 3
+MMR_POOL = 20
+MMR_LAM_PCT = 70
+
+
+def q174_mmr_diversify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximal-marginal-relevance selection (similarity.mmr_select):
+    diversity-aware top-k — one broadcast-query corpus scan builds the
+    pool; the greedy loop runs on the pool-row relation with 6-dp rounded
+    scores and id tiebreaks (deterministic, engine-portable)."""
+    return similarity.mmr_select(
+        _base(spark, sf_dir, "embeddings"),
+        query_id=MMR_QUERY_ID,
+        k=MMR_K,
+        pool=MMR_POOL,
+        lam_pct=MMR_LAM_PCT,
+    )
+
+
+SLQ_BINS = 64
+
+
+def q175_source_length_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source p50/p90 token length
+    (analytics.stratified_histogram_quantiles): q147's all-integer
+    histogram machinery keyed by stratum — per-source min/max broadcast,
+    bins on the (source × ≤64) grain."""
+    n_tok = F.size(F.split(F.col("text"), " "))
+    return analytics.stratified_histogram_quantiles(
+        _base(spark, sf_dir, "documents"), n_tok, strata_col="source",
+        bins=SLQ_BINS,
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001: the backup-listing report."""
     return q01_list_backups(spark, "/root/testdata/sf0.001")
@@ -1894,6 +1970,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q167_epoch_allocation": q167_epoch_allocation,
         "q168_normalization_audit": q168_normalization_audit,
         "q169_decayed_engagement": q169_decayed_engagement,
+        "q170_path_trigrams": q170_path_trigrams,
+        "q171_gap_regularity": q171_gap_regularity,
+        "q172_doc_keywords": q172_doc_keywords,
+        "q173_chi2_independence": q173_chi2_independence,
+        "q174_mmr_diversify": q174_mmr_diversify,
+        "q175_source_length_quantiles": q175_source_length_quantiles,
     }
 
 
@@ -6361,5 +6443,207 @@ def oracle_sql() -> dict[str, str]:
                    CAST(SUM(dm) AS BIGINT) AS engagement_micros
             FROM s GROUP BY 1
             ORDER BY 2 DESC, 1 LIMIT {ENGAGE_TOPK}
+        """,
+        "q170_path_trigrams": f"""
+            WITH s AS (
+                SELECT user_id, event_type AS step1,
+                       LEAD(event_type, 1) OVER u AS step2,
+                       LEAD(event_type, 2) OVER u AS step3
+                FROM events
+                WINDOW u AS (PARTITION BY user_id ORDER BY ts, event_id)
+            )
+            SELECT step1, step2, step3,
+                   CAST(COUNT(*) AS BIGINT) AS n_paths
+            FROM s WHERE step3 IS NOT NULL
+            GROUP BY 1, 2, 3
+            ORDER BY n_paths DESC, step1, step2, step3 LIMIT {PATH_TOPK}
+        """,
+        "q171_gap_regularity": f"""
+            WITH g AS (
+                SELECT user_id,
+                       CAST(epoch(ts) AS BIGINT)
+                       - LAG(CAST(epoch(ts) AS BIGINT), 1) OVER
+                         (PARTITION BY user_id ORDER BY ts, event_id) AS g
+                FROM events
+            ),
+            s AS (
+                SELECT user_id, COUNT(*) AS n_gaps, SUM(g) AS sg,
+                       SUM(g * g) AS sg2
+                FROM g WHERE g IS NOT NULL GROUP BY 1
+            )
+            SELECT user_id,
+                   CAST(n_gaps AS BIGINT) AS n_gaps,
+                   CAST(sg // n_gaps AS BIGINT) AS mean_gap_s,
+                   CAST(((n_gaps * sg2 - sg * sg) * 1000000) // (sg * sg)
+                        AS BIGINT) AS cv2_micro
+            FROM s
+            WHERE n_gaps >= {GAP_MIN} AND sg > 0
+              AND ((n_gaps * sg2 - sg * sg) * 1000000) // (sg * sg)
+                  <= {GAP_MAX_CV2}
+        """,
+        "q172_doc_keywords": f"""
+            WITH toks AS (
+                SELECT doc_id, unnest(string_split(text, ' ')) AS term
+                FROM documents
+            ),
+            tf AS (
+                SELECT doc_id, term, COUNT(*) AS tf FROM toks GROUP BY 1, 2
+            ),
+            nd AS (
+                SELECT CAST(COUNT(*) AS DOUBLE) AS n_docs FROM documents
+            ),
+            idf AS (
+                SELECT term,
+                       CAST(ROUND(ln(nd.n_docs / COUNT(*)) * 1e9) AS BIGINT)
+                           AS idf_nano
+                FROM tf, nd GROUP BY term, nd.n_docs
+            ),
+            sc AS (
+                SELECT tf.doc_id, tf.term,
+                       tf.tf * idf.idf_nano AS score_nano
+                FROM tf JOIN idf USING (term)
+            ),
+            r AS (
+                SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id
+                           ORDER BY score_nano DESC, term) AS rank
+                FROM sc
+            )
+            SELECT doc_id, CAST(rank AS BIGINT) AS rank, term,
+                   CAST(score_nano AS BIGINT) AS score_nano
+            FROM r WHERE rank <= {KW_TOPK}
+        """,
+        "q173_chi2_independence": f"""
+            WITH {_SCORE_T_CTE},
+            b AS (
+                SELECT source,
+                       CASE WHEN score < 34 THEN 'low'
+                            WHEN score < 67 THEN 'mid'
+                            ELSE 'high' END AS band
+                FROM t
+            ),
+            cells AS (
+                SELECT source, band, COUNT(*) AS o FROM b GROUP BY 1, 2
+            ),
+            grid AS (
+                SELECT s.source, v.band
+                FROM (SELECT DISTINCT source FROM cells) s
+                CROSS JOIN (VALUES ('low'), ('mid'), ('high')) v(band)
+            ),
+            dense AS (
+                SELECT g.source, g.band, COALESCE(c.o, 0) AS o
+                FROM grid g LEFT JOIN cells c USING (source, band)
+            ),
+            m AS (
+                SELECT *,
+                       SUM(o) OVER () AS n,
+                       SUM(o) OVER (PARTITION BY source) AS r,
+                       SUM(o) OVER (PARTITION BY band) AS c
+                FROM dense
+            ),
+            x AS (
+                SELECT *,
+                       CASE WHEN r = 0 OR c = 0 THEN 0 ELSE
+                           (CAST(n AS HUGEINT) * o - CAST(r AS HUGEINT) * c)
+                         * (CAST(n AS HUGEINT) * o - CAST(r AS HUGEINT) * c)
+                         * 1000 // (CAST(n AS HUGEINT) * r * c) END
+                           AS cell_milli
+                FROM m
+            )
+            SELECT CAST(SUM(cell_milli) AS BIGINT) AS chi2_milli,
+                   CAST((COUNT(DISTINCT source) - 1)
+                        * (COUNT(DISTINCT band) - 1) AS BIGINT) AS dof,
+                   CAST(ANY_VALUE(n) AS BIGINT) AS n_rows
+            FROM x
+        """,
+        "q174_mmr_diversify": f"""
+            WITH e AS (
+                SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+                FROM embeddings
+            ),
+            q AS (SELECT v FROM e WHERE vec_id = {MMR_QUERY_ID}),
+            cand AS (
+                SELECT e.vec_id, e.v,
+                       ROUND(list_cosine_similarity(e.v, q.v), 6) AS rel
+                FROM e, q WHERE e.vec_id <> {MMR_QUERY_ID}
+                ORDER BY rel DESC, e.vec_id LIMIT {MMR_POOL}
+            ),
+            s1 AS (
+                SELECT vec_id, v, rel, ROUND(0.7 * rel, 6) AS score
+                FROM cand ORDER BY ROUND(0.7 * rel, 6) DESC, vec_id LIMIT 1
+            ),
+            m2 AS (
+                SELECT c.vec_id, c.v, c.rel,
+                       ROUND(0.7 * c.rel - 0.3 * (
+                           SELECT MAX(ROUND(
+                               list_cosine_similarity(c.v, s.v), 6))
+                           FROM s1 s), 6) AS score
+                FROM cand c
+                WHERE c.vec_id NOT IN (SELECT vec_id FROM s1)
+            ),
+            s2 AS (SELECT * FROM m2 ORDER BY score DESC, vec_id LIMIT 1),
+            sel2 AS (
+                SELECT vec_id, v FROM s1 UNION ALL SELECT vec_id, v FROM s2
+            ),
+            m3 AS (
+                SELECT c.vec_id, c.v, c.rel,
+                       ROUND(0.7 * c.rel - 0.3 * (
+                           SELECT MAX(ROUND(
+                               list_cosine_similarity(c.v, s.v), 6))
+                           FROM sel2 s), 6) AS score
+                FROM cand c
+                WHERE c.vec_id NOT IN (SELECT vec_id FROM sel2)
+            ),
+            s3 AS (SELECT * FROM m3 ORDER BY score DESC, vec_id LIMIT 1)
+            SELECT CAST(1 AS BIGINT) AS rank, CAST(vec_id AS BIGINT)
+                       AS vec_id, rel AS relevance, score AS mmr_score
+            FROM s1
+            UNION ALL
+            SELECT CAST(2 AS BIGINT), CAST(vec_id AS BIGINT), rel, score
+            FROM s2
+            UNION ALL
+            SELECT CAST(3 AS BIGINT), CAST(vec_id AS BIGINT), rel, score
+            FROM s3
+        """,
+        "q175_source_length_quantiles": f"""
+            WITH v AS (
+                SELECT source AS stratum,
+                       CAST(len(string_split(text, ' ')) AS BIGINT) AS v
+                FROM documents
+            ),
+            mm AS (
+                SELECT stratum, MIN(v) AS lo, MAX(v) AS hi,
+                       COUNT(*) AS n
+                FROM v GROUP BY 1
+            ),
+            b AS (
+                SELECT v.stratum,
+                       (v.v - mm.lo) // ((mm.hi - mm.lo) // {SLQ_BINS} + 1)
+                           AS bin,
+                       (mm.hi - mm.lo) // {SLQ_BINS} + 1 AS w,
+                       mm.lo AS lo, mm.n AS n
+                FROM v JOIN mm USING (stratum)
+            ),
+            h AS (
+                SELECT stratum, bin, COUNT(*) AS cnt, ANY_VALUE(lo) AS lo,
+                       ANY_VALUE(w) AS w, ANY_VALUE(n) AS n
+                FROM b GROUP BY 1, 2
+            ),
+            c AS (
+                SELECT *, SUM(cnt) OVER (PARTITION BY stratum ORDER BY bin
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+                FROM h
+            ),
+            q(q_ppm) AS (VALUES (500000), (900000)),
+            m AS (
+                SELECT c.stratum, q.q_ppm, c.bin, c.lo, c.w, c.n, c.cum,
+                       (c.n * q.q_ppm + 999999) // 1000000 AS thr
+                FROM c, q
+            )
+            SELECT stratum, CAST(q_ppm AS BIGINT) AS q_ppm,
+                   CAST(ANY_VALUE(lo) + MIN(bin) * ANY_VALUE(w) AS BIGINT)
+                       AS approx_value,
+                   CAST(ANY_VALUE(w) AS BIGINT) AS error_bound,
+                   CAST(ANY_VALUE(n) AS BIGINT) AS n_rows
+            FROM m WHERE cum >= thr GROUP BY stratum, q_ppm
         """,
     }

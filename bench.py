@@ -144,6 +144,12 @@ BENCH_QUERIES = [
     "q165_pareto_frontier",
     "q166_triangles",
     "q169_decayed_engagement",
+    "q170_path_trigrams",
+    "q171_gap_regularity",
+    "q172_doc_keywords",
+    "q173_chi2_independence",
+    "q174_mmr_diversify",
+    "q175_source_length_quantiles",
 ]
 
 

@@ -1290,3 +1290,129 @@ def decayed_engagement(events: DataFrame, k: int = 15) -> DataFrame:
         .orderBy(F.desc("engagement_micros"), F.asc("user_id"))
         .limit(k)
     )
+
+
+def path_trigrams(events: DataFrame, k: int = 20) -> DataFrame:
+    """Top-k frequent 3-step event-type sequences: per user, consecutive
+    (t, t+1, t+2) event-type triples via a lead chain, counted corpus-wide
+    — the sequential-pattern extension of q99's pair transitions.
+
+    One user-window shuffle (the lead chain is a single projection inside
+    it), one map-side-combined aggregation to the |types|³ grain, then a
+    TakeOrderedAndProject — nothing corpus-sized is sorted."""
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    tri = events.select(
+        F.col("event_type").alias("step1"),
+        F.lead("event_type", 1).over(w).alias("step2"),
+        F.lead("event_type", 2).over(w).alias("step3"),
+    ).filter(F.col("step3").isNotNull())
+    return (
+        tri.groupBy("step1", "step2", "step3")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_paths"))
+        .orderBy(
+            F.desc("n_paths"), F.asc("step1"), F.asc("step2"), F.asc("step3")
+        )
+        .limit(k)
+    )
+
+
+def gap_regularity(
+    events: DataFrame, min_gaps: int = 5, max_cv2_micro: int = 250_000
+) -> DataFrame:
+    """Bot-likeness via inter-event regularity: users whose event-gap
+    coefficient of variation is suspiciously LOW (metronome-like traffic).
+
+    Works on the SQUARED CV so everything stays integer-exact:
+    cv² = var/mean² = (n·Σg² − (Σg)²) / (Σg)², reported in micros.  Gaps in
+    whole seconds; the co-moment identity avoids any per-user mean pass
+    (same construction as q117's exact correlation).  One user-window lag +
+    one user-grain aggregation."""
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    ts_s = F.unix_timestamp("ts")
+    gaps = events.select(
+        "user_id", (ts_s - F.lag(ts_s, 1).over(w)).alias("g")
+    ).filter(F.col("g").isNotNull())
+    stats = gaps.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_gaps"),
+        F.sum("g").alias("sg"),
+        F.sum(F.col("g") * F.col("g")).alias("sg2"),
+    )
+    return (
+        stats.filter((F.col("n_gaps") >= min_gaps) & (F.col("sg") > 0))
+        .select(
+            "user_id",
+            F.col("n_gaps").cast("bigint").alias("n_gaps"),
+            F.expr("sg div n_gaps").cast("bigint").alias("mean_gap_s"),
+            # gap sums of long-lived users push (n·Σg² − (Σg)²)·1e6 past
+            # int64 — DECIMAL(38,0) products (the q145 rule)
+            F.expr(
+                "((CAST(n_gaps AS DECIMAL(38,0)) * sg2"
+                " - CAST(sg AS DECIMAL(38,0)) * sg) * 1000000)"
+                " div (CAST(sg AS DECIMAL(38,0)) * sg)"
+            )
+            .cast("bigint")
+            .alias("cv2_micro"),
+        )
+        .filter(F.col("cv2_micro") <= max_cv2_micro)
+    )
+
+
+def stratified_histogram_quantiles(
+    df: DataFrame,
+    value: Column,
+    strata_col: str = "source",
+    bins: int = 64,
+    quantiles_ppm: tuple[int, ...] = (500_000, 900_000),
+) -> DataFrame:
+    """Per-stratum mergeable histogram quantiles: q147's all-integer
+    equi-width construction with every step keyed by the stratum, so "p50
+    and p90 document length PER SOURCE" costs the same two scans as the
+    global version — per-stratum min/max broadcast back, bin counts on the
+    (stratum × ≤bins) grain, windows on that tiny relation only."""
+    vals = df.select(
+        F.col(strata_col).alias("stratum"), value.cast("bigint").alias("v")
+    )
+    mm = vals.groupBy("stratum").agg(
+        F.min("v").alias("_lo"), F.max("v").alias("_hi"),
+        F.count(F.lit(1)).alias("_n"),
+    )
+    binned = (
+        vals.join(F.broadcast(mm), "stratum")
+        .withColumn("_w", F.expr(f"(_hi - _lo) div {bins} + 1"))
+        .withColumn("_bin", F.expr("(v - _lo) div _w"))
+    )
+    hist = binned.groupBy("stratum", "_bin").agg(
+        F.count(F.lit(1)).alias("_cnt"),
+        F.first("_lo").alias("_lo"),
+        F.first("_w").alias("_w"),
+        F.first("_n").alias("_n"),
+    )
+    w_cum = (
+        Window.partitionBy("stratum")
+        .orderBy("_bin")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    cum = hist.withColumn("_cum", F.sum("_cnt").over(w_cum))
+    qs = F.array(*[F.lit(int(q)) for q in quantiles_ppm])
+    want = cum.select("*", F.explode(qs).alias("q_ppm")).withColumn(
+        "_thr", F.expr("(_n * q_ppm + 999999) div 1000000")
+    )
+    return (
+        want.filter(F.col("_cum") >= F.col("_thr"))
+        .groupBy("stratum", "q_ppm")
+        .agg(
+            F.min("_bin").alias("_qbin"),
+            F.first("_lo").alias("_lo"),
+            F.first("_w").alias("_w"),
+            F.first("_n").alias("_n"),
+        )
+        .select(
+            "stratum",
+            F.col("q_ppm").cast("bigint").alias("q_ppm"),
+            (F.col("_lo") + F.col("_qbin") * F.col("_w"))
+            .cast("bigint")
+            .alias("approx_value"),
+            F.col("_w").cast("bigint").alias("error_bound"),
+            F.col("_n").cast("bigint").alias("n_rows"),
+        )
+    )

@@ -1772,3 +1772,91 @@ def retrieval_metrics(
             6,
         ).alias("ndcg_at_k"),
     )
+
+
+def mmr_select(
+    embeddings: DataFrame,
+    query_id: int = 0,
+    k: int = 3,
+    pool: int = 20,
+    lam_pct: int = 70,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Maximal Marginal Relevance selection: greedily pick ``k`` vectors
+    maximizing ``λ·relevance − (1−λ)·max-similarity-to-already-selected``
+    — the diversity-aware retrieval/sampling step (near-duplicates of an
+    already-picked result are penalized out).
+
+    Plan shape: the CORPUS pays exactly one broadcast-query scan (the q26
+    relevance top-``pool``); the greedy loop then runs entirely on the
+    ``pool``-row candidate relation, collecting one winner row per step —
+    ``k`` driver rows total, the same bounded-collect class as the IVF
+    centroid pull.  Scores are rounded to 6 dp with an id tiebreak before
+    every argmax (the float convention every embedding oracle here uses),
+    so selection is deterministic and engine-portable.
+    """
+    lam = lam_pct / 100.0
+    e = with_norm(embeddings, vec_col, id_col)
+    qv = F.broadcast(
+        e.filter(F.col(id_col) == query_id).select(
+            F.col("v").alias("qv"), F.col("norm").alias("qnorm")
+        )
+    )
+    rel = F.round(
+        _dot(F.col("qv"), F.col("v")) / (F.col("qnorm") * F.col("norm")), 6
+    )
+    cand = (
+        e.filter(F.col(id_col) != query_id)
+        .crossJoin(qv)
+        .select(F.col(id_col).alias("vid"), "v", "norm", rel.alias("rel"))
+        .orderBy(F.desc("rel"), F.asc("vid"))
+        .limit(pool)
+        .persist()  # the greedy loop re-reads this pool-row relation k times
+    )
+    spark = embeddings.sparkSession
+    selected: list = []  # (rank, vid, rel, score, v, norm)
+    for step in range(1, k + 1):
+        remaining = cand.filter(
+            ~F.col("vid").isin([s[1] for s in selected])
+            if selected
+            else F.lit(True)
+        )
+        if not selected:
+            scored = remaining.withColumn(
+                "mmr_score", F.round(F.col("rel") * lam, 6)
+            )
+        else:
+            sel_df = F.broadcast(
+                spark.createDataFrame(
+                    [(s[4], s[5]) for s in selected], ["sv", "snorm"]
+                )
+            )
+            maxsim = (
+                remaining.crossJoin(sel_df)
+                .withColumn(
+                    "sim",
+                    F.round(
+                        _dot(F.col("sv"), F.col("v"))
+                        / (F.col("snorm") * F.col("norm")),
+                        6,
+                    ),
+                )
+                .groupBy("vid", "rel", "v", "norm")
+                .agg(F.max("sim").alias("maxsim"))
+            )
+            scored = maxsim.withColumn(
+                "mmr_score",
+                F.round(
+                    F.col("rel") * lam - F.col("maxsim") * (1.0 - lam), 6
+                ),
+            )
+        win = scored.orderBy(F.desc("mmr_score"), F.asc("vid")).limit(1).collect()[0]
+        selected.append(
+            (step, win["vid"], win["rel"], win["mmr_score"], win["v"], win["norm"])
+        )
+    cand.unpersist()
+    return spark.createDataFrame(
+        [(s[0], s[1], float(s[2]), float(s[3])) for s in selected],
+        "rank bigint, vec_id bigint, relevance double, mmr_score double",
+    )

@@ -2807,3 +2807,123 @@ def normalization_audit(
         .alias("changed_ppm"),
         F.sum("delta").cast("bigint").alias("chars_removed"),
     )
+
+
+def doc_keywords(
+    documents: DataFrame,
+    top_k: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-document keyword extraction: the ``top_k`` TF-IDF terms of every
+    document — the q52 corpus-level view pushed down to the doc grain (the
+    per-doc metadata a retrieval index or dataset card wants).
+
+    Exactness: idf is integer-nano ``round(ln(N/df)·1e9)`` computed once at
+    the vocab grain (the q154 surprisal convention); scores are
+    ``tf · idf_nano`` integer products, ranked with a term tiebreak.
+
+    Scale: one token aggregation to the (doc, term) grain, a vocab-grain df
+    relation joined back on the term key (broadcast at test SF; a uniform
+    SMJ at corpus scale), and the rank window partitions BY DOCUMENT —
+    bounded by per-doc vocabulary, never a corpus-wide sort."""
+    toks = documents.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(tokens(text_col)).alias("term"),
+    )
+    tf = toks.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    n_docs = documents.agg(
+        F.count(F.lit(1)).cast("double").alias("n_docs")
+    )
+    df_rel = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    idf = df_rel.crossJoin(F.broadcast(n_docs)).select(
+        "term",
+        F.round(F.log(F.col("n_docs") / F.col("df")) * 1e9)
+        .cast("bigint")
+        .alias("idf_nano"),
+    )
+    scored = tf.join(idf, "term").select(
+        "doc_id",
+        "term",
+        (F.col("tf") * F.col("idf_nano")).alias("score_nano"),
+    )
+    w = Window.partitionBy("doc_id").orderBy(
+        F.desc("score_nano"), F.asc("term")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rank") <= top_k)
+        .select(
+            "doc_id",
+            "rank",
+            "term",
+            F.col("score_nano").cast("bigint").alias("score_nano"),
+        )
+    )
+
+
+def chi2_independence(
+    documents: DataFrame,
+    source_col: str = "source",
+    text_col: str = "text",
+) -> DataFrame:
+    """Chi-square test of independence between source and quality band
+    (low < 34 ≤ mid < 67 ≤ high): is quality distributed the same across
+    sources, or does some source drag the corpus?
+
+    Exact integer chi²·1000 via the cross-multiplied identity
+    (o − rc/N)²/(rc/N) = (N·o − r·c)² / (N·r·c), summed per cell — missing
+    cells contribute r·c/N through an explicit dense (source × band) grid.
+    Products run in DECIMAL(38,0) (N·o at 10^12 rows overflows int64).
+    One doc-grain scan; everything after lives on the |sources|×3 grid."""
+    banded = documents.select(
+        F.col(source_col).alias("source"),
+        F.when(quality_score_col(text_col) < 34, "low")
+        .when(quality_score_col(text_col) < 67, "mid")
+        .otherwise("high")
+        .alias("band"),
+    )
+    cells = banded.groupBy("source", "band").agg(
+        F.count(F.lit(1)).alias("o")
+    )
+    grid = (
+        cells.select("source")
+        .distinct()
+        .crossJoin(
+            cells.sparkSession.createDataFrame(
+                [("low",), ("mid",), ("high",)], ["band"]
+            )
+        )
+    )
+    dense = grid.join(cells, ["source", "band"], "left").select(
+        "source", "band", F.coalesce("o", F.lit(0)).alias("o")
+    )
+    w_all = Window.partitionBy()
+    w_r = Window.partitionBy("source")
+    w_c = Window.partitionBy("band")
+    d38 = "decimal(38,0)"
+    g = (
+        dense.withColumn("n", F.sum("o").over(w_all))
+        .withColumn("r", F.sum("o").over(w_r))
+        .withColumn("c", F.sum("o").over(w_c))
+        .withColumn(
+            "cell_milli",
+            # an empty row/column (r or c = 0) forces o = 0 and contributes
+            # nothing — guard the division rather than divide by zero
+            F.expr(
+                f"CASE WHEN r = 0 OR c = 0 THEN 0 ELSE "
+                f"(CAST(n AS {d38}) * o - CAST(r AS {d38}) * c)"
+                f" * (CAST(n AS {d38}) * o - CAST(r AS {d38}) * c)"
+                f" * 1000 div (CAST(n AS {d38}) * r * c) END"
+            ).cast("bigint"),
+        )
+    )
+    return g.agg(
+        F.sum("cell_milli").cast("bigint").alias("chi2_milli"),
+        (
+            (F.countDistinct("source") - 1) * (F.countDistinct("band") - 1)
+        )
+        .cast("bigint")
+        .alias("dof"),
+        F.first("n").cast("bigint").alias("n_rows"),
+    )
