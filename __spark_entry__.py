@@ -1794,6 +1794,58 @@ def q175_source_length_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+TC_PMI_TAU = 0.2
+TC_MIN_COUNT = 5
+
+
+def q176_term_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PMI-graph term clustering: the q91 PMI relation filtered to strong
+    collocation edges, folded by generic min-label connected components
+    (graph.connected_components, string keys) — 'which words form one
+    templated phrase family'. Oracle = recursive-CTE reachability."""
+    edges = (
+        text_ops.pmi_scored(
+            _base(spark, sf_dir, "documents"), min_count=TC_MIN_COUNT
+        )
+        .filter(F.col("pmi") >= TC_PMI_TAU)
+        .select(F.col("w1").alias("src"), F.col("w2").alias("dst"))
+    )
+    return graph.connected_components(edges).select(
+        F.col("node").alias("term"), "cluster_id", "cluster_size"
+    )
+
+
+def q177_benford(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford first-digit audit of order totals (analytics.benford_audit):
+    observed vs expected ppm + exact integer chi² contributions — the
+    synthetic-data smell test (this corpus IS synthetic; the audit should
+    say so loudly)."""
+    fx.load_base_tables(spark, sf_dir)
+    return analytics.benford_audit(
+        spark.table("orders"), F.col("o_totalprice")
+    )
+
+
+CONV_FROM = "view"
+CONV_TO = "purchase"
+
+
+def q178_conversion_time(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Funnel latency quantiles (analytics.conversion_time_quantiles):
+    first-view→first-purchase delay p50/p90 through the mergeable integer
+    histogram — no global sort of per-user latencies."""
+    return analytics.conversion_time_quantiles(
+        _base(spark, sf_dir, "events"), from_type=CONV_FROM, to_type=CONV_TO
+    )
+
+
+def q179_dow_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly seasonality census (analytics.dow_profile): per epoch-day mod
+    7, observed days and mean/min/max daily event counts — calendar-free,
+    timezone-proof integer day keys."""
+    return analytics.dow_profile(_base(spark, sf_dir, "events"))
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001: the backup-listing report."""
     return q01_list_backups(spark, "/root/testdata/sf0.001")
@@ -1976,6 +2028,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q173_chi2_independence": q173_chi2_independence,
         "q174_mmr_diversify": q174_mmr_diversify,
         "q175_source_length_quantiles": q175_source_length_quantiles,
+        "q176_term_clusters": q176_term_clusters,
+        "q177_benford": q177_benford,
+        "q178_conversion_time": q178_conversion_time,
+        "q179_dow_profile": q179_dow_profile,
     }
 
 
@@ -6645,5 +6701,138 @@ def oracle_sql() -> dict[str, str]:
                    CAST(ANY_VALUE(w) AS BIGINT) AS error_bound,
                    CAST(ANY_VALUE(n) AS BIGINT) AS n_rows
             FROM m WHERE cum >= thr GROUP BY stratum, q_ppm
+        """,
+        "q176_term_clusters": f"""
+            WITH RECURSIVE wsrc AS (
+                SELECT string_split(text, ' ') AS ws FROM documents
+            ),
+            bi AS (
+                SELECT ws[t.i] AS w1, ws[t.i + 1] AS w2
+                FROM wsrc, unnest(range(1, len(ws))) t(i)
+            ),
+            uni AS (
+                SELECT unnest(string_split(text, ' ')) AS w FROM documents
+            ),
+            cb AS (SELECT w1, w2, COUNT(*) AS c_xy FROM bi GROUP BY 1, 2),
+            cu AS (SELECT w, COUNT(*) AS c_w FROM uni GROUP BY 1),
+            t1 AS (SELECT COUNT(*) * 1.0 AS n FROM uni),
+            t2 AS (SELECT COUNT(*) * 1.0 AS nb FROM bi),
+            p AS (
+                SELECT cb.w1, cb.w2
+                FROM cb
+                JOIN cu cx ON cb.w1 = cx.w
+                JOIN cu cy ON cb.w2 = cy.w, t1, t2
+                WHERE cb.c_xy >= {TC_MIN_COUNT}
+                  AND ROUND(LN((cb.c_xy / nb)
+                               / ((cx.c_w / n) * (cy.c_w / n))), 6)
+                      >= {TC_PMI_TAU}
+            ),
+            edges AS (
+                SELECT w1 AS src, w2 AS dst FROM p
+                UNION SELECT w2, w1 FROM p
+            ),
+            reach(src, dst) AS (
+                SELECT src, dst FROM edges
+                UNION
+                SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src
+            ),
+            comp AS (
+                SELECT src AS term, LEAST(src, MIN(dst)) AS cluster_id
+                FROM reach GROUP BY src
+            )
+            SELECT term, cluster_id,
+                   CAST(COUNT(*) OVER (PARTITION BY cluster_id) AS BIGINT)
+                       AS cluster_size
+            FROM comp
+        """,
+        "q177_benford": """
+            WITH d AS (
+                SELECT CAST(substr(CAST(CAST(ROUND(o_totalprice * 100)
+                            AS BIGINT) AS VARCHAR), 1, 1) AS BIGINT) AS digit
+                FROM orders
+            ),
+            c AS (
+                SELECT digit, COUNT(*) AS o FROM d
+                WHERE digit BETWEEN 1 AND 9 GROUP BY 1
+            ),
+            g AS (
+                SELECT *, SUM(o) OVER () AS n,
+                       CASE digit WHEN 1 THEN 301030 WHEN 2 THEN 176091
+                            WHEN 3 THEN 124939 WHEN 4 THEN 96910
+                            WHEN 5 THEN 79181 WHEN 6 THEN 66947
+                            WHEN 7 THEN 57992 WHEN 8 THEN 51153
+                            ELSE 45757 END AS e_ppm
+                FROM c
+            )
+            SELECT digit,
+                   CAST(o AS BIGINT) AS n_rows,
+                   CAST((o * 1000000) // n AS BIGINT) AS observed_ppm,
+                   CAST(e_ppm AS BIGINT) AS expected_ppm,
+                   CAST(((CAST(1000000 AS HUGEINT) * o
+                          - CAST(n AS HUGEINT) * e_ppm)
+                         * (CAST(1000000 AS HUGEINT) * o
+                            - CAST(n AS HUGEINT) * e_ppm)
+                         * 1000)
+                        // (CAST(1000000 AS HUGEINT) * n * e_ppm)
+                        AS BIGINT) AS chi2_milli
+            FROM g
+        """,
+        "q178_conversion_time": f"""
+            WITH pu AS (
+                SELECT user_id,
+                       MIN(CASE WHEN event_type = '{CONV_FROM}'
+                           THEN CAST(epoch(ts) AS BIGINT) END) AS t_from,
+                       MIN(CASE WHEN event_type = '{CONV_TO}'
+                           THEN CAST(epoch(ts) AS BIGINT) END) AS t_to
+                FROM events GROUP BY 1
+            ),
+            v AS (
+                SELECT t_to - t_from AS v FROM pu
+                WHERE t_from IS NOT NULL AND t_to IS NOT NULL
+                  AND t_to > t_from
+            ),
+            mm AS (SELECT MIN(v) AS lo, MAX(v) AS hi, COUNT(*) AS n FROM v),
+            b AS (
+                SELECT (v - mm.lo) // ((mm.hi - mm.lo) // 64 + 1) AS bin,
+                       (mm.hi - mm.lo) // 64 + 1 AS w,
+                       mm.lo AS lo, mm.n AS n
+                FROM v, mm
+            ),
+            h AS (
+                SELECT bin, COUNT(*) AS cnt, ANY_VALUE(lo) AS lo,
+                       ANY_VALUE(w) AS w, ANY_VALUE(n) AS n
+                FROM b GROUP BY 1
+            ),
+            c AS (
+                SELECT *, SUM(cnt) OVER (ORDER BY bin
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+                FROM h
+            ),
+            q(q_ppm) AS (VALUES (500000), (900000)),
+            m AS (
+                SELECT q.q_ppm, c.bin, c.lo, c.w, c.n, c.cum,
+                       (c.n * q.q_ppm + 999999) // 1000000 AS thr
+                FROM c, q
+            )
+            SELECT CAST(q_ppm AS BIGINT) AS q_ppm,
+                   CAST(ANY_VALUE(lo) + MIN(bin) * ANY_VALUE(w) AS BIGINT)
+                       AS approx_value,
+                   CAST(ANY_VALUE(w) AS BIGINT) AS error_bound,
+                   CAST(ANY_VALUE(n) AS BIGINT) AS n_rows
+            FROM m WHERE cum >= thr GROUP BY q_ppm
+        """,
+        "q179_dow_profile": """
+            WITH daily AS (
+                SELECT CAST(epoch(ts) AS BIGINT) // 86400 AS day,
+                       COUNT(*) AS c
+                FROM events GROUP BY 1
+            )
+            SELECT CAST(day % 7 AS BIGINT) AS dow,
+                   CAST(COUNT(*) AS BIGINT) AS n_days,
+                   CAST((SUM(c) * 1000) // COUNT(*) AS BIGINT)
+                       AS mean_daily_milli,
+                   CAST(MIN(c) AS BIGINT) AS min_daily,
+                   CAST(MAX(c) AS BIGINT) AS max_daily
+            FROM daily GROUP BY 1
         """,
     }

@@ -150,6 +150,10 @@ BENCH_QUERIES = [
     "q173_chi2_independence",
     "q174_mmr_diversify",
     "q175_source_length_quantiles",
+    "q176_term_clusters",
+    "q177_benford",
+    "q178_conversion_time",
+    "q179_dow_profile",
 ]
 
 

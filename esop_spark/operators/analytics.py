@@ -1416,3 +1416,116 @@ def stratified_histogram_quantiles(
             F.col("_n").cast("bigint").alias("n_rows"),
         )
     )
+
+
+# Benford expected first-digit frequencies, ppm: round(log10(1 + 1/d) * 1e6)
+BENFORD_PPM = (301030, 176091, 124939, 96910, 79181, 66947, 57992, 51153, 45757)
+
+
+def benford_audit(df: DataFrame, value: Column) -> DataFrame:
+    """Benford's-law audit of a positive numeric column: observed vs
+    expected first-significant-digit frequencies plus each digit's exact
+    integer chi²·1000 contribution — the classic fabricated/synthetic-data
+    smell test for financial-style columns.
+
+    The first digit is taken from the integer cents representation
+    (string head of a bigint — no float formatting divergence between
+    engines); expected ppm are compile-time literals.  One scan + one
+    9-key aggregation; the chi² identity is the q173 cross-multiplied
+    form in DECIMAL(38,0).
+    """
+    digit = F.substring(
+        F.round(value * 100).cast("bigint").cast("string"), 1, 1
+    ).cast("bigint")
+    counts = (
+        df.select(digit.alias("digit"))
+        .filter((F.col("digit") >= 1) & (F.col("digit") <= 9))
+        .groupBy("digit")
+        .agg(F.count(F.lit(1)).alias("o"))
+    )
+    exp = F.element_at(
+        F.array(*[F.lit(int(p)) for p in BENFORD_PPM]), F.col("digit").cast("int")
+    )
+    d38 = "decimal(38,0)"
+    # chi2 cell = (o - e)^2 / e with e = n·exp_ppm/1e6:
+    # = (1e6·o - n·exp)^2 · 1000 / (1e6 · n · exp) — exact integers
+    g = counts.withColumn("n", F.sum("o").over(Window.partitionBy())).withColumn(
+        "e_ppm", exp
+    )
+    return g.select(
+        F.col("digit").cast("bigint").alias("digit"),
+        F.col("o").cast("bigint").alias("n_rows"),
+        F.expr("(o * 1000000) div n").cast("bigint").alias("observed_ppm"),
+        F.col("e_ppm").cast("bigint").alias("expected_ppm"),
+        F.expr(
+            f"((CAST(1000000 AS {d38}) * o - CAST(n AS {d38}) * e_ppm)"
+            f" * (CAST(1000000 AS {d38}) * o - CAST(n AS {d38}) * e_ppm)"
+            f" * 1000) div (CAST(1000000 AS {d38}) * n * e_ppm)"
+        )
+        .cast("bigint")
+        .alias("chi2_milli"),
+    )
+
+
+def conversion_time_quantiles(
+    events: DataFrame,
+    from_type: str = "view",
+    to_type: str = "purchase",
+    bins: int = 64,
+    quantiles_ppm: tuple[int, ...] = (500_000, 900_000),
+) -> DataFrame:
+    """Funnel latency distribution: for users whose first ``to_type``
+    follows their first ``from_type``, the p50/p90 of the conversion delay
+    — routed through the mergeable integer histogram (q147), so no global
+    sort of per-user latencies.
+
+    One user-grain aggregation (conditional MIN per type — no window),
+    then the ≤bins histogram machinery."""
+    per_user = events.groupBy("user_id").agg(
+        F.min(
+            F.when(F.col("event_type") == from_type, F.unix_timestamp("ts"))
+        ).alias("t_from"),
+        F.min(
+            F.when(F.col("event_type") == to_type, F.unix_timestamp("ts"))
+        ).alias("t_to"),
+    )
+    deltas = per_user.filter(
+        F.col("t_from").isNotNull()
+        & F.col("t_to").isNotNull()
+        & (F.col("t_to") > F.col("t_from"))
+    ).select((F.col("t_to") - F.col("t_from")).alias("delay_s"))
+    return histogram_quantiles(
+        deltas, F.col("delay_s"), bins=bins, quantiles_ppm=quantiles_ppm
+    )
+
+
+def dow_profile(events: DataFrame) -> DataFrame:
+    """Weekly seasonality profile: per day-of-week (epoch-day mod 7 —
+    calendar-function-free, timezone-proof), the number of observed days,
+    mean daily event count (milli), and the min/max daily counts — the
+    "is traffic shaped like a week" census behind q111's window anomalies.
+
+    Two tiny aggregations: (day) grain then (dow) grain; the corpus-scale
+    work is one map-side-combined count per epoch day."""
+    daily = events.select(
+        F.expr("unix_timestamp(ts) div 86400").alias("day")
+    ).groupBy("day").agg(F.count(F.lit(1)).alias("c"))
+    return (
+        daily.withColumn("dow", F.expr("day % 7"))
+        .groupBy("dow")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_days"),
+            F.expr("(sum(c) * 1000) div count(1)")
+            .cast("bigint")
+            .alias("mean_daily_milli"),
+            F.min("c").cast("bigint").alias("min_daily"),
+            F.max("c").cast("bigint").alias("max_daily"),
+        )
+        .select(
+            F.col("dow").cast("bigint").alias("dow"),
+            "n_days",
+            "mean_daily_milli",
+            "min_daily",
+            "max_daily",
+        )
+    )

@@ -206,3 +206,57 @@ def triangle_count(edges_undirected: DataFrame) -> DataFrame:
         .cast("bigint")
         .alias("global_clustering_ppm"),
     )
+
+
+def connected_components(edges: DataFrame, max_iters: int = 50) -> DataFrame:
+    """Generic connected components over a ``(src, dst)`` edge relation
+    with keys of ANY orderable type (dedup.dedup_clusters is the bigint
+    doc-id specialization; this one also serves string-keyed graphs like
+    the PMI term graph).
+
+    Same scale construction: iterative min-label propagation — one
+    shuffle join + one hash agg per round, O(diameter) rounds,
+    ``localCheckpoint`` truncating lineage; no driver-side graph state.
+
+    Returns ``(node, cluster_id, cluster_size)`` with cluster_id = the
+    minimum node key in the component.
+    """
+    sym = (
+        edges.select("src", "dst")
+        .union(edges.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+        .distinct()
+        .persist()
+    )
+    labels = (
+        sym.select(F.col("src").alias("node"))
+        .distinct()
+        .withColumn("label", F.col("node"))
+        .localCheckpoint()
+    )
+    for _ in range(max_iters):
+        neighbor = sym.join(
+            labels, sym["dst"] == labels["node"], "inner"
+        ).select(F.col("src").alias("node"), F.col("label"))
+        new_labels = (
+            labels.unionByName(neighbor)
+            .groupBy("node")
+            .agg(F.min("label").alias("label"))
+            .localCheckpoint()
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "node")
+            .filter(F.col("n.label") != F.col("o.label"))
+            .limit(1)
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    sym.unpersist()
+    sizes = labels.groupBy("label").agg(
+        F.count(F.lit(1)).cast("bigint").alias("cluster_size")
+    )
+    return labels.join(sizes, "label").select(
+        "node", F.col("label").alias("cluster_id"), "cluster_size"
+    )

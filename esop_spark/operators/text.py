@@ -1317,25 +1317,15 @@ def cms_term_counts(
     )
 
 
-def pmi_collocations(
+def pmi_scored(
     documents: DataFrame,
-    top_k: int = 50,
     min_count: int = 5,
     text_col: str = "text",
 ) -> DataFrame:
-    """Top collocations by pointwise mutual information: adjacent token
-    pairs whose co-occurrence beats chance — the signal a tokenizer/vocab
-    builder uses to decide what deserves a merged token, and a cheap
-    detector of templated text (templates produce impossible-by-chance
-    PMI spikes).
-
-    pmi(x,y) = ln( (c_xy/Nb) / ((c_x/N)(c_y/N)) ), pairs with c_xy ≥
-    ``min_count``; output top_k by (pmi desc, w1 asc, w2 asc), 6dp.
-
-    Scale: bigram and unigram counts are two map-side-combinable aggs
-    (shuffle ∝ vocab/bigram-vocab); totals are 1-row broadcasts, the
-    unigram relation broadcasts onto the bigram one at vocab grain, and
-    the top-k is a distributed TakeOrdered — no corpus-scale sort."""
+    """The full PMI-scored adjacent-bigram relation (vocab-pair grain):
+    ``(w1, w2, c_xy, pmi)`` with pmi rounded to 6 dp — shared by the
+    top-k collocation report (q91) and the PMI-graph term clustering
+    (q176), same plan either way."""
     words = documents.select(F.split(F.col(text_col), " ").alias("ws"))
     bi = words.select(
         F.explode(
@@ -1376,9 +1366,33 @@ def pmi_collocations(
             ).alias("pmi"),
         )
     )
-    return scored.orderBy(
-        F.col("pmi").desc(), F.col("w1").asc(), F.col("w2").asc()
-    ).limit(top_k)
+    return scored
+
+
+def pmi_collocations(
+    documents: DataFrame,
+    top_k: int = 50,
+    min_count: int = 5,
+    text_col: str = "text",
+) -> DataFrame:
+    """Top collocations by pointwise mutual information: adjacent token
+    pairs whose co-occurrence beats chance — the signal a tokenizer/vocab
+    builder uses to decide what deserves a merged token, and a cheap
+    detector of templated text (templates produce impossible-by-chance
+    PMI spikes).
+
+    pmi(x,y) = ln( (c_xy/Nb) / ((c_x/N)(c_y/N)) ), pairs with c_xy ≥
+    ``min_count``; output top_k by (pmi desc, w1 asc, w2 asc), 6dp.
+
+    Scale: bigram and unigram counts are two map-side-combinable aggs
+    (shuffle ∝ vocab/bigram-vocab); totals are 1-row broadcasts, the
+    unigram relation broadcasts onto the bigram one at vocab grain, and
+    the top-k is a distributed TakeOrdered — no corpus-scale sort."""
+    return (
+        pmi_scored(documents, min_count=min_count, text_col=text_col)
+        .orderBy(F.col("pmi").desc(), F.col("w1").asc(), F.col("w2").asc())
+        .limit(top_k)
+    )
 
 
 def score_drift_psi(
