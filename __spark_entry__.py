@@ -27,6 +27,7 @@ from esop_spark.operators import (
     graph,
     manifest,
     multimodal,
+    privacy,
     retention,
     retrieval,
     sampling,
@@ -1846,6 +1847,48 @@ def q179_dow_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     return analytics.dow_profile(_base(spark, sf_dir, "events"))
 
 
+COVERAGE_K = 3
+
+
+def q180_coverage_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy max-coverage coreset selection (sampling.coverage_select):
+    k docs maximizing distinct-shingle coverage — per step one
+    anti-join-masked aggregation over the persisted shingle relation and a
+    1-row argmax collect; oracle = unrolled greedy CTE steps."""
+    return sampling.coverage_select(
+        _base(spark, sf_dir, "documents"), k=COVERAGE_K
+    )
+
+
+def q181_cohen_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chance-corrected lang-ID agreement (text_ops.cohen_kappa): exact
+    integer κ via the cross-multiplied form, marginals full-outer-merged on
+    the class label so classes without a diagonal cell still count."""
+    return text_ops.cohen_kappa(_base(spark, sf_dir, "documents"))
+
+
+def q182_pseudonymize_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keyed-hash pseudonymization injectivity audit
+    (privacy.pseudonymize_audit): distinct keys vs distinct pseudonyms vs
+    collisions over events.user_id — the shippability check."""
+    return privacy.pseudonymize_audit(
+        _base(spark, sf_dir, "events"), "user_id"
+    )
+
+
+KANON_K = 5
+
+
+def q183_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K-anonymity risk histogram (privacy.k_anonymity_audit) over the
+    (nation, market segment) quasi-identifier tuple of customers — rows in
+    groups below k are the re-identification exposure."""
+    fx.load_base_tables(spark, sf_dir)
+    return privacy.k_anonymity_audit(
+        spark.table("customer"), ["c_nationkey", "c_mktsegment"], k=KANON_K
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001: the backup-listing report."""
     return q01_list_backups(spark, "/root/testdata/sf0.001")
@@ -2032,6 +2075,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q177_benford": q177_benford,
         "q178_conversion_time": q178_conversion_time,
         "q179_dow_profile": q179_dow_profile,
+        "q180_coverage_select": q180_coverage_select,
+        "q181_cohen_kappa": q181_cohen_kappa,
+        "q182_pseudonymize_audit": q182_pseudonymize_audit,
+        "q183_k_anonymity": q183_k_anonymity,
     }
 
 
@@ -6834,5 +6881,146 @@ def oracle_sql() -> dict[str, str]:
                    CAST(MIN(c) AS BIGINT) AS min_daily,
                    CAST(MAX(c) AS BIGINT) AS max_daily
             FROM daily GROUP BY 1
+        """,
+        "q180_coverage_select": """
+            WITH docs AS (
+                SELECT doc_id, string_split(text, ' ') AS words
+                FROM documents
+            ),
+            sh AS (
+                SELECT DISTINCT doc_id AS did,
+                       words[i] || ' ' || words[i+1] || ' ' || words[i+2]
+                           AS shingle
+                FROM docs, unnest(range(1, greatest(len(words) - 1, 1))) t(i)
+            ),
+            g1 AS (SELECT did, COUNT(*) AS gain FROM sh GROUP BY 1),
+            p1 AS (SELECT did, gain FROM g1 ORDER BY gain DESC, did LIMIT 1),
+            c1 AS (SELECT DISTINCT shingle FROM sh JOIN p1 USING (did)),
+            g2 AS (
+                SELECT s.did, COUNT(*) AS gain FROM sh s
+                WHERE s.did NOT IN (SELECT did FROM p1)
+                  AND s.shingle NOT IN (SELECT shingle FROM c1)
+                GROUP BY 1
+            ),
+            p2 AS (SELECT did, gain FROM g2 ORDER BY gain DESC, did LIMIT 1),
+            c2 AS (
+                SELECT shingle FROM c1
+                UNION
+                SELECT s.shingle FROM sh s JOIN p2 USING (did)
+            ),
+            g3 AS (
+                SELECT s.did, COUNT(*) AS gain FROM sh s
+                WHERE s.did NOT IN (SELECT did FROM p1
+                                    UNION SELECT did FROM p2)
+                  AND s.shingle NOT IN (SELECT shingle FROM c2)
+                GROUP BY 1
+            ),
+            p3 AS (SELECT did, gain FROM g3 ORDER BY gain DESC, did LIMIT 1)
+            SELECT CAST(1 AS BIGINT) AS rank, CAST(did AS BIGINT) AS doc_id,
+                   CAST(gain AS BIGINT) AS gain,
+                   CAST(gain AS BIGINT) AS covered_total
+            FROM p1
+            UNION ALL
+            SELECT CAST(2 AS BIGINT), CAST(p2.did AS BIGINT),
+                   CAST(p2.gain AS BIGINT),
+                   CAST(p1.gain + p2.gain AS BIGINT)
+            FROM p1, p2
+            UNION ALL
+            SELECT CAST(3 AS BIGINT), CAST(p3.did AS BIGINT),
+                   CAST(p3.gain AS BIGINT),
+                   CAST(p1.gain + p2.gain + p3.gain AS BIGINT)
+            FROM p1, p2, p3
+        """,
+        "q181_cohen_kappa": """
+            WITH s AS (
+                SELECT lang AS gold,
+                       len(list_filter(string_split(text, ' '),
+                           w -> w IN ('und','der','die','das','nicht')))
+                           AS s_de,
+                       len(list_filter(string_split(text, ' '),
+                           w -> w IN ('the','a','of','and','is'))) AS s_en,
+                       len(list_filter(string_split(text, ' '),
+                           w -> w IN ('el','los','y','que','una'))) AS s_es,
+                       len(list_filter(string_split(text, ' '),
+                           w -> w IN ('le','la','et','les','une'))) AS s_fr
+                FROM documents
+            ),
+            pr AS (
+                SELECT gold,
+                       CASE WHEN greatest(s_de, s_en, s_es, s_fr) = 0
+                                THEN 'unknown'
+                            WHEN s_de = greatest(s_de, s_en, s_es, s_fr)
+                                THEN 'de'
+                            WHEN s_en = greatest(s_de, s_en, s_es, s_fr)
+                                THEN 'en'
+                            WHEN s_es = greatest(s_de, s_en, s_es, s_fr)
+                                THEN 'es'
+                            ELSE 'fr' END AS pred
+                FROM s
+            ),
+            conf AS (SELECT gold, pred, COUNT(*) AS c FROM pr GROUP BY 1, 2),
+            rr AS (SELECT gold AS cls, SUM(c) AS r FROM conf GROUP BY 1),
+            kk AS (SELECT pred AS cls, SUM(c) AS k FROM conf GROUP BY 1),
+            pe AS (
+                SELECT SUM(CAST(COALESCE(r, 0) AS HUGEINT)
+                           * COALESCE(k, 0)) AS pe_num
+                FROM rr FULL OUTER JOIN kk USING (cls)
+            ),
+            t AS (
+                SELECT SUM(c) AS n_docs,
+                       SUM(CASE WHEN gold = pred THEN c ELSE 0 END)
+                           AS n_agree
+                FROM conf
+            )
+            SELECT CAST(n_docs AS BIGINT) AS n_docs,
+                   CAST(n_agree AS BIGINT) AS n_agree,
+                   CAST(CASE WHEN CAST(n_docs AS HUGEINT) * n_docs - pe_num
+                                  = 0 THEN 0
+                        ELSE ((CAST(n_docs AS HUGEINT) * n_agree - pe_num)
+                              * 1000000)
+                             // (CAST(n_docs AS HUGEINT) * n_docs - pe_num)
+                        END AS BIGINT) AS kappa_ppm,
+                   CAST((n_agree * 1000000) // n_docs AS BIGINT)
+                       AS agreement_ppm
+            FROM t, pe
+        """,
+        "q182_pseudonymize_audit": """
+            WITH p AS (
+                SELECT user_id AS k,
+                       md5('s1:' || CAST(user_id AS VARCHAR)) AS ps
+                FROM events
+            ),
+            per AS (
+                SELECT ps, COUNT(DISTINCT k) AS n_keys, COUNT(*) AS n_rows
+                FROM p GROUP BY 1
+            )
+            SELECT CAST(SUM(n_rows) AS BIGINT) AS n_rows,
+                   CAST(COUNT(*) AS BIGINT) AS n_pseudonyms,
+                   CAST(SUM(n_keys) AS BIGINT) AS n_keys,
+                   CAST(SUM(CASE WHEN n_keys > 1 THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_collisions
+            FROM per
+        """,
+        "q183_k_anonymity": """
+            WITH g AS (
+                SELECT c_nationkey, c_mktsegment, COUNT(*) AS gs
+                FROM customer GROUP BY 1, 2
+            ),
+            h AS (
+                SELECT CASE WHEN gs = 1 THEN '1'
+                            WHEN gs < 5 THEN '2-4'
+                            WHEN gs < 10 THEN '5-9'
+                            ELSE '10+' END AS bucket,
+                       COUNT(*) AS n_groups, SUM(gs) AS n_rows,
+                       MIN(gs) AS min_group
+                FROM g GROUP BY 1
+            )
+            SELECT bucket,
+                   CAST(n_groups AS BIGINT) AS n_groups,
+                   CAST(n_rows AS BIGINT) AS n_rows,
+                   CAST((n_rows * 1000000) // SUM(n_rows) OVER ()
+                        AS BIGINT) AS rows_ppm,
+                   CAST(min_group AS BIGINT) AS min_group
+            FROM h
         """,
     }

@@ -154,6 +154,10 @@ BENCH_QUERIES = [
     "q177_benford",
     "q178_conversion_time",
     "q179_dow_profile",
+    "q180_coverage_select",
+    "q181_cohen_kappa",
+    "q182_pseudonymize_audit",
+    "q183_k_anonymity",
 ]
 
 

@@ -652,3 +652,60 @@ def epoch_allocation(
         F.expr("(alloc * 1000) div uniq").cast("bigint").alias("epochs_milli"),
         (F.col("alloc") >= F.col("cap")).alias("capped"),
     )
+
+
+def coverage_select(
+    documents: DataFrame,
+    k: int = 3,
+    shingle_n: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Greedy maximum-coverage (submodular coreset) selection: pick ``k``
+    documents maximizing the number of DISTINCT shingles covered — the
+    facility-location/"most representative subset" primitive behind
+    coreset sampling and eval-set construction. The greedy answer is
+    within (1 − 1/e) of optimal; exact selection is NP-hard.
+
+    Per step: one semi-join-excluded aggregation over the persisted
+    (id, shingle) relation — gain(doc) = # of its shingles not yet
+    covered — then a 1-row argmax collect (the bounded-driver-state class:
+    k rows total, like the IVF centroid pull). Covered shingles are
+    tracked as a DataFrame (anti-join), never driver-side, so the covered
+    set can be corpus-sized.
+
+    Ties broken by doc id — deterministic, engine-portable (gains are
+    exact integers). Returns (rank, doc_id, gain, covered_total).
+    """
+    from esop_spark.operators.dedup import shingles
+
+    sh = shingles(documents, n=shingle_n, text_col=text_col, id_col=id_col)
+    sh = sh.select(F.col(id_col).alias("did"), "shingle").persist()
+    spark = documents.sparkSession
+    picked: list = []
+    covered = None  # DataFrame of covered shingles
+    covered_total = 0
+    for step in range(1, k + 1):
+        remaining = sh.filter(
+            ~F.col("did").isin([p[1] for p in picked]) if picked else F.lit(True)
+        )
+        if covered is not None:
+            remaining = remaining.join(covered, "shingle", "left_anti")
+        gains = remaining.groupBy("did").agg(
+            F.count(F.lit(1)).alias("gain")
+        )
+        top = gains.orderBy(F.desc("gain"), F.asc("did")).limit(1).collect()
+        if not top or top[0]["gain"] == 0:
+            break
+        did, gain = top[0]["did"], top[0]["gain"]
+        covered_total += gain
+        picked.append((step, did, gain, covered_total))
+        new_cov = sh.filter(F.col("did") == did).select("shingle").distinct()
+        covered = (
+            new_cov if covered is None
+            else covered.union(new_cov).distinct()
+        ).localCheckpoint()
+    sh.unpersist()
+    return spark.createDataFrame(
+        picked, "rank bigint, doc_id bigint, gain bigint, covered_total bigint"
+    )

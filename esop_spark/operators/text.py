@@ -2941,3 +2941,61 @@ def chi2_independence(
         .alias("dof"),
         F.first("n").cast("bigint").alias("n_rows"),
     )
+
+
+def cohen_kappa(
+    documents: DataFrame,
+    gold_col: str = "lang",
+    text_col: str = "text",
+) -> DataFrame:
+    """Cohen's kappa between the marker-token language predictor and the
+    gold label: chance-corrected agreement in exact integer ppm —
+    κ = (pₒ − pₑ)/(1 − pₑ) with pₒ, pₑ from the confusion matrix
+    marginals.  The classifier-eval metric q102's confusion matrix stops
+    short of.
+
+    All integer: κ_ppm = (N·Σ_agree − Σ_c r_c·c_c)·1e6 div (N² − Σ_c r_c·c_c)
+    (the cross-multiplied form — no intermediate fractions).  One
+    doc-grain scan to the |langs|² confusion grain; DECIMAL(38,0) products
+    for the N² term."""
+    pred, _ = lang_pred_cols(text_col)
+    conf = documents.select(
+        F.col(gold_col).alias("gold"), pred.alias("pred")
+    ).groupBy("gold", "pred").agg(F.count(F.lit(1)).alias("c"))
+    d38 = "decimal(38,0)"
+    # pe sums r·k over EVERY class with either marginal non-zero — a class
+    # can have both marginals > 0 with no diagonal cell, so the marginals
+    # are computed separately and full-outer-merged on the class label
+    r_rel = conf.groupBy(F.col("gold").alias("cls")).agg(
+        F.sum("c").alias("r")
+    )
+    k_rel = conf.groupBy(F.col("pred").alias("cls")).agg(
+        F.sum("c").alias("kk")
+    )
+    pe = r_rel.join(k_rel, "cls", "full_outer").agg(
+        F.sum(
+            F.expr(
+                f"CAST(coalesce(r, 0) AS {d38}) * coalesce(kk, 0)"
+            )
+        ).alias("_pe_num")
+    )
+    totals = conf.agg(
+        F.sum("c").cast("bigint").alias("n_docs"),
+        F.sum(F.when(F.col("gold") == F.col("pred"), F.col("c")).otherwise(0))
+        .cast("bigint")
+        .alias("n_agree"),
+    )
+    return totals.crossJoin(F.broadcast(pe)).select(
+        "n_docs",
+        "n_agree",
+        F.expr(
+            f"CASE WHEN CAST(n_docs AS {d38}) * n_docs - _pe_num = 0 THEN 0"
+            f" ELSE ((CAST(n_docs AS {d38}) * n_agree - _pe_num) * 1000000)"
+            f" div (CAST(n_docs AS {d38}) * n_docs - _pe_num) END"
+        )
+        .cast("bigint")
+        .alias("kappa_ppm"),
+        F.expr("(n_agree * 1000000) div n_docs")
+        .cast("bigint")
+        .alias("agreement_ppm"),
+    )
