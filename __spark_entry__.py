@@ -1889,6 +1889,17 @@ def q183_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q184_audio_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio near-dup pairs (multimodal.audio_energy_sig +
+    audio_neardup_pairs): real WAV parse → 8-byte loudness-shape
+    fingerprint → exact-byte pigeonhole banding → L1-verified pairs — the
+    audio sibling of q93's image dHash. Rows-only check (binary decode has
+    no SQL oracle; the codec itself is oracle-checked via q47)."""
+    media = multimodal.encode_containers(_base(spark, sf_dir, "documents"))
+    sigs = multimodal.audio_energy_sig(media)
+    return multimodal.audio_neardup_pairs(sigs)
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001: the backup-listing report."""
     return q01_list_backups(spark, "/root/testdata/sf0.001")
@@ -2079,6 +2090,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q181_cohen_kappa": q181_cohen_kappa,
         "q182_pseudonymize_audit": q182_pseudonymize_audit,
         "q183_k_anonymity": q183_k_anonymity,
+        "q184_audio_neardup": q184_audio_neardup,
     }
 
 

@@ -412,3 +412,168 @@ def dhash_neardup_pairs(hashes: DataFrame, max_hamming: int = 4) -> DataFrame:
         .filter(F.col("hamming") <= max_hamming)
         .select("id_a", "id_b", "hamming")
     )
+
+
+AUDIO_SIG_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("audio_sig", LongType()),
+        StructField("n_frames", LongType()),
+    ]
+)
+
+
+def _wav_energy_sig(payload: bytes) -> tuple[int, int] | None:
+    """8-segment mean-|amplitude| signature of a PCM s16le WAV: the data
+    chunk is split into 8 equal time segments; each segment's mean
+    absolute sample value is quantized to 7 bits (>>8, cap 127 — the top
+    segment byte must stay below 2^7 so the packed value fits SIGNED
+    int64) and packed into an int64 — a chromaprint-lite fingerprint that
+    is loudness-shape invariant to small edits."""
+    import struct
+
+    if payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        return None
+    off = 12
+    data = None
+    block_align = 2
+    while off + 8 <= len(payload):
+        cid = payload[off : off + 4]
+        clen = struct.unpack_from("<I", payload, off + 4)[0]
+        if cid == b"fmt ":
+            _, _, _, _, block_align, _ = struct.unpack_from(
+                "<HHIIHH", payload, off + 8
+            )
+        elif cid == b"data":
+            data = payload[off + 8 : off + 8 + clen]
+        off += 8 + clen + (clen % 2)
+    if not data or len(data) < 2:
+        return None
+    n_samples = len(data) // 2
+    samples = struct.unpack_from(f"<{n_samples}h", data)
+    n_frames = n_samples // (block_align // 2)
+    sig = 0
+    seg = max(1, n_samples // 8)
+    for s in range(8):
+        chunk = samples[s * seg : (s + 1) * seg] or (0,)
+        mean_abs = sum(abs(x) for x in chunk) // len(chunk)
+        sig |= (min(127, mean_abs >> 8)) << (8 * s)
+    return sig, n_frames
+
+
+def audio_energy_sig(media: DataFrame) -> DataFrame:
+    """Audio fingerprint per WAV payload (Arrow-batched mapInPandas, the
+    audio sibling of image_dhash). Non-WAV payloads are skipped. Output:
+    (media_id, audio_sig int64, n_frames).
+
+    Scale: zero-shuffle projection; 8 bytes per clip regardless of
+    duration, so the downstream dedup relation is tiny."""
+
+    def batches(it: Iterator) -> Iterator:
+        import pandas as pd
+
+        for pdf in it:
+            ids, sigs, frames = [], [], []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                r = _wav_energy_sig(bytes(payload))
+                if r is None:
+                    continue
+                ids.append(int(mid))
+                sigs.append(r[0])
+                frames.append(r[1])
+            yield pd.DataFrame(
+                {
+                    "media_id": pd.Series(ids, dtype="int64"),
+                    "audio_sig": pd.Series(sigs, dtype="int64"),
+                    "n_frames": pd.Series(frames, dtype="int64"),
+                }
+            )
+
+    return media.mapInPandas(batches, schema=AUDIO_SIG_SCHEMA)
+
+
+def audio_neardup_pairs(
+    sigs: DataFrame, max_l1: int = 32, max_bucket: int = 64
+) -> DataFrame:
+    """Near-duplicate audio pairs: candidates must agree EXACTLY on at
+    least one of the 8 signature bytes at the same position (pigeonhole —
+    a pair within total L1 distance d differs on every byte only if every
+    byte differs; requiring one exact byte bounds candidates the same way
+    dhash banding does), then exact verification sums per-byte |Δ| and
+    keeps pairs with L1 ≤ ``max_l1``.
+
+    Same equi-join shape as dhash_neardup_pairs — never a cross join —
+    PLUS the q22 hot-bucket guard: loudness bytes are low-entropy (a
+    homogeneous corpus puts thousands of clips in one (pos, val) bucket),
+    so buckets above ``max_bucket`` fall back to star pairing against the
+    bucket's min-id anchor instead of the full self-join."""
+    byte_cols = [
+        F.struct(
+            F.lit(c).alias("pos"),
+            F.call_function(
+                "shiftright", F.col("audio_sig"), F.lit(8 * c)
+            ).bitwiseAND(F.lit(255)).alias("val"),
+        )
+        for c in range(8)
+    ]
+    chunks = sigs.select(
+        "media_id", "audio_sig", F.explode(F.array(*byte_cols)).alias("c")
+    ).select(
+        "media_id", "audio_sig",
+        F.col("c.pos").alias("pos"), F.col("c.val").alias("val"),
+    )
+    sizes = chunks.groupBy("pos", "val").agg(
+        F.count(F.lit(1)).alias("_bsz"), F.min("media_id").alias("_anchor")
+    )
+    sized = chunks.join(sizes, ["pos", "val"]).persist()
+    small = sized.filter(F.col("_bsz") <= max_bucket)
+    a = small.alias("a")
+    b = small.alias("b")
+    pairs_small = (
+        a.join(
+            b,
+            (F.col("a.pos") == F.col("b.pos"))
+            & (F.col("a.val") == F.col("b.val"))
+            & (F.col("a.media_id") < F.col("b.media_id")),
+        )
+        .select(
+            F.col("a.media_id").alias("id_a"),
+            F.col("b.media_id").alias("id_b"),
+        )
+    )
+    pairs_big = (
+        sized.filter(
+            (F.col("_bsz") > max_bucket) & (F.col("media_id") != F.col("_anchor"))
+        )
+        .select(
+            F.col("_anchor").alias("id_a"), F.col("media_id").alias("id_b")
+        )
+    )
+    sig_rel = sigs.select("media_id", "audio_sig")
+    cand = (
+        pairs_small.unionByName(pairs_big)
+        .distinct()
+        .join(
+            sig_rel.select(
+                F.col("media_id").alias("id_a"), F.col("audio_sig").alias("sa")
+            ),
+            "id_a",
+        )
+        .join(
+            sig_rel.select(
+                F.col("media_id").alias("id_b"), F.col("audio_sig").alias("sb")
+            ),
+            "id_b",
+        )
+    )
+    l1 = None
+    for c in range(8):
+        da = F.call_function("shiftright", F.col("sa"), F.lit(8 * c)).bitwiseAND(F.lit(255))
+        db = F.call_function("shiftright", F.col("sb"), F.lit(8 * c)).bitwiseAND(F.lit(255))
+        term = F.abs(da - db)
+        l1 = term if l1 is None else l1 + term
+    return (
+        cand.withColumn("l1", l1.cast("bigint"))
+        .filter(F.col("l1") <= max_l1)
+        .select("id_a", "id_b", "l1")
+    )

@@ -103,3 +103,66 @@ def test_bmp_gray_rows_roundtrip_dimensions(spark):
     w, h, gray = mm._bmp_gray_rows(payload)
     assert len(gray) == h and all(len(r) == w for r in gray)
     assert all(0 <= v <= 255 for r in gray for v in r)
+
+
+# --- audio fingerprint / near-dup (wave 14) ----------------------------------
+
+def test_audio_sig_skips_bmp(spark):
+    from esop_spark.operators import multimodal
+
+    docs = spark.createDataFrame(
+        [(0, "bmp doc zero"), (1, "wav doc one")], ["doc_id", "text"]
+    )
+    media = multimodal.encode_containers(docs)
+    out = multimodal.audio_energy_sig(media).collect()
+    assert [r["media_id"] for r in out] == [1]  # even ids are BMP
+    assert out[0]["audio_sig"] > 0
+    assert out[0]["n_frames"] == len("wav doc one")
+
+
+def test_audio_neardup_finds_identical_clips(spark):
+    from esop_spark.operators import multimodal
+
+    # ids 1 and 5: same text -> same channel parity? 1%4==1 mono,
+    # 5%4==1 mono, same rate class (1%8<4, 5%8<4) -> identical payloads
+    docs = spark.createDataFrame(
+        [(1, "same audio text"), (5, "same audio text"), (3, "totally different words here")],
+        ["doc_id", "text"],
+    )
+    media = multimodal.encode_containers(docs)
+    sigs = multimodal.audio_energy_sig(media)
+    pairs = multimodal.audio_neardup_pairs(sigs, max_l1=0).collect()
+    assert [(p["id_a"], p["id_b"], p["l1"]) for p in pairs] == [(1, 5, 0)]
+
+
+def test_audio_neardup_l1_threshold(spark):
+    from esop_spark.operators import multimodal
+    from pyspark.sql import Row
+
+    # hand-built signatures: a/b differ by 16 in one byte (share 7 bytes);
+    # c differs everywhere by a lot (no shared byte -> not even a candidate)
+    sigs = spark.createDataFrame(
+        [
+            Row(media_id=1, audio_sig=0x0101010101010101, n_frames=10),
+            Row(media_id=2, audio_sig=0x1101010101010101, n_frames=10),
+            Row(media_id=3, audio_sig=0x6363636363636363, n_frames=10),
+        ]
+    )
+    out = {(r["id_a"], r["id_b"]): r["l1"]
+           for r in multimodal.audio_neardup_pairs(sigs, max_l1=32).collect()}
+    assert out == {(1, 2): 16}
+
+
+def test_audio_neardup_hot_bucket_star_cap(spark):
+    from esop_spark.operators import multimodal
+    from pyspark.sql import Row
+
+    # 100 identical signatures: uncapped banding would emit C(100,2)=4950
+    # pairs; the star cap (max_bucket=10) bounds candidates to the anchor
+    # star: 99 pairs, all with l1=0.
+    sigs = spark.createDataFrame(
+        [Row(media_id=i, audio_sig=0x0101010101010101, n_frames=5) for i in range(100)]
+    )
+    out = multimodal.audio_neardup_pairs(sigs, max_l1=0, max_bucket=10).collect()
+    assert len(out) == 99
+    assert all(r["id_a"] == 0 and r["l1"] == 0 for r in out)
