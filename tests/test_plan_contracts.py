@@ -148,3 +148,58 @@ def test_profile_is_single_pass(spark):
         "multi-distinct must plan as a single Expand pass, not re-scans"
     )
     assert "Join" not in plan
+
+
+def test_pagerank_no_cartesian_and_cached_edges(spark):
+    # the iteration loop must join on the node key (hash/SMJ fine), never
+    # cross-join, and the edge relation must come from the persisted cache
+    plan = _plan(spark, "q159_pagerank")
+    assert "CartesianProduct" not in plan
+    assert "InMemoryTableScan" in plan or "Scan In-memory" in plan, (
+        "pagerank must reuse the persisted edge relation across iterations"
+    )
+
+
+def test_triangles_are_degree_oriented(spark):
+    # the wedge join must run on the ORIENTED edge relation (persisted),
+    # never a cartesian
+    plan = _plan(spark, "q166_triangles")
+    assert "CartesianProduct" not in plan
+    assert "InMemoryTableScan" in plan or "Scan In-memory" in plan
+
+
+def test_ewma_is_one_user_window_no_join(spark):
+    plan = _plan(spark, "q160_ewma_anomaly")
+    assert "Join" not in plan, "the lag chain must not become a self-join"
+
+
+def test_winsorize_windows_on_score_grain_only(spark):
+    # windows partition by source over the <=101-row score cells — no
+    # per-doc window partitioned on nothing
+    plan = _plan(spark, "q163_winsorize")
+    import re as _re
+    for m in _re.finditer(r"windowspecdefinition\(([^)]*)\)", plan):
+        assert "source" in m.group(1), (
+            f"winsorize window not on the source-grain cells: {m.group(1)[:80]}"
+        )
+
+
+def test_doc_keywords_rank_partitions_by_doc(spark):
+    plan = _plan(spark, "q172_doc_keywords")
+    import re as _re
+    specs = _re.findall(r"windowspecdefinition\(([^)]*)\)", plan)
+    assert specs, "doc_keywords must rank via a window"
+    for spec in specs:
+        assert "doc_id" in spec, f"rank window not per-document: {spec[:80]}"
+
+
+def test_mmr_corpus_scan_is_broadcast_query(spark):
+    plan = _plan(spark, "q174_mmr_diversify")
+    assert "SortMergeJoin" not in plan, (
+        "the query vector and pool must broadcast; the corpus is scanned once"
+    )
+
+
+def test_coverage_select_no_cartesian(spark):
+    plan = _plan(spark, "q180_coverage_select")
+    assert "CartesianProduct" not in plan
