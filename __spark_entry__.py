@@ -1900,6 +1900,38 @@ def q184_audio_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return multimodal.audio_neardup_pairs(sigs)
 
 
+BAL_PLANES = 8
+
+
+def q185_bucket_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN-index balance audit (similarity.bucket_balance): hyperplane
+    bucket-size spread + imbalance factor — the q146 hot-keys probe on the
+    semantic bucket key."""
+    return similarity.bucket_balance(
+        _base(spark, sf_dir, "embeddings"), num_planes=BAL_PLANES
+    )
+
+
+def q186_split_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hash-split independence audit (splits.split_balance_audit): exact
+    integer chi² of split × source on the dense grid — the statistical
+    proof that q64's content-hash assignment is unbiased per slice."""
+    docs = _base(spark, sf_dir, "documents")
+    return splits.split_balance_audit(
+        docs, F.col("doc_id"), SPLIT_FRACTIONS, strata_col="source"
+    )
+
+
+def q187_centroid_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source embedding drift (similarity.centroid_drift): cosine of
+    each source's integer-nano centroid against the global centroid — the
+    embedding-space slice-health check."""
+    return similarity.centroid_drift(
+        _base(spark, sf_dir, "embeddings"),
+        _base(spark, sf_dir, "documents"),
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001: the backup-listing report."""
     return q01_list_backups(spark, "/root/testdata/sf0.001")
@@ -2091,6 +2123,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q182_pseudonymize_audit": q182_pseudonymize_audit,
         "q183_k_anonymity": q183_k_anonymity,
         "q184_audio_neardup": q184_audio_neardup,
+        "q185_bucket_balance": q185_bucket_balance,
+        "q186_split_balance": q186_split_balance,
+        "q187_centroid_drift": q187_centroid_drift,
     }
 
 
@@ -2634,6 +2669,57 @@ _SCORE_T_CTE = """
                 FROM w
             )
 """
+
+
+# exact Spark left-fold dot product (the q149/q153 parity lesson:
+# list_cosine_similarity's summation order differs at the last ulp)
+_FOLD_DOT = (
+    "list_reduce(list_transform(range(1, 65), i -> {a}[i] * {b}[i]),"
+    " (x, y) -> x + y)"
+)
+
+
+def _bucket_balance_oracle(num_planes: int, dim: int) -> str:
+    """q56's hyperplane-bucket CTE folded to the one-row balance report."""
+    signs = similarity.hyperplane_signs(num_planes, dim)
+    rows = ", ".join(
+        f"({j}, {i + 1}, {signs[j][i]})"
+        for j in range(num_planes)
+        for i in range(dim)
+    )
+    return f"""
+        WITH e AS (
+            SELECT vec_id,
+                   list_transform(CAST(embedding AS DOUBLE[]),
+                                  x -> CAST(FLOOR(x * {similarity.SEM_SCALE})
+                                            AS BIGINT)) AS vq
+            FROM embeddings
+        ),
+        signs(j, i, s) AS (VALUES {rows}),
+        u AS (
+            SELECT vec_id, t.i AS i, vq[t.i] AS val
+            FROM e, unnest(range(1, {dim + 1})) t(i)
+        ),
+        proj AS (
+            SELECT u.vec_id, signs.j, SUM(u.val * signs.s) AS p
+            FROM u JOIN signs ON signs.i = u.i
+            GROUP BY 1, 2
+        ),
+        buckets AS (
+            SELECT vec_id,
+                   SUM(CASE WHEN p > 0 THEN CAST(POW(2, j) AS BIGINT)
+                            ELSE 0 END) AS bucket
+            FROM proj GROUP BY 1
+        ),
+        sz AS (SELECT bucket, COUNT(*) AS sz FROM buckets GROUP BY 1)
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_buckets,
+               CAST(SUM(sz) AS BIGINT) AS n_vecs,
+               CAST(MAX(sz) AS BIGINT) AS max_bucket,
+               CAST(MIN(sz) AS BIGINT) AS min_bucket,
+               CAST((MAX(sz) * COUNT(*) * 1000) // SUM(sz) AS BIGINT)
+                   AS imbalance_milli
+        FROM sz
+    """
 
 
 def _pagerank_oracle(iters: int, k: int) -> str:
@@ -7034,5 +7120,91 @@ def oracle_sql() -> dict[str, str]:
                         AS BIGINT) AS rows_ppm,
                    CAST(min_group AS BIGINT) AS min_group
             FROM h
+        """,
+        "q185_bucket_balance": _bucket_balance_oracle(BAL_PLANES, 64),
+        "q186_split_balance": f"""
+            WITH b AS (
+                SELECT source AS stratum,
+                       CAST(concat('0x', substr(md5('split0:'
+                            || CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
+                           % 1000000 AS bucket
+                FROM documents
+            ),
+            a AS (
+                SELECT stratum,
+                       CASE WHEN bucket < {int(0.8 * 1000000)} THEN 'train'
+                            WHEN bucket < {int(0.9 * 1000000)} THEN 'val'
+                            ELSE 'test' END AS split
+                FROM b
+            ),
+            cells AS (
+                SELECT stratum, split, COUNT(*) AS o FROM a GROUP BY 1, 2
+            ),
+            grid AS (
+                SELECT s.stratum, v.split
+                FROM (SELECT DISTINCT stratum FROM cells) s
+                CROSS JOIN (VALUES ('train'), ('val'), ('test')) v(split)
+            ),
+            dense AS (
+                SELECT g.stratum, g.split, COALESCE(c.o, 0) AS o
+                FROM grid g LEFT JOIN cells c USING (stratum, split)
+            ),
+            m AS (
+                SELECT *,
+                       SUM(o) OVER () AS n,
+                       SUM(o) OVER (PARTITION BY stratum) AS r,
+                       SUM(o) OVER (PARTITION BY split) AS c
+                FROM dense
+            ),
+            x AS (
+                SELECT *,
+                       CASE WHEN r = 0 OR c = 0 THEN 0 ELSE
+                           (CAST(n AS HUGEINT) * o - CAST(r AS HUGEINT) * c)
+                         * (CAST(n AS HUGEINT) * o - CAST(r AS HUGEINT) * c)
+                         * 1000 // (CAST(n AS HUGEINT) * r * c) END
+                           AS cell_milli
+                FROM m
+            )
+            SELECT CAST(SUM(cell_milli) AS BIGINT) AS chi2_milli,
+                   CAST((COUNT(DISTINCT stratum) - 1)
+                        * (COUNT(DISTINCT split) - 1) AS BIGINT) AS dof,
+                   CAST(ANY_VALUE(n) AS BIGINT) AS n_rows
+            FROM x
+        """,
+        "q187_centroid_drift": f"""
+            WITH j AS (
+                SELECT d.source AS src,
+                       CAST(e.embedding AS DOUBLE[]) AS v
+                FROM embeddings e JOIN documents d ON e.vec_id = d.doc_id
+            ),
+            u AS (
+                SELECT src, t.i AS dim,
+                       CAST(ROUND(v[t.i] * 1e9) AS BIGINT) AS xn
+                FROM j, unnest(range(1, 65)) t(i)
+            ),
+            pd AS (
+                SELECT src, dim, SUM(xn) AS s, COUNT(*) AS n
+                FROM u GROUP BY 1, 2
+            ),
+            sc AS (
+                SELECT src,
+                       array_agg(ROUND(s * 1.0 / n / 1e9, 6) ORDER BY dim)
+                           AS cvec,
+                       ANY_VALUE(n) AS n_vecs
+                FROM pd GROUP BY src
+            ),
+            gd AS (
+                SELECT dim, ROUND(SUM(s) * 1.0 / SUM(n) / 1e9, 6) AS c
+                FROM pd GROUP BY 1
+            ),
+            gc AS (SELECT array_agg(c ORDER BY dim) AS gvec FROM gd)
+            SELECT src AS source,
+                   CAST(n_vecs AS BIGINT) AS n_vecs,
+                   ROUND(
+                       {_FOLD_DOT.format(a="cvec", b="gvec")}
+                       / (sqrt({_FOLD_DOT.format(a="cvec", b="cvec")})
+                          * sqrt({_FOLD_DOT.format(a="gvec", b="gvec")})),
+                       6) AS drift_cos
+            FROM sc, gc
         """,
     }

@@ -158,6 +158,9 @@ BENCH_QUERIES = [
     "q181_cohen_kappa",
     "q182_pseudonymize_audit",
     "q183_k_anonymity",
+    "q185_bucket_balance",
+    "q186_split_balance",
+    "q187_centroid_drift",
 ]
 
 

@@ -1860,3 +1860,107 @@ def mmr_select(
         [(s[0], s[1], float(s[2]), float(s[3])) for s in selected],
         "rank bigint, vec_id bigint, relevance double, mmr_score double",
     )
+
+
+def bucket_balance(
+    embeddings: DataFrame,
+    num_planes: int = 8,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """ANN-index balance audit: the hyperplane bucket-size distribution in
+    one row — max/min bucket and the imbalance factor (max vs perfectly
+    even, milli). A skewed index means hot probe partitions at serving
+    time; this is the q146 hot-keys probe specialized to the semantic
+    bucket key.
+
+    Integer-exact; one bucket aggregation (≤2^planes keys) after the
+    scan-stage projection."""
+    b = semantic_buckets(
+        embeddings, num_planes, vec_col=vec_col, id_col=id_col
+    )
+    sizes = b.groupBy("bucket").agg(F.count(F.lit(1)).alias("sz"))
+    return sizes.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_buckets"),
+        F.sum("sz").cast("bigint").alias("n_vecs"),
+        F.max("sz").cast("bigint").alias("max_bucket"),
+        F.min("sz").cast("bigint").alias("min_bucket"),
+    ).select(
+        "n_buckets",
+        "n_vecs",
+        "max_bucket",
+        "min_bucket",
+        F.expr("(max_bucket * n_buckets * 1000) div n_vecs")
+        .cast("bigint")
+        .alias("imbalance_milli"),
+    )
+
+
+def centroid_drift(
+    embeddings: DataFrame,
+    documents: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    source_col: str = "source",
+) -> DataFrame:
+    """Per-source embedding drift: cosine between each source's centroid
+    and the global centroid — 'does this slice live in a different part of
+    embedding space'. The slice-level health check next to q85's label
+    purity and q92's score-space PSI.
+
+    Exactness: centroid components via the q85 integer-nano mean (rounded
+    to 6dp — order-independent); cosines rounded to 6dp.
+
+    Scale: one (source × dim) mergeable-mean shuffle (corpus-independent
+    width), the global centroid derived from the same relation, cosines on
+    the |sources| grain."""
+    joined = embeddings.join(
+        documents.select(
+            F.col("doc_id").alias(id_col), F.col(source_col).alias("src")
+        ),
+        id_col,
+    )
+    dims = joined.select(
+        "src", F.posexplode(_vec_double(vec_col)).alias("dim", "x")
+    )
+    x_nano = F.round(F.col("x") * 1e9).cast("bigint")
+    per_dim = dims.groupBy("src", "dim").agg(
+        F.sum(x_nano).alias("s"), F.count(F.lit(1)).alias("n")
+    )
+    src_cent = (
+        per_dim.withColumn(
+            "c", F.round(F.col("s") / F.col("n") / F.lit(1e9), 6)
+        )
+        .groupBy("src")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("dim", "c"))),
+                lambda s: s["c"],
+            ).alias("cvec"),
+            F.first("n").cast("bigint").alias("n_vecs"),
+        )
+    )
+    glob_cent = (
+        per_dim.groupBy("dim")
+        .agg(
+            F.round(F.sum("s") / F.sum("n") / F.lit(1e9), 6).alias("c")
+        )
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("dim", "c"))),
+                lambda s: s["c"],
+            ).alias("gvec")
+        )
+    )
+    return src_cent.crossJoin(F.broadcast(glob_cent)).select(
+        F.col("src").alias("source"),
+        "n_vecs",
+        F.round(
+            _dot(F.col("cvec"), F.col("gvec"))
+            / (
+                F.sqrt(_dot(F.col("cvec"), F.col("cvec")))
+                * F.sqrt(_dot(F.col("gvec"), F.col("gvec")))
+            ),
+            6,
+        ).alias("drift_cos"),
+    )

@@ -488,3 +488,64 @@ def curriculum_order(
         F.col("stage").cast("bigint").alias("stage"),
         F.col("_rn").cast("bigint").alias("position"),
     )
+
+
+def split_balance_audit(
+    df: DataFrame,
+    key: Column,
+    fractions: dict[str, float],
+    strata_col: str = "source",
+    seed: str = "split0",
+) -> DataFrame:
+    """Chi-square independence audit of split assignment vs stratum: hash
+    splits are only trustworthy if membership is independent of every
+    slicing column — this is the statistical proof, one row per corpus
+    (chi2_milli, dof, n_rows), exact integer chi²·1000 on the dense
+    (stratum × split) grid with DECIMAL(38,0) products (the q173 math
+    applied to the q64 assignment).
+
+    One doc-grain scan; everything else lives on the tiny grid."""
+    labels = list(fractions)
+    banded = df.select(
+        F.col(strata_col).alias("stratum"),
+        assign_split(key, fractions, seed).alias("split"),
+    )
+    cells = banded.groupBy("stratum", "split").agg(
+        F.count(F.lit(1)).alias("o")
+    )
+    grid = (
+        cells.select("stratum")
+        .distinct()
+        .crossJoin(
+            cells.sparkSession.createDataFrame(
+                [(s,) for s in labels], ["split"]
+            )
+        )
+    )
+    dense = grid.join(cells, ["stratum", "split"], "left").select(
+        "stratum", "split", F.coalesce("o", F.lit(0)).alias("o")
+    )
+    d38 = "decimal(38,0)"
+    g = (
+        dense.withColumn("n", F.sum("o").over(Window.partitionBy()))
+        .withColumn("r", F.sum("o").over(Window.partitionBy("stratum")))
+        .withColumn("c", F.sum("o").over(Window.partitionBy("split")))
+        .withColumn(
+            "cell_milli",
+            F.expr(
+                f"CASE WHEN r = 0 OR c = 0 THEN 0 ELSE "
+                f"(CAST(n AS {d38}) * o - CAST(r AS {d38}) * c)"
+                f" * (CAST(n AS {d38}) * o - CAST(r AS {d38}) * c)"
+                f" * 1000 div (CAST(n AS {d38}) * r * c) END"
+            ).cast("bigint"),
+        )
+    )
+    return g.agg(
+        F.sum("cell_milli").cast("bigint").alias("chi2_milli"),
+        (
+            (F.countDistinct("stratum") - 1) * (F.countDistinct("split") - 1)
+        )
+        .cast("bigint")
+        .alias("dof"),
+        F.first("n").cast("bigint").alias("n_rows"),
+    )
