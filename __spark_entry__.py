@@ -1932,6 +1932,34 @@ def q187_centroid_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q188_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Last-touch attribution (analytics.last_touch_attribution): per
+    conversion, the most recent preceding non-conversion event type via a
+    conditional running max — one window, no as-of self-join."""
+    return analytics.last_touch_attribution(
+        _base(spark, sf_dir, "events"), conversion_type="purchase"
+    )
+
+
+def q189_transition_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Behavioral concept drift (analytics.transition_drift): L1 distance
+    between first-half and second-half transition distributions in exact
+    integer ppm, with the worst-drifting pair."""
+    return analytics.transition_drift(_base(spark, sf_dir, "events"))
+
+
+CTX_SWEEP = (64, 128, 256, 512)
+
+
+def q190_ctx_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Context-length planning sweep (text_ops.ctx_length_sweep):
+    kept/truncated/padding token accounting at four candidate context
+    lengths via a ×4 literal explode before the map-side combine."""
+    return text_ops.ctx_length_sweep(
+        _base(spark, sf_dir, "documents"), contexts=CTX_SWEEP
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001: the backup-listing report."""
     return q01_list_backups(spark, "/root/testdata/sf0.001")
@@ -2126,6 +2154,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q185_bucket_balance": q185_bucket_balance,
         "q186_split_balance": q186_split_balance,
         "q187_centroid_drift": q187_centroid_drift,
+        "q188_attribution": q188_attribution,
+        "q189_transition_drift": q189_transition_drift,
+        "q190_ctx_sweep": q190_ctx_sweep,
     }
 
 
@@ -7206,5 +7237,90 @@ def oracle_sql() -> dict[str, str]:
                           * sqrt({_FOLD_DOT.format(a="gvec", b="gvec")})),
                        6) AS drift_cos
             FROM sc, gc
+        """,
+        "q188_attribution": """
+            WITH t AS (
+                SELECT event_type,
+                       LAST_VALUE(CASE WHEN event_type <> 'purchase'
+                                  THEN event_type END IGNORE NULLS)
+                           OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                 ROWS BETWEEN UNBOUNDED PRECEDING
+                                 AND 1 PRECEDING) AS channel
+                FROM events
+            ),
+            c AS (
+                SELECT COALESCE(channel, 'none') AS channel,
+                       COUNT(*) AS n_conversions
+                FROM t WHERE event_type = 'purchase' GROUP BY 1
+            )
+            SELECT channel,
+                   CAST(n_conversions AS BIGINT) AS n_conversions,
+                   CAST((n_conversions * 1000000) // SUM(n_conversions)
+                        OVER () AS BIGINT) AS share_ppm
+            FROM c
+        """,
+        "q189_transition_drift": """
+            WITH mid AS (
+                SELECT CAST((MIN(CAST(epoch(ts) AS BIGINT))
+                             + MAX(CAST(epoch(ts) AS BIGINT))) / 2
+                            AS BIGINT) AS mid_s
+                FROM events
+            ),
+            p AS (
+                SELECT event_type AS t1,
+                       LEAD(event_type, 1) OVER
+                           (PARTITION BY user_id ORDER BY ts, event_id)
+                           AS t2,
+                       CAST(epoch(ts) AS BIGINT) <= mid.mid_s AS first_half
+                FROM events, mid
+            ),
+            cells AS (
+                SELECT t1, t2,
+                       SUM(CASE WHEN first_half THEN 1 ELSE 0 END) AS c1,
+                       SUM(CASE WHEN first_half THEN 0 ELSE 1 END) AS c2
+                FROM p WHERE t2 IS NOT NULL GROUP BY 1, 2
+            ),
+            g AS (
+                SELECT *,
+                       SUM(c1) OVER () AS n1, SUM(c2) OVER () AS n2
+                FROM cells
+            ),
+            d AS (
+                SELECT *,
+                       ABS((c1 * 1000000) // n1 - (c2 * 1000000) // n2)
+                           AS d_ppm
+                FROM g
+            ),
+            sel AS (
+                SELECT SUM(d_ppm) AS l1,
+                       MAX(struct_pack(d := d_ppm, t1 := t1, t2 := t2))
+                           AS w,
+                       ANY_VALUE(n1) AS n1, ANY_VALUE(n2) AS n2
+                FROM d
+            )
+            SELECT CAST(l1 AS BIGINT) AS l1_drift_ppm,
+                   w.t1 AS worst_t1, w.t2 AS worst_t2,
+                   CAST(w.d AS BIGINT) AS worst_d_ppm,
+                   CAST(n1 AS BIGINT) AS n_first,
+                   CAST(n2 AS BIGINT) AS n_second
+            FROM sel
+        """,
+        "q190_ctx_sweep": """
+            WITH per AS (
+                SELECT c.ctx,
+                       CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok
+                FROM documents
+                CROSS JOIN (VALUES (64), (128), (256), (512)) c(ctx)
+            ),
+            k AS (SELECT ctx, n_tok, LEAST(n_tok, ctx) AS kept FROM per)
+            SELECT CAST(ctx AS BIGINT) AS ctx,
+                   CAST(COUNT(*) AS BIGINT) AS n_docs,
+                   CAST(SUM(n_tok) AS BIGINT) AS total_tokens,
+                   CAST(SUM(kept) AS BIGINT) AS kept_tokens,
+                   CAST(SUM(n_tok - kept) AS BIGINT) AS truncated_tokens,
+                   CAST(SUM(ctx - kept) AS BIGINT) AS padding_tokens,
+                   CAST((SUM(kept) * 1000000) // SUM(n_tok) AS BIGINT)
+                       AS kept_ppm
+            FROM k GROUP BY 1
         """,
     }

@@ -161,6 +161,9 @@ BENCH_QUERIES = [
     "q185_bucket_balance",
     "q186_split_balance",
     "q187_centroid_drift",
+    "q188_attribution",
+    "q189_transition_drift",
+    "q190_ctx_sweep",
 ]
 
 

@@ -1529,3 +1529,118 @@ def dow_profile(events: DataFrame) -> DataFrame:
             "max_daily",
         )
     )
+
+
+def last_touch_attribution(
+    events: DataFrame, conversion_type: str = "purchase"
+) -> DataFrame:
+    """Last-touch attribution: for every conversion event, the most recent
+    PRECEDING non-conversion event type of the same user (the channel that
+    gets credit), reported as per-channel conversion counts and shares.
+
+    The conditional-running-max trick keeps this one window: max of
+    struct(ts, event_id, type) over preceding rows where the row is NOT a
+    conversion — no self-join, no as-of join against a second relation.
+    Conversions with no preceding touch report channel 'none'.
+    """
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    # struct max on (ts, event_id) == the LAST preceding touch in window
+    # order — full-precision ts, so sub-second ordering matches the
+    # oracle's LAST_VALUE ... IGNORE NULLS exactly
+    touch = F.max(
+        F.when(
+            F.col("event_type") != conversion_type,
+            F.struct(
+                F.col("ts").alias("ts"),
+                F.col("event_id").alias("eid"),
+                F.col("event_type").alias("t"),
+            ),
+        )
+    ).over(w)
+    conv = (
+        events.withColumn("touch", touch)
+        .filter(F.col("event_type") == conversion_type)
+        .select(F.coalesce(F.col("touch.t"), F.lit("none")).alias("channel"))
+    )
+    return (
+        conv.groupBy("channel")
+        .agg(F.count(F.lit(1)).alias("n_conversions"))
+        .withColumn("total", F.sum("n_conversions").over(Window.partitionBy()))
+        .select(
+            "channel",
+            F.col("n_conversions").cast("bigint").alias("n_conversions"),
+            F.expr("(n_conversions * 1000000) div total")
+            .cast("bigint")
+            .alias("share_ppm"),
+        )
+    )
+
+
+def transition_drift(events: DataFrame) -> DataFrame:
+    """Behavioral concept drift: compare the event-type transition
+    distribution between the first and second half of the time range
+    (corpus-epoch split at the midpoint) — total L1 distance between the
+    two transition-probability vectors, in exact integer ppm, plus the
+    worst-drifting pair.
+
+    One user window for the lead chain (with the half label derived from
+    the FIRST event's epoch — transitions straddling the midpoint belong
+    to their source event's half), two tiny pair-grain aggs, the L1 on the
+    |types|² grain."""
+    mid = events.agg(
+        (
+            (F.min(F.unix_timestamp("ts")) + F.max(F.unix_timestamp("ts")))
+            / 2
+        )
+        .cast("bigint")
+        .alias("mid_s")
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    pairs = (
+        events.crossJoin(F.broadcast(mid))
+        .select(
+            F.col("event_type").alias("t1"),
+            F.lead("event_type", 1).over(w).alias("t2"),
+            (F.unix_timestamp("ts") <= F.col("mid_s")).alias("first_half"),
+        )
+        .filter(F.col("t2").isNotNull())
+    )
+    cells = pairs.groupBy("t1", "t2").agg(
+        F.sum(F.col("first_half").cast("bigint")).alias("c1"),
+        F.sum((~F.col("first_half")).cast("bigint")).alias("c2"),
+    )
+    w_all = Window.partitionBy()
+    g = (
+        cells.withColumn("n1", F.sum("c1").over(w_all))
+        .withColumn("n2", F.sum("c2").over(w_all))
+        .withColumn(
+            "d_ppm",
+            F.abs(
+                F.expr("(c1 * 1000000) div n1")
+                - F.expr("(c2 * 1000000) div n2")
+            ),
+        )
+    )
+    return g.agg(
+        F.sum("d_ppm").cast("bigint").alias("l1_drift_ppm"),
+        F.max(
+            F.struct(
+                F.col("d_ppm").alias("d"),
+                F.col("t1").alias("t1"),
+                F.col("t2").alias("t2"),
+            )
+        ).alias("_worst"),
+        F.first("n1").cast("bigint").alias("n_first"),
+        F.first("n2").cast("bigint").alias("n_second"),
+    ).select(
+        "l1_drift_ppm",
+        F.col("_worst.t1").alias("worst_t1"),
+        F.col("_worst.t2").alias("worst_t2"),
+        F.col("_worst.d").cast("bigint").alias("worst_d_ppm"),
+        "n_first",
+        "n_second",
+    )

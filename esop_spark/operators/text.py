@@ -2999,3 +2999,53 @@ def cohen_kappa(
         .cast("bigint")
         .alias("agreement_ppm"),
     )
+
+
+def ctx_length_sweep(
+    documents: DataFrame,
+    contexts: tuple[int, ...] = (64, 128, 256, 512),
+    text_col: str = "text",
+) -> DataFrame:
+    """Context-length planning sweep: for each candidate context length,
+    the corpus-wide packed-token accounting — kept tokens (truncated at
+    ctx), truncation loss, padding waste if every doc occupied one
+    ctx-sized slot, and the kept fraction — the one-table answer to
+    "what sequence length should this corpus train at".
+
+    One scan with a ×|contexts| literal explode BEFORE the map-side
+    combine (the q150 thresholds trick): shuffle volume is |contexts|
+    groups, the explode factor is a compile-time constant."""
+    n = F.size(F.split(F.col(text_col), " ")).cast("bigint")
+    ctx_arr = F.array(*[F.lit(int(c)) for c in contexts])
+    per = documents.select(
+        n.alias("n_tok"), F.explode(ctx_arr).alias("ctx")
+    ).select(
+        "ctx",
+        "n_tok",
+        F.least(F.col("n_tok"), F.col("ctx")).alias("kept"),
+    )
+    return (
+        per.groupBy("ctx")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum("n_tok").cast("bigint").alias("total_tokens"),
+            F.sum("kept").cast("bigint").alias("kept_tokens"),
+            F.sum(F.col("n_tok") - F.col("kept"))
+            .cast("bigint")
+            .alias("truncated_tokens"),
+            F.sum(F.col("ctx") - F.col("kept"))
+            .cast("bigint")
+            .alias("padding_tokens"),
+        )
+        .select(
+            F.col("ctx").cast("bigint").alias("ctx"),
+            "n_docs",
+            "total_tokens",
+            "kept_tokens",
+            "truncated_tokens",
+            "padding_tokens",
+            F.expr("(kept_tokens * 1000000) div total_tokens")
+            .cast("bigint")
+            .alias("kept_ppm"),
+        )
+    )
