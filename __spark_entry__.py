@@ -1960,6 +1960,33 @@ def q190_ctx_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+VT_HEAD_K = 10
+
+
+def q191_vocab_tail(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary tail health (text_ops.vocab_tail_report): hapax share of
+    the vocab + top-10 token-mass share per source — head mass computed on
+    the count-LEVEL grain (tie-agnostic), never a per-source vocab sort."""
+    return text_ops.vocab_tail_report(
+        _base(spark, sf_dir, "documents"), head_k=VT_HEAD_K
+    )
+
+
+JL_PLANES = 16
+JL_MAX_DOCS = 100
+
+
+def q192_jl_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JL distance-preservation audit (similarity.jl_projection_audit):
+    64→16-dim signed-projection cosine error on the q136 capped sample —
+    integer projections and dot products, only the final cosine is float."""
+    return similarity.jl_projection_audit(
+        _base(spark, sf_dir, "embeddings"),
+        proj_planes=JL_PLANES,
+        max_docs=JL_MAX_DOCS,
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001: the backup-listing report."""
     return q01_list_backups(spark, "/root/testdata/sf0.001")
@@ -2157,6 +2184,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q188_attribution": q188_attribution,
         "q189_transition_drift": q189_transition_drift,
         "q190_ctx_sweep": q190_ctx_sweep,
+        "q191_vocab_tail": q191_vocab_tail,
+        "q192_jl_audit": q192_jl_audit,
     }
 
 
@@ -2750,6 +2779,89 @@ def _bucket_balance_oracle(num_planes: int, dim: int) -> str:
                CAST((MAX(sz) * COUNT(*) * 1000) // SUM(sz) AS BIGINT)
                    AS imbalance_milli
         FROM sz
+    """
+
+
+def _jl_oracle(proj_planes: int, max_docs: int) -> str:
+    """JL audit oracle: same capped md5 sample, same ±1 sign matrix
+    (seed 'jl'), integer fixed-point projections and integer dot products
+    — only the final cosine divides in double (rounded 6dp), so both
+    engines agree bit-for-bit."""
+    signs = similarity.hyperplane_signs(proj_planes, 64, seed="jl")
+    rows = ", ".join(
+        f"({j}, {i + 1}, {signs[j][i]})"
+        for j in range(proj_planes)
+        for i in range(64)
+    )
+    idot64 = (
+        "list_reduce(list_transform(range(1, 65), i -> {a}[i] * {b}[i]),"
+        " (x, y) -> x + y)"
+    )
+    idotp = (
+        f"list_reduce(list_transform(range(1, {proj_planes + 1}),"
+        " i -> {a}[i] * {b}[i]), (x, y) -> x + y)"
+    )
+    return f"""
+        WITH e AS (
+            SELECT vec_id,
+                   list_transform(CAST(embedding AS DOUBLE[]),
+                       x -> CAST(FLOOR(x * {similarity.SEM_SCALE})
+                                 AS BIGINT)) AS vq
+            FROM embeddings
+        ),
+        sb AS (
+            SELECT vec_id, vq,
+                   CAST(concat('0x', substr(md5('jl:'
+                        || CAST(vec_id AS VARCHAR)), 1, 8)) AS BIGINT)
+                       % 1000000 AS b
+            FROM e
+        ),
+        samp AS (
+            SELECT vec_id AS vid, vq FROM sb ORDER BY b, vid
+            LIMIT {max_docs}
+        ),
+        signs(j, i, sg) AS (VALUES {rows}),
+        u AS (
+            SELECT vid, t.i AS i, vq[t.i] AS val
+            FROM samp, unnest(range(1, 65)) t(i)
+        ),
+        proj AS (
+            SELECT u.vid, signs.j, SUM(u.val * signs.sg) AS p
+            FROM u JOIN signs ON signs.i = u.i GROUP BY 1, 2
+        ),
+        pvt AS (
+            SELECT vid, array_agg(p ORDER BY j) AS pv FROM proj GROUP BY 1
+        ),
+        pr AS (
+            SELECT a.vid AS va, b.vid AS vb, a.vq AS q1, b.vq AS q2,
+                   pa.pv AS p1, pb.pv AS p2
+            FROM samp a
+            JOIN samp b ON a.vid < b.vid
+            JOIN pvt pa ON pa.vid = a.vid
+            JOIN pvt pb ON pb.vid = b.vid
+        ),
+        sc AS (
+            SELECT ROUND(({idot64.format(a="q1", b="q2")}) * 1.0
+                         / (sqrt({idot64.format(a="q1", b="q1")})
+                            * sqrt({idot64.format(a="q2", b="q2")})), 6)
+                       AS cos_o,
+                   ROUND(({idotp.format(a="p1", b="p2")}) * 1.0
+                         / (sqrt({idotp.format(a="p1", b="p1")})
+                            * sqrt({idotp.format(a="p2", b="p2")})), 6)
+                       AS cos_p
+            FROM pr
+        ),
+        er AS (
+            SELECT CAST(ROUND(ABS(cos_p - cos_o) * 1000000000) AS BIGINT)
+                       AS e9
+            FROM sc
+        )
+        SELECT CAST({max_docs} AS BIGINT) AS n_docs_cap,
+               CAST(COUNT(*) AS BIGINT) AS n_pairs,
+               ROUND(SUM(e9) * 1.0 / COUNT(*) / 1000000000.0, 6)
+                   AS mean_abs_err,
+               ROUND(MAX(e9) / 1000000000.0, 6) AS max_abs_err
+        FROM er
     """
 
 
@@ -7323,4 +7435,52 @@ def oracle_sql() -> dict[str, str]:
                        AS kept_ppm
             FROM k GROUP BY 1
         """,
+        "q191_vocab_tail": f"""
+            WITH tok AS (
+                SELECT source, unnest(string_split(text, ' ')) AS t
+                FROM documents
+            ),
+            vocab AS (
+                SELECT source, t, COUNT(*) AS c FROM tok GROUP BY 1, 2
+            ),
+            lvl AS (
+                SELECT source, c, COUNT(*) AS n_at FROM vocab GROUP BY 1, 2
+            ),
+            cum AS (
+                SELECT *,
+                       SUM(n_at) OVER (PARTITION BY source ORDER BY c DESC
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                           AS cum_n,
+                       SUM(n_at * c) OVER (PARTITION BY source
+                           ORDER BY c DESC ROWS BETWEEN UNBOUNDED PRECEDING
+                           AND CURRENT ROW) AS cum_mass
+                FROM lvl
+            ),
+            head AS (
+                SELECT source, MIN(cum_n) AS mn FROM cum
+                WHERE cum_n >= {VT_HEAD_K} GROUP BY 1
+            ),
+            hm AS (
+                SELECT c.source,
+                       c.cum_mass - (c.cum_n - {VT_HEAD_K}) * c.c
+                           AS head_mass
+                FROM cum c JOIN head h
+                  ON c.source = h.source AND c.cum_n = h.mn
+            ),
+            tot AS (
+                SELECT source, COUNT(*) AS vocab_size, SUM(c) AS n_tokens,
+                       SUM(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS n_hapax
+                FROM vocab GROUP BY 1
+            )
+            SELECT t.source,
+                   CAST(vocab_size AS BIGINT) AS vocab_size,
+                   CAST(n_tokens AS BIGINT) AS n_tokens,
+                   CAST(n_hapax AS BIGINT) AS n_hapax,
+                   CAST((n_hapax * 1000000) // vocab_size AS BIGINT)
+                       AS hapax_ppm,
+                   CAST((COALESCE(head_mass, n_tokens) * 1000000)
+                        // n_tokens AS BIGINT) AS head_mass_ppm
+            FROM tot t LEFT JOIN hm USING (source)
+        """,
+        "q192_jl_audit": _jl_oracle(JL_PLANES, JL_MAX_DOCS),
     }

@@ -164,6 +164,8 @@ BENCH_QUERIES = [
     "q188_attribution",
     "q189_transition_drift",
     "q190_ctx_sweep",
+    "q191_vocab_tail",
+    "q192_jl_audit",
 ]
 
 

@@ -1964,3 +1964,103 @@ def centroid_drift(
             6,
         ).alias("drift_cos"),
     )
+
+
+def jl_projection_audit(
+    embeddings: DataFrame,
+    proj_planes: int = 16,
+    max_docs: int = 100,
+    dim: int = 64,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Johnson–Lindenstrauss distance-preservation audit: project vectors
+    onto ``proj_planes`` deterministic ±1 hyperplanes (the q56 sign
+    matrix, kept as signed PROJECTION VALUES rather than sign bits) and
+    measure how well pairwise cosine survives — the go/no-go check before
+    shipping a dimensionality-reduced index.
+
+    Exactness end-to-end: vectors quantize to integer fixed-point
+    (SEM_SCALE), projections and dot products are INTEGER sums (order-
+    independent in any engine), and only the final cosine divides in
+    double and rounds to 6 dp. The audit sample is the q136 capped
+    smallest-hash-bucket subset, so the O(sample²) pair set is a fixed
+    budget, never corpus-scale.
+
+    Output one row: (n_docs, n_pairs, mean_abs_err, max_abs_err)."""
+    signs = hyperplane_signs(proj_planes, dim, seed="jl")
+    c = F.col(vec_col)
+    vq = F.transform(
+        c, lambda x: F.floor(x.cast("double") * SEM_SCALE).cast("bigint")
+    )
+    proj_cols = [
+        F.aggregate(
+            F.zip_with(
+                F.col("vq"),
+                F.array(*[F.lit(int(s)) for s in signs[j]]),
+                lambda x, y: x * y,
+            ),
+            F.lit(0).cast("bigint"),
+            lambda acc, v: acc + v,
+        )
+        for j in range(proj_planes)
+    ]
+    bucket = F.expr(
+        "cast(conv(substring(md5(concat('jl:', cast(vid as string))), 1, 8),"
+        " 16, 10) as bigint) % 1000000"
+    )
+    sample = (
+        embeddings.select(F.col(id_col).alias("vid"), vq.alias("vq"))
+        .withColumn("b", bucket)
+        .orderBy("b", "vid")
+        .limit(max_docs)
+        .withColumn("pv", F.array(*proj_cols))
+        .persist()
+    )
+
+    def _idot(a, b):
+        return F.aggregate(
+            F.zip_with(a, b, lambda x, y: x * y),
+            F.lit(0).cast("bigint"),
+            lambda acc, v: acc + v,
+        )
+
+    a = sample.alias("a")
+    b = sample.alias("b")
+    pairs = a.join(b, F.col("a.vid") < F.col("b.vid")).select(
+        F.round(
+            _idot(F.col("a.vq"), F.col("b.vq")).cast("double")
+            / (
+                F.sqrt(_idot(F.col("a.vq"), F.col("a.vq")).cast("double"))
+                * F.sqrt(_idot(F.col("b.vq"), F.col("b.vq")).cast("double"))
+            ),
+            6,
+        ).alias("cos_o"),
+        F.round(
+            _idot(F.col("a.pv"), F.col("b.pv")).cast("double")
+            / (
+                F.sqrt(_idot(F.col("a.pv"), F.col("a.pv")).cast("double"))
+                * F.sqrt(_idot(F.col("b.pv"), F.col("b.pv")).cast("double"))
+            ),
+            6,
+        ).alias("cos_p"),
+    )
+    err9 = F.round(F.abs(F.col("cos_p") - F.col("cos_o")) * 1e9).cast(
+        "bigint"
+    )
+    return (
+        pairs.select(err9.alias("e9"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_pairs"),
+            F.round(F.sum("e9") / F.count(F.lit(1)) / F.lit(1e9), 6).alias(
+                "mean_abs_err"
+            ),
+            F.round(F.max("e9") / F.lit(1e9), 6).alias("max_abs_err"),
+        )
+        .select(
+            F.lit(int(max_docs)).cast("bigint").alias("n_docs_cap"),
+            "n_pairs",
+            "mean_abs_err",
+            "max_abs_err",
+        )
+    )

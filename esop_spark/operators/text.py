@@ -3049,3 +3049,73 @@ def ctx_length_sweep(
             .alias("kept_ppm"),
         )
     )
+
+
+def vocab_tail_report(
+    documents: DataFrame,
+    head_k: int = 10,
+    source_col: str = "source",
+    text_col: str = "text",
+) -> DataFrame:
+    """Vocabulary tail health per source: hapax-legomena share of the
+    vocabulary (typo/noise indicator), and the token-mass share of the
+    top-``head_k`` tokens (template/boilerplate indicator) — the two ends
+    of the Zipf curve as release-gate numbers (q88 fits the middle).
+
+    Scale-safe head mass: ranking the per-source vocabulary through a
+    window would sort a possibly-billion-row vocab in one task, so the
+    head is computed on the COUNT-LEVEL grain instead — cumulative vocab
+    entries/mass per distinct count value (descending), then
+    ``head_mass = cum_mass − (cum_n − k)·c*`` at the first level where
+    ``cum_n ≥ k``.  Top-k BY MASS is tie-agnostic (every tied token at the
+    boundary level contributes the same count), so this is exact."""
+    tok = documents.select(
+        F.col(source_col).alias("source"),
+        F.explode(tokens(text_col)).alias("t"),
+    )
+    vocab = tok.groupBy("source", "t").agg(F.count(F.lit(1)).alias("c"))
+    lvl = vocab.groupBy("source", "c").agg(
+        F.count(F.lit(1)).alias("n_at")
+    )
+    w_cum = (
+        Window.partitionBy("source")
+        .orderBy(F.desc("c"))
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    cum = lvl.withColumn("cum_n", F.sum("n_at").over(w_cum)).withColumn(
+        "cum_mass", F.sum(F.col("n_at") * F.col("c")).over(w_cum)
+    )
+    head = (
+        cum.filter(F.col("cum_n") >= head_k)
+        .groupBy("source")
+        .agg(F.min(F.struct("cum_n", "c", "cum_mass")).alias("b"))
+        .select(
+            "source",
+            (
+                F.col("b.cum_mass")
+                - (F.col("b.cum_n") - head_k) * F.col("b.c")
+            ).alias("head_mass"),
+        )
+    )
+    totals = vocab.groupBy("source").agg(
+        F.count(F.lit(1)).alias("vocab_size"),
+        F.sum("c").alias("n_tokens"),
+        F.sum((F.col("c") == 1).cast("bigint")).alias("n_hapax"),
+    )
+    return (
+        totals.join(head, "source", "left")
+        .select(
+            "source",
+            F.col("vocab_size").cast("bigint").alias("vocab_size"),
+            F.col("n_tokens").cast("bigint").alias("n_tokens"),
+            F.col("n_hapax").cast("bigint").alias("n_hapax"),
+            F.expr("(n_hapax * 1000000) div vocab_size")
+            .cast("bigint")
+            .alias("hapax_ppm"),
+            F.expr(
+                "(coalesce(head_mass, n_tokens) * 1000000) div n_tokens"
+            )
+            .cast("bigint")
+            .alias("head_mass_ppm"),
+        )
+    )
