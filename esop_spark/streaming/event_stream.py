@@ -94,3 +94,47 @@ def dedup_within_watermark(
     """Streaming exact dedup: duplicates arriving within the watermark are
     dropped without unbounded state."""
     return events.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(keys)
+
+
+def attribution_stream(
+    touches: DataFrame,
+    conversions: DataFrame,
+    max_gap: str = "30 minutes",
+    watermark: str = "30 minutes",
+) -> DataFrame:
+    """Streaming last-touch candidates: a STREAM-STREAM inner join between
+    a touch stream and a conversion stream of the same user, with the
+    event-time range condition ``conv.ts − max_gap ≤ touch.ts ≤ conv.ts``
+    — the join-state analogue of the batch conditional-running-max
+    attribution (analytics.last_touch_attribution).
+
+    Both sides are watermarked and the join carries the time-range bound,
+    so Spark can expire join state: touch rows older than
+    (watermark + max_gap) are dropped — bounded state at any volume. The
+    output is every (conversion, qualifying touch) pair; the final
+    "latest touch wins" reduction is a downstream batch/foreachBatch agg
+    (stream-stream joins can't chain another stateful max in one query).
+    """
+    t = touches.select(
+        F.col("user_id").alias("t_user"),
+        F.col("ts").alias("t_ts"),
+        F.col("event_type").alias("channel"),
+    ).withWatermark("t_ts", watermark)
+    c = conversions.select(
+        F.col("user_id").alias("c_user"),
+        F.col("ts").alias("c_ts"),
+        F.col("event_id").alias("conversion_id"),
+    ).withWatermark("c_ts", watermark)
+    return t.join(
+        c,
+        F.expr(
+            f"t_user = c_user AND t_ts <= c_ts"
+            f" AND t_ts >= c_ts - INTERVAL {max_gap}"
+        ),
+    ).select(
+        "conversion_id",
+        F.col("c_user").alias("user_id"),
+        "channel",
+        F.col("t_ts").alias("touch_ts"),
+        F.col("c_ts").alias("conversion_ts"),
+    )

@@ -165,3 +165,44 @@ def test_dedup_within_watermark_stream(spark, tmp_path):
     q.awaitTermination(120)
     rows = spark.sql("select * from dedup_wm_test").collect()
     assert sorted(r["content_key"] for r in rows) == ["k1", "k2", "k3"]
+
+
+def test_attribution_stream_stream_join(spark, tmp_path):
+    tdir, cdir = str(tmp_path / "touch"), str(tmp_path / "conv")
+    spark.createDataFrame(
+        [
+            (1, "2024-01-01 10:00:00", 100, "view"),
+            (1, "2024-01-01 10:20:00", 101, "click"),
+            (1, "2024-01-01 08:00:00", 102, "view"),  # > max_gap before conv
+            (2, "2024-01-01 10:00:00", 103, "view"),  # user 2 never converts
+        ],
+        "user_id bigint, ts_s string, event_id bigint, event_type string",
+    ).selectExpr(
+        "user_id", "cast(ts_s as timestamp) as ts", "event_id", "event_type"
+    ).coalesce(1).write.parquet(tdir)
+    spark.createDataFrame(
+        [(1, "2024-01-01 10:30:00", 200, "purchase")],
+        "user_id bigint, ts_s string, event_id bigint, event_type string",
+    ).selectExpr(
+        "user_id", "cast(ts_s as timestamp) as ts", "event_id", "event_type"
+    ).coalesce(1).write.parquet(cdir)
+
+    schema = "user_id bigint, ts timestamp, event_id bigint, event_type string"
+    touches = spark.readStream.schema(schema).parquet(tdir)
+    convs = spark.readStream.schema(schema).parquet(cdir)
+    out = event_stream.attribution_stream(
+        touches, convs, max_gap="1 hour", watermark="1 hour"
+    )
+    q = (
+        out.writeStream.format("memory")
+        .queryName("attr_out")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    rows = spark.sql("select * from attr_out").collect()
+    channels = sorted(r["channel"] for r in rows)
+    # only the two touches within [conv-1h, conv] qualify
+    assert channels == ["click", "view"]
+    assert all(r["conversion_id"] == 200 for r in rows)
