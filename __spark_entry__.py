@@ -1987,6 +1987,59 @@ def q192_jl_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+ECE_BINS = 10
+
+
+def q193_ece_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-score calibration (text_ops.ece_calibration): reliability
+    bins of score-as-confidence vs gopher-pass outcome; the per-bin gap
+    telescopes to an exact integer so ECE is one final division."""
+    return text_ops.ece_calibration(
+        _base(spark, sf_dir, "documents"), n_bins=ECE_BINS
+    )
+
+
+def q194_ks_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample KS drift gate (text_ops.ks_score_drift): en vs non-en
+    quality-score distributions; exact-integer D numerator on the bounded
+    0–100 score grain."""
+    return text_ops.ks_score_drift(_base(spark, sf_dir, "documents"))
+
+
+def q195_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM segmentation (analytics.rfm_segments): exact tercile scoring on
+    bounded value grains, ≤27-segment report."""
+    return analytics.rfm_segments(_base(spark, sf_dir, "events"))
+
+
+def q196_markov_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Markov removal-effect attribution (analytics.markov_removal_effect):
+    first-order chain absorbed at first purchase, 8-step conversion mass
+    per channel removal — state-grain iterations only."""
+    return analytics.markov_removal_effect(
+        _base(spark, sf_dir, "events"), conversion_type="purchase",
+        steps=MARKOV_STEPS,
+    )
+
+
+def q197_survival(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Discrete-time survival/churn (analytics.survival_hazard): tenure-
+    week at-risk/churn/hazard via one user agg + bounded-grain windows."""
+    return analytics.survival_hazard(_base(spark, sf_dir, "events"))
+
+
+def q198_intrinsic_dim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TwoNN intrinsic dimension (similarity.twonn_intrinsic_dim): MLE from
+    nearest-two distance ratios on the q136 capped sample."""
+    return similarity.twonn_intrinsic_dim(
+        _base(spark, sf_dir, "embeddings"), max_docs=TWONN_MAX_DOCS
+    )
+
+
+MARKOV_STEPS = 8
+TWONN_MAX_DOCS = 200
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001: the backup-listing report."""
     return q01_list_backups(spark, "/root/testdata/sf0.001")
@@ -2186,6 +2239,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q190_ctx_sweep": q190_ctx_sweep,
         "q191_vocab_tail": q191_vocab_tail,
         "q192_jl_audit": q192_jl_audit,
+        "q193_ece_calibration": q193_ece_calibration,
+        "q194_ks_drift": q194_ks_drift,
+        "q195_rfm_segments": q195_rfm_segments,
+        "q196_markov_attribution": q196_markov_attribution,
+        "q197_survival": q197_survival,
+        "q198_intrinsic_dim": q198_intrinsic_dim,
     }
 
 
@@ -2900,6 +2959,137 @@ def _pagerank_oracle(iters: int, k: int) -> str:
             FROM r{iters} ORDER BY r DESC, v LIMIT {k}
         """
     )
+
+
+def _markov_oracle(steps: int, conv: str = "purchase") -> str:
+    """Unrolled L-step absorbing-walk oracle for q196 — the same chain fit
+    (journeys truncated at first conversion, no fitted outflow from the
+    conversion state, explicit self-loop) with each walk step a CTE."""
+    vs = []
+    for i in range(1, steps + 1):
+        vs.append(
+            f"""
+            v{i} AS (
+                SELECT v.removed, rt.s2 AS state, SUM(v.p * rt.p) AS p
+                FROM v{i-1} v
+                JOIN rt ON rt.removed = v.removed AND rt.s = v.state
+                GROUP BY 1, 2
+            )"""
+        )
+    return f"""
+        WITH ev AS (
+            SELECT user_id, event_id, event_type,
+                   CAST(epoch(ts) AS BIGINT) AS ts_s
+            FROM events
+        ),
+        conv AS (
+            SELECT user_id,
+                   MIN(CASE WHEN event_type = '{conv}' THEN ts_s END)
+                       AS conv_ts
+            FROM ev GROUP BY 1
+        ),
+        seq AS (
+            SELECT e.user_id, e.event_type,
+                   ROW_NUMBER() OVER (PARTITION BY e.user_id
+                                      ORDER BY e.ts_s, e.event_id) AS rn,
+                   LEAD(e.event_type) OVER (PARTITION BY e.user_id
+                                            ORDER BY e.ts_s, e.event_id)
+                       AS next_type
+            FROM ev e JOIN conv c USING (user_id)
+            WHERE c.conv_ts IS NULL OR e.ts_s <= c.conv_ts
+        ),
+        hops AS (
+            SELECT '__START__' AS s, event_type AS s2 FROM seq WHERE rn = 1
+            UNION ALL
+            SELECT event_type, next_type FROM seq
+            WHERE next_type IS NOT NULL AND event_type <> '{conv}'
+        ),
+        tc AS (SELECT s, s2, COUNT(*) AS n FROM hops GROUP BY 1, 2),
+        ot AS (SELECT s, SUM(n) AS n_out FROM tc GROUP BY 1),
+        trans AS (
+            SELECT tc.s, tc.s2, tc.n * 1.0 / ot.n_out AS p
+            FROM tc JOIN ot USING (s)
+            UNION ALL SELECT '{conv}', '{conv}', 1.0
+        ),
+        removals AS (
+            SELECT DISTINCT s2 AS removed FROM tc WHERE s2 <> '{conv}'
+            UNION ALL SELECT 'NONE'
+        ),
+        rt AS (
+            SELECT r.removed, t.s, t.s2, t.p
+            FROM removals r CROSS JOIN trans t
+            WHERE t.s <> r.removed AND t.s2 <> r.removed
+        ),
+        v0 AS (
+            SELECT removed, '__START__' AS state, 1.0 AS p FROM removals
+        ),
+        {",".join(vs)},
+        mass AS (
+            SELECT removed, p FROM v{steps} WHERE state = '{conv}'
+        ),
+        pc AS (
+            SELECT r.removed, COALESCE(mass.p, 0.0) AS p_conv
+            FROM removals r LEFT JOIN mass USING (removed)
+        ),
+        base AS (SELECT p_conv AS p_base FROM pc WHERE removed = 'NONE')
+        SELECT removed, ROUND(p_conv, 6) AS p_conv,
+               ROUND(1.0 - p_conv / p_base, 6) AS removal_effect
+        FROM pc CROSS JOIN base
+    """
+
+
+def _twonn_oracle(max_docs: int) -> str:
+    """TwoNN oracle: same capped md5 'nn:' sample, exact integer squared-L2
+    distances, nearest-two per point with the (dist, id) tiebreak."""
+    d2 = (
+        "list_reduce(list_transform(range(1, 65),"
+        " i -> ({a}[i] - {b}[i]) * ({a}[i] - {b}[i])), (x, y) -> x + y)"
+    )
+    return f"""
+        WITH e AS (
+            SELECT vec_id,
+                   list_transform(CAST(embedding AS DOUBLE[]),
+                       x -> CAST(FLOOR(x * {similarity.SEM_SCALE})
+                                 AS BIGINT)) AS vq
+            FROM embeddings
+        ),
+        sb AS (
+            SELECT vec_id, vq,
+                   CAST(concat('0x', substr(md5('nn:'
+                        || CAST(vec_id AS VARCHAR)), 1, 8)) AS BIGINT)
+                       % 1000000 AS b
+            FROM e
+        ),
+        samp AS (
+            SELECT vec_id AS vid, vq FROM sb ORDER BY b, vid
+            LIMIT {max_docs}
+        ),
+        pr AS (
+            SELECT a.vid AS vid, b.vid AS nid,
+                   {d2.format(a="a.vq", b="b.vq")} AS dist2
+            FROM samp a JOIN samp b ON a.vid <> b.vid
+        ),
+        rk AS (
+            SELECT vid, dist2,
+                   ROW_NUMBER() OVER (PARTITION BY vid
+                                      ORDER BY dist2, nid) AS rn
+            FROM pr
+        ),
+        two AS (
+            SELECT vid,
+                   MIN(CASE WHEN rn = 1 THEN dist2 END) AS d1,
+                   MIN(CASE WHEN rn = 2 THEN dist2 END) AS d2
+            FROM rk WHERE rn <= 2 GROUP BY 1
+        ),
+        lm AS (
+            SELECT ln(d2 * 1.0 / d1) / 2.0 AS log_mu FROM two WHERE d1 > 0
+        )
+        SELECT CAST({max_docs} AS BIGINT) AS n_docs_cap,
+               CAST(COUNT(*) AS BIGINT) AS n_used,
+               ROUND(SUM(log_mu), 6) AS sum_log_mu,
+               ROUND(COUNT(*) / SUM(log_mu), 6) AS intrinsic_dim
+        FROM lm
+    """
 
 
 def oracle_sql() -> dict[str, str]:
@@ -7483,4 +7673,177 @@ def oracle_sql() -> dict[str, str]:
             FROM tot t LEFT JOIN hm USING (source)
         """,
         "q192_jl_audit": _jl_oracle(JL_PLANES, JL_MAX_DOCS),
+        "q193_ece_calibration": f"""
+            WITH t AS (
+                SELECT string_split(text, ' ') AS words,
+                       len(string_split(text, ' ')) AS n,
+                       len(list_filter(string_split(text, ' '),
+                           w -> w IN ('a', 'the'))) AS stop,
+                       len(list_distinct(string_split(text, ' '))) AS nd
+                FROM documents
+            ),
+            m AS (
+                SELECT CAST(ROUND((0.5 * (1.0 - stop * 1.0 / n)
+                                   + 0.5 * nd * 1.0 / n) * 100) AS BIGINT)
+                           AS score,
+                       CASE WHEN n >= 30 AND n <= 100000
+                                 AND (list_sum(list_transform(words,
+                                         x -> length(x))) * 1.0 / n)
+                                     BETWEEN 2.0 AND 10.0
+                                 AND (len(list_filter(words,
+                                         x -> x IN ('#', '...'))) * 1.0 / n)
+                                     <= 0.1
+                                 AND len(list_filter(words,
+                                         x -> x IN ('a', 'the'))) >= 2
+                            THEN 1 ELSE 0 END AS pass_flag
+                FROM t
+            ),
+            b AS (
+                SELECT LEAST(CAST(FLOOR(score * {ECE_BINS} / 100) AS BIGINT),
+                             {ECE_BINS - 1}) AS bin,
+                       score, pass_flag
+                FROM m
+            ),
+            pb AS (
+                SELECT bin, COUNT(*) AS n_docs, SUM(pass_flag) AS pass_docs,
+                       SUM(score) AS sum_score
+                FROM b GROUP BY 1
+            )
+            SELECT bin, CAST(n_docs AS BIGINT) AS n_docs,
+                   CAST(pass_docs AS BIGINT) AS pass_docs,
+                   ROUND(sum_score * 1.0 / (100 * n_docs), 6) AS mean_conf,
+                   ROUND(pass_docs * 1.0 / n_docs, 6) AS pass_rate,
+                   CAST(ABS(100 * pass_docs - sum_score) AS BIGINT)
+                       AS gap_units,
+                   ROUND(SUM(ABS(100 * pass_docs - sum_score)) OVER ()
+                         / (100.0 * SUM(n_docs) OVER ()), 6) AS ece
+            FROM pb
+        """,
+        "q194_ks_drift": """
+            WITH t AS (
+                SELECT CAST(ROUND((0.5 * (1.0 - len(list_filter(
+                               string_split(text, ' '),
+                               w -> w IN ('a', 'the')))
+                               * 1.0 / len(string_split(text, ' ')))
+                           + 0.5 * len(list_distinct(string_split(text, ' ')))
+                               * 1.0 / len(string_split(text, ' ')))
+                           * 100) AS BIGINT) AS score,
+                       CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS in_a
+                FROM documents
+            ),
+            c AS (
+                SELECT score, SUM(in_a) AS c_a, SUM(1 - in_a) AS c_b
+                FROM t GROUP BY 1
+            ),
+            cum AS (
+                SELECT score,
+                       SUM(c_a) OVER (ORDER BY score
+                           ROWS UNBOUNDED PRECEDING) AS cum_a,
+                       SUM(c_b) OVER (ORDER BY score
+                           ROWS UNBOUNDED PRECEDING) AS cum_b,
+                       SUM(c_a) OVER () AS n_a,
+                       SUM(c_b) OVER () AS n_b
+                FROM c
+            ),
+            d AS (
+                SELECT score, n_a, n_b,
+                       ABS(cum_a * n_b - cum_b * n_a) AS d_num
+                FROM cum
+            )
+            SELECT CAST(n_a AS BIGINT) AS n_a, CAST(n_b AS BIGINT) AS n_b,
+                   ROUND(d_num * 1.0 / (n_a * n_b), 6) AS d_stat,
+                   CAST(score AS BIGINT) AS at_score
+            FROM d ORDER BY d_num DESC, score ASC LIMIT 1
+        """,
+        "q195_rfm_segments": """
+            WITH pu AS (
+                SELECT user_id, MAX(CAST(epoch(ts) AS BIGINT)) AS last_ts,
+                       COUNT(*) AS n_events,
+                       SUM(CAST(ROUND(value * 100) AS BIGINT))
+                           AS monetary_cents
+                FROM events GROUP BY 1
+            ),
+            rf AS (SELECT MAX(last_ts) AS ref_ts FROM pu),
+            pm AS (
+                SELECT user_id,
+                       (ref_ts - last_ts) // 86400 AS recency_days,
+                       n_events, monetary_cents,
+                       monetary_cents // 100 AS monetary_dollars
+                FROM pu CROSS JOIN rf
+            ),
+            tr AS (
+                SELECT MIN(CASE WHEN cum * 3 >= n THEN v END) AS t1,
+                       MIN(CASE WHEN cum * 3 >= 2 * n THEN v END) AS t2
+                FROM (SELECT v, SUM(c) OVER (ORDER BY v
+                              ROWS UNBOUNDED PRECEDING) AS cum,
+                             SUM(c) OVER () AS n
+                      FROM (SELECT recency_days AS v, COUNT(*) AS c
+                            FROM pm GROUP BY 1))
+            ),
+            tf AS (
+                SELECT MIN(CASE WHEN cum * 3 >= n THEN v END) AS t1,
+                       MIN(CASE WHEN cum * 3 >= 2 * n THEN v END) AS t2
+                FROM (SELECT v, SUM(c) OVER (ORDER BY v
+                              ROWS UNBOUNDED PRECEDING) AS cum,
+                             SUM(c) OVER () AS n
+                      FROM (SELECT n_events AS v, COUNT(*) AS c
+                            FROM pm GROUP BY 1))
+            ),
+            tm AS (
+                SELECT MIN(CASE WHEN cum * 3 >= n THEN v END) AS t1,
+                       MIN(CASE WHEN cum * 3 >= 2 * n THEN v END) AS t2
+                FROM (SELECT v, SUM(c) OVER (ORDER BY v
+                              ROWS UNBOUNDED PRECEDING) AS cum,
+                             SUM(c) OVER () AS n
+                      FROM (SELECT monetary_dollars AS v, COUNT(*) AS c
+                            FROM pm GROUP BY 1))
+            ),
+            sc AS (
+                SELECT pm.monetary_cents,
+                       4 - (CASE WHEN recency_days <= tr.t1 THEN 1
+                                 WHEN recency_days <= tr.t2 THEN 2
+                                 ELSE 3 END) AS r_score,
+                       CASE WHEN n_events <= tf.t1 THEN 1
+                            WHEN n_events <= tf.t2 THEN 2
+                            ELSE 3 END AS f_score,
+                       CASE WHEN monetary_dollars <= tm.t1 THEN 1
+                            WHEN monetary_dollars <= tm.t2 THEN 2
+                            ELSE 3 END AS m_score
+                FROM pm CROSS JOIN tr CROSS JOIN tf CROSS JOIN tm
+            )
+            SELECT CAST(r_score AS BIGINT) AS r_score,
+                   CAST(f_score AS BIGINT) AS f_score,
+                   CAST(m_score AS BIGINT) AS m_score,
+                   CAST(COUNT(*) AS BIGINT) AS n_users,
+                   CAST(SUM(monetary_cents) AS BIGINT) AS sum_monetary_cents
+            FROM sc GROUP BY 1, 2, 3
+        """,
+        "q196_markov_attribution": _markov_oracle(MARKOV_STEPS),
+        "q197_survival": """
+            WITH spans AS (
+                SELECT user_id,
+                       (MAX(CAST(epoch(ts) AS BIGINT))
+                        - MIN(CAST(epoch(ts) AS BIGINT))) // 604800 AS week
+                FROM events GROUP BY 1
+            ),
+            weekly AS (
+                SELECT week, COUNT(*) AS churned FROM spans GROUP BY 1
+            ),
+            cum AS (
+                SELECT week, churned,
+                       SUM(churned) OVER (ORDER BY week
+                           ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+                           AS at_risk,
+                       SUM(churned) OVER () AS n_users
+                FROM weekly
+            )
+            SELECT CAST(week AS BIGINT) AS week,
+                   CAST(at_risk AS BIGINT) AS at_risk,
+                   CAST(churned AS BIGINT) AS churned,
+                   ROUND(churned * 1.0 / at_risk, 6) AS hazard,
+                   ROUND((at_risk - churned) * 1.0 / n_users, 6)
+                       AS survival_after
+            FROM cum
+        """,
+        "q198_intrinsic_dim": _twonn_oracle(TWONN_MAX_DOCS),
     }

@@ -166,6 +166,12 @@ BENCH_QUERIES = [
     "q190_ctx_sweep",
     "q191_vocab_tail",
     "q192_jl_audit",
+    "q193_ece_calibration",
+    "q194_ks_drift",
+    "q195_rfm_segments",
+    "q196_markov_attribution",
+    "q197_survival",
+    "q198_intrinsic_dim",
 ]
 
 

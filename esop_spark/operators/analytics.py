@@ -1644,3 +1644,247 @@ def transition_drift(events: DataFrame) -> DataFrame:
         "n_first",
         "n_second",
     )
+
+
+def _tercile_bounds(per_user: DataFrame, metric: str) -> DataFrame:
+    """1-row relation (t1_<m>, t2_<m>): exact type-1 terciles of a user-grain
+    integer metric, computed on the metric's DISTINCT-VALUE grain — counts
+    per value (map-side combine), a cumulative window over that bounded
+    grain, then `3·cum ≥ q·N` picks the boundary without any ceil/float.
+    The corpus never sorts; only the value grain does."""
+    counts = per_user.groupBy(metric).agg(F.count(F.lit(1)).alias("c"))
+    w = Window.orderBy(metric).rowsBetween(Window.unboundedPreceding, 0)
+    tot = Window.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    cum = counts.select(
+        F.col(metric).alias("v"),
+        F.sum("c").over(w).alias("cum"),
+        F.sum("c").over(tot).alias("n"),
+    )
+    return cum.agg(
+        F.min(F.when(F.col("cum") * 3 >= F.col("n"), F.col("v"))).alias(
+            f"t1_{metric}"
+        ),
+        F.min(F.when(F.col("cum") * 3 >= 2 * F.col("n"), F.col("v"))).alias(
+            f"t2_{metric}"
+        ),
+    )
+
+
+def rfm_segments(events: DataFrame) -> DataFrame:
+    """RFM segmentation: each user scored 1–3 on Recency / Frequency /
+    Monetary by exact terciles, reported on the ≤27-segment grain with
+    counts and mean spend — the audience-quality census that decides which
+    behavioral slices feed a training corpus.
+
+    Scale shape: ONE user-grain aggregation builds (recency_days,
+    n_events, monetary_dollars); each tercile boundary comes from the
+    metric's bounded distinct-value grain (days / event counts / whole
+    dollars — never raw cents, which would widen the grain ~100×); the
+    three 1-row boundary relations broadcast back onto the user grain as a
+    crossJoin, so scoring is a scan-stage CASE. No corpus-wide window
+    anywhere."""
+    per_user = events.groupBy("user_id").agg(
+        F.max(F.unix_timestamp("ts")).alias("last_ts"),
+        F.count(F.lit(1)).cast("bigint").alias("n_events"),
+        F.sum(cents(F.col("value"))).cast("bigint").alias("monetary_cents"),
+    )
+    ref = per_user.agg(F.max("last_ts").alias("ref_ts"))
+    pu = (
+        per_user.crossJoin(F.broadcast(ref))
+        .select(
+            "user_id",
+            F.expr("(ref_ts - last_ts) div 86400").alias("recency_days"),
+            "n_events",
+            "monetary_cents",
+            F.expr("monetary_cents div 100").alias("monetary_dollars"),
+        )
+        .persist()
+    )
+    bounds = (
+        _tercile_bounds(pu, "recency_days")
+        .crossJoin(_tercile_bounds(pu, "n_events"))
+        .crossJoin(_tercile_bounds(pu, "monetary_dollars"))
+    )
+
+    def _grp(v: str, t1: str, t2: str) -> Column:
+        return (
+            F.when(F.col(v) <= F.col(t1), 1)
+            .when(F.col(v) <= F.col(t2), 2)
+            .otherwise(3)
+            .cast("bigint")
+        )
+
+    scored = pu.crossJoin(F.broadcast(bounds)).select(
+        "user_id",
+        "monetary_cents",
+        (4 - _grp("recency_days", "t1_recency_days", "t2_recency_days"))
+        .cast("bigint")
+        .alias("r_score"),
+        _grp("n_events", "t1_n_events", "t2_n_events").alias("f_score"),
+        _grp(
+            "monetary_dollars", "t1_monetary_dollars", "t2_monetary_dollars"
+        ).alias("m_score"),
+    )
+    return scored.groupBy("r_score", "f_score", "m_score").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_users"),
+        F.sum("monetary_cents").cast("bigint").alias("sum_monetary_cents"),
+    )
+
+
+def survival_hazard(events: DataFrame) -> DataFrame:
+    """Discrete-time survival/churn: per tenure week k, users still active
+    (at-risk), users whose observed lifespan ended that week (churned),
+    the hazard rate, and the surviving fraction — retention decay without
+    per-user windows.
+
+    One user-grain agg (first/last timestamp → lifespan weeks), one count
+    per week, then a reverse-cumulative window on the bounded week grain.
+    Hazard and survival stay exact-integer until the final divisions."""
+    spans = events.groupBy("user_id").agg(
+        F.expr(
+            "(max(unix_timestamp(ts)) - min(unix_timestamp(ts))) div 604800"
+        ).alias("week")
+    )
+    weekly = spans.groupBy("week").agg(
+        F.count(F.lit(1)).cast("bigint").alias("churned")
+    )
+    rev = Window.orderBy("week").rowsBetween(0, Window.unboundedFollowing)
+    tot = Window.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    return weekly.select(
+        F.col("week").cast("bigint").alias("week"),
+        F.sum("churned").over(rev).alias("at_risk"),
+        "churned",
+        F.sum("churned").over(tot).alias("n_users"),
+    ).select(
+        "week",
+        F.col("at_risk").cast("bigint").alias("at_risk"),
+        "churned",
+        F.round(F.col("churned") / F.col("at_risk"), 6).alias("hazard"),
+        F.round(
+            (F.col("at_risk") - F.col("churned")) / F.col("n_users"), 6
+        ).alias("survival_after"),
+    )
+
+
+MARKOV_START = "__START__"
+
+
+def markov_removal_effect(
+    events: DataFrame,
+    conversion_type: str = "purchase",
+    steps: int = 8,
+) -> DataFrame:
+    """Markov removal-effect attribution: fit a first-order chain over
+    per-user event journeys (absorbing at the first conversion), then for
+    each channel measure how much L-step conversion probability is lost
+    when that channel's node is removed — the multi-touch upgrade of
+    q188's last-touch attribution.
+
+    Everything lives on the |states|² transition grain after ONE corpus
+    pass: journeys truncate at the first conversion via a conditional
+    running min (no self-join), transitions come from a per-user lead
+    window, and the L-step walk is `steps` joins of a ≤|removals|·|states|
+    vector against the tiny transition matrix (the q159 PageRank loop
+    shape — state-grain shuffles only, nothing corpus-sized iterates).
+    Float products appear only at the walk stage, on the bounded grain.
+    Output: (removed, p_conv, removal_effect) with the 'NONE' baseline."""
+    ts = F.unix_timestamp("ts")
+    w_u = Window.partitionBy("user_id").orderBy("ts_s", "event_id")
+    conv_ts = F.min(
+        F.when(F.col("event_type") == conversion_type, F.col("ts_s"))
+    ).over(
+        Window.partitionBy("user_id").rowsBetween(
+            Window.unboundedPreceding, Window.unboundedFollowing
+        )
+    )
+    seq = (
+        events.select(
+            "user_id", "event_id", "event_type", ts.alias("ts_s")
+        )
+        .withColumn("conv_ts", conv_ts)
+        .filter(F.col("conv_ts").isNull() | (F.col("ts_s") <= F.col("conv_ts")))
+        .select(
+            "user_id",
+            "event_type",
+            F.row_number().over(w_u).alias("rn"),
+            F.lead("event_type").over(w_u).alias("next_type"),
+        )
+    )
+    first_hop = seq.filter(F.col("rn") == 1).select(
+        F.lit(MARKOV_START).alias("s"), F.col("event_type").alias("s2")
+    )
+    later_hops = seq.filter(
+        F.col("next_type").isNotNull()
+        & (F.col("event_type") != conversion_type)
+    ).select(F.col("event_type").alias("s"), F.col("next_type").alias("s2"))
+    trans_counts = (
+        first_hop.unionByName(later_hops)
+        .groupBy("s", "s2")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .persist()
+    )
+    out_tot = trans_counts.groupBy("s").agg(F.sum("n").alias("n_out"))
+    trans = trans_counts.join(out_tot, "s").select(
+        "s", "s2", (F.col("n") / F.col("n_out")).alias("p")
+    )
+    spark = events.sparkSession
+    removals = (
+        trans_counts.select(F.col("s2").alias("removed"))
+        .filter(F.col("removed") != conversion_type)
+        .distinct()
+        .unionByName(spark.createDataFrame([("NONE",)], ["removed"]))
+    )
+    # conversion self-loop makes the state absorbing: v_L[conversion] IS
+    # the cumulative L-step conversion mass
+    loop = spark.createDataFrame(
+        [(conversion_type, conversion_type, 1.0)], ["s", "s2", "p"]
+    )
+    rt = (
+        removals.crossJoin(trans.unionByName(loop))
+        .filter(
+            (F.col("s") != F.col("removed")) & (F.col("s2") != F.col("removed"))
+        )
+        .persist()
+    )
+    v = removals.select(
+        "removed", F.lit(MARKOV_START).alias("state"), F.lit(1.0).alias("p")
+    )
+    for i in range(steps):
+        va, ra = f"wv{i}", f"wr{i}"
+        v = (
+            v.alias(va)
+            .join(
+                F.broadcast(rt.alias(ra)),
+                (F.col(f"{va}.removed") == F.col(f"{ra}.removed"))
+                & (F.col(f"{va}.state") == F.col(f"{ra}.s")),
+            )
+            .groupBy(
+                F.col(f"{va}.removed").alias("removed"),
+                F.col(f"{ra}.s2").alias("state"),
+            )
+            .agg(F.sum(F.col(f"{va}.p") * F.col(f"{ra}.p")).alias("p"))
+        )
+    mass = v.filter(F.col("state") == conversion_type).select(
+        F.col("removed").alias("m_removed"), F.col("p").alias("p_raw")
+    )
+    # a removal that kills ALL conversion has no mass row — report 0, not
+    # a missing channel
+    p_conv = removals.join(
+        mass, removals["removed"] == mass["m_removed"], "left"
+    ).select(
+        "removed", F.coalesce("p_raw", F.lit(0.0)).alias("p_conv")
+    )
+    base = p_conv.filter(F.col("removed") == "NONE").select(
+        F.col("p_conv").alias("p_base")
+    )
+    return p_conv.crossJoin(F.broadcast(base)).select(
+        "removed",
+        F.round("p_conv", 6).alias("p_conv"),
+        F.round(1.0 - F.col("p_conv") / F.col("p_base"), 6).alias(
+            "removal_effect"
+        ),
+    )

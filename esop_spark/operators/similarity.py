@@ -2064,3 +2064,78 @@ def jl_projection_audit(
             "max_abs_err",
         )
     )
+
+
+def twonn_intrinsic_dim(
+    embeddings: DataFrame,
+    max_docs: int = 200,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """TwoNN intrinsic-dimension estimate (Facco et al. 2017): for each
+    sampled point the ratio μ = d₂/d₁ of its two nearest-neighbor
+    distances, and the MLE d̂ = n / Σ ln μ — the "how many effective
+    dimensions does this embedding space actually use" audit that decides
+    whether an aggressive projection (q192's JL) is safe.
+
+    Runs on the q136 capped smallest-md5-bucket sample, so the O(sample²)
+    distance set is a fixed budget at any corpus size; the per-point
+    nearest-two window partitions by sample point (≤``max_docs`` rows
+    each). Distances are exact integer squared-L2 in SEM_SCALE fixed
+    point; zero-distance duplicates are excluded from the MLE. Only the
+    final ln/division is float. Output one row:
+    (n_docs_cap, n_used, sum_log_mu, intrinsic_dim)."""
+    c = F.col(vec_col)
+    vq = F.transform(
+        c, lambda x: F.floor(x.cast("double") * SEM_SCALE).cast("bigint")
+    )
+    bucket = F.expr(
+        "cast(conv(substring(md5(concat('nn:', cast(vid as string))), 1, 8),"
+        " 16, 10) as bigint) % 1000000"
+    )
+    sample = (
+        embeddings.select(F.col(id_col).alias("vid"), vq.alias("vq"))
+        .withColumn("b", bucket)
+        .orderBy("b", "vid")
+        .limit(max_docs)
+        .persist()
+    )
+    a = sample.alias("a")
+    b = sample.alias("b")
+    d2 = F.aggregate(
+        F.zip_with(
+            F.col("a.vq"), F.col("b.vq"), lambda x, y: (x - y) * (x - y)
+        ),
+        F.lit(0).cast("bigint"),
+        lambda acc, v: acc + v,
+    )
+    pairs = a.join(b, F.col("a.vid") != F.col("b.vid")).select(
+        F.col("a.vid").alias("vid"),
+        F.col("b.vid").alias("nid"),
+        d2.alias("dist2"),
+    )
+    w = Window.partitionBy("vid").orderBy("dist2", "nid")
+    two = (
+        pairs.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 2)
+        .groupBy("vid")
+        .agg(
+            F.min(F.when(F.col("rn") == 1, F.col("dist2"))).alias("d1"),
+            F.min(F.when(F.col("rn") == 2, F.col("dist2"))).alias("d2"),
+        )
+        .filter(F.col("d1") > 0)
+        .select(
+            (
+                F.log(F.col("d2").cast("double") / F.col("d1").cast("double"))
+                / 2.0
+            ).alias("log_mu")
+        )
+    )
+    return two.agg(
+        F.lit(int(max_docs)).cast("bigint").alias("n_docs_cap"),
+        F.count(F.lit(1)).cast("bigint").alias("n_used"),
+        F.round(F.sum("log_mu"), 6).alias("sum_log_mu"),
+        F.round(F.count(F.lit(1)) / F.sum("log_mu"), 6).alias(
+            "intrinsic_dim"
+        ),
+    )

@@ -3119,3 +3119,140 @@ def vocab_tail_report(
             .alias("head_mass_ppm"),
         )
     )
+
+
+def _gopher_pass_col(text_col: str = "text") -> Column:
+    """Gopher pass/fail as ONE scan-stage Column (the q67 battery fused
+    into a single expression over one materialized word array) — lets
+    downstream audits treat "passes all structural rules" as a binary
+    outcome without a join back to gopher_rules' aggregated report."""
+    words = F.split(F.col(text_col), " ")
+    sym_lits = F.array(*[F.lit(s) for s in GOPHER_SYMBOLS])
+    stop_lits = F.array(*[F.lit(w) for w in DEFAULT_STOPWORDS])
+    lo, hi = GOPHER_MEAN_WORD_LEN
+    n = F.size(words)
+    mean_wl = (
+        F.aggregate(words, F.lit(0).cast("bigint"), lambda a, x: a + F.length(x))
+        / n
+    )
+    sym_frac = F.size(F.filter(words, lambda x: F.array_contains(sym_lits, x))) / n
+    stop_hits = F.size(F.filter(words, lambda x: F.array_contains(stop_lits, x)))
+    return (
+        (n >= GOPHER_MIN_WORDS)
+        & (n <= GOPHER_MAX_WORDS)
+        & (mean_wl >= lo)
+        & (mean_wl <= hi)
+        & (sym_frac <= GOPHER_MAX_SYMBOL_FRAC)
+        & (stop_hits >= GOPHER_MIN_STOPWORD_HITS)
+    ).cast("bigint")
+
+
+def ece_calibration(
+    documents: DataFrame,
+    text_col: str = "text",
+    n_bins: int = 10,
+) -> DataFrame:
+    """Expected Calibration Error of the quality score read as a confidence
+    that a document passes the Gopher structural battery — the reliability
+    diagram for a learned-or-heuristic quality filter before its threshold
+    is trusted at corpus scale.
+
+    Exactness: with conf = score/100, the per-bin weighted gap
+    (n_b/N)·|acc_b − conf_b| telescopes to |100·pass_b − Σscore_b| / (100·N)
+    — an exact INTEGER numerator per bin, so ECE is a single float division
+    at the end. One scan projection (score + pass flag fused), one agg to
+    the ≤``n_bins`` grain, and the ECE total is a window over that bounded
+    grain. Scan-shaped at any corpus size.
+
+    Ref parity: quality scoring per instaclustr/esop has no analog — this
+    is the LLM-pipeline extension surface (SURVEY.md §6).
+    """
+    score = quality_score_col(text_col)
+    flagged = documents.select(
+        F.least(
+            F.floor(score * n_bins / 100).cast("bigint"), F.lit(n_bins - 1)
+        ).alias("bin"),
+        score.alias("score"),
+        _gopher_pass_col(text_col).alias("pass_flag"),
+    )
+    per_bin = flagged.groupBy("bin").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum("pass_flag").cast("bigint").alias("pass_docs"),
+        F.sum("score").cast("bigint").alias("sum_score"),
+    )
+    gap_units = F.abs(F.lit(100) * F.col("pass_docs") - F.col("sum_score"))
+    w = Window.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    return per_bin.select(
+        "bin",
+        "n_docs",
+        "pass_docs",
+        F.round(F.col("sum_score") / (F.lit(100) * F.col("n_docs")), 6).alias(
+            "mean_conf"
+        ),
+        F.round(F.col("pass_docs") / F.col("n_docs"), 6).alias("pass_rate"),
+        gap_units.cast("bigint").alias("gap_units"),
+        F.round(
+            F.sum(gap_units).over(w)
+            / (F.lit(100.0) * F.sum("n_docs").over(w)),
+            6,
+        ).alias("ece"),
+    )
+
+
+def ks_score_drift(
+    documents: DataFrame,
+    group_col: Column | None = None,
+    text_col: str = "text",
+) -> DataFrame:
+    """Two-sample Kolmogorov–Smirnov distance between the quality-score
+    distributions of two document populations (default: lang='en' vs the
+    rest) — the distribution-drift gate run before mixing a new crawl
+    slice into an established corpus.
+
+    The score lives on a bounded 0–100 grain, so both empirical CDFs and
+    their max gap are computed on ≤101 rows: one scan projection, one agg
+    to the (score) grain, cumulative windows over that bounded grain only.
+    D is kept as the exact integer |cumA·nB − cumB·nA| until the final
+    division; the argmax score is tie-broken to the smallest score. Output
+    one row: (n_a, n_b, d_stat, at_score).
+    """
+    grp = group_col if group_col is not None else (F.col("lang") == "en")
+    score = quality_score_col(text_col)
+    counts = documents.select(
+        score.alias("score"), grp.cast("bigint").alias("in_a")
+    ).groupBy("score").agg(
+        F.sum("in_a").cast("bigint").alias("c_a"),
+        F.sum(F.lit(1) - F.col("in_a")).cast("bigint").alias("c_b"),
+    )
+    w = Window.orderBy("score").rowsBetween(Window.unboundedPreceding, 0)
+    tot = Window.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    cum = counts.select(
+        "score",
+        F.sum("c_a").over(w).alias("cum_a"),
+        F.sum("c_b").over(w).alias("cum_b"),
+        F.sum("c_a").over(tot).alias("n_a"),
+        F.sum("c_b").over(tot).alias("n_b"),
+    ).select(
+        "score",
+        "n_a",
+        "n_b",
+        F.abs(
+            F.col("cum_a") * F.col("n_b") - F.col("cum_b") * F.col("n_a")
+        ).alias("d_num"),
+    )
+    return (
+        cum.orderBy(F.col("d_num").desc(), F.col("score").asc())
+        .limit(1)
+        .select(
+            F.col("n_a").cast("bigint").alias("n_a"),
+            F.col("n_b").cast("bigint").alias("n_b"),
+            F.round(F.col("d_num") / (F.col("n_a") * F.col("n_b")), 6).alias(
+                "d_stat"
+            ),
+            F.col("score").cast("bigint").alias("at_score"),
+        )
+    )
