@@ -2038,6 +2038,57 @@ def q198_intrinsic_dim(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 MARKOV_STEPS = 8
 TWONN_MAX_DOCS = 200
+DOREMI_ETA = 1.0
+BURST_K = 25
+BURST_MIN_DF = 3
+HILL_K = 200
+EIGEN_ITERS = 8
+
+
+def q199_doremi_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DoReMi mixture reweighting (text_ops.doremi_weights): per-source
+    excess unigram-LM loss → exp → normalized sampling weight; per-term
+    NLL integer-scaled at the vocab grain."""
+    return text_ops.doremi_weights(
+        _base(spark, sf_dir, "documents"), eta=DOREMI_ETA
+    )
+
+
+def q200_term_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Church–Gale burstiness head (text_ops.term_burstiness): top-k
+    variance-to-mean terms, exact integer moments."""
+    return text_ops.term_burstiness(
+        _base(spark, sf_dir, "documents"), k=BURST_K, min_df=BURST_MIN_DF
+    )
+
+
+def q201_markov_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Behavior entropy rate (analytics.markov_entropy): outflow-weighted
+    conditional entropy of the event transition chain."""
+    return analytics.markov_entropy(_base(spark, sf_dir, "events"))
+
+
+def q202_hill_tail(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heavy-tail exponent (text_ops.hill_tail_index): Hill estimator on
+    the k largest doc lengths via TakeOrdered k+1 rows."""
+    return text_ops.hill_tail_index(
+        _base(spark, sf_dir, "documents"), k=HILL_K
+    )
+
+
+def q203_top_eigen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding anisotropy (similarity.top_eigen_share): distributed
+    power iteration on the 6dp-rounded covariance grain; Rayleigh
+    quotient / trace share."""
+    return similarity.top_eigen_share(
+        _base(spark, sf_dir, "embeddings"), iters=EIGEN_ITERS
+    )
+
+
+def q204_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUSUM drift detector (analytics.cusum_changepoints): prefix-sum
+    minus running-min on the bounded day grain, exact integer milli."""
+    return analytics.cusum_changepoints(_base(spark, sf_dir, "events"))
 
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -2245,6 +2296,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q196_markov_attribution": q196_markov_attribution,
         "q197_survival": q197_survival,
         "q198_intrinsic_dim": q198_intrinsic_dim,
+        "q199_doremi_weights": q199_doremi_weights,
+        "q200_term_burstiness": q200_term_burstiness,
+        "q201_markov_entropy": q201_markov_entropy,
+        "q202_hill_tail": q202_hill_tail,
+        "q203_top_eigen": q203_top_eigen,
+        "q204_cusum": q204_cusum,
     }
 
 
@@ -3090,6 +3147,75 @@ def _twonn_oracle(max_docs: int) -> str:
                ROUND(COUNT(*) / SUM(log_mu), 6) AS intrinsic_dim
         FROM lm
     """
+
+
+_COV_SQL = """
+            WITH e AS (
+                SELECT CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+            ),
+            p AS (
+                SELECT ti.i - 1 AS i, tj.j - 1 AS j, v[ti.i] AS xi,
+                       v[tj.j] AS xj
+                FROM e,
+                     unnest(range(1, len(v) + 1)) ti(i),
+                     unnest(range(1, len(v) + 1)) tj(j)
+                WHERE tj.j >= ti.i
+            ),
+            m AS (
+                SELECT t.d - 1 AS d, SUM(v[t.d]) / COUNT(*) AS mean
+                FROM e, unnest(range(1, len(v) + 1)) t(d)
+                GROUP BY 1
+            ),
+            c AS (
+                SELECT p.i AS dim_i, p.j AS dim_j,
+                       ROUND(SUM(xi * xj) / COUNT(*) - mi.mean * mj.mean, 6)
+                           + 0.0 AS cov
+                FROM p
+                JOIN m mi ON p.i = mi.d
+                JOIN m mj ON p.j = mj.d
+                GROUP BY p.i, p.j, mi.mean, mj.mean
+            ),
+            fm AS (
+                SELECT dim_i AS i, dim_j AS j, cov FROM c
+                UNION ALL
+                SELECT dim_j, dim_i, cov FROM c WHERE dim_i <> dim_j
+            )
+"""
+
+
+def _eigen_oracle(iters: int) -> str:
+    """Distributed-power-iteration oracle: identical 6dp covariance
+    matrix (the q96 SQL), same all-ones start, unrolled iterations,
+    Rayleigh quotient / trace."""
+    steps = ["v0 AS (SELECT DISTINCT i AS d, 1.0 AS val FROM fm)"]
+    for k in range(1, iters + 1):
+        steps.append(
+            f"""v{k} AS (
+                SELECT f.i AS d, SUM(f.cov * v{k-1}.val) AS val
+                FROM fm f JOIN v{k-1} ON f.j = v{k-1}.d GROUP BY 1
+            )"""
+        )
+    return (
+        _COV_SQL
+        + ", "
+        + ",\n".join(steps)
+        + f""",
+            u AS (
+                SELECT f.i AS d, SUM(f.cov * v{iters}.val) AS uval
+                FROM fm f JOIN v{iters} ON f.j = v{iters}.d GROUP BY 1
+            ),
+            ray AS (
+                SELECT SUM(uval * val) / SUM(val * val) AS lam
+                FROM v{iters} JOIN u USING (d)
+            ),
+            tr AS (SELECT SUM(cov) AS trace FROM fm WHERE i = j)
+            SELECT CAST({iters} AS BIGINT) AS iters,
+                   ROUND(lam, 6) AS top_eigen,
+                   ROUND(trace, 6) AS trace,
+                   ROUND(lam / trace, 6) AS explained_share
+            FROM ray CROSS JOIN tr
+        """
+    )
 
 
 def oracle_sql() -> dict[str, str]:
@@ -7846,4 +7972,146 @@ def oracle_sql() -> dict[str, str]:
             FROM cum
         """,
         "q198_intrinsic_dim": _twonn_oracle(TWONN_MAX_DOCS),
+        "q199_doremi_weights": f"""
+            WITH tok AS (
+                SELECT source, unnest(string_split(text, ' ')) AS term
+                FROM documents
+            ),
+            tf AS (SELECT term, COUNT(*) AS n FROM tok GROUP BY 1),
+            tt AS (SELECT SUM(n) AS total FROM tf),
+            tn AS (
+                SELECT term,
+                       CAST(ROUND(-ln(n * 1.0 / total) * 1000000000)
+                            AS BIGINT) AS nll9
+                FROM tf CROSS JOIN tt
+            ),
+            ps AS (
+                SELECT source, COUNT(*) AS n_tokens, SUM(nll9) AS sum_nll9
+                FROM tok JOIN tn USING (term) GROUP BY 1
+            ),
+            sc AS (
+                SELECT source, n_tokens,
+                       sum_nll9 * 1.0 / n_tokens / 1e9 AS mean_nll,
+                       (SUM(sum_nll9) OVER ()) * 1.0
+                           / (SUM(n_tokens) OVER ()) / 1e9 AS corpus_nll
+                FROM ps
+            ),
+            w AS (
+                SELECT source, n_tokens, mean_nll,
+                       mean_nll - corpus_nll AS excess,
+                       exp({DOREMI_ETA} * (mean_nll - corpus_nll)) AS w_raw
+                FROM sc
+            )
+            SELECT source, CAST(n_tokens AS BIGINT) AS n_tokens,
+                   ROUND(mean_nll, 6) AS mean_nll,
+                   ROUND(excess, 6) AS excess,
+                   ROUND(w_raw / SUM(w_raw) OVER (), 6) AS weight
+            FROM w
+        """,
+        "q200_term_burstiness": f"""
+            WITH pd AS (
+                SELECT doc_id, term, COUNT(*) AS x
+                FROM (SELECT doc_id,
+                             unnest(string_split(text, ' ')) AS term
+                      FROM documents)
+                GROUP BY 1, 2
+            ),
+            nd AS (SELECT COUNT(DISTINCT doc_id) AS n_docs FROM documents),
+            st AS (
+                SELECT term, COUNT(*) AS df, SUM(x) AS sx,
+                       SUM(x * x) AS sx2
+                FROM pd GROUP BY 1
+            )
+            SELECT term, CAST(df AS BIGINT) AS df, CAST(sx AS BIGINT) AS sx,
+                   ROUND((n_docs * sx2 - sx * sx) * 1.0 / (n_docs * sx), 6)
+                       AS vmr
+            FROM st CROSS JOIN nd
+            WHERE df >= {BURST_MIN_DF}
+            ORDER BY vmr DESC, term ASC LIMIT {BURST_K}
+        """,
+        "q201_markov_entropy": """
+            WITH ev AS (
+                SELECT user_id, event_id, event_type AS s,
+                       CAST(epoch(ts) AS BIGINT) AS ts_s
+                FROM events
+            ),
+            sq AS (
+                SELECT s, LEAD(s) OVER (PARTITION BY user_id
+                                        ORDER BY ts_s, event_id) AS s2
+                FROM ev
+            ),
+            h AS (
+                SELECT s, s2, COUNT(*) AS n FROM sq
+                WHERE s2 IS NOT NULL GROUP BY 1, 2
+            ),
+            ot AS (SELECT s, SUM(n) AS n_out FROM h GROUP BY 1),
+            tm AS (
+                SELECT h.s, ot.n_out,
+                       -(n * 1.0 / n_out) * ln(n * 1.0 / n_out) AS h_term
+                FROM h JOIN ot USING (s)
+            ),
+            ps AS (
+                SELECT s, MAX(n_out) AS n_out, SUM(h_term) AS h_s
+                FROM tm GROUP BY 1
+            ),
+            fin AS (
+                SELECT SUM(n_out) AS n_transitions, COUNT(*) AS n_states,
+                       SUM(n_out * h_s) / SUM(n_out) AS h_rate
+                FROM ps
+            )
+            SELECT CAST(n_transitions AS BIGINT) AS n_transitions,
+                   CAST(n_states AS BIGINT) AS n_states,
+                   ROUND(h_rate, 6) AS entropy_rate,
+                   ROUND(exp(h_rate), 6) AS perplexity
+            FROM fin
+        """,
+        "q202_hill_tail": f"""
+            WITH top AS (
+                SELECT CAST(n_chars AS BIGINT) AS x, doc_id AS i
+                FROM documents ORDER BY x DESC, i ASC LIMIT {HILL_K + 1}
+            ),
+            rk AS (
+                SELECT x, ROW_NUMBER() OVER (ORDER BY x DESC, i ASC) AS rn
+                FROM top
+            ),
+            k1 AS (SELECT x AS x_k1 FROM rk WHERE rn = {HILL_K + 1})
+            SELECT CAST({HILL_K} AS BIGINT) AS k,
+                   CAST(MAX(x_k1) AS BIGINT) AS x_k1,
+                   ROUND(SUM(ln(x * 1.0 / x_k1)), 6) AS sum_log_ratio,
+                   ROUND({HILL_K} / SUM(ln(x * 1.0 / x_k1)), 6)
+                       AS tail_alpha
+            FROM rk CROSS JOIN k1 WHERE rn <= {HILL_K}
+        """,
+        "q203_top_eigen": _eigen_oracle(EIGEN_ITERS),
+        "q204_cusum": """
+            WITH daily AS (
+                SELECT CAST(epoch(ts) AS BIGINT) // 86400 AS day,
+                       COUNT(*) AS c
+                FROM events GROUP BY 1
+            ),
+            m AS (
+                SELECT day, c,
+                       (SUM(c * 1000) OVER ()) // (COUNT(*) OVER ())
+                           AS mean_milli
+                FROM daily
+            ),
+            p AS (
+                SELECT day, c, mean_milli,
+                       SUM(c * 1000 - mean_milli) OVER (ORDER BY day
+                           ROWS UNBOUNDED PRECEDING) AS p
+                FROM m
+            ),
+            s AS (
+                SELECT day, c, mean_milli,
+                       p - LEAST(MIN(p) OVER (ORDER BY day
+                           ROWS UNBOUNDED PRECEDING), 0) AS s_milli
+                FROM p
+            )
+            SELECT CAST(day AS BIGINT) AS day,
+                   CAST(c AS BIGINT) AS n_events,
+                   CAST(s_milli AS BIGINT) AS cusum_milli,
+                   CAST(CASE WHEN s_milli > mean_milli * 3 THEN 1 ELSE 0 END
+                        AS BIGINT) AS flagged
+            FROM s
+        """,
     }

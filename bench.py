@@ -172,6 +172,12 @@ BENCH_QUERIES = [
     "q196_markov_attribution",
     "q197_survival",
     "q198_intrinsic_dim",
+    "q199_doremi_weights",
+    "q200_term_burstiness",
+    "q201_markov_entropy",
+    "q202_hill_tail",
+    "q203_top_eigen",
+    "q204_cusum",
 ]
 
 

@@ -1888,3 +1888,120 @@ def markov_removal_effect(
             "removal_effect"
         ),
     )
+
+
+def markov_entropy(events: DataFrame) -> DataFrame:
+    """Entropy rate of the user-behavior Markov chain: fit first-order
+    transition probabilities from consecutive events per user, weight each
+    state's conditional entropy by its observed outflow share, and report
+    rate + perplexity — how predictable the event stream is, the summary
+    number behind q99's transition matrix and q189's drift check.
+
+    One corpus pass (per-user lead window), one agg to the |states|²
+    transition grain; entropy math runs on that bounded grain with floats
+    appearing only in the final ln (≤|states|² terms). Output one row:
+    (n_transitions, n_states, entropy_rate, perplexity)."""
+    w_u = Window.partitionBy("user_id").orderBy("ts_s", "event_id")
+    hops = (
+        events.select(
+            "user_id", "event_id", F.col("event_type").alias("s"),
+            F.unix_timestamp("ts").alias("ts_s"),
+        )
+        .withColumn("s2", F.lead("s").over(w_u))
+        .filter(F.col("s2").isNotNull())
+        .groupBy("s", "s2")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    out_tot = hops.groupBy("s").agg(F.sum("n").alias("n_out"))
+    terms = hops.join(out_tot, "s").select(
+        "s",
+        "n",
+        "n_out",
+        (
+            -(F.col("n") / F.col("n_out"))
+            * F.log(F.col("n") / F.col("n_out"))
+        ).alias("h_term"),
+    )
+    tot = Window.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    per_state = terms.groupBy("s").agg(
+        F.max("n_out").alias("n_out"), F.sum("h_term").alias("h_s")
+    )
+    return (
+        per_state.select(
+            F.sum("n_out").over(tot).alias("n_transitions"),
+            F.count(F.lit(1)).over(tot).alias("n_states"),
+            (
+                F.sum(F.col("n_out") * F.col("h_s")).over(tot)
+                / F.sum("n_out").over(tot)
+            ).alias("h_rate"),
+        )
+        .limit(1)
+        .select(
+            F.col("n_transitions").cast("bigint").alias("n_transitions"),
+            F.col("n_states").cast("bigint").alias("n_states"),
+            F.round("h_rate", 6).alias("entropy_rate"),
+            F.round(F.exp("h_rate"), 6).alias("perplexity"),
+        )
+    )
+
+
+def cusum_changepoints(
+    events: DataFrame,
+    slack_milli: int = 0,
+    threshold_milli: int | None = None,
+) -> DataFrame:
+    """One-sided CUSUM over the daily event-count series: S_k =
+    max(0, P_k − min_{j≤k} P_j) where P is the running sum of
+    (count − mean − slack) — the classic sequential change-point detector,
+    flagging the days where volume has drifted persistently above its
+    baseline (vs q111's pointwise z-scores, which miss slow drifts).
+
+    The recursion is rewritten as prefix-sum minus running-min — two
+    windows over the bounded day grain, after ONE corpus-scale count per
+    epoch day (map-side combine). All state is exact integer milli-counts.
+    Output per day: (day, n_events, cusum_milli, flagged)."""
+    daily = events.select(
+        F.expr("unix_timestamp(ts) div 86400").alias("day")
+    ).groupBy("day").agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    tot = Window.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    mean = daily.select(
+        "day",
+        "c",
+        F.expr("(sum(c * 1000) over ()) div (count(1) over ())").alias(
+            "mean_milli"
+        ),
+    )
+    w = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, 0)
+    pref = mean.select(
+        "day",
+        "c",
+        F.sum(
+            F.col("c") * 1000 - F.col("mean_milli") - F.lit(int(slack_milli))
+        ).over(w).alias("p"),
+    )
+    cusum = pref.select(
+        "day",
+        "c",
+        (
+            F.col("p")
+            - F.least(F.min("p").over(w), F.lit(0).cast("bigint"))
+        ).alias("s_milli"),
+    )
+    if threshold_milli is None:
+        # default: flag when the accumulated excess tops 3 mean days
+        thresh = mean.select(
+            (F.col("mean_milli") * 3).alias("t")
+        ).limit(1)
+        cusum = cusum.crossJoin(F.broadcast(thresh))
+    else:
+        cusum = cusum.withColumn("t", F.lit(int(threshold_milli)))
+    return cusum.select(
+        F.col("day").cast("bigint").alias("day"),
+        F.col("c").alias("n_events"),
+        F.col("s_milli").cast("bigint").alias("cusum_milli"),
+        (F.col("s_milli") > F.col("t")).cast("bigint").alias("flagged"),
+    )

@@ -2139,3 +2139,70 @@ def twonn_intrinsic_dim(
             "intrinsic_dim"
         ),
     )
+
+
+def top_eigen_share(
+    embeddings: DataFrame,
+    iters: int = 8,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Top-eigenvalue share of the embedding covariance by DISTRIBUTED
+    power iteration: how much variance the first principal component
+    explains — near 1 means the space has collapsed to a line (an
+    embedding-health red flag); near 1/d means isotropy.
+
+    The corpus contributes exactly one covariance aggregation (q96's
+    moment relation, d²-grain output rounded to 6dp so both engines
+    iterate on IDENTICAL matrices); the power iterations are ``iters``
+    broadcast joins of the d-row vector against the d²-row matrix — the
+    q196 bounded-grain walk, no driver-side linear algebra and nothing
+    corpus-sized after the first agg. Rayleigh quotient at the end; the
+    all-ones start vector is deterministic. Output one row:
+    (iters, top_eigen, trace, explained_share)."""
+    upper = embedding_covariance(embeddings, vec_col, id_col)
+    cov = upper.select(
+        F.col("dim_i").alias("i"), F.col("dim_j").alias("j"), "cov"
+    ).unionByName(
+        upper.filter(F.col("dim_i") != F.col("dim_j")).select(
+            F.col("dim_j").alias("i"), F.col("dim_i").alias("j"), "cov"
+        )
+    ).persist()
+    v = cov.select(F.col("i").alias("d")).distinct().select(
+        "d", F.lit(1.0).alias("val")
+    )
+    for it in range(iters):
+        va, ca = f"ev{it}", f"ec{it}"
+        v = (
+            cov.alias(ca)
+            .join(
+                F.broadcast(v.alias(va)),
+                F.col(f"{ca}.j") == F.col(f"{va}.d"),
+            )
+            .groupBy(F.col(f"{ca}.i").alias("d"))
+            .agg(F.sum(F.col(f"{ca}.cov") * F.col(f"{va}.val")).alias("val"))
+        )
+    v = v.persist()
+    u = (
+        cov.alias("fc")
+        .join(F.broadcast(v.alias("fv")), F.col("fc.j") == F.col("fv.d"))
+        .groupBy(F.col("fc.i").alias("d"))
+        .agg(F.sum(F.col("fc.cov") * F.col("fv.val")).alias("uval"))
+    )
+    ray = (
+        v.join(u, "d")
+        .agg(
+            F.sum(F.col("uval") * F.col("val")).alias("num"),
+            F.sum(F.col("val") * F.col("val")).alias("den"),
+        )
+        .select((F.col("num") / F.col("den")).alias("lam"))
+    )
+    trace = cov.filter(F.col("i") == F.col("j")).agg(
+        F.sum("cov").alias("trace")
+    )
+    return ray.crossJoin(F.broadcast(trace)).select(
+        F.lit(int(iters)).cast("bigint").alias("iters"),
+        F.round("lam", 6).alias("top_eigen"),
+        F.round("trace", 6).alias("trace"),
+        F.round(F.col("lam") / F.col("trace"), 6).alias("explained_share"),
+    )

@@ -3256,3 +3256,161 @@ def ks_score_drift(
             F.col("score").cast("bigint").alias("at_score"),
         )
     )
+
+
+def doremi_weights(
+    documents: DataFrame,
+    eta: float = 1.0,
+    text_col: str = "text",
+    source_col: str = "source",
+) -> DataFrame:
+    """DoReMi-style mixture reweighting: each source's excess unigram-LM
+    loss over the corpus mean, exponentiated into a normalized sampling
+    weight — sources the reference model finds "hard" (high NLL) get
+    upweighted for the next training mix.
+
+    The per-term negative log-probability is INTEGER-SCALED (nano-nats) at
+    the vocabulary grain, so every per-source sum is an exact bigint and
+    the two engines cannot drift; floats appear only in the final
+    exp/normalize on the |sources| grain. Scale: one token agg to the
+    vocab grain, one uniform-key count join back (the q61 plan), one agg
+    to |sources|, windows on |sources| rows.
+    """
+    tok = documents.select(
+        F.col(source_col).alias("source"),
+        F.explode(tokens(text_col)).alias("term"),
+    )
+    tf = tok.groupBy("term").agg(F.count(F.lit(1)).alias("n"))
+    total = tf.agg(F.sum("n").alias("total"))
+    term_nll = tf.crossJoin(F.broadcast(total)).select(
+        "term",
+        F.round(-F.log(F.col("n") / F.col("total")) * 1e9)
+        .cast("bigint")
+        .alias("nll9"),
+    )
+    per_source = (
+        tok.join(term_nll, "term")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_tokens"),
+            F.sum("nll9").cast("bigint").alias("sum_nll9"),
+        )
+    )
+    tot = Window.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    scored = per_source.select(
+        "source",
+        "n_tokens",
+        (F.col("sum_nll9") / F.col("n_tokens") / 1e9).alias("mean_nll"),
+        (
+            (F.sum("sum_nll9").over(tot) / F.sum("n_tokens").over(tot))
+            / 1e9
+        ).alias("corpus_nll"),
+    ).select(
+        "source",
+        "n_tokens",
+        F.round("mean_nll", 6).alias("mean_nll"),
+        F.round(F.col("mean_nll") - F.col("corpus_nll"), 6).alias("excess"),
+        F.exp(F.lit(float(eta)) * (F.col("mean_nll") - F.col("corpus_nll")))
+        .alias("w_raw"),
+    )
+    return scored.select(
+        "source",
+        "n_tokens",
+        "mean_nll",
+        "excess",
+        F.round(F.col("w_raw") / F.sum("w_raw").over(tot), 6).alias("weight"),
+    )
+
+
+def term_burstiness(
+    documents: DataFrame,
+    k: int = 25,
+    min_df: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Church–Gale term burstiness: per term the variance-to-mean ratio of
+    its per-document counts — terms that "burst" (concentrate in few
+    documents: names, boilerplate markers) versus spreading evenly (true
+    function words). A high-VMR head is the watchlist for template
+    contamination that document-level dedup misses.
+
+    Two-level agg — (term, doc) counts, then per-term exact integer
+    moments over ALL documents (zeros included via the closed form:
+    Σx², Σx over docs with the term, N total docs) — followed by one
+    TakeOrderedAndProject head. VMR = (N·Σx² − (Σx)²) / (N·Σx) stays an
+    exact-integer ratio until the final division."""
+    per_doc = documents.select(
+        F.col(id_col), F.explode(tokens(text_col)).alias("term")
+    ).groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("x"))
+    n_docs = documents.agg(
+        F.countDistinct(F.col(id_col)).alias("n_docs")
+    )
+    stats = per_doc.groupBy("term").agg(
+        F.count(F.lit(1)).cast("bigint").alias("df"),
+        F.sum("x").cast("bigint").alias("sx"),
+        F.sum(F.col("x") * F.col("x")).cast("bigint").alias("sx2"),
+    )
+    return (
+        stats.filter(F.col("df") >= min_df)
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            "term",
+            "df",
+            "sx",
+            F.round(
+                (F.col("n_docs") * F.col("sx2") - F.col("sx") * F.col("sx"))
+                / (F.col("n_docs") * F.col("sx")),
+                6,
+            ).alias("vmr"),
+        )
+        .orderBy(F.col("vmr").desc(), F.col("term").asc())
+        .limit(k)
+    )
+
+
+def hill_tail_index(
+    documents: DataFrame,
+    k: int = 200,
+    value_col: str = "n_chars",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Hill estimator of the document-length tail exponent: over the k
+    largest lengths, α̂ = k / Σ ln(x_i / x_{k+1}) — the heavy-tail
+    check that decides whether max-length truncation rules actually bound
+    shard sizes, or whether a Pareto tail will keep producing outliers.
+
+    One column-pruned scan ending in a TakeOrderedAndProject of k+1 rows
+    (partial top-k per partition, k+1 rows to the driver grain); all the
+    ln/divide math runs on those k+1 rows. Ties broken by id for a
+    deterministic order statistic."""
+    top = (
+        documents.select(
+            F.col(value_col).cast("bigint").alias("x"), F.col(id_col).alias("i")
+        )
+        .orderBy(F.col("x").desc(), F.col("i").asc())
+        .limit(k + 1)
+    )
+    w = Window.orderBy(F.col("x").desc(), F.col("i").asc())
+    ranked = top.select(
+        "x", F.row_number().over(w).alias("rn")
+    )
+    kth = ranked.filter(F.col("rn") == k + 1).select(
+        F.col("x").alias("x_k1")
+    )
+    return (
+        ranked.filter(F.col("rn") <= k)
+        .crossJoin(F.broadcast(kth))
+        .agg(
+            F.lit(int(k)).cast("bigint").alias("k"),
+            F.max("x_k1").cast("bigint").alias("x_k1"),
+            F.round(
+                F.sum(F.log(F.col("x") / F.col("x_k1"))), 6
+            ).alias("sum_log_ratio"),
+            F.round(
+                F.lit(int(k)) / F.sum(F.log(F.col("x") / F.col("x_k1"))), 6
+            ).alias("tail_alpha"),
+        )
+    )
