@@ -2091,6 +2091,31 @@ def q204_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
     return analytics.cusum_changepoints(_base(spark, sf_dir, "events"))
 
 
+def q205_spearman(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Monotone association (text_ops.spearman_quality_length): exact
+    mid-rank Spearman of score vs token count, ranks broadcast from
+    bounded value grains, DECIMAL(38) co-moments."""
+    return text_ops.spearman_quality_length(_base(spark, sf_dir, "documents"))
+
+
+def q206_halflife(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Engagement decay fit (analytics.engagement_halflife): OLS of
+    ln(daily volume) on day index, bounded day grain."""
+    return analytics.engagement_halflife(_base(spark, sf_dir, "events"))
+
+
+def q207_chao1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct-population estimate (text_ops.chao1_richness): Chao1 from
+    the content-hash multiplicity spectrum."""
+    return text_ops.chao1_richness(_base(spark, sf_dir, "documents"))
+
+
+def q208_lang_source_mi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Slice mutual information (text_ops.lang_source_mi): MI in nats on
+    the dense lang×source grid — q173's effect-size sibling."""
+    return text_ops.lang_source_mi(_base(spark, sf_dir, "documents"))
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001: the backup-listing report."""
     return q01_list_backups(spark, "/root/testdata/sf0.001")
@@ -2302,6 +2327,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q202_hill_tail": q202_hill_tail,
         "q203_top_eigen": q203_top_eigen,
         "q204_cusum": q204_cusum,
+        "q205_spearman": q205_spearman,
+        "q206_halflife": q206_halflife,
+        "q207_chao1": q207_chao1,
+        "q208_lang_source_mi": q208_lang_source_mi,
     }
 
 
@@ -8083,6 +8112,125 @@ def oracle_sql() -> dict[str, str]:
             FROM rk CROSS JOIN k1 WHERE rn <= {HILL_K}
         """,
         "q203_top_eigen": _eigen_oracle(EIGEN_ITERS),
+        "q205_spearman": """
+            WITH sig AS (
+                SELECT CAST(ROUND((0.5 * (1.0 - stop * 1.0 / n)
+                                   + 0.5 * nd * 1.0 / n) * 100) AS BIGINT)
+                           AS s,
+                       CAST(n AS BIGINT) AS t
+                FROM (SELECT len(string_split(text, ' ')) AS n,
+                             len(list_filter(string_split(text, ' '),
+                                 w -> w IN ('a', 'the'))) AS stop,
+                             len(list_distinct(string_split(text, ' ')))
+                                 AS nd
+                      FROM documents)
+            ),
+            rs AS (
+                SELECT s AS v,
+                       2 * COALESCE(SUM(c) OVER (ORDER BY s
+                           ROWS BETWEEN UNBOUNDED PRECEDING
+                           AND 1 PRECEDING), 0) + c + 1 AS r2s
+                FROM (SELECT s, COUNT(*) AS c FROM sig GROUP BY 1)
+            ),
+            rt AS (
+                SELECT t AS v,
+                       2 * COALESCE(SUM(c) OVER (ORDER BY t
+                           ROWS BETWEEN UNBOUNDED PRECEDING
+                           AND 1 PRECEDING), 0) + c + 1 AS r2t
+                FROM (SELECT t, COUNT(*) AS c FROM sig GROUP BY 1)
+            ),
+            j AS (
+                SELECT CAST(r2s AS HUGEINT) AS x, CAST(r2t AS HUGEINT) AS y
+                FROM sig
+                JOIN rs ON sig.s = rs.v
+                JOIN rt ON sig.t = rt.v
+            ),
+            a AS (
+                SELECT CAST(COUNT(*) AS HUGEINT) AS n, SUM(x) AS sx,
+                       SUM(y) AS sy, SUM(x * x) AS sxx, SUM(y * y) AS syy,
+                       SUM(x * y) AS sxy
+                FROM j
+            )
+            SELECT CAST(n AS BIGINT) AS n_docs,
+                   ROUND(CASE WHEN n * sxx - sx * sx > 0
+                                   AND n * syy - sy * sy > 0
+                         THEN CAST(n * sxy - sx * sy AS DOUBLE)
+                              / (sqrt(CAST(n * sxx - sx * sx AS DOUBLE))
+                                 * sqrt(CAST(n * syy - sy * sy AS DOUBLE)))
+                         END, 6) AS rho
+            FROM a
+        """,
+        "q206_halflife": """
+            WITH daily AS (
+                SELECT CAST(epoch(ts) AS BIGINT) // 86400 AS day,
+                       COUNT(*) AS c
+                FROM events GROUP BY 1
+            ),
+            xy AS (
+                SELECT day - MIN(day) OVER () AS x,
+                       ln(CAST(c AS DOUBLE)) AS y
+                FROM daily
+            ),
+            a AS (
+                SELECT COUNT(*) AS n, SUM(x) AS sx, SUM(x * x) AS sxx,
+                       SUM(y) AS sy, SUM(x * y) AS sxy
+                FROM xy
+            ),
+            sl AS (
+                SELECT n,
+                       CASE WHEN n * sxx - sx * sx > 0
+                            THEN (n * sxy - sx * sy) * 1.0
+                                 / (n * sxx - sx * sx)
+                            END AS slope
+                FROM a
+            )
+            SELECT CAST(n AS BIGINT) AS n_days,
+                   ROUND(slope, 6) AS slope,
+                   ROUND(CASE WHEN slope < 0 THEN -ln(2.0) / slope END, 6)
+                       AS halflife_days
+            FROM sl
+        """,
+        "q207_chao1": """
+            WITH mult AS (
+                SELECT md5(text) AS h, COUNT(*) AS c
+                FROM documents GROUP BY 1
+            ),
+            a AS (
+                SELECT SUM(c) AS n_docs, COUNT(*) AS d,
+                       SUM(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS f1,
+                       SUM(CASE WHEN c = 2 THEN 1 ELSE 0 END) AS f2
+                FROM mult
+            )
+            SELECT CAST(n_docs AS BIGINT) AS n_docs,
+                   CAST(d AS BIGINT) AS distinct_docs,
+                   CAST(f1 AS BIGINT) AS f1, CAST(f2 AS BIGINT) AS f2,
+                   ROUND(d + (f1 * (f1 - 1)) / (2.0 * (f2 + 1)), 6) AS chao1
+            FROM a
+        """,
+        "q208_lang_source_mi": """
+            WITH cells AS (
+                SELECT lang, source, COUNT(*) AS n_ls
+                FROM documents GROUP BY 1, 2
+            ),
+            t AS (
+                SELECT n_ls,
+                       SUM(n_ls) OVER (PARTITION BY lang) AS n_l,
+                       SUM(n_ls) OVER (PARTITION BY source) AS n_s,
+                       SUM(n_ls) OVER () AS n
+                FROM cells
+            ),
+            tm AS (
+                SELECT n,
+                       (n_ls * 1.0 / n)
+                           * ln((n_ls * 1.0 * n) / (n_l * 1.0 * n_s))
+                           AS term
+                FROM t
+            )
+            SELECT CAST(MAX(n) AS BIGINT) AS n_docs,
+                   CAST(COUNT(*) AS BIGINT) AS n_cells,
+                   ROUND(SUM(term), 6) AS mi_nats
+            FROM tm
+        """,
         "q204_cusum": """
             WITH daily AS (
                 SELECT CAST(epoch(ts) AS BIGINT) // 86400 AS day,

@@ -178,6 +178,10 @@ BENCH_QUERIES = [
     "q202_hill_tail",
     "q203_top_eigen",
     "q204_cusum",
+    "q205_spearman",
+    "q206_halflife",
+    "q207_chao1",
+    "q208_lang_source_mi",
 ]
 
 

@@ -2005,3 +2005,45 @@ def cusum_changepoints(
         F.col("s_milli").cast("bigint").alias("cusum_milli"),
         (F.col("s_milli") > F.col("t")).cast("bigint").alias("flagged"),
     )
+
+
+def engagement_halflife(events: DataFrame) -> DataFrame:
+    """Exponential-decay fit of daily event volume: OLS of ln(count) on
+    day index gives the decay slope and half-life — "how fast does this
+    cohort's activity die" as one number, where q169 *applies* a given
+    decay, this *estimates* it.
+
+    One corpus-scale count per epoch day (map-side combine); the
+    regression runs on the bounded day grain with exact integer x sums
+    and ln-of-integer y terms. Output one row:
+    (n_days, slope, halflife_days) — halflife is NULL when the fitted
+    slope is non-negative (no decay)."""
+    daily = events.select(
+        F.expr("unix_timestamp(ts) div 86400").alias("day")
+    ).groupBy("day").agg(F.count(F.lit(1)).alias("c"))
+    tot = Window.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    xy = daily.select(
+        (F.col("day") - F.min("day").over(tot)).alias("x"),
+        F.log(F.col("c").cast("double")).alias("y"),
+    )
+    agg = xy.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+    )
+    den = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    slope = F.when(
+        den > 0,
+        (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")) / den,
+    )  # NULL with fewer than two distinct days
+    return agg.select(
+        F.col("n").cast("bigint").alias("n_days"),
+        F.round(slope, 6).alias("slope"),
+        F.round(
+            F.when(slope < 0, -F.log(F.lit(2.0)) / slope), 6
+        ).alias("halflife_days"),
+    )

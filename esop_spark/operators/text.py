@@ -3414,3 +3414,157 @@ def hill_tail_index(
             ).alias("tail_alpha"),
         )
     )
+
+
+def spearman_quality_length(
+    documents: DataFrame,
+    text_col: str = "text",
+) -> DataFrame:
+    """Spearman rank correlation between quality score and document token
+    count — the monotone-association check (q117's Pearson misses
+    nonlinear but monotone coupling, and raw lengths are heavy-tailed
+    enough that linear correlation is mostly tail noise).
+
+    Ranks are exact MID-RANKS computed on each signal's bounded
+    distinct-VALUE grain (score ≤101 values; token counts bounded by max
+    doc length) and broadcast back — the corpus never sorts. Doubled
+    ranks (2·midrank is always an integer) keep everything integral; the
+    co-moment sums run in DECIMAL(38,0) because rank² ~ N² overflows
+    int64 at corpus scale. Output one row:
+    (n_docs, rho)."""
+    sig = documents.select(
+        quality_score_col(text_col).alias("s"),
+        F.size(tokens(text_col)).cast("bigint").alias("t"),
+    ).persist()
+
+    def _rank2(col: str) -> DataFrame:
+        counts = sig.groupBy(col).agg(F.count(F.lit(1)).alias("c"))
+        w = Window.orderBy(col).rowsBetween(
+            Window.unboundedPreceding, -1
+        )
+        return counts.select(
+            F.col(col).alias("v"),
+            (
+                2 * F.coalesce(F.sum("c").over(w), F.lit(0))
+                + F.col("c")
+                + 1
+            ).cast("bigint").alias("r2"),
+        )
+
+    rs = _rank2("s").select(F.col("v").alias("s"), F.col("r2").alias("r2s"))
+    rt = _rank2("t").select(F.col("v").alias("t"), F.col("r2").alias("r2t"))
+    d38 = "decimal(38,0)"
+    j = (
+        sig.join(F.broadcast(rs), "s")
+        .join(F.broadcast(rt), "t")
+        .select(
+            F.col("r2s").cast(d38).alias("x"),
+            F.col("r2t").cast(d38).alias("y"),
+        )
+    )
+    agg = j.agg(
+        F.count(F.lit(1)).cast(d38).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+    )
+    num = F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
+    denx = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    deny = F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")
+    return agg.select(
+        F.col("n").cast("bigint").alias("n_docs"),
+        F.round(
+            F.when(
+                (denx > 0) & (deny > 0),
+                num.cast("double")
+                / (
+                    F.sqrt(denx.cast("double"))
+                    * F.sqrt(deny.cast("double"))
+                ),
+            ),
+            6,
+        ).alias("rho"),  # NULL when either signal is constant
+    )
+
+
+def chao1_richness(
+    documents: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Chao1 species-richness estimate of the DISTINCT-document population
+    from duplicate multiplicities: with f1 singletons and f2 doubletons of
+    the content hash, N̂ = D + f1(f1−1)/(2(f2+1)) — "how many unique
+    documents would an infinite crawl of this corpus converge to", the
+    capture–recapture answer to whether another crawl round is worth it.
+
+    One uniform content-hash agg, then a count-of-counts agg to the
+    bounded multiplicity grain; the estimate assembles from three exact
+    integers. Output one row:
+    (n_docs, distinct_docs, f1, f2, chao1)."""
+    mult = documents.select(
+        F.md5(F.col(text_col)).alias("h")
+    ).groupBy("h").agg(F.count(F.lit(1)).alias("c"))
+    return mult.agg(
+        F.sum("c").cast("bigint").alias("n_docs"),
+        F.count(F.lit(1)).cast("bigint").alias("distinct_docs"),
+        F.sum((F.col("c") == 1).cast("bigint")).cast("bigint").alias("f1"),
+        F.sum((F.col("c") == 2).cast("bigint")).cast("bigint").alias("f2"),
+    ).select(
+        "n_docs",
+        "distinct_docs",
+        "f1",
+        "f2",
+        F.round(
+            F.col("distinct_docs")
+            + (F.col("f1") * (F.col("f1") - 1))
+            / (2.0 * (F.col("f2") + 1)),
+            6,
+        ).alias("chao1"),
+    )
+
+
+def lang_source_mi(documents: DataFrame) -> DataFrame:
+    """Mutual information between language and source labels (nats) — the
+    "are slices informative about each other" census: MI ≈ 0 means
+    language mix is homogeneous across sources; high MI means sources are
+    language-siloed and per-source curation thresholds need per-language
+    calibration. Complements q173's chi² (significance) with effect size.
+
+    One scan-stage agg to the dense |langs|×|sources| grid; marginals and
+    the MI sum are windows over that bounded grid. Floats only in the
+    final ln terms. Output one row: (n_docs, n_cells, mi_nats)."""
+    cells = documents.groupBy("lang", "source").agg(
+        F.count(F.lit(1)).alias("n_ls")
+    )
+    tot = Window.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    wl = Window.partitionBy("lang")
+    ws = Window.partitionBy("source")
+    terms = cells.select(
+        "n_ls",
+        F.sum("n_ls").over(wl).alias("n_l"),
+        F.sum("n_ls").over(ws).alias("n_s"),
+        F.sum("n_ls").over(tot).alias("n"),
+    ).select(
+        "n",
+        (
+            (F.col("n_ls") / F.col("n"))
+            * F.log(
+                # double multiplies: bigint n_ls·n overflows at corpus scale
+                (F.col("n_ls").cast("double") * F.col("n").cast("double"))
+                / (
+                    F.col("n_l").cast("double")
+                    * F.col("n_s").cast("double")
+                )
+            )
+        ).alias("term"),
+    )
+    return terms.agg(
+        F.max("n").cast("bigint").alias("n_docs"),
+        F.count(F.lit(1)).cast("bigint").alias("n_cells"),
+        F.round(F.sum("term"), 6).alias("mi_nats"),
+    )
