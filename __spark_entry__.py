@@ -2116,6 +2116,46 @@ def q208_lang_source_mi(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text_ops.lang_source_mi(_base(spark, sf_dir, "documents"))
 
 
+Q5_REGION = "ASIA"
+Q5_START_S = 788918400
+Q5_END_S = 946684800
+
+
+def q209_regional_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5 shape (analytics.regional_revenue): 6-table join with the
+    customer-nation = supplier-nation equality, broadcast dims, revenue
+    in exact cents."""
+    return analytics.regional_revenue(
+        _base(spark, sf_dir, "lineitem"),
+        _base(spark, sf_dir, "orders"),
+        _base(spark, sf_dir, "customer"),
+        _base(spark, sf_dir, "supplier"),
+        _base(spark, sf_dir, "nation"),
+        _base(spark, sf_dir, "region"),
+        region_name=Q5_REGION,
+        start_epoch_s=Q5_START_S,
+        end_epoch_s=Q5_END_S,
+    )
+
+
+def q210_ab_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A/B sanity z-test (analytics.ab_conversion_z): md5 hash-bucket arms,
+    exact conversion counts, pooled-SE z."""
+    return analytics.ab_conversion_z(_base(spark, sf_dir, "events"))
+
+
+def q211_time_spine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dense daily spine with gap flags (analytics.time_spine_fill):
+    sequence-explode of the min/max day bounds, zero-filled left join."""
+    return analytics.time_spine_fill(_base(spark, sf_dir, "events"))
+
+
+def q212_char_bigram_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conditional char entropy (text_ops.char_bigram_entropy): H(c2|c1)
+    on the bounded pair grain after one position explode."""
+    return text_ops.char_bigram_entropy(_base(spark, sf_dir, "documents"))
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001: the backup-listing report."""
     return q01_list_backups(spark, "/root/testdata/sf0.001")
@@ -2331,6 +2371,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q206_halflife": q206_halflife,
         "q207_chao1": q207_chao1,
         "q208_lang_source_mi": q208_lang_source_mi,
+        "q209_regional_revenue": q209_regional_revenue,
+        "q210_ab_conversion": q210_ab_conversion,
+        "q211_time_spine": q211_time_spine,
+        "q212_char_bigram_entropy": q212_char_bigram_entropy,
     }
 
 
@@ -8112,6 +8156,106 @@ def oracle_sql() -> dict[str, str]:
             FROM rk CROSS JOIN k1 WHERE rn <= {HILL_K}
         """,
         "q203_top_eigen": _eigen_oracle(EIGEN_ITERS),
+        "q209_regional_revenue": f"""
+            SELECT n.n_name,
+                   CAST(SUM(CAST(ROUND(l.l_extendedprice
+                                       * (1 - l.l_discount) * 100)
+                                 AS BIGINT)) AS BIGINT) AS revenue_cents
+            FROM lineitem l
+            JOIN orders o ON l.l_orderkey = o.o_orderkey
+            JOIN customer c ON o.o_custkey = c.c_custkey
+            JOIN supplier s ON l.l_suppkey = s.s_suppkey
+                           AND c.c_nationkey = s.s_nationkey
+            JOIN nation n ON c.c_nationkey = n.n_nationkey
+            JOIN region r ON n.n_regionkey = r.r_regionkey
+            WHERE r.r_name = '{Q5_REGION}'
+              AND CAST(epoch(o.o_orderdate) AS BIGINT) >= {Q5_START_S}
+              AND CAST(epoch(o.o_orderdate) AS BIGINT) < {Q5_END_S}
+            GROUP BY 1
+        """,
+        "q210_ab_conversion": """
+            WITH pu AS (
+                SELECT user_id,
+                       MAX(CASE WHEN event_type = 'purchase' THEN 1
+                           ELSE 0 END) AS converted
+                FROM events GROUP BY 1
+            ),
+            arms AS (
+                SELECT CAST(concat('0x', substr(md5('ab0:' || user_id),
+                            1, 8)) AS BIGINT) % 2 AS arm,
+                       converted
+                FROM pu
+            ),
+            agg AS (
+                SELECT arm, COUNT(*) AS n, SUM(converted) AS conv
+                FROM arms GROUP BY 1
+            ),
+            wide AS (
+                SELECT MAX(CASE WHEN arm = 0 THEN n END) AS n_a,
+                       MAX(CASE WHEN arm = 0 THEN conv END) AS conv_a,
+                       MAX(CASE WHEN arm = 1 THEN n END) AS n_b,
+                       MAX(CASE WHEN arm = 1 THEN conv END) AS conv_b
+                FROM agg
+            ),
+            z AS (
+                SELECT n_a, n_b, conv_a, conv_b,
+                       (conv_a + conv_b) * 1.0 / (n_a + n_b) AS p,
+                       sqrt(((conv_a + conv_b) * 1.0 / (n_a + n_b))
+                            * (1 - (conv_a + conv_b) * 1.0 / (n_a + n_b))
+                            * (1.0 / n_a + 1.0 / n_b)) AS se
+                FROM wide
+            )
+            SELECT CAST(n_a AS BIGINT) AS n_a, CAST(n_b AS BIGINT) AS n_b,
+                   CAST(conv_a AS BIGINT) AS conv_a,
+                   CAST(conv_b AS BIGINT) AS conv_b,
+                   ROUND(CASE WHEN se > 0
+                         THEN (conv_a * 1.0 / n_a - conv_b * 1.0 / n_b) / se
+                         END, 6) AS z_score
+            FROM z
+        """,
+        "q211_time_spine": """
+            WITH daily AS (
+                SELECT CAST(epoch(ts) AS BIGINT) // 86400 AS day,
+                       COUNT(*) AS c
+                FROM events GROUP BY 1
+            ),
+            b AS (SELECT MIN(day) AS lo, MAX(day) AS hi FROM daily),
+            spine AS (
+                SELECT unnest(range(lo, hi + 1)) AS day FROM b
+            )
+            SELECT CAST(s.day AS BIGINT) AS day,
+                   CAST(COALESCE(d.c, 0) AS BIGINT) AS n_events,
+                   CAST(CASE WHEN d.c IS NULL THEN 1 ELSE 0 END AS BIGINT)
+                       AS is_gap
+            FROM spine s LEFT JOIN daily d ON s.day = d.day
+        """,
+        "q212_char_bigram_entropy": """
+            WITH p AS (
+                SELECT substr(text, t.i, 2) AS pair
+                FROM documents, unnest(range(1, length(text))) t(i)
+                WHERE length(text) >= 2
+            ),
+            pc AS (SELECT pair, COUNT(*) AS n_p FROM p GROUP BY 1),
+            t AS (
+                SELECT n_p,
+                       SUM(n_p) OVER (PARTITION BY substr(pair, 1, 1))
+                           AS n_c1,
+                       SUM(n_p) OVER () AS n
+                FROM pc
+            ),
+            tm AS (
+                SELECT n,
+                       (n_p * 1.0 / n)
+                           * ln(CAST(n_c1 AS DOUBLE) / CAST(n_p AS DOUBLE))
+                           AS term
+                FROM t
+            )
+            SELECT CAST(MAX(n) AS BIGINT) AS n_pairs,
+                   CAST(COUNT(*) AS BIGINT) AS n_distinct_pairs,
+                   ROUND(SUM(term), 6) AS cond_entropy_nats,
+                   ROUND(exp(SUM(term)), 6) AS perplexity
+            FROM tm
+        """,
         "q205_spearman": """
             WITH sig AS (
                 SELECT CAST(ROUND((0.5 * (1.0 - stop * 1.0 / n)

@@ -182,6 +182,10 @@ BENCH_QUERIES = [
     "q206_halflife",
     "q207_chao1",
     "q208_lang_source_mi",
+    "q209_regional_revenue",
+    "q210_ab_conversion",
+    "q211_time_spine",
+    "q212_char_bigram_entropy",
 ]
 
 

@@ -2047,3 +2047,142 @@ def engagement_halflife(events: DataFrame) -> DataFrame:
             F.when(slope < 0, -F.log(F.lit(2.0)) / slope), 6
         ).alias("halflife_days"),
     )
+
+
+def regional_revenue(
+    lineitem: DataFrame,
+    orders: DataFrame,
+    customer: DataFrame,
+    supplier: DataFrame,
+    nation: DataFrame,
+    region: DataFrame,
+    region_name: str = "ASIA",
+    start_epoch_s: int = 788918400,   # 1995-01-01
+    end_epoch_s: int = 946684800,     # 2000-01-01
+) -> DataFrame:
+    """TPC-H Q5 shape: revenue per nation for one region where the
+    customer and the line's supplier sit in the SAME nation — the deepest
+    relational pipeline in the suite (6 tables, 2 fact-fact joins, 3
+    broadcast dims, a same-key equality threaded through both sides).
+
+    Plan shape at scale: region/nation/supplier broadcast; orders filters
+    push to the parquet scan (constant-foldable epoch bounds) BEFORE the
+    orderkey SMJ with lineitem; the customer join carries the nationkey
+    equality so Catalyst prunes mismatched pairs inside the join, not
+    after. Revenue in exact integer cents."""
+    r = region.filter(F.col("r_name") == region_name)
+    n = nation.join(
+        F.broadcast(r), nation["n_regionkey"] == r["r_regionkey"]
+    ).select("n_nationkey", "n_name")
+    o = orders.filter(
+        (F.col("o_orderdate") >= F.timestamp_seconds(F.lit(start_epoch_s)))
+        & (F.col("o_orderdate") < F.timestamp_seconds(F.lit(end_epoch_s)))
+    ).select("o_orderkey", "o_custkey")
+    c = customer.join(
+        F.broadcast(n), customer["c_nationkey"] == n["n_nationkey"]
+    ).select(F.col("c_custkey"), F.col("c_nationkey"), F.col("n_name"))
+    s = supplier.select("s_suppkey", "s_nationkey")
+    return (
+        lineitem.select(
+            "l_orderkey",
+            "l_suppkey",
+            cents(
+                F.col("l_extendedprice") * (1 - F.col("l_discount"))
+            ).alias("rev_cents"),
+        )
+        .join(o, F.col("l_orderkey") == o["o_orderkey"])
+        .join(c, o["o_custkey"] == c["c_custkey"])
+        .join(
+            F.broadcast(s),
+            (F.col("l_suppkey") == s["s_suppkey"])
+            & (c["c_nationkey"] == s["s_nationkey"]),
+        )
+        .groupBy("n_name")
+        .agg(F.sum("rev_cents").cast("bigint").alias("revenue_cents"))
+    )
+
+
+def ab_conversion_z(
+    events: DataFrame,
+    conversion_type: str = "purchase",
+    seed: str = "ab0",
+) -> DataFrame:
+    """Two-proportion z-test on a deterministic hash-bucket A/B split of
+    users: does assignment correlate with conversion? (It shouldn't — the
+    SRM/sanity check run before trusting any experiment pipeline; |z| > 2
+    flags a broken bucketing hash or a leaky assignment.)
+
+    One user-grain agg (conditional MAX for converted, scan-stage md5
+    bucket for the arm), one fold to the 2-row arm grain; z assembles
+    from exact integers with one final sqrt. Output one row:
+    (n_a, n_b, conv_a, conv_b, z_score)."""
+    bucket = F.expr(
+        f"cast(conv(substring(md5(concat('{seed}:', user_id)), 1, 8),"
+        " 16, 10) as bigint) % 2"
+    )
+    per_user = events.groupBy("user_id").agg(
+        F.max(
+            (F.col("event_type") == conversion_type).cast("bigint")
+        ).alias("converted")
+    ).select(bucket.alias("arm"), "converted")
+    arms = per_user.groupBy("arm").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("converted").cast("bigint").alias("conv"),
+    )
+    wide = arms.agg(
+        F.max(F.when(F.col("arm") == 0, F.col("n"))).alias("n_a"),
+        F.max(F.when(F.col("arm") == 0, F.col("conv"))).alias("conv_a"),
+        F.max(F.when(F.col("arm") == 1, F.col("n"))).alias("n_b"),
+        F.max(F.when(F.col("arm") == 1, F.col("conv"))).alias("conv_b"),
+    )
+    p_pool = (F.col("conv_a") + F.col("conv_b")) / (
+        F.col("n_a") + F.col("n_b")
+    )
+    se = F.sqrt(
+        p_pool * (1 - p_pool) * (1.0 / F.col("n_a") + 1.0 / F.col("n_b"))
+    )
+    return wide.select(
+        "n_a",
+        "n_b",
+        "conv_a",
+        "conv_b",
+        F.round(
+            F.when(
+                se > 0,
+                (
+                    F.col("conv_a") / F.col("n_a")
+                    - F.col("conv_b") / F.col("n_b")
+                )
+                / se,
+            ),
+            6,
+        ).alias("z_score"),
+    )
+
+
+def time_spine_fill(events: DataFrame) -> DataFrame:
+    """Dense daily series with gap fill: generate the full day spine from
+    min to max epoch-day, left-join the observed daily counts, zero-fill
+    and flag the silent days — the missing-data census every downstream
+    window/forecast query silently assumes has already happened.
+
+    One corpus count per day; the spine is a sequence-explode of the
+    2-row min/max relation (|days| rows, bounded by the time span, never
+    corpus-sized). Output per day: (day, n_events, is_gap)."""
+    daily = events.select(
+        F.expr("unix_timestamp(ts) div 86400").alias("day")
+    ).groupBy("day").agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    bounds = daily.agg(
+        F.min("day").alias("lo"), F.max("day").alias("hi")
+    )
+    spine = bounds.select(
+        F.explode(F.sequence(F.col("lo"), F.col("hi"))).alias("day")
+    )
+    return (
+        spine.join(daily, "day", "left")
+        .select(
+            F.col("day").cast("bigint").alias("day"),
+            F.coalesce(F.col("c"), F.lit(0)).cast("bigint").alias("n_events"),
+            F.col("c").isNull().cast("bigint").alias("is_gap"),
+        )
+    )

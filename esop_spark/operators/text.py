@@ -3568,3 +3568,57 @@ def lang_source_mi(documents: DataFrame) -> DataFrame:
         F.count(F.lit(1)).cast("bigint").alias("n_cells"),
         F.round(F.sum("term"), 6).alias("mi_nats"),
     )
+
+
+def char_bigram_entropy(
+    documents: DataFrame,
+    text_col: str = "text",
+) -> DataFrame:
+    """Conditional character entropy H(c₂|c₁) of the corpus (nats) — the
+    first-order compressibility bound. q100's unigram entropy misses
+    repeated structure; the conditional rate is what actually predicts
+    gzip/tokenizer behavior, and a collapse between the two signals
+    boilerplate.
+
+    The corpus cost is one position explode (∝ total chars, scan-stage,
+    no shuffle until the pair agg) into a (c₁,c₂) count aggregation —
+    uniform short keys, map-side combine, output on the bounded pair
+    grain (≤alphabet²). Entropy math runs on that grain: the c₁
+    marginal is a window partitioned by c₁. Output one row:
+    (n_pairs, n_distinct_pairs, cond_entropy_nats, perplexity)."""
+    pairs = (
+        documents.select(F.col(text_col).alias("t"))
+        .filter(F.length("t") >= 2)
+        .select(
+            F.explode(
+                F.expr("sequence(1, length(t) - 1)")
+            ).alias("i"),
+            "t",
+        )
+        .select(F.col("t").substr(F.col("i"), F.lit(2)).alias("pair"))
+        .groupBy("pair")
+        .agg(F.count(F.lit(1)).alias("n_p"))
+    )
+    wc = Window.partitionBy(F.substring(F.col("pair"), 1, 1))
+    tot = Window.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    terms = pairs.select(
+        "n_p",
+        F.sum("n_p").over(wc).alias("n_c1"),
+        F.sum("n_p").over(tot).alias("n"),
+    ).select(
+        "n",
+        (
+            (F.col("n_p") / F.col("n"))
+            * F.log(
+                F.col("n_c1").cast("double") / F.col("n_p").cast("double")
+            )
+        ).alias("term"),
+    )
+    return terms.agg(
+        F.max("n").cast("bigint").alias("n_pairs"),
+        F.count(F.lit(1)).cast("bigint").alias("n_distinct_pairs"),
+        F.round(F.sum("term"), 6).alias("cond_entropy_nats"),
+        F.round(F.exp(F.sum("term")), 6).alias("perplexity"),
+    )
