@@ -2156,6 +2156,54 @@ def q212_char_bigram_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text_ops.char_bigram_entropy(_base(spark, sf_dir, "documents"))
 
 
+ACF_MAX_LAG = 7
+CONC_TOP_PPM = 200_000
+HUB_K = 3
+HUB_MAX_DOCS = 200
+WILSON_Z_MILLI = 1960
+
+
+def q213_crossplit_nll(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-split generalization gap (text_ops.crossplit_nll): train-fit
+    Laplace unigram LM scored on every split, integer nano-nat surprisal
+    at the union-vocab grain."""
+    return text_ops.crossplit_nll(
+        _base(spark, sf_dir, "documents"), fractions=SPLIT_FRACTIONS
+    )
+
+
+def q214_wilson_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wilson-interval pass rates (text_ops.wilson_pass_ci): per-source
+    gopher pass rate with 95% score bounds."""
+    return text_ops.wilson_pass_ci(
+        _base(spark, sf_dir, "documents"), z_milli=WILSON_Z_MILLI
+    )
+
+
+def q215_daily_acf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily-volume autocorrelation (analytics.daily_acf): lags 1..7 on
+    the bounded day grain, DECIMAL(38) moments."""
+    return analytics.daily_acf(
+        _base(spark, sf_dir, "events"), max_lag=ACF_MAX_LAG
+    )
+
+
+def q216_revenue_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20% spend share (analytics.revenue_concentration): boundary
+    from the bounded dollar grain, exact counts."""
+    return analytics.revenue_concentration(
+        _base(spark, sf_dir, "events"), top_ppm=CONC_TOP_PPM
+    )
+
+
+def q217_hubness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """kNN hubness audit (similarity.hubness_audit): in-degree skew of the
+    capped-sample kNN graph."""
+    return similarity.hubness_audit(
+        _base(spark, sf_dir, "embeddings"), k=HUB_K, max_docs=HUB_MAX_DOCS
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001: the backup-listing report."""
     return q01_list_backups(spark, "/root/testdata/sf0.001")
@@ -2375,6 +2423,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q210_ab_conversion": q210_ab_conversion,
         "q211_time_spine": q211_time_spine,
         "q212_char_bigram_entropy": q212_char_bigram_entropy,
+        "q213_crossplit_nll": q213_crossplit_nll,
+        "q214_wilson_ci": q214_wilson_ci,
+        "q215_daily_acf": q215_daily_acf,
+        "q216_revenue_concentration": q216_revenue_concentration,
+        "q217_hubness": q217_hubness,
     }
 
 
@@ -8156,6 +8209,190 @@ def oracle_sql() -> dict[str, str]:
             FROM rk CROSS JOIN k1 WHERE rn <= {HILL_K}
         """,
         "q203_top_eigen": _eigen_oracle(EIGEN_ITERS),
+        "q213_crossplit_nll": """
+            WITH tok AS (
+                SELECT CASE WHEN CAST(concat('0x', substr(md5('split0:'
+                                || CAST(doc_id AS VARCHAR)), 1, 8))
+                                AS BIGINT) % 1000000 < 800000 THEN 'train'
+                            WHEN CAST(concat('0x', substr(md5('split0:'
+                                || CAST(doc_id AS VARCHAR)), 1, 8))
+                                AS BIGINT) % 1000000 < 900000 THEN 'val'
+                            ELSE 'test' END AS split,
+                       unnest(string_split(text, ' ')) AS term
+                FROM documents
+            ),
+            tf AS (
+                SELECT term, COUNT(*) AS n FROM tok
+                WHERE split = 'train' GROUP BY 1
+            ),
+            st AS (SELECT SUM(n) AS total, COUNT(*) AS v FROM tf),
+            vocab AS (
+                SELECT d.term, tf.n
+                FROM (SELECT DISTINCT term FROM tok) d
+                LEFT JOIN tf USING (term)
+            ),
+            tn AS (
+                SELECT term,
+                       CAST(ROUND(-ln((COALESCE(n, 0) + 1) * 1.0
+                                      / (total + v + 1)) * 1000000000)
+                            AS BIGINT) AS nll9
+                FROM vocab CROSS JOIN st
+            )
+            SELECT split, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+                   ROUND(SUM(nll9) * 1.0 / COUNT(*) / 1e9, 6) AS mean_nll
+            FROM tok JOIN tn USING (term)
+            GROUP BY 1
+        """,
+        "q214_wilson_ci": f"""
+            WITH w AS (
+                SELECT source, string_split(text, ' ') AS words
+                FROM documents
+            ),
+            m AS (
+                SELECT source,
+                       len(words) AS n_words,
+                       list_sum(list_transform(words, x -> length(x))) * 1.0
+                           / len(words) AS mwl,
+                       len(list_filter(words, x -> x IN ('#', '...'))) * 1.0
+                           / len(words) AS sf,
+                       len(list_filter(words, x -> x IN ('a', 'the')))
+                           AS sh
+                FROM w
+            ),
+            f AS (
+                SELECT source,
+                       CASE WHEN n_words >= 30 AND n_words <= 100000
+                                 AND mwl BETWEEN 2.0 AND 10.0
+                                 AND sf <= 0.1 AND sh >= 2
+                            THEN 1 ELSE 0 END AS p
+                FROM m
+            ),
+            a AS (
+                SELECT source, COUNT(*) AS n_docs, SUM(p) AS n_pass
+                FROM f GROUP BY 1
+            ),
+            wls AS (
+                SELECT source, n_docs, n_pass,
+                       n_pass * 1.0 / n_docs AS phat,
+                       {WILSON_Z_MILLI / 1000.0} AS z,
+                       CAST(n_docs AS DOUBLE) AS nd
+                FROM a
+            )
+            SELECT source, CAST(n_docs AS BIGINT) AS n_docs,
+                   CAST(n_pass AS BIGINT) AS n_pass,
+                   ROUND(phat, 6) AS pass_rate,
+                   ROUND((phat + z*z/(2*nd)
+                          - z * sqrt(phat*(1-phat)/nd + z*z/(4*nd*nd)))
+                         / (1 + z*z/nd), 6) AS ci_lo,
+                   ROUND((phat + z*z/(2*nd)
+                          + z * sqrt(phat*(1-phat)/nd + z*z/(4*nd*nd)))
+                         / (1 + z*z/nd), 6) AS ci_hi
+            FROM wls
+        """,
+        "q215_daily_acf": f"""
+            WITH daily AS (
+                SELECT CAST(epoch(ts) AS BIGINT) // 86400 AS day,
+                       COUNT(*) AS c
+                FROM events GROUP BY 1
+            ),
+            cen AS (
+                SELECT day, c, SUM(c) OVER () AS sc,
+                       COUNT(*) OVER () AS nd
+                FROM daily
+            ),
+            den AS (
+                SELECT SUM(CAST(nd * c - sc AS HUGEINT)
+                           * CAST(nd * c - sc AS HUGEINT)) AS den
+                FROM cen
+            ),
+            lags AS (SELECT unnest(range(1, {ACF_MAX_LAG + 1})) AS lag),
+            pr AS (
+                SELECT l.lag,
+                       CAST(a.nd * a.c - a.sc AS HUGEINT)
+                           * CAST(a.nd * b.c - a.sc AS HUGEINT) AS prod
+                FROM cen a
+                CROSS JOIN lags l
+                JOIN cen b ON b.day = a.day + l.lag
+            )
+            SELECT CAST(lag AS BIGINT) AS lag,
+                   CAST(COUNT(*) AS BIGINT) AS n_pairs,
+                   ROUND(CAST(SUM(prod) AS DOUBLE)
+                         / CAST(MAX(den.den) AS DOUBLE), 6) AS acf
+            FROM pr CROSS JOIN den
+            GROUP BY 1
+        """,
+        "q216_revenue_concentration": f"""
+            WITH pu AS (
+                SELECT user_id,
+                       SUM(CAST(ROUND(value * 100) AS BIGINT)) AS cents
+                FROM events GROUP BY 1
+            ),
+            pd AS (SELECT cents, cents // 100 AS dollars FROM pu),
+            cnt AS (
+                SELECT dollars, COUNT(*) AS nu, SUM(cents) AS sc
+                FROM pd GROUP BY 1
+            ),
+            cum AS (
+                SELECT dollars,
+                       SUM(nu) OVER (ORDER BY dollars DESC
+                           ROWS UNBOUNDED PRECEDING) AS cum_u,
+                       SUM(sc) OVER (ORDER BY dollars DESC
+                           ROWS UNBOUNDED PRECEDING) AS cum_c,
+                       SUM(nu) OVER () AS n,
+                       SUM(sc) OVER () AS total_c
+                FROM cnt
+            )
+            SELECT CAST(n AS BIGINT) AS n_users,
+                   CAST(cum_u AS BIGINT) AS top_users,
+                   CAST(dollars AS BIGINT) AS boundary_dollars,
+                   ROUND(CAST(cum_c AS DOUBLE) / CAST(total_c AS DOUBLE), 6)
+                       AS top_share
+            FROM cum
+            WHERE cum_u * 1000000 >= n * {CONC_TOP_PPM}
+            ORDER BY dollars DESC LIMIT 1
+        """,
+        "q217_hubness": f"""
+            WITH e AS (
+                SELECT vec_id,
+                       list_transform(CAST(embedding AS DOUBLE[]),
+                           x -> CAST(FLOOR(x * {similarity.SEM_SCALE})
+                                     AS BIGINT)) AS vq
+                FROM embeddings
+            ),
+            sb AS (
+                SELECT vec_id, vq,
+                       CAST(concat('0x', substr(md5('hub:'
+                            || CAST(vec_id AS VARCHAR)), 1, 8)) AS BIGINT)
+                           % 1000000 AS b
+                FROM e
+            ),
+            samp AS (
+                SELECT vec_id AS vid, vq FROM sb ORDER BY b, vid
+                LIMIT {HUB_MAX_DOCS}
+            ),
+            pr AS (
+                SELECT a.vid AS src, b.vid AS dst,
+                       list_reduce(list_transform(range(1, 65),
+                           i -> (a.vq[i] - b.vq[i]) * (a.vq[i] - b.vq[i])),
+                           (x, y) -> x + y) AS dist2
+                FROM samp a JOIN samp b ON a.vid <> b.vid
+            ),
+            knn AS (
+                SELECT dst FROM (
+                    SELECT dst, ROW_NUMBER() OVER (PARTITION BY src
+                        ORDER BY dist2, dst) AS rn
+                    FROM pr
+                ) WHERE rn <= {HUB_K}
+            ),
+            indeg AS (SELECT dst, COUNT(*) AS deg FROM knn GROUP BY 1),
+            np AS (SELECT COUNT(*) AS n FROM samp)
+            SELECT CAST(np.n AS BIGINT) AS n_docs,
+                   CAST({HUB_K} AS BIGINT) AS k,
+                   CAST(MAX(deg) AS BIGINT) AS max_in_degree,
+                   CAST(np.n - COUNT(*) AS BIGINT) AS zero_in_degree,
+                   ROUND(MAX(deg) * 1.0 / {HUB_K}, 6) AS skew
+            FROM indeg CROSS JOIN np GROUP BY np.n
+        """,
         "q209_regional_revenue": f"""
             SELECT n.n_name,
                    CAST(SUM(CAST(ROUND(l.l_extendedprice

@@ -186,6 +186,11 @@ BENCH_QUERIES = [
     "q210_ab_conversion",
     "q211_time_spine",
     "q212_char_bigram_entropy",
+    "q213_crossplit_nll",
+    "q214_wilson_ci",
+    "q215_daily_acf",
+    "q216_revenue_concentration",
+    "q217_hubness",
 ]
 
 

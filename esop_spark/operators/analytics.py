@@ -2186,3 +2186,118 @@ def time_spine_fill(events: DataFrame) -> DataFrame:
             F.col("c").isNull().cast("bigint").alias("is_gap"),
         )
     )
+
+
+def daily_acf(events: DataFrame, max_lag: int = 7) -> DataFrame:
+    """Autocorrelation of the daily event-count series at lags 1..max_lag
+    — the periodicity fingerprint (a lag-7 spike = weekly seasonality)
+    that decides whether q179's day-of-week profile is even the right
+    model.
+
+    One corpus count per day, then every lag is a self-join of the
+    bounded day-grain series against itself shifted by a literal — a
+    ×max_lag explode of a ≤|days| relation, never corpus-sized. Exact
+    integer moments; one float division per lag. Output per lag:
+    (lag, n_pairs, acf)."""
+    daily = events.select(
+        F.expr("unix_timestamp(ts) div 86400").alias("day")
+    ).groupBy("day").agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    tot = Window.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    centered = daily.select(
+        "day",
+        "c",
+        F.sum("c").over(tot).alias("sc"),
+        F.count(F.lit(1)).over(tot).alias("nd"),
+    ).persist()
+    lags = centered.sparkSession.range(1, max_lag + 1).select(
+        F.col("id").cast("bigint").alias("lag")
+    )
+    a = centered.select(
+        F.col("day").alias("d1"), F.col("c").alias("c1"), "sc", "nd"
+    )
+    b = centered.select(F.col("day").alias("d2"), F.col("c").alias("c2"))
+    pairs = (
+        a.crossJoin(F.broadcast(lags))
+        .join(b, F.col("d2") == F.col("d1") + F.col("lag"))
+    )
+    # acf(k) = Σ(nd·c1−sc)(nd·c2−sc) / Σ(nd·c−sc)²  (scaled by nd²
+    # throughout; DECIMAL(38) products — (days·daily_count)² overflows
+    # int64 at corpus scale)
+    d38 = "decimal(38,0)"
+    denom = centered.select(
+        (
+            (F.col("nd") * F.col("c") - F.col("sc")).cast(d38)
+            * (F.col("nd") * F.col("c") - F.col("sc")).cast(d38)
+        ).alias("d2v")
+    ).agg(F.sum("d2v").alias("den"))
+    return (
+        pairs.groupBy("lag")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_pairs"),
+            F.sum(
+                (F.col("nd") * F.col("c1") - F.col("sc")).cast(d38)
+                * (F.col("nd") * F.col("c2") - F.col("sc")).cast(d38)
+            ).alias("num"),
+        )
+        .crossJoin(F.broadcast(denom))
+        .select(
+            "lag",
+            "n_pairs",
+            F.round(
+                F.col("num").cast("double") / F.col("den").cast("double"), 6
+            ).alias("acf"),
+        )
+    )
+
+
+def revenue_concentration(
+    events: DataFrame, top_ppm: int = 200_000
+) -> DataFrame:
+    """Revenue concentration: the share of total spend contributed by the
+    top `top_ppm` (default 20%) of users — the 80/20 audit that decides
+    whether per-user caps (q76's source-cap sibling) are worth running.
+
+    One user-grain agg; the spend boundary comes from the bounded
+    whole-dollar value grain (cumulative window over distinct dollar
+    values, never a user sort); users at-or-above the boundary count
+    exactly. Output one row:
+    (n_users, top_users, boundary_dollars, top_share)."""
+    pu = events.groupBy("user_id").agg(
+        F.sum(cents(F.col("value"))).cast("bigint").alias("cents")
+    ).select("cents", F.expr("cents div 100").alias("dollars"))
+    counts = pu.groupBy("dollars").agg(
+        F.count(F.lit(1)).alias("nu"),
+        F.sum("cents").alias("sc"),
+    )
+    w = Window.orderBy(F.col("dollars").desc()).rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    tot = Window.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    cum = counts.select(
+        "dollars",
+        F.sum("nu").over(w).alias("cum_u"),
+        F.sum("sc").over(w).alias("cum_c"),
+        F.sum("nu").over(tot).alias("n"),
+        F.sum("sc").over(tot).alias("total_c"),
+    )
+    # smallest dollar level (scanning from the top) where the running user
+    # count first reaches top_ppm of all users
+    return (
+        cum.filter(F.col("cum_u") * 1_000_000 >= F.col("n") * top_ppm)
+        .orderBy(F.col("dollars").desc())
+        .limit(1)
+        .select(
+            F.col("n").cast("bigint").alias("n_users"),
+            F.col("cum_u").cast("bigint").alias("top_users"),
+            F.col("dollars").cast("bigint").alias("boundary_dollars"),
+            F.round(
+                F.col("cum_c").cast("double")
+                / F.col("total_c").cast("double"),
+                6,
+            ).alias("top_share"),
+        )
+    )

@@ -2206,3 +2206,73 @@ def top_eigen_share(
         F.round("trace", 6).alias("trace"),
         F.round(F.col("lam") / F.col("trace"), 6).alias("explained_share"),
     )
+
+
+def hubness_audit(
+    embeddings: DataFrame,
+    k: int = 3,
+    max_docs: int = 200,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Hubness audit: the in-degree distribution of the kNN graph on a
+    capped sample — in high-dimensional (or anisotropic, see q203)
+    spaces a few "hub" points appear in everyone's neighbor list and
+    silently dominate retrieval; skew here predicts degraded ANN quality
+    before any recall test shows it.
+
+    q136-capped O(sample²) exact integer distances, per-point top-k via a
+    window partitioned by query point (≤max_docs rows each), then the
+    in-degree census on the bounded degree grain. Output one row:
+    (n_docs, k, max_in_degree, zero_in_degree, skew = max/k)."""
+    c = F.col(vec_col)
+    vq = F.transform(
+        c, lambda x: F.floor(x.cast("double") * SEM_SCALE).cast("bigint")
+    )
+    bucket = F.expr(
+        "cast(conv(substring(md5(concat('hub:', cast(vid as string))), 1, 8),"
+        " 16, 10) as bigint) % 1000000"
+    )
+    sample = (
+        embeddings.select(F.col(id_col).alias("vid"), vq.alias("vq"))
+        .withColumn("b", bucket)
+        .orderBy("b", "vid")
+        .limit(max_docs)
+        .persist()
+    )
+    a = sample.alias("a")
+    b = sample.alias("b")
+    d2 = F.aggregate(
+        F.zip_with(
+            F.col("a.vq"), F.col("b.vq"), lambda x, y: (x - y) * (x - y)
+        ),
+        F.lit(0).cast("bigint"),
+        lambda acc, v: acc + v,
+    )
+    pairs = a.join(b, F.col("a.vid") != F.col("b.vid")).select(
+        F.col("a.vid").alias("src"),
+        F.col("b.vid").alias("dst"),
+        d2.alias("dist2"),
+    )
+    w = Window.partitionBy("src").orderBy("dist2", "dst")
+    knn = pairs.withColumn("rn", F.row_number().over(w)).filter(
+        F.col("rn") <= k
+    )
+    indeg = knn.groupBy("dst").agg(F.count(F.lit(1)).alias("deg"))
+    n_pts = sample.select(F.count(F.lit(1)).alias("n"))
+    return (
+        indeg.agg(
+            F.max("deg").alias("max_deg"),
+            F.count(F.lit(1)).alias("n_with_in"),
+        )
+        .crossJoin(F.broadcast(n_pts))
+        .select(
+            F.col("n").cast("bigint").alias("n_docs"),
+            F.lit(int(k)).cast("bigint").alias("k"),
+            F.col("max_deg").cast("bigint").alias("max_in_degree"),
+            (F.col("n") - F.col("n_with_in"))
+            .cast("bigint")
+            .alias("zero_in_degree"),
+            F.round(F.col("max_deg") / F.lit(float(k)), 6).alias("skew"),
+        )
+    )

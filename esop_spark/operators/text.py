@@ -3622,3 +3622,99 @@ def char_bigram_entropy(
         F.round(F.sum("term"), 6).alias("cond_entropy_nats"),
         F.round(F.exp(F.sum("term")), 6).alias("perplexity"),
     )
+
+
+def crossplit_nll(
+    documents: DataFrame,
+    fractions: dict[str, float] | None = None,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    seed: str = "split0",
+) -> DataFrame:
+    """Cross-split generalization gap: fit the Laplace-smoothed unigram LM
+    on the TRAIN split only, score every split with it, and report each
+    split's mean NLL — val/test NLL sitting far above train NLL means the
+    splits genuinely separate content; a near-zero gap on a deduplicated
+    corpus is the leakage smell q124 then localizes.
+
+    The model is one token agg over train; per-term surprisal is
+    integer-scaled (nano-nats) at the UNION-vocab grain — OOV terms get
+    the same smoothed floor 1/(total+V+1) in both engines — so per-split
+    sums are exact bigints. One token explode, one left join to the
+    vocab-grain model, one agg to the |splits| grain."""
+    from esop_spark.operators.splits import assign_split
+
+    fr = fractions or {"train": 0.8, "val": 0.1, "test": 0.1}
+    tok = documents.select(
+        assign_split(F.col(id_col), fr, seed=seed).alias("split"),
+        F.explode(tokens(text_col)).alias("term"),
+    ).persist()
+    train_tf = tok.filter(F.col("split") == "train").groupBy("term").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    stats = train_tf.agg(
+        F.sum("n").alias("total"), F.count(F.lit(1)).alias("v")
+    )
+    # union vocab: every term seen in ANY split, with train count (0 if OOV)
+    vocab = tok.select("term").distinct().join(train_tf, "term", "left")
+    term_nll = vocab.crossJoin(F.broadcast(stats)).select(
+        "term",
+        F.round(
+            -F.log(
+                (F.coalesce(F.col("n"), F.lit(0)) + 1).cast("double")
+                / (F.col("total") + F.col("v") + 1).cast("double")
+            )
+            * 1e9
+        )
+        .cast("bigint")
+        .alias("nll9"),
+    )
+    return (
+        tok.join(term_nll, "term")
+        .groupBy("split")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_tokens"),
+            F.round(F.sum("nll9") / F.count(F.lit(1)) / 1e9, 6).alias(
+                "mean_nll"
+            ),
+        )
+    )
+
+
+def wilson_pass_ci(
+    documents: DataFrame,
+    z_milli: int = 1960,
+    text_col: str = "text",
+    source_col: str = "source",
+) -> DataFrame:
+    """Per-source Gopher pass rate with a Wilson score interval — the
+    uncertainty-honest version of q67's raw counts: a 95% lower bound
+    under the threshold is a defensible kill decision even for small
+    sources, where a point estimate is noise.
+
+    One scan projection (fused pass flag), one agg to |sources|; the
+    Wilson algebra runs on that grain with exact integer (n, pass) and a
+    milli-scaled z. Output per source:
+    (n_docs, n_pass, pass_rate, ci_lo, ci_hi)."""
+    z = F.lit(z_milli / 1000.0)
+    agg = documents.select(
+        F.col(source_col).alias("source"),
+        _gopher_pass_col(text_col).alias("p"),
+    ).groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum("p").cast("bigint").alias("n_pass"),
+    )
+    n = F.col("n_docs").cast("double")
+    phat = F.col("n_pass") / n
+    z2 = z * z
+    denom = 1 + z2 / n
+    center = phat + z2 / (2 * n)
+    rad = z * F.sqrt(phat * (1 - phat) / n + z2 / (4 * n * n))
+    return agg.select(
+        "source",
+        "n_docs",
+        "n_pass",
+        F.round(phat, 6).alias("pass_rate"),
+        F.round((center - rad) / denom, 6).alias("ci_lo"),
+        F.round((center + rad) / denom, 6).alias("ci_hi"),
+    )
