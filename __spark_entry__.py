@@ -2204,6 +2204,23 @@ def q217_hubness(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+UCB_SCALE_MILLI = 1000
+
+
+def q218_ucb_source_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bandit data sourcing (text_ops.ucb_source_rank): gopher pass rate +
+    UCB1 exploration bonus on the |sources| grain."""
+    return text_ops.ucb_source_rank(
+        _base(spark, sf_dir, "documents"), scale_milli=UCB_SCALE_MILLI
+    )
+
+
+def q219_daily_jsd(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Day-over-day mix drift (analytics.daily_type_jsd): JSD between
+    consecutive days' event-type distributions on the bounded grain."""
+    return analytics.daily_type_jsd(_base(spark, sf_dir, "events"))
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001: the backup-listing report."""
     return q01_list_backups(spark, "/root/testdata/sf0.001")
@@ -2428,6 +2445,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q215_daily_acf": q215_daily_acf,
         "q216_revenue_concentration": q216_revenue_concentration,
         "q217_hubness": q217_hubness,
+        "q218_ucb_source_rank": q218_ucb_source_rank,
+        "q219_daily_jsd": q219_daily_jsd,
     }
 
 
@@ -8209,6 +8228,92 @@ def oracle_sql() -> dict[str, str]:
             FROM rk CROSS JOIN k1 WHERE rn <= {HILL_K}
         """,
         "q203_top_eigen": _eigen_oracle(EIGEN_ITERS),
+        "q218_ucb_source_rank": f"""
+            WITH w AS (
+                SELECT source, string_split(text, ' ') AS words
+                FROM documents
+            ),
+            m AS (
+                SELECT source,
+                       len(words) AS n_words,
+                       list_sum(list_transform(words, x -> length(x))) * 1.0
+                           / len(words) AS mwl,
+                       len(list_filter(words, x -> x IN ('#', '...'))) * 1.0
+                           / len(words) AS sf,
+                       len(list_filter(words, x -> x IN ('a', 'the')))
+                           AS sh
+                FROM w
+            ),
+            f AS (
+                SELECT source,
+                       CASE WHEN n_words >= 30 AND n_words <= 100000
+                                 AND mwl BETWEEN 2.0 AND 10.0
+                                 AND sf <= 0.1 AND sh >= 2
+                            THEN 1 ELSE 0 END AS p
+                FROM m
+            ),
+            a AS (
+                SELECT source, COUNT(*) AS n_docs, SUM(p) AS n_pass
+                FROM f GROUP BY 1
+            ),
+            s AS (
+                SELECT source, n_docs, n_pass,
+                       SUM(n_docs) OVER () AS n_total
+                FROM a
+            )
+            SELECT source, CAST(n_docs AS BIGINT) AS n_docs,
+                   CAST(n_pass AS BIGINT) AS n_pass,
+                   ROUND(n_pass * 1.0 / n_docs, 6) AS pass_rate,
+                   ROUND(sqrt(2.0 * ln(CAST(n_total AS DOUBLE))
+                              / CAST(n_docs AS DOUBLE))
+                         * {UCB_SCALE_MILLI / 1000.0}, 6) AS bonus,
+                   ROUND(n_pass * 1.0 / n_docs
+                         + sqrt(2.0 * ln(CAST(n_total AS DOUBLE))
+                                / CAST(n_docs AS DOUBLE))
+                           * {UCB_SCALE_MILLI / 1000.0}, 6) AS ucb_score
+            FROM s
+        """,
+        "q219_daily_jsd": """
+            WITH dtc AS (
+                SELECT CAST(epoch(ts) AS BIGINT) // 86400 AS day,
+                       event_type AS t, COUNT(*) AS c
+                FROM events GROUP BY 1, 2
+            ),
+            dtot AS (SELECT day, SUM(c) AS n FROM dtc GROUP BY 1),
+            probs AS (
+                SELECT dtc.day, t, c * 1.0 / n AS p, n
+                FROM dtc JOIN dtot ON dtc.day = dtot.day
+            ),
+            j AS (
+                SELECT COALESCE(c.day, pv.day + 1) AS day,
+                       COALESCE(pv.p, 0.0) AS p,
+                       COALESCE(c.p, 0.0) AS q,
+                       pv.n AS n_prev, c.n AS n_curr
+                FROM (SELECT day, t, p, n FROM probs) pv
+                FULL OUTER JOIN (SELECT day, t, p, n FROM probs) c
+                    ON c.day = pv.day + 1 AND c.t = pv.t
+            ),
+            terms AS (
+                SELECT day, n_prev, n_curr,
+                       CASE WHEN p > 0
+                            THEN p / 2 * ln(p / ((p + q) / 2)) ELSE 0 END
+                       + CASE WHEN q > 0
+                            THEN q / 2 * ln(q / ((p + q) / 2)) ELSE 0 END
+                           AS term
+                FROM j
+            ),
+            agg AS (
+                SELECT day, MAX(n_prev) AS n_prev, MAX(n_curr) AS n_curr,
+                       ROUND(SUM(term), 6) AS jsd_nats
+                FROM terms GROUP BY 1
+            )
+            SELECT CAST(day AS BIGINT) AS day,
+                   CAST(n_prev AS BIGINT) AS n_prev,
+                   CAST(n_curr AS BIGINT) AS n_curr,
+                   jsd_nats
+            FROM agg
+            WHERE n_prev IS NOT NULL AND n_curr IS NOT NULL
+        """,
         "q213_crossplit_nll": """
             WITH tok AS (
                 SELECT CASE WHEN CAST(concat('0x', substr(md5('split0:'

@@ -191,6 +191,8 @@ BENCH_QUERIES = [
     "q215_daily_acf",
     "q216_revenue_concentration",
     "q217_hubness",
+    "q218_ucb_source_rank",
+    "q219_daily_jsd",
 ]
 
 

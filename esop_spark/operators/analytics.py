@@ -2301,3 +2301,66 @@ def revenue_concentration(
             ).alias("top_share"),
         )
     )
+
+
+def daily_type_jsd(events: DataFrame) -> DataFrame:
+    """Jensen–Shannon divergence between consecutive days' event-type
+    mixes — the day-over-day composition drift series (q92's PSI tracks a
+    score distribution against a fixed reference; this tracks the
+    categorical mix against YESTERDAY, so a product launch or bot wave
+    shows up as a spike).
+
+    One corpus agg to the (day, type) grain; each day-pair is a full
+    outer join of two ≤|types| slices of that bounded relation shifted by
+    a literal; entropy terms are floats on the bounded grain only.
+    Output per adjacent-day pair: (day, n_prev, n_curr, jsd_nats)."""
+    dt_counts = events.select(
+        F.expr("unix_timestamp(ts) div 86400").alias("day"),
+        F.col("event_type").alias("t"),
+    ).groupBy("day", "t").agg(F.count(F.lit(1)).alias("c"))
+    day_tot = dt_counts.groupBy("day").agg(F.sum("c").alias("n"))
+    probs = dt_counts.join(day_tot, "day").select(
+        "day", "t", (F.col("c") / F.col("n")).alias("p"), "n"
+    )
+    prev = probs.select(
+        (F.col("day") + 1).alias("day"),
+        F.col("t").alias("t"),
+        F.col("p").alias("p_prev"),
+        F.col("n").alias("n_prev"),
+    )
+    curr = probs.select(
+        "day",
+        F.col("t").alias("t"),
+        F.col("p").alias("p_curr"),
+        F.col("n").alias("n_curr"),
+    )
+    joined = prev.join(curr, ["day", "t"], "full_outer").select(
+        "day",
+        F.coalesce("p_prev", F.lit(0.0)).alias("p"),
+        F.coalesce("p_curr", F.lit(0.0)).alias("q"),
+        "n_prev",
+        "n_curr",
+    )
+    m = (F.col("p") + F.col("q")) / 2
+    term = (
+        F.when(F.col("p") > 0, F.col("p") / 2 * F.log(F.col("p") / m))
+        .otherwise(F.lit(0.0))
+        + F.when(F.col("q") > 0, F.col("q") / 2 * F.log(F.col("q") / m))
+        .otherwise(F.lit(0.0))
+    )
+    return (
+        joined.groupBy("day")
+        .agg(
+            F.max("n_prev").alias("n_prev"),
+            F.max("n_curr").alias("n_curr"),
+            F.round(F.sum(term), 6).alias("jsd_nats"),
+        )
+        # only adjacent pairs where BOTH days exist
+        .filter(F.col("n_prev").isNotNull() & F.col("n_curr").isNotNull())
+        .select(
+            F.col("day").cast("bigint").alias("day"),
+            F.col("n_prev").cast("bigint").alias("n_prev"),
+            F.col("n_curr").cast("bigint").alias("n_curr"),
+            "jsd_nats",
+        )
+    )

@@ -3718,3 +3718,50 @@ def wilson_pass_ci(
         F.round((center - rad) / denom, 6).alias("ci_lo"),
         F.round((center + rad) / denom, 6).alias("ci_hi"),
     )
+
+
+def ucb_source_rank(
+    documents: DataFrame,
+    scale_milli: int = 1000,
+    text_col: str = "text",
+    source_col: str = "source",
+) -> DataFrame:
+    """UCB1 exploration score per source: gopher pass rate plus the
+    √(2·ln N / n) exploration bonus — data sourcing as a bandit, where a
+    small barely-sampled source with decent quality outranks a huge
+    mediocre one until the evidence says otherwise. The greedy companion
+    to q214's Wilson bound (optimism vs caution on the same counts).
+
+    One scan projection + one agg to |sources|; the bonus algebra runs on
+    that grain. Output per source:
+    (n_docs, n_pass, pass_rate, bonus, ucb_score)."""
+    agg = documents.select(
+        F.col(source_col).alias("source"),
+        _gopher_pass_col(text_col).alias("p"),
+    ).groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum("p").cast("bigint").alias("n_pass"),
+    )
+    tot = Window.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    scaled = agg.select(
+        "source",
+        "n_docs",
+        "n_pass",
+        F.sum("n_docs").over(tot).alias("n_total"),
+    )
+    rate = F.col("n_pass") / F.col("n_docs")
+    bonus = F.sqrt(
+        2.0
+        * F.log(F.col("n_total").cast("double"))
+        / F.col("n_docs").cast("double")
+    ) * (scale_milli / 1000.0)
+    return scaled.select(
+        "source",
+        "n_docs",
+        "n_pass",
+        F.round(rate, 6).alias("pass_rate"),
+        F.round(bonus, 6).alias("bonus"),
+        F.round(rate + bonus, 6).alias("ucb_score"),
+    )

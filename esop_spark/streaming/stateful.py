@@ -195,3 +195,58 @@ def heavy_hitter_alerts(events: DataFrame, min_emit: int = 8) -> DataFrame:
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+CUSUM_OUTPUT = (
+    "series_key string, n_obs bigint, p_milli bigint, s_milli bigint,"
+    " flagged int"
+)
+CUSUM_STATE = "n bigint, p bigint, minp bigint"
+
+
+def _cusum_fn(baseline_milli: int, threshold_milli: int):
+    def fn(
+        key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        n, p, minp = state.get if state.exists else (0, 0, 0)
+        for pdf in pdfs:
+            for v in pdf["value_milli"]:
+                n += 1
+                p += int(v) - baseline_milli
+                if p < minp:
+                    minp = p
+        state.update((n, p, minp))
+        s = p - min(minp, 0)
+        yield pd.DataFrame(
+            {
+                "series_key": [key[0]],
+                "n_obs": [n],
+                "p_milli": [p],
+                "s_milli": [s],
+                "flagged": [1 if s > threshold_milli else 0],
+            }
+        )
+
+    return fn
+
+
+def cusum_stream(
+    observations: DataFrame,
+    baseline_milli: int,
+    threshold_milli: int,
+) -> DataFrame:
+    """Streaming counterpart of ``analytics.cusum_changepoints``: per-key
+    one-sided CUSUM with the (running-sum, running-min) pair as the ONLY
+    state — the prefix-sum-minus-running-min identity means two bigints
+    per key reproduce the full batch recursion, survive restarts via the
+    checkpoint, and never grow with stream length.
+
+    Input schema: (series_key string, value_milli bigint); emits the
+    current CUSUM and drift flag per key each micro-batch."""
+    return observations.groupBy("series_key").applyInPandasWithState(
+        _cusum_fn(int(baseline_milli), int(threshold_milli)),
+        outputStructType=CUSUM_OUTPUT,
+        stateStructType=CUSUM_STATE,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
