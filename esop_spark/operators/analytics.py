@@ -1784,14 +1784,17 @@ def markov_removal_effect(
     when that channel's node is removed — the multi-touch upgrade of
     q188's last-touch attribution.
 
-    Everything lives on the |states|² transition grain after ONE corpus
-    pass: journeys truncate at the first conversion via a conditional
-    running min (no self-join), transitions come from a per-user lead
-    window, and the L-step walk is `steps` joins of a ≤|removals|·|states|
-    vector against the tiny transition matrix (the q159 PageRank loop
-    shape — state-grain shuffles only, nothing corpus-sized iterates).
-    Float products appear only at the walk stage, on the bounded grain.
-    Output: (removed, p_conv, removal_effect) with the 'NONE' baseline."""
+    ONE distributed corpus pass fits the chain: journeys truncate at the
+    first conversion via a conditional running min (no self-join),
+    transitions come from a per-user lead window, counts aggregate to the
+    ≤|states|² grain. That bounded relation is COLLECTED (the IVF-centroid
+    class of driver boundary — a handful of rows at any corpus size) and
+    the |removals|·L-step absorbing walk runs as driver arithmetic with a
+    sorted, deterministic summation order; a distributed loop here costs
+    ~2 s of scheduler overhead per tiny step for zero scalability gain
+    (measured: 65 s nested-lineage, 18 s checkpointed, <2 s collected, at
+    sf0.1). Output: (removed, p_conv, removal_effect) with the 'NONE'
+    baseline."""
     ts = F.unix_timestamp("ts")
     w_u = Window.partitionBy("user_id").orderBy("ts_s", "event_id")
     conv_ts = F.min(
@@ -1821,72 +1824,49 @@ def markov_removal_effect(
         F.col("next_type").isNotNull()
         & (F.col("event_type") != conversion_type)
     ).select(F.col("event_type").alias("s"), F.col("next_type").alias("s2"))
-    trans_counts = (
+    trans_rows = (
         first_hop.unionByName(later_hops)
         .groupBy("s", "s2")
         .agg(F.count(F.lit(1)).alias("n"))
-        .persist()
+        .collect()
     )
-    out_tot = trans_counts.groupBy("s").agg(F.sum("n").alias("n_out"))
-    trans = trans_counts.join(out_tot, "s").select(
-        "s", "s2", (F.col("n") / F.col("n_out")).alias("p")
+    counts = {(r["s"], r["s2"]): r["n"] for r in trans_rows}
+    out_tot: dict[str, int] = {}
+    for (s, _), n in counts.items():
+        out_tot[s] = out_tot.get(s, 0) + n
+    trans = {
+        (s, s2): n / out_tot[s] for (s, s2), n in counts.items()
+    }
+    trans[(conversion_type, conversion_type)] = 1.0  # absorbing self-loop
+    channels = sorted(
+        {s2 for (_, s2) in counts} - {conversion_type}
     )
+
+    def _walk(removed: str | None) -> float:
+        vec = {MARKOV_START: 1.0}
+        for _ in range(steps):
+            nxt: dict[str, float] = {}
+            for state in sorted(vec):  # deterministic summation order
+                pv = vec[state]
+                if state == removed:
+                    continue
+                for (s, s2), p in sorted(trans.items()):
+                    if s != state or s2 == removed:
+                        continue
+                    nxt[s2] = nxt.get(s2, 0.0) + pv * p
+            vec = nxt
+        return vec.get(conversion_type, 0.0)
+
+    p_base = _walk(None)
+    rows = [("NONE", p_base, 0.0)] + [
+        (c, pc, 1.0 - pc / p_base)
+        for c in channels
+        for pc in [_walk(c)]
+    ]
     spark = events.sparkSession
-    removals = (
-        trans_counts.select(F.col("s2").alias("removed"))
-        .filter(F.col("removed") != conversion_type)
-        .distinct()
-        .unionByName(spark.createDataFrame([("NONE",)], ["removed"]))
-    )
-    # conversion self-loop makes the state absorbing: v_L[conversion] IS
-    # the cumulative L-step conversion mass
-    loop = spark.createDataFrame(
-        [(conversion_type, conversion_type, 1.0)], ["s", "s2", "p"]
-    )
-    rt = (
-        removals.crossJoin(trans.unionByName(loop))
-        .filter(
-            (F.col("s") != F.col("removed")) & (F.col("s2") != F.col("removed"))
-        )
-        .persist()
-    )
-    v = removals.select(
-        "removed", F.lit(MARKOV_START).alias("state"), F.lit(1.0).alias("p")
-    )
-    for i in range(steps):
-        va, ra = f"wv{i}", f"wr{i}"
-        v = (
-            v.alias(va)
-            .join(
-                F.broadcast(rt.alias(ra)),
-                (F.col(f"{va}.removed") == F.col(f"{ra}.removed"))
-                & (F.col(f"{va}.state") == F.col(f"{ra}.s")),
-            )
-            .groupBy(
-                F.col(f"{va}.removed").alias("removed"),
-                F.col(f"{ra}.s2").alias("state"),
-            )
-            .agg(F.sum(F.col(f"{va}.p") * F.col(f"{ra}.p")).alias("p"))
-        )
-    mass = v.filter(F.col("state") == conversion_type).select(
-        F.col("removed").alias("m_removed"), F.col("p").alias("p_raw")
-    )
-    # a removal that kills ALL conversion has no mass row — report 0, not
-    # a missing channel
-    p_conv = removals.join(
-        mass, removals["removed"] == mass["m_removed"], "left"
-    ).select(
-        "removed", F.coalesce("p_raw", F.lit(0.0)).alias("p_conv")
-    )
-    base = p_conv.filter(F.col("removed") == "NONE").select(
-        F.col("p_conv").alias("p_base")
-    )
-    return p_conv.crossJoin(F.broadcast(base)).select(
-        "removed",
-        F.round("p_conv", 6).alias("p_conv"),
-        F.round(1.0 - F.col("p_conv") / F.col("p_base"), 6).alias(
-            "removal_effect"
-        ),
+    return spark.createDataFrame(
+        [(r[0], round(r[1], 6), round(r[2], 6)) for r in rows],
+        "removed string, p_conv double, removal_effect double",
     )
 
 
