@@ -2221,6 +2221,32 @@ def q219_daily_jsd(spark: SparkSession, sf_dir: str) -> DataFrame:
     return analytics.daily_type_jsd(_base(spark, sf_dir, "events"))
 
 
+CHURN_K = 15
+
+
+def q220_cramers_v(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-table provenance audit (similarity.label_lang_cramers_v):
+    chi² incl. empty cells + Cramér's V on the label×lang grid."""
+    return similarity.label_lang_cramers_v(
+        _base(spark, sf_dir, "embeddings"),
+        _base(spark, sf_dir, "documents"),
+    )
+
+
+def q221_dow_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seasonal anomaly bands (analytics.dow_quantile_bands): exact
+    per-dow quartiles of daily volume on the bounded grain."""
+    return analytics.dow_quantile_bands(_base(spark, sf_dir, "events"))
+
+
+def q222_head_churn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary-head stability (text_ops.head_churn): top-k overlap
+    between deterministic corpus halves."""
+    return text_ops.head_churn(
+        _base(spark, sf_dir, "documents"), k=CHURN_K
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001: the backup-listing report."""
     return q01_list_backups(spark, "/root/testdata/sf0.001")
@@ -2447,6 +2473,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q217_hubness": q217_hubness,
         "q218_ucb_source_rank": q218_ucb_source_rank,
         "q219_daily_jsd": q219_daily_jsd,
+        "q220_cramers_v": q220_cramers_v,
+        "q221_dow_bands": q221_dow_bands,
+        "q222_head_churn": q222_head_churn,
     }
 
 
@@ -8228,6 +8257,93 @@ def oracle_sql() -> dict[str, str]:
             FROM rk CROSS JOIN k1 WHERE rn <= {HILL_K}
         """,
         "q203_top_eigen": _eigen_oracle(EIGEN_ITERS),
+        "q220_cramers_v": """
+            WITH j AS (
+                SELECT e.label, d.lang
+                FROM embeddings e JOIN documents d ON e.vec_id = d.doc_id
+            ),
+            cells AS (
+                SELECT label, lang, COUNT(*) AS n_lc FROM j GROUP BY 1, 2
+            ),
+            grid AS (
+                SELECT n_lc,
+                       SUM(n_lc) OVER (PARTITION BY label) AS n_l,
+                       SUM(n_lc) OVER (PARTITION BY lang) AS n_c,
+                       SUM(n_lc) OVER () AS n
+                FROM cells
+            ),
+            ks AS (
+                SELECT COUNT(DISTINCT label) AS kl,
+                       COUNT(DISTINCT lang) AS kc
+                FROM cells
+            ),
+            agg AS (
+                SELECT MAX(n) AS n,
+                       SUM(CAST(CAST(n AS HUGEINT) * n_lc * n_lc AS DOUBLE)
+                           / (CAST(n_l AS DOUBLE) * CAST(n_c AS DOUBLE)))
+                           - MAX(n) AS chi2
+                FROM grid
+            )
+            SELECT CAST(n AS BIGINT) AS n_pairs,
+                   CAST(kl AS BIGINT) AS n_labels,
+                   CAST(kc AS BIGINT) AS n_langs,
+                   ROUND(chi2, 6) AS chi2,
+                   ROUND(sqrt(chi2 / (n * (LEAST(kl, kc) - 1))), 6)
+                       AS cramers_v
+            FROM agg CROSS JOIN ks
+        """,
+        "q221_dow_bands": """
+            WITH daily AS (
+                SELECT CAST(epoch(ts) AS BIGINT) // 86400 AS day,
+                       COUNT(*) AS c
+                FROM events GROUP BY 1
+            ),
+            per AS (
+                SELECT day % 7 AS dow, c, COUNT(*) AS nd
+                FROM daily GROUP BY 1, 2
+            ),
+            cum AS (
+                SELECT dow, c,
+                       SUM(nd) OVER (PARTITION BY dow ORDER BY c
+                           ROWS UNBOUNDED PRECEDING) AS cum,
+                       SUM(nd) OVER (PARTITION BY dow) AS n
+                FROM per
+            )
+            SELECT CAST(dow AS BIGINT) AS dow,
+                   CAST(MAX(n) AS BIGINT) AS n_days,
+                   CAST(MIN(CASE WHEN cum * 1000000 >= n * 250000
+                            THEN c END) AS BIGINT) AS q25,
+                   CAST(MIN(CASE WHEN cum * 1000000 >= n * 500000
+                            THEN c END) AS BIGINT) AS q50,
+                   CAST(MIN(CASE WHEN cum * 1000000 >= n * 750000
+                            THEN c END) AS BIGINT) AS q75
+            FROM cum GROUP BY 1
+        """,
+        "q222_head_churn": f"""
+            WITH tf AS (
+                SELECT doc_id % 2 AS half, term, COUNT(*) AS n
+                FROM (SELECT doc_id,
+                             unnest(string_split(text, ' ')) AS term
+                      FROM documents)
+                GROUP BY 1, 2
+            ),
+            h0 AS (
+                SELECT term FROM tf WHERE half = 0
+                ORDER BY n DESC, term ASC LIMIT {CHURN_K}
+            ),
+            h1 AS (
+                SELECT term FROM tf WHERE half = 1
+                ORDER BY n DESC, term ASC LIMIT {CHURN_K}
+            ),
+            c AS (
+                SELECT COUNT(*) AS n_common FROM h0 JOIN h1 USING (term)
+            )
+            SELECT CAST({CHURN_K} AS BIGINT) AS k,
+                   CAST(n_common AS BIGINT) AS n_common,
+                   ROUND(n_common * 1.0 / (2 * {CHURN_K} - n_common), 6)
+                       AS jaccard
+            FROM c
+        """,
         "q218_ucb_source_rank": f"""
             WITH w AS (
                 SELECT source, string_split(text, ' ') AS words

@@ -193,6 +193,9 @@ BENCH_QUERIES = [
     "q217_hubness",
     "q218_ucb_source_rank",
     "q219_daily_jsd",
+    "q220_cramers_v",
+    "q221_dow_bands",
+    "q222_head_churn",
 ]
 
 

@@ -2344,3 +2344,43 @@ def daily_type_jsd(events: DataFrame) -> DataFrame:
             "jsd_nats",
         )
     )
+
+
+def dow_quantile_bands(
+    events: DataFrame,
+    q_ppm: tuple[int, ...] = (250_000, 500_000, 750_000),
+) -> DataFrame:
+    """Seasonal-aware anomaly bands: exact type-1 quantiles of the daily
+    event count computed PER day-of-week — "is today's volume normal for
+    a Tuesday", the banded upgrade of q179's mean-only profile that q111's
+    global z-scores can't express.
+
+    One corpus-scale count per epoch day, then all quantile machinery
+    runs per-dow on the bounded (dow × distinct-count) grain: cumulative
+    windows partitioned by dow, smallest value with 1e6·cum ≥ q·n. Output
+    per dow: (dow, n_days, q25, q50, q75)."""
+    daily = events.select(
+        F.expr("unix_timestamp(ts) div 86400").alias("day")
+    ).groupBy("day").agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    per = daily.select(F.expr("day % 7").alias("dow"), "c").groupBy(
+        "dow", "c"
+    ).agg(F.count(F.lit(1)).alias("nd"))
+    w = Window.partitionBy("dow").orderBy("c").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    wt = Window.partitionBy("dow")
+    cum = per.select(
+        "dow",
+        "c",
+        F.sum("nd").over(w).alias("cum"),
+        F.sum("nd").over(wt).alias("n"),
+    )
+    aggs = [F.max("n").cast("bigint").alias("n_days")] + [
+        F.min(
+            F.when(
+                F.col("cum") * 1_000_000 >= F.col("n") * q, F.col("c")
+            )
+        ).cast("bigint").alias(name)
+        for q, name in zip(q_ppm, ("q25", "q50", "q75"))
+    ]
+    return cum.groupBy(F.col("dow").cast("bigint").alias("dow")).agg(*aggs)

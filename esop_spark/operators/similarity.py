@@ -2276,3 +2276,78 @@ def hubness_audit(
             F.round(F.col("max_deg") / F.lit(float(k)), 6).alias("skew"),
         )
     )
+
+
+def label_lang_cramers_v(
+    embeddings: DataFrame,
+    documents: DataFrame,
+    id_col: str = "vec_id",
+    doc_id_col: str = "doc_id",
+) -> DataFrame:
+    """Cramér's V between the embedding-table cluster labels and the
+    document-table language — the cross-TABLE provenance audit: if the
+    embeddings really encode these documents, semantic clusters should
+    associate with language far above chance; V ≈ 0 says the two tables
+    have drifted apart (wrong join keys, stale embedding run).
+
+    One equi-join on the id key (uniform keys), one agg to the dense
+    |labels|×|langs| grid; the chi² sum runs on that bounded grid with
+    DECIMAL(38) cross-products (n_lc·n — marginal products overflow int64
+    at corpus scale). Output one row:
+    (n_pairs, n_labels, n_langs, chi2, cramers_v)."""
+    joined = embeddings.select(
+        F.col(id_col).alias("id"), F.col("label")
+    ).join(
+        documents.select(F.col(doc_id_col).alias("id"), F.col("lang")),
+        "id",
+    )
+    cells = joined.groupBy("label", "lang").agg(
+        F.count(F.lit(1)).alias("n_lc")
+    )
+    tot = Window.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    wl = Window.partitionBy("label")
+    wc = Window.partitionBy("lang")
+    d38 = "decimal(38,0)"
+    grid = cells.select(
+        "n_lc",
+        F.sum("n_lc").over(wl).alias("n_l"),
+        F.sum("n_lc").over(wc).alias("n_c"),
+        F.sum("n_lc").over(tot).alias("n"),
+        F.size(F.collect_set("label").over(tot)).alias("k_labels"),
+        F.size(F.collect_set("lang").over(tot)).alias("k_langs"),
+    )
+    # chi² over ALL cells — including EMPTY ones, which a naive
+    # observed-cell sum of (o−e)²/e silently drops — via the identity
+    # chi² = Σ_obs n·n_lc²/(n_l·n_c) − n (empty cells contribute 0 to the
+    # sum; their expected mass is the subtracted n). DECIMAL(38) numerator:
+    # n·n_lc² overflows int64 at corpus scale.
+    term = (
+        F.col("n").cast(d38)
+        * F.col("n_lc").cast(d38)
+        * F.col("n_lc").cast(d38)
+    ).cast("double") / (
+        F.col("n_l").cast("double") * F.col("n_c").cast("double")
+    )
+    agg = grid.select(
+        "n", "k_labels", "k_langs", term.alias("t")
+    ).agg(
+        F.max("n").alias("n"),
+        F.max("k_labels").alias("kl"),
+        F.max("k_langs").alias("kc"),
+        (F.sum("t") - F.max("n")).alias("chi2"),
+    )
+    return agg.select(
+        F.col("n").cast("bigint").alias("n_pairs"),
+        F.col("kl").cast("bigint").alias("n_labels"),
+        F.col("kc").cast("bigint").alias("n_langs"),
+        F.round("chi2", 6).alias("chi2"),
+        F.round(
+            F.sqrt(
+                F.col("chi2")
+                / (F.col("n") * (F.least("kl", "kc") - 1))
+            ),
+            6,
+        ).alias("cramers_v"),
+    )

@@ -3765,3 +3765,45 @@ def ucb_source_rank(
         F.round(bonus, 6).alias("bonus"),
         F.round(rate + bonus, 6).alias("ucb_score"),
     )
+
+
+def head_churn(
+    documents: DataFrame,
+    k: int = 15,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Vocabulary-head churn between two deterministic halves of the
+    corpus (doc_id parity): how much of the top-k term list survives from
+    one half to the other — a stable head means the high-frequency
+    vocabulary (and therefore tokenizer merges, stopword lists, df caps)
+    generalizes; churn means the halves are drawn from different
+    material.
+
+    One shared token agg to the (half, term) grain, two TakeOrdered
+    k-row heads (count-desc, term tiebreak), overlap computed by joining
+    the two k-row relations. Output one row:
+    (k, n_common, jaccard)."""
+    tf = documents.select(
+        (F.col(id_col) % 2).alias("half"),
+        F.explode(tokens(text_col)).alias("term"),
+    ).groupBy("half", "term").agg(F.count(F.lit(1)).alias("n"))
+
+    def _head(h: int) -> DataFrame:
+        return (
+            tf.filter(F.col("half") == h)
+            .orderBy(F.col("n").desc(), F.col("term").asc())
+            .limit(k)
+            .select(F.col("term"))
+        )
+
+    common = _head(0).join(_head(1), "term").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_common")
+    )
+    return common.select(
+        F.lit(int(k)).cast("bigint").alias("k"),
+        "n_common",
+        F.round(
+            F.col("n_common") / (2 * k - F.col("n_common")), 6
+        ).alias("jaccard"),
+    )
