@@ -2247,6 +2247,35 @@ def q222_head_churn(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+NEG_K = 25
+NEG_ALPHA_MILLI = 750
+SSP_WIDTH_PPM = 20_000
+
+
+def q223_negative_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contrastive negatives table (text_ops.negative_sampling_table):
+    unigram^0.75 head on the vocab grain."""
+    return text_ops.negative_sampling_table(
+        _base(spark, sf_dir, "documents"), k=NEG_K,
+        alpha_milli=NEG_ALPHA_MILLI,
+    )
+
+
+def q224_sample_size(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Annotation budget planner (text_ops.sample_size_planner): docs
+    needed for ±2% pass-rate CIs per source."""
+    return text_ops.sample_size_planner(
+        _base(spark, sf_dir, "documents"), width_ppm=SSP_WIDTH_PPM,
+        z_milli=WILSON_Z_MILLI,
+    )
+
+
+def q225_event_dedup_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event idempotency audit (analytics.event_dedup_audit): duplicate
+    census on physical ids and logical identity."""
+    return analytics.event_dedup_audit(_base(spark, sf_dir, "events"))
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001: the backup-listing report."""
     return q01_list_backups(spark, "/root/testdata/sf0.001")
@@ -2476,6 +2505,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q220_cramers_v": q220_cramers_v,
         "q221_dow_bands": q221_dow_bands,
         "q222_head_churn": q222_head_churn,
+        "q223_negative_sampling": q223_negative_sampling,
+        "q224_sample_size": q224_sample_size,
+        "q225_event_dedup_audit": q225_event_dedup_audit,
     }
 
 
@@ -8257,6 +8289,91 @@ def oracle_sql() -> dict[str, str]:
             FROM rk CROSS JOIN k1 WHERE rn <= {HILL_K}
         """,
         "q203_top_eigen": _eigen_oracle(EIGEN_ITERS),
+        "q223_negative_sampling": f"""
+            WITH tf AS (
+                SELECT term, COUNT(*) AS n
+                FROM (SELECT unnest(string_split(text, ' ')) AS term
+                      FROM documents)
+                GROUP BY 1
+            ),
+            w AS (
+                SELECT term, n,
+                       pow(CAST(n AS DOUBLE), {NEG_ALPHA_MILLI / 1000.0})
+                           AS w
+                FROM tf
+            ),
+            p AS (
+                SELECT term, n, w / SUM(w) OVER () AS prob FROM w
+            )
+            SELECT term, CAST(n AS BIGINT) AS n, ROUND(prob, 6) AS prob
+            FROM p ORDER BY prob DESC, term ASC LIMIT {NEG_K}
+        """,
+        "q224_sample_size": f"""
+            WITH w AS (
+                SELECT source, string_split(text, ' ') AS words
+                FROM documents
+            ),
+            m AS (
+                SELECT source,
+                       len(words) AS n_words,
+                       list_sum(list_transform(words, x -> length(x))) * 1.0
+                           / len(words) AS mwl,
+                       len(list_filter(words, x -> x IN ('#', '...'))) * 1.0
+                           / len(words) AS sf,
+                       len(list_filter(words, x -> x IN ('a', 'the')))
+                           AS sh
+                FROM w
+            ),
+            f AS (
+                SELECT source,
+                       CASE WHEN n_words >= 30 AND n_words <= 100000
+                                 AND mwl BETWEEN 2.0 AND 10.0
+                                 AND sf <= 0.1 AND sh >= 2
+                            THEN 1 ELSE 0 END AS p
+                FROM m
+            ),
+            a AS (
+                SELECT source, COUNT(*) AS n_docs, SUM(p) AS n_pass
+                FROM f GROUP BY 1
+            ),
+            pl AS (
+                SELECT source, n_docs, n_pass,
+                       n_pass * 1.0 / n_docs AS phat,
+                       CAST(CEIL({(1.96) ** 2}
+                                 * (n_pass * 1.0 / n_docs)
+                                 * (1 - n_pass * 1.0 / n_docs)
+                                 / {(20_000 / 1_000_000.0) ** 2})
+                            AS BIGINT) AS n_req
+                FROM a
+            )
+            SELECT source, CAST(n_docs AS BIGINT) AS n_docs,
+                   ROUND(phat, 6) AS pass_rate,
+                   n_req AS n_required,
+                   CAST(GREATEST(n_req - n_docs, 0) AS BIGINT) AS deficit
+            FROM pl
+        """,
+        "q225_event_dedup_audit": """
+            WITH t AS (SELECT COUNT(*) AS n_events FROM events),
+            bi AS (
+                SELECT COUNT(*) AS dup_id_groups,
+                       COALESCE(SUM(c), 0) AS dup_id_events
+                FROM (SELECT event_id, COUNT(*) AS c FROM events
+                      GROUP BY 1 HAVING COUNT(*) > 1)
+            ),
+            bl AS (
+                SELECT COUNT(*) AS dup_logical_groups,
+                       COALESCE(SUM(c), 0) AS dup_logical_events
+                FROM (SELECT user_id, CAST(epoch(ts) AS BIGINT) AS ts_s,
+                             event_type, COUNT(*) AS c
+                      FROM events GROUP BY 1, 2, 3 HAVING COUNT(*) > 1)
+            )
+            SELECT CAST(n_events AS BIGINT) AS n_events,
+                   CAST(dup_id_groups AS BIGINT) AS dup_id_groups,
+                   CAST(dup_id_events AS BIGINT) AS dup_id_events,
+                   CAST(dup_logical_groups AS BIGINT) AS dup_logical_groups,
+                   CAST(dup_logical_events AS BIGINT) AS dup_logical_events
+            FROM t CROSS JOIN bi CROSS JOIN bl
+        """,
         "q220_cramers_v": """
             WITH j AS (
                 SELECT e.label, d.lang

@@ -196,6 +196,9 @@ BENCH_QUERIES = [
     "q220_cramers_v",
     "q221_dow_bands",
     "q222_head_churn",
+    "q223_negative_sampling",
+    "q224_sample_size",
+    "q225_event_dedup_audit",
 ]
 
 

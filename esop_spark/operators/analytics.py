@@ -2384,3 +2384,41 @@ def dow_quantile_bands(
         for q, name in zip(q_ppm, ("q25", "q50", "q75"))
     ]
     return cum.groupBy(F.col("dow").cast("bigint").alias("dow")).agg(*aggs)
+
+
+def event_dedup_audit(events: DataFrame) -> DataFrame:
+    """Event idempotency audit: duplicate groups on the logical identity
+    (user, timestamp, type) and on the physical event_id — double-fired
+    webhooks vs broken id generation produce different signatures, and
+    both silently inflate every downstream count in this suite.
+
+    Two uniform-key aggs (map-side combine), each folded to a one-row
+    census, merged by crossJoin. Output one row:
+    (n_events, dup_id_groups, dup_id_events, dup_logical_groups,
+    dup_logical_events)."""
+    total = events.agg(F.count(F.lit(1)).cast("bigint").alias("n_events"))
+    by_id = (
+        events.groupBy("event_id")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .filter(F.col("c") > 1)
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("dup_id_groups"),
+            F.coalesce(F.sum("c"), F.lit(0))
+            .cast("bigint")
+            .alias("dup_id_events"),
+        )
+    )
+    by_logical = (
+        events.groupBy(
+            "user_id", F.unix_timestamp("ts").alias("ts_s"), "event_type"
+        )
+        .agg(F.count(F.lit(1)).alias("c"))
+        .filter(F.col("c") > 1)
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("dup_logical_groups"),
+            F.coalesce(F.sum("c"), F.lit(0))
+            .cast("bigint")
+            .alias("dup_logical_events"),
+        )
+    )
+    return total.crossJoin(by_id).crossJoin(by_logical)

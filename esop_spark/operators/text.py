@@ -3807,3 +3807,85 @@ def head_churn(
             F.col("n_common") / (2 * k - F.col("n_common")), 6
         ).alias("jaccard"),
     )
+
+
+def negative_sampling_table(
+    documents: DataFrame,
+    k: int = 25,
+    alpha_milli: int = 750,
+    text_col: str = "text",
+) -> DataFrame:
+    """Word2vec-style negative-sampling distribution: unigram counts
+    raised to α (default 0.75) and normalized — the head of the table
+    every contrastive embedding trainer draws negatives from; the α
+    flattening is what keeps frequent tokens from swamping the negatives.
+
+    One token agg to the vocab grain; pow/normalize run there (the
+    normalizer is a window over the vocab grain — at 100 TB vocab this is
+    the same uniform-key agg every tf relation already pays, not a
+    corpus-row operation). TakeOrdered head of k rows. Output per term:
+    (term, n, prob)."""
+    alpha = alpha_milli / 1000.0
+    tf = documents.select(
+        F.explode(tokens(text_col)).alias("term")
+    ).groupBy("term").agg(F.count(F.lit(1)).alias("n"))
+    tot = Window.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    weighted = tf.select(
+        "term",
+        "n",
+        F.pow(F.col("n").cast("double"), F.lit(alpha)).alias("w"),
+    ).select(
+        "term",
+        "n",
+        (F.col("w") / F.sum("w").over(tot)).alias("prob"),
+    )
+    return (
+        weighted.orderBy(F.col("prob").desc(), F.col("term").asc())
+        .limit(k)
+        .select(
+            "term",
+            F.col("n").cast("bigint").alias("n"),
+            F.round("prob", 6).alias("prob"),
+        )
+    )
+
+
+def sample_size_planner(
+    documents: DataFrame,
+    width_ppm: int = 20_000,
+    z_milli: int = 1960,
+    text_col: str = "text",
+    source_col: str = "source",
+) -> DataFrame:
+    """Per-source sample-size requirement: how many more labeled docs are
+    needed to pin each source's gopher pass rate to ±width (default ±2%)
+    at 95% confidence — n_req = z²·p̂(1−p̂)/w², the planning number that
+    turns q214's intervals into an annotation budget.
+
+    Same scan-shaped battery as q67/q214/q218; the planning algebra runs
+    on the |sources| grain. Output per source:
+    (n_docs, pass_rate, n_required, deficit)."""
+    z = z_milli / 1000.0
+    w = width_ppm / 1_000_000.0
+    agg = documents.select(
+        F.col(source_col).alias("source"),
+        _gopher_pass_col(text_col).alias("p"),
+    ).groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum("p").cast("bigint").alias("n_pass"),
+    )
+    phat = F.col("n_pass") / F.col("n_docs")
+    n_req = F.ceil(
+        F.lit(z * z) * phat * (1 - phat) / F.lit(w * w)
+    ).cast("bigint")
+    return agg.select(
+        "source",
+        "n_docs",
+        F.round(phat, 6).alias("pass_rate"),
+        n_req.alias("n_required"),
+        F.greatest(n_req - F.col("n_docs"), F.lit(0).cast("bigint")).alias(
+            "deficit"
+        ),
+    )
