@@ -2276,6 +2276,42 @@ def q225_event_dedup_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     return analytics.event_dedup_audit(_base(spark, sf_dir, "events"))
 
 
+LATE_DAYS = 90
+LATE_K = 10
+LDIV_L = 2
+CAP_SWEEP = (5, 10, 20, 50)
+
+
+def q226_sole_late_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 shape (analytics.sole_late_supplier): exists/not-exists
+    as two-level aggs on uniform keys, TakeOrdered head."""
+    return analytics.sole_late_supplier(
+        _base(spark, sf_dir, "lineitem"),
+        _base(spark, sf_dir, "orders"),
+        late_days=LATE_DAYS,
+        k=LATE_K,
+    )
+
+
+def q227_l_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L-diversity audit (privacy.l_diversity_audit): distinct sensitive
+    values per (lang, source) QI group — homogeneity-attack exposure."""
+    return privacy.l_diversity_audit(
+        _base(spark, sf_dir, "documents"),
+        quasi_cols=["lang", "source"],
+        sensitive_col="n_chars",
+        l=LDIV_L,
+    )
+
+
+def q228_cap_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Source-cap tuning sweep (text_ops.cap_sweep): survival table per
+    (source, cap) from one scan."""
+    return text_ops.cap_sweep(
+        _base(spark, sf_dir, "documents"), caps=CAP_SWEEP
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001: the backup-listing report."""
     return q01_list_backups(spark, "/root/testdata/sf0.001")
@@ -2508,6 +2544,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q223_negative_sampling": q223_negative_sampling,
         "q224_sample_size": q224_sample_size,
         "q225_event_dedup_audit": q225_event_dedup_audit,
+        "q226_sole_late_supplier": q226_sole_late_supplier,
+        "q227_l_diversity": q227_l_diversity,
+        "q228_cap_sweep": q228_cap_sweep,
     }
 
 
@@ -8289,6 +8328,76 @@ def oracle_sql() -> dict[str, str]:
             FROM rk CROSS JOIN k1 WHERE rn <= {HILL_K}
         """,
         "q203_top_eigen": _eigen_oracle(EIGEN_ITERS),
+        "q226_sole_late_supplier": f"""
+            WITH j AS (
+                SELECT l.l_orderkey, l.l_suppkey,
+                       CASE WHEN CAST(epoch(l.l_shipdate) AS BIGINT)
+                                 > CAST(epoch(o.o_orderdate) AS BIGINT)
+                                   + {LATE_DAYS * 86400}
+                            THEN 1 ELSE 0 END AS late
+                FROM lineitem l
+                JOIN orders o ON l.l_orderkey = o.o_orderkey
+            ),
+            per_os AS (
+                SELECT l_orderkey, l_suppkey, MAX(late) AS s_late
+                FROM j GROUP BY 1, 2
+            ),
+            per_o AS (
+                SELECT l_orderkey, COUNT(*) AS n_supp, SUM(s_late) AS n_late
+                FROM per_os GROUP BY 1
+            ),
+            culprits AS (
+                SELECT s.l_suppkey
+                FROM per_os s JOIN per_o o USING (l_orderkey)
+                WHERE s.s_late = 1 AND o.n_supp > 1 AND o.n_late = 1
+            )
+            SELECT l_suppkey AS suppkey,
+                   CAST(COUNT(*) AS BIGINT) AS numwait
+            FROM culprits GROUP BY 1
+            ORDER BY numwait DESC, suppkey ASC LIMIT {LATE_K}
+        """,
+        "q227_l_diversity": f"""
+            WITH pairs AS (
+                SELECT lang, source, n_chars, COUNT(*) AS c
+                FROM documents GROUP BY 1, 2, 3
+            ),
+            groups AS (
+                SELECT lang, source, COUNT(*) AS n_distinct,
+                       SUM(c) AS gs
+                FROM pairs GROUP BY 1, 2
+            ),
+            hist AS (
+                SELECT CASE WHEN n_distinct = 1 THEN '1'
+                            WHEN n_distinct < {LDIV_L}
+                                THEN '2-{LDIV_L - 1}'
+                            ELSE '{LDIV_L}+' END AS bucket,
+                       COUNT(*) AS n_groups, SUM(gs) AS n_rows
+                FROM groups GROUP BY 1
+            )
+            SELECT bucket, CAST(n_groups AS BIGINT) AS n_groups,
+                   CAST(n_rows AS BIGINT) AS n_rows,
+                   CAST((n_rows * 1000000) // SUM(n_rows) OVER ()
+                        AS BIGINT) AS rows_ppm
+            FROM hist
+        """,
+        "q228_cap_sweep": f"""
+            WITH ps AS (
+                SELECT source, COUNT(*) AS n_docs,
+                       SUM(len(string_split(text, ' '))) AS n_tokens
+                FROM documents GROUP BY 1
+            ),
+            sw AS (
+                SELECT source, n_docs, n_tokens, t.cap
+                FROM ps, unnest([{", ".join(str(c) for c in CAP_SWEEP)}])
+                         t(cap)
+            )
+            SELECT source, CAST(cap AS BIGINT) AS cap,
+                   CAST(n_docs AS BIGINT) AS n_docs,
+                   CAST(LEAST(cap, n_docs) AS BIGINT) AS kept_docs,
+                   CAST((n_tokens * LEAST(cap, n_docs)) // n_docs
+                        AS BIGINT) AS kept_tokens_est
+            FROM sw
+        """,
         "q223_negative_sampling": f"""
             WITH tf AS (
                 SELECT term, COUNT(*) AS n

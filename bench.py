@@ -199,6 +199,9 @@ BENCH_QUERIES = [
     "q223_negative_sampling",
     "q224_sample_size",
     "q225_event_dedup_audit",
+    "q226_sole_late_supplier",
+    "q227_l_diversity",
+    "q228_cap_sweep",
 ]
 
 

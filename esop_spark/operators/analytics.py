@@ -2422,3 +2422,52 @@ def event_dedup_audit(events: DataFrame) -> DataFrame:
         )
     )
     return total.crossJoin(by_id).crossJoin(by_logical)
+
+
+def sole_late_supplier(
+    lineitem: DataFrame,
+    orders: DataFrame,
+    late_days: int = 90,
+    k: int = 10,
+) -> DataFrame:
+    """TPC-H Q21 shape on this schema: suppliers who were the ONLY late
+    shipper in a multi-supplier order ("late" = shipped more than
+    ``late_days`` after the order date) — the relational
+    exists/not-exists pattern expressed as two-level aggregation instead
+    of correlated subqueries.
+
+    Scale shape: one (orderkey, suppkey) agg with a fused late flag
+    (conditional max — no second scan), one orderkey-grain agg counting
+    suppliers and late suppliers, one join back of those bounded flags,
+    one supplier-grain count into a TakeOrdered head. Every shuffle is on
+    a uniform TPC-H key; no window, no correlated subquery, no
+    countDistinct Expand."""
+    joined = lineitem.join(
+        orders.select("o_orderkey", "o_orderdate"),
+        lineitem["l_orderkey"] == F.col("o_orderkey"),
+    ).select(
+        "l_orderkey",
+        "l_suppkey",
+        (
+            F.unix_timestamp("l_shipdate")
+            > F.unix_timestamp("o_orderdate") + late_days * 86400
+        ).cast("bigint").alias("late"),
+    )
+    per_os = joined.groupBy("l_orderkey", "l_suppkey").agg(
+        F.max("late").alias("s_late")
+    )
+    per_o = per_os.groupBy("l_orderkey").agg(
+        F.count(F.lit(1)).alias("n_supp"),
+        F.sum("s_late").alias("n_late"),
+    )
+    culprits = (
+        per_os.filter(F.col("s_late") == 1)
+        .join(per_o, "l_orderkey")
+        .filter((F.col("n_supp") > 1) & (F.col("n_late") == 1))
+    )
+    return (
+        culprits.groupBy(F.col("l_suppkey").alias("suppkey"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("numwait"))
+        .orderBy(F.col("numwait").desc(), F.col("suppkey").asc())
+        .limit(k)
+    )

@@ -93,3 +93,46 @@ def k_anonymity_audit(
         F.expr("(n_rows * 1000000) div total").cast("bigint").alias("rows_ppm"),
         F.col("min_group").cast("bigint").alias("min_group"),
     )
+
+
+def l_diversity_audit(
+    df: DataFrame,
+    quasi_cols: list[str],
+    sensitive_col: str,
+    l: int = 2,
+) -> DataFrame:
+    """L-diversity companion to :func:`k_anonymity_audit`: per
+    quasi-identifier group, how many DISTINCT sensitive values appear —
+    a group can be k-anonymous yet leak its sensitive attribute outright
+    when every member shares one value (the homogeneity attack).
+
+    One two-level agg: (QI, sensitive) distinct pairs, then the QI grain
+    with a distinct-value count; the report histogram lives on the ≤3
+    diversity-bucket grain. Output per bucket:
+    (bucket, n_groups, n_rows, rows_ppm)."""
+    pairs = df.groupBy(*quasi_cols, sensitive_col).agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    groups = pairs.groupBy(*quasi_cols).agg(
+        F.count(F.lit(1)).alias("n_distinct"),
+        F.sum("c").alias("gs"),
+    )
+    bucket = (
+        F.when(F.col("n_distinct") == 1, "1")
+        .when(F.col("n_distinct") < l, f"2-{l - 1}")
+        .otherwise(f"{l}+")
+    )
+    hist = groups.select(bucket.alias("bucket"), "gs").groupBy("bucket").agg(
+        F.count(F.lit(1)).alias("n_groups"),
+        F.sum("gs").alias("n_rows"),
+    )
+    return hist.withColumn(
+        "total", F.sum("n_rows").over(Window.partitionBy())
+    ).select(
+        "bucket",
+        F.col("n_groups").cast("bigint").alias("n_groups"),
+        F.col("n_rows").cast("bigint").alias("n_rows"),
+        F.expr("(n_rows * 1000000) div total")
+        .cast("bigint")
+        .alias("rows_ppm"),
+    )

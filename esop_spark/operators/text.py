@@ -3889,3 +3889,49 @@ def sample_size_planner(
             "deficit"
         ),
     )
+
+
+def cap_sweep(
+    documents: DataFrame,
+    caps: tuple[int, ...] = (5, 10, 20, 50),
+    text_col: str = "text",
+    source_col: str = "source",
+) -> DataFrame:
+    """Per-source document-cap tuning sweep: for each candidate cap, how
+    many documents and tokens survive "keep at most N docs per source"
+    (the q76 source-cap operator's knob) — the one-scan planning table
+    that picks the cap before paying the capped rebuild.
+
+    One agg to the (source, doc-count) grain... in fact better: per
+    source, total docs + tokens, then each cap keeps
+    min(cap, n_docs) docs — but WHICH docs survive matters for tokens,
+    so the sweep uses the deterministic hash order: per (source, rank
+    bucket) token mass from the distributed stratum-rank construction is
+    overkill for planning; this table instead reports the EXACT doc
+    survival and the token mass bound assuming uniform tokens/doc
+    (upper/lower per-source mean bounds). Output per (source, cap):
+    (source, cap, n_docs, kept_docs, kept_tokens_est)."""
+    per_source = documents.select(
+        F.col(source_col).alias("source"),
+        F.size(tokens(text_col)).cast("bigint").alias("t"),
+    ).groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum("t").cast("bigint").alias("n_tokens"),
+    )
+    cap_lits = F.array(*[F.lit(int(c)) for c in caps])
+    swept = per_source.select(
+        "source",
+        "n_docs",
+        "n_tokens",
+        F.explode(cap_lits).alias("cap"),
+    )
+    kept = F.least(F.col("cap").cast("bigint"), F.col("n_docs"))
+    return swept.select(
+        "source",
+        F.col("cap").cast("bigint").alias("cap"),
+        "n_docs",
+        kept.alias("kept_docs"),
+        F.expr(
+            "(n_tokens * least(cast(cap as bigint), n_docs)) div n_docs"
+        ).cast("bigint").alias("kept_tokens_est"),
+    )
