@@ -2312,6 +2312,33 @@ def q228_cap_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+FH_BITS = 12
+SC_K = 10
+SC_MAX_DOCS = 100
+
+
+def q229_feature_hash_collisions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hashing-trick audit (text_ops.feature_hash_collisions): collided
+    buckets and token-mass share at 2^bits."""
+    return text_ops.feature_hash_collisions(
+        _base(spark, sf_dir, "documents"), bits=FH_BITS
+    )
+
+
+def q230_mann_kendall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nonparametric trend test (analytics.mann_kendall_trend): tie-
+    corrected S/z on the bounded day grain."""
+    return analytics.mann_kendall_trend(_base(spark, sf_dir, "events"))
+
+
+def q231_sparse_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lexical cosine top-k (dedup.sparse_cosine_topk): TF sparse-vector
+    similarity on the capped sample via a term join."""
+    return dedup.sparse_cosine_topk(
+        _base(spark, sf_dir, "documents"), k=SC_K, max_docs=SC_MAX_DOCS
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001: the backup-listing report."""
     return q01_list_backups(spark, "/root/testdata/sf0.001")
@@ -2547,6 +2574,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q226_sole_late_supplier": q226_sole_late_supplier,
         "q227_l_diversity": q227_l_diversity,
         "q228_cap_sweep": q228_cap_sweep,
+        "q229_feature_hash_collisions": q229_feature_hash_collisions,
+        "q230_mann_kendall": q230_mann_kendall,
+        "q231_sparse_cosine": q231_sparse_cosine,
     }
 
 
@@ -8328,6 +8358,109 @@ def oracle_sql() -> dict[str, str]:
             FROM rk CROSS JOIN k1 WHERE rn <= {HILL_K}
         """,
         "q203_top_eigen": _eigen_oracle(EIGEN_ITERS),
+        "q229_feature_hash_collisions": f"""
+            WITH tf AS (
+                SELECT term, COUNT(*) AS n
+                FROM (SELECT unnest(string_split(text, ' ')) AS term
+                      FROM documents)
+                GROUP BY 1
+            ),
+            bk AS (
+                SELECT CAST(concat('0x', substr(md5('fh:' || term), 1, 8))
+                            AS BIGINT) % {1 << FH_BITS} AS b,
+                       COUNT(*) AS terms, SUM(n) AS mass
+                FROM tf GROUP BY 1
+            ),
+            tot AS (
+                SELECT SUM(terms) AS n_terms, SUM(mass) AS n_tokens,
+                       COUNT(*) AS n_buckets_used
+                FROM bk
+            ),
+            col AS (
+                SELECT COUNT(*) AS collided_buckets,
+                       COALESCE(SUM(terms), 0) AS collided_terms,
+                       COALESCE(SUM(mass), 0) AS collided_mass
+                FROM bk WHERE terms > 1
+            )
+            SELECT CAST({FH_BITS} AS BIGINT) AS bits,
+                   CAST(n_terms AS BIGINT) AS n_terms,
+                   CAST(n_buckets_used AS BIGINT) AS n_buckets_used,
+                   CAST(collided_buckets AS BIGINT) AS collided_buckets,
+                   CAST(collided_terms AS BIGINT) AS collided_terms,
+                   CAST((collided_mass * 1000000) // n_tokens AS BIGINT)
+                       AS collided_mass_ppm
+            FROM tot CROSS JOIN col
+        """,
+        "q230_mann_kendall": """
+            WITH daily AS (
+                SELECT CAST(epoch(ts) AS BIGINT) // 86400 AS day,
+                       COUNT(*) AS c
+                FROM events GROUP BY 1
+            ),
+            s AS (
+                SELECT SUM(CASE WHEN b.c > a.c THEN 1
+                                WHEN b.c < a.c THEN -1 ELSE 0 END) AS s_stat
+                FROM daily a JOIN daily b ON a.day < b.day
+            ),
+            nn AS (SELECT COUNT(*) AS n FROM daily),
+            ties AS (
+                SELECT COALESCE(SUM(t * (t - 1) * (2 * t + 5)), 0)
+                           AS tie_term
+                FROM (SELECT c, COUNT(*) AS t FROM daily
+                      GROUP BY 1 HAVING COUNT(*) > 1)
+            ),
+            v AS (
+                SELECT n, s_stat,
+                       (n * (n - 1) * (2 * n + 5) - tie_term) / 18.0
+                           AS var_s
+                FROM s CROSS JOIN nn CROSS JOIN ties
+            )
+            SELECT CAST(n AS BIGINT) AS n_days,
+                   CAST(s_stat AS BIGINT) AS s_stat,
+                   ROUND(var_s, 6) AS var_s,
+                   ROUND(CASE WHEN s_stat > 0
+                                  THEN (s_stat - 1) / sqrt(var_s)
+                              WHEN s_stat < 0
+                                  THEN (s_stat + 1) / sqrt(var_s)
+                              ELSE 0.0 END, 6) AS z
+            FROM v
+        """,
+        "q231_sparse_cosine": f"""
+            WITH sb AS (
+                SELECT doc_id AS did,
+                       CAST(concat('0x', substr(md5('sc:'
+                            || CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
+                           % 1000000 AS b
+                FROM documents
+            ),
+            samp AS (
+                SELECT did FROM sb ORDER BY b, did LIMIT {SC_MAX_DOCS}
+            ),
+            tf AS (
+                SELECT d.doc_id AS did, term, COUNT(*) AS tf
+                FROM documents d
+                JOIN samp ON d.doc_id = samp.did,
+                unnest(string_split(d.text, ' ')) t(term)
+                GROUP BY 1, 2
+            ),
+            norms AS (
+                SELECT did, SUM(tf * tf) AS n2 FROM tf GROUP BY 1
+            ),
+            dots AS (
+                SELECT a.did AS ida, b.did AS idb,
+                       SUM(a.tf * b.tf) AS dot
+                FROM tf a JOIN tf b ON a.term = b.term AND a.did < b.did
+                GROUP BY 1, 2
+            )
+            SELECT CAST(ida AS BIGINT) AS id_a,
+                   CAST(idb AS BIGINT) AS id_b,
+                   ROUND(dot * 1.0 / (sqrt(na.n2) * sqrt(nb.n2)), 6)
+                       AS cosine
+            FROM dots
+            JOIN norms na ON na.did = dots.ida
+            JOIN norms nb ON nb.did = dots.idb
+            ORDER BY cosine DESC, id_a ASC, id_b ASC LIMIT {SC_K}
+        """,
         "q226_sole_late_supplier": f"""
             WITH j AS (
                 SELECT l.l_orderkey, l.l_suppkey,

@@ -202,6 +202,9 @@ BENCH_QUERIES = [
     "q226_sole_late_supplier",
     "q227_l_diversity",
     "q228_cap_sweep",
+    "q229_feature_hash_collisions",
+    "q230_mann_kendall",
+    "q231_sparse_cosine",
 ]
 
 

@@ -2471,3 +2471,62 @@ def sole_late_supplier(
         .orderBy(F.col("numwait").desc(), F.col("suppkey").asc())
         .limit(k)
     )
+
+
+def mann_kendall_trend(events: DataFrame) -> DataFrame:
+    """Mann–Kendall monotone-trend test on the daily event-count series:
+    S = Σ_{i<j} sign(c_j − c_i), variance from the tie-corrected formula,
+    and the normal-approximation z — the nonparametric "is volume
+    actually trending" answer that q206's OLS (which assumes exponential
+    form) can't give.
+
+    One corpus count per day; the pair sum is a self-join of the bounded
+    day grain with itself (|days|² pairs — a planning-scale relation),
+    ties aggregate on the distinct-count grain. Exact integers until the
+    final z division. Output one row: (n_days, s_stat, var_s, z)."""
+    daily = events.select(
+        F.expr("unix_timestamp(ts) div 86400").alias("day")
+    ).groupBy("day").agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    a = daily.select(F.col("day").alias("d1"), F.col("c").alias("c1"))
+    b = daily.select(F.col("day").alias("d2"), F.col("c").alias("c2"))
+    s = (
+        a.join(b, F.col("d1") < F.col("d2"))
+        .agg(
+            F.sum(F.signum(F.col("c2") - F.col("c1")).cast("bigint"))
+            .cast("bigint")
+            .alias("s_stat")
+        )
+    )
+    n_row = daily.agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    ties = (
+        daily.groupBy("c").agg(F.count(F.lit(1)).alias("t"))
+        .filter(F.col("t") > 1)
+        .agg(
+            F.coalesce(
+                F.sum(
+                    F.col("t") * (F.col("t") - 1) * (2 * F.col("t") + 5)
+                ),
+                F.lit(0),
+            ).cast("bigint").alias("tie_term")
+        )
+    )
+    joined = s.crossJoin(n_row).crossJoin(ties).select(
+        "n",
+        "s_stat",
+        (
+            (
+                F.col("n") * (F.col("n") - 1) * (2 * F.col("n") + 5)
+                - F.col("tie_term")
+            )
+            / 18.0
+        ).alias("var_s"),
+    )
+    z = F.when(F.col("s_stat") > 0, (F.col("s_stat") - 1) / F.sqrt("var_s")) \
+        .when(F.col("s_stat") < 0, (F.col("s_stat") + 1) / F.sqrt("var_s")) \
+        .otherwise(F.lit(0.0))
+    return joined.select(
+        F.col("n").alias("n_days"),
+        "s_stat",
+        F.round("var_s", 6).alias("var_s"),
+        F.round(z, 6).alias("z"),
+    )

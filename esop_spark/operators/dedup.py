@@ -1519,3 +1519,80 @@ def load_minhash_index(spark, path: str) -> DataFrame:
     """Load a :func:`save_minhash_index` signature relation lazily (a
     DataFrame, never driver-side — corpus-length)."""
     return spark.read.parquet(path)
+
+
+def sparse_cosine_topk(
+    documents: DataFrame,
+    k: int = 10,
+    max_docs: int = 100,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Lexical (TF-weighted sparse-vector) cosine top-k pairs on a capped
+    sample — the bag-of-words similarity matrix that complements the
+    EMBEDDING cosine (q26/q136): a pair lexically close but semantically
+    far (or vice versa) localizes embedder failures.
+
+    The q136-capped sample bounds the pair set; the cosine numerator is
+    a TERM join (Σ tf_a·tf_b — only shared terms pair, so cost tracks
+    shared vocabulary, not sample²·vocab), norms are per-doc aggregates
+    broadcast back. Exact integer tf products; one float division per
+    surviving pair. Output: top-k (id_a, id_b, cosine) by cosine desc."""
+    bucket = F.expr(
+        "cast(conv(substring(md5(concat('sc:', cast(did as string))),"
+        " 1, 8), 16, 10) as bigint) % 1000000"
+    )
+    sample_ids = (
+        documents.select(F.col(id_col).alias("did"))
+        .withColumn("b", bucket.cast("bigint"))
+        .orderBy("b", "did")
+        .limit(max_docs)
+    )
+    tf = (
+        documents.join(
+            F.broadcast(sample_ids),
+            F.col(id_col) == F.col("did"),
+        )
+        .select(
+            F.col("did"),
+            F.explode(F.split(F.col(text_col), " ")).alias("term"),
+        )
+        .groupBy("did", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+        .persist()
+    )
+    norms = tf.groupBy("did").agg(
+        F.sum(F.col("tf") * F.col("tf")).alias("n2")
+    )
+    a = tf.select(
+        F.col("did").alias("ida"), F.col("term"), F.col("tf").alias("tfa")
+    )
+    b = tf.select(
+        F.col("did").alias("idb"), F.col("term"), F.col("tf").alias("tfb")
+    )
+    dots = (
+        a.join(b, "term")
+        .filter(F.col("ida") < F.col("idb"))
+        .groupBy("ida", "idb")
+        .agg(F.sum(F.col("tfa") * F.col("tfb")).alias("dot"))
+    )
+    na = norms.select(F.col("did").alias("ida"), F.col("n2").alias("na2"))
+    nb = norms.select(F.col("did").alias("idb"), F.col("n2").alias("nb2"))
+    return (
+        dots.join(F.broadcast(na), "ida")
+        .join(F.broadcast(nb), "idb")
+        .select(
+            F.col("ida").cast("bigint").alias("id_a"),
+            F.col("idb").cast("bigint").alias("id_b"),
+            F.round(
+                F.col("dot").cast("double")
+                / (
+                    F.sqrt(F.col("na2").cast("double"))
+                    * F.sqrt(F.col("nb2").cast("double"))
+                ),
+                6,
+            ).alias("cosine"),
+        )
+        .orderBy(F.col("cosine").desc(), F.col("id_a").asc(), F.col("id_b").asc())
+        .limit(k)
+    )

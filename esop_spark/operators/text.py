@@ -3935,3 +3935,59 @@ def cap_sweep(
             "(n_tokens * least(cast(cap as bigint), n_docs)) div n_docs"
         ).cast("bigint").alias("kept_tokens_est"),
     )
+
+
+def feature_hash_collisions(
+    documents: DataFrame,
+    bits: int = 12,
+    text_col: str = "text",
+) -> DataFrame:
+    """Feature-hashing collision audit: hash the vocabulary into 2^bits
+    buckets (the hashing trick every linear text model and q82's DSIR
+    histograms rely on) and report how many buckets hold >1 distinct
+    term and what share of TOKEN MASS sits in collided buckets — the
+    number that says whether `bits` is large enough for this corpus.
+
+    One token agg to the vocab grain, one hash agg to the ≤2^bits bucket
+    grain, folded to a 1-row census. Exact integers throughout. Output:
+    (bits, n_terms, n_buckets_used, collided_buckets, collided_terms,
+    collided_mass_ppm)."""
+    n_buckets = 1 << bits
+    tf = documents.select(
+        F.explode(tokens(text_col)).alias("term")
+    ).groupBy("term").agg(F.count(F.lit(1)).alias("n"))
+    from esop_spark.operators.dedup import md5_hash32
+
+    bucketed = tf.select(
+        F.pmod(md5_hash32(F.concat(F.lit("fh:"), F.col("term"))),
+               F.lit(n_buckets)).alias("b"),
+        "n",
+    ).groupBy("b").agg(
+        F.count(F.lit(1)).alias("terms"),
+        F.sum("n").alias("mass"),
+    )
+    bucketed = bucketed.persist()
+    totals = bucketed.agg(
+        F.sum("terms").cast("bigint").alias("n_terms"),
+        F.sum("mass").cast("bigint").alias("n_tokens"),
+        F.count(F.lit(1)).cast("bigint").alias("n_buckets_used"),
+    )
+    collided = bucketed.filter(F.col("terms") > 1).agg(
+        F.count(F.lit(1)).cast("bigint").alias("collided_buckets"),
+        F.coalesce(F.sum("terms"), F.lit(0))
+        .cast("bigint")
+        .alias("collided_terms"),
+        F.coalesce(F.sum("mass"), F.lit(0))
+        .cast("bigint")
+        .alias("collided_mass"),
+    )
+    return totals.crossJoin(collided).select(
+        F.lit(int(bits)).cast("bigint").alias("bits"),
+        "n_terms",
+        "n_buckets_used",
+        "collided_buckets",
+        "collided_terms",
+        F.expr("(collided_mass * 1000000) div n_tokens")
+        .cast("bigint")
+        .alias("collided_mass_ppm"),
+    )
