@@ -2339,6 +2339,36 @@ def q231_sparse_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+ADVISOR_TABLES = ("lineitem", "documents", "events", "embeddings")
+
+
+def q232_partition_advisor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Engine-ops sizing (analytics.partition_advisor): deterministic
+    per-table byte estimate → maxPartitionBytes / shuffle.partitions
+    recommendations."""
+    return analytics.partition_advisor(
+        {t: _base(spark, sf_dir, t) for t in ADVISOR_TABLES}
+    )
+
+
+def q233_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Graph topology fingerprint (graph.degree_assortativity): Pearson
+    degree correlation across co-order edges, DECIMAL(38) moments."""
+    return graph.degree_assortativity(
+        graph.coorder_edges(_base(spark, sf_dir, "lineitem"), directed=True)
+    )
+
+
+def q234_yoy_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """YoY revenue per nation (analytics.yoy_revenue_growth): epoch-year
+    buckets, exact cents, lag on the bounded (nation, year) grain."""
+    return analytics.yoy_revenue_growth(
+        _base(spark, sf_dir, "orders"),
+        _base(spark, sf_dir, "customer"),
+        _base(spark, sf_dir, "nation"),
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001: the backup-listing report."""
     return q01_list_backups(spark, "/root/testdata/sf0.001")
@@ -2577,6 +2607,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q229_feature_hash_collisions": q229_feature_hash_collisions,
         "q230_mann_kendall": q230_mann_kendall,
         "q231_sparse_cosine": q231_sparse_cosine,
+        "q232_partition_advisor": q232_partition_advisor,
+        "q233_assortativity": q233_assortativity,
+        "q234_yoy_growth": q234_yoy_growth,
     }
 
 
@@ -8358,6 +8391,94 @@ def oracle_sql() -> dict[str, str]:
             FROM rk CROSS JOIN k1 WHERE rn <= {HILL_K}
         """,
         "q203_top_eigen": _eigen_oracle(EIGEN_ITERS),
+        "q232_partition_advisor": f"""
+            WITH est AS (
+                SELECT 'lineitem' AS tbl, COUNT(*) AS n_rows,
+                       SUM(length(l_returnflag) + length(l_linestatus))
+                           + 8 * 9 * COUNT(*) AS est_bytes
+                FROM lineitem
+                UNION ALL
+                SELECT 'documents', COUNT(*),
+                       SUM(length(text) + length(lang) + length(source))
+                           + 8 * 2 * COUNT(*)
+                FROM documents
+                UNION ALL
+                SELECT 'events', COUNT(*),
+                       SUM(length(event_type) + length(props))
+                           + 8 * 4 * COUNT(*)
+                FROM events
+                UNION ALL
+                SELECT 'embeddings', COUNT(*),
+                       SUM(8 * len(embedding)) + 8 * 2 * COUNT(*)
+                FROM embeddings
+            )
+            SELECT tbl AS "table", CAST(n_rows AS BIGINT) AS n_rows,
+                   CAST(est_bytes AS BIGINT) AS est_bytes,
+                   CAST((est_bytes + {128 * 1024 * 1024} - 1)
+                        // {128 * 1024 * 1024} AS BIGINT)
+                       AS scan_partitions,
+                   CAST(GREATEST((est_bytes + {128 * 1024 * 1024} - 1)
+                                 // {128 * 1024 * 1024}, 32) AS BIGINT)
+                       AS shuffle_partitions
+            FROM est
+        """,
+        "q233_assortativity": """
+            WITH pk AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS p
+                        FROM lineitem),
+            e AS (SELECT DISTINCT a.p AS src, b.p AS dst
+                  FROM pk a JOIN pk b ON a.ok = b.ok AND a.p <> b.p),
+            deg AS (SELECT src, COUNT(*) AS d FROM e GROUP BY 1),
+            ed AS (
+                SELECT CAST(da.d AS HUGEINT) AS x,
+                       CAST(db.d AS HUGEINT) AS y
+                FROM e
+                JOIN deg da ON e.src = da.src
+                JOIN deg db ON e.dst = db.src
+            ),
+            a AS (
+                SELECT CAST(COUNT(*) AS HUGEINT) AS m, SUM(x) AS sx,
+                       SUM(y) AS sy, SUM(x * x) AS sxx, SUM(y * y) AS syy,
+                       SUM(x * y) AS sxy
+                FROM ed
+            ),
+            nn AS (SELECT COUNT(*) AS n_nodes FROM deg)
+            SELECT CAST(m AS BIGINT) AS n_edges,
+                   CAST(n_nodes AS BIGINT) AS n_nodes,
+                   ROUND(CASE WHEN m * sxx - sx * sx > 0
+                                   AND m * syy - sy * sy > 0
+                         THEN CAST(m * sxy - sx * sy AS DOUBLE)
+                              / (sqrt(CAST(m * sxx - sx * sx AS DOUBLE))
+                                 * sqrt(CAST(m * syy - sy * sy AS DOUBLE)))
+                         END, 6) AS assortativity
+            FROM a CROSS JOIN nn
+        """,
+        "q234_yoy_growth": """
+            WITH base AS (
+                SELECT n.n_name,
+                       CAST(FLOOR(CAST(epoch(o.o_orderdate) AS BIGINT)
+                                  / (365.25 * 86400)) AS BIGINT)
+                           AS epoch_year,
+                       SUM(CAST(ROUND(o.o_totalprice * 100) AS BIGINT))
+                           AS revenue_cents
+                FROM orders o
+                JOIN customer c ON o.o_custkey = c.c_custkey
+                JOIN nation n ON c.c_nationkey = n.n_nationkey
+                GROUP BY 1, 2
+            ),
+            lagd AS (
+                SELECT n_name, epoch_year, revenue_cents,
+                       LAG(revenue_cents) OVER (PARTITION BY n_name
+                           ORDER BY epoch_year) AS prev
+                FROM base
+            )
+            SELECT n_name, CAST(epoch_year + 1970 AS BIGINT) AS year,
+                   CAST(revenue_cents AS BIGINT) AS revenue_cents,
+                   CAST(CASE WHEN prev > 0
+                        THEN ROUND((revenue_cents - prev) * 1000000.0
+                                   / prev)
+                        END AS BIGINT) AS growth_ppm
+            FROM lagd
+        """,
         "q229_feature_hash_collisions": f"""
             WITH tf AS (
                 SELECT term, COUNT(*) AS n

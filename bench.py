@@ -205,6 +205,9 @@ BENCH_QUERIES = [
     "q229_feature_hash_collisions",
     "q230_mann_kendall",
     "q231_sparse_cosine",
+    "q232_partition_advisor",
+    "q233_assortativity",
+    "q234_yoy_growth",
 ]
 
 

@@ -2530,3 +2530,117 @@ def mann_kendall_trend(events: DataFrame) -> DataFrame:
         F.round("var_s", 6).alias("var_s"),
         F.round(z, 6).alias("z"),
     )
+
+
+def yoy_revenue_growth(
+    orders: DataFrame,
+    customer: DataFrame,
+    nation: DataFrame,
+) -> DataFrame:
+    """Year-over-year order-revenue growth per nation: epoch-derived year
+    buckets (timezone-proof), exact integer cents, and the growth lag on
+    the bounded (nation × year) grain — the classic BI trend query in the
+    engine's deterministic-arithmetic house style.
+
+    One fact scan with two broadcast dims; the lag window partitions by
+    nation over ≤|years| rows each. Growth is NULL for each nation's
+    first year. Output: (n_name, year, revenue_cents, growth_ppm)."""
+    yr = F.floor(
+        F.unix_timestamp("o_orderdate") / (365.25 * 86400)
+    ).cast("bigint")
+    base = (
+        orders.select(
+            "o_custkey", yr.alias("epoch_year"),
+            cents(F.col("o_totalprice")).alias("rev"),
+        )
+        .join(
+            F.broadcast(customer.select("c_custkey", "c_nationkey")),
+            F.col("o_custkey") == F.col("c_custkey"),
+        )
+        .join(
+            F.broadcast(nation.select("n_nationkey", "n_name")),
+            F.col("c_nationkey") == F.col("n_nationkey"),
+        )
+        .groupBy("n_name", "epoch_year")
+        .agg(F.sum("rev").cast("bigint").alias("revenue_cents"))
+    )
+    w = Window.partitionBy("n_name").orderBy("epoch_year")
+    prev = F.lag("revenue_cents").over(w)
+    return base.select(
+        "n_name",
+        (F.col("epoch_year") + 1970).cast("bigint").alias("year"),
+        "revenue_cents",
+        F.when(
+            prev > 0,
+            # double multiply: cents·1e6 overflows int64 at corpus scale
+            F.round(
+                (F.col("revenue_cents") - prev).cast("double")
+                * 1e6
+                / prev.cast("double")
+            ).cast("bigint"),
+        ).alias("growth_ppm"),
+    )
+
+
+TARGET_PARTITION_BYTES = 128 * 1024 * 1024
+ADVISOR_MIN_PARTITIONS = 32
+
+
+def partition_advisor(
+    tables: dict[str, DataFrame],
+    target_bytes: int = TARGET_PARTITION_BYTES,
+    min_partitions: int = ADVISOR_MIN_PARTITIONS,
+) -> DataFrame:
+    """Spark partition-sizing advisor: per table, an exact deterministic
+    in-memory size estimate (8 bytes per numeric/timestamp cell, string
+    cells at their byte length, array cells at 8·len) and the partition
+    counts that follow — ceil(bytes/target) for the scan,
+    max(min_partitions, scan) for shuffles. The engine-ops answer to
+    "what do I set spark.sql.files.maxPartitionBytes and
+    spark.sql.shuffle.partitions to for THIS data".
+
+    One aggregation per table (map-side combinable integer sums), results
+    unioned on the |tables| grain. Output per table:
+    (table, n_rows, est_bytes, scan_partitions, shuffle_partitions)."""
+    outs = []
+    for name, df in tables.items():
+        string_cols = [f.name for f in df.schema.fields
+                       if f.dataType.simpleString() == "string"]
+        array_cols = [f.name for f in df.schema.fields
+                      if f.dataType.simpleString().startswith("array")]
+        fixed_cols = len(df.schema.fields) - len(string_cols) - len(array_cols)
+        exprs = [
+            F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+            (
+                sum(
+                    (F.sum(F.length(F.col(c)).cast("bigint")) for c in string_cols),
+                    F.lit(0).cast("bigint"),
+                )
+                + sum(
+                    (F.sum(F.size(F.col(c)).cast("bigint") * 8)
+                     for c in array_cols),
+                    F.lit(0).cast("bigint"),
+                )
+            ).cast("bigint").alias("var_bytes"),
+        ]
+        agg = df.agg(*exprs).select(
+            F.lit(name).alias("table"),
+            "n_rows",
+            (F.col("var_bytes") + F.lit(8 * fixed_cols) * F.col("n_rows"))
+            .cast("bigint")
+            .alias("est_bytes"),
+        )
+        outs.append(agg)
+    est = outs[0]
+    for o in outs[1:]:
+        est = est.unionByName(o)
+    scan = F.expr(f"(est_bytes + {target_bytes} - 1) div {target_bytes}")
+    return est.select(
+        "table",
+        "n_rows",
+        "est_bytes",
+        scan.cast("bigint").alias("scan_partitions"),
+        F.greatest(scan, F.lit(min_partitions))
+        .cast("bigint")
+        .alias("shuffle_partitions"),
+    )

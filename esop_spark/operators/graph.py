@@ -260,3 +260,55 @@ def connected_components(edges: DataFrame, max_iters: int = 50) -> DataFrame:
     return labels.join(sizes, "label").select(
         "node", F.col("label").alias("cluster_id"), "cluster_size"
     )
+
+
+def degree_assortativity(edges_directed: DataFrame) -> DataFrame:
+    """Degree assortativity of the (symmetric) co-order graph: the Pearson
+    correlation between source and destination degree across edges — do
+    hubs connect to hubs (assortative, r>0, a "rich club" of catalog
+    staples) or to the periphery (disassortative, r<0)? The one-number
+    topology fingerprint behind q159's ranks and q166's triangles.
+
+    One degree aggregation (node grain), two broadcast-or-SMJ joins back
+    onto the edge relation (uniform part keys), then exact DECIMAL(38)
+    integer moments on the edge grain — degree products reach deg²·|E|
+    and overflow int64 at scale. Output one row:
+    (n_edges, n_nodes, assortativity)."""
+    deg = edges_directed.groupBy("src").agg(
+        F.count(F.lit(1)).cast("bigint").alias("d")
+    )
+    da = deg.select(F.col("src").alias("a"), F.col("d").alias("dx"))
+    db = deg.select(F.col("src").alias("b"), F.col("d").alias("dy"))
+    d38 = "decimal(38,0)"
+    ed = (
+        edges_directed.join(da, edges_directed["src"] == da["a"])
+        .join(db, edges_directed["dst"] == db["b"])
+        .select(
+            F.col("dx").cast(d38).alias("x"),
+            F.col("dy").cast(d38).alias("y"),
+        )
+    )
+    agg = ed.agg(
+        F.count(F.lit(1)).cast(d38).alias("m"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+    )
+    nodes = deg.agg(F.count(F.lit(1)).cast("bigint").alias("n_nodes"))
+    num = F.col("m") * F.col("sxy") - F.col("sx") * F.col("sy")
+    dx = F.col("m") * F.col("sxx") - F.col("sx") * F.col("sx")
+    dy = F.col("m") * F.col("syy") - F.col("sy") * F.col("sy")
+    return agg.crossJoin(F.broadcast(nodes)).select(
+        F.col("m").cast("bigint").alias("n_edges"),
+        "n_nodes",
+        F.round(
+            F.when(
+                (dx > 0) & (dy > 0),
+                num.cast("double")
+                / (F.sqrt(dx.cast("double")) * F.sqrt(dy.cast("double"))),
+            ),
+            6,
+        ).alias("assortativity"),
+    )
