@@ -2369,6 +2369,12 @@ def q234_yoy_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q235_best_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decision-stump threshold (text_ops.best_split_stump): exact Gini
+    gain over every score threshold on the bounded grain."""
+    return text_ops.best_split_stump(_base(spark, sf_dir, "documents"))
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001: the backup-listing report."""
     return q01_list_backups(spark, "/root/testdata/sf0.001")
@@ -2610,6 +2616,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q232_partition_advisor": q232_partition_advisor,
         "q233_assortativity": q233_assortativity,
         "q234_yoy_growth": q234_yoy_growth,
+        "q235_best_split": q235_best_split,
     }
 
 
@@ -8391,6 +8398,61 @@ def oracle_sql() -> dict[str, str]:
             FROM rk CROSS JOIN k1 WHERE rn <= {HILL_K}
         """,
         "q203_top_eigen": _eigen_oracle(EIGEN_ITERS),
+        "q235_best_split": """
+            WITH t AS (
+                SELECT string_split(text, ' ') AS words,
+                       len(string_split(text, ' ')) AS n,
+                       len(list_filter(string_split(text, ' '),
+                           w -> w IN ('a', 'the'))) AS stop,
+                       len(list_distinct(string_split(text, ' '))) AS nd
+                FROM documents
+            ),
+            m AS (
+                SELECT CAST(ROUND((0.5 * (1.0 - stop * 1.0 / n)
+                                   + 0.5 * nd * 1.0 / n) * 100) AS BIGINT)
+                           AS s,
+                       CASE WHEN n >= 30 AND n <= 100000
+                                 AND (list_sum(list_transform(words,
+                                         x -> length(x))) * 1.0 / n)
+                                     BETWEEN 2.0 AND 10.0
+                                 AND (len(list_filter(words,
+                                         x -> x IN ('#', '...'))) * 1.0 / n)
+                                     <= 0.1
+                                 AND len(list_filter(words,
+                                         x -> x IN ('a', 'the'))) >= 2
+                            THEN 1 ELSE 0 END AS p
+                FROM t
+            ),
+            g AS (
+                SELECT s, COUNT(*) AS n, SUM(p) AS np FROM m GROUP BY 1
+            ),
+            cum AS (
+                SELECT s,
+                       SUM(n) OVER (ORDER BY s
+                           ROWS UNBOUNDED PRECEDING) AS nl,
+                       SUM(np) OVER (ORDER BY s
+                           ROWS UNBOUNDED PRECEDING) AS npl,
+                       SUM(n) OVER () AS nt,
+                       SUM(np) OVER () AS npt
+                FROM g
+            ),
+            sc AS (
+                SELECT s, nl, nt,
+                       2.0 * (npt * 1.0 / nt) * (1 - npt * 1.0 / nt)
+                       - (nl * 2.0 * (npl * 1.0 / nl)
+                              * (1 - npl * 1.0 / nl)
+                          + (nt - nl) * 2.0
+                              * ((npt - npl) * 1.0 / (nt - nl))
+                              * (1 - (npt - npl) * 1.0 / (nt - nl)))
+                         / nt AS gain
+                FROM cum WHERE nl < nt
+            )
+            SELECT CAST(s AS BIGINT) AS threshold,
+                   CAST(nl AS BIGINT) AS n_left,
+                   CAST(nt - nl AS BIGINT) AS n_right,
+                   ROUND(gain, 6) AS gini_gain
+            FROM sc ORDER BY ROUND(gain, 6) DESC, s ASC LIMIT 1
+        """,
         "q232_partition_advisor": f"""
             WITH est AS (
                 SELECT 'lineitem' AS tbl, COUNT(*) AS n_rows,

@@ -208,6 +208,7 @@ BENCH_QUERIES = [
     "q232_partition_advisor",
     "q233_assortativity",
     "q234_yoy_growth",
+    "q235_best_split",
 ]
 
 

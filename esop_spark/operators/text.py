@@ -3991,3 +3991,55 @@ def feature_hash_collisions(
         .cast("bigint")
         .alias("collided_mass_ppm"),
     )
+
+
+def best_split_stump(
+    documents: DataFrame,
+    text_col: str = "text",
+) -> DataFrame:
+    """Decision-stump learner: the quality-score threshold that best
+    predicts the Gopher pass flag by exact Gini impurity reduction — the
+    first node of every tree model, and the data-driven answer to "where
+    should the quality cutoff actually sit" (versus q150's fixed grid).
+
+    One scan projection (score + pass fused), one agg to the ≤101-row
+    score grain, cumulative windows over that grain to evaluate EVERY
+    candidate threshold exactly, one TakeOrdered row out. The Gini math
+    uses integer counts with doubles only in the final impurity terms.
+    Output one row: (threshold, n_left, n_right, gini_gain)."""
+    flagged = documents.select(
+        quality_score_col(text_col).alias("s"),
+        _gopher_pass_col(text_col).alias("p"),
+    ).groupBy("s").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("p").alias("np"),
+    )
+    w = Window.orderBy("s").rowsBetween(Window.unboundedPreceding, 0)
+    tot = Window.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    cum = flagged.select(
+        "s",
+        F.sum("n").over(w).alias("nl"),
+        F.sum("np").over(w).alias("npl"),
+        F.sum("n").over(tot).alias("nt"),
+        F.sum("np").over(tot).alias("npt"),
+    ).filter(F.col("nl") < F.col("nt"))  # split must leave a right side
+    nl = F.col("nl").cast("double")
+    nr = (F.col("nt") - F.col("nl")).cast("double")
+    pl = F.col("npl") / nl
+    pr = (F.col("npt") - F.col("npl")) / nr
+    pt = F.col("npt") / F.col("nt").cast("double")
+    parent = 2 * pt * (1 - pt)
+    child = (nl * 2 * pl * (1 - pl) + nr * 2 * pr * (1 - pr)) / F.col(
+        "nt"
+    ).cast("double")
+    scored = cum.select(
+        F.col("s").cast("bigint").alias("threshold"),
+        F.col("nl").cast("bigint").alias("n_left"),
+        (F.col("nt") - F.col("nl")).cast("bigint").alias("n_right"),
+        F.round(parent - child, 6).alias("gini_gain"),
+    )
+    return scored.orderBy(
+        F.col("gini_gain").desc(), F.col("threshold").asc()
+    ).limit(1)

@@ -250,3 +250,65 @@ def cusum_stream(
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+JSD_OUTPUT = (
+    "series_key string, batch_n bigint, prev_n bigint, jsd_milli bigint"
+)
+JSD_STATE = "cats string, counts string"
+
+
+def _jsd_fn(key, pdfs, state: GroupState):
+    import json as _json
+    import math as _math
+
+    prev: dict = (
+        dict(zip(_json.loads(state.get[0]), _json.loads(state.get[1])))
+        if state.exists
+        else {}
+    )
+    curr: dict = {}
+    for pdf in pdfs:
+        for c in pdf["category"]:
+            curr[c] = curr.get(c, 0) + 1
+    n_prev, n_curr = sum(prev.values()), sum(curr.values())
+    jsd = 0.0
+    if n_prev and n_curr:
+        cats = sorted(set(prev) | set(curr))
+        for c in cats:
+            p = prev.get(c, 0) / n_prev
+            q = curr.get(c, 0) / n_curr
+            m = (p + q) / 2
+            if p > 0:
+                jsd += p / 2 * _math.log(p / m)
+            if q > 0:
+                jsd += q / 2 * _math.log(q / m)
+    state.update(
+        (_json.dumps(sorted(curr)), _json.dumps([curr[c] for c in sorted(curr)]))
+    )
+    yield pd.DataFrame(
+        {
+            "series_key": [key[0]],
+            "batch_n": [n_curr],
+            "prev_n": [n_prev],
+            "jsd_milli": [int(round(jsd * 1000))],
+        }
+    )
+
+
+def jsd_drift_stream(observations: DataFrame) -> DataFrame:
+    """Streaming counterpart of ``analytics.daily_type_jsd``: per key, the
+    Jensen–Shannon divergence of each micro-batch's categorical mix
+    against the PREVIOUS batch's — state is just the previous batch's
+    category histogram (bounded by the category alphabet, not stream
+    length), checkpoint-backed.
+
+    Input schema: (series_key string, category string); emits
+    (batch_n, prev_n, jsd_milli) per key per batch."""
+    return observations.groupBy("series_key").applyInPandasWithState(
+        _jsd_fn,
+        outputStructType=JSD_OUTPUT,
+        stateStructType=JSD_STATE,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
