@@ -2375,6 +2375,32 @@ def q235_best_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text_ops.best_split_stump(_base(spark, sf_dir, "documents"))
 
 
+STUMP_T = 50
+UE_BINS = 10
+
+
+def q236_stump_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source stump transfer (text_ops.stump_eval_by_source): exact
+    confusion counts + milli P/R/F1 at a fixed threshold."""
+    return text_ops.stump_eval_by_source(
+        _base(spark, sf_dir, "documents"), threshold=STUMP_T
+    )
+
+
+def q237_seasonal_strength(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seasonality R² (analytics.seasonal_strength): dow-model variance
+    share on the bounded day grain."""
+    return analytics.seasonal_strength(_base(spark, sf_dir, "events"))
+
+
+def q238_user_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Behavioral entropy census (analytics.user_entropy_census):
+    normalized per-user type entropy histogram."""
+    return analytics.user_entropy_census(
+        _base(spark, sf_dir, "events"), bins=UE_BINS
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001: the backup-listing report."""
     return q01_list_backups(spark, "/root/testdata/sf0.001")
@@ -2617,6 +2643,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q233_assortativity": q233_assortativity,
         "q234_yoy_growth": q234_yoy_growth,
         "q235_best_split": q235_best_split,
+        "q236_stump_eval": q236_stump_eval,
+        "q237_seasonal_strength": q237_seasonal_strength,
+        "q238_user_entropy": q238_user_entropy,
     }
 
 
@@ -8398,6 +8427,111 @@ def oracle_sql() -> dict[str, str]:
             FROM rk CROSS JOIN k1 WHERE rn <= {HILL_K}
         """,
         "q203_top_eigen": _eigen_oracle(EIGEN_ITERS),
+        "q236_stump_eval": f"""
+            WITH t AS (
+                SELECT source, string_split(text, ' ') AS words,
+                       len(string_split(text, ' ')) AS n,
+                       len(list_filter(string_split(text, ' '),
+                           w -> w IN ('a', 'the'))) AS stop,
+                       len(list_distinct(string_split(text, ' '))) AS nd
+                FROM documents
+            ),
+            m AS (
+                SELECT source,
+                       CASE WHEN CAST(ROUND((0.5 * (1.0 - stop * 1.0 / n)
+                                 + 0.5 * nd * 1.0 / n) * 100) AS BIGINT)
+                                 > {STUMP_T} THEN 1 ELSE 0 END AS yhat,
+                       CASE WHEN n >= 30 AND n <= 100000
+                                 AND (list_sum(list_transform(words,
+                                         x -> length(x))) * 1.0 / n)
+                                     BETWEEN 2.0 AND 10.0
+                                 AND (len(list_filter(words,
+                                         x -> x IN ('#', '...'))) * 1.0 / n)
+                                     <= 0.1
+                                 AND len(list_filter(words,
+                                         x -> x IN ('a', 'the'))) >= 2
+                            THEN 1 ELSE 0 END AS y
+                FROM t
+            ),
+            a AS (
+                SELECT source, COUNT(*) AS n_docs,
+                       SUM(yhat * y) AS tp,
+                       SUM(yhat * (1 - y)) AS fp,
+                       SUM((1 - yhat) * y) AS fn
+                FROM m GROUP BY 1
+            )
+            SELECT source, CAST(n_docs AS BIGINT) AS n_docs,
+                   CAST(tp AS BIGINT) AS tp, CAST(fp AS BIGINT) AS fp,
+                   CAST(fn AS BIGINT) AS fn,
+                   CAST(CASE WHEN tp + fp > 0
+                        THEN (tp * 1000) // (tp + fp) END AS BIGINT)
+                       AS precision_milli,
+                   CAST(CASE WHEN tp + fn > 0
+                        THEN (tp * 1000) // (tp + fn) END AS BIGINT)
+                       AS recall_milli,
+                   CAST(CASE WHEN 2 * tp + fp + fn > 0
+                        THEN (2 * tp * 1000) // (2 * tp + fp + fn)
+                        END AS BIGINT) AS f1_milli
+            FROM a
+        """,
+        "q237_seasonal_strength": """
+            WITH daily AS (
+                SELECT CAST(epoch(ts) AS BIGINT) // 86400 AS day,
+                       COUNT(*) AS c
+                FROM events GROUP BY 1
+            ),
+            base AS (
+                SELECT day % 7 AS dow, c,
+                       COUNT(*) OVER () AS n,
+                       SUM(c) OVER () AS s,
+                       COUNT(*) OVER (PARTITION BY day % 7) AS n_d,
+                       SUM(c) OVER (PARTITION BY day % 7) AS s_d
+                FROM daily
+            ),
+            agg AS (
+                SELECT MAX(n) AS n_days,
+                       SUM(CAST(n * c - s AS HUGEINT)
+                           * CAST(n * c - s AS HUGEINT)) AS sst_n2,
+                       SUM(CAST(CAST(n * s_d - s * n_d AS HUGEINT)
+                                * CAST(n * s_d - s * n_d AS HUGEINT)
+                                AS DOUBLE)
+                           / (CAST(n_d AS DOUBLE) * CAST(n_d AS DOUBLE)))
+                           AS ssb_n2
+                FROM base
+            )
+            SELECT CAST(n_days AS BIGINT) AS n_days,
+                   CAST(sst_n2 AS DOUBLE) AS sst_x_n,
+                   ROUND(ssb_n2, 6) AS ssb_x_n,
+                   ROUND(CASE WHEN sst_n2 > 0
+                         THEN ssb_n2 / CAST(sst_n2 AS DOUBLE) END, 6)
+                       AS strength
+            FROM agg
+        """,
+        "q238_user_entropy": f"""
+            WITH ut AS (
+                SELECT user_id, event_type, COUNT(*) AS c
+                FROM events GROUP BY 1, 2
+            ),
+            kt AS (SELECT COUNT(DISTINCT event_type) AS k FROM events),
+            pu AS (
+                SELECT user_id,
+                       SUM(-(c * 1.0 / n_u) * ln(c * 1.0 / n_u)) AS h
+                FROM (SELECT user_id, c,
+                             SUM(c) OVER (PARTITION BY user_id) AS n_u
+                      FROM ut)
+                GROUP BY 1
+            ),
+            b AS (
+                SELECT LEAST(CAST(FLOOR(h / ln(k) * {UE_BINS}) AS BIGINT),
+                             {UE_BINS - 1}) AS bin,
+                       CAST(ROUND(h / ln(k) * 1000) AS BIGINT) AS h_milli
+                FROM pu CROSS JOIN kt
+            )
+            SELECT bin, CAST(COUNT(*) AS BIGINT) AS n_users,
+                   CAST(MIN(h_milli) AS BIGINT) AS min_entropy_milli,
+                   CAST(MAX(h_milli) AS BIGINT) AS max_entropy_milli
+            FROM b GROUP BY 1
+        """,
         "q235_best_split": """
             WITH t AS (
                 SELECT string_split(text, ' ') AS words,

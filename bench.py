@@ -209,6 +209,9 @@ BENCH_QUERIES = [
     "q233_assortativity",
     "q234_yoy_growth",
     "q235_best_split",
+    "q236_stump_eval",
+    "q237_seasonal_strength",
+    "q238_user_entropy",
 ]
 
 

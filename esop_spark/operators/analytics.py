@@ -2644,3 +2644,104 @@ def partition_advisor(
         .cast("bigint")
         .alias("shuffle_partitions"),
     )
+
+
+def seasonal_strength(events: DataFrame) -> DataFrame:
+    """Seasonality strength of daily volume: the share of day-count
+    variance explained by the day-of-week means (R² of the dow model) —
+    the one number that says whether q221's per-dow bands are doing real
+    work or the series is aperiodic.
+
+    One count per epoch day, then all variance algebra on the bounded
+    day grain with exact integer sums scaled by n (SSB/SST as integer
+    numerators over a common n² denominator — no float means). Output
+    one row: (n_days, sst_x_n, ssb_x_n, strength)."""
+    daily = events.select(
+        F.expr("unix_timestamp(ts) div 86400").alias("day")
+    ).groupBy("day").agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    tot = Window.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    wd = Window.partitionBy("dow")
+    d38 = "decimal(38,0)"
+    base = daily.select(F.expr("day % 7").alias("dow"), "c").select(
+        "dow",
+        "c",
+        F.count(F.lit(1)).over(tot).alias("n"),
+        F.sum("c").over(tot).alias("s"),
+        F.count(F.lit(1)).over(wd).alias("n_d"),
+        F.sum("c").over(wd).alias("s_d"),
+    )
+    # SST·n² = Σ (n·c − s)² ; SSB·n² = Σ_days (n·mean_dow − s)² with
+    # mean_dow = s_d/n_d → per-day term ((n·s_d − s·n_d)/n_d)² — keep the
+    # n_d divisor exact by scaling each term by n_d² via common LCM-free
+    # float at the END: compute both in DECIMAL where possible
+    sst = F.sum(
+        (
+            (F.col("n") * F.col("c") - F.col("s")).cast(d38)
+            * (F.col("n") * F.col("c") - F.col("s")).cast(d38)
+        )
+    )
+    ssb_term = (
+        (F.col("n") * F.col("s_d") - F.col("s") * F.col("n_d")).cast(d38)
+        * (F.col("n") * F.col("s_d") - F.col("s") * F.col("n_d")).cast(d38)
+    ).cast("double") / (
+        F.col("n_d").cast("double") * F.col("n_d").cast("double")
+    )
+    agg = base.agg(
+        F.max("n").cast("bigint").alias("n_days"),
+        sst.alias("sst_n2"),
+        F.sum(ssb_term).alias("ssb_n2"),
+    )
+    return agg.select(
+        "n_days",
+        F.col("sst_n2").cast("double").alias("sst_x_n"),
+        F.round(F.col("ssb_n2"), 6).alias("ssb_x_n"),
+        F.round(
+            F.when(
+                F.col("sst_n2") > 0,
+                F.col("ssb_n2") / F.col("sst_n2").cast("double"),
+            ),
+            6,
+        ).alias("strength"),
+    )
+
+
+def user_entropy_census(events: DataFrame, bins: int = 10) -> DataFrame:
+    """Per-user behavioral-entropy census: each user's event-type
+    distribution entropy (normalized by ln of the global type count to
+    [0,1]), histogrammed into ``bins`` — bots cluster at 0 (one action
+    repeated), organic users spread; the population-level fingerprint
+    behind q171's per-user gap regularity.
+
+    One (user, type) agg, one user-grain entropy fold, then a census on
+    the ≤bins grain. Entropy floats exist only per user-row; the bin
+    assignment floors deterministically. Output per bin:
+    (bin, n_users, min_entropy_milli, max_entropy_milli)."""
+    ut = events.groupBy("user_id", "event_type").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    k_types = events.select("event_type").distinct().count()
+    wu = Window.partitionBy("user_id")
+    per_user = ut.select(
+        "user_id",
+        "c",
+        F.sum("c").over(wu).alias("n_u"),
+    ).groupBy("user_id").agg(
+        F.sum(
+            -(F.col("c") / F.col("n_u"))
+            * F.log(F.col("c") / F.col("n_u"))
+        ).alias("h")
+    )
+    h_norm = F.col("h") / F.lit(float(__import__("math").log(k_types)))
+    binned = per_user.select(
+        F.least(
+            F.floor(h_norm * bins).cast("bigint"), F.lit(bins - 1)
+        ).alias("bin"),
+        F.round(h_norm * 1000).cast("bigint").alias("h_milli"),
+    )
+    return binned.groupBy("bin").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_users"),
+        F.min("h_milli").alias("min_entropy_milli"),
+        F.max("h_milli").alias("max_entropy_milli"),
+    )

@@ -4043,3 +4043,49 @@ def best_split_stump(
     return scored.orderBy(
         F.col("gini_gain").desc(), F.col("threshold").asc()
     ).limit(1)
+
+
+def stump_eval_by_source(
+    documents: DataFrame,
+    threshold: int,
+    text_col: str = "text",
+    source_col: str = "source",
+) -> DataFrame:
+    """Evaluate the q235 stump per source: treating score > threshold as
+    the predicted pass, exact precision/recall/F1 against the Gopher
+    battery — whether ONE global cutoff transfers across sources or some
+    need their own (the per-slice calibration decision).
+
+    Same fused scan battery; confusion counts are exact integers on the
+    |sources| grain, with milli-scaled metrics (NULL when undefined).
+    Output per source: (n_docs, tp, fp, fn, precision_milli,
+    recall_milli, f1_milli)."""
+    flagged = documents.select(
+        F.col(source_col).alias("source"),
+        (quality_score_col(text_col) > threshold).cast("bigint").alias("yhat"),
+        _gopher_pass_col(text_col).alias("y"),
+    )
+    agg = flagged.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum(F.col("yhat") * F.col("y")).cast("bigint").alias("tp"),
+        F.sum(F.col("yhat") * (1 - F.col("y"))).cast("bigint").alias("fp"),
+        F.sum((1 - F.col("yhat")) * F.col("y")).cast("bigint").alias("fn"),
+    )
+    prec = F.when(
+        F.col("tp") + F.col("fp") > 0,
+        F.expr("(tp * 1000) div (tp + fp)"),
+    ).cast("bigint")
+    rec = F.when(
+        F.col("tp") + F.col("fn") > 0,
+        F.expr("(tp * 1000) div (tp + fn)"),
+    ).cast("bigint")
+    f1 = F.when(
+        2 * F.col("tp") + F.col("fp") + F.col("fn") > 0,
+        F.expr("(2 * tp * 1000) div (2 * tp + fp + fn)"),
+    ).cast("bigint")
+    return agg.select(
+        "source", "n_docs", "tp", "fp", "fn",
+        prec.alias("precision_milli"),
+        rec.alias("recall_milli"),
+        f1.alias("f1_milli"),
+    )
