@@ -2401,6 +2401,24 @@ def q238_user_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+POP_PRIOR = 20
+POP_K = 15
+
+
+def q239_smoothed_popularity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cold-start-safe popularity (analytics.smoothed_popularity):
+    pseudo-count-shrunk part order counts, exact integer micro."""
+    return analytics.smoothed_popularity(
+        _base(spark, sf_dir, "lineitem"), prior_strength=POP_PRIOR, k=POP_K
+    )
+
+
+def q240_tukey_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust outlier days (analytics.tukey_outlier_days): IQR fences in
+    exact quarter units on the bounded day grain."""
+    return analytics.tukey_outlier_days(_base(spark, sf_dir, "events"))
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001: the backup-listing report."""
     return q01_list_backups(spark, "/root/testdata/sf0.001")
@@ -2646,6 +2664,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q236_stump_eval": q236_stump_eval,
         "q237_seasonal_strength": q237_seasonal_strength,
         "q238_user_entropy": q238_user_entropy,
+        "q239_smoothed_popularity": q239_smoothed_popularity,
+        "q240_tukey_outliers": q240_tukey_outliers,
     }
 
 
@@ -8427,6 +8447,48 @@ def oracle_sql() -> dict[str, str]:
             FROM rk CROSS JOIN k1 WHERE rn <= {HILL_K}
         """,
         "q203_top_eigen": _eigen_oracle(EIGEN_ITERS),
+        "q239_smoothed_popularity": f"""
+            WITH pp AS (
+                SELECT l_partkey AS partkey,
+                       COUNT(DISTINCT l_orderkey) AS n_orders
+                FROM lineitem GROUP BY 1
+            ),
+            g AS (SELECT SUM(n_orders) AS tot, COUNT(*) AS parts FROM pp)
+            SELECT CAST(partkey AS BIGINT) AS partkey,
+                   CAST(n_orders AS BIGINT) AS n_orders,
+                   CAST(((n_orders * parts + {POP_PRIOR} * tot) * 1000000)
+                        // ((1 + {POP_PRIOR}) * parts) AS BIGINT)
+                       AS smoothed_micro
+            FROM pp CROSS JOIN g
+            ORDER BY smoothed_micro DESC, partkey ASC LIMIT {POP_K}
+        """,
+        "q240_tukey_outliers": """
+            WITH daily AS (
+                SELECT CAST(epoch(ts) AS BIGINT) // 86400 AS day,
+                       COUNT(*) AS c
+                FROM events GROUP BY 1
+            ),
+            cnt AS (SELECT c, COUNT(*) AS nd FROM daily GROUP BY 1),
+            cum AS (
+                SELECT c,
+                       SUM(nd) OVER (ORDER BY c
+                           ROWS UNBOUNDED PRECEDING) AS cum,
+                       SUM(nd) OVER () AS n
+                FROM cnt
+            ),
+            q AS (
+                SELECT MIN(CASE WHEN cum * 4 >= n THEN c END) AS q1,
+                       MIN(CASE WHEN cum * 4 >= 3 * n THEN c END) AS q3
+                FROM cum
+            )
+            SELECT CAST(day AS BIGINT) AS day,
+                   CAST(c AS BIGINT) AS n_events,
+                   CAST(4 * q1 - 6 * (q3 - q1) AS BIGINT) AS fence_lo_x4,
+                   CAST(4 * q3 + 6 * (q3 - q1) AS BIGINT) AS fence_hi_x4
+            FROM daily CROSS JOIN q
+            WHERE 4 * c < 4 * q1 - 6 * (q3 - q1)
+               OR 4 * c > 4 * q3 + 6 * (q3 - q1)
+        """,
         "q236_stump_eval": f"""
             WITH t AS (
                 SELECT source, string_split(text, ' ') AS words,

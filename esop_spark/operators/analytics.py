@@ -2745,3 +2745,88 @@ def user_entropy_census(events: DataFrame, bins: int = 10) -> DataFrame:
         F.min("h_milli").alias("min_entropy_milli"),
         F.max("h_milli").alias("max_entropy_milli"),
     )
+
+
+def smoothed_popularity(
+    lineitem: DataFrame,
+    prior_strength: int = 20,
+    k: int = 15,
+) -> DataFrame:
+    """Bayesian-smoothed part popularity: per part, order count shrunk
+    toward the global mean with a pseudo-count prior — the cold-start fix
+    that stops a part ordered twice in two orders from outranking catalog
+    staples (the same smoothing every CTR/popularity ranker applies).
+
+    smoothed = (n_p + C·m) / (1 + C/n̄)… expressed exactly: with m =
+    global mean orders per part, score = (n_p + C·m) / (N_parts-free
+    denominator (1 + C)) — we keep the standard (n_p + C·m)/(1 + C)
+    form with m as an exact rational carried in integer micro units.
+    One part-grain agg, a 1-row global broadcast, a TakeOrdered head.
+    Output: (partkey, n_orders, smoothed_micro)."""
+    per_part = lineitem.groupBy(
+        F.col("l_partkey").alias("partkey")
+    ).agg(F.countDistinct("l_orderkey").cast("bigint").alias("n_orders"))
+    glob = per_part.agg(
+        F.sum("n_orders").alias("tot"),
+        F.count(F.lit(1)).alias("parts"),
+    )
+    c = F.lit(int(prior_strength))
+    # smoothed·1e6 = (n_p·parts + C·mean·parts)·1e6 / ((1+C)·parts)
+    #             = (n_p·parts + C·tot)·1e6 / ((1+C)·parts) — exact ints
+    smoothed_micro = F.expr(
+        f"((n_orders * parts + {prior_strength} * tot) * 1000000)"
+        f" div ((1 + {prior_strength}) * parts)"
+    ).cast("bigint")
+    return (
+        per_part.crossJoin(F.broadcast(glob))
+        .select("partkey", "n_orders", smoothed_micro.alias("smoothed_micro"))
+        .orderBy(
+            F.col("smoothed_micro").desc(), F.col("partkey").asc()
+        )
+        .limit(k)
+    )
+
+
+def tukey_outlier_days(events: DataFrame) -> DataFrame:
+    """Tukey-fence outlier days: daily counts outside [Q1 − 1.5·IQR,
+    Q3 + 1.5·IQR], with exact type-1 quartiles from the bounded
+    distinct-count grain — the robust companion to q204's CUSUM (level
+    shifts) and q111's z-scores (Gaussian assumptions).
+
+    One daily count, quartiles via cumulative windows on the bounded
+    grain, fences in exact quarter-units (4·c vs 4·Q±6·IQR — no float).
+    Output per outlier day: (day, n_events, fence_lo_x4, fence_hi_x4)."""
+    daily = events.select(
+        F.expr("unix_timestamp(ts) div 86400").alias("day")
+    ).groupBy("day").agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    counts = daily.groupBy("c").agg(F.count(F.lit(1)).alias("nd"))
+    w = Window.orderBy("c").rowsBetween(Window.unboundedPreceding, 0)
+    tot = Window.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    cum = counts.select(
+        "c",
+        F.sum("nd").over(w).alias("cum"),
+        F.sum("nd").over(tot).alias("n"),
+    )
+    q = cum.agg(
+        F.min(F.when(F.col("cum") * 4 >= F.col("n"), F.col("c"))).alias("q1"),
+        F.min(
+            F.when(F.col("cum") * 4 >= 3 * F.col("n"), F.col("c"))
+        ).alias("q3"),
+    )
+    fenced = daily.crossJoin(F.broadcast(q)).select(
+        "day",
+        F.col("c").alias("n_events"),
+        (4 * F.col("q1") - 6 * (F.col("q3") - F.col("q1"))).alias("lo4"),
+        (4 * F.col("q3") + 6 * (F.col("q3") - F.col("q1"))).alias("hi4"),
+    )
+    return fenced.filter(
+        (4 * F.col("n_events") < F.col("lo4"))
+        | (4 * F.col("n_events") > F.col("hi4"))
+    ).select(
+        F.col("day").cast("bigint").alias("day"),
+        "n_events",
+        F.col("lo4").cast("bigint").alias("fence_lo_x4"),
+        F.col("hi4").cast("bigint").alias("fence_hi_x4"),
+    )
