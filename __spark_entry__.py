@@ -2419,6 +2419,204 @@ def q240_tukey_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     return analytics.tukey_outlier_days(_base(spark, sf_dir, "events"))
 
 
+# --- TPC-H fill-in wave (q241-q255) ------------------------------------------
+Q3_SEGMENT = "BUILDING"
+Q3_CUTOFF_S = 852076800       # 1997-01-01
+Q3_K = 10
+Q6_START_S, Q6_END_S = 820454400, 852076800  # 1996
+Q7_NATION_A, Q7_NATION_B = "UNITED STATES", "CHINA"
+Q7_START_S, Q7_END_S = 820454400, 883612800  # 1996-1997
+Q8_NATION, Q8_REGION, Q8_TYPE = "BRAZIL", "AMERICA", "STANDARD"
+Q9_TOKEN, Q9_COST = "red", 0.6
+Q10_START_S, Q10_END_S, Q10_K = 852076800, 859881600, 20  # 1997 Q1
+Q14_START_S, Q14_END_S = 841536000, 844128000  # 1996-09
+Q15_START_S, Q15_END_S = 820454400, 828316800  # 1996 Q1
+Q17_BRAND, Q17_FRAC = "Brand#23", 0.2
+Q18_MIN_QTY, Q18_K = 250.0, 100
+Q19_BRANCHES = (
+    ("Brand#11", 1.0, 11.0, 1, 5),
+    ("Brand#22", 10.0, 20.0, 1, 10),
+    ("Brand#33", 20.0, 30.0, 1, 15),
+)
+Q22_CUTOFF_S = 915148800      # 1999-01-01
+Q2_TYPE, Q2_MIN_SIZE, Q2_K = "LARGE", 40, 100
+Q11_NATION, Q11_FRAC = "GERMANY", 0.001
+
+
+def q241_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 (analytics.shipping_priority): unshipped-order revenue
+    top-k for one market segment."""
+    return analytics.shipping_priority(
+        _base(spark, sf_dir, "customer"),
+        _base(spark, sf_dir, "orders"),
+        _base(spark, sf_dir, "lineitem"),
+        segment=Q3_SEGMENT, cutoff_s=Q3_CUTOFF_S, k=Q3_K,
+    )
+
+
+def q242_revenue_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6 (analytics.revenue_forecast): fully scan-pushed filtered
+    global sum."""
+    return analytics.revenue_forecast(
+        _base(spark, sf_dir, "lineitem"),
+        start_epoch_s=Q6_START_S, end_epoch_s=Q6_END_S,
+    )
+
+
+def q243_nation_trade_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7 (analytics.nation_trade_volume): bilateral shipping
+    volume per direction per ship year."""
+    return analytics.nation_trade_volume(
+        _base(spark, sf_dir, "lineitem"),
+        _base(spark, sf_dir, "orders"),
+        _base(spark, sf_dir, "customer"),
+        _base(spark, sf_dir, "supplier"),
+        _base(spark, sf_dir, "nation"),
+        nation_a=Q7_NATION_A, nation_b=Q7_NATION_B,
+        start_epoch_s=Q7_START_S, end_epoch_s=Q7_END_S,
+    )
+
+
+def q244_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8 (analytics.market_share): one nation's share of a
+    region's market for one part type, per order year."""
+    return analytics.market_share(
+        _base(spark, sf_dir, "lineitem"),
+        _base(spark, sf_dir, "orders"),
+        _base(spark, sf_dir, "customer"),
+        _base(spark, sf_dir, "supplier"),
+        _base(spark, sf_dir, "part"),
+        _base(spark, sf_dir, "nation"),
+        _base(spark, sf_dir, "region"),
+        target_nation=Q8_NATION, region_name=Q8_REGION, part_type=Q8_TYPE,
+    )
+
+
+def q245_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9 adapted (analytics.product_profit): nation x year profit
+    with modeled unit cost."""
+    return analytics.product_profit(
+        _base(spark, sf_dir, "lineitem"),
+        _base(spark, sf_dir, "orders"),
+        _base(spark, sf_dir, "supplier"),
+        _base(spark, sf_dir, "part"),
+        _base(spark, sf_dir, "nation"),
+        name_token=Q9_TOKEN, cost_factor=Q9_COST,
+    )
+
+
+def q246_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10 (analytics.returned_items): top returned-revenue
+    customers in one quarter."""
+    return analytics.returned_items(
+        _base(spark, sf_dir, "lineitem"),
+        _base(spark, sf_dir, "orders"),
+        _base(spark, sf_dir, "customer"),
+        _base(spark, sf_dir, "nation"),
+        start_epoch_s=Q10_START_S, end_epoch_s=Q10_END_S, k=Q10_K,
+    )
+
+
+def q247_order_count_distribution(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """TPC-H Q13 (analytics.order_count_distribution): orders-per-
+    customer distribution including zero-order customers."""
+    return analytics.order_count_distribution(
+        _base(spark, sf_dir, "customer"), _base(spark, sf_dir, "orders")
+    )
+
+
+def q248_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14 (analytics.promo_revenue): PROMO-part revenue share of
+    one month."""
+    return analytics.promo_revenue(
+        _base(spark, sf_dir, "lineitem"),
+        _base(spark, sf_dir, "part"),
+        start_epoch_s=Q14_START_S, end_epoch_s=Q14_END_S,
+    )
+
+
+def q249_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15 (analytics.top_supplier): max-revenue supplier(s) in one
+    quarter via 1-row max broadcast."""
+    return analytics.top_supplier(
+        _base(spark, sf_dir, "lineitem"),
+        _base(spark, sf_dir, "supplier"),
+        start_epoch_s=Q15_START_S, end_epoch_s=Q15_END_S,
+    )
+
+
+def q250_small_qty_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 (analytics.small_qty_revenue): below-average-quantity
+    revenue for one brand."""
+    return analytics.small_qty_revenue(
+        _base(spark, sf_dir, "lineitem"),
+        _base(spark, sf_dir, "part"),
+        brand=Q17_BRAND, frac=Q17_FRAC,
+    )
+
+
+def q251_large_volume_customers(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """TPC-H Q18 (analytics.large_volume_customers): customers with
+    single orders above a quantity threshold."""
+    return analytics.large_volume_customers(
+        _base(spark, sf_dir, "lineitem"),
+        _base(spark, sf_dir, "orders"),
+        _base(spark, sf_dir, "customer"),
+        min_qty=Q18_MIN_QTY, k=Q18_K,
+    )
+
+
+def q252_discounted_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19 (analytics.discounted_revenue): OR-of-ANDs brand/qty/
+    size predicate inside one partkey equi-join."""
+    return analytics.discounted_revenue(
+        _base(spark, sf_dir, "lineitem"),
+        _base(spark, sf_dir, "part"),
+        branches=Q19_BRANCHES,
+    )
+
+
+def q253_dormant_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 adapted (analytics.dormant_customers): well-funded
+    customers with no recent orders, grouped by nation key."""
+    return analytics.dormant_customers(
+        _base(spark, sf_dir, "customer"),
+        _base(spark, sf_dir, "orders"),
+        cutoff_s=Q22_CUTOFF_S,
+    )
+
+
+def q254_min_unit_price_supplier(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """TPC-H Q2 adapted (analytics.min_unit_price_supplier): lowest
+    observed-unit-price supplier per qualifying part."""
+    return analytics.min_unit_price_supplier(
+        _base(spark, sf_dir, "lineitem"),
+        _base(spark, sf_dir, "part"),
+        _base(spark, sf_dir, "supplier"),
+        _base(spark, sf_dir, "nation"),
+        part_type=Q2_TYPE, min_size=Q2_MIN_SIZE, k=Q2_K,
+    )
+
+
+def q255_important_part_value(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """TPC-H Q11 adapted (analytics.important_part_value): parts whose
+    traded value through one nation exceeds a fraction of the total."""
+    return analytics.important_part_value(
+        _base(spark, sf_dir, "lineitem"),
+        _base(spark, sf_dir, "supplier"),
+        _base(spark, sf_dir, "nation"),
+        nation_name=Q11_NATION, frac=Q11_FRAC,
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001: the backup-listing report."""
     return q01_list_backups(spark, "/root/testdata/sf0.001")
@@ -2666,6 +2864,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q238_user_entropy": q238_user_entropy,
         "q239_smoothed_popularity": q239_smoothed_popularity,
         "q240_tukey_outliers": q240_tukey_outliers,
+        "q241_shipping_priority": q241_shipping_priority,
+        "q242_revenue_forecast": q242_revenue_forecast,
+        "q243_nation_trade_volume": q243_nation_trade_volume,
+        "q244_market_share": q244_market_share,
+        "q245_product_profit": q245_product_profit,
+        "q246_returned_items": q246_returned_items,
+        "q247_order_count_distribution": q247_order_count_distribution,
+        "q248_promo_revenue": q248_promo_revenue,
+        "q249_top_supplier": q249_top_supplier,
+        "q250_small_qty_revenue": q250_small_qty_revenue,
+        "q251_large_volume_customers": q251_large_volume_customers,
+        "q252_discounted_revenue": q252_discounted_revenue,
+        "q253_dormant_customers": q253_dormant_customers,
+        "q254_min_unit_price_supplier": q254_min_unit_price_supplier,
+        "q255_important_part_value": q255_important_part_value,
     }
 
 
