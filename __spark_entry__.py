@@ -2424,9 +2424,10 @@ Q3_SEGMENT = "BUILDING"
 Q3_CUTOFF_S = 852076800       # 1997-01-01
 Q3_K = 10
 Q6_START_S, Q6_END_S = 820454400, 852076800  # 1996
-Q7_NATION_A, Q7_NATION_B = "UNITED STATES", "CHINA"
+# fixture nation names are NATION_0..NATION_24 (regionkey = key % 5)
+Q7_NATION_A, Q7_NATION_B = "NATION_4", "NATION_7"
 Q7_START_S, Q7_END_S = 820454400, 883612800  # 1996-1997
-Q8_NATION, Q8_REGION, Q8_TYPE = "BRAZIL", "AMERICA", "STANDARD"
+Q8_NATION, Q8_REGION, Q8_TYPE = "NATION_6", "AMERICA", "STANDARD"
 Q9_TOKEN, Q9_COST = "red", 0.6
 Q10_START_S, Q10_END_S, Q10_K = 852076800, 859881600, 20  # 1997 Q1
 Q14_START_S, Q14_END_S = 841536000, 844128000  # 1996-09
@@ -2436,11 +2437,11 @@ Q18_MIN_QTY, Q18_K = 250.0, 100
 Q19_BRANCHES = (
     ("Brand#11", 1.0, 11.0, 1, 5),
     ("Brand#22", 10.0, 20.0, 1, 10),
-    ("Brand#33", 20.0, 30.0, 1, 15),
+    ("Brand#25", 20.0, 30.0, 1, 15),  # fixture brands are Brand#1..Brand#25
 )
 Q22_CUTOFF_S = 915148800      # 1999-01-01
 Q2_TYPE, Q2_MIN_SIZE, Q2_K = "LARGE", 40, 100
-Q11_NATION, Q11_FRAC = "GERMANY", 0.001
+Q11_NATION, Q11_FRAC = "NATION_7", 0.001
 
 
 def q241_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -2974,7 +2974,12 @@ def market_share(
     part type, per order year. The share is a conditional-sum ratio
     inside ONE aggregation (no second scan, no join of two aggregates);
     part prunes on p_type before its uniform partkey join; nation/region
-    broadcast on both the customer (market) and supplier (share) legs."""
+    broadcast on both the customer (market) and supplier (share) legs.
+    Adapted from spec Q8: the o_orderdate 1995-1996 window is dropped —
+    all order years report (pass start/end epoch filters on orders
+    upstream to restore the spec window). Only the bounded nation/region
+    dims carry broadcast hints; the supplier-derived side scales with SF
+    and joins by shuffle (AQE may still elect broadcast when small)."""
     r = region.filter(F.col("r_name") == region_name)
     n_mkt = nation.join(
         F.broadcast(r), nation["n_regionkey"] == r["r_regionkey"]
@@ -3006,7 +3011,7 @@ def market_share(
             l["l_orderkey"] == F.col("o_orderkey"),
         )
         .join(c, F.col("o_custkey") == c["c_custkey"])
-        .join(F.broadcast(s), l["l_suppkey"] == s["s_suppkey"])
+        .join(s, l["l_suppkey"] == s["s_suppkey"])
     )
     return joined.groupBy("order_year").agg(
         F.sum(
@@ -3038,8 +3043,10 @@ def product_profit(
 
     Scale shape: the name filter prunes part before the uniform partkey
     join (contains() is not a pushed filter, but it IS evaluated in the
-    scan stage before the shuffle); supplier+nation broadcast; profit is
-    exact integer cents so the oracle comparison is bit-stable."""
+    scan stage before the shuffle); nation broadcasts into supplier, but
+    the supplier-derived side itself joins by shuffle (it scales with
+    SF); profit is exact integer cents so the oracle comparison is
+    bit-stable."""
     p = part.filter(F.col("p_name").contains(name_token)).select(
         "p_partkey", "p_retailprice"
     )
@@ -3059,7 +3066,7 @@ def product_profit(
             ),
             l["l_orderkey"] == F.col("o_orderkey"),
         )
-        .join(F.broadcast(s), l["l_suppkey"] == s["s_suppkey"])
+        .join(s, l["l_suppkey"] == s["s_suppkey"])
         .select(
             "supp_nation",
             "order_year",
@@ -3398,7 +3405,9 @@ def min_unit_price_supplier(
         .groupBy("partkey", "suppkey")
         .agg(F.min("unit").alias("min_unit"))
     )
-    best = obs.groupBy("partkey").agg(F.min("min_unit").alias("best_unit"))
+    best = obs.groupBy(F.col("partkey").alias("best_pk")).agg(
+        F.min("min_unit").alias("best_unit")
+    )
     s = supplier.join(
         F.broadcast(nation.select("n_nationkey", "n_name")),
         supplier["s_nationkey"] == F.col("n_nationkey"),
@@ -3406,11 +3415,11 @@ def min_unit_price_supplier(
     return (
         obs.join(
             best,
-            (obs["partkey"] == best["partkey"])
-            & (obs["min_unit"] == best["best_unit"]),
+            (F.col("partkey") == F.col("best_pk"))
+            & (F.col("min_unit") == F.col("best_unit")),
         )
-        .select(obs["partkey"], "suppkey", "min_unit")
-        .join(F.broadcast(s), F.col("suppkey") == s["s_suppkey"])
+        .select("partkey", "suppkey", "min_unit")
+        .join(s, F.col("suppkey") == s["s_suppkey"])
         .select(
             "partkey",
             "suppkey",
