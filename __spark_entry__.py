@@ -2428,6 +2428,7 @@ Q6_START_S, Q6_END_S = 820454400, 852076800  # 1996
 Q7_NATION_A, Q7_NATION_B = "NATION_4", "NATION_7"
 Q7_START_S, Q7_END_S = 820454400, 883612800  # 1996-1997
 Q8_NATION, Q8_REGION, Q8_TYPE = "NATION_6", "AMERICA", "STANDARD"
+Q8_START_S, Q8_END_S = 788918400, 852076800  # spec window: 1995-1996
 Q9_TOKEN, Q9_COST = "red", 0.6
 Q10_START_S, Q10_END_S, Q10_K = 852076800, 859881600, 20  # 1997 Q1
 Q14_START_S, Q14_END_S = 841536000, 844128000  # 1996-09
@@ -2490,6 +2491,7 @@ def q244_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
         _base(spark, sf_dir, "nation"),
         _base(spark, sf_dir, "region"),
         target_nation=Q8_NATION, region_name=Q8_REGION, part_type=Q8_TYPE,
+        start_epoch_s=Q8_START_S, end_epoch_s=Q8_END_S,
     )
 
 
@@ -9815,5 +9817,305 @@ def oracle_sql() -> dict[str, str]:
                    CAST(CASE WHEN s_milli > mean_milli * 3 THEN 1 ELSE 0 END
                         AS BIGINT) AS flagged
             FROM s
+        """,
+        "q241_shipping_priority": f"""
+            SELECT l.l_orderkey AS orderkey,
+                   CAST(epoch(o.o_orderdate) AS BIGINT) AS orderdate_s,
+                   CAST(SUM(CAST(ROUND(l.l_extendedprice
+                                       * (1 - l.l_discount) * 100)
+                                 AS BIGINT)) AS BIGINT) AS revenue_cents
+            FROM lineitem l
+            JOIN orders o ON l.l_orderkey = o.o_orderkey
+            JOIN customer c ON o.o_custkey = c.c_custkey
+            WHERE c.c_mktsegment = '{Q3_SEGMENT}'
+              AND CAST(epoch(o.o_orderdate) AS BIGINT) < {Q3_CUTOFF_S}
+              AND CAST(epoch(l.l_shipdate) AS BIGINT) > {Q3_CUTOFF_S}
+            GROUP BY 1, 2
+            ORDER BY revenue_cents DESC, orderkey ASC
+            LIMIT {Q3_K}
+        """,
+        "q242_revenue_forecast": f"""
+            SELECT CAST(SUM(CAST(ROUND(l_extendedprice * l_discount * 100)
+                                 AS BIGINT)) AS BIGINT) AS revenue_cents
+            FROM lineitem
+            WHERE CAST(epoch(l_shipdate) AS BIGINT) >= {Q6_START_S}
+              AND CAST(epoch(l_shipdate) AS BIGINT) < {Q6_END_S}
+              AND l_discount >= 0.05 AND l_discount <= 0.07
+              AND l_quantity < 24.0
+        """,
+        "q243_nation_trade_volume": f"""
+            SELECT ns.n_name AS supp_nation,
+                   nc.n_name AS cust_nation,
+                   CAST(year(l.l_shipdate) AS INTEGER) AS ship_year,
+                   CAST(SUM(CAST(ROUND(l.l_extendedprice
+                                       * (1 - l.l_discount) * 100)
+                                 AS BIGINT)) AS BIGINT) AS volume_cents
+            FROM lineitem l
+            JOIN supplier s ON l.l_suppkey = s.s_suppkey
+            JOIN nation ns ON s.s_nationkey = ns.n_nationkey
+            JOIN orders o ON l.l_orderkey = o.o_orderkey
+            JOIN customer c ON o.o_custkey = c.c_custkey
+            JOIN nation nc ON c.c_nationkey = nc.n_nationkey
+            WHERE ns.n_name IN ('{Q7_NATION_A}', '{Q7_NATION_B}')
+              AND nc.n_name IN ('{Q7_NATION_A}', '{Q7_NATION_B}')
+              AND ns.n_name <> nc.n_name
+              AND CAST(epoch(l.l_shipdate) AS BIGINT) >= {Q7_START_S}
+              AND CAST(epoch(l.l_shipdate) AS BIGINT) < {Q7_END_S}
+            GROUP BY 1, 2, 3
+        """,
+        "q244_market_share": f"""
+            WITH flat AS (
+                SELECT CAST(year(o.o_orderdate) AS INTEGER) AS order_year,
+                       ns.n_name AS supp_nation,
+                       CAST(ROUND(l.l_extendedprice
+                                  * (1 - l.l_discount) * 100)
+                            AS BIGINT) AS rev_cents
+                FROM lineitem l
+                JOIN part p ON l.l_partkey = p.p_partkey
+                JOIN orders o ON l.l_orderkey = o.o_orderkey
+                JOIN customer c ON o.o_custkey = c.c_custkey
+                JOIN nation nm ON c.c_nationkey = nm.n_nationkey
+                JOIN region r ON nm.n_regionkey = r.r_regionkey
+                JOIN supplier s ON l.l_suppkey = s.s_suppkey
+                JOIN nation ns ON s.s_nationkey = ns.n_nationkey
+                WHERE p.p_type = '{Q8_TYPE}'
+                  AND r.r_name = '{Q8_REGION}'
+                  AND CAST(epoch(o.o_orderdate) AS BIGINT) >= {Q8_START_S}
+                  AND CAST(epoch(o.o_orderdate) AS BIGINT) < {Q8_END_S}
+            )
+            SELECT order_year,
+                   CAST(SUM(CASE WHEN supp_nation = '{Q8_NATION}'
+                                 THEN rev_cents ELSE 0 END)
+                        AS BIGINT) AS target_cents,
+                   CAST(SUM(rev_cents) AS BIGINT) AS total_cents,
+                   SUM(CASE WHEN supp_nation = '{Q8_NATION}'
+                            THEN rev_cents ELSE 0 END)
+                       / CAST(SUM(rev_cents) AS DOUBLE) AS mkt_share
+            FROM flat GROUP BY 1
+        """,
+        "q245_product_profit": f"""
+            SELECT ns.n_name AS supp_nation,
+                   CAST(year(o.o_orderdate) AS INTEGER) AS order_year,
+                   CAST(SUM(CAST(ROUND(l.l_extendedprice
+                                       * (1 - l.l_discount) * 100)
+                                 AS BIGINT)
+                            - CAST(ROUND(p.p_retailprice * l.l_quantity
+                                         * {Q9_COST} * 100)
+                                   AS BIGINT))
+                        AS BIGINT) AS profit_cents
+            FROM lineitem l
+            JOIN part p ON l.l_partkey = p.p_partkey
+            JOIN orders o ON l.l_orderkey = o.o_orderkey
+            JOIN supplier s ON l.l_suppkey = s.s_suppkey
+            JOIN nation ns ON s.s_nationkey = ns.n_nationkey
+            WHERE p.p_name LIKE '%{Q9_TOKEN}%'
+            GROUP BY 1, 2
+        """,
+        "q246_returned_items": f"""
+            SELECT c.c_custkey AS custkey,
+                   c.c_name AS cust_name,
+                   CAST(ROUND(c.c_acctbal * 100) AS BIGINT) AS acctbal_cents,
+                   n.n_name AS nation_name,
+                   CAST(SUM(CAST(ROUND(l.l_extendedprice
+                                       * (1 - l.l_discount) * 100)
+                                 AS BIGINT)) AS BIGINT) AS revenue_cents
+            FROM lineitem l
+            JOIN orders o ON l.l_orderkey = o.o_orderkey
+            JOIN customer c ON o.o_custkey = c.c_custkey
+            JOIN nation n ON c.c_nationkey = n.n_nationkey
+            WHERE l.l_returnflag = 'R'
+              AND CAST(epoch(o.o_orderdate) AS BIGINT) >= {Q10_START_S}
+              AND CAST(epoch(o.o_orderdate) AS BIGINT) < {Q10_END_S}
+            GROUP BY 1, 2, 3, 4
+            ORDER BY revenue_cents DESC, custkey ASC
+            LIMIT {Q10_K}
+        """,
+        "q247_order_count_distribution": """
+            WITH per_cust AS (
+                SELECT c.c_custkey,
+                       COALESCE(t.cnt, 0) AS c_count
+                FROM customer c
+                LEFT JOIN (
+                    SELECT o_custkey, COUNT(*) AS cnt
+                    FROM orders GROUP BY 1
+                ) t ON c.c_custkey = t.o_custkey
+            )
+            SELECT CAST(c_count AS BIGINT) AS c_count,
+                   CAST(COUNT(*) AS BIGINT) AS custdist
+            FROM per_cust GROUP BY 1
+        """,
+        "q248_promo_revenue": f"""
+            WITH flat AS (
+                SELECT p.p_type,
+                       CAST(ROUND(l.l_extendedprice
+                                  * (1 - l.l_discount) * 100)
+                            AS BIGINT) AS rev_cents
+                FROM lineitem l
+                JOIN part p ON l.l_partkey = p.p_partkey
+                WHERE CAST(epoch(l.l_shipdate) AS BIGINT) >= {Q14_START_S}
+                  AND CAST(epoch(l.l_shipdate) AS BIGINT) < {Q14_END_S}
+            )
+            SELECT CAST(SUM(CASE WHEN p_type = 'PROMO'
+                                 THEN rev_cents ELSE 0 END)
+                        AS BIGINT) AS promo_cents,
+                   CAST(SUM(rev_cents) AS BIGINT) AS total_cents,
+                   100.0 * SUM(CASE WHEN p_type = 'PROMO'
+                                    THEN rev_cents ELSE 0 END)
+                       / CAST(SUM(rev_cents) AS DOUBLE) AS promo_pct
+            FROM flat
+        """,
+        "q249_top_supplier": f"""
+            WITH rev AS (
+                SELECT l_suppkey,
+                       CAST(SUM(CAST(ROUND(l_extendedprice
+                                           * (1 - l_discount) * 100)
+                                     AS BIGINT)) AS BIGINT)
+                           AS total_revenue_cents
+                FROM lineitem
+                WHERE CAST(epoch(l_shipdate) AS BIGINT) >= {Q15_START_S}
+                  AND CAST(epoch(l_shipdate) AS BIGINT) < {Q15_END_S}
+                GROUP BY 1
+            )
+            SELECT r.l_suppkey AS suppkey,
+                   s.s_name AS supp_name,
+                   r.total_revenue_cents
+            FROM rev r
+            JOIN supplier s ON r.l_suppkey = s.s_suppkey
+            WHERE r.total_revenue_cents =
+                  (SELECT MAX(total_revenue_cents) FROM rev)
+        """,
+        "q250_small_qty_revenue": f"""
+            WITH l AS (
+                SELECT l.l_partkey AS partkey, l.l_quantity,
+                       CAST(ROUND(l.l_extendedprice * 100) AS BIGINT)
+                           AS price_cents
+                FROM lineitem l
+                JOIN part p ON l.l_partkey = p.p_partkey
+                WHERE p.p_brand = '{Q17_BRAND}'
+            ),
+            avg_q AS (
+                SELECT partkey, AVG(l_quantity) AS avg_qty
+                FROM l GROUP BY 1
+            )
+            SELECT CAST(SUM(l.price_cents) AS BIGINT) AS total_cents,
+                   SUM(l.price_cents) / 700.0 AS avg_yearly
+            FROM l JOIN avg_q USING (partkey)
+            WHERE l.l_quantity < {Q17_FRAC} * avg_q.avg_qty
+        """,
+        "q251_large_volume_customers": f"""
+            WITH big AS (
+                SELECT l_orderkey, SUM(l_quantity) AS total_qty
+                FROM lineitem GROUP BY 1
+                HAVING SUM(l_quantity) > {Q18_MIN_QTY}
+            )
+            SELECT c.c_name AS cust_name,
+                   c.c_custkey AS custkey,
+                   b.l_orderkey AS orderkey,
+                   CAST(epoch(o.o_orderdate) AS BIGINT) AS orderdate_s,
+                   CAST(ROUND(o.o_totalprice * 100) AS BIGINT)
+                       AS totalprice_cents,
+                   b.total_qty AS total_qty
+            FROM big b
+            JOIN orders o ON b.l_orderkey = o.o_orderkey
+            JOIN customer c ON o.o_custkey = c.c_custkey
+            ORDER BY totalprice_cents DESC, orderkey ASC
+            LIMIT {Q18_K}
+        """,
+        "q252_discounted_revenue": f"""
+            SELECT CAST(SUM(CAST(ROUND(l.l_extendedprice
+                                       * (1 - l.l_discount) * 100)
+                                 AS BIGINT)) AS BIGINT) AS revenue_cents
+            FROM lineitem l
+            JOIN part p ON l.l_partkey = p.p_partkey
+            WHERE l.l_quantity >= 1.0 AND l.l_quantity <= 30.0
+              AND (
+                (p.p_brand = '{Q19_BRANCHES[0][0]}'
+                 AND l.l_quantity BETWEEN {Q19_BRANCHES[0][1]}
+                                      AND {Q19_BRANCHES[0][2]}
+                 AND p.p_size BETWEEN {Q19_BRANCHES[0][3]}
+                                  AND {Q19_BRANCHES[0][4]})
+                OR
+                (p.p_brand = '{Q19_BRANCHES[1][0]}'
+                 AND l.l_quantity BETWEEN {Q19_BRANCHES[1][1]}
+                                      AND {Q19_BRANCHES[1][2]}
+                 AND p.p_size BETWEEN {Q19_BRANCHES[1][3]}
+                                  AND {Q19_BRANCHES[1][4]})
+                OR
+                (p.p_brand = '{Q19_BRANCHES[2][0]}'
+                 AND l.l_quantity BETWEEN {Q19_BRANCHES[2][1]}
+                                      AND {Q19_BRANCHES[2][2]}
+                 AND p.p_size BETWEEN {Q19_BRANCHES[2][3]}
+                                  AND {Q19_BRANCHES[2][4]})
+              )
+        """,
+        "q253_dormant_customers": f"""
+            WITH avg_pos AS (
+                SELECT SUM(CAST(ROUND(c_acctbal * 100) AS BIGINT))
+                           AS pos_cents,
+                       COUNT(*) AS pos_n
+                FROM customer WHERE c_acctbal > 0
+            ),
+            rich AS (
+                SELECT c.c_custkey, c.c_nationkey, c.c_acctbal
+                FROM customer c CROSS JOIN avg_pos a
+                WHERE CAST(ROUND(c.c_acctbal * 100) AS BIGINT) * a.pos_n
+                      > a.pos_cents
+            )
+            SELECT CAST(r.c_nationkey AS BIGINT) AS nationkey,
+                   CAST(COUNT(*) AS BIGINT) AS numcust,
+                   CAST(SUM(CAST(ROUND(r.c_acctbal * 100) AS BIGINT))
+                        AS BIGINT) AS totacctbal_cents
+            FROM rich r
+            WHERE NOT EXISTS (
+                SELECT 1 FROM orders o
+                WHERE o.o_custkey = r.c_custkey
+                  AND CAST(epoch(o.o_orderdate) AS BIGINT) >= {Q22_CUTOFF_S}
+            )
+            GROUP BY 1
+        """,
+        "q254_min_unit_price_supplier": f"""
+            WITH obs AS (
+                SELECT l.l_partkey AS partkey,
+                       l.l_suppkey AS suppkey,
+                       MIN(l.l_extendedprice / l.l_quantity) AS min_unit
+                FROM lineitem l
+                JOIN part p ON l.l_partkey = p.p_partkey
+                WHERE p.p_type = '{Q2_TYPE}' AND p.p_size >= {Q2_MIN_SIZE}
+                GROUP BY 1, 2
+            ),
+            best AS (
+                SELECT partkey, MIN(min_unit) AS best_unit
+                FROM obs GROUP BY 1
+            )
+            SELECT o.partkey,
+                   o.suppkey,
+                   s.s_name AS supp_name,
+                   n.n_name AS nation_name,
+                   CAST(ROUND(s.s_acctbal * 100) AS BIGINT) AS acctbal_cents,
+                   CAST(ROUND(o.min_unit * 1e6) AS BIGINT) AS unit_micros
+            FROM obs o
+            JOIN best b ON o.partkey = b.partkey
+                       AND o.min_unit = b.best_unit
+            JOIN supplier s ON o.suppkey = s.s_suppkey
+            JOIN nation n ON s.s_nationkey = n.n_nationkey
+            ORDER BY acctbal_cents DESC, o.partkey ASC, o.suppkey ASC
+            LIMIT {Q2_K}
+        """,
+        "q255_important_part_value": f"""
+            WITH val AS (
+                SELECT l.l_partkey AS partkey,
+                       CAST(SUM(CAST(ROUND(l.l_extendedprice
+                                           * (1 - l.l_discount) * 100)
+                                     AS BIGINT)) AS BIGINT) AS value_cents
+                FROM lineitem l
+                JOIN supplier s ON l.l_suppkey = s.s_suppkey
+                JOIN nation n ON s.s_nationkey = n.n_nationkey
+                WHERE n.n_name = '{Q11_NATION}'
+                GROUP BY 1
+            )
+            SELECT partkey, value_cents
+            FROM val
+            WHERE value_cents > (SELECT SUM(value_cents) * {Q11_FRAC}
+                                 FROM val)
         """,
     }

@@ -212,6 +212,21 @@ BENCH_QUERIES = [
     "q236_stump_eval",
     "q237_seasonal_strength",
     "q238_user_entropy",
+    "q241_shipping_priority",
+    "q242_revenue_forecast",
+    "q243_nation_trade_volume",
+    "q244_market_share",
+    "q245_product_profit",
+    "q246_returned_items",
+    "q247_order_count_distribution",
+    "q248_promo_revenue",
+    "q249_top_supplier",
+    "q250_small_qty_revenue",
+    "q251_large_volume_customers",
+    "q252_discounted_revenue",
+    "q253_dormant_customers",
+    "q254_min_unit_price_supplier",
+    "q255_important_part_value",
 ]
 
 
@@ -228,6 +243,21 @@ def _pinned_shuffle_partitions(sf: float) -> int:
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    # Optional subset for local smoke runs: comma-separated names, or a
+    # prefix ending in '*' (e.g. "q24*"). Default (unset) runs everything.
+    subset = os.environ.get("SPARK_GRAFT_BENCH_QUERIES", "")
+    bench_queries = BENCH_QUERIES
+    if subset:
+        names = [s.strip() for s in subset.split(",") if s.strip()]
+        picked: list[str] = []
+        for pat in names:
+            if pat.endswith("*"):
+                picked.extend(
+                    q for q in BENCH_QUERIES if q.startswith(pat[:-1])
+                )
+            elif pat in BENCH_QUERIES:
+                picked.append(pat)
+        bench_queries = picked
     sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in sf_dir else -1.0
     spark = get_spark(
         "esop-bench", shuffle_partitions=_pinned_shuffle_partitions(sf)
@@ -248,7 +278,7 @@ def main() -> None:
     # best-of-N-only report can manufacture methodology-only "wins").
     timings: dict[str, float] = {}
     medians: dict[str, float] = {}
-    for name in BENCH_QUERIES:
+    for name in bench_queries:
         qs[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
         trials = []
         for _ in range(5):
@@ -259,6 +289,25 @@ def main() -> None:
         medians[name] = round(sorted(trials)[2], 3)
 
     total = round(sum(timings.values()), 3)
+
+    # Stop the JVM BEFORE printing the result line. Spark shares our stdout;
+    # a >4 KB print is not an atomic pipe write, so a still-running JVM can
+    # interleave shutdown log lines mid-JSON and corrupt the one line the
+    # harness parses (exactly what happened once the suite outgrew ~150
+    # queries). With the JVM gone, ours is the only writer.
+    spark.stop()
+
+    # Medians (the variance-honest stat) go to stderr: keeping them off the
+    # primary line halves its size, and the harness parses stdout only.
+    print(
+        json.dumps(
+            {"queries_median": medians,
+             "median_total_seconds": round(sum(medians.values()), 3)},
+            separators=(",", ":"),
+        ),
+        file=sys.stderr,
+        flush=True,
+    )
     print(
         json.dumps(
             {
@@ -266,11 +315,12 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
-                "queries_median": medians,
                 "median_total_seconds": round(sum(medians.values()), 3),
                 "sf": sf,
-            }
-        )
+            },
+            separators=(",", ":"),
+        ),
+        flush=True,
     )
 
 

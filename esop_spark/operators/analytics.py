@@ -2969,17 +2969,19 @@ def market_share(
     target_nation: str = "BRAZIL",
     region_name: str = "AMERICA",
     part_type: str = "STANDARD",
+    start_epoch_s: int | None = None,
+    end_epoch_s: int | None = None,
 ) -> DataFrame:
     """TPC-H Q8: the target nation's share of one region's market for one
     part type, per order year. The share is a conditional-sum ratio
     inside ONE aggregation (no second scan, no join of two aggregates);
     part prunes on p_type before its uniform partkey join; nation/region
     broadcast on both the customer (market) and supplier (share) legs.
-    Adapted from spec Q8: the o_orderdate 1995-1996 window is dropped —
-    all order years report (pass start/end epoch filters on orders
-    upstream to restore the spec window). Only the bounded nation/region
-    dims carry broadcast hints; the supplier-derived side scales with SF
-    and joins by shuffle (AQE may still elect broadcast when small)."""
+    ``start_epoch_s``/``end_epoch_s`` apply the spec's o_orderdate window
+    ([start, end), scan-pushed); left as None, all order years report.
+    Only the bounded nation/region dims carry broadcast hints; the
+    supplier-derived side scales with SF and joins by shuffle (AQE may
+    still elect broadcast when small)."""
     r = region.filter(F.col("r_name") == region_name)
     n_mkt = nation.join(
         F.broadcast(r), nation["n_regionkey"] == r["r_regionkey"]
@@ -3000,10 +3002,19 @@ def market_share(
             "rev_cents"
         ),
     )
+    o = orders
+    if start_epoch_s is not None:
+        o = o.filter(
+            F.col("o_orderdate") >= F.timestamp_seconds(F.lit(start_epoch_s))
+        )
+    if end_epoch_s is not None:
+        o = o.filter(
+            F.col("o_orderdate") < F.timestamp_seconds(F.lit(end_epoch_s))
+        )
     joined = (
         l.join(p, l["l_partkey"] == p["p_partkey"])
         .join(
-            orders.select(
+            o.select(
                 "o_orderkey",
                 "o_custkey",
                 F.year("o_orderdate").cast("int").alias("order_year"),
@@ -3426,7 +3437,13 @@ def min_unit_price_supplier(
             F.col("s_name").alias("supp_name"),
             F.col("nation_name"),
             cents("s_acctbal").alias("acctbal_cents"),
-            F.round(F.col("min_unit"), 6).alias("unit_price"),
+            # integer micro-units, not round(x, 6): decimal-scale rounding
+            # of a double differs between engines at representation edges,
+            # while round(x * 1e6) is the same cents() construct the whole
+            # suite relies on for bit-stable cross-engine comparison
+            F.round(F.col("min_unit") * 1e6).cast("bigint").alias(
+                "unit_micros"
+            ),
         )
         .orderBy(
             F.col("acctbal_cents").desc(),
