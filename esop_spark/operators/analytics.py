@@ -2045,15 +2045,26 @@ def regional_revenue(
     relational pipeline in the suite (6 tables, 2 fact-fact joins, 3
     broadcast dims, a same-key equality threaded through both sides).
 
-    Plan shape at scale: region/nation/supplier broadcast; orders filters
-    push to the parquet scan (constant-foldable epoch bounds) BEFORE the
-    orderkey SMJ with lineitem; the customer join carries the nationkey
-    equality so Catalyst prunes mismatched pairs inside the join, not
-    after. Revenue in exact integer cents."""
+    Plan shape at scale: the same-nation constraint implies the line's
+    supplier must sit in the target region, so lineitem joins the
+    broadcast REGION-pruned supplier dim FIRST — cutting the fact side by
+    the region's selectivity (~1/|regions|) BEFORE the orderkey shuffle,
+    and every later shuffle moves only that slice. Orders filters push to
+    the parquet scan (constant-foldable epoch bounds) before the orderkey
+    SMJ; the customer join then carries the nationkey equality so
+    Catalyst prunes mismatched pairs inside the join, not after. Revenue
+    in exact integer cents."""
     r = region.filter(F.col("r_name") == region_name)
     n = nation.join(
         F.broadcast(r), nation["n_regionkey"] == r["r_regionkey"]
     ).select("n_nationkey", "n_name")
+    # suppliers restricted to the region's nations: any lineitem whose
+    # supplier is outside the region cannot satisfy supp-nation ==
+    # cust-nation (customer is region-bound), so this broadcast semi-
+    # filters the fact table before any shuffle
+    s = supplier.join(
+        F.broadcast(n), supplier["s_nationkey"] == n["n_nationkey"]
+    ).select("s_suppkey", F.col("s_nationkey").alias("supp_nk"))
     o = orders.filter(
         (F.col("o_orderdate") >= F.timestamp_seconds(F.lit(start_epoch_s)))
         & (F.col("o_orderdate") < F.timestamp_seconds(F.lit(end_epoch_s)))
@@ -2061,7 +2072,6 @@ def regional_revenue(
     c = customer.join(
         F.broadcast(n), customer["c_nationkey"] == n["n_nationkey"]
     ).select(F.col("c_custkey"), F.col("c_nationkey"), F.col("n_name"))
-    s = supplier.select("s_suppkey", "s_nationkey")
     return (
         lineitem.select(
             "l_orderkey",
@@ -2070,12 +2080,12 @@ def regional_revenue(
                 F.col("l_extendedprice") * (1 - F.col("l_discount"))
             ).alias("rev_cents"),
         )
+        .join(F.broadcast(s), F.col("l_suppkey") == s["s_suppkey"])
         .join(o, F.col("l_orderkey") == o["o_orderkey"])
-        .join(c, o["o_custkey"] == c["c_custkey"])
         .join(
-            F.broadcast(s),
-            (F.col("l_suppkey") == s["s_suppkey"])
-            & (c["c_nationkey"] == s["s_nationkey"]),
+            c,
+            (o["o_custkey"] == c["c_custkey"])
+            & (F.col("supp_nk") == c["c_nationkey"]),
         )
         .groupBy("n_name")
         .agg(F.sum("rev_cents").cast("bigint").alias("revenue_cents"))
