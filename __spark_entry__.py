@@ -38,6 +38,7 @@ from esop_spark.operators import (
     text as text_ops,
     topology,
 )
+from esop_spark.plans import layout
 
 # --- fixture parameters shared by Spark queries and oracle SQL --------------
 RETENTION_CUTOFF_MS = 1600000000000 + 7000 * 3600000
@@ -2620,6 +2621,71 @@ def q255_important_part_value(
     )
 
 
+# --- TPC-H completion + layout wave (q256-q260) ------------------------------
+Q1_CUTOFF_S = 904608000               # 1998-09-01 (spec shipdate cutoff)
+Q4_START_S, Q4_END_S = 836179200, 844128000  # 1996 Q3
+Q4_GRACE_DAYS = 30
+Q16_EXCLUDE_TYPE, Q16_K = "PROMO", 100
+Q20_START_S, Q20_END_S, Q20_FRAC = 820454400, 852076800, 0.5  # 1996
+ZO_BITS, ZO_CELL_BITS = 8, 3
+# query box: mid-January-2024 window × the low third of user ids
+ZO_BOX = (1704800000000, 1705400000000, 0, 49)
+
+
+def q256_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1 full spec shape (analytics.pricing_summary): 8-aggregate
+    pricing summary in exact cents."""
+    return analytics.pricing_summary(
+        _base(spark, sf_dir, "lineitem"), cutoff_epoch_s=Q1_CUTOFF_S
+    )
+
+
+def q257_late_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 adapted (analytics.late_order_priority): per-priority
+    count of orders with a late-shipping line (EXISTS semi-join)."""
+    return analytics.late_order_priority(
+        _base(spark, sf_dir, "orders"),
+        _base(spark, sf_dir, "lineitem"),
+        start_epoch_s=Q4_START_S, end_epoch_s=Q4_END_S,
+        grace_days=Q4_GRACE_DAYS,
+    )
+
+
+def q258_part_supplier_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16 adapted (analytics.part_supplier_counts): distinct
+    supplier breadth per (brand, type, size)."""
+    return analytics.part_supplier_counts(
+        _base(spark, sf_dir, "lineitem"),
+        _base(spark, sf_dir, "part"),
+        exclude_type=Q16_EXCLUDE_TYPE, k=Q16_K,
+    )
+
+
+def q259_excess_shippers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20 adapted (analytics.excess_shippers): suppliers
+    dominating a part's shipped volume in a window."""
+    return analytics.excess_shippers(
+        _base(spark, sf_dir, "lineitem"),
+        _base(spark, sf_dir, "supplier"),
+        _base(spark, sf_dir, "nation"),
+        start_epoch_s=Q20_START_S, end_epoch_s=Q20_END_S, frac=Q20_FRAC,
+    )
+
+
+def q260_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order clustering advisor (plans.layout.zorder_cell_stats) over
+    events (time × user): per-would-be-file Morton-bucket envelopes and
+    whether a 2-D query box must read each file — the measured zone-map
+    skip ratio for an interleaved layout."""
+    ev = _base(spark, sf_dir, "events").select(
+        F.unix_millis("ts").alias("ts_ms"), "user_id"
+    )
+    return layout.zorder_cell_stats(
+        ev, "ts_ms", "user_id",
+        bits=ZO_BITS, cell_bits=ZO_CELL_BITS, box=ZO_BOX,
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001: the backup-listing report."""
     return q01_list_backups(spark, "/root/testdata/sf0.001")
@@ -2882,6 +2948,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q253_dormant_customers": q253_dormant_customers,
         "q254_min_unit_price_supplier": q254_min_unit_price_supplier,
         "q255_important_part_value": q255_important_part_value,
+        "q256_pricing_summary": q256_pricing_summary,
+        "q257_late_order_priority": q257_late_order_priority,
+        "q258_part_supplier_counts": q258_part_supplier_counts,
+        "q259_excess_shippers": q259_excess_shippers,
+        "q260_zorder_layout": q260_zorder_layout,
     }
 
 
@@ -10118,4 +10189,131 @@ def oracle_sql() -> dict[str, str]:
             WHERE value_cents > (SELECT SUM(value_cents) * {Q11_FRAC}
                                  FROM val)
         """,
+        "q256_pricing_summary": f"""
+            SELECT l_returnflag, l_linestatus,
+                   CAST(SUM(CAST(ROUND(l_quantity * 100) AS BIGINT))
+                        AS BIGINT) AS sum_qty_cents,
+                   CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT))
+                        AS BIGINT) AS sum_base_cents,
+                   CAST(SUM(CAST(ROUND(l_extendedprice * (1 - l_discount)
+                                       * 100) AS BIGINT))
+                        AS BIGINT) AS sum_disc_cents,
+                   CAST(SUM(CAST(ROUND(l_extendedprice * (1 - l_discount)
+                                       * (1 + l_tax) * 100) AS BIGINT))
+                        AS BIGINT) AS sum_charge_cents,
+                   SUM(CAST(ROUND(l_quantity * 100) AS BIGINT))
+                       / CAST(COUNT(*) AS DOUBLE) / 100.0 AS avg_qty,
+                   SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT))
+                       / CAST(COUNT(*) AS DOUBLE) / 100.0 AS avg_price,
+                   SUM(CAST(ROUND(l_discount * 100) AS BIGINT))
+                       / CAST(COUNT(*) AS DOUBLE) / 100.0 AS avg_disc,
+                   CAST(COUNT(*) AS BIGINT) AS count_order
+            FROM lineitem
+            WHERE CAST(epoch(l_shipdate) AS BIGINT) <= {Q1_CUTOFF_S}
+            GROUP BY 1, 2
+        """,
+        "q257_late_order_priority": f"""
+            SELECT o.o_orderpriority,
+                   CAST(COUNT(*) AS BIGINT) AS order_count
+            FROM orders o
+            WHERE CAST(epoch(o.o_orderdate) AS BIGINT) >= {Q4_START_S}
+              AND CAST(epoch(o.o_orderdate) AS BIGINT) < {Q4_END_S}
+              AND EXISTS (
+                SELECT 1 FROM lineitem l
+                WHERE l.l_orderkey = o.o_orderkey
+                  AND l.l_shipdate > o.o_orderdate
+                      + INTERVAL {Q4_GRACE_DAYS} DAY
+              )
+            GROUP BY 1
+        """,
+        "q258_part_supplier_counts": f"""
+            WITH pairs AS (
+                SELECT DISTINCT l_partkey, l_suppkey FROM lineitem
+            )
+            SELECT p.p_brand, p.p_type, p.p_size,
+                   CAST(COUNT(DISTINCT pr.l_suppkey) AS BIGINT)
+                       AS supplier_cnt
+            FROM pairs pr
+            JOIN part p ON pr.l_partkey = p.p_partkey
+            WHERE p.p_type <> '{Q16_EXCLUDE_TYPE}'
+            GROUP BY 1, 2, 3
+            ORDER BY supplier_cnt DESC, p.p_brand ASC, p.p_type ASC,
+                     p.p_size ASC
+            LIMIT {Q16_K}
+        """,
+        "q259_excess_shippers": f"""
+            WITH l AS (
+                SELECT l_partkey, l_suppkey,
+                       CAST(ROUND(l_quantity * 100) AS BIGINT) AS q
+                FROM lineitem
+                WHERE CAST(epoch(l_shipdate) AS BIGINT) >= {Q20_START_S}
+                  AND CAST(epoch(l_shipdate) AS BIGINT) < {Q20_END_S}
+            ),
+            ps AS (
+                SELECT l_partkey, l_suppkey, CAST(SUM(q) AS BIGINT) AS sq
+                FROM l GROUP BY 1, 2
+            ),
+            p AS (
+                SELECT l_partkey, CAST(SUM(sq) AS BIGINT) AS pq
+                FROM ps GROUP BY 1
+            ),
+            dom AS (
+                SELECT ps.l_suppkey,
+                       CAST(COUNT(*) AS BIGINT) AS dominated_parts
+                FROM ps JOIN p USING (l_partkey)
+                WHERE ps.sq * 1000 > p.pq * {int(round(Q20_FRAC * 1000))}
+                GROUP BY 1
+            )
+            SELECT s.s_suppkey AS suppkey,
+                   s.s_name AS supp_name,
+                   n.n_name AS nation_name,
+                   d.dominated_parts
+            FROM dom d
+            JOIN supplier s ON d.l_suppkey = s.s_suppkey
+            JOIN nation n ON s.s_nationkey = n.n_nationkey
+        """,
+        "q260_zorder_layout": f"""
+            WITH pts AS (
+                SELECT CAST(epoch_ms(ts) AS BIGINT) AS x,
+                       CAST(user_id AS BIGINT) AS y
+                FROM events
+            ),
+            frame AS (
+                SELECT MIN(x) AS x_min, MAX(x) AS x_max,
+                       MIN(y) AS y_min, MAX(y) AS y_max
+                FROM pts
+            ),
+            norm AS (
+                SELECT x, y,
+                       ((x - x_min) * {1 << ZO_BITS})
+                           // (x_max - x_min + 1) AS ux,
+                       ((y - y_min) * {1 << ZO_BITS})
+                           // (y_max - y_min + 1) AS uy
+                FROM pts CROSS JOIN frame
+            ),
+            keyed AS (
+                SELECT x, y,
+                       {{morton}} >> {2 * (ZO_BITS - ZO_CELL_BITS)}
+                           AS bucket
+                FROM norm
+            ),
+            stats AS (
+                SELECT CAST(bucket AS BIGINT) AS bucket,
+                       CAST(COUNT(*) AS BIGINT) AS n,
+                       CAST(MIN(x) AS BIGINT) AS min_x,
+                       CAST(MAX(x) AS BIGINT) AS max_x,
+                       CAST(MIN(y) AS BIGINT) AS min_y,
+                       CAST(MAX(y) AS BIGINT) AS max_y
+                FROM keyed GROUP BY 1
+            )
+            SELECT bucket, n, min_x, max_x, min_y, max_y,
+                   CAST(CASE WHEN max_x >= {ZO_BOX[0]}
+                              AND min_x <= {ZO_BOX[1]}
+                              AND max_y >= {ZO_BOX[2]}
+                              AND min_y <= {ZO_BOX[3]}
+                         THEN 1 ELSE 0 END AS BIGINT) AS must_read
+            FROM stats
+        """.replace(
+            "{morton}", layout.morton_sql("ux", "uy", ZO_BITS)
+        ),
     }

@@ -227,6 +227,11 @@ BENCH_QUERIES = [
     "q253_dormant_customers",
     "q254_min_unit_price_supplier",
     "q255_important_part_value",
+    "q256_pricing_summary",
+    "q257_late_order_priority",
+    "q258_part_supplier_counts",
+    "q259_excess_shippers",
+    "q260_zorder_layout",
 ]
 
 

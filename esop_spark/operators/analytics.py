@@ -3500,3 +3500,189 @@ def important_part_value(
     return val.crossJoin(F.broadcast(thresh)).filter(
         F.col("value_cents") > F.col("min_value")
     ).select("partkey", "value_cents")
+
+
+def pricing_summary(
+    lineitem: DataFrame,
+    cutoff_epoch_s: int = 904608000,  # 1998-09-01
+) -> DataFrame:
+    """TPC-H Q1, full spec shape: the 8-aggregate pricing summary per
+    (returnflag, linestatus) for lines shipped on or before the cutoff.
+    (q15's group_agg is the 4-aggregate variant; this is the spec row.)
+
+    Scale shape: the single cheapest plan Spark has — one pushed-filter
+    scan into a map-side partial agg on a ≤6-row grain. All money math in
+    exact integer cents (charge = price·(1−disc)·(1+tax), rounded once,
+    matching the oracle's association order); averages derive from the
+    exact sums so they are bit-stable across engines."""
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    charge = disc_price * (1 + F.col("l_tax"))
+    return (
+        lineitem.filter(
+            F.col("l_shipdate")
+            <= F.timestamp_seconds(F.lit(cutoff_epoch_s))
+        )
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(cents("l_quantity")).cast("bigint").alias("sum_qty_cents"),
+            F.sum(cents("l_extendedprice")).cast("bigint").alias(
+                "sum_base_cents"
+            ),
+            F.sum(cents(disc_price)).cast("bigint").alias("sum_disc_cents"),
+            F.sum(cents(charge)).cast("bigint").alias("sum_charge_cents"),
+            F.count(F.lit(1)).cast("bigint").alias("count_order"),
+            F.sum(cents("l_discount")).cast("bigint").alias(
+                "sum_discount_cents"
+            ),
+        )
+        .select(
+            "l_returnflag",
+            "l_linestatus",
+            "sum_qty_cents",
+            "sum_base_cents",
+            "sum_disc_cents",
+            "sum_charge_cents",
+            (
+                F.col("sum_qty_cents")
+                / F.col("count_order") / F.lit(100.0)
+            ).alias("avg_qty"),
+            (
+                F.col("sum_base_cents")
+                / F.col("count_order") / F.lit(100.0)
+            ).alias("avg_price"),
+            (
+                F.col("sum_discount_cents")
+                / F.col("count_order") / F.lit(100.0)
+            ).alias("avg_disc"),
+            "count_order",
+        )
+    )
+
+
+def late_order_priority(
+    orders: DataFrame,
+    lineitem: DataFrame,
+    start_epoch_s: int = 836179200,   # 1996-07-01
+    end_epoch_s: int = 844128000,     # 1996-10-01
+    grace_days: int = 30,
+) -> DataFrame:
+    """TPC-H Q4 adapted to this schema (no l_commitdate — 'late' means a
+    lineitem shipped more than ``grace_days`` after the order date):
+    per-priority count of orders in the window with at least one late
+    line.
+
+    Scale shape: the quarter window prunes orders at the scan; EXISTS is
+    a LEFT SEMI join on the uniform orderkey (equi key + residual
+    late-ship predicate evaluated inside the join, never materializing
+    matches); the final agg grain is |priorities| ≤ 5 rows."""
+    o = orders.filter(
+        (F.col("o_orderdate") >= F.timestamp_seconds(F.lit(start_epoch_s)))
+        & (F.col("o_orderdate") < F.timestamp_seconds(F.lit(end_epoch_s)))
+    ).select("o_orderkey", "o_orderpriority", "o_orderdate")
+    l = lineitem.select("l_orderkey", "l_shipdate")
+    late = o.join(
+        l,
+        (o["o_orderkey"] == l["l_orderkey"])
+        & (
+            F.col("l_shipdate")
+            > F.col("o_orderdate") + F.expr(f"INTERVAL {grace_days} DAYS")
+        ),
+        "left_semi",
+    )
+    return late.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).cast("bigint").alias("order_count")
+    )
+
+
+def part_supplier_counts(
+    lineitem: DataFrame,
+    part: DataFrame,
+    exclude_type: str = "PROMO",
+    k: int = 100,
+) -> DataFrame:
+    """TPC-H Q16 adapted (no partsupp catalog — the observed distinct
+    (part, supplier) pairs in lineitem stand in for it; no supplier
+    comment filter in this schema): how many distinct suppliers serve
+    each (brand, type, size) group, excluding one part type, top-k groups
+    by breadth.
+
+    Scale shape: the distinct on (partkey, suppkey) is one uniform-key
+    shuffle that collapses lineitem to catalog cardinality FIRST; part
+    prunes on type before its partkey join; count_distinct rides the
+    (brand, type, size) grain. TakeOrdered caps the head."""
+    pairs = lineitem.select("l_partkey", "l_suppkey").distinct()
+    p = part.filter(F.col("p_type") != exclude_type).select(
+        "p_partkey", "p_brand", "p_type", "p_size"
+    )
+    return (
+        pairs.join(p, pairs["l_partkey"] == p["p_partkey"])
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(
+            F.countDistinct("l_suppkey").cast("bigint").alias("supplier_cnt")
+        )
+        .orderBy(
+            F.col("supplier_cnt").desc(),
+            F.col("p_brand").asc(),
+            F.col("p_type").asc(),
+            F.col("p_size").asc(),
+        )
+        .limit(k)
+    )
+
+
+def excess_shippers(
+    lineitem: DataFrame,
+    supplier: DataFrame,
+    nation: DataFrame,
+    start_epoch_s: int = 820454400,  # 1996-01-01
+    end_epoch_s: int = 852076800,    # 1997-01-01
+    frac: float = 0.5,
+) -> DataFrame:
+    """TPC-H Q20 adapted (no partsupp availqty — 'excess' means the
+    supplier shipped more than ``frac`` of a part's total volume in the
+    window): distinct suppliers dominating at least one part's supply,
+    with their nation.
+
+    Scale shape: the window prunes lineitem at the scan; per-(part,
+    supplier) and per-part totals are two aggs sharing the first
+    shuffle's partkey grain; the dominance filter compares exact integer
+    centi-quantities (qty × frac scaled to integers) so the boundary is
+    bit-stable; the survivors' distinct-supplier set is catalog-bounded
+    before the broadcast nation join."""
+    l = lineitem.filter(
+        (F.col("l_shipdate") >= F.timestamp_seconds(F.lit(start_epoch_s)))
+        & (F.col("l_shipdate") < F.timestamp_seconds(F.lit(end_epoch_s)))
+    ).select(
+        "l_partkey", "l_suppkey", cents("l_quantity").alias("qty_cents")
+    )
+    per_ps = l.groupBy("l_partkey", "l_suppkey").agg(
+        F.sum("qty_cents").cast("bigint").alias("supp_qty")
+    )
+    per_p = per_ps.groupBy(F.col("l_partkey").alias("pk")).agg(
+        F.sum("supp_qty").cast("bigint").alias("part_qty")
+    )
+    # supp_qty > frac * part_qty in exact integers: scale frac to a
+    # rational with denominator 1000 (covers the configurable fractions
+    # used here) — supp_qty*1000 > part_qty*frac_milli
+    frac_milli = int(round(frac * 1000))
+    dominant = (
+        per_ps.join(per_p, per_ps["l_partkey"] == F.col("pk"))
+        .filter(
+            F.col("supp_qty") * F.lit(1000)
+            > F.col("part_qty") * F.lit(frac_milli)
+        )
+        .groupBy("l_suppkey")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("dominated_parts"))
+    )
+    s = supplier.join(
+        F.broadcast(nation.select("n_nationkey", "n_name")),
+        supplier["s_nationkey"] == F.col("n_nationkey"),
+    ).select("s_suppkey", "s_name", F.col("n_name").alias("nation_name"))
+    return dominant.join(
+        s, dominant["l_suppkey"] == s["s_suppkey"]
+    ).select(
+        F.col("s_suppkey").alias("suppkey"),
+        F.col("s_name").alias("supp_name"),
+        "nation_name",
+        "dominated_parts",
+    )
