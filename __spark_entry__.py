@@ -2686,6 +2686,52 @@ def q260_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- clustering-quality / graph / robust-trend wave (q261-q265) --------------
+AA_K, AA_MAX_DEG = 50, 64
+
+
+def q261_centroid_silhouette(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Simplified silhouette per label cluster
+    (similarity.centroid_silhouette): centroid-based (b−a)/max(a,b) in
+    exact micro-unit integers."""
+    return similarity.centroid_silhouette(_base(spark, sf_dir, "embeddings"))
+
+
+def q262_adamic_adar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Adamic-Adar link prediction (graph.adamic_adar_topk) over the part
+    co-purchase graph: top-k non-adjacent pairs by shared-neighbor score."""
+    edges = graph.coorder_edges(
+        _base(spark, sf_dir, "lineitem"), directed=False
+    )
+    return graph.adamic_adar_topk(edges, k=AA_K, max_apex_degree=AA_MAX_DEG)
+
+
+def q263_theil_sen_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust revenue trend (analytics.theil_sen_daily_revenue): median of
+    pairwise daily-revenue slopes plus median-residual intercept."""
+    return analytics.theil_sen_daily_revenue(_base(spark, sf_dir, "orders"))
+
+
+def q264_layout_advisor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sort-key advisor (plans.layout.layout_skip_compare): zone-map skip
+    envelopes for linear-x vs linear-y vs Z-order layouts under the same
+    2-D query box as q260."""
+    ev = _base(spark, sf_dir, "events").select(
+        F.unix_millis("ts").alias("ts_ms"), "user_id"
+    )
+    return layout.layout_skip_compare(
+        ev, "ts_ms", "user_id",
+        bits=ZO_BITS, cell_bits=ZO_CELL_BITS, box=ZO_BOX,
+    )
+
+
+def q265_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary-segmentation changepoint (analytics.changepoint_split_day):
+    the day splitting the daily event-count series with maximum variance
+    reduction."""
+    return analytics.changepoint_split_day(_base(spark, sf_dir, "events"))
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001: the backup-listing report."""
     return q01_list_backups(spark, "/root/testdata/sf0.001")
@@ -2953,6 +2999,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q258_part_supplier_counts": q258_part_supplier_counts,
         "q259_excess_shippers": q259_excess_shippers,
         "q260_zorder_layout": q260_zorder_layout,
+        "q261_centroid_silhouette": q261_centroid_silhouette,
+        "q262_adamic_adar": q262_adamic_adar,
+        "q263_theil_sen_trend": q263_theil_sen_trend,
+        "q264_layout_advisor": q264_layout_advisor,
+        "q265_changepoint": q265_changepoint,
     }
 
 
@@ -10316,4 +10367,223 @@ def oracle_sql() -> dict[str, str]:
         """.replace(
             "{morton}", layout.morton_sql("ux", "uy", ZO_BITS)
         ),
+        "q261_centroid_silhouette": """
+            WITH e AS (
+                SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v
+                FROM embeddings
+            ),
+            dims AS (
+                SELECT e.label AS clabel, t.i AS dim, e.v[t.i] AS x
+                FROM e, unnest(range(1, len(e.v) + 1)) t(i)
+            ),
+            cent AS (
+                SELECT clabel, dim,
+                       CAST(ROUND(ROUND(
+                           SUM(CAST(ROUND(x * 1000000000) AS BIGINT)) * 1.0
+                           / COUNT(*) / 1000000000.0, 6) * 1000000)
+                           AS BIGINT) AS cm
+                FROM dims GROUP BY 1, 2
+            ),
+            vm AS (
+                SELECT e.vec_id, e.label, t.i AS dim,
+                       CAST(ROUND(e.v[t.i] * 1000000) AS BIGINT) AS xm
+                FROM e, unnest(range(1, len(e.v) + 1)) t(i)
+            ),
+            d2 AS (
+                SELECT vm.vec_id, vm.label, c.clabel,
+                       SUM((vm.xm - c.cm) * (vm.xm - c.cm)) AS d2
+                FROM vm JOIN cent c ON vm.dim = c.dim
+                GROUP BY 1, 2, 3
+            ),
+            d AS (
+                SELECT vec_id, label, clabel,
+                       ROUND(SQRT(CAST(d2 AS DOUBLE)) / 1000000.0, 6) AS d
+                FROM d2
+            ),
+            ab AS (
+                SELECT vec_id, label,
+                       MIN(CASE WHEN clabel = label THEN d END) AS a,
+                       MIN(CASE WHEN clabel <> label THEN d END) AS b
+                FROM d GROUP BY 1, 2
+            ),
+            s AS (
+                SELECT label,
+                       CASE WHEN GREATEST(a, b) > 0
+                            THEN ROUND((b - a) / GREATEST(a, b), 6)
+                            ELSE 0.0 END AS s,
+                       a, b
+                FROM ab
+            )
+            SELECT CAST(label AS BIGINT) AS label,
+                   CAST(COUNT(*) AS BIGINT) AS n_members,
+                   ROUND(SUM(CAST(ROUND(s * 1000000) AS BIGINT)) * 1.0
+                         / COUNT(*) / 1000000.0, 6) AS mean_silhouette,
+                   ROUND(SUM(CAST(ROUND(a * 1000000) AS BIGINT)) * 1.0
+                         / COUNT(*) / 1000000.0, 6) AS mean_intra,
+                   ROUND(SUM(CAST(ROUND(b * 1000000) AS BIGINT)) * 1.0
+                         / COUNT(*) / 1000000.0, 6) AS mean_inter
+            FROM s GROUP BY label
+        """,
+        "q262_adamic_adar": f"""
+            WITH sides AS (
+                SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk
+                FROM lineitem
+            ),
+            edges AS (
+                SELECT DISTINCT a.pk AS src, b.pk AS dst
+                FROM sides a JOIN sides b
+                  ON a.ok = b.ok AND a.pk < b.pk
+            ),
+            und AS (
+                SELECT src, dst FROM edges
+                UNION ALL SELECT dst, src FROM edges
+            ),
+            deg AS (SELECT src AS u, COUNT(*) AS deg FROM und GROUP BY 1),
+            adj AS (
+                SELECT und.src AS apex, und.dst AS nbr,
+                       CAST(ROUND(1000000000.0
+                                  / LN(CAST(deg AS DOUBLE))) AS BIGINT)
+                           AS w_nano
+                FROM und JOIN deg ON und.src = deg.u
+                WHERE deg <= {AA_MAX_DEG} AND deg >= 2
+            ),
+            wedges AS (
+                SELECT a.nbr AS src, b.nbr AS dst, a.w_nano
+                FROM adj a JOIN adj b
+                  ON a.apex = b.apex AND a.nbr < b.nbr
+            ),
+            scores AS (
+                SELECT src, dst, CAST(SUM(w_nano) AS BIGINT) AS aa_nano,
+                       CAST(COUNT(*) AS BIGINT) AS cn
+                FROM wedges GROUP BY 1, 2
+            ),
+            cand AS (
+                SELECT s.* FROM scores s
+                WHERE NOT EXISTS (
+                    SELECT 1 FROM edges e
+                    WHERE e.src = s.src AND e.dst = s.dst
+                )
+            )
+            SELECT CAST(src AS BIGINT) AS src,
+                   CAST(dst AS BIGINT) AS dst,
+                   cn AS common_neighbors,
+                   ROUND(aa_nano / 1000000000.0, 6) AS aa_score
+            FROM cand
+            ORDER BY aa_score DESC, src ASC, dst ASC
+            LIMIT {AA_K}
+        """,
+        "q263_theil_sen_trend": """
+            WITH daily AS (
+                SELECT CAST(epoch(o_orderdate) AS BIGINT) // 86400 AS day,
+                       CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT))
+                            AS BIGINT) AS rev
+                FROM orders GROUP BY 1
+            ),
+            slopes AS (
+                SELECT (b.rev - a.rev) / (b.day - a.day) AS slope
+                FROM daily a JOIN daily b ON a.day < b.day
+            ),
+            med AS (
+                SELECT CAST(COUNT(*) AS BIGINT) AS n_pairs,
+                       quantile_cont(slope, 0.5) AS m
+                FROM slopes
+            )
+            SELECT CAST((SELECT COUNT(*) FROM daily) AS BIGINT) AS n_days,
+                   med.n_pairs AS n_pairs,
+                   ROUND(med.m, 6) AS slope_cents_per_day,
+                   ROUND((SELECT quantile_cont(d.rev - med.m * d.day, 0.5)
+                          FROM daily d), 6) AS intercept_cents
+            FROM med
+        """,
+        "q264_layout_advisor": f"""
+            WITH pts AS (
+                SELECT CAST(epoch_ms(ts) AS BIGINT) AS x,
+                       CAST(user_id AS BIGINT) AS y
+                FROM events
+            ),
+            frame AS (
+                SELECT MIN(x) AS x_min, MAX(x) AS x_max,
+                       MIN(y) AS y_min, MAX(y) AS y_max
+                FROM pts
+            ),
+            norm AS (
+                SELECT x, y,
+                       ((x - x_min) * {1 << ZO_BITS})
+                           // (x_max - x_min + 1) AS ux,
+                       ((y - y_min) * {1 << ZO_BITS})
+                           // (y_max - y_min + 1) AS uy
+                FROM pts CROSS JOIN frame
+            ),
+            keyed AS (
+                SELECT x, y,
+                       ux >> {ZO_BITS - 2 * ZO_CELL_BITS} AS b_x,
+                       uy >> {ZO_BITS - 2 * ZO_CELL_BITS} AS b_y,
+                       {{morton}} >> {2 * (ZO_BITS - ZO_CELL_BITS)} AS b_z
+                FROM norm
+            ),
+            melted AS (
+                SELECT 'linear_x' AS layout, b_x AS bucket, x, y FROM keyed
+                UNION ALL
+                SELECT 'linear_y' AS layout, b_y AS bucket, x, y FROM keyed
+                UNION ALL
+                SELECT 'zorder' AS layout, b_z AS bucket, x, y FROM keyed
+            ),
+            stats AS (
+                SELECT layout, CAST(bucket AS BIGINT) AS bucket,
+                       CAST(COUNT(*) AS BIGINT) AS n,
+                       CAST(MIN(x) AS BIGINT) AS min_x,
+                       CAST(MAX(x) AS BIGINT) AS max_x,
+                       CAST(MIN(y) AS BIGINT) AS min_y,
+                       CAST(MAX(y) AS BIGINT) AS max_y
+                FROM melted GROUP BY 1, 2
+            )
+            SELECT layout, bucket, n, min_x, max_x, min_y, max_y,
+                   CAST(CASE WHEN max_x >= {ZO_BOX[0]}
+                              AND min_x <= {ZO_BOX[1]}
+                              AND max_y >= {ZO_BOX[2]}
+                              AND min_y <= {ZO_BOX[3]}
+                         THEN 1 ELSE 0 END AS BIGINT) AS must_read
+            FROM stats
+        """.replace(
+            "{morton}", layout.morton_sql("ux", "uy", ZO_BITS)
+        ),
+        "q265_changepoint": """
+            WITH daily AS (
+                SELECT CAST(epoch(ts) AS BIGINT) // 86400 AS day,
+                       CAST(COUNT(*) AS BIGINT) AS c
+                FROM events GROUP BY 1
+            ),
+            pre AS (
+                SELECT day,
+                       SUM(c) OVER w AS s1,
+                       SUM(c * c) OVER w AS s2,
+                       COUNT(*) OVER w AS n1,
+                       SUM(c) OVER () AS st,
+                       SUM(c * c) OVER () AS s2t,
+                       COUNT(*) OVER () AS nt
+                FROM daily
+                WINDOW w AS (ORDER BY day
+                             ROWS BETWEEN UNBOUNDED PRECEDING
+                                      AND CURRENT ROW)
+            ),
+            gains AS (
+                SELECT day,
+                       CAST(n1 AS BIGINT) AS n_left,
+                       CAST(nt - n1 AS BIGINT) AS n_right,
+                       ROUND(s1 / n1, 6) AS mean_left,
+                       ROUND((st - s1) / (nt - n1), 6) AS mean_right,
+                       ROUND((s2t - (st * st) / nt)
+                             - (s2 - (s1 * s1) / n1)
+                             - ((s2t - s2)
+                                - ((st - s1) * (st - s1)) / (nt - n1)),
+                             6) AS gain
+                FROM pre
+                WHERE n1 < nt
+            )
+            SELECT CAST(day AS BIGINT) AS split_day,
+                   n_left, n_right, mean_left, mean_right, gain
+            FROM gains
+            ORDER BY gain DESC, day ASC
+            LIMIT 1
+        """,
     }

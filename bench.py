@@ -232,6 +232,11 @@ BENCH_QUERIES = [
     "q258_part_supplier_counts",
     "q259_excess_shippers",
     "q260_zorder_layout",
+    "q261_centroid_silhouette",
+    "q262_adamic_adar",
+    "q263_theil_sen_trend",
+    "q264_layout_advisor",
+    "q265_changepoint",
 ]
 
 

@@ -3686,3 +3686,109 @@ def excess_shippers(
         "nation_name",
         "dominated_parts",
     )
+
+
+def theil_sen_daily_revenue(orders: DataFrame) -> DataFrame:
+    """Theil–Sen robust trend of daily revenue: the median of all pairwise
+    slopes (rev_j − rev_i)/(day_j − day_i) over the daily-revenue series,
+    plus the matching median-residual intercept. The estimator a 29%
+    outlier fraction cannot move — the robust answer to "is revenue
+    actually trending" that one flash-sale day would wreck in OLS (q206's
+    half-life fit is the fragile cousin).
+
+    Scale shape: the corpus collapses to the bounded day grain (≈3000 rows
+    for a decade — corpus-size-independent) in one mergeable agg; the
+    pairwise slope explode is |days|²/2 ≈ 5M tiny rows, a fixed cost that
+    does not grow with data volume. Medians interpolate at 0.5 exactly
+    like the oracle's quantile_cont.
+
+    Cross-engine determinism: daily revenue is exact integer cents, day
+    indices exact integers, so every slope is the same double in any
+    engine; the median averages the two middle such doubles.
+
+    Output one row: (n_days, n_pairs, slope_cents_per_day, intercept_cents).
+    """
+    daily = orders.select(
+        F.expr("unix_timestamp(o_orderdate) div 86400").alias("day"),
+        cents("o_totalprice").alias("rc"),
+    ).groupBy("day").agg(F.sum("rc").cast("bigint").alias("rev"))
+    a = daily.select(F.col("day").alias("d1"), F.col("rev").alias("r1"))
+    b = daily.select(F.col("day").alias("d2"), F.col("rev").alias("r2"))
+    slopes = a.join(b, F.col("d1") < F.col("d2")).select(
+        ((F.col("r2") - F.col("r1")) / (F.col("d2") - F.col("d1"))).alias(
+            "slope"
+        )
+    )
+    med = slopes.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_pairs"),
+        F.expr("percentile(slope, 0.5)").alias("m"),
+    )
+    resid = daily.crossJoin(F.broadcast(med)).agg(
+        F.max("n_pairs").alias("n_pairs"),
+        F.max("m").alias("m"),
+        F.count(F.lit(1)).cast("bigint").alias("n_days"),
+        F.expr("percentile(rev - m * day, 0.5)").alias("icept"),
+    )
+    return resid.select(
+        "n_days",
+        "n_pairs",
+        F.round(F.col("m"), 6).alias("slope_cents_per_day"),
+        F.round(F.col("icept"), 6).alias("intercept_cents"),
+    )
+
+
+def changepoint_split_day(events: DataFrame) -> DataFrame:
+    """Single changepoint by binary segmentation on the daily event-count
+    series: the split day t maximizing SST − SSE_left − SSE_right (the
+    variance-reduction step CART/PELT iterate). Where q204's CUSUM flags
+    drift against a global mean, this names the day the level actually
+    moved — the first question after any ingestion-pipeline regression.
+
+    Scale shape: one mergeable agg to the bounded day grain, prefix sums
+    via a window over that ≤|days|-row series (corpus-size-independent —
+    never a per-event window), and a k-row argmax. SSE terms use the
+    Σx² − (Σx)²/n identity on exact bigint prefix sums, so every candidate
+    gain is the same double in any engine; ties break on the earliest day.
+
+    Output one row: (split_day, n_left, n_right, mean_left, mean_right,
+    gain).
+    """
+    daily = events.select(
+        F.expr("unix_timestamp(ts) div 86400").alias("day")
+    ).groupBy("day").agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    w = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, 0)
+    tot = Window.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    pre = daily.select(
+        "day",
+        F.sum("c").over(w).alias("s1"),
+        F.sum(F.col("c") * F.col("c")).over(w).alias("s2"),
+        F.count(F.lit(1)).over(w).alias("n1"),
+        F.sum("c").over(tot).alias("st"),
+        F.sum(F.col("c") * F.col("c")).over(tot).alias("s2t"),
+        F.count(F.lit(1)).over(tot).alias("nt"),
+    ).filter(F.col("n1") < F.col("nt"))
+    sse_l = F.col("s2") - (F.col("s1") * F.col("s1")) / F.col("n1")
+    n2 = F.col("nt") - F.col("n1")
+    sr = F.col("st") - F.col("s1")
+    sse_r = (F.col("s2t") - F.col("s2")) - (sr * sr) / n2
+    sst = F.col("s2t") - (F.col("st") * F.col("st")) / F.col("nt")
+    gains = pre.select(
+        "day",
+        F.col("n1").cast("bigint").alias("n_left"),
+        n2.cast("bigint").alias("n_right"),
+        F.round(F.col("s1") / F.col("n1"), 6).alias("mean_left"),
+        F.round(sr / n2, 6).alias("mean_right"),
+        F.round(sst - sse_l - sse_r, 6).alias("gain"),
+    )
+    best = gains.agg(
+        F.max(
+            F.struct(F.col("gain"), (-F.col("day")).alias("nd"))
+        ).alias("b")
+    ).select((-F.col("b.nd")).alias("split_day"))
+    return best.join(
+        gains, F.col("split_day") == gains["day"]
+    ).select(
+        "split_day", "n_left", "n_right", "mean_left", "mean_right", "gain"
+    )

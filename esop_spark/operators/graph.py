@@ -312,3 +312,76 @@ def degree_assortativity(edges_directed: DataFrame) -> DataFrame:
             6,
         ).alias("assortativity"),
     )
+
+
+def adamic_adar_topk(
+    edges_undirected: DataFrame,
+    k: int = 50,
+    max_apex_degree: int = 64,
+) -> DataFrame:
+    """Adamic–Adar link prediction over an undirected ``(src, dst)`` edge
+    relation (each edge once, src < dst): for every non-adjacent pair with
+    at least one common neighbor, AA(v, w) = Σ_{u ∈ Γ(v)∩Γ(w)} 1/ln(deg u);
+    return the top-k candidate links. The classic "who should be connected"
+    score — common neighbors, discounted by how promiscuous each shared
+    neighbor is.
+
+    Scale shape: wedges are enumerated at their apex (the shared neighbor),
+    so fanout is Σ deg(u)² — a hub is quadratic. ``max_apex_degree`` drops
+    hub apexes before the self-join (their per-wedge contribution
+    1/ln(deg) is the smallest anyway, the standard AA truncation), which
+    bounds fanout by |edges|·max_apex_degree. The wedge agg shuffles on the
+    candidate pair key; existing edges leave via a LEFT ANTI on the same
+    key; TakeOrdered caps the head at k rows.
+
+    Cross-engine determinism: each apex contributes the exact bigint
+    round(1e9/ln(deg)) — integer sums are order-independent — and the
+    reported score is round(Σ/1e9, 6); ties break on (src, dst).
+    """
+    both = edges_undirected.select("src", "dst").union(
+        edges_undirected.select(
+            F.col("dst").alias("src"), F.col("src").alias("dst")
+        )
+    )
+    deg = both.groupBy(F.col("src").alias("u")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("deg")
+    )
+    adj = (
+        both.join(deg, both["src"] == deg["u"])
+        .filter((F.col("deg") <= max_apex_degree) & (F.col("deg") >= 2))
+        .select(
+            F.col("src").alias("apex"),
+            F.col("dst").alias("nbr"),
+            F.round(F.lit(1e9) / F.log(F.col("deg").cast("double")))
+            .cast("bigint")
+            .alias("w_nano"),
+        )
+    )
+    a = adj.alias("a")
+    b = adj.alias("b")
+    wedges = a.join(
+        b,
+        (F.col("a.apex") == F.col("b.apex"))
+        & (F.col("a.nbr") < F.col("b.nbr")),
+    ).select(
+        F.col("a.nbr").alias("src"),
+        F.col("b.nbr").alias("dst"),
+        F.col("a.w_nano").alias("w_nano"),
+    )
+    scores = wedges.groupBy("src", "dst").agg(
+        F.sum("w_nano").alias("aa_nano"),
+        F.count(F.lit(1)).cast("bigint").alias("common_neighbors"),
+    )
+    candidates = scores.join(
+        edges_undirected.select("src", "dst"), ["src", "dst"], "left_anti"
+    )
+    return (
+        candidates.select(
+            "src",
+            "dst",
+            "common_neighbors",
+            F.round(F.col("aa_nano") / F.lit(1e9), 6).alias("aa_score"),
+        )
+        .orderBy(F.col("aa_score").desc(), F.col("src").asc(), F.col("dst").asc())
+        .limit(k)
+    )

@@ -2351,3 +2351,105 @@ def label_lang_cramers_v(
             6,
         ).alias("cramers_v"),
     )
+
+
+def centroid_silhouette(
+    embeddings: DataFrame,
+    vec_col: str = "embedding",
+    label_col: str = "label",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Simplified (centroid-based) silhouette per cluster: for every vector,
+    a = euclidean distance to its own label's centroid, b = min distance to
+    any other centroid, s = (b − a) / max(a, b); report per label the member
+    count and the mean s, a, b. The standard medoid-free clustering-quality
+    score — O(n·k) instead of the O(n²) pairwise silhouette, which is the
+    only version that exists at corpus scale.
+
+    Cross-engine determinism: centroids use the nano-unit integer mean
+    (centroid_purity's scheme), then BOTH the vector and centroid components
+    are snapped to micro-unit integers, so every squared distance is an
+    exact bigint (components ≲100 keep Σdiff² < 2^63 at 64 dims); dist =
+    round(sqrt(d2)/1e6, 6) is then the same double in any engine, and the
+    per-cluster means sum micro-int silhouettes (order-independent).
+
+    Scale shape: centroids are a (labels × dim)-grain mergeable mean; the
+    k-row centroid relation broadcasts; a/b is a k-way fold inside the scan
+    stage; the final agg grain is k labels. The corpus is never shuffled."""
+    base = embeddings.select(
+        F.col(id_col),
+        F.col(label_col).alias("true_label"),
+        F.transform(
+            _vec_double(vec_col),
+            lambda x: F.round(x * 1e6).cast("bigint"),
+        ).alias("vm"),
+    )
+    dims = embeddings.select(
+        F.col(label_col).alias("clabel"),
+        F.posexplode(_vec_double(vec_col)).alias("dim", "x"),
+    )
+    x_nano = F.round(F.col("x") * 1e9).cast("bigint")
+    cents = (
+        dims.groupBy("clabel", "dim")
+        .agg(
+            F.round(F.sum(x_nano) / F.count(F.lit(1)) / F.lit(1e9), 6).alias("c")
+        )
+        .groupBy("clabel")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("dim", "c"))),
+                lambda s: F.round(s["c"] * 1e6).cast("bigint"),
+            ).alias("cm")
+        )
+    )
+    d2 = F.aggregate(
+        F.zip_with(
+            F.col("vm"), F.col("cm"), lambda x, c: (x - c) * (x - c)
+        ),
+        F.lit(0).cast("bigint"),
+        lambda acc, v: acc + v,
+    )
+    dist = F.round(F.sqrt(d2) / F.lit(1e6), 6)
+    scored = base.join(F.broadcast(cents)).select(
+        id_col,
+        "true_label",
+        "clabel",
+        dist.alias("d"),
+    )
+    ab = scored.groupBy(id_col, "true_label").agg(
+        F.min(
+            F.when(F.col("clabel") == F.col("true_label"), F.col("d"))
+        ).alias("a"),
+        F.min(
+            F.when(F.col("clabel") != F.col("true_label"), F.col("d"))
+        ).alias("b"),
+    )
+    s = F.when(
+        F.greatest("a", "b") > 0,
+        F.round((F.col("b") - F.col("a")) / F.greatest("a", "b"), 6),
+    ).otherwise(F.lit(0.0))
+    micro = lambda c: F.round(c * 1e6).cast("bigint")  # noqa: E731
+    return (
+        ab.select("true_label", micro(s).alias("sm"), micro(F.col("a")).alias("am"),
+                  micro(F.col("b")).alias("bm"))
+        .groupBy("true_label")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_members"),
+            F.round(F.sum("sm") / F.count(F.lit(1)) / F.lit(1e6), 6).alias(
+                "mean_silhouette"
+            ),
+            F.round(F.sum("am") / F.count(F.lit(1)) / F.lit(1e6), 6).alias(
+                "mean_intra"
+            ),
+            F.round(F.sum("bm") / F.count(F.lit(1)) / F.lit(1e6), 6).alias(
+                "mean_inter"
+            ),
+        )
+        .select(
+            F.col("true_label").cast("bigint").alias("label"),
+            "n_members",
+            "mean_silhouette",
+            "mean_intra",
+            "mean_inter",
+        )
+    )

@@ -120,3 +120,90 @@ def morton_sql(ux: str, uy: str, bits: int) -> str:
         terms.append(f"((({ux} >> {i}) & 1) << {2 * i})")
         terms.append(f"((({uy} >> {i}) & 1) << {2 * i + 1})")
     return "(" + " + ".join(terms) + ")"
+
+
+def layout_skip_compare(
+    df: DataFrame,
+    x_col: str,
+    y_col: str,
+    bits: int = 8,
+    cell_bits: int = 3,
+    box: tuple[int, int, int, int] = (0, 0, 0, 0),
+) -> DataFrame:
+    """Sort-key advisor: for the three candidate layouts — linear on x,
+    linear on y, Z-order on (x, y) — bucket rows into the same number of
+    would-be files (4**cell_bits), compute each file's (x, y) min/max
+    envelope, and mark whether the query ``box`` = (x_lo, x_hi, y_lo, y_hi)
+    forces a read. Aggregating must_read·n over each layout gives the
+    zone-map scan fraction per layout — the measured answer to "which sort
+    key should this table be written with", not a heuristic one.
+
+    Linear buckets use the SAME integer range normalization as the Morton
+    key (value-range buckets, i.e. what repartitionByRange + file split
+    approximates), at resolution ``bits`` truncated to the top
+    ``2·cell_bits`` bits, so all three layouts produce 4**cell_bits files
+    and skip ratios compare apples-to-apples. Requires bits ≥ 2·cell_bits.
+
+    Scale shape: one scan computes all three bucket keys in the same
+    projection (the 1-row min/max frame broadcasts); the union is three
+    file-count-sized aggs. Output: (layout, bucket, n, min_x, max_x,
+    min_y, max_y, must_read)."""
+    if bits < 2 * cell_bits:
+        raise ValueError("bits must be >= 2*cell_bits for equal file counts")
+    frame = df.agg(
+        F.min(x_col).cast("bigint").alias("x_min"),
+        F.max(x_col).cast("bigint").alias("x_max"),
+        F.min(y_col).cast("bigint").alias("y_min"),
+        F.max(y_col).cast("bigint").alias("y_max"),
+    )
+    w = df.select(
+        F.col(x_col).cast("bigint").alias("x"),
+        F.col(y_col).cast("bigint").alias("y"),
+    ).crossJoin(F.broadcast(frame))
+    ux = F.expr(_norm_expr("x", bits)).cast("bigint")
+    uy = F.expr(_norm_expr("y", bits)).cast("bigint")
+    shift = bits - 2 * cell_bits
+    keyed = w.select(
+        "x",
+        "y",
+        F.shiftright(ux, shift).cast("bigint").alias("b_x"),
+        F.shiftright(uy, shift).cast("bigint").alias("b_y"),
+        F.shiftright(morton_key(ux, uy, bits), 2 * (bits - cell_bits))
+        .cast("bigint")
+        .alias("b_z"),
+    )
+    x_lo, x_hi, y_lo, y_hi = box
+    out = []
+    for layout, bcol in (("linear_x", "b_x"), ("linear_y", "b_y"), ("zorder", "b_z")):
+        stats = (
+            keyed.groupBy(F.col(bcol).alias("bucket"))
+            .agg(
+                F.count(F.lit(1)).cast("bigint").alias("n"),
+                F.min("x").cast("bigint").alias("min_x"),
+                F.max("x").cast("bigint").alias("max_x"),
+                F.min("y").cast("bigint").alias("min_y"),
+                F.max("y").cast("bigint").alias("max_y"),
+            )
+        )
+        overlap = (
+            (F.col("max_x") >= x_lo)
+            & (F.col("min_x") <= x_hi)
+            & (F.col("max_y") >= y_lo)
+            & (F.col("min_y") <= y_hi)
+        )
+        out.append(
+            stats.select(
+                F.lit(layout).alias("layout"),
+                "bucket",
+                "n",
+                "min_x",
+                "max_x",
+                "min_y",
+                "max_y",
+                F.when(overlap, F.lit(1))
+                .otherwise(F.lit(0))
+                .cast("bigint")
+                .alias("must_read"),
+            )
+        )
+    return out[0].unionByName(out[1]).unionByName(out[2])
