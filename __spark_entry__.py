@@ -2732,6 +2732,57 @@ def q265_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
     return analytics.changepoint_split_day(_base(spark, sf_dir, "events"))
 
 
+# --- robust-stats / graph-core / planning wave (q266-q270) -------------------
+KCORE_K, KCORE_ROUNDS = 4, 6
+HAMPEL_W, HAMPEL_K = 3, 3.0
+COMPACT_TARGET = 200_000
+CONF_ALPHA_MILLI, CONF_SEED = 100, "conf0"
+
+
+def q266_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-core of the part co-purchase graph (graph.kcore_peel): surviving
+    nodes + degrees after KCORE_ROUNDS synchronous peel rounds at
+    k=KCORE_K."""
+    edges = graph.coorder_edges(
+        _base(spark, sf_dir, "lineitem"), directed=False
+    )
+    return graph.kcore_peel(edges, k=KCORE_K, rounds=KCORE_ROUNDS)
+
+
+def q267_hampel_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling-median Hampel filter (analytics.hampel_outlier_days) over
+    the daily event-count series."""
+    return analytics.hampel_outlier_days(
+        _base(spark, sf_dir, "events"),
+        half_window=HAMPEL_W, k_sigma=HAMPEL_K,
+    )
+
+
+def q268_compaction_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Size-tiered compaction bins (retention.compaction_plan) over the
+    distinct backup object inventory."""
+    return retention.compaction_plan(
+        _fixture(spark, sf_dir, "manifest_entries"),
+        target_bytes=COMPACT_TARGET,
+    )
+
+
+def q269_conformal_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Split-conformal calibration per source
+    (sampling.conformal_calibration): rank-exact q-hat on |n_chars − mean|
+    and held-out coverage."""
+    return sampling.conformal_calibration(
+        _base(spark, sf_dir, "documents"),
+        alpha_milli=CONF_ALPHA_MILLI, seed=CONF_SEED,
+    )
+
+
+def q270_loso_influence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leave-one-source-out unigram influence (text.loso_source_influence):
+    how well the rest of the corpus predicts each source."""
+    return text_ops.loso_source_influence(_base(spark, sf_dir, "documents"))
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001: the backup-listing report."""
     return q01_list_backups(spark, "/root/testdata/sf0.001")
@@ -3004,6 +3055,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q263_theil_sen_trend": q263_theil_sen_trend,
         "q264_layout_advisor": q264_layout_advisor,
         "q265_changepoint": q265_changepoint,
+        "q266_kcore": q266_kcore,
+        "q267_hampel_outliers": q267_hampel_outliers,
+        "q268_compaction_plan": q268_compaction_plan,
+        "q269_conformal_coverage": q269_conformal_coverage,
+        "q270_loso_influence": q270_loso_influence,
     }
 
 
@@ -10585,5 +10641,200 @@ def oracle_sql() -> dict[str, str]:
             FROM gains
             ORDER BY gain DESC, day ASC
             LIMIT 1
+        """,
+        "q266_kcore": f"""
+            WITH sides AS (
+                SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk
+                FROM lineitem
+            ),
+            eu AS (
+                SELECT DISTINCT a.pk AS src, b.pk AS dst
+                FROM sides a JOIN sides b
+                  ON a.ok = b.ok AND a.pk < b.pk
+            ),
+            {graph.kcore_sql("eu", KCORE_K, KCORE_ROUNDS)}
+            SELECT CAST(src AS BIGINT) AS node,
+                   CAST(COUNT(*) AS BIGINT) AS degree
+            FROM e{KCORE_ROUNDS} GROUP BY 1
+        """,
+        "q267_hampel_outliers": f"""
+            WITH daily AS (
+                SELECT CAST(epoch(ts) AS BIGINT) // 86400 AS day,
+                       CAST(COUNT(*) AS BIGINT) AS c
+                FROM events GROUP BY 1
+            ),
+            arr AS (
+                SELECT day, c,
+                       list_sort(list(c) OVER (
+                           ORDER BY day
+                           RANGE BETWEEN {HAMPEL_W} PRECEDING
+                                     AND {HAMPEL_W} FOLLOWING)) AS a
+                FROM daily
+            ),
+            m AS (
+                SELECT day, c, a,
+                       (a[(len(a) + 1) // 2] + a[len(a) // 2 + 1]) / 2.0
+                           AS med
+                FROM arr
+            ),
+            d AS (
+                SELECT day, c, med,
+                       list_sort(list_transform(a, x -> abs(x - med))) AS da
+                FROM m
+            ),
+            mm AS (
+                SELECT day, c, med,
+                       (da[(len(da) + 1) // 2] + da[len(da) // 2 + 1]) / 2.0
+                           AS mad
+                FROM d
+            )
+            SELECT CAST(day AS BIGINT) AS day, c,
+                   ROUND(med, 6) AS med,
+                   ROUND(mad, 6) AS mad,
+                   CASE WHEN mad > 0
+                        THEN ROUND(abs(c - med) / (1.4826 * mad), 6)
+                   END AS score,
+                   CAST(CASE WHEN mad > 0
+                             THEN CASE WHEN abs(c - med) / (1.4826 * mad)
+                                            > {HAMPEL_K}
+                                       THEN 1 ELSE 0 END
+                             ELSE CASE WHEN abs(c - med) > 0
+                                       THEN 1 ELSE 0 END
+                        END AS BIGINT) AS is_outlier
+            FROM mm
+        """,
+        "q268_compaction_plan": W("manifest_entries") + f"""
+            , objs AS (
+                SELECT keyspace, table_name,
+                       CAST(size AS BIGINT) AS size,
+                       lpad(CAST(size AS VARCHAR), 14, '0') || '|'
+                           || object_key AS ord
+                FROM (SELECT keyspace, table_name, object_key,
+                             MAX(CAST(size AS BIGINT)) AS size
+                      FROM manifest_entries
+                      GROUP BY 1, 2, 3)
+            ),
+            cum AS (
+                SELECT keyspace, table_name, size,
+                       SUM(size) OVER (
+                           PARTITION BY keyspace, table_name
+                           ORDER BY ord
+                           ROWS BETWEEN UNBOUNDED PRECEDING
+                                    AND CURRENT ROW) AS c
+                FROM objs
+            ),
+            b AS (
+                SELECT keyspace, table_name,
+                       (c - size) // {COMPACT_TARGET} AS bin, size
+                FROM cum
+            )
+            SELECT keyspace, table_name, CAST(bin AS BIGINT) AS bin,
+                   CAST(COUNT(*) AS BIGINT) AS n_files,
+                   CAST(SUM(size) AS BIGINT) AS bin_bytes,
+                   ROUND(CAST(SUM(size) AS BIGINT)
+                         / {float(COMPACT_TARGET)}, 6) AS fill_ratio
+            FROM b GROUP BY 1, 2, 3
+        """,
+        "q269_conformal_coverage": f"""
+            WITH t AS (
+                SELECT source AS stratum, doc_id AS rid,
+                       CAST(n_chars AS BIGINT) AS val,
+                       (CAST(concat('0x', substr(md5('{CONF_SEED}:'
+                            || CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
+                        % 1000000) < 500000 AS is_cal
+                FROM documents
+            ),
+            st AS (
+                SELECT stratum, CAST(COUNT(*) AS BIGINT) AS n_cal,
+                       CAST(SUM(val) AS BIGINT) AS sum_val
+                FROM t WHERE is_cal GROUP BY 1
+            ),
+            sc AS (
+                SELECT t.stratum, t.rid, t.is_cal, st.n_cal,
+                       abs(t.val - st.sum_val / st.n_cal) AS nc
+                FROM t JOIN st USING (stratum)
+            ),
+            rk AS (
+                SELECT stratum, nc, n_cal,
+                       ROW_NUMBER() OVER (PARTITION BY stratum
+                                          ORDER BY nc, rid) AS rn
+                FROM sc WHERE is_cal
+            ),
+            qh AS (
+                SELECT stratum, nc AS q_hat FROM rk
+                WHERE rn = LEAST(
+                    ((n_cal + 1) * {1000 - CONF_ALPHA_MILLI} + 999) // 1000,
+                    n_cal)
+            )
+            SELECT s.stratum AS stratum,
+                   CAST(MAX(s.n_cal) AS BIGINT) AS n_cal,
+                   CAST(COUNT(*) AS BIGINT) AS n_test,
+                   ROUND(MAX(q.q_hat), 6) AS q_hat,
+                   ROUND(SUM(CASE WHEN s.nc <= q.q_hat THEN 1 ELSE 0 END)
+                         * 1.0 / COUNT(*), 6) AS coverage,
+                   CAST({(1000 - CONF_ALPHA_MILLI) / 1000.0} AS DOUBLE)
+                       AS target
+            FROM sc s JOIN qh q USING (stratum)
+            WHERE NOT s.is_cal
+            GROUP BY 1
+        """,
+        "q270_loso_influence": """
+            WITH tok AS (
+                SELECT source AS src, unnest(string_split(text, ' ')) AS term
+                FROM documents
+            ),
+            ts AS (
+                SELECT src, term, CAST(COUNT(*) AS BIGINT) AS n_st
+                FROM tok GROUP BY 1, 2
+            ),
+            tg AS (
+                SELECT term, CAST(SUM(n_st) AS BIGINT) AS n_t
+                FROM ts GROUP BY 1
+            ),
+            g_tot AS (
+                SELECT CAST(SUM(n_t) AS BIGINT) AS total,
+                       CAST(COUNT(*) AS BIGINT) AS v
+                FROM tg
+            ),
+            j AS (
+                SELECT ts.src, ts.n_st, tg.n_t
+                FROM ts JOIN tg USING (term)
+            ),
+            ps AS (
+                SELECT src, CAST(SUM(n_st) AS BIGINT) AS total_s,
+                       CAST(SUM(CASE WHEN n_t = n_st THEN 1 ELSE 0 END)
+                            AS BIGINT) AS excl_s
+                FROM j GROUP BY 1
+            ),
+            psx AS (
+                SELECT src, total - total_s AS total_loo,
+                       v - excl_s AS v_loo, total, v
+                FROM ps CROSS JOIN g_tot
+            ),
+            c AS (
+                SELECT j.src, j.n_st,
+                       j.n_st * CAST(ROUND(-LN(
+                           CAST(j.n_t - j.n_st + 1 AS DOUBLE)
+                           / CAST(p.total_loo + p.v_loo + 1 AS DOUBLE))
+                           * 1000000000) AS BIGINT) AS loo9,
+                       j.n_st * CAST(ROUND(-LN(
+                           CAST(j.n_t + 1 AS DOUBLE)
+                           / CAST(p.total + p.v + 1 AS DOUBLE))
+                           * 1000000000) AS BIGINT) AS full9
+                FROM j JOIN psx p USING (src)
+            )
+            SELECT src AS source,
+                   CAST(SUM(n_st) AS BIGINT) AS n_tokens,
+                   ROUND(CAST(SUM(loo9) AS BIGINT)
+                         / CAST(SUM(n_st) AS BIGINT)
+                         / 1000000000.0, 6) AS mean_nll_loo,
+                   ROUND(CAST(SUM(full9) AS BIGINT)
+                         / CAST(SUM(n_st) AS BIGINT)
+                         / 1000000000.0, 6) AS mean_nll_full,
+                   ROUND((CAST(SUM(loo9) AS BIGINT)
+                          - CAST(SUM(full9) AS BIGINT))
+                         / CAST(SUM(n_st) AS BIGINT)
+                         / 1000000000.0, 6) AS delta_nll
+            FROM c GROUP BY 1
         """,
     }

@@ -3792,3 +3792,72 @@ def changepoint_split_day(events: DataFrame) -> DataFrame:
     ).select(
         "split_day", "n_left", "n_right", "mean_left", "mean_right", "gain"
     )
+
+
+def hampel_outlier_days(
+    events: DataFrame, half_window: int = 3, k_sigma: float = 3.0
+) -> DataFrame:
+    """Hampel filter on the daily event-count series: per day, the rolling
+    median and MAD over day±half_window; a day is an outlier when
+    |c − median| > k_sigma · 1.4826 · MAD. The LOCAL robust detector —
+    q240's Tukey fences are global, so a seasonal ramp swallows them; the
+    Hampel window flags a one-day spike sitting inside any trend.
+
+    Scale shape: one mergeable agg to the bounded day grain, then a single
+    ordered window over that ≤|days|-row series (corpus-size-independent,
+    never per-event) collecting each day's ±w neighborhood once; median
+    and MAD are array folds inside the projection.
+
+    Cross-engine determinism: counts are exact bigints; the median of a
+    sorted int array is (lo+hi)/2.0 — the same double anywhere; MAD is the
+    same formula over exact |c − med| doubles. When MAD = 0 (constant
+    neighborhood) the score is NULL and any deviation flags.
+
+    Output per day: (day, c, med, mad, score, is_outlier)."""
+    daily = events.select(
+        F.expr("unix_timestamp(ts) div 86400").alias("day")
+    ).groupBy("day").agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    w = (
+        Window.orderBy("day")
+        .rangeBetween(-half_window, half_window)
+    )
+    arr = daily.select(
+        "day", "c", F.array_sort(F.collect_list("c").over(w)).alias("arr")
+    )
+
+    def _median(a: Column) -> Column:
+        n = F.size(a)
+        lo = F.element_at(a, ((n + 1) / 2).cast("int"))
+        hi = F.element_at(a, (n / 2).cast("int") + 1)
+        return (lo + hi) / F.lit(2.0)
+
+    med = arr.select("day", "c", "arr", _median(F.col("arr")).alias("med"))
+    devs = med.select(
+        "day",
+        "c",
+        "med",
+        _median(
+            F.array_sort(
+                F.transform(F.col("arr"), lambda x: F.abs(x - F.col("med")))
+            )
+        ).alias("mad"),
+    )
+    dev_c = F.abs(F.col("c") - F.col("med"))
+    score = F.when(
+        F.col("mad") > 0,
+        F.round(dev_c / (F.lit(1.4826) * F.col("mad")), 6),
+    )
+    return devs.select(
+        F.col("day").cast("bigint").alias("day"),
+        "c",
+        F.round("med", 6).alias("med"),
+        F.round("mad", 6).alias("mad"),
+        score.alias("score"),
+        F.when(
+            F.col("mad") > 0,
+            F.when(dev_c / (F.lit(1.4826) * F.col("mad")) > k_sigma, 1).otherwise(0),
+        )
+        .otherwise(F.when(dev_c > 0, 1).otherwise(0))
+        .cast("bigint")
+        .alias("is_outlier"),
+    )

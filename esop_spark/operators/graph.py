@@ -385,3 +385,81 @@ def adamic_adar_topk(
         .orderBy(F.col("aa_score").desc(), F.col("src").asc(), F.col("dst").asc())
         .limit(k)
     )
+
+
+def kcore_peel(
+    edges_undirected: DataFrame, k: int = 4, rounds: int = 6
+) -> DataFrame:
+    """k-core peeling: ``rounds`` synchronous rounds of "drop every node
+    with degree < k, induce the subgraph on survivors", then report each
+    surviving node's degree in the peeled subgraph. The k-core is the
+    fixpoint; a converged round is a no-op, so extra rounds are idempotent
+    and the round count only needs to be >= the peel depth (6 covers this
+    corpus — verified in tests — and both engines run the SAME count, so
+    results agree even pre-convergence).
+
+    The dense-subgraph detector dedup pipelines use on boilerplate link
+    farms: a template cluster survives peeling long after organic
+    co-occurrence dissolves.
+
+    Scale shape: each round is one degree agg plus two semi-joins on the
+    node key — the textbook iterated-small-step shape (same as the
+    connected-components loop); no per-node windows, no collect. The edge
+    relation is ``localCheckpoint``-ed every round — the semi-join pair
+    references the previous round's relation three times, so without
+    lineage truncation the logical plan grows exponentially in ``rounds``
+    (Catalyst analysis alone becomes the bottleneck). The relation
+    shrinks monotonically, so later rounds are cheaper; a converged round
+    (no edge dropped) breaks out early — the remaining rounds are no-ops
+    by definition, so early exit preserves run-count parity with the
+    oracle. Output grain: surviving nodes."""
+    both = (
+        edges_undirected.select("src", "dst")
+        .union(
+            edges_undirected.select(
+                F.col("dst").alias("src"), F.col("src").alias("dst")
+            )
+        )
+        .localCheckpoint()
+    )
+    n_edges = both.count()
+    for _ in range(rounds):
+        keep = (
+            both.groupBy("src")
+            .agg(F.count(F.lit(1)).alias("deg"))
+            .filter(F.col("deg") >= k)
+            .select(F.col("src").alias("u"))
+        )
+        both = (
+            both.join(keep, both["src"] == keep["u"], "left_semi")
+            .join(keep, both["dst"] == keep["u"], "left_semi")
+            .localCheckpoint()
+        )
+        n_next = both.count()
+        if n_next == n_edges:
+            break
+        n_edges = n_next
+    return both.groupBy(F.col("src").alias("node")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("degree")
+    )
+
+
+def kcore_sql(edges_cte: str, k: int, rounds: int) -> str:
+    """DuckDB WITH-chain computing the same ``rounds``-round peel, for
+    oracles. ``edges_cte`` must name a CTE holding (src, dst) each
+    undirected edge once."""
+    parts = [
+        f"e0 AS (SELECT src, dst FROM {edges_cte} "
+        f"UNION ALL SELECT dst, src FROM {edges_cte})"
+    ]
+    for i in range(1, rounds + 1):
+        parts.append(
+            f"n{i} AS (SELECT src AS u FROM e{i-1} "
+            f"GROUP BY 1 HAVING COUNT(*) >= {k})"
+        )
+        parts.append(
+            f"e{i} AS (SELECT src, dst FROM e{i-1} "
+            f"WHERE src IN (SELECT u FROM n{i}) "
+            f"AND dst IN (SELECT u FROM n{i}))"
+        )
+    return ", ".join(parts)

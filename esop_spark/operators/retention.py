@@ -115,3 +115,107 @@ def last_n(manifests: DataFrame, n: int) -> DataFrame:
     return manifests.orderBy(
         F.col("ts").asc_nulls_last(), F.col("backup_name").asc()
     ).limit(n)
+
+
+def compaction_plan(
+    entries: DataFrame,
+    target_bytes: int = 200_000,
+    num_partitions: int = 32,
+) -> DataFrame:
+    """Size-tiered compaction planner over the distinct object inventory:
+    per (keyspace, table), lay files end-to-end in (size, object_key)
+    order — size-tiered, so similarly-sized sstables land in the same
+    group, Cassandra's STCS heuristic — and cut a compaction bin every
+    ``target_bytes``. Reports each bin's file count, byte sum and fill
+    ratio; the bin list IS the work queue a compaction executor would
+    drain (reference merges sstables per table dir:
+    core/src/main/java/com/instaclustr/esop/impl/restore/RestorationUtilities.java
+    download groupings).
+
+    Scale shape: the per-table running sum uses the range-partition +
+    per-(partition, table) window + broadcast-offset construction
+    (splits._distributed_prefix_sum generalized per stratum) — NOT a
+    per-table single-task window, so one million-sstable table cannot
+    funnel through one reducer. The offsets relation is
+    |tables|×|partitions| rows, broadcastable. Bin assignment is
+    exclusive-prefix // target, the pack_shards convention.
+
+    Output per (keyspace, table_name, bin): n_files, bin_bytes,
+    fill_ratio."""
+    objs = (
+        entries.select(
+            "keyspace",
+            "table_name",
+            "object_key",
+            F.col("size").cast("bigint").alias("size"),
+        )
+        # an object re-listed at a different recorded size (freshened
+        # manifest) collapses deterministically to its max size — NOT
+        # dropDuplicates, which keeps an arbitrary row
+        .groupBy("keyspace", "table_name", "object_key")
+        .agg(F.max("size").alias("size"))
+        .withColumn(
+            "_ord",
+            F.concat(
+                F.lpad(F.col("size").cast("string"), 14, "0"),
+                F.lit("|"),
+                F.col("object_key"),
+            ),
+        )
+        .withColumn("_tbl", F.concat_ws(".", "keyspace", "table_name"))
+    )
+    # localCheckpoint pins ONE materialized range partitioning for both
+    # consumers (the local window and the offsets agg) — without it the
+    # two branches can sample different boundaries and disagree on _pid
+    ranged = (
+        objs.repartitionByRange(num_partitions, F.col("_tbl"), F.col("_ord"))
+        .withColumn("_pid", F.spark_partition_id())
+        .localCheckpoint()
+    )
+    w_local = (
+        Window.partitionBy("_pid", "_tbl")
+        .orderBy("_ord")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    local = ranged.withColumn("_lcum", F.sum("size").over(w_local))
+    w_off = (
+        Window.partitionBy("_tbl")
+        .orderBy("_pid")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offsets = (
+        ranged.groupBy("_pid", "_tbl")
+        .agg(F.sum("size").alias("_psum"))
+        .select(
+            "_pid",
+            "_tbl",
+            F.coalesce(F.sum("_psum").over(w_off), F.lit(0)).alias("_off"),
+        )
+    )
+    packed = (
+        local.join(F.broadcast(offsets), ["_pid", "_tbl"])
+        .withColumn("_cum", F.col("_lcum") + F.col("_off"))
+        .withColumn(
+            "bin",
+            ((F.col("_cum") - F.col("size")) / F.lit(target_bytes)).cast(
+                "bigint"
+            ),
+        )
+    )
+    return (
+        packed.groupBy("keyspace", "table_name", "bin")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_files"),
+            F.sum("size").cast("bigint").alias("bin_bytes"),
+        )
+        .select(
+            "keyspace",
+            "table_name",
+            "bin",
+            "n_files",
+            "bin_bytes",
+            F.round(
+                F.col("bin_bytes") / F.lit(float(target_bytes)), 6
+            ).alias("fill_ratio"),
+        )
+    )

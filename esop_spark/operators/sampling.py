@@ -115,12 +115,22 @@ def _distributed_stratum_rank(
        window is trivial and the join back is a broadcast hash join.
 
     Global rank = local rank + offset; exactness is preserved, and the
-    result is invariant to where the sampled range boundaries land.
+    result is invariant to where the sampled range boundaries land —
+    PROVIDED both consumers below (the local window and the offsets agg)
+    read the SAME boundary set. RangePartitioner samples with an RDD-id-
+    derived seed, so two independent evaluations of the exchange can pick
+    different boundaries and leave ``_pid`` inconsistent between the two
+    branches (observed as run-to-run nondeterminism); the
+    ``localCheckpoint`` pins one materialized partitioning for both.
     """
     tagged = df.withColumn("_b", bucket).withColumn("_k", key.cast("string"))
-    ranged = tagged.repartitionByRange(
-        num_partitions, F.col(strata_col), F.col("_b"), F.col("_k")
-    ).withColumn("_pid", F.spark_partition_id())
+    ranged = (
+        tagged.repartitionByRange(
+            num_partitions, F.col(strata_col), F.col("_b"), F.col("_k")
+        )
+        .withColumn("_pid", F.spark_partition_id())
+        .localCheckpoint()
+    )
     w_local = Window.partitionBy("_pid", strata_col).orderBy("_b", "_k")
     local = ranged.withColumn("_local_rn", F.row_number().over(w_local))
     w_off = (
@@ -708,4 +718,92 @@ def coverage_select(
     sh.unpersist()
     return spark.createDataFrame(
         picked, "rank bigint, doc_id bigint, gain bigint, covered_total bigint"
+    )
+
+
+def conformal_calibration(
+    documents: DataFrame,
+    alpha_milli: int = 100,
+    seed: str = "conf0",
+    value_col: str = "n_chars",
+    strata_col: str = "source",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Split-conformal calibration per stratum: hash-split rows 50/50 into
+    calibration and test halves; the predictor is the calibration half's
+    per-stratum mean of ``value_col``; the nonconformity score is
+    |value − mean|; q̂ is the ⌈(n_cal+1)(1−α)⌉-th smallest calibration
+    score (the finite-sample-valid order statistic, not an interpolated
+    quantile); coverage is the fraction of test rows within q̂. Coverage
+    materially below 1−α on some stratum means that stratum's distribution
+    shifted between halves — the distribution-free QA gate for "are my
+    per-source prediction intervals honest".
+
+    Cross-engine determinism: the order statistic is rank-based on
+    (score, id) — no interpolation anywhere — and means are single
+    divisions of exact integer sums. ⌈(n+1)(1−α)⌉ is computed in exact
+    milli-units.
+
+    Scale shape: means and counts are stratum-grain aggs (broadcast back);
+    the per-stratum ranking uses _distributed_stratum_rank — range
+    partition + pid-local window + broadcast offsets — so a dominant
+    stratum never funnels through one task; q̂ is a |strata|-row relation.
+
+    Output per stratum: (stratum, n_cal, n_test, q_hat, coverage,
+    target)."""
+    if not 0 < alpha_milli < 1000:
+        raise ValueError("alpha_milli must be in (0, 1000)")
+    tagged = documents.select(
+        F.col(strata_col).alias("stratum"),
+        F.col(id_col).alias("rid"),
+        F.col(value_col).cast("bigint").alias("val"),
+        (sample_bucket(F.col(id_col), seed) < BUCKETS // 2).alias("is_cal"),
+    )
+    stats = (
+        tagged.filter("is_cal")
+        .groupBy("stratum")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_cal"),
+            F.sum("val").cast("bigint").alias("sum_val"),
+        )
+        .withColumn("mean_val", F.col("sum_val") / F.col("n_cal"))
+    )
+    scored = tagged.join(F.broadcast(stats), "stratum").withColumn(
+        "nc", F.abs(F.col("val") - F.col("mean_val"))
+    )
+    cal = scored.filter("is_cal")
+    ranked = _distributed_stratum_rank(
+        cal, "stratum", F.col("nc"), F.col("rid")
+    )
+    # ⌈(n_cal+1)·(1−α)⌉ in exact milli-units (integer ceil), clamped to n_cal
+    k_rank = F.least(
+        F.expr(
+            f"((n_cal + 1) * {1000 - alpha_milli} + 999) div 1000"
+        ),
+        F.col("n_cal"),
+    )
+    qhat = ranked.filter(F.col("_rn") == k_rank).select(
+        "stratum", F.col("nc").alias("q_hat")
+    )
+    test = scored.filter(~F.col("is_cal")).join(F.broadcast(qhat), "stratum")
+    return (
+        test.groupBy("stratum")
+        .agg(
+            F.max("n_cal").alias("n_cal"),
+            F.count(F.lit(1)).cast("bigint").alias("n_test"),
+            F.max("q_hat").alias("qh"),
+            F.sum(
+                F.when(F.col("nc") <= F.col("q_hat"), 1).otherwise(0)
+            ).alias("n_covered"),
+        )
+        .select(
+            "stratum",
+            "n_cal",
+            "n_test",
+            F.round("qh", 6).alias("q_hat"),
+            F.round(F.col("n_covered") / F.col("n_test"), 6).alias(
+                "coverage"
+            ),
+            F.round(F.lit((1000 - alpha_milli) / 1000.0), 6).alias("target"),
+        )
     )

@@ -111,16 +111,21 @@ def _distributed_prefix_sum(
 
     1. range-repartition on the order key — partitions hold contiguous,
        globally ordered key ranges (Spark samples boundaries; the final
-       ``cum_incl`` is invariant to where the boundaries land, so sampling
-       nondeterminism cannot change the result);
+       ``cum_incl`` is invariant to WHERE the boundaries land, but both
+       consumers must read the SAME boundary set — RangePartitioner's
+       sample seed derives from the RDD id, so two independent
+       evaluations can disagree; the ``localCheckpoint`` pins one
+       materialized partitioning for both branches);
     2. per-partition running sum — a pid-clustered window (one more
        exchange, but clustered, never single-task);
     3. per-partition totals -> exclusive offsets. The offsets relation has
        ONE ROW PER PARTITION, so the window over it is trivially small and
        the join back is a broadcast hash join.
     """
-    ranged = df.repartitionByRange(num_partitions, F.col(order_col)).withColumn(
-        "_pid", F.spark_partition_id()
+    ranged = (
+        df.repartitionByRange(num_partitions, F.col(order_col))
+        .withColumn("_pid", F.spark_partition_id())
+        .localCheckpoint()
     )
     w_local = (
         Window.partitionBy("_pid")

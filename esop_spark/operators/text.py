@@ -4089,3 +4089,103 @@ def stump_eval_by_source(
         rec.alias("recall_milli"),
         f1.alias("f1_milli"),
     )
+
+
+def loso_source_influence(
+    documents: DataFrame,
+    text_col: str = "text",
+    source_col: str = "source",
+) -> DataFrame:
+    """Leave-one-source-out influence: for every source s, fit the
+    Laplace-smoothed unigram LM on ALL OTHER sources and score s with it.
+    mean_nll_loo far above mean_nll_full (the delta column) means the rest
+    of the corpus cannot predict s — s is contributing unique content;
+    delta ≈ 0 means s is redundant with the rest. The cheap, exact stand-in
+    for per-source data-valuation (one pass, no retraining per source —
+    the LOO counts are just global − source).
+
+    Cross-engine determinism: per-(term, source) surprisal is integer
+    nano-nats (q61/q213's scheme) weighted by exact token counts, so
+    per-source sums are exact bigints; the single division per source is
+    identical everywhere.
+
+    Scale shape: one token explode into a (term, source) mergeable agg;
+    the vocab-grain term totals join at the same key; per-source scalars
+    (total/V/exclusive-term corrections) are a |sources|-row broadcast.
+    No per-doc state, no windows.
+
+    Output per source: (source, n_tokens, mean_nll_loo, mean_nll_full,
+    delta_nll)."""
+    ts = (
+        documents.select(
+            F.col(source_col).alias("src"),
+            F.explode(tokens(text_col)).alias("term"),
+        )
+        .groupBy("src", "term")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_st"))
+        .persist()
+    )
+    tg = ts.groupBy("term").agg(F.sum("n_st").cast("bigint").alias("n_t"))
+    glob = tg.agg(
+        F.sum("n_t").cast("bigint").alias("total"),
+        F.count(F.lit(1)).cast("bigint").alias("v"),
+    )
+    joined = ts.join(tg, "term")
+    per_src = (
+        joined.groupBy("src")
+        .agg(
+            F.sum("n_st").cast("bigint").alias("total_s"),
+            F.sum(F.when(F.col("n_t") == F.col("n_st"), 1).otherwise(0))
+            .cast("bigint")
+            .alias("excl_s"),
+        )
+        .crossJoin(F.broadcast(glob))
+        .select(
+            "src",
+            "total_s",
+            (F.col("total") - F.col("total_s")).alias("total_loo"),
+            (F.col("v") - F.col("excl_s")).alias("v_loo"),
+            "total",
+            "v",
+        )
+    )
+    nano = lambda num, den: F.round(  # noqa: E731
+        -F.log(num.cast("double") / den.cast("double")) * 1e9
+    ).cast("bigint")
+    contrib = joined.join(F.broadcast(per_src), "src").select(
+        "src",
+        "n_st",
+        (
+            F.col("n_st")
+            * nano(
+                F.col("n_t") - F.col("n_st") + 1,
+                F.col("total_loo") + F.col("v_loo") + 1,
+            )
+        ).alias("loo9"),
+        (
+            F.col("n_st")
+            * nano(F.col("n_t") + 1, F.col("total") + F.col("v") + 1)
+        ).alias("full9"),
+    )
+    out = (
+        contrib.groupBy("src")
+        .agg(
+            F.sum("n_st").cast("bigint").alias("n_tokens"),
+            F.sum("loo9").alias("loo9"),
+            F.sum("full9").alias("full9"),
+        )
+        .select(
+            F.col("src").alias("source"),
+            "n_tokens",
+            F.round(F.col("loo9") / F.col("n_tokens") / 1e9, 6).alias(
+                "mean_nll_loo"
+            ),
+            F.round(F.col("full9") / F.col("n_tokens") / 1e9, 6).alias(
+                "mean_nll_full"
+            ),
+            F.round(
+                (F.col("loo9") - F.col("full9")) / F.col("n_tokens") / 1e9, 6
+            ).alias("delta_nll"),
+        )
+    )
+    return out
