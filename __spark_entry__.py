@@ -2783,6 +2783,61 @@ def q270_loso_influence(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text_ops.loso_source_influence(_base(spark, sf_dir, "documents"))
 
 
+# --- market-basket / planning / series wave (q271-q275) ----------------------
+Q12_MODES = ("A", "R")
+Q12_START, Q12_END = 820454400, 852076800  # 1996 ship year
+BASKET_MIN_PAIR, BASKET_K = 10, 50
+SALT_KEYS = ("l_orderkey", "l_partkey", "l_suppkey")
+SALT_TARGET = 500_000
+XCORR_A, XCORR_B, XCORR_MAXLAG = "view", "purchase", 7
+
+
+def q271_shipmode_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12 shape (analytics.shipmode_priority): high- vs low-priority
+    line counts per (returnflag-as-)ship-mode in the 1996 ship year."""
+    return analytics.shipmode_priority(
+        _base(spark, sf_dir, "orders"),
+        _base(spark, sf_dir, "lineitem"),
+        modes=Q12_MODES, start_epoch_s=Q12_START, end_epoch_s=Q12_END,
+    )
+
+
+def q272_brand_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brand-pair association rules (analytics.brand_basket_rules):
+    support / confidence / lift over order baskets, top-k by lift."""
+    return analytics.brand_basket_rules(
+        _base(spark, sf_dir, "lineitem"),
+        _base(spark, sf_dir, "part"),
+        min_pair_orders=BASKET_MIN_PAIR, k=BASKET_K,
+    )
+
+
+def q273_salt_advisor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-skew salt advisor (analytics.salt_advisor): per candidate
+    shuffle key, the census + recommended salt factor."""
+    return analytics.salt_advisor(
+        _base(spark, sf_dir, "lineitem"),
+        key_cols=SALT_KEYS, target_rows_per_task=SALT_TARGET,
+    )
+
+
+def q274_xcorr_leadlag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lead-lag cross-correlation (analytics.xcorr_leadlag) between the
+    view and purchase daily series at lags ±7."""
+    return analytics.xcorr_leadlag(
+        _base(spark, sf_dir, "events"),
+        type_a=XCORR_A, type_b=XCORR_B, max_lag=XCORR_MAXLAG,
+    )
+
+
+def q275_top2_eigen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-two covariance eigenvalues by deflated power iteration
+    (similarity.top2_eigen_share): line- vs plane-collapse diagnosis."""
+    return similarity.top2_eigen_share(
+        _base(spark, sf_dir, "embeddings"), iters=EIGEN_ITERS
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001: the backup-listing report."""
     return q01_list_backups(spark, "/root/testdata/sf0.001")
@@ -3060,6 +3115,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q268_compaction_plan": q268_compaction_plan,
         "q269_conformal_coverage": q269_conformal_coverage,
         "q270_loso_influence": q270_loso_influence,
+        "q271_shipmode_priority": q271_shipmode_priority,
+        "q272_brand_rules": q272_brand_rules,
+        "q273_salt_advisor": q273_salt_advisor,
+        "q274_xcorr_leadlag": q274_xcorr_leadlag,
+        "q275_top2_eigen": q275_top2_eigen,
     }
 
 
@@ -3908,7 +3968,7 @@ def _twonn_oracle(max_docs: int) -> str:
 
 
 _COV_SQL = """
-            WITH e AS (
+            WITH e AS MATERIALIZED (
                 SELECT CAST(embedding AS DOUBLE[]) AS v FROM embeddings
             ),
             p AS (
@@ -3919,7 +3979,7 @@ _COV_SQL = """
                      unnest(range(1, len(v) + 1)) tj(j)
                 WHERE tj.j >= ti.i
             ),
-            m AS (
+            m AS MATERIALIZED (
                 SELECT t.d - 1 AS d, SUM(v[t.d]) / COUNT(*) AS mean
                 FROM e, unnest(range(1, len(v) + 1)) t(d)
                 GROUP BY 1
@@ -3933,7 +3993,7 @@ _COV_SQL = """
                 JOIN m mj ON p.j = mj.d
                 GROUP BY p.i, p.j, mi.mean, mj.mean
             ),
-            fm AS (
+            fm AS MATERIALIZED (
                 SELECT dim_i AS i, dim_j AS j, cov FROM c
                 UNION ALL
                 SELECT dim_j, dim_i, cov FROM c WHERE dim_i <> dim_j
@@ -3972,6 +4032,95 @@ def _eigen_oracle(iters: int) -> str:
                    ROUND(trace, 6) AS trace,
                    ROUND(lam / trace, 6) AS explained_share
             FROM ray CROSS JOIN tr
+        """
+    )
+
+
+def _eigen2_oracle(iters: int) -> str:
+    """Deflated-power-iteration oracle (q275): stage-1 loop on the 6dp
+    covariance, unit v1 re-rounded to 6dp, λ1 rounded to 6dp, the deflated
+    matrix re-rounded to 6dp, stage-2 loop — the same re-synchronization
+    points as similarity.top2_eigen_share, so float drift cannot compound
+    across stages."""
+    steps = ["v0 AS (SELECT DISTINCT i AS d, 1.0 AS val FROM fm)"]
+    for k in range(1, iters + 1):
+        steps.append(
+            f"""v{k} AS (
+                SELECT f.i AS d, SUM(f.cov * v{k-1}.val) AS val
+                FROM fm f JOIN v{k-1} ON f.j = v{k-1}.d GROUP BY 1
+            )"""
+        )
+    steps.append(
+        f"nrm AS (SELECT SQRT(SUM(val * val)) AS nrm FROM v{iters})"
+    )
+    steps.append(
+        f"""v1r AS MATERIALIZED (
+            SELECT d,
+                   CASE WHEN nrm > 0 THEN ROUND(val / nrm, 6)
+                        ELSE 0.0 END + 0.0 AS val
+            FROM v{iters} CROSS JOIN nrm
+        )"""
+    )
+    steps.append(
+        """u1 AS (
+            SELECT f.i AS d, SUM(f.cov * v1r.val) AS uval
+            FROM fm f JOIN v1r ON f.j = v1r.d GROUP BY 1
+        )"""
+    )
+    steps.append(
+        """ray1 AS MATERIALIZED (
+            SELECT CASE WHEN SUM(val * val) > 0
+                        THEN ROUND(SUM(uval * val) / SUM(val * val), 6)
+                        ELSE 0.0 END AS lam
+            FROM v1r JOIN u1 USING (d)
+        )"""
+    )
+    steps.append(
+        """fm2 AS MATERIALIZED (
+            SELECT f.i, f.j,
+                   ROUND(f.cov - ray1.lam * va.val * vb.val, 6) + 0.0 AS cov
+            FROM fm f
+            JOIN v1r va ON f.i = va.d
+            JOIN v1r vb ON f.j = vb.d
+            CROSS JOIN ray1
+        )"""
+    )
+    steps.append("w0 AS (SELECT DISTINCT i AS d, 1.0 AS val FROM fm2)")
+    for k in range(1, iters + 1):
+        steps.append(
+            f"""w{k} AS (
+                SELECT f.i AS d, SUM(f.cov * w{k-1}.val) AS val
+                FROM fm2 f JOIN w{k-1} ON f.j = w{k-1}.d GROUP BY 1
+            )"""
+        )
+    steps.append(
+        f"""u2 AS (
+            SELECT f.i AS d, SUM(f.cov * w{iters}.val) AS uval
+            FROM fm2 f JOIN w{iters} ON f.j = w{iters}.d GROUP BY 1
+        )"""
+    )
+    steps.append(
+        f"""ray2 AS (
+            SELECT CASE WHEN SUM(val * val) > 0
+                        THEN ROUND(SUM(uval * val) / SUM(val * val), 6)
+                        ELSE 0.0 END AS lam2
+            FROM w{iters} JOIN u2 USING (d)
+        )"""
+    )
+    steps.append("tr AS (SELECT SUM(cov) AS trace FROM fm WHERE i = j)")
+    return (
+        _COV_SQL
+        + ", "
+        + ",\n".join(steps)
+        + f"""
+            SELECT CAST({iters} AS BIGINT) AS iters,
+                   ROUND(lam, 6) AS eigen1,
+                   ROUND(lam2, 6) AS eigen2,
+                   ROUND(trace, 6) AS trace,
+                   ROUND(lam / trace, 6) AS share1,
+                   ROUND(lam2 / trace, 6) AS share2,
+                   ROUND((lam + lam2) / trace, 6) AS top2_share
+            FROM ray1 CROSS JOIN ray2 CROSS JOIN tr
         """
     )
 
@@ -10837,4 +10986,209 @@ def oracle_sql() -> dict[str, str]:
                          / 1000000000.0, 6) AS delta_nll
             FROM c GROUP BY 1
         """,
+        "q271_shipmode_priority": f"""
+            SELECT l_returnflag AS mode,
+                   CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                                 THEN 1 ELSE 0 END) AS BIGINT)
+                       AS high_line_count,
+                   CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                                 THEN 0 ELSE 1 END) AS BIGINT)
+                       AS low_line_count
+            FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+            WHERE l_returnflag IN {Q12_MODES}
+              AND CAST(epoch(l_shipdate) AS BIGINT) >= {Q12_START}
+              AND CAST(epoch(l_shipdate) AS BIGINT) < {Q12_END}
+            GROUP BY 1
+        """,
+        "q272_brand_rules": f"""
+            WITH ob AS (
+                SELECT DISTINCT l_orderkey AS ok, p_brand AS brand
+                FROM lineitem JOIN part ON l_partkey = p_partkey
+            ),
+            n AS (SELECT CAST(COUNT(DISTINCT ok) AS BIGINT) AS n_orders
+                  FROM ob),
+            tot AS (
+                SELECT brand, CAST(COUNT(*) AS BIGINT) AS nb
+                FROM ob GROUP BY 1
+            ),
+            p AS (
+                SELECT a.brand AS brand_a, b.brand AS brand_b,
+                       CAST(COUNT(*) AS BIGINT) AS n_ab
+                FROM ob a JOIN ob b
+                  ON a.ok = b.ok AND a.brand < b.brand
+                GROUP BY 1, 2
+                HAVING COUNT(*) >= {BASKET_MIN_PAIR}
+            )
+            SELECT brand_a, brand_b, n_ab,
+                   ta.nb AS n_a, tb.nb AS n_b,
+                   ROUND(n_ab * 1.0 / ta.nb, 6) AS conf_a_to_b,
+                   ROUND(n_ab * 1.0 / tb.nb, 6) AS conf_b_to_a,
+                   ROUND((n.n_orders * 1.0 * n_ab)
+                         / (ta.nb * 1.0 * tb.nb), 6) AS lift
+            FROM p
+            JOIN tot ta ON brand_a = ta.brand
+            JOIN tot tb ON brand_b = tb.brand
+            CROSS JOIN n
+            ORDER BY lift DESC, brand_a ASC, brand_b ASC
+            LIMIT {BASKET_K}
+        """,
+        "q273_salt_advisor": " UNION ALL ".join(f"""
+            SELECT '{c}' AS key_col,
+                   CAST(SUM(n) AS BIGINT) AS n_rows,
+                   CAST(COUNT(*) AS BIGINT) AS n_keys,
+                   CAST(MAX(n) AS BIGINT) AS max_key_rows,
+                   CAST(FLOOR(MAX(n) * 1000000.0 / SUM(n)) AS BIGINT)
+                       AS max_key_ppm,
+                   ROUND(MAX(n) * 1.0 * COUNT(*) / SUM(n), 6) AS skew_ratio,
+                   CAST(CEIL(MAX(n) * 1.0 / {SALT_TARGET}) AS BIGINT)
+                       AS salt_factor
+            FROM (SELECT {c} AS k, CAST(COUNT(*) AS BIGINT) AS n
+                  FROM lineitem GROUP BY 1)
+        """ for c in SALT_KEYS),
+        "q274_xcorr_leadlag": f"""
+            WITH daily AS (
+                SELECT CAST(epoch(ts) AS BIGINT) // 86400 AS day, event_type,
+                       CAST(COUNT(*) AS BIGINT) AS c
+                FROM events
+                WHERE event_type IN ('{XCORR_A}', '{XCORR_B}')
+                GROUP BY 1, 2
+            ),
+            a AS (SELECT day AS da, c AS ca FROM daily
+                  WHERE event_type = '{XCORR_A}'),
+            b AS (SELECT day AS db, c AS cb FROM daily
+                  WHERE event_type = '{XCORR_B}'),
+            lagged AS (
+            SELECT CAST(-7 AS BIGINT) AS lag,
+                   CAST(COUNT(*) AS BIGINT) AS n_days,
+                   CAST(SUM(ca) AS HUGEINT) AS sa,
+                   CAST(SUM(cb) AS HUGEINT) AS sb,
+                   CAST(SUM(ca * cb) AS HUGEINT) AS sab,
+                   CAST(SUM(ca * ca) AS HUGEINT) AS saa,
+                   CAST(SUM(cb * cb) AS HUGEINT) AS sbb
+            FROM a JOIN b ON b.db = a.da + -7
+            UNION ALL SELECT CAST(-6 AS BIGINT) AS lag,
+                   CAST(COUNT(*) AS BIGINT) AS n_days,
+                   CAST(SUM(ca) AS HUGEINT) AS sa,
+                   CAST(SUM(cb) AS HUGEINT) AS sb,
+                   CAST(SUM(ca * cb) AS HUGEINT) AS sab,
+                   CAST(SUM(ca * ca) AS HUGEINT) AS saa,
+                   CAST(SUM(cb * cb) AS HUGEINT) AS sbb
+            FROM a JOIN b ON b.db = a.da + -6
+            UNION ALL SELECT CAST(-5 AS BIGINT) AS lag,
+                   CAST(COUNT(*) AS BIGINT) AS n_days,
+                   CAST(SUM(ca) AS HUGEINT) AS sa,
+                   CAST(SUM(cb) AS HUGEINT) AS sb,
+                   CAST(SUM(ca * cb) AS HUGEINT) AS sab,
+                   CAST(SUM(ca * ca) AS HUGEINT) AS saa,
+                   CAST(SUM(cb * cb) AS HUGEINT) AS sbb
+            FROM a JOIN b ON b.db = a.da + -5
+            UNION ALL SELECT CAST(-4 AS BIGINT) AS lag,
+                   CAST(COUNT(*) AS BIGINT) AS n_days,
+                   CAST(SUM(ca) AS HUGEINT) AS sa,
+                   CAST(SUM(cb) AS HUGEINT) AS sb,
+                   CAST(SUM(ca * cb) AS HUGEINT) AS sab,
+                   CAST(SUM(ca * ca) AS HUGEINT) AS saa,
+                   CAST(SUM(cb * cb) AS HUGEINT) AS sbb
+            FROM a JOIN b ON b.db = a.da + -4
+            UNION ALL SELECT CAST(-3 AS BIGINT) AS lag,
+                   CAST(COUNT(*) AS BIGINT) AS n_days,
+                   CAST(SUM(ca) AS HUGEINT) AS sa,
+                   CAST(SUM(cb) AS HUGEINT) AS sb,
+                   CAST(SUM(ca * cb) AS HUGEINT) AS sab,
+                   CAST(SUM(ca * ca) AS HUGEINT) AS saa,
+                   CAST(SUM(cb * cb) AS HUGEINT) AS sbb
+            FROM a JOIN b ON b.db = a.da + -3
+            UNION ALL SELECT CAST(-2 AS BIGINT) AS lag,
+                   CAST(COUNT(*) AS BIGINT) AS n_days,
+                   CAST(SUM(ca) AS HUGEINT) AS sa,
+                   CAST(SUM(cb) AS HUGEINT) AS sb,
+                   CAST(SUM(ca * cb) AS HUGEINT) AS sab,
+                   CAST(SUM(ca * ca) AS HUGEINT) AS saa,
+                   CAST(SUM(cb * cb) AS HUGEINT) AS sbb
+            FROM a JOIN b ON b.db = a.da + -2
+            UNION ALL SELECT CAST(-1 AS BIGINT) AS lag,
+                   CAST(COUNT(*) AS BIGINT) AS n_days,
+                   CAST(SUM(ca) AS HUGEINT) AS sa,
+                   CAST(SUM(cb) AS HUGEINT) AS sb,
+                   CAST(SUM(ca * cb) AS HUGEINT) AS sab,
+                   CAST(SUM(ca * ca) AS HUGEINT) AS saa,
+                   CAST(SUM(cb * cb) AS HUGEINT) AS sbb
+            FROM a JOIN b ON b.db = a.da + -1
+            UNION ALL SELECT CAST(0 AS BIGINT) AS lag,
+                   CAST(COUNT(*) AS BIGINT) AS n_days,
+                   CAST(SUM(ca) AS HUGEINT) AS sa,
+                   CAST(SUM(cb) AS HUGEINT) AS sb,
+                   CAST(SUM(ca * cb) AS HUGEINT) AS sab,
+                   CAST(SUM(ca * ca) AS HUGEINT) AS saa,
+                   CAST(SUM(cb * cb) AS HUGEINT) AS sbb
+            FROM a JOIN b ON b.db = a.da + 0
+            UNION ALL SELECT CAST(1 AS BIGINT) AS lag,
+                   CAST(COUNT(*) AS BIGINT) AS n_days,
+                   CAST(SUM(ca) AS HUGEINT) AS sa,
+                   CAST(SUM(cb) AS HUGEINT) AS sb,
+                   CAST(SUM(ca * cb) AS HUGEINT) AS sab,
+                   CAST(SUM(ca * ca) AS HUGEINT) AS saa,
+                   CAST(SUM(cb * cb) AS HUGEINT) AS sbb
+            FROM a JOIN b ON b.db = a.da + 1
+            UNION ALL SELECT CAST(2 AS BIGINT) AS lag,
+                   CAST(COUNT(*) AS BIGINT) AS n_days,
+                   CAST(SUM(ca) AS HUGEINT) AS sa,
+                   CAST(SUM(cb) AS HUGEINT) AS sb,
+                   CAST(SUM(ca * cb) AS HUGEINT) AS sab,
+                   CAST(SUM(ca * ca) AS HUGEINT) AS saa,
+                   CAST(SUM(cb * cb) AS HUGEINT) AS sbb
+            FROM a JOIN b ON b.db = a.da + 2
+            UNION ALL SELECT CAST(3 AS BIGINT) AS lag,
+                   CAST(COUNT(*) AS BIGINT) AS n_days,
+                   CAST(SUM(ca) AS HUGEINT) AS sa,
+                   CAST(SUM(cb) AS HUGEINT) AS sb,
+                   CAST(SUM(ca * cb) AS HUGEINT) AS sab,
+                   CAST(SUM(ca * ca) AS HUGEINT) AS saa,
+                   CAST(SUM(cb * cb) AS HUGEINT) AS sbb
+            FROM a JOIN b ON b.db = a.da + 3
+            UNION ALL SELECT CAST(4 AS BIGINT) AS lag,
+                   CAST(COUNT(*) AS BIGINT) AS n_days,
+                   CAST(SUM(ca) AS HUGEINT) AS sa,
+                   CAST(SUM(cb) AS HUGEINT) AS sb,
+                   CAST(SUM(ca * cb) AS HUGEINT) AS sab,
+                   CAST(SUM(ca * ca) AS HUGEINT) AS saa,
+                   CAST(SUM(cb * cb) AS HUGEINT) AS sbb
+            FROM a JOIN b ON b.db = a.da + 4
+            UNION ALL SELECT CAST(5 AS BIGINT) AS lag,
+                   CAST(COUNT(*) AS BIGINT) AS n_days,
+                   CAST(SUM(ca) AS HUGEINT) AS sa,
+                   CAST(SUM(cb) AS HUGEINT) AS sb,
+                   CAST(SUM(ca * cb) AS HUGEINT) AS sab,
+                   CAST(SUM(ca * ca) AS HUGEINT) AS saa,
+                   CAST(SUM(cb * cb) AS HUGEINT) AS sbb
+            FROM a JOIN b ON b.db = a.da + 5
+            UNION ALL SELECT CAST(6 AS BIGINT) AS lag,
+                   CAST(COUNT(*) AS BIGINT) AS n_days,
+                   CAST(SUM(ca) AS HUGEINT) AS sa,
+                   CAST(SUM(cb) AS HUGEINT) AS sb,
+                   CAST(SUM(ca * cb) AS HUGEINT) AS sab,
+                   CAST(SUM(ca * ca) AS HUGEINT) AS saa,
+                   CAST(SUM(cb * cb) AS HUGEINT) AS sbb
+            FROM a JOIN b ON b.db = a.da + 6
+            UNION ALL SELECT CAST(7 AS BIGINT) AS lag,
+                   CAST(COUNT(*) AS BIGINT) AS n_days,
+                   CAST(SUM(ca) AS HUGEINT) AS sa,
+                   CAST(SUM(cb) AS HUGEINT) AS sb,
+                   CAST(SUM(ca * cb) AS HUGEINT) AS sab,
+                   CAST(SUM(ca * ca) AS HUGEINT) AS saa,
+                   CAST(SUM(cb * cb) AS HUGEINT) AS sbb
+            FROM a JOIN b ON b.db = a.da + 7
+            )
+            SELECT lag, n_days,
+                   CASE WHEN (n_days * saa - sa * sa) > 0
+                         AND (n_days * sbb - sb * sb) > 0
+                        THEN ROUND(
+                            CAST(n_days * sab - sa * sb AS DOUBLE)
+                            / SQRT(CAST(n_days * saa - sa * sa AS DOUBLE)
+                                   * CAST(n_days * sbb - sb * sb AS DOUBLE)),
+                            6)
+                   END AS r
+            FROM lagged
+        """,
+        "q275_top2_eigen": _eigen2_oracle(EIGEN_ITERS),
     }

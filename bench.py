@@ -237,6 +237,16 @@ BENCH_QUERIES = [
     "q263_theil_sen_trend",
     "q264_layout_advisor",
     "q265_changepoint",
+    "q266_kcore",
+    "q267_hampel_outliers",
+    "q268_compaction_plan",
+    "q269_conformal_coverage",
+    "q270_loso_influence",
+    "q271_shipmode_priority",
+    "q272_brand_rules",
+    "q273_salt_advisor",
+    "q274_xcorr_leadlag",
+    "q275_top2_eigen",
 ]
 
 

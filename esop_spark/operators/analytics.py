@@ -3699,8 +3699,12 @@ def theil_sen_daily_revenue(orders: DataFrame) -> DataFrame:
     Scale shape: the corpus collapses to the bounded day grain (≈3000 rows
     for a decade — corpus-size-independent) in one mergeable agg; the
     pairwise slope explode is |days|²/2 ≈ 5M tiny rows, a fixed cost that
-    does not grow with data volume. Medians interpolate at 0.5 exactly
-    like the oracle's quantile_cont.
+    does not grow with data volume. The slope median is rank-exact via the
+    distributed range-partition construction — NOT Spark's percentile()
+    aggregate, which funnels every slope into one in-memory buffer (a
+    single-task sort of millions of doubles; measured 12 s at sf0.1 and
+    the 100 TB straggler shape). Medians interpolate at 0.5 exactly like
+    the oracle's quantile_cont.
 
     Cross-engine determinism: daily revenue is exact integer cents, day
     indices exact integers, so every slope is the same double in any
@@ -3708,6 +3712,8 @@ def theil_sen_daily_revenue(orders: DataFrame) -> DataFrame:
 
     Output one row: (n_days, n_pairs, slope_cents_per_day, intercept_cents).
     """
+    from esop_spark.operators.sampling import _distributed_stratum_rank
+
     daily = orders.select(
         F.expr("unix_timestamp(o_orderdate) div 86400").alias("day"),
         cents("o_totalprice").alias("rc"),
@@ -3717,11 +3723,29 @@ def theil_sen_daily_revenue(orders: DataFrame) -> DataFrame:
     slopes = a.join(b, F.col("d1") < F.col("d2")).select(
         ((F.col("r2") - F.col("r1")) / (F.col("d2") - F.col("d1"))).alias(
             "slope"
-        )
+        ),
+        # unique pair key: tie-break order among equal slopes is
+        # median-invariant, but the rank construction wants a total order
+        (F.col("d1") * F.lit(1_000_000) + F.col("d2")).alias("pk"),
     )
-    med = slopes.agg(
-        F.count(F.lit(1)).cast("bigint").alias("n_pairs"),
-        F.expr("percentile(slope, 0.5)").alias("m"),
+    # n_pairs = C(|days|, 2) off the tiny day grain — counting the pair
+    # relation itself would re-run the nested-loop join a second time
+    counted = daily.agg(F.count(F.lit(1)).alias("nd")).select(
+        F.expr("nd * (nd - 1) div 2").cast("bigint").alias("n_pairs")
+    )
+    ranked = _distributed_stratum_rank(
+        slopes.withColumn("_one", F.lit(1)), "_one", F.col("slope"), F.col("pk")
+    )
+    med = (
+        ranked.crossJoin(F.broadcast(counted))
+        .filter(
+            (F.col("_rn") == F.expr("(n_pairs + 1) div 2"))
+            | (F.col("_rn") == F.expr("n_pairs div 2 + 1"))
+        )
+        .agg(
+            F.max("n_pairs").alias("n_pairs"),
+            F.avg("slope").alias("m"),
+        )
     )
     resid = daily.crossJoin(F.broadcast(med)).agg(
         F.max("n_pairs").alias("n_pairs"),
@@ -3860,4 +3884,251 @@ def hampel_outlier_days(
         .otherwise(F.when(dev_c > 0, 1).otherwise(0))
         .cast("bigint")
         .alias("is_outlier"),
+    )
+
+
+def shipmode_priority(
+    orders: DataFrame,
+    lineitem: DataFrame,
+    modes: tuple[str, ...] = ("A", "R"),
+    start_epoch_s: int = 820454400,   # 1996-01-01
+    end_epoch_s: int = 852076800,     # 1997-01-01
+) -> DataFrame:
+    """TPC-H Q12 adapted to this schema (no l_shipmode/l_receiptdate —
+    l_returnflag stands in for the ship mode and l_shipdate for the
+    receipt date): per mode, how many lines in the ship-year window
+    belong to high-priority (1-URGENT / 2-HIGH) vs lower-priority orders.
+    The ops question Q12 answers — did the cheap shipping tier starve
+    urgent orders — survives the column mapping intact.
+
+    Scale shape: the mode IN-list and date window are scan-pushed on the
+    fact side BEFORE the orderkey shuffle; orders projects two columns
+    and joins on its uniform key; the conditional counts fuse into ONE
+    aggregation on the ≤|modes| grain (no second scan, no join of two
+    aggregates — the Q8/Q14 conditional-sum shape)."""
+    l = lineitem.filter(
+        F.col("l_returnflag").isin(list(modes))
+        & (F.col("l_shipdate") >= F.timestamp_seconds(F.lit(start_epoch_s)))
+        & (F.col("l_shipdate") < F.timestamp_seconds(F.lit(end_epoch_s)))
+    ).select("l_orderkey", F.col("l_returnflag").alias("mode"))
+    o = orders.select("o_orderkey", "o_orderpriority")
+    high = F.col("o_orderpriority").isin(["1-URGENT", "2-HIGH"])
+    return (
+        l.join(o, l["l_orderkey"] == o["o_orderkey"])
+        .groupBy("mode")
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).cast("bigint").alias(
+                "high_line_count"
+            ),
+            F.sum(F.when(high, 0).otherwise(1)).cast("bigint").alias(
+                "low_line_count"
+            ),
+        )
+    )
+
+
+def brand_basket_rules(
+    lineitem: DataFrame,
+    part: DataFrame,
+    min_pair_orders: int = 10,
+    k: int = 50,
+) -> DataFrame:
+    """Association rules on order baskets at the brand grain: for each
+    unordered brand pair {a, b}, support (co-occurrence count), directed
+    confidence P(b|a), and lift = N·n_ab / (n_a·n_b). Lift > 1 means the
+    brands co-sell beyond independence — the market-basket primitive,
+    computed exactly because the item vocabulary (|brands| ≈ 25) is
+    bounded.
+
+    Scale shape: the fact scan collapses to DISTINCT (order, brand)
+    first — the uniform orderkey shuffle is the only corpus-sized
+    exchange, and per-order brand sets are ≤|brands| rows, so the
+    per-order pair self-join is bounded-fanout (≤|brands|² per order,
+    never corpus²). Brand totals and N are a broadcast-sized side.
+    Output: top-k pairs by lift among those with support ≥
+    ``min_pair_orders``, one row per unordered pair."""
+    ob = (
+        lineitem.select("l_orderkey", "l_partkey")
+        .join(
+            F.broadcast(part.select("p_partkey", "p_brand")),
+            F.col("l_partkey") == F.col("p_partkey"),
+        )
+        .select(F.col("l_orderkey").alias("ok"), F.col("p_brand").alias("brand"))
+        .distinct()
+        .persist()  # consumed by totals, the pair join (twice), and N
+    )
+    n_orders_df = ob.agg(
+        F.count_distinct("ok").cast("bigint").alias("n_orders")
+    )
+    totals = ob.groupBy("brand").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_brand")
+    )
+    a = ob.alias("a")
+    b = ob.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.ok") == F.col("b.ok"))
+            & (F.col("a.brand") < F.col("b.brand")),
+        )
+        .groupBy(
+            F.col("a.brand").alias("brand_a"),
+            F.col("b.brand").alias("brand_b"),
+        )
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_ab"))
+        .filter(F.col("n_ab") >= min_pair_orders)
+    )
+    ta = totals.select(
+        F.col("brand").alias("brand_a"), F.col("n_brand").alias("n_a")
+    )
+    tb = totals.select(
+        F.col("brand").alias("brand_b"), F.col("n_brand").alias("n_b")
+    )
+    return (
+        pairs.join(F.broadcast(ta), "brand_a")
+        .join(F.broadcast(tb), "brand_b")
+        .crossJoin(F.broadcast(n_orders_df))
+        .select(
+            "brand_a",
+            "brand_b",
+            "n_ab",
+            "n_a",
+            "n_b",
+            F.round(F.col("n_ab") / F.col("n_a"), 6).alias("conf_a_to_b"),
+            F.round(F.col("n_ab") / F.col("n_b"), 6).alias("conf_b_to_a"),
+            # doubles BEFORE the products: bigint·bigint would overflow at
+            # planetary order counts, and the double form is the same
+            # left-associated arithmetic the oracle runs
+            F.round(
+                F.col("n_orders").cast("double") * F.col("n_ab")
+                / (F.col("n_a").cast("double") * F.col("n_b")),
+                6,
+            ).alias("lift"),
+        )
+        .orderBy(
+            F.col("lift").desc(), F.col("brand_a").asc(), F.col("brand_b").asc()
+        )
+        .limit(k)
+    )
+
+
+def salt_advisor(
+    lineitem: DataFrame,
+    key_cols: tuple[str, ...] = ("l_orderkey", "l_partkey", "l_suppkey"),
+    target_rows_per_task: int = 500_000,
+) -> DataFrame:
+    """Join-skew salt advisor: for each candidate shuffle key of the fact
+    table, the key census a planner needs to choose between a plain
+    shuffle join, AQE skew splitting, or explicit salting — n_rows,
+    n_keys, the heaviest key's row count, its ppm of the table, the
+    max/avg skew ratio, and the recommended salt factor
+    ceil(max_key_rows / target_rows_per_task) (1 = no salt needed).
+
+    The decision this feeds: a key whose heaviest value exceeds the
+    per-task budget will straggle one reducer no matter how many
+    partitions exist; salting by s splits that key's rows across s
+    subkeys at the cost of replicating the dim side s×.
+
+    Scale shape: one mergeable (key → count) agg per candidate column —
+    each on ITS OWN uniform key — folded to a 1-row census, unioned on
+    the |key_cols| grain. Exact integers throughout."""
+    outs = []
+    for c in key_cols:
+        census = (
+            lineitem.select(F.col(c).alias("k"))
+            .groupBy("k")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+            .agg(
+                F.sum("n").cast("bigint").alias("n_rows"),
+                F.count(F.lit(1)).cast("bigint").alias("n_keys"),
+                F.max("n").cast("bigint").alias("max_key_rows"),
+            )
+            .select(
+                F.lit(c).alias("key_col"),
+                "n_rows",
+                "n_keys",
+                "max_key_rows",
+                (F.col("max_key_rows") * F.lit(1_000_000) / F.col("n_rows"))
+                .cast("bigint")
+                .alias("max_key_ppm"),
+                F.round(
+                    F.col("max_key_rows") * F.col("n_keys") / F.col("n_rows"),
+                    6,
+                ).alias("skew_ratio"),
+                F.ceil(
+                    F.col("max_key_rows") / F.lit(target_rows_per_task)
+                ).cast("bigint").alias("salt_factor"),
+            )
+        )
+        outs.append(census)
+    out = outs[0]
+    for o in outs[1:]:
+        out = out.unionByName(o)
+    return out
+
+
+def xcorr_leadlag(
+    events: DataFrame,
+    type_a: str = "view",
+    type_b: str = "purchase",
+    max_lag: int = 7,
+) -> DataFrame:
+    """Lead-lag cross-correlation between two event types' daily count
+    series: Pearson r of (a[t], b[t+lag]) for lag in [-max_lag, max_lag],
+    each over the days where both observations exist. The causal-shape
+    probe q215's autocorrelation cannot answer: a peak at positive lag
+    means type_a leads type_b by that many days.
+
+    Scale shape: ONE corpus pass to the bounded (day, type) grain; the
+    lag battery is a self-join of two ≤|days|-row relations per lag —
+    planning-scale arithmetic, never per-event. Pearson terms are exact
+    integer sums (counts), divided once per lag.
+
+    Output per lag: (lag, n_days, r)."""
+    daily = (
+        events.filter(F.col("event_type").isin([type_a, type_b]))
+        .select(
+            F.expr("unix_timestamp(ts) div 86400").alias("day"),
+            "event_type",
+        )
+        .groupBy("day", "event_type")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    )
+    a = daily.filter(F.col("event_type") == type_a).select(
+        F.col("day").alias("da"), F.col("c").alias("ca")
+    )
+    b = daily.filter(F.col("event_type") == type_b).select(
+        F.col("day").alias("db"), F.col("c").alias("cb")
+    )
+    # DECIMAL(38) second moments: daily counts at planetary scale make
+    # Σ(ca·cb) overflow int64; the oracle's HUGEINT is exact, so exact
+    # decimals here keep both engines bit-identical pre-division
+    dec = lambda c: F.col(c).cast("decimal(19,0)")  # noqa: E731
+    lags = None
+    for lag in range(-max_lag, max_lag + 1):
+        j = (
+            a.join(b, F.col("db") == F.col("da") + F.lit(lag))
+            .agg(
+                F.count(F.lit(1)).cast("bigint").alias("n_days"),
+                F.sum("ca").cast("decimal(38,0)").alias("sa"),
+                F.sum("cb").cast("decimal(38,0)").alias("sb"),
+                F.sum(dec("ca") * dec("cb")).cast("decimal(38,0)").alias("sab"),
+                F.sum(dec("ca") * dec("ca")).cast("decimal(38,0)").alias("saa"),
+                F.sum(dec("cb") * dec("cb")).cast("decimal(38,0)").alias("sbb"),
+            )
+            .select(F.lit(lag).cast("bigint").alias("lag"), "n_days", "sa",
+                    "sb", "sab", "saa", "sbb")
+        )
+        lags = j if lags is None else lags.unionByName(j)
+    nd = F.col("n_days").cast("decimal(38,0)")
+    num = (nd * F.col("sab") - F.col("sa") * F.col("sb")).cast("double")
+    den2a = (nd * F.col("saa") - F.col("sa") * F.col("sa")).cast("double")
+    den2b = (nd * F.col("sbb") - F.col("sb") * F.col("sb")).cast("double")
+    return lags.select(
+        "lag",
+        "n_days",
+        F.when(
+            (den2a > 0) & (den2b > 0),
+            F.round(num / F.sqrt(den2a * den2b), 6),
+        ).alias("r"),
     )
