@@ -2462,140 +2462,78 @@ def top2_eigen_share(
     id_col: str = "vec_id",
 ) -> DataFrame:
     """Top-TWO eigenvalues of the embedding covariance by power iteration
-    with deflation: λ1 from the q203 loop, then the same loop on the
-    deflated matrix C − λ1·v1·v1ᵀ for λ2. The pair answers what λ1 alone
-    cannot: whether the space collapsed to a LINE (share1 high, λ2/λ1
-    tiny) or to a PLANE (both shares high) — different repair actions
-    (recenter vs re-train).
+    with deflation: λ1 first, then the same loop on the deflated matrix
+    C − λ1·v1·v1ᵀ for λ2. The pair answers what λ1 alone cannot: whether
+    the space collapsed to a LINE (share1 high, λ2/λ1 tiny) or to a PLANE
+    (both shares high) — different repair actions (recenter vs re-train).
 
-    Cross-engine determinism: the covariance is rounded to 6dp (both
-    engines iterate on IDENTICAL matrices); the unit v1 is re-rounded to
-    6dp and λ1 to 6dp BEFORE deflation, so the second stage also starts
-    from an engine-identical matrix — float drift cannot compound across
-    stages.
+    Scale shape: the corpus contributes exactly ONE distributed
+    aggregation (the d²-grain covariance, mergeable, map-side combined);
+    the d×d eigensolve runs driver-side on the collected matrix — the
+    :func:`pca_top_component` boundary (d² values is driver-sized by
+    construction, like IVF centroids). Executors never see a power
+    iteration; an earlier all-executor formulation spent minutes in
+    Catalyst analysis alone (each deflated-stage iteration re-embedded
+    the stage-1 plan) and 10 s of job overhead after checkpointing.
 
-    Scale shape: ONE corpus-sized aggregation (the d²-grain covariance);
-    both power loops are broadcast joins of a d-row vector against the
-    d²-row matrix — bounded-grain walks, nothing corpus-sized after the
-    first agg (q203's construction, run twice).
+    Cross-engine determinism: the covariance is 6dp-rounded (both engines
+    iterate on IDENTICAL matrices); the unit v1, λ1, and the deflated
+    matrix are re-rounded to 6dp with HALF_UP (java.math.BigDecimal
+    semantics, matching SQL ROUND) before stage 2, so float drift cannot
+    compound across stages.
 
     Output one row: (iters, eigen1, eigen2, trace, share1, share2,
     top2_share)."""
+    import math
+    from decimal import ROUND_HALF_UP, Decimal
 
-    def _iterate(mat: DataFrame, tag: str) -> DataFrame:
-        v = mat.select(F.col("i").alias("d")).distinct().select(
-            "d", F.lit(1.0).alias("val")
-        )
-        for it in range(iters):
-            ma, va = f"m{tag}{it}", f"v{tag}{it}"
-            v = (
-                mat.alias(ma)
-                .join(
-                    F.broadcast(v.alias(va)),
-                    F.col(f"{ma}.j") == F.col(f"{va}.d"),
-                )
-                .groupBy(F.col(f"{ma}.i").alias("d"))
-                .agg(
-                    F.sum(F.col(f"{ma}.cov") * F.col(f"{va}.val")).alias("val")
-                )
-            )
+    def r6(x: float) -> float:
+        # SQL ROUND(x, 6): half away from zero on the double's exact
+        # binary value (Spark routes doubles through BigDecimal HALF_UP);
+        # +0.0 canonicalizes -0.0
+        return float(
+            Decimal(x).quantize(Decimal("0.000001"), rounding=ROUND_HALF_UP)
+        ) + 0.0
+
+    rows = embedding_covariance(embeddings, vec_col, id_col).collect()
+    d = max(int(r["dim_j"]) for r in rows) + 1
+    c = [[0.0] * d for _ in range(d)]
+    for row in rows:
+        i, j = int(row["dim_i"]), int(row["dim_j"])
+        c[i][j] = row["cov"]
+        c[j][i] = row["cov"]
+
+    def power(mat: list, n: int) -> list:
+        v = [1.0] * d
+        for _ in range(n):
+            v = [
+                sum(mat[i][j] * v[j] for j in range(d)) for i in range(d)
+            ]
         return v
 
-    def _rayleigh(mat: DataFrame, v: DataFrame, tag: str) -> DataFrame:
-        u = (
-            mat.alias(f"r{tag}")
-            .join(
-                F.broadcast(v.alias(f"rv{tag}")),
-                F.col(f"r{tag}.j") == F.col(f"rv{tag}.d"),
-            )
-            .groupBy(F.col(f"r{tag}.i").alias("d"))
-            .agg(
-                F.sum(F.col(f"r{tag}.cov") * F.col(f"rv{tag}.val")).alias(
-                    "uval"
-                )
-            )
-        )
-        return (
-            v.join(u, "d")
-            .agg(
-                F.sum(F.col("uval") * F.col("val")).alias("num"),
-                F.sum(F.col("val") * F.col("val")).alias("den"),
-            )
-            .select(
-                # a fully-deflated (all-zero) matrix iterates to the zero
-                # vector: its eigenvalue is 0, not a divide error
-                F.when(
-                    F.col("den") > 0,
-                    F.round(F.col("num") / F.col("den"), 6),
-                )
-                .otherwise(F.lit(0.0))
-                .alias("lam")
-            )
-        )
+    def rayleigh(mat: list, v: list) -> float:
+        den = sum(x * x for x in v)
+        if den <= 0:
+            return 0.0
+        u = [sum(mat[i][j] * v[j] for j in range(d)) for i in range(d)]
+        return r6(sum(u[i] * v[i] for i in range(d)) / den)
 
-    upper = embedding_covariance(embeddings, vec_col, id_col)
-    cov = upper.select(
-        F.col("dim_i").alias("i"), F.col("dim_j").alias("j"), "cov"
-    ).unionByName(
-        upper.filter(F.col("dim_i") != F.col("dim_j")).select(
-            F.col("dim_j").alias("i"), F.col("dim_i").alias("j"), "cov"
-        )
-    ).persist()
+    v_raw = power(c, iters)
+    nrm = math.sqrt(sum(x * x for x in v_raw))
+    v1 = [r6(x / nrm) if nrm > 0 else 0.0 for x in v_raw]
+    lam1 = rayleigh(c, v1)
+    c2 = [
+        [r6(c[i][j] - lam1 * v1[i] * v1[j]) for j in range(d)]
+        for i in range(d)
+    ]
+    lam2 = rayleigh(c2, power(c2, iters))
+    trace = sum(c[i][i] for i in range(d))
 
-    v1_raw = _iterate(cov, "a").localCheckpoint()
-    norm = v1_raw.agg(F.sqrt(F.sum(F.col("val") * F.col("val"))).alias("nrm"))
-    # + 0.0 canonicalizes -0.0 so the 6dp component is engine-identical
-    v1 = (
-        v1_raw.crossJoin(F.broadcast(norm))
-        .select(
-            "d",
-            (
-                F.when(
-                    F.col("nrm") > 0,
-                    F.round(F.col("val") / F.col("nrm"), 6),
-                ).otherwise(F.lit(0.0))
-                + F.lit(0.0)
-            ).alias("val"),
-        )
-        .localCheckpoint()
+    spark = embeddings.sparkSession
+    out = spark.createDataFrame(
+        [(int(iters), r6(lam1), r6(lam2), r6(trace), r6(lam1 / trace),
+          r6(lam2 / trace), r6((lam1 + lam2) / trace))],
+        "iters bigint, eigen1 double, eigen2 double, trace double, "
+        "share1 double, share2 double, top2_share double",
     )
-    lam1 = _rayleigh(cov, v1, "a").localCheckpoint()
-    va = v1.select(F.col("d").alias("da"), F.col("val").alias("via"))
-    vb = v1.select(F.col("d").alias("db"), F.col("val").alias("vjb"))
-    cov2 = (
-        cov.join(F.broadcast(va), F.col("i") == F.col("da"))
-        .join(F.broadcast(vb), F.col("j") == F.col("db"))
-        .crossJoin(F.broadcast(lam1))
-        .select(
-            "i",
-            "j",
-            (
-                F.round(
-                    F.col("cov") - F.col("lam") * F.col("via") * F.col("vjb"),
-                    6,
-                )
-                + F.lit(0.0)
-            ).alias("cov"),
-        )
-        .localCheckpoint()
-    )
-    v2 = _iterate(cov2, "b")
-    lam2 = _rayleigh(cov2, v2, "b").select(F.col("lam").alias("lam2"))
-    trace = cov.filter(F.col("i") == F.col("j")).agg(
-        F.sum("cov").alias("trace")
-    )
-    return (
-        lam1.crossJoin(F.broadcast(lam2))
-        .crossJoin(F.broadcast(trace))
-        .select(
-            F.lit(int(iters)).cast("bigint").alias("iters"),
-            F.round("lam", 6).alias("eigen1"),
-            F.round("lam2", 6).alias("eigen2"),
-            F.round("trace", 6).alias("trace"),
-            F.round(F.col("lam") / F.col("trace"), 6).alias("share1"),
-            F.round(F.col("lam2") / F.col("trace"), 6).alias("share2"),
-            F.round(
-                (F.col("lam") + F.col("lam2")) / F.col("trace"), 6
-            ).alias("top2_share"),
-        )
-    )
+    return out
