@@ -2838,6 +2838,63 @@ def q275_top2_eigen(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- sketch-audit / calibration / graph-census wave (q276-q280) --------------
+BRIER_LANG, BRIER_CAP, BRIER_BINS = "en", 2000, 20
+SQA_K, SQA_SEED = 1024, "sq0"
+SQA_QS = (250, 500, 750, 900)
+JOIN_EDGES = [
+    ("lineitem", "orders"),
+    ("lineitem", "part"),
+    ("lineitem", "supplier"),
+    ("orders", "customer"),
+]
+
+
+def q276_hll_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperLogLog distinct-vocabulary estimate vs exact per source
+    (text.hll_distinct_audit): the cardinality sketch of the family."""
+    return text_ops.hll_distinct_audit(_base(spark, sf_dir, "documents"))
+
+
+def q277_brier_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Murphy decomposition of the length-classifier Brier score
+    (analytics.brier_decomposition)."""
+    return analytics.brier_decomposition(
+        _base(spark, sf_dir, "documents"),
+        target_lang=BRIER_LANG, cap_chars=BRIER_CAP, n_bins=BRIER_BINS,
+    )
+
+
+def q278_component_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Connected-component size census of the ≥2-order part co-purchase
+    graph (graph.component_census over graph.coorder_edges_min — the raw
+    co-order graph is a near-clique, so the census runs on the repeated-
+    signal subgraph)."""
+    edges = graph.coorder_edges_min(
+        _base(spark, sf_dir, "lineitem"), min_orders=2
+    )
+    return graph.component_census(edges)
+
+
+def q279_join_advisor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-strategy advisor (analytics.join_advisor): broadcast vs
+    shuffle recommendation + exchange-volume estimate per join edge."""
+    tables = {
+        name: _base(spark, sf_dir, name)
+        for name in ["lineitem", "orders", "part", "supplier", "customer"]
+    }
+    return analytics.join_advisor(tables, JOIN_EDGES)
+
+
+def q280_sample_quantile_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bottom-k-by-hash quantile sketch audited against exact rank
+    quantiles (sampling.sample_quantile_audit)."""
+    return sampling.sample_quantile_audit(
+        _base(spark, sf_dir, "orders"), k=SQA_K, q_millis=SQA_QS,
+        seed=SQA_SEED,
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001: the backup-listing report."""
     return q01_list_backups(spark, "/root/testdata/sf0.001")
@@ -3120,6 +3177,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q273_salt_advisor": q273_salt_advisor,
         "q274_xcorr_leadlag": q274_xcorr_leadlag,
         "q275_top2_eigen": q275_top2_eigen,
+        "q276_hll_audit": q276_hll_audit,
+        "q277_brier_decomposition": q277_brier_decomposition,
+        "q278_component_census": q278_component_census,
+        "q279_join_advisor": q279_join_advisor,
+        "q280_sample_quantile_audit": q280_sample_quantile_audit,
     }
 
 
@@ -4034,6 +4096,99 @@ def _eigen_oracle(iters: int) -> str:
             FROM ray CROSS JOIN tr
         """
     )
+
+
+HLL_ALPHA_M2 = text_ops.HLL_ALPHA_256 * 256 * 256
+
+
+def _join_advisor_oracle() -> str:
+    """q279 oracle: the q232 byte model per table (strings at length,
+    8 bytes per other cell), one row per JOIN_EDGES entry with the same
+    broadcast-threshold rule as analytics.join_advisor."""
+    models = {
+        "lineitem": ("SUM(length(l_returnflag) + length(l_linestatus))"
+                     " + 8 * 9 * COUNT(*)"),
+        "orders": ("SUM(length(o_orderstatus) + length(o_orderpriority))"
+                   " + 8 * 4 * COUNT(*)"),
+        "part": ("SUM(length(p_name) + length(p_brand) + length(p_type))"
+                 " + 8 * 3 * COUNT(*)"),
+        "supplier": "SUM(length(s_name)) + 8 * 3 * COUNT(*)",
+        "customer": ("SUM(length(c_name) + length(c_mktsegment))"
+                     " + 8 * 3 * COUNT(*)"),
+    }
+    census = " UNION ALL ".join(
+        f"SELECT '{t}' AS tbl, CAST(COUNT(*) AS BIGINT) AS n_rows,"
+        f" CAST({expr} AS BIGINT) AS est_bytes FROM {t}"
+        for t, expr in models.items()
+    )
+    thr = analytics.JOIN_BROADCAST_BYTES
+    rows = " UNION ALL ".join(
+        f"""SELECT '{lt}*{rt}' AS join_edge,
+                   l.n_rows AS left_rows, r.n_rows AS right_rows,
+                   l.est_bytes AS left_bytes, r.est_bytes AS right_bytes,
+                   CASE WHEN LEAST(l.est_bytes, r.est_bytes) <= {thr}
+                        THEN CASE WHEN r.est_bytes <= l.est_bytes
+                                  THEN 'broadcast_right'
+                                  ELSE 'broadcast_left' END
+                        ELSE 'shuffle_merge' END AS strategy,
+                   CAST(CASE WHEN LEAST(l.est_bytes, r.est_bytes) <= {thr}
+                             THEN 0
+                             ELSE l.est_bytes + r.est_bytes END
+                        AS BIGINT) AS est_shuffle_bytes
+            FROM (SELECT * FROM census WHERE tbl = '{lt}') l
+            CROSS JOIN (SELECT * FROM census WHERE tbl = '{rt}') r"""
+        for lt, rt in JOIN_EDGES
+    )
+    return f"WITH census AS MATERIALIZED ({census}) {rows}"
+
+
+def _sqa_oracle() -> str:
+    """q280 oracle: exact and bottom-k-sample type-1 quantiles as RANK
+    selections over (value, id) order — the same md5 sample key as
+    sampling.sample_quantile_audit."""
+    h = (f"CAST(concat('0x', substr(md5('{SQA_SEED}:'"
+         " || rid), 1, 8)) AS BIGINT)")
+    qs = ", ".join(str(q) for q in SQA_QS)
+    return f"""
+            WITH vals AS MATERIALIZED (
+                SELECT CAST(ROUND(o_totalprice * 100) AS BIGINT) AS v,
+                       CAST(o_orderkey AS VARCHAR) AS rid
+                FROM orders
+            ),
+            ranked AS (
+                SELECT v, ROW_NUMBER() OVER (ORDER BY v, rid) AS rn,
+                       COUNT(*) OVER () AS n
+                FROM vals
+            ),
+            sample AS MATERIALIZED (
+                SELECT v, rid FROM (
+                    SELECT v, rid FROM vals
+                    ORDER BY {h}, rid LIMIT {SQA_K}
+                )
+            ),
+            s_ranked AS (
+                SELECT v, ROW_NUMBER() OVER (ORDER BY v, rid) AS srn,
+                       COUNT(*) OVER () AS sn
+                FROM sample
+            ),
+            qs AS (SELECT unnest([{qs}]) AS q_milli),
+            ex AS (
+                SELECT q.q_milli, r.v AS exact_cents
+                FROM qs q JOIN ranked r
+                  ON r.rn = q.q_milli * (r.n - 1) // 1000 + 1
+            ),
+            sm AS (
+                SELECT q.q_milli, s.v AS sample_cents
+                FROM qs q JOIN s_ranked s
+                  ON s.srn = q.q_milli * (s.sn - 1) // 1000 + 1
+            )
+            SELECT CAST(ex.q_milli AS BIGINT) AS q_milli,
+                   ex.exact_cents, sm.sample_cents,
+                   CAST(ROUND((sm.sample_cents - ex.exact_cents)
+                              * 1000000.0 / ex.exact_cents) AS BIGINT)
+                       AS err_ppm
+            FROM ex JOIN sm USING (q_milli)
+        """
 
 
 def _eigen2_oracle(iters: int) -> str:
@@ -11191,4 +11346,144 @@ def oracle_sql() -> dict[str, str]:
             FROM lagged
         """,
         "q275_top2_eigen": _eigen2_oracle(EIGEN_ITERS),
+        "q276_hll_audit": f"""
+            WITH t AS MATERIALIZED (
+                SELECT DISTINCT source AS stratum,
+                       unnest(string_split(text, ' ')) AS term
+                FROM documents
+            ),
+            ex AS (
+                SELECT stratum, CAST(COUNT(*) AS BIGINT) AS n_exact
+                FROM t GROUP BY 1
+            ),
+            hb AS (
+                SELECT stratum,
+                       CAST(concat('0x', substr(md5(term), 1, 8)) AS BIGINT)
+                           % 16777216 AS w,
+                       CAST(concat('0x', substr(md5(term), 1, 8)) AS BIGINT)
+                           // 16777216 AS j
+                FROM t
+            ),
+            r AS (
+                SELECT stratum, j,
+                       CASE WHEN w = 0 THEN 25
+                            ELSE 25 - length(bin(w)) END AS rk
+                FROM hb
+            ),
+            regs AS (
+                SELECT stratum, j, MAX(rk) AS mreg FROM r GROUP BY 1, 2
+            ),
+            per AS (
+                SELECT stratum,
+                       CAST(COUNT(*) AS BIGINT) AS n_present,
+                       SUM(POWER(2.0, -mreg)) AS s_present
+                FROM regs GROUP BY 1
+            ),
+            est AS (
+                SELECT stratum, n_present,
+                       {HLL_ALPHA_M2!r} / (s_present + (256 - n_present))
+                           AS raw
+                FROM per
+            ),
+            fin AS (
+                SELECT stratum,
+                       CASE WHEN raw <= 640 AND n_present < 256
+                            THEN 256.0 * LN(256.0 / (256 - n_present))
+                            ELSE raw END AS hll
+                FROM est
+            )
+            SELECT f.stratum AS stratum, ex.n_exact,
+                   ROUND(f.hll, 6) AS hll_est,
+                   CAST(ROUND((f.hll - ex.n_exact) * 1000000.0 / ex.n_exact)
+                        AS BIGINT) AS err_ppm
+            FROM fin f JOIN ex USING (stratum)
+        """,
+        "q277_brier_decomposition": f"""
+            WITH base AS (
+                SELECT LEAST(n_chars, {BRIER_CAP}) * 1000 // {BRIER_CAP}
+                           AS pm,
+                       CASE WHEN lang = '{BRIER_LANG}' THEN 1 ELSE 0 END
+                           AS y,
+                       LEAST(n_chars, {BRIER_CAP - 1}) * {BRIER_BINS}
+                           // {BRIER_CAP} AS bin
+                FROM documents
+            ),
+            bins AS (
+                SELECT bin,
+                       CAST(COUNT(*) AS BIGINT) AS n_k,
+                       CAST(SUM(pm) AS BIGINT) AS sp,
+                       CAST(SUM(y) AS BIGINT) AS sy,
+                       CAST(SUM((pm - 1000 * y) * (pm - 1000 * y))
+                            AS BIGINT) AS sq,
+                       CAST(SUM(pm * pm) AS BIGINT) AS spp,
+                       CAST(SUM(pm * y) AS BIGINT) AS spy
+                FROM base GROUP BY 1
+            ),
+            per AS (
+                SELECT n_k, sy, sq,
+                       (sp - 1000 * sy) * (sp - 1000 * sy)
+                           / (n_k * 1000000.0) AS rel_term,
+                       (spp - sp * sp * 1.0 / n_k) / 1000000.0 AS var_term,
+                       (spy - sp * sy * 1.0 / n_k) / 1000.0 AS cov_term,
+                       sy * sy / (n_k * 1.0) AS res_sq_term
+                FROM bins
+            ),
+            tot AS (
+                SELECT CAST(SUM(n_k) AS BIGINT) AS n_docs,
+                       CAST(SUM(sy) AS BIGINT) AS sy,
+                       CAST(SUM(sq) AS BIGINT) AS sq,
+                       SUM(rel_term) AS rel_num,
+                       SUM(var_term) AS var_num,
+                       SUM(cov_term) AS cov_num,
+                       SUM(res_sq_term) AS res_sq
+                FROM per
+            )
+            SELECT n_docs,
+                   ROUND(sq / (n_docs * 1000000.0), 6) AS brier,
+                   ROUND(rel_num / n_docs, 6) AS reliability,
+                   ROUND(res_sq / n_docs
+                         - (sy / (n_docs * 1.0)) * (sy / (n_docs * 1.0)), 6)
+                       AS resolution,
+                   ROUND(sy / (n_docs * 1.0)
+                         * (1 - sy / (n_docs * 1.0)), 6) AS uncertainty,
+                   ROUND(var_num / n_docs, 6) AS within_bin_var,
+                   ROUND(cov_num / n_docs, 6) AS within_bin_cov
+            FROM tot
+        """,
+        "q278_component_census": """
+            WITH RECURSIVE pk AS (
+                SELECT DISTINCT l_orderkey AS ok, l_partkey AS p
+                FROM lineitem
+            ),
+            e0 AS MATERIALIZED (
+                SELECT src, dst FROM (
+                    SELECT a.p AS src, b.p AS dst, COUNT(*) AS nc
+                    FROM pk a JOIN pk b ON a.ok = b.ok AND a.p < b.p
+                    GROUP BY 1, 2
+                ) WHERE nc >= 2
+            ),
+            sym AS MATERIALIZED (
+                SELECT src, dst FROM e0
+                UNION
+                SELECT dst, src FROM e0
+            ),
+            reach(src, dst) AS (
+                SELECT src, dst FROM sym
+                UNION
+                SELECT r.src, e.dst FROM reach r JOIN sym e ON r.dst = e.src
+            ),
+            comp AS (
+                SELECT src AS node, LEAST(src, MIN(dst)) AS cid
+                FROM reach GROUP BY src
+            ),
+            sizes AS (
+                SELECT cid, CAST(COUNT(*) AS BIGINT) AS csize
+                FROM comp GROUP BY 1
+            )
+            SELECT csize AS component_size,
+                   CAST(COUNT(*) AS BIGINT) AS n_components
+            FROM sizes GROUP BY 1
+        """,
+        "q279_join_advisor": _join_advisor_oracle(),
+        "q280_sample_quantile_audit": _sqa_oracle(),
     }

@@ -247,6 +247,11 @@ BENCH_QUERIES = [
     "q273_salt_advisor",
     "q274_xcorr_leadlag",
     "q275_top2_eigen",
+    "q276_hll_audit",
+    "q277_brier_decomposition",
+    "q278_component_census",
+    "q279_join_advisor",
+    "q280_sample_quantile_audit",
 ]
 
 

@@ -4132,3 +4132,210 @@ def xcorr_leadlag(
             F.round(num / F.sqrt(den2a * den2b), 6),
         ).alias("r"),
     )
+
+
+def brier_decomposition(
+    documents: DataFrame,
+    target_lang: str = "en",
+    cap_chars: int = 2000,
+    n_bins: int = 20,
+) -> DataFrame:
+    """Murphy decomposition of the Brier score for a deterministic
+    length-based classifier: p = min(n_chars, cap)/cap forecasts
+    "document is ``target_lang``", y is the actual label. Brier =
+    reliability − resolution + uncertainty + within-bin p-variance
+    − 2·within-bin p,y-covariance (the last two vanish when p is constant
+    per bin — the textbook three-term identity is that special case);
+    q193's
+    ECE reports calibration error alone, this splits skill from
+    calibration — a forecaster can be perfectly calibrated (reliability 0)
+    and useless (resolution 0), and the decomposition is the only report
+    that tells those apart.
+
+    Cross-engine determinism: p lives in exact milli units, so the Brier
+    numerator Σ(p_milli − 1000y)² and every bin sum are exact integers;
+    the only doubles are the ≤n_bins per-bin ratio terms and four final
+    divisions.
+
+    Scale shape: ONE mergeable corpus agg to the ≤n_bins grain (integer
+    sums), global scalars from the same relation; everything after is
+    planning-scale arithmetic.
+
+    Output one row: (n_docs, brier, reliability, resolution, uncertainty,
+    within_bin_var, within_bin_cov)."""
+    p_milli = F.expr(
+        f"least(n_chars, {cap_chars}) * 1000 div {cap_chars}"
+    ).cast("bigint")
+    y = F.when(F.col("lang") == target_lang, 1).otherwise(0).cast("bigint")
+    base = documents.select(
+        p_milli.alias("pm"),
+        y.alias("y"),
+        F.expr(
+            f"least(n_chars, {cap_chars - 1}) * {n_bins} div {cap_chars}"
+        ).cast("bigint").alias("bin"),
+    )
+    bins = base.groupBy("bin").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_k"),
+        F.sum("pm").cast("bigint").alias("sp"),
+        F.sum("y").cast("bigint").alias("sy"),
+        F.sum((F.col("pm") - 1000 * F.col("y")) ** 2)
+        .cast("bigint")
+        .alias("sq"),
+        F.sum(F.col("pm") * F.col("pm")).cast("bigint").alias("spp"),
+        F.sum(F.col("pm") * F.col("y")).cast("bigint").alias("spy"),
+    )
+    # per-bin exact-integer numerators:
+    #   n_k(p̄_k − ȳ_k)² = (sp/1000 − sy)²/n_k = (sp − 1000·sy)²/(1e6·n_k)
+    #   n_k·Var_k(p)    = (spp − sp²/n_k)/1e6
+    #   n_k·Cov_k(p,y)  = (spy − sp·sy/n_k)/1e3
+    per_bin = bins.select(
+        "n_k",
+        "sy",
+        "sq",
+        (
+            (F.col("sp") - 1000 * F.col("sy")) ** 2
+            / (F.col("n_k") * F.lit(1_000_000.0))
+        ).alias("rel_term"),
+        (
+            (
+                F.col("spp")
+                - F.col("sp") * F.col("sp") / F.col("n_k")
+            )
+            / F.lit(1_000_000.0)
+        ).alias("var_term"),
+        (
+            (
+                F.col("spy")
+                - F.col("sp") * F.col("sy") / F.col("n_k")
+            )
+            / F.lit(1_000.0)
+        ).alias("cov_term"),
+        (F.col("sy") * F.col("sy") / F.col("n_k").cast("double")).alias(
+            "res_sq_term"
+        ),
+    )
+    return per_bin.agg(
+        F.sum("n_k").cast("bigint").alias("n_docs"),
+        F.sum("sy").cast("bigint").alias("sy"),
+        F.sum("sq").cast("bigint").alias("sq"),
+        F.sum("rel_term").alias("rel_num"),
+        F.sum("var_term").alias("var_num"),
+        F.sum("cov_term").alias("cov_num"),
+        F.sum("res_sq_term").alias("res_sq"),
+    ).select(
+        "n_docs",
+        F.round(F.col("sq") / (F.col("n_docs") * F.lit(1_000_000.0)), 6)
+        .alias("brier"),
+        F.round(F.col("rel_num") / F.col("n_docs"), 6).alias("reliability"),
+        # Σ n_k(ȳ_k − ȳ)²/N = (Σ sy_k²/n_k)/N − ȳ²
+        F.round(
+            F.col("res_sq") / F.col("n_docs")
+            - (F.col("sy") / F.col("n_docs").cast("double")) ** 2,
+            6,
+        ).alias("resolution"),
+        F.round(
+            F.col("sy")
+            / F.col("n_docs").cast("double")
+            * (1 - F.col("sy") / F.col("n_docs").cast("double")),
+            6,
+        ).alias("uncertainty"),
+        F.round(F.col("var_num") / F.col("n_docs"), 6).alias(
+            "within_bin_var"
+        ),
+        F.round(F.col("cov_num") / F.col("n_docs"), 6).alias(
+            "within_bin_cov"
+        ),
+    )
+
+
+JOIN_BROADCAST_BYTES = 10 * 1024 * 1024  # spark.sql.autoBroadcastJoinThreshold
+
+
+def _byte_census(df: DataFrame, name: str) -> DataFrame:
+    """One-row (table, n_rows, est_bytes) relation under the q232 byte
+    model: 8 bytes per numeric/timestamp cell, strings at byte length,
+    arrays at 8·len."""
+    string_cols = [f.name for f in df.schema.fields
+                   if f.dataType.simpleString() == "string"]
+    array_cols = [f.name for f in df.schema.fields
+                  if f.dataType.simpleString().startswith("array")]
+    fixed_cols = len(df.schema.fields) - len(string_cols) - len(array_cols)
+    var_bytes = sum(
+        (F.sum(F.length(F.col(c)).cast("bigint")) for c in string_cols),
+        F.lit(0).cast("bigint"),
+    ) + sum(
+        (F.sum(F.size(F.col(c)).cast("bigint") * 8) for c in array_cols),
+        F.lit(0).cast("bigint"),
+    )
+    return df.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+        var_bytes.cast("bigint").alias("var_bytes"),
+    ).select(
+        F.lit(name).alias("table"),
+        "n_rows",
+        (F.col("var_bytes") + F.lit(8 * fixed_cols) * F.col("n_rows"))
+        .cast("bigint")
+        .alias("est_bytes"),
+    )
+
+
+def join_advisor(
+    tables: dict,
+    edges: list,
+    broadcast_bytes: int = JOIN_BROADCAST_BYTES,
+) -> DataFrame:
+    """Join-strategy advisor: for each (left, right) join edge, the q232
+    byte model for both sides and the physical strategy Spark's planner
+    would (or should) pick — broadcast the smaller side when it fits
+    under ``broadcast_bytes`` (autoBroadcastJoinThreshold's default
+    10 MB), else a shuffle sort-merge join moving both sides. The
+    est_shuffle_bytes column is the exchange volume the choice implies
+    (0 when broadcasting): the number a capacity plan multiplies by
+    queries/day before sizing a cluster.
+
+    Scale shape: one mergeable byte-census agg per DISTINCT table (each
+    one row out), cross-joined per edge on the |edges| grain — the fact
+    table is scanned once however many edges reference it.
+
+    ``edges`` is a list of (left_name, right_name) pairs into ``tables``.
+    Output per edge: (join_edge, left_rows, right_rows, left_bytes,
+    right_bytes, strategy, est_shuffle_bytes)."""
+    censuses = {
+        name: _byte_census(df, name).persist() for name, df in tables.items()
+    }
+    outs = []
+    for left, right in edges:
+        lc = censuses[left].select(
+            F.col("n_rows").alias("left_rows"),
+            F.col("est_bytes").alias("left_bytes"),
+        )
+        rc = censuses[right].select(
+            F.col("n_rows").alias("right_rows"),
+            F.col("est_bytes").alias("right_bytes"),
+        )
+        small = F.least(F.col("left_bytes"), F.col("right_bytes"))
+        strategy = F.when(
+            small <= broadcast_bytes,
+            F.when(
+                F.col("right_bytes") <= F.col("left_bytes"),
+                F.lit("broadcast_right"),
+            ).otherwise(F.lit("broadcast_left")),
+        ).otherwise(F.lit("shuffle_merge"))
+        outs.append(
+            lc.crossJoin(rc).select(
+                F.lit(f"{left}*{right}").alias("join_edge"),
+                "left_rows",
+                "right_rows",
+                "left_bytes",
+                "right_bytes",
+                strategy.alias("strategy"),
+                F.when(small <= broadcast_bytes, F.lit(0))
+                .otherwise(F.col("left_bytes") + F.col("right_bytes"))
+                .cast("bigint")
+                .alias("est_shuffle_bytes"),
+            )
+        )
+    out = outs[0]
+    for o in outs[1:]:
+        out = out.unionByName(o)
+    return out

@@ -807,3 +807,83 @@ def conformal_calibration(
             F.round(F.lit((1000 - alpha_milli) / 1000.0), 6).alias("target"),
         )
     )
+
+
+def sample_quantile_audit(
+    orders: DataFrame,
+    k: int = 1024,
+    q_millis: tuple = (250, 500, 750, 900),
+    seed: str = "sq0",
+    value_col: str = "o_totalprice",
+    id_col: str = "o_orderkey",
+) -> DataFrame:
+    """Hash-sampled quantile sketch audited against the exact order
+    statistic: the bottom-``k`` rows by seeded md5 hash are a fixed-size
+    uniform sample (the Efraimidis bottom-k construction q79 uses for
+    weights, unweighted here); type-1 quantiles of the sample are compared
+    to the exact type-1 quantiles of the full column. The question the
+    sketch family answers at 100 TB: "how wrong is a k-row quantile
+    estimate", measured rather than assumed — the sample path is what a
+    production profiler keeps when the exact rank pass is too expensive.
+
+    Exactness: values are integer cents; both quantile legs are RANK
+    selections (rank = q·(n−1) div 1000 + 1 on (value, id) order), never
+    interpolation — every reported number is a value that exists in the
+    data, bit-identical across engines.
+
+    Scale shape: the exact leg is the distributed range-partition rank
+    (no single-task global window); the sample leg is a k-row TakeOrdered
+    by hash, ranked locally (bounded by k). Output per quantile:
+    (q_milli, exact_cents, sample_cents, err_ppm)."""
+    vals = orders.select(
+        F.round(F.col(value_col) * 100).cast("bigint").alias("v"),
+        F.col(id_col).cast("string").alias("rid"),
+    )
+    n_df = vals.agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    ranked = _distributed_stratum_rank(
+        vals.withColumn("_one", F.lit(1)), "_one", F.col("v"), F.col("rid")
+    )
+    hashed = vals.withColumn(
+        "h",
+        F.conv(
+            F.substring(F.md5(F.concat(F.lit(f"{seed}:"), F.col("rid"))), 1, 8),
+            16,
+            10,
+        ).cast("bigint"),
+    )
+    sample = hashed.orderBy("h", "rid").limit(k)
+    w = Window.orderBy("v", "rid")  # bounded by k rows — single task is fine
+    s_ranked = sample.withColumn("_srn", F.row_number().over(w))
+    s_n = sample.agg(F.count(F.lit(1)).cast("bigint").alias("sn"))
+
+    # one broadcast rank-spec join per leg (not |q_millis| filter+join
+    # pairs): the spec relation is |q_millis| rows of (q, target rank)
+    spark = orders.sparkSession
+    q_rows = spark.createDataFrame(
+        [(int(q),) for q in q_millis], "q_milli bigint"
+    )
+    ex_spec = q_rows.crossJoin(F.broadcast(n_df)).select(
+        "q_milli", F.expr("q_milli * (n - 1) div 1000 + 1").alias("_rk")
+    )
+    s_spec = q_rows.crossJoin(F.broadcast(s_n)).select(
+        "q_milli", F.expr("q_milli * (sn - 1) div 1000 + 1").alias("_rk")
+    )
+    exact = ranked.join(
+        F.broadcast(ex_spec), F.col("_rn") == F.col("_rk")
+    ).select("q_milli", F.col("v").alias("exact_cents"))
+    samp = s_ranked.join(
+        F.broadcast(s_spec), F.col("_srn") == F.col("_rk")
+    ).select("q_milli", F.col("v").alias("sample_cents"))
+    out = exact.join(samp, "q_milli")
+    return out.select(
+        "q_milli",
+        "exact_cents",
+        "sample_cents",
+        F.round(
+            (F.col("sample_cents") - F.col("exact_cents"))
+            * 1e6
+            / F.col("exact_cents")
+        )
+        .cast("bigint")
+        .alias("err_ppm"),
+    )

@@ -4189,3 +4189,82 @@ def loso_source_influence(
         )
     )
     return out
+
+
+HLL_P_BITS = 8  # 256 registers
+HLL_ALPHA_256 = 0.7213 / (1 + 1.079 / 256)  # Flajolet's alpha_m for m=256
+
+
+def hll_distinct_audit(
+    documents: DataFrame,
+    text_col: str = "text",
+    strata_col: str = "source",
+) -> DataFrame:
+    """HyperLogLog distinct-vocabulary estimate per stratum, audited
+    against the exact count — the third sketch in the family (CMS counts
+    frequencies, MinHash similarity, HLL cardinality). The production
+    question it models: "how many distinct terms does each source
+    contribute" over a vocabulary too wide to hold — the sketch relation
+    is |strata| × 256 registers REGARDLESS of corpus size (mergeable max,
+    map-side combinable); the exact leg exists here only to measure the
+    sketch's error.
+
+    Construction (cross-engine md5 family, so the oracle replays it):
+    h = 32-bit md5 prefix of the term; register j = top 8 bits; rank =
+    leading-zero count of the low 24 bits + 1 (via binary-string length —
+    integer-exact in both engines, no float log); estimate =
+    α·m²/Σ2^(−M_j) with absent registers contributing 2⁰, linear counting
+    below 2.5m when empty registers remain. The Σ2^(−M_j) terms are
+    dyadic rationals, so the 256-term double sum is EXACT in any
+    summation order — no cross-engine drift.
+
+    Output per stratum: (stratum, n_exact, hll_est, err_ppm)."""
+    from .dedup import md5_hash32
+
+    m = 1 << HLL_P_BITS
+    terms = (
+        documents.select(
+            F.col(strata_col).alias("stratum"),
+            F.explode(tokens(text_col)).alias("term"),
+        )
+        .distinct()
+        .persist()  # consumed by the exact count and the register agg
+    )
+    exact = terms.groupBy("stratum").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_exact")
+    )
+    h = md5_hash32(F.col("term"))
+    w_bits = 32 - HLL_P_BITS
+    hashed = terms.select(
+        "stratum",
+        (h % F.lit(1 << w_bits)).alias("w"),
+        (h / F.lit(1 << w_bits)).cast("bigint").alias("j"),
+    )
+    rank = F.when(F.col("w") == 0, F.lit(w_bits + 1)).otherwise(
+        F.lit(w_bits + 1) - F.length(F.conv(F.col("w"), 10, 2))
+    )
+    regs = hashed.select("stratum", "j", rank.alias("r")).groupBy(
+        "stratum", "j"
+    ).agg(F.max("r").alias("mreg"))
+    per = regs.groupBy("stratum").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_present"),
+        F.sum(F.pow(F.lit(2.0), -F.col("mreg"))).alias("s_present"),
+    )
+    zeros = F.lit(m) - F.col("n_present")
+    raw = F.lit(HLL_ALPHA_256 * m * m) / (F.col("s_present") + zeros)
+    est = F.when(
+        (raw <= 2.5 * m) & (zeros > 0),
+        F.lit(float(m)) * F.log(F.lit(float(m)) / zeros),
+    ).otherwise(raw)
+    out = (
+        per.join(exact, "stratum")
+        .select(
+            "stratum",
+            "n_exact",
+            F.round(est, 6).alias("hll_est"),
+            F.round((est - F.col("n_exact")) * 1e6 / F.col("n_exact"))
+            .cast("bigint")
+            .alias("err_ppm"),
+        )
+    )
+    return out
