@@ -2895,6 +2895,45 @@ def q280_sample_quantile_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- planning / inequality / lifetime / rollup wave (q281-q285) ---------------
+SHB_KEY, SHB_PARTS, SHB_SEED = "l_partkey", (8, 32, 128), "shb0"
+
+
+def q281_shuffle_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hash-partition load simulation (analytics.shuffle_balance) for the
+    partkey shuffle at candidate partition counts."""
+    return analytics.shuffle_balance(
+        _base(spark, sf_dir, "lineitem"),
+        key_col=SHB_KEY, partition_counts=SHB_PARTS, seed=SHB_SEED,
+    )
+
+
+def q282_partial_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Partial correlation of value vs hour-of-day controlling event type
+    (analytics.partial_corr_value_hour)."""
+    return analytics.partial_corr_value_hour(_base(spark, sf_dir, "events"))
+
+
+def q283_theil_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theil-T inequality of document length with between/within-source
+    decomposition (text.theil_decomposition)."""
+    return text_ops.theil_decomposition(_base(spark, sf_dir, "documents"))
+
+
+def q284_object_lifetimes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Backup-object lifetime census per keyspace
+    (retention.object_lifetimes)."""
+    return retention.object_lifetimes(
+        _fixture(spark, sf_dir, "manifest_entries")
+    )
+
+
+def q285_rollup_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP (day, type) event/user census in one Expand pass
+    (analytics.rollup_census)."""
+    return analytics.rollup_census(_base(spark, sf_dir, "events"))
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001: the backup-listing report."""
     return q01_list_backups(spark, "/root/testdata/sf0.001")
@@ -3182,6 +3221,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q278_component_census": q278_component_census,
         "q279_join_advisor": q279_join_advisor,
         "q280_sample_quantile_audit": q280_sample_quantile_audit,
+        "q281_shuffle_balance": q281_shuffle_balance,
+        "q282_partial_corr": q282_partial_corr,
+        "q283_theil_decomposition": q283_theil_decomposition,
+        "q284_object_lifetimes": q284_object_lifetimes,
+        "q285_rollup_census": q285_rollup_census,
     }
 
 
@@ -3916,7 +3960,7 @@ def _markov_oracle(steps: int, conv: str = "purchase") -> str:
     return f"""
         WITH ev AS (
             SELECT user_id, event_id, event_type,
-                   CAST(epoch(ts) AS BIGINT) AS ts_s
+                   CAST(FLOOR(epoch(ts)) AS BIGINT) AS ts_s
             FROM events
         ),
         conv AS (
@@ -8151,13 +8195,13 @@ def oracle_sql() -> dict[str, str]:
         """,
         "q169_decayed_engagement": f"""
             WITH mx AS (
-                SELECT MAX(CAST(epoch(ts) AS BIGINT)) AS max_s FROM events
+                SELECT MAX(CAST(FLOOR(epoch(ts)) AS BIGINT)) AS max_s FROM events
             ),
             s AS (
                 SELECT user_id,
                        CAST(ROUND(value * 1000000) AS BIGINT)
                        // CAST(POW(2, LEAST(
-                              (mx.max_s - CAST(epoch(ts) AS BIGINT))
+                              (mx.max_s - CAST(FLOOR(epoch(ts)) AS BIGINT))
                               // 86400, 20)) AS BIGINT) AS dm
                 FROM events, mx
             )
@@ -8183,8 +8227,8 @@ def oracle_sql() -> dict[str, str]:
         "q171_gap_regularity": f"""
             WITH g AS (
                 SELECT user_id,
-                       CAST(epoch(ts) AS BIGINT)
-                       - LAG(CAST(epoch(ts) AS BIGINT), 1) OVER
+                       CAST(FLOOR(epoch(ts)) AS BIGINT)
+                       - LAG(CAST(FLOOR(epoch(ts)) AS BIGINT), 1) OVER
                          (PARTITION BY user_id ORDER BY ts, event_id) AS g
                 FROM events
             ),
@@ -8447,9 +8491,9 @@ def oracle_sql() -> dict[str, str]:
             WITH pu AS (
                 SELECT user_id,
                        MIN(CASE WHEN event_type = '{CONV_FROM}'
-                           THEN CAST(epoch(ts) AS BIGINT) END) AS t_from,
+                           THEN CAST(FLOOR(epoch(ts)) AS BIGINT) END) AS t_from,
                        MIN(CASE WHEN event_type = '{CONV_TO}'
-                           THEN CAST(epoch(ts) AS BIGINT) END) AS t_to
+                           THEN CAST(FLOOR(epoch(ts)) AS BIGINT) END) AS t_to
                 FROM events GROUP BY 1
             ),
             v AS (
@@ -8489,7 +8533,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "q179_dow_profile": """
             WITH daily AS (
-                SELECT CAST(epoch(ts) AS BIGINT) // 86400 AS day,
+                SELECT CAST(FLOOR(epoch(ts)) AS BIGINT) // 86400 AS day,
                        COUNT(*) AS c
                 FROM events GROUP BY 1
             )
@@ -8751,8 +8795,8 @@ def oracle_sql() -> dict[str, str]:
         """,
         "q189_transition_drift": """
             WITH mid AS (
-                SELECT CAST((MIN(CAST(epoch(ts) AS BIGINT))
-                             + MAX(CAST(epoch(ts) AS BIGINT))) / 2
+                SELECT CAST((MIN(CAST(FLOOR(epoch(ts)) AS BIGINT))
+                             + MAX(CAST(FLOOR(epoch(ts)) AS BIGINT))) / 2
                             AS BIGINT) AS mid_s
                 FROM events
             ),
@@ -8761,7 +8805,7 @@ def oracle_sql() -> dict[str, str]:
                        LEAD(event_type, 1) OVER
                            (PARTITION BY user_id ORDER BY ts, event_id)
                            AS t2,
-                       CAST(epoch(ts) AS BIGINT) <= mid.mid_s AS first_half
+                       CAST(FLOOR(epoch(ts)) AS BIGINT) <= mid.mid_s AS first_half
                 FROM events, mid
             ),
             cells AS (
@@ -8945,7 +8989,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "q195_rfm_segments": """
             WITH pu AS (
-                SELECT user_id, MAX(CAST(epoch(ts) AS BIGINT)) AS last_ts,
+                SELECT user_id, MAX(CAST(FLOOR(epoch(ts)) AS BIGINT)) AS last_ts,
                        COUNT(*) AS n_events,
                        SUM(CAST(ROUND(value * 100) AS BIGINT))
                            AS monetary_cents
@@ -9010,8 +9054,8 @@ def oracle_sql() -> dict[str, str]:
         "q197_survival": """
             WITH spans AS (
                 SELECT user_id,
-                       (MAX(CAST(epoch(ts) AS BIGINT))
-                        - MIN(CAST(epoch(ts) AS BIGINT))) // 604800 AS week
+                       (MAX(CAST(FLOOR(epoch(ts)) AS BIGINT))
+                        - MIN(CAST(FLOOR(epoch(ts)) AS BIGINT))) // 604800 AS week
                 FROM events GROUP BY 1
             ),
             weekly AS (
@@ -9094,7 +9138,7 @@ def oracle_sql() -> dict[str, str]:
         "q201_markov_entropy": """
             WITH ev AS (
                 SELECT user_id, event_id, event_type AS s,
-                       CAST(epoch(ts) AS BIGINT) AS ts_s
+                       CAST(FLOOR(epoch(ts)) AS BIGINT) AS ts_s
                 FROM events
             ),
             sq AS (
@@ -9162,7 +9206,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "q240_tukey_outliers": """
             WITH daily AS (
-                SELECT CAST(epoch(ts) AS BIGINT) // 86400 AS day,
+                SELECT CAST(FLOOR(epoch(ts)) AS BIGINT) // 86400 AS day,
                        COUNT(*) AS c
                 FROM events GROUP BY 1
             ),
@@ -9236,7 +9280,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "q237_seasonal_strength": """
             WITH daily AS (
-                SELECT CAST(epoch(ts) AS BIGINT) // 86400 AS day,
+                SELECT CAST(FLOOR(epoch(ts)) AS BIGINT) // 86400 AS day,
                        COUNT(*) AS c
                 FROM events GROUP BY 1
             ),
@@ -9470,7 +9514,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "q230_mann_kendall": """
             WITH daily AS (
-                SELECT CAST(epoch(ts) AS BIGINT) // 86400 AS day,
+                SELECT CAST(FLOOR(epoch(ts)) AS BIGINT) // 86400 AS day,
                        COUNT(*) AS c
                 FROM events GROUP BY 1
             ),
@@ -9682,7 +9726,7 @@ def oracle_sql() -> dict[str, str]:
             bl AS (
                 SELECT COUNT(*) AS dup_logical_groups,
                        COALESCE(SUM(c), 0) AS dup_logical_events
-                FROM (SELECT user_id, CAST(epoch(ts) AS BIGINT) AS ts_s,
+                FROM (SELECT user_id, CAST(FLOOR(epoch(ts)) AS BIGINT) AS ts_s,
                              event_type, COUNT(*) AS c
                       FROM events GROUP BY 1, 2, 3 HAVING COUNT(*) > 1)
             )
@@ -9730,7 +9774,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "q221_dow_bands": """
             WITH daily AS (
-                SELECT CAST(epoch(ts) AS BIGINT) // 86400 AS day,
+                SELECT CAST(FLOOR(epoch(ts)) AS BIGINT) // 86400 AS day,
                        COUNT(*) AS c
                 FROM events GROUP BY 1
             ),
@@ -9827,7 +9871,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "q219_daily_jsd": """
             WITH dtc AS (
-                SELECT CAST(epoch(ts) AS BIGINT) // 86400 AS day,
+                SELECT CAST(FLOOR(epoch(ts)) AS BIGINT) // 86400 AS day,
                        event_type AS t, COUNT(*) AS c
                 FROM events GROUP BY 1, 2
             ),
@@ -9948,7 +9992,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "q215_daily_acf": f"""
             WITH daily AS (
-                SELECT CAST(epoch(ts) AS BIGINT) // 86400 AS day,
+                SELECT CAST(FLOOR(epoch(ts)) AS BIGINT) // 86400 AS day,
                        COUNT(*) AS c
                 FROM events GROUP BY 1
             ),
@@ -10109,7 +10153,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "q211_time_spine": """
             WITH daily AS (
-                SELECT CAST(epoch(ts) AS BIGINT) // 86400 AS day,
+                SELECT CAST(FLOOR(epoch(ts)) AS BIGINT) // 86400 AS day,
                        COUNT(*) AS c
                 FROM events GROUP BY 1
             ),
@@ -10200,7 +10244,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "q206_halflife": """
             WITH daily AS (
-                SELECT CAST(epoch(ts) AS BIGINT) // 86400 AS day,
+                SELECT CAST(FLOOR(epoch(ts)) AS BIGINT) // 86400 AS day,
                        COUNT(*) AS c
                 FROM events GROUP BY 1
             ),
@@ -10271,7 +10315,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "q204_cusum": """
             WITH daily AS (
-                SELECT CAST(epoch(ts) AS BIGINT) // 86400 AS day,
+                SELECT CAST(FLOOR(epoch(ts)) AS BIGINT) // 86400 AS day,
                        COUNT(*) AS c
                 FROM events GROUP BY 1
             ),
@@ -10909,7 +10953,7 @@ def oracle_sql() -> dict[str, str]:
         ),
         "q265_changepoint": """
             WITH daily AS (
-                SELECT CAST(epoch(ts) AS BIGINT) // 86400 AS day,
+                SELECT CAST(FLOOR(epoch(ts)) AS BIGINT) // 86400 AS day,
                        CAST(COUNT(*) AS BIGINT) AS c
                 FROM events GROUP BY 1
             ),
@@ -10963,7 +11007,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "q267_hampel_outliers": f"""
             WITH daily AS (
-                SELECT CAST(epoch(ts) AS BIGINT) // 86400 AS day,
+                SELECT CAST(FLOOR(epoch(ts)) AS BIGINT) // 86400 AS day,
                        CAST(COUNT(*) AS BIGINT) AS c
                 FROM events GROUP BY 1
             ),
@@ -11202,7 +11246,7 @@ def oracle_sql() -> dict[str, str]:
         """ for c in SALT_KEYS),
         "q274_xcorr_leadlag": f"""
             WITH daily AS (
-                SELECT CAST(epoch(ts) AS BIGINT) // 86400 AS day, event_type,
+                SELECT CAST(FLOOR(epoch(ts)) AS BIGINT) // 86400 AS day, event_type,
                        CAST(COUNT(*) AS BIGINT) AS c
                 FROM events
                 WHERE event_type IN ('{XCORR_A}', '{XCORR_B}')
@@ -11486,4 +11530,137 @@ def oracle_sql() -> dict[str, str]:
         """,
         "q279_join_advisor": _join_advisor_oracle(),
         "q280_sample_quantile_audit": _sqa_oracle(),
+        "q281_shuffle_balance": f"""
+            WITH census AS MATERIALIZED (
+                SELECT k, CAST(COUNT(*) AS BIGINT) AS n,
+                       CAST(concat('0x', substr(md5('{SHB_SEED}:'
+                           || CAST(k AS VARCHAR)), 1, 8)) AS BIGINT) AS h
+                FROM (SELECT {SHB_KEY} AS k FROM lineitem)
+                GROUP BY 1
+            )
+            
+            SELECT CAST(8 AS BIGINT) AS n_partitions,
+                   CAST(MAX(rows_) AS BIGINT) AS max_rows,
+                   ROUND(SUM(rows_) / 8.0, 6) AS mean_rows,
+                   ROUND(MAX(rows_) * 8.0 / SUM(rows_), 6) AS imbalance
+            FROM (SELECT h % 8 AS pid, SUM(n) AS rows_
+                  FROM census GROUP BY 1)
+ UNION ALL 
+            SELECT CAST(32 AS BIGINT) AS n_partitions,
+                   CAST(MAX(rows_) AS BIGINT) AS max_rows,
+                   ROUND(SUM(rows_) / 32.0, 6) AS mean_rows,
+                   ROUND(MAX(rows_) * 32.0 / SUM(rows_), 6) AS imbalance
+            FROM (SELECT h % 32 AS pid, SUM(n) AS rows_
+                  FROM census GROUP BY 1)
+ UNION ALL 
+            SELECT CAST(128 AS BIGINT) AS n_partitions,
+                   CAST(MAX(rows_) AS BIGINT) AS max_rows,
+                   ROUND(SUM(rows_) / 128.0, 6) AS mean_rows,
+                   ROUND(MAX(rows_) * 128.0 / SUM(rows_), 6) AS imbalance
+            FROM (SELECT h % 128 AS pid, SUM(n) AS rows_
+                  FROM census GROUP BY 1)
+
+        """,
+        "q282_partial_corr": """
+            WITH base AS (
+                SELECT event_type AS g,
+                       CAST(ROUND(value * 100) AS HUGEINT) AS x,
+                       -- FLOOR before the cast: duck CAST(double->int)
+                       -- ROUNDS, Spark's unix_timestamp truncates
+                       CAST(CAST(FLOOR(epoch(ts)) AS BIGINT) // 3600 % 24
+                            AS HUGEINT) AS y
+                FROM events
+            ),
+            per_g AS (
+                SELECT g, CAST(COUNT(*) AS BIGINT) AS n,
+                       SUM(x) AS sx, SUM(y) AS sy, SUM(x * y) AS sxy,
+                       SUM(x * x) AS sxx, SUM(y * y) AS syy
+                FROM base GROUP BY 1
+            ),
+            tot AS (
+                SELECT CAST(SUM(n) AS BIGINT) AS n,
+                       CAST(COUNT(*) AS BIGINT) AS n_types,
+                       SUM(sx) AS sx, SUM(sy) AS sy, SUM(sxy) AS sxy,
+                       SUM(sxx) AS sxx, SUM(syy) AS syy,
+                       SUM(CAST(sx AS DOUBLE) * sy / n) AS cxy,
+                       SUM(CAST(sx AS DOUBLE) * sx / n) AS cxx,
+                       SUM(CAST(sy AS DOUBLE) * sy / n) AS cyy
+                FROM per_g
+            )
+            SELECT n AS n_events, n_types,
+                   CASE WHEN (n * sxx - sx * sx) > 0
+                         AND (n * syy - sy * sy) > 0
+                        THEN ROUND(CAST(n * sxy - sx * sy AS DOUBLE)
+                             / SQRT(CAST(n * sxx - sx * sx AS DOUBLE)
+                                    * CAST(n * syy - sy * sy AS DOUBLE)), 6)
+                   END AS raw_r,
+                   CASE WHEN (CAST(sxx AS DOUBLE) - cxx) > 0
+                         AND (CAST(syy AS DOUBLE) - cyy) > 0
+                        THEN ROUND((CAST(sxy AS DOUBLE) - cxy)
+                             / SQRT((CAST(sxx AS DOUBLE) - cxx)
+                                    * (CAST(syy AS DOUBLE) - cyy)), 6)
+                   END AS partial_r
+            FROM tot
+        """,
+        "q283_theil_decomposition": """
+            WITH base AS (
+                SELECT source AS g, CAST(n_chars AS BIGINT) AS x
+                FROM documents
+            ),
+            per_g AS (
+                SELECT g, CAST(COUNT(*) AS BIGINT) AS n_g,
+                       CAST(SUM(x) AS BIGINT) AS sx_g,
+                       SUM(x * LN(CAST(x AS DOUBLE))) AS sxlx_g
+                FROM base WHERE x > 0 GROUP BY 1
+            ),
+            z AS (
+                SELECT CAST(COUNT(*) AS BIGINT) AS n_zero
+                FROM base WHERE x <= 0
+            ),
+            tot AS (
+                SELECT CAST(SUM(n_g) AS BIGINT) AS n,
+                       CAST(SUM(sx_g) AS BIGINT) AS sx,
+                       SUM(sxlx_g) AS sxlx,
+                       SUM(CAST(sx_g AS DOUBLE)
+                           * LN(CAST(sx_g AS DOUBLE) / n_g)) AS sx_lmu_g
+                FROM per_g
+            )
+            SELECT n AS n_rows, z.n_zero,
+                   ROUND(sx * 1.0 / n, 6) AS mean_val,
+                   ROUND(sxlx / (n * (sx * 1.0 / n)) - LN(sx * 1.0 / n), 6)
+                       AS theil_total,
+                   ROUND(sx_lmu_g / sx - LN(sx * 1.0 / n), 6)
+                       AS theil_between,
+                   ROUND((sxlx / (n * (sx * 1.0 / n)) - LN(sx * 1.0 / n))
+                         - (sx_lmu_g / sx - LN(sx * 1.0 / n)), 6)
+                       AS theil_within
+            FROM tot CROSS JOIN z
+        """,
+        "q284_object_lifetimes": W("manifest_entries") + """
+            , per_obj AS (
+                SELECT keyspace, object_key,
+                       CAST(COUNT(*) AS BIGINT) AS n_backups,
+                       MIN(ts) AS first_ts, MAX(ts) AS last_ts,
+                       MAX(size) AS size
+                FROM (SELECT DISTINCT keyspace, object_key, backup_name,
+                             CAST(backup_ts AS BIGINT) AS ts,
+                             CAST(size AS BIGINT) AS size
+                      FROM manifest_entries)
+                GROUP BY 1, 2
+            )
+            SELECT keyspace, n_backups,
+                   CAST(COUNT(*) AS BIGINT) AS n_objects,
+                   CAST(SUM(size) AS BIGINT) AS total_bytes,
+                   ROUND(AVG(last_ts - first_ts), 6) AS mean_lifetime_ms
+            FROM per_obj GROUP BY 1, 2
+        """,
+        "q285_rollup_census": """
+            SELECT CAST(FLOOR(epoch(ts)) AS BIGINT) // 86400 AS day, event_type,
+                   CAST(GROUPING(CAST(FLOOR(epoch(ts)) AS BIGINT) // 86400,
+                                 event_type) AS BIGINT) AS gid,
+                   CAST(COUNT(*) AS BIGINT) AS n_events,
+                   CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+            FROM events
+            GROUP BY ROLLUP(CAST(FLOOR(epoch(ts)) AS BIGINT) // 86400, event_type)
+        """,
     }

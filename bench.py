@@ -252,6 +252,11 @@ BENCH_QUERIES = [
     "q278_component_census",
     "q279_join_advisor",
     "q280_sample_quantile_audit",
+    "q281_shuffle_balance",
+    "q282_partial_corr",
+    "q283_theil_decomposition",
+    "q284_object_lifetimes",
+    "q285_rollup_census",
 ]
 
 

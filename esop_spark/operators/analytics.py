@@ -4339,3 +4339,153 @@ def join_advisor(
     for o in outs[1:]:
         out = out.unionByName(o)
     return out
+
+
+def shuffle_balance(
+    lineitem: DataFrame,
+    key_col: str = "l_partkey",
+    partition_counts: tuple = (8, 32, 128),
+    seed: str = "shb0",
+) -> DataFrame:
+    """Hash-partition load simulator: for each candidate partition count P,
+    the per-partition row loads a hash shuffle on ``key_col`` would
+    produce — max, mean, and max/mean imbalance. q273 names the heaviest
+    KEY; this answers the next planning question: after hashing, do the
+    keys actually BALANCE at the P you chose, or do collisions of hot
+    keys recreate the straggler anyway.
+
+    Deterministic: partition = md5-hash(key) mod P (the oracle replays
+    it), not Spark's internal Murmur3 — the simulation measures key-mass
+    geometry, which is hash-family-invariant in aggregate.
+
+    Scale shape: ONE key census (mergeable, uniform key), then per P a
+    ≤|keys|-row re-bucket folded to a ≤P-row load relation — the sweep
+    never rescans the corpus. Output per P: (n_partitions, max_rows,
+    mean_rows, imbalance)."""
+    from esop_spark.operators.dedup import md5_hash32
+
+    census = (
+        lineitem.select(F.col(key_col).alias("k"))
+        .groupBy("k")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+        .withColumn(
+            "h", md5_hash32(F.concat(F.lit(f"{seed}:"), F.col("k").cast("string")))
+        )
+        .persist()  # re-bucketed once per candidate P
+    )
+    outs = []
+    for p in partition_counts:
+        loads = census.groupBy((F.col("h") % p).alias("pid")).agg(
+            F.sum("n").cast("bigint").alias("rows")
+        )
+        outs.append(
+            loads.agg(
+                F.max("rows").cast("bigint").alias("max_rows"),
+                F.sum("rows").cast("bigint").alias("total"),
+                F.count(F.lit(1)).cast("bigint").alias("np"),
+            ).select(
+                F.lit(int(p)).cast("bigint").alias("n_partitions"),
+                "max_rows",
+                F.round(F.col("total") / p, 6).alias("mean_rows"),
+                F.round(F.col("max_rows") * p / F.col("total"), 6).alias(
+                    "imbalance"
+                ),
+            )
+        )
+    out = outs[0]
+    for o in outs[1:]:
+        out = out.unionByName(o)
+    return out
+
+
+def partial_corr_value_hour(events: DataFrame) -> DataFrame:
+    """Partial Pearson correlation between event value and hour-of-day,
+    CONTROLLING for event type: both variables are centered within type
+    before correlating, so a type that is both high-value and nocturnal
+    cannot manufacture a spurious global correlation (q117's raw
+    correlation has exactly that confound exposure).
+
+    Formula on within-group-centered sums: with per-type means subtracted,
+    r = Σxy_c / sqrt(Σxx_c · Σyy_c) where Σxy_c = Σxy − Σ_g (SxSy/n)_g.
+    Value cents and hours are exact integers, so every moment is an exact
+    DECIMAL(38); one double division at the end.
+
+    Scale shape: ONE mergeable agg to the |types| grain carrying the five
+    second moments; the centering correction is |types|-row arithmetic.
+    Output one row: (n_events, n_types, raw_r, partial_r)."""
+    base = events.select(
+        F.col("event_type").alias("g"),
+        F.round(F.col("value") * 100).cast("decimal(19,0)").alias("x"),
+        F.expr("unix_timestamp(ts) div 3600 % 24").cast("decimal(19,0)").alias("y"),
+    )
+    per_g = base.groupBy("g").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("x").cast("decimal(38,0)").alias("sx"),
+        F.sum("y").cast("decimal(38,0)").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).cast("decimal(38,0)").alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).cast("decimal(38,0)").alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).cast("decimal(38,0)").alias("syy"),
+    )
+    tot = per_g.agg(
+        F.sum("n").cast("bigint").alias("n"),
+        F.count(F.lit(1)).cast("bigint").alias("n_types"),
+        F.sum("sx").alias("sx"),
+        F.sum("sy").alias("sy"),
+        F.sum("sxy").alias("sxy"),
+        F.sum("sxx").alias("sxx"),
+        F.sum("syy").alias("syy"),
+        # within-group corrections Σ_g SxSy/n etc. (double — the one
+        # place exactness yields to a per-group division)
+        F.sum(F.col("sx").cast("double") * F.col("sy") / F.col("n")).alias("cxy"),
+        F.sum(F.col("sx").cast("double") * F.col("sx") / F.col("n")).alias("cxx"),
+        F.sum(F.col("sy").cast("double") * F.col("sy") / F.col("n")).alias("cyy"),
+    )
+    raw_num = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double")
+    raw_dxx = (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double")
+    raw_dyy = (F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")).cast("double")
+    p_num = F.col("sxy").cast("double") - F.col("cxy")
+    p_dxx = F.col("sxx").cast("double") - F.col("cxx")
+    p_dyy = F.col("syy").cast("double") - F.col("cyy")
+    return tot.select(
+        F.col("n").alias("n_events"),
+        "n_types",
+        F.when(
+            (raw_dxx > 0) & (raw_dyy > 0),
+            F.round(raw_num / F.sqrt(raw_dxx * raw_dyy), 6),
+        ).alias("raw_r"),
+        F.when(
+            (p_dxx > 0) & (p_dyy > 0),
+            F.round(p_num / F.sqrt(p_dxx * p_dyy), 6),
+        ).alias("partial_r"),
+    )
+
+
+def rollup_census(events: DataFrame) -> DataFrame:
+    """ROLLUP census of event volume and distinct users at three grains in
+    ONE pass: (day, event_type), (day), and grand total — Spark's
+    GROUPING SETS/rollup operator (Expand), which the engine-inventory
+    otherwise lacks. The idiom matters at 100 TB: the naive alternative
+    is three separate scans+shuffles; Expand multiplies rows ×3 ONCE
+    inside the scan stage and every downstream grain shares one shuffle.
+
+    count_distinct(user) inside rollup is exact (Expand handles the
+    distinct per grouping set). grouping_id disambiguates the grain
+    (0 = day×type, 1 = day, 3 = total) — NULL day/type columns encode
+    the rolled-up levels, exactly as the SQL ROLLUP oracle emits them.
+
+    Output per grouping-set row: (day, event_type, gid, n_events,
+    n_users)."""
+    base = events.select(
+        F.expr("unix_timestamp(ts) div 86400").cast("bigint").alias("day"),
+        "event_type",
+        "user_id",
+    )
+    return (
+        base.rollup("day", "event_type")
+        .agg(
+            F.grouping_id().cast("bigint").alias("gid"),
+            F.count(F.lit(1)).cast("bigint").alias("n_events"),
+            F.count_distinct("user_id").cast("bigint").alias("n_users"),
+        )
+        .select("day", "event_type", "gid", "n_events", "n_users")
+    )

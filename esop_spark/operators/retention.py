@@ -219,3 +219,48 @@ def compaction_plan(
             ).alias("fill_ratio"),
         )
     )
+
+
+def object_lifetimes(entries: DataFrame) -> DataFrame:
+    """Object-lifetime census per keyspace: for every distinct object, the
+    span between the first and last backup that references it, folded to
+    (keyspace, n_backups-referencing) grain — how long data actually
+    lives in the backup chain. A keyspace whose objects all appear in
+    exactly one backup has no incremental reuse (every snapshot re-uploads
+    everything — the reference's content-addressed skip
+    (UploadTracker.java:106-124) is buying nothing there); high-refcount
+    objects are the immutable sstables the dedup saves.
+
+    Scale shape: one mergeable agg on the uniform object key (min/max ts,
+    distinct-backup count via the (object, backup)-distinct collapse),
+    then a fold to the bounded (keyspace, refcount) grain.
+
+    Output per (keyspace, n_backups): n_objects, total_bytes,
+    mean_lifetime_ms."""
+    per_obj = (
+        entries.select(
+            "keyspace",
+            "object_key",
+            F.col("backup_name"),
+            F.col("backup_ts").cast("bigint").alias("ts"),
+            F.col("size").cast("bigint").alias("size"),
+        )
+        .dropDuplicates(["keyspace", "object_key", "backup_name"])
+        .groupBy("keyspace", "object_key")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_backups"),
+            F.min("ts").alias("first_ts"),
+            F.max("ts").alias("last_ts"),
+            F.max("size").alias("size"),
+        )
+    )
+    return (
+        per_obj.groupBy("keyspace", "n_backups")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_objects"),
+            F.sum("size").cast("bigint").alias("total_bytes"),
+            F.round(
+                F.avg(F.col("last_ts") - F.col("first_ts")), 6
+            ).alias("mean_lifetime_ms"),
+        )
+    )

@@ -4268,3 +4268,71 @@ def hll_distinct_audit(
         )
     )
     return out
+
+
+def theil_decomposition(
+    documents: DataFrame,
+    value_col: str = "n_chars",
+    strata_col: str = "source",
+) -> DataFrame:
+    """Theil-T inequality index of ``value_col`` with its exact
+    between/within decomposition over ``strata_col``: T = T_between +
+    Σ share_g · T_within_g. The question Gini (q118) cannot answer:
+    HOW MUCH of the length inequality is a source-mix effect (between)
+    vs dispersion inside sources (within) — the first decides reweighting
+    the mix, the second per-source filtering.
+
+    T = (1/N) Σ (x_i/μ)·ln(x_i/μ); between-term uses group means; the
+    within contribution is T − T_between (exact by the decomposition
+    identity, so no per-row residual pass).
+
+    Scale shape: per-(stratum, value) counts would be unbounded, so the
+    per-row x·ln(x) fold happens INSIDE the one mergeable agg to the
+    |strata| grain (sum of x, sum of x·ln x, n); everything downstream is
+    |strata|-row arithmetic. Zero values are excluded (ln undefined) and
+    reported.
+
+    Output one row: (n_rows, n_zero, mean_val, theil_total, theil_between,
+    theil_within)."""
+    base = documents.select(
+        F.col(strata_col).alias("g"),
+        F.col(value_col).cast("bigint").alias("x"),
+    )
+    per_g = (
+        base.filter(F.col("x") > 0)
+        .groupBy("g")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_g"),
+            F.sum("x").cast("bigint").alias("sx_g"),
+            F.sum(F.col("x") * F.log(F.col("x").cast("double"))).alias(
+                "sxlx_g"
+            ),
+        )
+    )
+    zeros = base.filter(F.col("x") <= 0).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_zero")
+    )
+    tot = per_g.agg(
+        F.sum("n_g").cast("bigint").alias("n"),
+        F.sum("sx_g").cast("bigint").alias("sx"),
+        F.sum("sxlx_g").alias("sxlx"),
+        # between term: Σ_g (sx_g/sx)·ln( (sx_g/n_g) / (sx/n) ) needs the
+        # global scalars — fold the per-group pieces that don't:
+        F.sum(
+            F.col("sx_g").cast("double")
+            * F.log(F.col("sx_g").cast("double") / F.col("n_g"))
+        ).alias("sx_lmu_g"),
+    )
+    mu = F.col("sx") / F.col("n")
+    # T_total = (1/N)Σ(x/μ)ln(x/μ) = (Σ x·ln x)/(N·μ) − ln μ
+    t_total = F.col("sxlx") / (F.col("n") * mu) - F.log(mu)
+    # T_between = Σ (sx_g/sx)·ln(μ_g/μ) = sx_lmu_g/sx − ln μ
+    t_between = F.col("sx_lmu_g") / F.col("sx") - F.log(mu)
+    return tot.crossJoin(F.broadcast(zeros)).select(
+        F.col("n").alias("n_rows"),
+        "n_zero",
+        F.round(mu, 6).alias("mean_val"),
+        F.round(t_total, 6).alias("theil_total"),
+        F.round(t_between, 6).alias("theil_between"),
+        F.round(t_total - t_between, 6).alias("theil_within"),
+    )
