@@ -2934,6 +2934,52 @@ def q285_rollup_census(spark: SparkSession, sf_dir: str) -> DataFrame:
     return analytics.rollup_census(_base(spark, sf_dir, "events"))
 
 
+# --- mergeable-sketch / robust-stats / cadence wave (q286-q290) ---------------
+KMV_K = 256
+K_OUT = 3.0 * 1.4826  # robust-profile outlier multiplier (matches Spark side)
+HWND_DAYS = 7
+HPCT_BUCKET, HPCT_QS = 500, (500, 950)
+RPO_MS = 50 * 3600000
+
+
+def q286_robust_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source exact median/MAD/outlier profile
+    (sampling.robust_profile), rank-exact via the distributed stratum
+    rank."""
+    return sampling.robust_profile(_base(spark, sf_dir, "documents"))
+
+
+def q287_hll_window_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing-7d distinct users by merging daily HLL registers, audited
+    vs exact (analytics.hll_window_merge)."""
+    return analytics.hll_window_merge(
+        _base(spark, sf_dir, "events"), window_days=HWND_DAYS
+    )
+
+
+def q288_kmv_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise source-vocabulary Jaccard from KMV bottom-k signatures,
+    audited vs exact (text.kmv_jaccard)."""
+    return text_ops.kmv_jaccard(_base(spark, sf_dir, "documents"), k=KMV_K)
+
+
+def q289_rpo_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Backup-cadence gaps per snapshot series with RPO-violation counts
+    (retention.rpo_gaps)."""
+    return retention.rpo_gaps(
+        _fixture(spark, sf_dir, "manifests"), rpo_ms=RPO_MS
+    )
+
+
+def q290_histogram_pctile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing-7d value percentiles from merged daily histograms
+    (analytics.histogram_window_pctile)."""
+    return analytics.histogram_window_pctile(
+        _base(spark, sf_dir, "events"),
+        window_days=HWND_DAYS, bucket_cents=HPCT_BUCKET, q_millis=HPCT_QS,
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001: the backup-listing report."""
     return q01_list_backups(spark, "/root/testdata/sf0.001")
@@ -3226,6 +3272,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q283_theil_decomposition": q283_theil_decomposition,
         "q284_object_lifetimes": q284_object_lifetimes,
         "q285_rollup_census": q285_rollup_census,
+        "q286_robust_profile": q286_robust_profile,
+        "q287_hll_window_merge": q287_hll_window_merge,
+        "q288_kmv_jaccard": q288_kmv_jaccard,
+        "q289_rpo_gaps": q289_rpo_gaps,
+        "q290_histogram_pctile": q290_histogram_pctile,
     }
 
 
@@ -11662,5 +11713,248 @@ def oracle_sql() -> dict[str, str]:
                    CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
             FROM events
             GROUP BY ROLLUP(CAST(FLOOR(epoch(ts)) AS BIGINT) // 86400, event_type)
+        """,        "q286_robust_profile": f"""
+            WITH v AS MATERIALIZED (
+                SELECT source AS stratum, CAST(n_chars AS BIGINT) AS x,
+                       CAST(doc_id AS VARCHAR) AS rid
+                FROM documents
+            ),
+            c AS (SELECT stratum, CAST(COUNT(*) AS BIGINT) AS n
+                  FROM v GROUP BY 1),
+            r1 AS (
+                SELECT stratum, x,
+                       ROW_NUMBER() OVER (PARTITION BY stratum
+                                          ORDER BY x, rid) AS rn
+                FROM v
+            ),
+            medsel AS (
+                SELECT r1.stratum, CAST(SUM(x) AS BIGINT) AS m2x
+                FROM r1 JOIN c USING (stratum)
+                WHERE rn = (n + 1) // 2 OR rn = n // 2 + 1
+                GROUP BY 1
+            ),
+            med AS MATERIALIZED (
+                SELECT stratum,
+                       CASE WHEN c.n % 2 = 1 THEN m2x * 2 ELSE m2x END
+                           AS med2x
+                FROM medsel JOIN c USING (stratum)
+            ),
+            d AS MATERIALIZED (
+                SELECT v.stratum, rid, ABS(2 * x - med2x) AS d2x
+                FROM v JOIN med USING (stratum)
+            ),
+            r2 AS (
+                SELECT stratum, d2x,
+                       ROW_NUMBER() OVER (PARTITION BY stratum
+                                          ORDER BY d2x, rid) AS rn
+                FROM d
+            ),
+            madsel AS (
+                SELECT r2.stratum, CAST(SUM(d2x) AS BIGINT) AS m4x
+                FROM r2 JOIN c USING (stratum)
+                WHERE rn = (n + 1) // 2 OR rn = n // 2 + 1
+                GROUP BY 1
+            ),
+            mad AS MATERIALIZED (
+                SELECT stratum,
+                       CASE WHEN c.n % 2 = 1 THEN m4x * 2 ELSE m4x END
+                           AS mad4x
+                FROM madsel JOIN c USING (stratum)
+            ),
+            fl AS (
+                SELECT d.stratum,
+                       CAST(SUM(CASE WHEN d2x * 2
+                                          > {K_OUT!r} * mad4x
+                                     THEN 1 ELSE 0 END) AS BIGINT)
+                           AS n_outliers
+                FROM d JOIN mad USING (stratum)
+                GROUP BY 1
+            )
+            SELECT c.stratum AS stratum, c.n,
+                   ROUND(med2x / 2.0, 6) AS median_val,
+                   ROUND(mad4x / 4.0, 6) AS mad,
+                   fl.n_outliers
+            FROM c JOIN med USING (stratum) JOIN mad USING (stratum)
+            JOIN fl USING (stratum)
+        """,
+        "q287_hll_window_merge": f"""
+            WITH du AS MATERIALIZED (
+                SELECT DISTINCT
+                       CAST(FLOOR(epoch(ts)) AS BIGINT) // 86400 AS day,
+                       CAST(user_id AS VARCHAR) AS u
+                FROM events
+            ),
+            days AS MATERIALIZED (SELECT DISTINCT day FROM du),
+            ex AS (
+                SELECT c.wd, CAST(COUNT(DISTINCT c.u) AS BIGINT) AS n_exact
+                FROM (SELECT du.day + g.i AS wd, du.u
+                      FROM du, unnest(range(0, {HWND_DAYS})) g(i)) c
+                JOIN days t ON c.wd = t.day
+                GROUP BY 1
+            ),
+            hh AS (
+                SELECT day, u,
+                       CAST(concat('0x', substr(md5(u), 1, 8)) AS BIGINT)
+                           AS hv
+                FROM du
+            ),
+            dregs AS MATERIALIZED (
+                SELECT day, hv // 16777216 AS j,
+                       MAX(CASE WHEN hv % 16777216 = 0 THEN 25
+                                ELSE 25 - length(bin(hv % 16777216)) END)
+                           AS mreg
+                FROM hh GROUP BY 1, 2
+            ),
+            wregs AS (
+                SELECT c.wd, c.j, MAX(c.mreg) AS mreg
+                FROM (SELECT dregs.day + g.i AS wd, j, mreg
+                      FROM dregs, unnest(range(0, {HWND_DAYS})) g(i)) c
+                JOIN days t ON c.wd = t.day
+                GROUP BY 1, 2
+            ),
+            per AS (
+                SELECT wd, CAST(COUNT(*) AS BIGINT) AS n_present,
+                       SUM(POWER(2.0, -mreg)) AS s_present
+                FROM wregs GROUP BY 1
+            ),
+            fin AS (
+                SELECT wd, n_present,
+                       {HLL_ALPHA_M2!r} / (s_present + (256 - n_present))
+                           AS raw
+                FROM per
+            ),
+            est AS (
+                SELECT wd,
+                       CASE WHEN raw <= 640 AND n_present < 256
+                            THEN 256.0 * LN(256.0 / (256 - n_present))
+                            ELSE raw END AS hll
+                FROM fin
+            )
+            SELECT e.wd AS day, ex.n_exact,
+                   ROUND(e.hll, 6) AS hll_est,
+                   CAST(ROUND((e.hll - ex.n_exact) * 1000000.0 / ex.n_exact)
+                        AS BIGINT) AS err_ppm
+            FROM est e JOIN ex ON e.wd = ex.wd
+        """,
+        "q288_kmv_jaccard": f"""
+            WITH t AS MATERIALIZED (
+                SELECT DISTINCT source AS s,
+                       unnest(string_split(text, ' ')) AS term
+                FROM documents
+            ),
+            th AS MATERIALIZED (
+                SELECT s, term,
+                       CAST(concat('0x', substr(md5(term), 1, 8)) AS BIGINT)
+                           AS h
+                FROM t
+            ),
+            c AS MATERIALIZED (
+                SELECT s, CAST(COUNT(*) AS BIGINT) AS n_terms
+                FROM t GROUP BY 1
+            ),
+            sig AS MATERIALIZED (
+                SELECT s, h FROM (
+                    SELECT s, h,
+                           ROW_NUMBER() OVER (PARTITION BY s
+                                              ORDER BY h, term) AS rn
+                    FROM th
+                ) WHERE rn <= {KMV_K}
+            ),
+            inter AS (
+                SELECT a.s AS sa, b.s AS sb,
+                       CAST(COUNT(*) AS BIGINT) AS n_inter
+                FROM t a JOIN t b ON a.term = b.term AND a.s < b.s
+                GROUP BY 1, 2
+            ),
+            prs AS (
+                SELECT a.s AS sa, b.s AS sb,
+                       a.n_terms AS n_a, b.n_terms AS n_b
+                FROM c a JOIN c b ON a.s < b.s
+            ),
+            exact AS (
+                SELECT p.sa, p.sb, p.n_a, p.n_b,
+                       ROUND(COALESCE(i.n_inter, 0) * 1.0
+                             / (p.n_a + p.n_b - COALESCE(i.n_inter, 0)), 6)
+                           AS exact_j
+                FROM prs p LEFT JOIN inter i
+                  ON p.sa = i.sa AND p.sb = i.sb
+            ),
+            merged AS (
+                SELECT sa, sb, h, MAX(in_a) AS in_a, MAX(in_b) AS in_b
+                FROM (
+                    SELECT p.sa, p.sb, g.h, 1 AS in_a, 0 AS in_b
+                    FROM prs p JOIN sig g ON g.s = p.sa
+                    UNION ALL
+                    SELECT p.sa, p.sb, g.h, 0, 1
+                    FROM prs p JOIN sig g ON g.s = p.sb
+                ) GROUP BY 1, 2, 3
+            ),
+            topk AS (
+                SELECT sa, sb, in_a, in_b FROM (
+                    SELECT sa, sb, in_a, in_b,
+                           ROW_NUMBER() OVER (PARTITION BY sa, sb
+                                              ORDER BY h) AS rn
+                    FROM merged
+                ) WHERE rn <= {KMV_K}
+            ),
+            est AS (
+                SELECT sa, sb,
+                       ROUND(CAST(SUM(in_a * in_b) AS BIGINT) * 1.0
+                             / COUNT(*), 6) AS kmv_j
+                FROM topk GROUP BY 1, 2
+            )
+            SELECT e.sa AS src_a, e.sb AS src_b, e.n_a, e.n_b,
+                   e.exact_j, est.kmv_j
+            FROM exact e JOIN est USING (sa, sb)
+        """,
+        "q289_rpo_gaps": W("manifests") + f"""
+            , g AS (
+                SELECT snapshot, CAST(ts AS BIGINT) AS ts,
+                       CAST(ts AS BIGINT)
+                       - LAG(CAST(ts AS BIGINT)) OVER (
+                             PARTITION BY snapshot
+                             ORDER BY CAST(ts AS BIGINT), backup_name)
+                           AS gap
+                FROM manifests
+            )
+            SELECT snapshot, CAST(COUNT(*) AS BIGINT) AS n_backups,
+                   CAST(MAX(gap) AS BIGINT) AS max_gap_ms,
+                   ROUND(AVG(gap), 6) AS mean_gap_ms,
+                   CAST(SUM(CASE WHEN gap > {RPO_MS} THEN 1 ELSE 0 END)
+                        AS BIGINT) AS rpo_violations
+            FROM g GROUP BY 1
+        """,
+        "q290_histogram_pctile": f"""
+            WITH daily AS MATERIALIZED (
+                SELECT CAST(FLOOR(epoch(ts)) AS BIGINT) // 86400 AS day,
+                       CAST(ROUND(value * 100) AS BIGINT) // {HPCT_BUCKET}
+                           AS b,
+                       CAST(COUNT(*) AS BIGINT) AS n
+                FROM events GROUP BY 1, 2
+            ),
+            days AS (SELECT DISTINCT day FROM daily),
+            win AS (
+                SELECT c.wd, c.b, CAST(SUM(n) AS BIGINT) AS n
+                FROM (SELECT daily.day + g.i AS wd, b, n
+                      FROM daily, unnest(range(0, {HWND_DAYS})) g(i)) c
+                JOIN days t ON c.wd = t.day
+                GROUP BY 1, 2
+            ),
+            wcum AS (
+                SELECT wd, b, n,
+                       SUM(n) OVER (PARTITION BY wd ORDER BY b
+                                    ROWS BETWEEN UNBOUNDED PRECEDING
+                                             AND CURRENT ROW) AS cum,
+                       SUM(n) OVER (PARTITION BY wd) AS total
+                FROM win
+            ),
+            qs AS (SELECT unnest([{', '.join(str(q) for q in HPCT_QS)}])
+                       AS q_milli)
+            SELECT wd AS day, CAST(q_milli AS BIGINT) AS q_milli,
+                   CAST(MAX(total) AS BIGINT) AS n_rows,
+                   CAST(MIN(b) * {HPCT_BUCKET} AS BIGINT) AS pctile_cents
+            FROM wcum CROSS JOIN qs
+            WHERE cum * 1000 >= q_milli * total
+            GROUP BY 1, 2
         """,
     }

@@ -257,6 +257,11 @@ BENCH_QUERIES = [
     "q283_theil_decomposition",
     "q284_object_lifetimes",
     "q285_rollup_census",
+    "q286_robust_profile",
+    "q287_hll_window_merge",
+    "q288_kmv_jaccard",
+    "q289_rpo_gaps",
+    "q290_histogram_pctile",
 ]
 
 

@@ -4489,3 +4489,161 @@ def rollup_census(events: DataFrame) -> DataFrame:
         )
         .select("day", "event_type", "gid", "n_events", "n_users")
     )
+
+
+def hll_window_merge(
+    events: DataFrame,
+    window_days: int = 7,
+    p_bits: int = 8,
+) -> DataFrame:
+    """Trailing-``window_days`` distinct users per day, by MERGING daily
+    HyperLogLog register relations — audited against the exact windowed
+    distinct. This is the property that makes sketches the 100 TB answer:
+    per-day registers are built ONCE from one corpus pass, and any window
+    is a max-merge of 256-row relations — q276 shows HLL's accuracy,
+    this shows its mergeability (the exact leg has to re-deduplicate
+    every window).
+
+    Deterministic md5 register family (q276's), dyadic-exact register
+    sums. Output per day: (day, n_exact, hll_est, err_ppm)."""
+    from esop_spark.operators.dedup import md5_hash32
+
+    m = 1 << p_bits
+    w_bits = 32 - p_bits
+    du = events.select(
+        F.expr("unix_timestamp(ts) div 86400").cast("bigint").alias("day"),
+        F.col("user_id").cast("string").alias("u"),
+    ).distinct().persist()
+    days = du.select("day").distinct()
+    # exact leg: cover-explode each (day, user) into the windows it serves
+    cover = du.select(
+        F.explode(
+            F.sequence(F.col("day"), F.col("day") + (window_days - 1))
+        ).alias("wd"),
+        "u",
+    )
+    exact = (
+        cover.join(F.broadcast(days.select(F.col("day").alias("wd"))), "wd")
+        .groupBy("wd")
+        .agg(F.count_distinct("u").cast("bigint").alias("n_exact"))
+    )
+    # sketch leg: daily registers once, window max-merge on the register grain
+    h = md5_hash32(F.col("u"))
+    daily_regs = (
+        du.select(
+            "day",
+            (h / F.lit(1 << w_bits)).cast("bigint").alias("j"),
+            F.when(h % F.lit(1 << w_bits) == 0, F.lit(w_bits + 1))
+            .otherwise(
+                F.lit(w_bits + 1)
+                - F.length(F.conv(h % F.lit(1 << w_bits), 10, 2))
+            )
+            .alias("r"),
+        )
+        .groupBy("day", "j")
+        .agg(F.max("r").alias("mreg"))
+    )
+    win_regs = (
+        daily_regs.select(
+            F.explode(
+                F.sequence(F.col("day"), F.col("day") + (window_days - 1))
+            ).alias("wd"),
+            "j",
+            "mreg",
+        )
+        .join(F.broadcast(days.select(F.col("day").alias("wd"))), "wd")
+        .groupBy("wd", "j")
+        .agg(F.max("mreg").alias("mreg"))
+    )
+    from esop_spark.operators.text import HLL_ALPHA_256
+
+    per = win_regs.groupBy("wd").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_present"),
+        F.sum(F.pow(F.lit(2.0), -F.col("mreg"))).alias("s_present"),
+    )
+    zeros = F.lit(m) - F.col("n_present")
+    raw = F.lit(HLL_ALPHA_256 * m * m) / (F.col("s_present") + zeros)
+    est = F.when(
+        (raw <= 2.5 * m) & (zeros > 0),
+        F.lit(float(m)) * F.log(F.lit(float(m)) / zeros),
+    ).otherwise(raw)
+    return (
+        per.join(exact, "wd")
+        .select(
+            F.col("wd").alias("day"),
+            "n_exact",
+            F.round(est, 6).alias("hll_est"),
+            F.round((est - F.col("n_exact")) * 1e6 / F.col("n_exact"))
+            .cast("bigint")
+            .alias("err_ppm"),
+        )
+    )
+
+
+def histogram_window_pctile(
+    events: DataFrame,
+    window_days: int = 7,
+    bucket_cents: int = 500,
+    q_millis: tuple = (500, 950),
+) -> DataFrame:
+    """Trailing-window value percentiles from MERGED daily histograms —
+    the quantile twin of hll_window_merge: per-day bucket counts are
+    built in one corpus pass, any window is an integer-sum merge of
+    bounded histograms, and a percentile is the first bucket whose
+    cumulative count reaches q·total (reported as the bucket's lower
+    bound — a deterministic, engine-exact answer with bucket_cents
+    resolution, which is the honest contract of a mergeable histogram).
+
+    Output per (day, q): (day, q_milli, n_rows, pctile_cents)."""
+    daily = (
+        events.select(
+            F.expr("unix_timestamp(ts) div 86400").cast("bigint").alias("day"),
+            F.expr(
+                f"cast(round(value * 100) as bigint) div {bucket_cents}"
+            ).alias("b"),
+        )
+        .groupBy("day", "b")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+        .persist()
+    )
+    days = daily.select("day").distinct()
+    win = (
+        daily.select(
+            F.explode(
+                F.sequence(F.col("day"), F.col("day") + (window_days - 1))
+            ).alias("wd"),
+            "b",
+            "n",
+        )
+        .join(F.broadcast(days.select(F.col("day").alias("wd"))), "wd")
+        .groupBy("wd", "b")
+        .agg(F.sum("n").cast("bigint").alias("n"))
+    )
+    wcum = win.withColumn(
+        "cum",
+        F.sum("n").over(
+            Window.partitionBy("wd").orderBy("b").rowsBetween(
+                Window.unboundedPreceding, 0
+            )
+        ),
+    ).withColumn(
+        "total", F.sum("n").over(Window.partitionBy("wd"))
+    )
+    spark = events.sparkSession
+    qdf = spark.createDataFrame([(int(q),) for q in q_millis], "q_milli bigint")
+    hits = (
+        wcum.crossJoin(F.broadcast(qdf))
+        # first bucket with cum·1000 ≥ q·total
+        .filter(F.col("cum") * 1000 >= F.col("q_milli") * F.col("total"))
+        .groupBy("wd", "q_milli")
+        .agg(
+            F.min("b").alias("b"),
+            F.max("total").cast("bigint").alias("n_rows"),
+        )
+    )
+    return hits.select(
+        F.col("wd").alias("day"),
+        "q_milli",
+        "n_rows",
+        (F.col("b") * bucket_cents).cast("bigint").alias("pctile_cents"),
+    )

@@ -264,3 +264,33 @@ def object_lifetimes(entries: DataFrame) -> DataFrame:
             ).alias("mean_lifetime_ms"),
         )
     )
+
+
+def rpo_gaps(
+    manifests: DataFrame,
+    rpo_ms: int = 50 * 3600000,
+) -> DataFrame:
+    """Backup-cadence audit per snapshot series: gaps between consecutive
+    backups, the max/mean gap, and how many gaps exceed the RPO target —
+    the "are we actually meeting our recovery-point objective" report an
+    operator runs before trusting a retention policy. Reference manifests
+    embed their timestamp in the name (Manifest.java:254-283); the gap
+    series is its first derivative.
+
+    Scale shape: manifests is the small dimension (one row per backup);
+    the lag window partitions per snapshot series. Output per snapshot:
+    (snapshot, n_backups, max_gap_ms, mean_gap_ms, rpo_violations)."""
+    w = Window.partitionBy("snapshot").orderBy("ts", "backup_name")
+    gaps = manifests.select(
+        "snapshot",
+        F.col("ts").cast("bigint").alias("ts"),
+        "backup_name",
+    ).withColumn("gap", F.col("ts") - F.lag("ts").over(w))
+    return gaps.groupBy("snapshot").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_backups"),
+        F.max("gap").cast("bigint").alias("max_gap_ms"),
+        F.round(F.avg("gap"), 6).alias("mean_gap_ms"),
+        F.sum(F.when(F.col("gap") > rpo_ms, 1).otherwise(0))
+        .cast("bigint")
+        .alias("rpo_violations"),
+    )

@@ -887,3 +887,106 @@ def sample_quantile_audit(
         .cast("bigint")
         .alias("err_ppm"),
     )
+
+
+def robust_profile(
+    documents: DataFrame,
+    value_col: str = "n_chars",
+    strata_col: str = "source",
+    id_col: str = "doc_id",
+    k_sigma: float = 3.0,
+) -> DataFrame:
+    """Per-stratum robust location/scale profile: exact median, exact MAD
+    (median of |x − med|), and the count of |x − med| > k·1.4826·MAD
+    outliers. q267's Hampel filter does this over TIME on the bounded day
+    grain; this is the per-SOURCE version where the value domain is
+    unbounded, so both medians are rank selections via the distributed
+    stratum-rank construction (range partition + broadcast offsets — a
+    dominant source never funnels through one task).
+
+    Exactness: medians are (lo+hi)/2 of bigint order statistics — the
+    same double in any engine; MAD likewise over exact |x − med| values
+    scaled ×2 to stay integral (|x − (lo+hi)/2|·2 = |2x − lo − hi|).
+
+    Output per stratum: (stratum, n, median_val, mad, n_outliers)."""
+    vals = documents.select(
+        F.col(strata_col).alias("stratum"),
+        F.col(value_col).cast("bigint").alias("x"),
+        F.col(id_col).cast("string").alias("rid"),
+    )
+    counts = vals.groupBy("stratum").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n")
+    )
+    r1 = _distributed_stratum_rank(vals, "stratum", F.col("x"), F.col("rid"))
+    med = (
+        r1.join(F.broadcast(counts), "stratum")
+        .filter(
+            (F.col("_rn") == F.expr("(n + 1) div 2"))
+            | (F.col("_rn") == F.expr("n div 2 + 1"))
+        )
+        .groupBy("stratum")
+        # ×2 median stays integral: lo + hi exactly
+        .agg(F.sum("x").cast("bigint").alias("med2x"))
+    )
+    # when n is odd the two rank predicates select the SAME row once, so
+    # med2x holds 1× the middle value — normalize to 2× for uniform math
+    med = (
+        med.join(F.broadcast(counts), "stratum")
+        .select(
+            "stratum",
+            F.when(F.col("n") % 2 == 1, F.col("med2x") * 2)
+            .otherwise(F.col("med2x"))
+            .alias("med2x"),
+        )
+    )
+    dev = vals.join(F.broadcast(med), "stratum").select(
+        "stratum",
+        "rid",
+        "x",
+        F.abs(2 * F.col("x") - F.col("med2x")).alias("d2x"),  # 2·|x−med|
+    )
+    r2 = _distributed_stratum_rank(dev, "stratum", F.col("d2x"), F.col("rid"))
+    mad = (
+        r2.join(F.broadcast(counts), "stratum")
+        .filter(
+            (F.col("_rn") == F.expr("(n + 1) div 2"))
+            | (F.col("_rn") == F.expr("n div 2 + 1"))
+        )
+        .groupBy("stratum")
+        .agg(F.sum("d2x").cast("bigint").alias("mad4x"))
+        .join(F.broadcast(counts), "stratum")
+        .select(
+            "stratum",
+            F.when(F.col("n") % 2 == 1, F.col("mad4x") * 2)
+            .otherwise(F.col("mad4x"))
+            .alias("mad4x"),  # 4·MAD exactly
+        )
+    )
+    flagged = (
+        dev.join(F.broadcast(mad), "stratum")
+        .groupBy("stratum")
+        .agg(
+            F.sum(
+                # |x−med| > k·1.4826·MAD  ⇔  2·d2x > k·1.4826·mad4x
+                F.when(
+                    F.col("d2x") * 2
+                    > F.lit(k_sigma * 1.4826) * F.col("mad4x"),
+                    1,
+                ).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("n_outliers")
+        )
+    )
+    return (
+        counts.join(med, "stratum")
+        .join(mad, "stratum")
+        .join(flagged, "stratum")
+        .select(
+            "stratum",
+            "n",
+            F.round(F.col("med2x") / 2.0, 6).alias("median_val"),
+            F.round(F.col("mad4x") / 4.0, 6).alias("mad"),
+            "n_outliers",
+        )
+    )

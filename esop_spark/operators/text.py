@@ -4336,3 +4336,128 @@ def theil_decomposition(
         F.round(t_between, 6).alias("theil_between"),
         F.round(t_total - t_between, 6).alias("theil_within"),
     )
+
+
+def kmv_jaccard(
+    documents: DataFrame,
+    k: int = 256,
+    text_col: str = "text",
+    strata_col: str = "source",
+) -> DataFrame:
+    """KMV (bottom-k) vocabulary signatures per stratum, with pairwise
+    Jaccard estimated by the k-union trick and audited against exact
+    Jaccard: fourth sketch of the family (CMS counts, MinHash pairs, HLL
+    cardinality — KMV adds SET-OPERATION estimates between summaries).
+    Estimate: among the k smallest hashes of A∪B, the fraction present in
+    BOTH signatures. At 100 TB the signatures (|strata|×k rows) are the
+    only thing two corpora ever exchange to estimate overlap.
+
+    Scale shape: one distinct (stratum, term) relation feeds both legs;
+    the signature ranking is the distributed stratum-rank (no per-stratum
+    single-task window); everything pairwise happens on the
+    |strata|²×k-bounded signature grain. The exact leg joins on the term
+    key (vocab grain).
+
+    Output per pair: (src_a, src_b, n_a, n_b, exact_j, kmv_j)."""
+    from esop_spark.operators.dedup import md5_hash32
+    from esop_spark.operators.sampling import _distributed_stratum_rank
+
+    terms = (
+        documents.select(
+            F.col(strata_col).alias("s"),
+            F.explode(tokens(text_col)).alias("term"),
+        )
+        .distinct()
+        .withColumn("h", md5_hash32(F.col("term")))
+        .persist()
+    )
+    counts = terms.groupBy("s").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_terms")
+    )
+    ranked = _distributed_stratum_rank(
+        terms, "s", F.col("h"), F.col("term")
+    )
+    sig = ranked.filter(F.col("_rn") <= k).select("s", "h").persist()
+    # exact jaccard from the vocab-grain term join
+    ta = terms.select(F.col("s").alias("sa"), "term")
+    tb = terms.select(F.col("s").alias("sb"), "term")
+    inter = (
+        ta.join(tb, "term")
+        .filter(F.col("sa") < F.col("sb"))
+        .groupBy("sa", "sb")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_inter"))
+    )
+    ca = counts.select(F.col("s").alias("sa"), F.col("n_terms").alias("n_a"))
+    cb = counts.select(F.col("s").alias("sb"), F.col("n_terms").alias("n_b"))
+    # pair universe from the bounded stratum grain — a disjoint-vocabulary
+    # pair has no intersection row but must still report exact_j = 0
+    exact = (
+        ca.crossJoin(cb)
+        .filter(F.col("sa") < F.col("sb"))
+        .join(inter, ["sa", "sb"], "left")
+        .select(
+            "sa",
+            "sb",
+            "n_a",
+            "n_b",
+            F.round(
+                F.coalesce(F.col("n_inter"), F.lit(0))
+                / (
+                    F.col("n_a")
+                    + F.col("n_b")
+                    - F.coalesce(F.col("n_inter"), F.lit(0))
+                ),
+                6,
+            ).alias("exact_j"),
+        )
+    )
+    # kmv estimate: k smallest distinct hashes of A∪B, fraction in both
+    pa = sig.select(F.col("s").alias("sa"), "h")
+    pb = sig.select(F.col("s").alias("sb"), "h")
+    merged = (
+        pa.join(
+            counts.select(F.col("s").alias("sa")).crossJoin(
+                counts.select(F.col("s").alias("sb"))
+            ).filter(F.col("sa") < F.col("sb")),
+            "sa",
+        )
+        .select("sa", "sb", "h", F.lit(1).alias("in_a"), F.lit(0).alias("in_b"))
+        .unionByName(
+            pb.join(
+                counts.select(F.col("s").alias("sa")).crossJoin(
+                    counts.select(F.col("s").alias("sb"))
+                ).filter(F.col("sa") < F.col("sb")),
+                "sb",
+            ).select(
+                "sa", "sb", "h", F.lit(0).alias("in_a"), F.lit(1).alias("in_b")
+            )
+        )
+        .groupBy("sa", "sb", "h")
+        .agg(
+            F.max("in_a").alias("in_a"),
+            F.max("in_b").alias("in_b"),
+        )
+    )
+    w = Window.partitionBy("sa", "sb").orderBy("h")  # ≤2k rows per pair
+    est = (
+        merged.withColumn("_r", F.row_number().over(w))
+        .filter(F.col("_r") <= k)
+        .groupBy("sa", "sb")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("kk"),
+            F.sum(F.col("in_a") * F.col("in_b")).cast("bigint").alias("both"),
+        )
+        .select(
+            "sa",
+            "sb",
+            F.round(F.col("both") / F.col("kk"), 6).alias("kmv_j"),
+        )
+    )
+    return exact.join(est, ["sa", "sb"]).select(
+        F.col("sa").alias("src_a"),
+        F.col("sb").alias("src_b"),
+        "n_a",
+        "n_b",
+        "exact_j",
+        "kmv_j",
+    )
