@@ -2980,6 +2980,57 @@ def q290_histogram_pctile(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- compliance / inference / esop-ops / card wave (q291-q295) ----------------
+PURGE_PPM, PURGE_SEED = 20_000, "gdpr0"
+MCI_Z_MILLI = 1960
+DELBATCH_SIZE = 100
+CARD_TABLES = ["lineitem", "orders", "customer", "part", "supplier",
+               "events", "documents", "embeddings"]
+
+
+def q291_deletion_impact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Right-to-be-forgotten blast-radius report per day
+    (privacy.deletion_impact)."""
+    return privacy.deletion_impact(
+        _base(spark, sf_dir, "events"),
+        purge_ppm=PURGE_PPM, seed=PURGE_SEED,
+    )
+
+
+def q292_median_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-statistic confidence interval for the median order value
+    (sampling.median_ci)."""
+    return sampling.median_ci(
+        _base(spark, sf_dir, "orders"), z_milli=MCI_Z_MILLI
+    )
+
+
+def q293_delete_batches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Removable objects packed into 100-key delete batches
+    (retention.delete_batches over manifest.removable_entries —
+    the S3 DeleteObjects batching plan)."""
+    removable = manifest.removable_entries(
+        _fixture(spark, sf_dir, "manifest_entries"), DIFF_BACKUP
+    )
+    return retention.delete_batches(removable, batch_size=DELBATCH_SIZE)
+
+
+def q294_dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-relation dataset card across all base tables
+    (analytics.dataset_card)."""
+    return analytics.dataset_card(
+        {t: _base(spark, sf_dir, t) for t in CARD_TABLES}
+    )
+
+
+def q295_backup_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OLS backup-size trend + next-backup forecast
+    (retention.backup_growth_forecast)."""
+    return retention.backup_growth_forecast(
+        _fixture(spark, sf_dir, "manifests")
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001: the backup-listing report."""
     return q01_list_backups(spark, "/root/testdata/sf0.001")
@@ -3277,6 +3328,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q288_kmv_jaccard": q288_kmv_jaccard,
         "q289_rpo_gaps": q289_rpo_gaps,
         "q290_histogram_pctile": q290_histogram_pctile,
+        "q291_deletion_impact": q291_deletion_impact,
+        "q292_median_ci": q292_median_ci,
+        "q293_delete_batches": q293_delete_batches,
+        "q294_dataset_card": q294_dataset_card,
+        "q295_backup_growth": q295_backup_growth,
     }
 
 
@@ -4284,6 +4340,51 @@ def _sqa_oracle() -> str:
                        AS err_ppm
             FROM ex JOIN sm USING (q_milli)
         """
+
+
+_CARD_SCHEMAS = {
+    "lineitem": (["l_returnflag", "l_linestatus"], [],
+                 ["l_orderkey", "l_partkey", "l_suppkey", "l_linenumber",
+                  "l_quantity", "l_extendedprice", "l_discount", "l_tax",
+                  "l_shipdate"]),
+    "orders": (["o_orderstatus", "o_orderpriority"], [],
+               ["o_orderkey", "o_custkey", "o_totalprice", "o_orderdate"]),
+    "customer": (["c_name", "c_mktsegment"], [],
+                 ["c_custkey", "c_nationkey", "c_acctbal"]),
+    "part": (["p_name", "p_brand", "p_type"], [],
+             ["p_partkey", "p_size", "p_retailprice"]),
+    "supplier": (["s_name"], [], ["s_suppkey", "s_nationkey", "s_acctbal"]),
+    "events": (["event_type", "props"], [],
+               ["event_id", "ts", "user_id", "value"]),
+    "documents": (["text", "lang", "source"], [], ["doc_id", "n_chars"]),
+    "embeddings": ([], ["embedding"], ["vec_id", "label"]),
+}
+
+
+def _card_oracle() -> str:
+    """q294 oracle: the q232 byte model + NULL-cell census per table,
+    with each table's column inventory spelled out."""
+    parts = []
+    for t in CARD_TABLES:
+        strings, arrays, fixed = _CARD_SCHEMAS[t]
+        n_cols = len(strings) + len(arrays) + len(fixed)
+        var_terms = [
+            f"COALESCE(SUM(COALESCE(length({c}), 0)), 0)" for c in strings
+        ] + [f"COALESCE(SUM(8 * COALESCE(len({c}), 0)), 0)" for c in arrays]
+        var_sql = " + ".join(var_terms) if var_terms else "0"
+        null_terms = " + ".join(
+            f"SUM(CASE WHEN {c} IS NULL THEN 1 ELSE 0 END)"
+            for c in strings + arrays + fixed
+        )
+        parts.append(f"""
+            SELECT '{t}' AS "table",
+                   CAST(COUNT(*) AS BIGINT) AS n_rows,
+                   CAST({n_cols} AS BIGINT) AS n_cols,
+                   CAST({var_sql} + 8 * {len(fixed)} * COUNT(*) AS BIGINT)
+                       AS est_bytes,
+                   CAST(COALESCE({null_terms}, 0) AS BIGINT) AS null_cells
+            FROM {t}""")
+    return " UNION ALL ".join(parts)
 
 
 def _eigen2_oracle(iters: int) -> str:
@@ -11923,6 +12024,113 @@ def oracle_sql() -> dict[str, str]:
                    CAST(SUM(CASE WHEN gap > {RPO_MS} THEN 1 ELSE 0 END)
                         AS BIGINT) AS rpo_violations
             FROM g GROUP BY 1
+        """,
+        "q291_deletion_impact": f"""
+            SELECT CAST(FLOOR(epoch(ts)) AS BIGINT) // 86400 AS day,
+                   CAST(COUNT(*) AS BIGINT) AS n_events,
+                   CAST(SUM(flag) AS BIGINT) AS n_purged,
+                   CAST(SUM(flag) * 1000000 // COUNT(*) AS BIGINT)
+                       AS purged_ppm,
+                   CAST(SUM(CASE WHEN flag = 1
+                                 THEN CAST(ROUND(value * 100) AS BIGINT)
+                                 ELSE 0 END) AS BIGINT)
+                       AS purged_value_cents
+            FROM (
+                SELECT ts, value,
+                       CASE WHEN CAST(concat('0x', substr(md5('{PURGE_SEED}:'
+                                 || CAST(user_id AS VARCHAR)), 1, 8))
+                                 AS BIGINT) % 1000000 < {PURGE_PPM}
+                            THEN 1 ELSE 0 END AS flag
+                FROM events
+            ) GROUP BY 1
+        """,
+        "q292_median_ci": f"""
+            WITH vals AS MATERIALIZED (
+                SELECT CAST(ROUND(o_totalprice * 100) AS BIGINT) AS v,
+                       CAST(o_orderkey AS VARCHAR) AS rid
+                FROM orders
+            ),
+            nn AS (
+                SELECT n, lo_rank, n - lo_rank + 1 AS hi_rank FROM (
+                    SELECT CAST(COUNT(*) AS BIGINT) AS n,
+                           GREATEST(1, CAST(FLOOR(
+                               (COUNT(*) - {MCI_Z_MILLI / 1000.0!r}
+                                * SQRT(COUNT(*))) / 2) AS BIGINT))
+                               AS lo_rank
+                    FROM vals
+                )
+            ),
+            r AS (
+                SELECT v, ROW_NUMBER() OVER (ORDER BY v, rid) AS rn
+                FROM vals
+            )
+            SELECT nn.n, nn.lo_rank, nn.hi_rank,
+                   ROUND(AVG(CASE WHEN rn = (n + 1) // 2
+                                    OR rn = n // 2 + 1
+                                  THEN v END), 6) AS median_cents,
+                   MIN(CASE WHEN rn = lo_rank THEN v END) AS ci_lo_cents,
+                   MIN(CASE WHEN rn = hi_rank THEN v END) AS ci_hi_cents
+            FROM r CROSS JOIN nn
+            WHERE rn = lo_rank OR rn = hi_rank
+               OR rn = (n + 1) // 2 OR rn = n // 2 + 1
+            GROUP BY 1, 2, 3
+        """,
+        "q293_delete_batches": W("manifest_entries") + f"""
+            , removable AS (
+                SELECT object_key, size FROM (
+                    SELECT DISTINCT object_key, size FROM manifest_entries
+                    WHERE backup_name = '{DIFF_BACKUP}'
+                ) b
+                WHERE object_key IN (
+                    SELECT object_key FROM manifest_entries
+                    GROUP BY 1 HAVING COUNT(DISTINCT backup_name) = 1
+                )
+            ),
+            r AS (
+                SELECT object_key, CAST(size AS BIGINT) AS size,
+                       ROW_NUMBER() OVER (ORDER BY object_key) AS rn
+                FROM removable
+            )
+            SELECT CAST((rn - 1) // {DELBATCH_SIZE} AS BIGINT) AS batch,
+                   CAST(COUNT(*) AS BIGINT) AS n_keys,
+                   CAST(SUM(size) AS BIGINT) AS batch_bytes,
+                   MIN(object_key) AS first_key
+            FROM r GROUP BY 1
+        """,
+        "q294_dataset_card": _card_oracle(),
+        "q295_backup_growth": W("manifests") + """
+            , m AS (
+                SELECT CAST(COUNT(*) AS BIGINT) AS n,
+                       CAST(SUM(CAST(ts AS HUGEINT)) AS HUGEINT) AS st,
+                       CAST(SUM(CAST(size AS HUGEINT)) AS HUGEINT) AS ss,
+                       SUM(CAST(ts AS HUGEINT) * CAST(size AS HUGEINT))
+                           AS sts,
+                       SUM(CAST(ts AS HUGEINT) * CAST(ts AS HUGEINT))
+                           AS stt,
+                       CAST(MIN(ts) AS BIGINT) AS t0,
+                       CAST(MAX(ts) AS BIGINT) AS t1
+                FROM manifests
+            )
+            SELECT n,
+                   ROUND(CAST(n * sts - st * ss AS DOUBLE)
+                         / CAST(n * stt - st * st AS DOUBLE) * 3600000, 6)
+                       AS slope_bytes_per_hour,
+                   ROUND((CAST(ss AS DOUBLE)
+                          - CAST(n * sts - st * ss AS DOUBLE)
+                            / CAST(n * stt - st * st AS DOUBLE)
+                            * CAST(st AS DOUBLE)) / n, 6)
+                       AS intercept_bytes,
+                   CAST(FLOOR(t1 + (t1 - t0) * 1.0 / (n - 1)) AS BIGINT)
+                       AS next_ts_ms,
+                   ROUND((CAST(ss AS DOUBLE)
+                          - CAST(n * sts - st * ss AS DOUBLE)
+                            / CAST(n * stt - st * st AS DOUBLE)
+                            * CAST(st AS DOUBLE)) / n
+                         + CAST(n * sts - st * ss AS DOUBLE)
+                           / CAST(n * stt - st * st AS DOUBLE)
+                           * (t1 + (t1 - t0) * 1.0 / (n - 1)), 6)
+                       AS forecast_bytes
+            FROM m
         """,
         "q290_histogram_pctile": f"""
             WITH daily AS MATERIALIZED (

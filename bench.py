@@ -262,6 +262,11 @@ BENCH_QUERIES = [
     "q288_kmv_jaccard",
     "q289_rpo_gaps",
     "q290_histogram_pctile",
+    "q291_deletion_impact",
+    "q292_median_ci",
+    "q293_delete_batches",
+    "q294_dataset_card",
+    "q295_backup_growth",
 ]
 
 

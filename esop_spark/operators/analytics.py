@@ -4647,3 +4647,57 @@ def histogram_window_pctile(
         "n_rows",
         (F.col("b") * bucket_cents).cast("bigint").alias("pctile_cents"),
     )
+
+
+def dataset_card(tables: dict) -> DataFrame:
+    """Dataset card: one row per table with the corpus-level facts a
+    release note carries — row count, column count, modeled bytes (the
+    q232 model), and total NULL cells. The cross-table composition is the
+    point: a card is ONE relation covering the whole dataset, cheap
+    enough to regenerate per release and diff against the previous card
+    (q71's corpus diff is the per-document analogue).
+
+    Scale shape: one mergeable agg per table (counts + byte model + null
+    flags fused into a single pass over each), unioned on the |tables|
+    grain."""
+    outs = []
+    for name, df in tables.items():
+        fields = df.schema.fields
+        string_cols = [f.name for f in fields
+                       if f.dataType.simpleString() == "string"]
+        array_cols = [f.name for f in fields
+                      if f.dataType.simpleString().startswith("array")]
+        fixed_cols = len(fields) - len(string_cols) - len(array_cols)
+        var_bytes = sum(
+            (F.sum(F.coalesce(F.length(F.col(c)).cast("bigint"), F.lit(0)))
+             for c in string_cols),
+            F.lit(0).cast("bigint"),
+        ) + sum(
+            (F.sum(F.coalesce(F.size(F.col(c)).cast("bigint"), F.lit(0)) * 8)
+             for c in array_cols),
+            F.lit(0).cast("bigint"),
+        )
+        null_cells = sum(
+            (F.sum(F.when(F.col(f.name).isNull(), 1).otherwise(0))
+             for f in fields),
+            F.lit(0),
+        )
+        outs.append(
+            df.agg(
+                F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+                var_bytes.cast("bigint").alias("var_bytes"),
+                null_cells.cast("bigint").alias("null_cells"),
+            ).select(
+                F.lit(name).alias("table"),
+                "n_rows",
+                F.lit(len(fields)).cast("bigint").alias("n_cols"),
+                (F.col("var_bytes") + F.lit(8 * fixed_cols) * F.col("n_rows"))
+                .cast("bigint")
+                .alias("est_bytes"),
+                "null_cells",
+            )
+        )
+    out = outs[0]
+    for o in outs[1:]:
+        out = out.unionByName(o)
+    return out

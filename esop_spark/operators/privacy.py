@@ -136,3 +136,58 @@ def l_diversity_audit(
         .cast("bigint")
         .alias("rows_ppm"),
     )
+
+
+def deletion_impact(
+    events: DataFrame,
+    purge_ppm: int = 20_000,
+    seed: str = "gdpr0",
+    user_col: str = "user_id",
+) -> DataFrame:
+    """Right-to-be-forgotten impact report: if the (deterministically
+    hash-selected) ``purge_ppm``-per-million user set exercised deletion,
+    how much of each day's event volume and value disappears — the
+    blast-radius estimate a compliance team needs BEFORE running the
+    purge, and the regression baseline for re-validating downstream
+    aggregates after it.
+
+    Deterministic: the purge set is the md5 bucket < purge_ppm rule (the
+    q50 sampling family), so the report is reproducible and the oracle
+    replays it exactly.
+
+    Scale shape: a narrow per-row flag (no join — the flag is a hash of
+    the user key) folded in ONE mergeable agg to the bounded day grain.
+
+    Output per day: (day, n_events, n_purged, purged_ppm,
+    purged_value_cents)."""
+    from esop_spark.operators.sampling import BUCKETS, sample_bucket
+
+    flagged = events.select(
+        F.expr("unix_timestamp(ts) div 86400").cast("bigint").alias("day"),
+        F.round(F.col("value") * 100).cast("bigint").alias("vc"),
+        (
+            sample_bucket(F.col(user_col), seed)
+            < int(purge_ppm * BUCKETS / 1_000_000)
+        ).alias("purged"),
+    )
+    return (
+        flagged.groupBy("day")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_events"),
+            F.sum(F.when(F.col("purged"), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_purged"),
+            F.sum(F.when(F.col("purged"), F.col("vc")).otherwise(0))
+            .cast("bigint")
+            .alias("purged_value_cents"),
+        )
+        .select(
+            "day",
+            "n_events",
+            "n_purged",
+            # integer floor division — a double quotient landing one ulp
+            # above an integer would truncate differently across engines
+            F.expr("n_purged * 1000000 div n_events").alias("purged_ppm"),
+            "purged_value_cents",
+        )
+    )

@@ -294,3 +294,81 @@ def rpo_gaps(
         .cast("bigint")
         .alias("rpo_violations"),
     )
+
+
+def delete_batches(
+    removable: DataFrame,
+    batch_size: int = 100,
+    num_partitions: int = 32,
+) -> DataFrame:
+    """Pack removable objects into bounded delete batches — the plan the
+    S3 leg executes 100 keys per DeleteObjects call (reference batching:
+    s3/src/main/java/com/instaclustr/esop/s3/v2/BaseS3Restorer.java:252-276).
+    Batch id = (global rank by object_key − 1) div batch_size, rank via
+    the distributed range-partition construction so a million-object
+    purge never funnels through one task.
+
+    Output per batch: (batch, n_keys, batch_bytes, first_key)."""
+    from esop_spark.operators.sampling import _distributed_stratum_rank
+
+    ranked = _distributed_stratum_rank(
+        removable.select(
+            "object_key", F.col("size").cast("bigint").alias("size")
+        ).withColumn("_one", F.lit(1)),
+        "_one",
+        F.col("object_key"),
+        F.col("object_key"),
+        num_partitions,
+    )
+    return (
+        ranked.withColumn(
+            "batch", F.expr(f"(_rn - 1) div {batch_size}").cast("bigint")
+        )
+        .groupBy("batch")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_keys"),
+            F.sum("size").cast("bigint").alias("batch_bytes"),
+            F.min("object_key").alias("first_key"),
+        )
+    )
+
+
+def backup_growth_forecast(manifests: DataFrame) -> DataFrame:
+    """OLS trend of backup size over time with a one-step forecast: slope
+    (bytes per hour), intercept, and the predicted size of the NEXT
+    backup at the mean cadence — the capacity-planning number behind
+    "when does the bucket bill double". Exact integer moments on the
+    small manifests dimension; the forecast is planning-grade, not
+    inference (q263's Theil-Sen is the robust alternative when one
+    full-snapshot outlier would wreck OLS).
+
+    Output one row: (n, slope_bytes_per_hour, intercept_bytes,
+    next_ts_ms, forecast_bytes)."""
+    base = manifests.select(
+        F.col("ts").cast("decimal(38,0)").alias("t"),
+        F.col("size").cast("decimal(38,0)").alias("s"),
+    )
+    m = base.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("t").alias("st"),
+        F.sum("s").alias("ss"),
+        F.sum(F.col("t") * F.col("s")).cast("decimal(38,0)").alias("sts"),
+        F.sum(F.col("t") * F.col("t")).cast("decimal(38,0)").alias("stt"),
+        F.min("t").cast("bigint").alias("t0"),
+        F.max("t").cast("bigint").alias("t1"),
+    )
+    num = (F.col("n") * F.col("sts") - F.col("st") * F.col("ss")).cast("double")
+    den = (F.col("n") * F.col("stt") - F.col("st") * F.col("st")).cast("double")
+    slope = num / den  # bytes per ms
+    intercept = (
+        F.col("ss").cast("double") - slope * F.col("st").cast("double")
+    ) / F.col("n")
+    gap = (F.col("t1") - F.col("t0")) / (F.col("n") - 1)
+    next_ts = F.col("t1") + gap
+    return m.select(
+        "n",
+        F.round(slope * 3600000, 6).alias("slope_bytes_per_hour"),
+        F.round(intercept, 6).alias("intercept_bytes"),
+        next_ts.cast("bigint").alias("next_ts_ms"),
+        F.round(intercept + slope * next_ts, 6).alias("forecast_bytes"),
+    )

@@ -990,3 +990,70 @@ def robust_profile(
             "n_outliers",
         )
     )
+
+
+def median_ci(
+    orders: DataFrame,
+    z_milli: int = 1960,
+    value_col: str = "o_totalprice",
+    id_col: str = "o_orderkey",
+) -> DataFrame:
+    """Distribution-free confidence interval for the MEDIAN by order
+    statistics: the interval [x_(l), x_(u)] with l = ⌊(n − z√n)/2⌋,
+    u = n − l + 1 covers the true median at ≈ the z-level regardless of
+    the value distribution (the binomial/normal rank bound — no variance
+    estimate, no bootstrap). q131's subsample CI needs resamples; this
+    needs ONE ranking and two rank probes — the cheap exact answer for
+    "how sure are we about the median" at any scale.
+
+    All three reported values are rank selections on (value, id) — data
+    values, never interpolations; l/u derive from n by the same double
+    formula in both engines.
+
+    Output one row: (n, lo_rank, hi_rank, median_cents, ci_lo_cents,
+    ci_hi_cents)."""
+    vals = orders.select(
+        F.round(F.col(value_col) * 100).cast("bigint").alias("v"),
+        F.col(id_col).cast("string").alias("rid"),
+    )
+    n_df = vals.agg(F.count(F.lit(1)).cast("bigint").alias("n")).select(
+        "n",
+        F.greatest(
+            F.lit(1).cast("bigint"),
+            F.floor(
+                (F.col("n") - F.lit(z_milli / 1000.0) * F.sqrt(F.col("n")))
+                / 2
+            ).cast("bigint"),
+        ).alias("lo_rank"),
+    ).select(
+        "n",
+        "lo_rank",
+        (F.col("n") - F.col("lo_rank") + 1).alias("hi_rank"),
+    )
+    ranked = _distributed_stratum_rank(
+        vals.withColumn("_one", F.lit(1)), "_one", F.col("v"), F.col("rid")
+    )
+    probed = ranked.crossJoin(F.broadcast(n_df)).filter(
+        (F.col("_rn") == F.col("lo_rank"))
+        | (F.col("_rn") == F.col("hi_rank"))
+        | (F.col("_rn") == F.expr("(n + 1) div 2"))
+        | (F.col("_rn") == F.expr("n div 2 + 1"))
+    )
+    return probed.groupBy("n", "lo_rank", "hi_rank").agg(
+        F.round(
+            F.avg(
+                F.when(
+                    (F.col("_rn") == F.expr("(n + 1) div 2"))
+                    | (F.col("_rn") == F.expr("n div 2 + 1")),
+                    F.col("v"),
+                )
+            ),
+            6,
+        ).alias("median_cents"),
+        F.min(
+            F.when(F.col("_rn") == F.col("lo_rank"), F.col("v"))
+        ).alias("ci_lo_cents"),
+        F.min(
+            F.when(F.col("_rn") == F.col("hi_rank"), F.col("v"))
+        ).alias("ci_hi_cents"),
+    )
