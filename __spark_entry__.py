@@ -3031,6 +3031,47 @@ def q295_backup_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- readability / PIT / attribution / MMD / funnel wave (q296-q300) ----------
+PIT_CUTOFF_DAY, PIT_LABEL_DAYS = 19738, 7
+CPF_PPM, CPF_SEED, CPF_BUDGET = 500_000, "rel0", 20_000
+
+
+def q296_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flesch-proxy readability per source (text.readability_profile)."""
+    return text_ops.readability_profile(_base(spark, sf_dir, "documents"))
+
+
+def q297_pit_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time-correct feature/label census
+    (analytics.pit_feature_snapshot)."""
+    return analytics.pit_feature_snapshot(
+        _base(spark, sf_dir, "events"),
+        cutoff_day=PIT_CUTOFF_DAY, label_days=PIT_LABEL_DAYS,
+    )
+
+
+def q298_linear_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equal-credit multi-touch attribution per channel
+    (analytics.linear_attribution)."""
+    return analytics.linear_attribution(_base(spark, sf_dir, "events"))
+
+
+def q299_linear_mmd(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise linear MMD between embedding label groups
+    (similarity.linear_mmd)."""
+    return similarity.linear_mmd(_base(spark, sf_dir, "embeddings"))
+
+
+def q300_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The composed release path (gopher → dedup → sample → shard plan)
+    as one funnel relation (text.curation_pipeline_funnel)."""
+    return text_ops.curation_pipeline_funnel(
+        _base(spark, sf_dir, "documents"),
+        sample_ppm=CPF_PPM, sample_seed=CPF_SEED,
+        shard_budget_tokens=CPF_BUDGET,
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001: the backup-listing report."""
     return q01_list_backups(spark, "/root/testdata/sf0.001")
@@ -3333,6 +3374,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q293_delete_batches": q293_delete_batches,
         "q294_dataset_card": q294_dataset_card,
         "q295_backup_growth": q295_backup_growth,
+        "q296_readability": q296_readability,
+        "q297_pit_features": q297_pit_features,
+        "q298_linear_attribution": q298_linear_attribution,
+        "q299_linear_mmd": q299_linear_mmd,
+        "q300_curation_funnel": q300_curation_funnel,
     }
 
 
@@ -12098,6 +12144,190 @@ def oracle_sql() -> dict[str, str]:
             FROM r GROUP BY 1
         """,
         "q294_dataset_card": _card_oracle(),
+        "q296_readability": """
+            WITH m AS (
+                SELECT source,
+                       CAST(ROUND((206.835
+                           - 1.015 * len(string_split(text, ' ')) * 1.0
+                             / GREATEST(1, len(regexp_extract_all(
+                                   text, '[.!?]+')))
+                           - 84.6 * GREATEST(1, len(regexp_extract_all(
+                                   lower(text), '[aeiou]+'))) * 1.0
+                             / len(string_split(text, ' '))) * 1000)
+                           AS BIGINT) AS fm
+                FROM documents
+            )
+            SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+                   ROUND(SUM(fm) * 1.0 / COUNT(*) / 1000.0, 6)
+                       AS mean_flesch,
+                   CAST(SUM(CASE WHEN fm >= 70000 THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_easy,
+                   CAST(SUM(CASE WHEN fm < 30000 THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_hard
+            FROM m GROUP BY 1
+        """,
+        "q297_pit_features": f"""
+            WITH d AS (
+                SELECT CAST(FLOOR(epoch(ts)) AS BIGINT) // 86400 AS day,
+                       user_id
+                FROM events
+            ),
+            feats AS (
+                SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_feat,
+                       CAST({PIT_CUTOFF_DAY} - MAX(day) AS BIGINT)
+                           AS recency
+                FROM d WHERE day < {PIT_CUTOFF_DAY} GROUP BY 1
+            ),
+            labels AS (
+                SELECT DISTINCT user_id FROM d
+                WHERE day >= {PIT_CUTOFF_DAY}
+                  AND day < {PIT_CUTOFF_DAY + PIT_LABEL_DAYS}
+            )
+            SELECT LEAST(f.n_feat // 10, 20) AS activity_band,
+                   CAST(CASE WHEN l.user_id IS NOT NULL THEN 1 ELSE 0 END
+                        AS BIGINT) AS is_active_label,
+                   CAST(COUNT(*) AS BIGINT) AS n_users,
+                   ROUND(AVG(f.recency), 6) AS mean_recency_days
+            FROM feats f LEFT JOIN labels l USING (user_id)
+            GROUP BY 1, 2
+        """,
+        "q298_linear_attribution": """
+            WITH conv AS (
+                SELECT user_id, ts, event_id FROM events
+                WHERE event_type = 'purchase'
+            ),
+            tch AS (
+                SELECT user_id, ts, event_id, event_type FROM events
+                WHERE event_type <> 'purchase'
+            ),
+            pc AS (
+                SELECT c.event_id AS cid, t.event_type AS channel,
+                       CAST(COUNT(*) AS BIGINT) AS cnt
+                FROM conv c JOIN tch t
+                  ON c.user_id = t.user_id
+                 AND (t.ts < c.ts
+                      OR (t.ts = c.ts AND t.event_id < c.event_id))
+                GROUP BY 1, 2
+            ),
+            tot AS (SELECT cid, CAST(SUM(cnt) AS BIGINT) AS total
+                    FROM pc GROUP BY 1),
+            chan AS (
+                SELECT p.channel,
+                       CAST(COUNT(*) AS BIGINT) AS n_conversions,
+                       ROUND(SUM(p.cnt * 1.0 / t.total), 6) AS credit
+                FROM pc p JOIN tot t ON p.cid = t.cid
+                GROUP BY 1
+            ),
+            nn AS (
+                SELECT 'none' AS channel,
+                       CAST(COUNT(*) AS BIGINT) AS n_conversions,
+                       ROUND(COUNT(*) * 1.0, 6) AS credit
+                FROM conv WHERE event_id NOT IN (SELECT cid FROM tot)
+            )
+            SELECT * FROM chan
+            UNION ALL
+            SELECT * FROM nn WHERE n_conversions > 0
+        """,
+        "q299_linear_mmd": """
+            WITH e AS MATERIALIZED (
+                SELECT label AS lab, CAST(embedding AS DOUBLE[]) AS v
+                FROM embeddings
+            ),
+            cells AS MATERIALIZED (
+                SELECT lab, t.d - 1 AS d, v[t.d] AS x
+                FROM e, unnest(range(1, len(v) + 1)) t(d)
+            ),
+            means AS MATERIALIZED (
+                SELECT lab, d, CAST(COUNT(*) AS BIGINT) AS n,
+                       ROUND(SUM(x) / COUNT(*), 6) + 0.0 AS m
+                FROM cells GROUP BY 1, 2
+            ),
+            sq AS (
+                SELECT lab, SUM(x * x) AS sxx FROM cells GROUP BY 1
+            ),
+            norms AS (
+                SELECT lab, MAX(n) AS n, SUM(m * m) AS mu2
+                FROM means GROUP BY 1
+            ),
+            disp AS MATERIALIZED (
+                SELECT sq.lab, norms.n, sq.sxx / norms.n - norms.mu2 AS vg
+                FROM sq JOIN norms USING (lab)
+            ),
+            mmd AS (
+                SELECT a.lab AS la, b.lab AS lb,
+                       SUM((a.m - b.m) * (a.m - b.m)) AS mmd2
+                FROM means a JOIN means b
+                  ON a.d = b.d AND a.lab < b.lab
+                GROUP BY 1, 2
+            )
+            SELECT la AS label_a, lb AS label_b,
+                   CAST(da.n AS BIGINT) AS n_a, CAST(db.n AS BIGINT) AS n_b,
+                   ROUND(mmd2, 6) AS mmd2,
+                   ROUND(SQRT(da.vg / da.n + db.vg / db.n), 6)
+                       AS pooled_scale,
+                   CASE WHEN da.vg / da.n + db.vg / db.n > 0
+                        THEN ROUND(mmd2 / (da.vg / da.n + db.vg / db.n), 6)
+                   END AS ratio
+            FROM mmd
+            JOIN disp da ON la = da.lab
+            JOIN disp db ON lb = db.lab
+        """,
+        "q300_curation_funnel": f"""
+            WITH base AS MATERIALIZED (
+                SELECT doc_id AS rid,
+                       CAST(len(string_split(text, ' ')) AS BIGINT) AS toks,
+                       (len(string_split(text, ' ')) >= 30
+                        AND len(string_split(text, ' ')) <= 100000
+                        AND list_sum(list_transform(string_split(text, ' '),
+                                     x -> length(x))) * 1.0
+                            / len(string_split(text, ' ')) >= 2.0
+                        AND list_sum(list_transform(string_split(text, ' '),
+                                     x -> length(x))) * 1.0
+                            / len(string_split(text, ' ')) <= 10.0
+                        AND len(list_filter(string_split(text, ' '),
+                                x -> x IN ('#', '...'))) * 1.0
+                            / len(string_split(text, ' ')) <= 0.1
+                        AND len(list_filter(string_split(text, ' '),
+                                x -> x IN ('a', 'the'))) >= 2) AS gp,
+                       md5(array_to_string(list_sort(list_distinct(
+                           string_split(text, ' '))), ' ')) AS tk,
+                       CAST(concat('0x', substr(md5('{CPF_SEED}:'
+                           || CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
+                           % 1000000 AS sb
+                FROM documents
+            ),
+            passed AS MATERIALIZED (SELECT * FROM base WHERE gp),
+            kept AS MATERIALIZED (
+                SELECT MIN(rid) AS rid, min_by(toks, rid) AS toks
+                FROM passed GROUP BY tk
+            ),
+            sampled AS (
+                SELECT k.rid, k.toks FROM kept k
+                WHERE CAST(concat('0x', substr(md5('{CPF_SEED}:'
+                          || CAST(k.rid AS VARCHAR)), 1, 8)) AS BIGINT)
+                      % 1000000 < {CPF_PPM}
+            ),
+            st AS (
+                SELECT 0 AS stage_idx, 'raw' AS stage,
+                       COUNT(*) AS n_docs, COALESCE(SUM(toks), 0) AS n_tokens
+                FROM base
+                UNION ALL
+                SELECT 1, 'gopher', COUNT(*), COALESCE(SUM(toks), 0)
+                FROM passed
+                UNION ALL
+                SELECT 2, 'dedup', COUNT(*), COALESCE(SUM(toks), 0)
+                FROM kept
+                UNION ALL
+                SELECT 3, 'sample', COUNT(*), COALESCE(SUM(toks), 0)
+                FROM sampled
+            )
+            SELECT CAST(stage_idx AS BIGINT) AS stage_idx, stage,
+                   CAST(n_docs AS BIGINT) AS n_docs,
+                   CAST(n_tokens AS BIGINT) AS n_tokens,
+                   CAST(CEIL(n_tokens * 1.0 / {CPF_BUDGET}) AS BIGINT)
+                       AS n_shards
+            FROM st
+        """,
         "q295_backup_growth": W("manifests") + """
             , m AS (
                 SELECT CAST(COUNT(*) AS BIGINT) AS n,

@@ -267,6 +267,11 @@ BENCH_QUERIES = [
     "q293_delete_batches",
     "q294_dataset_card",
     "q295_backup_growth",
+    "q296_readability",
+    "q297_pit_features",
+    "q298_linear_attribution",
+    "q299_linear_mmd",
+    "q300_curation_funnel",
 ]
 
 

@@ -4701,3 +4701,132 @@ def dataset_card(tables: dict) -> DataFrame:
     for o in outs[1:]:
         out = out.unionByName(o)
     return out
+
+
+def pit_feature_snapshot(
+    events: DataFrame,
+    cutoff_day: int,
+    label_days: int = 7,
+    band_cap: int = 20,
+) -> DataFrame:
+    """Point-in-time-correct feature/label snapshot census: features are
+    computed ONLY from events strictly before ``cutoff_day``; the label is
+    activity in [cutoff, cutoff + label_days). The census (activity band ×
+    label → users) is the leakage audit an ML pipeline runs before
+    training a churn model — any feature built from post-cutoff data
+    inflates the diagonal, and this construction makes that impossible by
+    partitioning TIME in the plan itself (two disjoint scan filters, not
+    one relation filtered twice downstream).
+
+    Scale shape: two scan-pruned aggregations on the uniform user key
+    (features; labels), one outer join on that key, folded to the bounded
+    (band, label) grain.
+
+    Output per (band, label): (activity_band, is_active_label, n_users,
+    mean_recency_days)."""
+    day = F.expr("unix_timestamp(ts) div 86400").cast("bigint")
+    feats = (
+        events.select(day.alias("day"), "user_id")
+        .filter(F.col("day") < cutoff_day)
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_feat"),
+            (F.lit(cutoff_day) - F.max("day")).cast("bigint").alias(
+                "recency"
+            ),
+        )
+    )
+    labels = (
+        events.select(day.alias("day"), "user_id")
+        .filter(
+            (F.col("day") >= cutoff_day)
+            & (F.col("day") < cutoff_day + label_days)
+        )
+        .select("user_id")
+        .distinct()
+        .withColumn("lbl", F.lit(1))
+    )
+    joined = feats.join(labels, "user_id", "left").select(
+        # decade bands keep the census informative when every user is
+        # active (a flat cap saturates on high-traffic fixtures)
+        F.least(F.expr("n_feat div 10"), F.lit(band_cap)).alias(
+            "activity_band"
+        ),
+        F.coalesce(F.col("lbl"), F.lit(0)).cast("bigint").alias(
+            "is_active_label"
+        ),
+        "recency",
+    )
+    return joined.groupBy("activity_band", "is_active_label").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_users"),
+        F.round(F.avg("recency"), 6).alias("mean_recency_days"),
+    )
+
+
+def linear_attribution(
+    events: DataFrame, conversion_type: str = "purchase"
+) -> DataFrame:
+    """Linear (equal-credit) multi-touch attribution: every conversion
+    splits one unit of credit evenly across ALL its preceding same-user
+    touches; conversions with no preceding touch credit 'none'. The third
+    attribution model of the family — q188's last-touch crowns the final
+    channel, q196's Markov removal-effect weights paths; linear is the
+    budget-split every marketing report starts from.
+
+    One pass, no self-join: per-channel running counts are conditional
+    sums over the per-user ordered window (channels are a bounded
+    alphabet, so the projection carries |channels| running counters);
+    each conversion row then emits exact per-channel fractions.
+
+    Output per channel: (channel, n_conversions, credit) where credit
+    sums the per-conversion fractions (6dp)."""
+    types = [
+        r["event_type"]
+        for r in events.select("event_type").distinct().collect()
+        if r["event_type"] != conversion_type
+    ]
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    counters = [
+        F.coalesce(
+            F.sum(
+                F.when(F.col("event_type") == t, 1).otherwise(0)
+            ).over(w),
+            F.lit(0),
+        ).alias(f"c_{i}")
+        for i, t in enumerate(types)
+    ]
+    conv = (
+        events.select("user_id", "ts", "event_id", "event_type", *counters)
+        .filter(F.col("event_type") == conversion_type)
+        .withColumn(
+            "total",
+            sum((F.col(f"c_{i}") for i in range(len(types))), F.lit(0)),
+        )
+    )
+    legs = []
+    for i, t in enumerate(types):
+        legs.append(
+            conv.filter(F.col("total") > 0).select(
+                F.lit(t).alias("channel"),
+                (F.col(f"c_{i}") / F.col("total")).alias("credit_part"),
+                F.when(F.col(f"c_{i}") > 0, 1).otherwise(0).alias("touched"),
+            )
+        )
+    legs.append(
+        conv.filter(F.col("total") == 0).select(
+            F.lit("none").alias("channel"),
+            F.lit(1.0).alias("credit_part"),
+            F.lit(1).alias("touched"),
+        )
+    )
+    alllegs = legs[0]
+    for l in legs[1:]:
+        alllegs = alllegs.unionByName(l)
+    return alllegs.groupBy("channel").agg(
+        F.sum("touched").cast("bigint").alias("n_conversions"),
+        F.round(F.sum("credit_part"), 6).alias("credit"),
+    )

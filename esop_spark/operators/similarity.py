@@ -2537,3 +2537,103 @@ def top2_eigen_share(
         "share1 double, share2 double, top2_share double",
     )
     return out
+
+
+def linear_mmd(
+    embeddings: DataFrame,
+    vec_col: str = "embedding",
+    label_col: str = "label",
+) -> DataFrame:
+    """Linear maximum-mean-discrepancy between every label pair:
+    MMD² = ‖μ_a − μ_b‖² over 6dp-rounded per-label mean vectors, with a
+    pooled dispersion scale √(v_a/n_a + v_b/n_b) (v = E‖x−μ‖²) and their
+    ratio — the quick two-sample separation test for embedding groups
+    (does the 'en' cluster actually differ from 'fr', is a label split
+    drifting). q261's silhouette scores MEMBER assignment quality; MMD
+    compares the DISTRIBUTIONS' first moments with a variance yardstick.
+
+    Scale shape: one (label × dim) mergeable mean agg and one label-grain
+    second-moment agg — the corpus is touched once; all pairwise math
+    happens on the |labels|²×d bounded grain. Means round to 6dp before
+    the pairwise step so both engines difference identical vectors.
+
+    Output per pair: (label_a, label_b, n_a, n_b, mmd2, pooled_scale,
+    ratio)."""
+    v = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    base = embeddings.select(
+        F.col(label_col).alias("lab"), v.alias("v")
+    ).select("lab", F.posexplode("v").alias("d", "x"))
+    means = (
+        base.groupBy("lab", "d")
+        .agg(F.sum("x").alias("sx"), F.count(F.lit(1)).alias("n"))
+        .select(
+            "lab",
+            "d",
+            "n",
+            (F.round(F.col("sx") / F.col("n"), 6) + F.lit(0.0)).alias("m"),
+        )
+        .persist()
+    )
+    # v_g = E‖x‖² − ‖μ‖² from the same moment relation family
+    sq = base.groupBy("lab").agg(
+        F.sum(F.col("x") * F.col("x")).alias("sxx")
+    )
+    norms = means.groupBy("lab").agg(
+        F.max("n").cast("bigint").alias("n"),
+        F.sum(F.col("m") * F.col("m")).alias("mu2"),
+    )
+    disp = sq.join(norms, "lab").select(
+        "lab",
+        "n",
+        # sxx is summed over n·d cells; E‖x‖² = sxx / n
+        (F.col("sxx") / F.col("n") - F.col("mu2")).alias("vg"),
+    )
+    ma = means.select(
+        F.col("lab").alias("la"), "d", F.col("m").alias("mx")
+    )
+    mb = means.select(
+        F.col("lab").alias("lb"), "d", F.col("m").alias("my")
+    )
+    mmd = (
+        ma.join(mb, "d")
+        .filter(F.col("la") < F.col("lb"))
+        .groupBy("la", "lb")
+        .agg(
+            F.sum((F.col("mx") - F.col("my")) ** 2).alias("mmd2")
+        )
+    )
+    da = disp.select(
+        F.col("lab").alias("la"),
+        F.col("n").alias("n_a"),
+        F.col("vg").alias("va"),
+    )
+    db = disp.select(
+        F.col("lab").alias("lb"),
+        F.col("n").alias("n_b"),
+        F.col("vg").alias("vb"),
+    )
+    return (
+        mmd.join(F.broadcast(da), "la")
+        .join(F.broadcast(db), "lb")
+        .select(
+            F.col("la").alias("label_a"),
+            F.col("lb").alias("label_b"),
+            "n_a",
+            "n_b",
+            F.round("mmd2", 6).alias("mmd2"),
+            F.round(
+                F.sqrt(F.col("va") / F.col("n_a") + F.col("vb") / F.col("n_b")),
+                6,
+            ).alias("pooled_scale"),
+            # two dispersion-free groups (both constant) have no scale to
+            # compare against: NULL, not a divide error
+            F.when(
+                F.col("va") / F.col("n_a") + F.col("vb") / F.col("n_b") > 0,
+                F.round(
+                    F.col("mmd2")
+                    / (F.col("va") / F.col("n_a") + F.col("vb") / F.col("n_b")),
+                    6,
+                ),
+            ).alias("ratio"),
+        )
+    )

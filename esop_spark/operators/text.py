@@ -4461,3 +4461,152 @@ def kmv_jaccard(
         "exact_j",
         "kmv_j",
     )
+
+
+def gopher_pass_col(text_col: str | Column = "text") -> Column:
+    """Boolean Column: does the document pass the full q67 Gopher battery —
+    the per-row form of :func:`gopher_rules`' aggregate flags, composable
+    into pipelines without a join."""
+    c = F.col(text_col) if isinstance(text_col, str) else text_col
+    words = F.split(c, " ")
+    sym_lits = F.array(*[F.lit(s) for s in GOPHER_SYMBOLS])
+    stop_lits = F.array(*[F.lit(w) for w in DEFAULT_STOPWORDS])
+    lo, hi = GOPHER_MEAN_WORD_LEN
+    n = F.size(words)
+    mwl = (
+        F.aggregate(words, F.lit(0).cast("bigint"), lambda a, x: a + F.length(x))
+        / n
+    )
+    symf = F.size(F.filter(words, lambda x: F.array_contains(sym_lits, x))) / n
+    stop = F.size(F.filter(words, lambda x: F.array_contains(stop_lits, x)))
+    return (
+        (n >= GOPHER_MIN_WORDS)
+        & (n <= GOPHER_MAX_WORDS)
+        & (mwl >= lo)
+        & (mwl <= hi)
+        & (symf <= GOPHER_MAX_SYMBOL_FRAC)
+        & (stop >= GOPHER_MIN_STOPWORD_HITS)
+    )
+
+
+def readability_profile(
+    documents: DataFrame,
+    text_col: str = "text",
+    source_col: str = "source",
+) -> DataFrame:
+    """Flesch-style readability per source from integer-exact text
+    structure: words (space tokens), sentences (runs of [.!?], min 1),
+    syllables (vowel-group runs — the standard cheap proxy). Per-doc
+    score = 206.835 − 1.015·(w/s) − 84.6·(syl/w), carried in milli-ints
+    so the corpus sums are exact; the curation question is which sources
+    skew unreadable BEFORE an LM filter spends GPU time on them.
+
+    Scale shape: pure scan projection (three regex/array counts per row),
+    one mergeable agg to the |sources| grain.
+
+    Output per source: (source, n_docs, mean_flesch, n_easy, n_hard)."""
+    c = F.col(text_col)
+    w = F.size(F.split(c, " ")).cast("bigint")
+    s = F.greatest(
+        F.lit(1).cast("bigint"),
+        F.size(F.expr(f"regexp_extract_all({text_col}, '[.!?]+', 0)"))
+        .cast("bigint"),
+    )
+    syl = F.greatest(
+        F.lit(1).cast("bigint"),
+        F.size(
+            F.expr(f"regexp_extract_all(lower({text_col}), '[aeiou]+', 0)")
+        ).cast("bigint"),
+    )
+    flesch_milli = F.round(
+        (
+            F.lit(206.835)
+            - F.lit(1.015) * w / s
+            - F.lit(84.6) * syl / w
+        )
+        * 1000
+    ).cast("bigint")
+    scored = documents.select(
+        F.col(source_col).alias("source"), flesch_milli.alias("fm")
+    )
+    return scored.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.round(F.sum("fm") / F.count(F.lit(1)) / 1000.0, 6).alias(
+            "mean_flesch"
+        ),
+        F.sum(F.when(F.col("fm") >= 70_000, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_easy"),
+        F.sum(F.when(F.col("fm") < 30_000, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_hard"),
+    )
+
+
+def curation_pipeline_funnel(
+    documents: DataFrame,
+    sample_ppm: int = 500_000,
+    sample_seed: str = "rel0",
+    shard_budget_tokens: int = 20_000,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """The curation pipeline as ONE DataFrame DAG, reported as a funnel:
+    raw → Gopher structural filter → exact (tokenset) dedup → hash
+    sample → shard plan. Each stage reports surviving docs and tokens;
+    the final row adds the shard count ceil(tokens/budget). q130's
+    filter funnel sweeps predicate batteries; this composes the FULL
+    release path (filter → dedup → sample → pack) so a mix change shows
+    its downstream effect in one relation.
+
+    Stage semantics (each reuses the operator family's exact rules):
+    Gopher = :func:`gopher_pass_col`; dedup keeps the min ``id_col`` per
+    :func:`tokenset_key`; sample keeps md5 bucket < sample_ppm (q50
+    family).
+
+    Scale shape: one base scan feeds every stage lazily; the dedup stage
+    is the only wide exchange (uniform content-key shuffle); stage
+    reports are 1-row aggs unioned on the |stages| grain."""
+    from esop_spark.operators.sampling import BUCKETS, sample_bucket
+
+    base = documents.select(
+        F.col(id_col).alias("rid"),
+        F.size(F.split(F.col(text_col), " ")).cast("bigint").alias("toks"),
+        gopher_pass_col(text_col).alias("gp"),
+        tokenset_key(text_col).alias("tk"),
+        sample_bucket(F.col(id_col), sample_seed).alias("sb"),
+    ).persist()
+
+    def stage(df: DataFrame, idx: int, name: str) -> DataFrame:
+        return df.agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.coalesce(F.sum("toks"), F.lit(0)).cast("bigint").alias(
+                "n_tokens"
+            ),
+        ).select(
+            F.lit(idx).cast("bigint").alias("stage_idx"),
+            F.lit(name).alias("stage"),
+            "n_docs",
+            "n_tokens",
+            F.ceil(F.col("n_tokens") / F.lit(shard_budget_tokens))
+            .cast("bigint")
+            .alias("n_shards"),
+        )
+
+    s0 = stage(base, 0, "raw")
+    passed = base.filter("gp")
+    s1 = stage(passed, 1, "gopher")
+    kept = (
+        passed.groupBy("tk")
+        .agg(
+            F.min("rid").alias("keep_rid"),
+            F.min_by("toks", F.struct("rid")).alias("toks"),
+        )
+        .select(F.col("keep_rid").alias("rid"), "toks")
+    )
+    s2 = stage(kept, 2, "dedup")
+    sampled = kept.join(
+        passed.select("rid", "sb").dropDuplicates(["rid"]), "rid"
+    ).filter(F.col("sb") < int(sample_ppm * BUCKETS / 1_000_000))
+    s3 = stage(sampled.select("rid", "toks"), 3, "sample")
+    return s0.unionByName(s1).unionByName(s2).unionByName(s3)
