@@ -82,13 +82,32 @@ def group_agg(lineitem: DataFrame) -> DataFrame:
     )
 
 
-def window_rank(orders: DataFrame, k: int = 3) -> DataFrame:
-    """Q16: top-k orders per priority by price (unique tiebreak on key)."""
-    w = Window.partitionBy("o_orderpriority").orderBy(
+def window_rank(orders: DataFrame, k: int = 3, salt_buckets: int = 64) -> DataFrame:
+    """Q16: top-k orders per priority by price (unique tiebreak on key).
+
+    Two-phase salted top-k: a bare ``Window.partitionBy(priority)`` funnels
+    the whole table through |priorities| ≤ 5 reducers — the 100 TB
+    straggler. Phase 1 ranks within (priority, salt) — ``salt_buckets``×
+    the parallelism, each group ~1/salt of its priority — and keeps k per
+    bucket; the true per-priority top-k is necessarily within its
+    bucket's top-k, so phase 2 re-ranks only the ≤|priorities|·salt·k
+    survivors (a few hundred rows). Salting never changes the RESULT, so
+    the engine-internal hash is fine here (no cross-engine replay
+    needed)."""
+    salt = F.pmod(F.hash("o_orderkey"), F.lit(salt_buckets))
+    w1 = Window.partitionBy("o_orderpriority", "_salt").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey").asc()
+    )
+    survivors = (
+        orders.withColumn("_salt", salt)
+        .withColumn("_rn1", F.row_number().over(w1))
+        .filter(F.col("_rn1") <= k)
+    )
+    w2 = Window.partitionBy("o_orderpriority").orderBy(
         F.col("o_totalprice").desc(), F.col("o_orderkey").asc()
     )
     return (
-        orders.withColumn("rn", F.row_number().over(w).cast("bigint"))
+        survivors.withColumn("rn", F.row_number().over(w2).cast("bigint"))
         .filter(F.col("rn") <= k)
         .select("o_orderpriority", "o_orderkey", "o_totalprice", "rn")
     )

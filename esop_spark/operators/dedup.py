@@ -544,11 +544,13 @@ def containment_candidates(
     )
     inv = hashed.select(F.col(id_col).alias("_iid"), "h")
     if max_df is not None:
-        w_sh = Window.partitionBy("h")
+        # df census as a mergeable agg + join back — NOT a partitionBy(h)
+        # window, which buffers an entire posting list in one task; the
+        # hot shingle this filter exists to drop is exactly the key that
+        # would blow that buffer up
+        dfs = inv.groupBy("h").agg(F.count(F.lit(1)).alias("_df"))
         inv = (
-            inv.withColumn("_df", F.count(F.lit(1)).over(w_sh))
-            .filter(F.col("_df") <= max_df)
-            .drop("_df")
+            inv.join(dfs.filter(F.col("_df") <= max_df), "h", "left_semi")
         )
     hits = (
         probes.join(inv, "h")

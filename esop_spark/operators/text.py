@@ -207,9 +207,15 @@ def tfidf_top_terms(
     containing t; score = tf · ln(N/df). Two hash aggregations (df over the
     per-doc-distinct term relation, tf over the full term relation — both
     uniform term keys, map-side partial) + one broadcast of the 1-row corpus
-    count + one window per group for the top-k. No driver actions — N comes
-    from a cross-joined 1-row aggregate, so the whole operator is one lazy
-    plan.
+    count. No driver actions — N comes from a cross-joined 1-row aggregate,
+    so the whole operator is one lazy plan.
+
+    The top-k is SALTED two-phase (the q16 construction): a bare
+    per-group window would funnel each group's entire VOCABULARY through
+    one reducer — |groups| is small (languages) and a 100 TB English
+    vocabulary is not. Phase 1 ranks within (group, hash(term) % 64) and
+    keeps k; phase 2 re-ranks the ≤|groups|·64·k survivors. Identical
+    result — a group's true top-k is within its bucket's top-k.
 
     Output: (group, term, tf, df, tfidf, rank), rank 1..k per group with
     deterministic (score DESC, term ASC) ordering; tfidf rounded to 6dp
@@ -228,7 +234,10 @@ def tfidf_top_terms(
     n_docs = documents.agg(F.count(F.lit(1)).alias("n_docs"))
     from pyspark.sql.window import Window
 
-    w = Window.partitionBy(group_col).orderBy(
+    w1 = Window.partitionBy(group_col, "_salt").orderBy(
+        F.col("tfidf").desc(), F.col("term").asc()
+    )
+    w2 = Window.partitionBy(group_col).orderBy(
         F.col("tfidf").desc(), F.col("term").asc()
     )
     return (
@@ -238,7 +247,10 @@ def tfidf_top_terms(
             "tfidf",
             F.round(F.col("tf") * F.log(F.col("n_docs") / F.col("df")), 6),
         )
-        .withColumn("rank", F.row_number().over(w))
+        .withColumn("_salt", F.pmod(F.hash("term"), F.lit(64)))
+        .withColumn("_rn1", F.row_number().over(w1))
+        .filter(F.col("_rn1") <= k)
+        .withColumn("rank", F.row_number().over(w2))
         .filter(F.col("rank") <= k)
         .select(
             group_col,
@@ -630,20 +642,23 @@ def release_gate(
         quality_score_col(text_col).alias("quality_score"),
         pred_lang.alias("pred_lang"),
     )
-    joined = keyed.join(boiler, id_col)
+    # persisted: the keeper census and the flag join both consume it, and
+    # its quality/lang/tokenset projections are the expensive part
+    joined = keyed.join(boiler, id_col).persist()
     survives_pre = (
         (F.col("quality_score") >= min_quality)
         & (F.col("pred_lang") == lang)
         & (F.col("boilerplate_frac") <= max_boiler_frac)
     )
-    from pyspark.sql.window import Window
-
-    w = Window.partitionBy("dk")
-    # dedup winner: min id among pre-gate survivors of the same content key
-    flagged = joined.withColumn(
-        "keeper",
-        F.min(F.when(survives_pre, F.col(id_col))).over(w),
-    ).withColumn(
+    # dedup winner: min id among pre-gate survivors of the same content
+    # key. groupBy + broadcast-or-shuffle join back, NOT a partitionBy(dk)
+    # window — min() is map-side combinable as an aggregate, while the
+    # window form buffers an entire duplicate cluster in one task (the
+    # boilerplate-duplicated-millions-of-times hot-key failure mode).
+    keepers = joined.groupBy("dk").agg(
+        F.min(F.when(survives_pre, F.col(id_col))).alias("keeper")
+    )
+    flagged = joined.join(keepers, "dk").withColumn(
         "gate",
         F.when(F.col("quality_score") < min_quality, F.lit("quality_fail"))
         .when(F.col("pred_lang") != lang, F.lit("lang_fail"))
