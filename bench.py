@@ -342,25 +342,45 @@ def main() -> None:
     # queries). With the JVM gone, ours is the only writer.
     spark.stop()
 
-    # Medians (the variance-honest stat) go to stderr: keeping them off the
-    # primary line halves its size, and the harness parses stdout only.
-    print(
-        json.dumps(
-            {"queries_median": medians,
-             "median_total_seconds": round(sum(medians.values()), 3)},
-            separators=(",", ":"),
-        ),
-        file=sys.stderr,
-        flush=True,
+    # The machine-parsed stdout line must stay well under 4 KB (the driver's
+    # capture truncates past that: BENCH_r03..r05 all came back parsed:null
+    # once the suite outgrew ~150 queries). So the primary line carries only
+    # the totals + the 10 slowest queries; the FULL per-query best-of-3 and
+    # median maps go to BENCH_DETAIL.json in the repo, committed each round.
+    median_total = round(sum(medians.values()), 3)
+    slowest = dict(
+        sorted(timings.items(), key=lambda kv: kv[1], reverse=True)[:10]
     )
+    detail_path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json"
+    )
+    with open(detail_path, "w") as fh:
+        json.dump(
+            {
+                "metric": "bench_total_seconds",
+                "value": total,
+                "unit": "sec",
+                "median_total_seconds": median_total,
+                "sf": sf,
+                "n_queries": len(timings),
+                "queries": timings,
+                "queries_median": medians,
+            },
+            fh,
+            indent=1,
+            sort_keys=True,
+        )
+        fh.write("\n")
     print(
         json.dumps(
             {
                 "metric": "bench_total_seconds",
                 "value": total,
                 "unit": "sec",
-                "queries": timings,
-                "median_total_seconds": round(sum(medians.values()), 3),
+                "queries": slowest,
+                "median_total_seconds": median_total,
+                "n_queries": len(timings),
+                "detail": "BENCH_DETAIL.json",
                 "sf": sf,
             },
             separators=(",", ":"),
