@@ -670,6 +670,7 @@ def coverage_select(
     shingle_n: int = 3,
     text_col: str = "text",
     id_col: str = "doc_id",
+    stats: dict | None = None,
 ) -> DataFrame:
     """Greedy maximum-coverage (submodular coreset) selection: pick ``k``
     documents maximizing the number of DISTINCT shingles covered — the
@@ -677,13 +678,27 @@ def coverage_select(
     coreset sampling and eval-set construction. The greedy answer is
     within (1 − 1/e) of optimal; exact selection is NP-hard.
 
-    Per step: one semi-join-excluded aggregation over the persisted
-    (id, shingle) relation — gain(doc) = # of its shingles not yet
-    covered — then a 1-row argmax collect (the bounded-driver-state class:
-    k rows total, like the IVF centroid pull). Covered shingles are
-    tracked as a DataFrame (anti-join), never driver-side, so the covered
-    set can be corpus-sized.
+    LAZY-greedy (Minoux): gains are monotone non-increasing as coverage
+    grows, so a gain computed at any earlier step is a valid upper bound
+    later. We pay ONE full gains aggregation up front, then per step pull
+    the top-2 bounds (2-row collect), recompute the TRUE gain of only the
+    top candidate (one single-doc anti-join count, input ∝ one document),
+    and accept it the moment its true gain still beats the runner-up's
+    bound — identical selection and tie-break (gain desc, id asc) to
+    eager greedy, at ≪ k corpus passes. Stale bounds discovered along the
+    way live in a driver-side overlay (size ≤ #recomputes); if that ever
+    exceeds ``_OVERLAY_CAP`` the base relation is refreshed with one full
+    pass and the overlay cleared, bounding driver state at any corpus
+    size. Covered shingles stay a DataFrame (anti-join), never
+    driver-side, so the covered set can be corpus-sized.
 
+    Tie-break safety: the candidate is accepted iff (true_gain, id)
+    lexicographically beats (runner_up_bound, runner_up_id). Every other
+    doc's true gain ≤ its bound ≤ runner-up bound, so no doc with a
+    higher true gain — or equal gain and smaller id — can exist.
+
+    ``stats`` (optional dict) is filled with ``full_gain_passes`` /
+    ``single_doc_recomputes`` so tests can assert lazy evaluation pruned.
     Ties broken by doc id — deterministic, engine-portable (gains are
     exact integers). Returns (rank, doc_id, gain, covered_total).
     """
@@ -692,22 +707,83 @@ def coverage_select(
     sh = shingles(documents, n=shingle_n, text_col=text_col, id_col=id_col)
     sh = sh.select(F.col(id_col).alias("did"), "shingle").persist()
     spark = documents.sparkSession
+    did_type = dict(sh.dtypes)["did"]
     picked: list = []
     covered = None  # DataFrame of covered shingles
     covered_total = 0
-    for step in range(1, k + 1):
-        remaining = sh.filter(
-            ~F.col("did").isin([p[1] for p in picked]) if picked else F.lit(True)
-        )
+    n_full = 0
+    n_recompute = 0
+    _OVERLAY_CAP = 10_000
+
+    def _full_gains() -> DataFrame:
+        nonlocal n_full
+        n_full += 1
+        rem = sh
+        if picked:
+            rem = rem.filter(~F.col("did").isin([p[1] for p in picked]))
         if covered is not None:
-            remaining = remaining.join(covered, "shingle", "left_anti")
-        gains = remaining.groupBy("did").agg(
-            F.count(F.lit(1)).alias("gain")
+            rem = rem.join(covered, "shingle", "left_anti")
+        return (
+            rem.groupBy("did")
+            .agg(F.count(F.lit(1)).alias("gain_ub"))
+            .localCheckpoint()
         )
-        top = gains.orderBy(F.desc("gain"), F.asc("did")).limit(1).collect()
-        if not top or top[0]["gain"] == 0:
+
+    base = _full_gains()
+    base_step = 1  # `base` gains are exact w.r.t. coverage at start of this step
+    overlay: dict = {}  # did -> (gain_ub, step_computed); exact at step_computed
+
+    stop = False
+    for step in range(1, k + 1):
+        if stop:
             break
-        did, gain = top[0]["did"], top[0]["gain"]
+        while True:
+            if overlay:
+                ov = spark.createDataFrame(
+                    [(d, g, s) for d, (g, s) in overlay.items()],
+                    f"did {did_type}, ov_gain bigint, ov_step int",
+                )
+                eff = base.join(F.broadcast(ov), "did", "left").select(
+                    "did",
+                    F.coalesce("ov_gain", F.col("gain_ub").cast("bigint")).alias("ub"),
+                    F.coalesce("ov_step", F.lit(base_step)).alias("fstep"),
+                )
+            else:
+                eff = base.select(
+                    "did",
+                    F.col("gain_ub").cast("bigint").alias("ub"),
+                    F.lit(base_step).alias("fstep"),
+                )
+            top2 = eff.orderBy(F.desc("ub"), F.asc("did")).limit(2).collect()
+            if not top2 or top2[0]["ub"] <= 0:
+                stop = True
+                break
+            c1 = top2[0]
+            if c1["fstep"] == step:  # bound is exact for current coverage
+                did, gain = c1["did"], int(c1["ub"])
+                break
+            n_recompute += 1
+            rem1 = sh.filter(F.col("did") == c1["did"])
+            if covered is not None:
+                rem1 = rem1.join(covered, "shingle", "left_anti")
+            true_g = rem1.count()
+            b2_gain = int(top2[1]["ub"]) if len(top2) > 1 else -1
+            b2_did = top2[1]["did"] if len(top2) > 1 else None
+            if true_g > b2_gain or (
+                true_g == b2_gain and (b2_did is None or c1["did"] < b2_did)
+            ):
+                if true_g <= 0:
+                    stop = True
+                    break
+                did, gain = c1["did"], true_g
+                break
+            overlay[c1["did"]] = (true_g, step)
+            if len(overlay) > _OVERLAY_CAP:
+                base = _full_gains()
+                base_step = step
+                overlay = {}
+        if stop:
+            break
         covered_total += gain
         picked.append((step, did, gain, covered_total))
         new_cov = sh.filter(F.col("did") == did).select("shingle").distinct()
@@ -715,7 +791,11 @@ def coverage_select(
             new_cov if covered is None
             else covered.union(new_cov).distinct()
         ).localCheckpoint()
+        overlay[did] = (-1, step)  # tombstone: never re-selected
     sh.unpersist()
+    if stats is not None:
+        stats["full_gain_passes"] = n_full
+        stats["single_doc_recomputes"] = n_recompute
     return spark.createDataFrame(
         picked, "rank bigint, doc_id bigint, gain bigint, covered_total bigint"
     )

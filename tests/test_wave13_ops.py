@@ -40,6 +40,56 @@ def test_coverage_tiebreak_lowest_id(spark):
     assert out[0]["doc_id"] == 2  # equal gain 1 -> lower id wins
 
 
+def test_coverage_lazy_greedy_prunes_full_passes(spark):
+    # Four mutually-disjoint docs with strictly decreasing shingle counts:
+    # cached bounds stay exact across steps, so after the single up-front
+    # gains aggregation each later step needs only one single-doc recompute
+    # (which immediately beats the runner-up bound) — never another full
+    # corpus pass. This is the lazy-greedy (Minoux) contract.
+    docs = spark.createDataFrame(
+        [
+            (1, "a b c d e f"),    # 4 shingles
+            (2, "p q r s t"),      # 3 shingles
+            (3, "x y z w"),        # 2 shingles
+            (4, "m n o"),          # 1 shingle
+        ],
+        ["doc_id", "text"],
+    )
+    stats: dict = {}
+    out = sorted(
+        sampling.coverage_select(docs, k=3, stats=stats).collect(),
+        key=lambda r: r["rank"],
+    )
+    assert [r["doc_id"] for r in out] == [1, 2, 3]
+    assert [r["gain"] for r in out] == [4, 3, 2]
+    assert stats["full_gain_passes"] == 1  # < k: lazy evaluation pruned
+    assert stats["single_doc_recomputes"] == 2  # one per later step
+
+
+def test_coverage_lazy_stale_bound_requeues(spark):
+    # doc 2 overlaps doc 1 heavily: after picking doc 1, doc 2's cached
+    # bound (3) is stale (true gain 1), so the lazy loop must demote it and
+    # pick doc 3 (true gain 2) — same answer eager greedy gives.
+    docs = spark.createDataFrame(
+        [
+            (1, "a b c d e f"),    # shingles: abc bcd cde def (4)
+            (2, "a b c d e"),      # abc bcd cde (3) -> all but none new... overlaps
+            (3, "x y z w"),        # xyz yzw (2) disjoint
+        ],
+        ["doc_id", "text"],
+    )
+    stats: dict = {}
+    out = sorted(
+        sampling.coverage_select(docs, k=2, stats=stats).collect(),
+        key=lambda r: r["rank"],
+    )
+    assert [r["doc_id"] for r in out] == [1, 3]
+    assert [r["gain"] for r in out] == [4, 2]
+    assert stats["full_gain_passes"] == 1
+    # step 2: recompute doc 2 (stale, demoted to 0), then doc 3 confirmed
+    assert stats["single_doc_recomputes"] == 2
+
+
 # --- cohen_kappa ----------------------------------------------------------------
 
 def test_kappa_perfect_agreement(spark):
