@@ -231,27 +231,27 @@ def global_remove_backup(
     removable = removable.persist()
     n_objects = removable.count()
     victim_rows = victims.collect()  # fleet × victim-backups: driver-small
+    batch_sizes: list = []
     if not dry_run:
         cluster_dir = os.path.abspath(os.path.join(base, cluster))
 
         def delete_partition(rows):
-            from itertools import islice
-
-            from esop_spark.sources.cloud_profiles import DELETE_BATCH_SIZE
-
             # chunked like the provider API (DeleteObjects caps at 100 keys
             # per request, BaseS3Restorer.java:251-253): one round-trip per
-            # batch against an object store, plain unlinks locally
-            it = iter(rows)
-            while batch := list(islice(it, DELETE_BATCH_SIZE)):
-                for row in batch:
-                    p = os.path.join(
+            # batch against an object store, plain unlinks locally; yields
+            # the per-request batch sizes (n/100 ints — bounded collect)
+            from esop_spark.sources.cloud_profiles import delete_objects_batched
+
+            return iter(
+                delete_objects_batched(
+                    os.path.join(
                         cluster_dir, row["dc"], row["node"], row["object_key"]
                     )
-                    if os.path.exists(p):
-                        os.remove(p)
+                    for row in rows
+                )
+            )
 
-        removable.foreachPartition(delete_partition)
+        batch_sizes = removable.rdd.mapPartitions(delete_partition).collect()
         for r in victim_rows:
             node_dir = os.path.join(cluster_dir, r["dc"], r["node"])
             for rel in (
@@ -262,4 +262,9 @@ def global_remove_backup(
                 if os.path.exists(p):
                     os.remove(p)
     removable.unpersist()
-    return {"backups_removed": len(victim_rows), "objects_removed": n_objects}
+    return {
+        "backups_removed": len(victim_rows),
+        "objects_removed": n_objects,
+        "delete_requests": len(batch_sizes),
+        "max_delete_batch": max(batch_sizes, default=0),
+    }

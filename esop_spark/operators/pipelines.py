@@ -266,25 +266,36 @@ def remove_backup(
     )
     removable = removable.persist()
     n_objects = removable.count()
+    batch_sizes: list = []
     if not dry_run:
         abs_bucket = os.path.abspath(bucket_dir)
 
-        # distributed delete — partition-batched, the DeleteObjects-batch
-        # analog (BaseS3Restorer.java:252-276); victim manifests (one per
-        # backup, driver-small) removed last so a crashed run stays listable
+        # distributed delete — each partition issues DeleteObjects-sized
+        # bulk requests (100 keys/request, BaseS3Restorer.java:252-276) and
+        # yields its request log (n/100 ints — bounded collect); victim
+        # manifests (one per backup, driver-small) removed last so a
+        # crashed run stays listable
         def delete_partition(rows):
-            for row in rows:
-                p = os.path.join(abs_bucket, row["object_key"])
-                if os.path.exists(p):
-                    os.remove(p)
+            from esop_spark.sources.cloud_profiles import delete_objects_batched
 
-        removable.foreachPartition(delete_partition)
+            return iter(
+                delete_objects_batched(
+                    os.path.join(abs_bucket, row["object_key"]) for row in rows
+                )
+            )
+
+        batch_sizes = removable.rdd.mapPartitions(delete_partition).collect()
         for name in victim_names:
             mp = os.path.join(bucket_dir, "manifests", f"{name}.json")
             if os.path.exists(mp):
                 os.remove(mp)
     removable.unpersist()
-    return {"backups_removed": len(victim_names), "objects_removed": n_objects}
+    return {
+        "backups_removed": len(victim_names),
+        "objects_removed": n_objects,
+        "delete_requests": len(batch_sizes),
+        "max_delete_batch": max(batch_sizes, default=0),
+    }
 
 
 def restore(

@@ -25,9 +25,38 @@ exactly the config drift this module exists to prevent.
 
 from __future__ import annotations
 
+import os
+from itertools import islice
+
 # partition-batched removal sink batch bound — the DeleteObjects-batch
 # analog (BaseS3Restorer.java:251-253 splits deletions 100 per request)
 DELETE_BATCH_SIZE = 100
+
+
+def default_bulk_delete(batch: list) -> None:
+    """The file://-scheme stand-in for one DeleteObjects request: unlink
+    every path in the batch, tolerating already-gone objects (the provider
+    API treats missing keys as deleted, not as an error)."""
+    for p in batch:
+        if os.path.exists(p):
+            os.remove(p)
+
+
+def delete_objects_batched(paths, bulk_delete=None) -> list:
+    """Split ``paths`` into DeleteObjects-sized requests and issue one
+    ``bulk_delete`` call per batch — the client-side batching every
+    provider sink shares (S3 DeleteObjects caps at 100 keys per request in
+    the reference, BaseS3Restorer.java:251-253; the same loop bounds Azure
+    and GCS batch deletes). Returns the per-request batch sizes — the
+    request log an object-store client would emit — so callers can report
+    request counts and tests can assert the cap is respected."""
+    bulk = bulk_delete or default_bulk_delete
+    sizes = []
+    it = iter(paths)
+    while batch := list(islice(it, DELETE_BATCH_SIZE)):
+        bulk(batch)
+        sizes.append(len(batch))
+    return sizes
 
 _PROFILES: dict[str, dict[str, str]] = {
     "s3": {

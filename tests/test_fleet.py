@@ -73,12 +73,16 @@ def test_global_removal_deletes_only_victim_unique_objects(spark, fleet_bucket):
     stats = fleet.global_remove_backup(
         spark, one_node, older_than_ms=1500, dry_run=True
     )
-    assert stats == {"backups_removed": 4, "objects_removed": 4}
+    assert stats == {"backups_removed": 4, "objects_removed": 4,
+                     "delete_requests": 0, "max_delete_batch": 0}
     entries = fleet.read_fleet_manifests(spark, fleet_bucket, "cluster1")
     assert entries.select("backup_name").distinct().count() == 2
 
     stats = fleet.global_remove_backup(spark, one_node, older_than_ms=1500)
-    assert stats == {"backups_removed": 4, "objects_removed": 4}
+    assert stats["backups_removed"] == 4 and stats["objects_removed"] == 4
+    # request log: every DeleteObjects-analog batch within the 100-key cap
+    assert stats["delete_requests"] >= 1
+    assert 0 < stats["max_delete_batch"] <= 100
     for dc, node in NODES:
         node_dir = os.path.join(fleet_bucket, "cluster1", dc, node)
         names = set()
@@ -106,7 +110,8 @@ def test_global_removal_restricted_to_dcs(spark, fleet_bucket):
     stats = fleet.global_remove_backup(
         spark, one_node, older_than_ms=1500, dcs=["dc1"], dry_run=True
     )
-    assert stats == {"backups_removed": 2, "objects_removed": 2}
+    assert stats == {"backups_removed": 2, "objects_removed": 2,
+                     "delete_requests": 0, "max_delete_batch": 0}
 
 
 def test_cli_global_remove(fleet_bucket):

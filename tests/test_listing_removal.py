@@ -53,7 +53,8 @@ def test_remove_backup_keeps_shared_objects(spark, tmp_path):
 
     # dry run reports without deleting
     stats = pipelines.remove_backup(spark, bucket, oldest=True, dry_run=True)
-    assert stats == {"backups_removed": 1, "objects_removed": 0}
+    assert stats == {"backups_removed": 1, "objects_removed": 0,
+                     "delete_requests": 0, "max_delete_batch": 0}
     assert os.path.exists(os.path.join(bucket, "manifests", "snap1-sv-1000.json"))
 
     # removing snap2 deletes ONLY its unique object + manifest

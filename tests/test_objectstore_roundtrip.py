@@ -1,0 +1,135 @@
+"""Object-store round-trip e2e (cloud parity, SURVEY §2.7 / COVERAGE): the
+reference's s3/azure/gcp test matrices run backup → list → remove → restore
+against a real endpoint; the sandbox has none, so a file://-scheme directory
+poses as the remote while ``apply_cloud_profile`` supplies the provider
+tunables and the delete sink is asserted to respect the DeleteObjects batch
+cap (100 keys/request, s3/.../v2/BaseS3Restorer.java:252-276)."""
+
+import os
+
+from esop_spark.operators import fleet, manifest as manifest_ops, pipelines
+from esop_spark.sources import manifest_json
+from esop_spark.sources.cloud_profiles import (
+    DELETE_BATCH_SIZE,
+    apply_cloud_profile,
+    delete_objects_batched,
+    profile_for,
+)
+from tests.test_pipelines import BASE_FILES, make_tree
+
+
+# --- DeleteObjects batching (the client-side request splitter) ------------
+
+
+def test_delete_batches_respect_the_100_key_cap():
+    calls = []
+    sizes = delete_objects_batched(
+        (f"key-{i}" for i in range(250)), bulk_delete=calls.append
+    )
+    assert sizes == [100, 100, 50]
+    assert [len(c) for c in calls] == [100, 100, 50]
+    assert all(len(c) <= DELETE_BATCH_SIZE for c in calls)
+    # order preserved within and across requests
+    assert calls[0][0] == "key-0" and calls[2][-1] == "key-249"
+
+
+def test_delete_batches_empty_and_single():
+    assert delete_objects_batched(iter(())) == []
+    calls = []
+    assert delete_objects_batched(["one"], bulk_delete=calls.append) == [1]
+    assert calls == [["one"]]
+
+
+def test_default_bulk_delete_tolerates_missing_keys(tmp_path):
+    p = tmp_path / "obj"
+    p.write_text("x")
+    # deleting an existing and an already-gone key in one request succeeds
+    delete_objects_batched([str(p), str(tmp_path / "nope")])
+    assert not p.exists()
+
+
+# --- file://-remote round trip with provider profile applied ---------------
+
+
+def test_objectstore_backup_list_remove_restore_roundtrip(spark, tmp_path):
+    # provider tunables land on the live session before any FS use (the
+    # abfss profile: harmless keys for a file:// remote, but the same code
+    # path a real abfss:// bucket_dir would take)
+    apply_cloud_profile(spark, "azure")
+    for k, v in profile_for("azure").items():
+        assert spark.conf.get(k) == v
+
+    data = str(tmp_path / "data")
+    bucket = str(tmp_path / "remote-bucket")
+    make_tree(data, "snap1", BASE_FILES)
+    pipelines.backup(
+        spark, [data], "snap1", bucket, schema_version="sv", ts_millis=1000
+    )
+    extra = dict(BASE_FILES)
+    extra[("ks1", "t1", "me-9-big-Data.db")] = "unique-to-snap2"
+    make_tree(data, "snap2", extra)
+    pipelines.backup(
+        spark, [data], "snap2", bucket, schema_version="sv", ts_millis=2000
+    )
+
+    # list: both backups visible on the remote
+    entries = manifest_json.read_manifests(
+        spark, os.path.join(bucket, "manifests")
+    )
+    listing = manifest_ops.list_backups(entries).collect()
+    assert {r["backup_name"] for r in listing} == {
+        "snap1-sv-1000",
+        "snap2-sv-2000",
+    }
+
+    # remove the older backup: batched delete sink, every request ≤ cap
+    stats = pipelines.remove_backup(spark, bucket, oldest=True)
+    assert stats["backups_removed"] == 1
+    assert stats["delete_requests"] == 0 or (
+        0 < stats["max_delete_batch"] <= DELETE_BATCH_SIZE
+    )
+
+    # restore the survivor from the remote and verify every byte
+    target = str(tmp_path / "restore-target")
+    pipelines.restore(spark, bucket, target, backup_name="snap2-sv-2000")
+    for (ks, table, comp), content in extra.items():
+        # restore lays out <target>/<ks>/<table-ID>/<component>
+        hits = []
+        for dirpath, _d, fns in os.walk(target):
+            if comp in fns and os.sep + ks + os.sep in dirpath + os.sep:
+                hits.append(os.path.join(dirpath, comp))
+        assert hits, f"missing restored component {ks}/{table}/{comp}"
+        with open(hits[0]) as fh:
+            assert fh.read() == content
+
+
+def test_objectstore_remove_issues_capped_requests_for_many_objects(
+    spark, tmp_path
+):
+    # >DELETE_BATCH_SIZE victim-unique objects in one partition must split
+    # into multiple requests, none above the cap (the reference splits its
+    # deletion list 100 per DeleteObjects call)
+    data = str(tmp_path / "data")
+    bucket = str(tmp_path / "remote-bucket")
+    many = {
+        ("ks1", "t1", f"me-{i}-big-Data.db"): f"payload-{i}"
+        for i in range(1, 2 * DELETE_BATCH_SIZE + 31)
+    }
+    make_tree(data, "snapbig", many)
+    pipelines.backup(
+        spark, [data], "snapbig", bucket, schema_version="sv", ts_millis=1000
+    )
+    # single-partition removable set so one task holds > cap keys
+    n = 2 * DELETE_BATCH_SIZE + 30
+    stats = pipelines.remove_backup(
+        spark, bucket, backup_name="snapbig-sv-1000"
+    )
+    assert stats["objects_removed"] == n
+    assert stats["max_delete_batch"] <= DELETE_BATCH_SIZE
+    assert stats["delete_requests"] >= -(-n // DELETE_BATCH_SIZE)  # ≥ ceil
+    # the remote data prefix is actually empty afterwards
+    data_dir = os.path.join(bucket, "data")
+    leftover = [
+        fn for _dp, _d, fns in os.walk(data_dir) for fn in fns
+    ]
+    assert leftover == []
