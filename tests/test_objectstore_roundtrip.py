@@ -111,21 +111,23 @@ def test_objectstore_remove_issues_capped_requests_for_many_objects(
     # deletion list 100 per DeleteObjects call)
     data = str(tmp_path / "data")
     bucket = str(tmp_path / "remote-bucket")
+    # 520 objects over the 4-partition test session ≈ 130 keys/task — every
+    # task holds more than one request's worth, so the splitter MUST cut at
+    # the cap (max_delete_batch == 100 proves a full-size request happened)
+    n = 520
     many = {
         ("ks1", "t1", f"me-{i}-big-Data.db"): f"payload-{i}"
-        for i in range(1, 2 * DELETE_BATCH_SIZE + 31)
+        for i in range(1, n + 1)
     }
     make_tree(data, "snapbig", many)
     pipelines.backup(
         spark, [data], "snapbig", bucket, schema_version="sv", ts_millis=1000
     )
-    # single-partition removable set so one task holds > cap keys
-    n = 2 * DELETE_BATCH_SIZE + 30
     stats = pipelines.remove_backup(
         spark, bucket, backup_name="snapbig-sv-1000"
     )
     assert stats["objects_removed"] == n
-    assert stats["max_delete_batch"] <= DELETE_BATCH_SIZE
+    assert stats["max_delete_batch"] == DELETE_BATCH_SIZE  # cap exercised
     assert stats["delete_requests"] >= -(-n // DELETE_BATCH_SIZE)  # ≥ ceil
     # the remote data prefix is actually empty afterwards
     data_dir = os.path.join(bucket, "data")
