@@ -312,3 +312,164 @@ def jsd_drift_stream(observations: DataFrame) -> DataFrame:
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+HLL_OUTPUT = "wd bigint, n_present bigint, hll_est double"
+HLL_STATE = "js string, regs string"
+
+
+def _hll_fn_factory(p_bits: int):
+    m = 1 << p_bits
+    w_bits = 32 - p_bits
+    alpha = 0.7213 / (1 + 1.079 / m)
+
+    def fn(key, pdfs, state: GroupState):
+        import hashlib as _hashlib
+        import json as _json
+        import math as _math
+
+        regs: dict = (
+            dict(
+                zip(_json.loads(state.get[0]), _json.loads(state.get[1]))
+            )
+            if state.exists
+            else {}
+        )
+        for pdf in pdfs:
+            for u in pdf["u"]:
+                # the batch leg's md5_hash32 family, bit-exact: first 8 hex
+                # chars of md5 as a 32-bit int; register index = top p_bits,
+                # rank = leading-zeros-in-the-rest + 1 (conv-length form)
+                h = int(_hashlib.md5(str(u).encode()).hexdigest()[:8], 16)
+                j = h >> w_bits
+                rem = h % (1 << w_bits)
+                r = (w_bits + 1) if rem == 0 else (w_bits + 1) - rem.bit_length()
+                if r > regs.get(j, 0):
+                    regs[j] = r
+        state.update(
+            (
+                _json.dumps(sorted(regs)),
+                _json.dumps([regs[j] for j in sorted(regs)]),
+            )
+        )
+        n_present = len(regs)
+        s_present = sum(2.0 ** -r for r in regs.values())
+        zeros = m - n_present
+        raw = alpha * m * m / (s_present + zeros)
+        est = (
+            m * _math.log(m / zeros)
+            if raw <= 2.5 * m and zeros > 0
+            else raw
+        )
+        yield pd.DataFrame(
+            {
+                "wd": [key[0]],
+                "n_present": [n_present],
+                "hll_est": [round(est, 6)],
+            }
+        )
+
+    return fn
+
+
+def hll_window_stream(observations: DataFrame, p_bits: int = 8) -> DataFrame:
+    """Streaming counterpart of ``analytics.hll_window_merge``: per
+    window-day key, HyperLogLog registers as the ONLY state — ≤2^p_bits
+    small ints per key regardless of stream length — merged incrementally
+    as user observations arrive and checkpoint-backed across restarts.
+    The caller expands each (day, user) observation into the window-day
+    keys it serves (the same cover-explode the batch leg uses), so the
+    stateful operator itself is a plain per-key register max-merge.
+
+    The register family is bit-exact with the batch leg (md5_hash32 +
+    conv-length rank + the m=256 small-range correction), so a full
+    replay's final emission per key equals the batch ``hll_est`` — the
+    stream == batch property the mergeable sketch exists for.
+
+    Input schema: (wd bigint, u string); emits
+    (wd, n_present, hll_est) per key per micro-batch."""
+    return observations.groupBy("wd").applyInPandasWithState(
+        _hll_fn_factory(int(p_bits)),
+        outputStructType=HLL_OUTPUT,
+        stateStructType=HLL_STATE,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+HIST_OUTPUT = "wd bigint, q_milli bigint, n_rows bigint, pctile_cents bigint"
+HIST_STATE = "bs string, ns string"
+
+
+def _hist_fn_factory(bucket_cents: int, q_millis: tuple):
+    qs = [int(q) for q in q_millis]
+
+    def fn(key, pdfs, state: GroupState):
+        import json as _json
+
+        hist: dict = (
+            dict(
+                zip(_json.loads(state.get[0]), _json.loads(state.get[1]))
+            )
+            if state.exists
+            else {}
+        )
+        for pdf in pdfs:
+            for b in pdf["b"]:
+                b = int(b)
+                hist[b] = hist.get(b, 0) + 1
+        state.update(
+            (
+                _json.dumps(sorted(hist)),
+                _json.dumps([hist[b] for b in sorted(hist)]),
+            )
+        )
+        total = sum(hist.values())
+        out_q, out_p = [], []
+        cum = 0
+        want = sorted(qs)
+        wi = 0
+        for b in sorted(hist):
+            cum += hist[b]
+            while wi < len(want) and cum * 1000 >= want[wi] * total:
+                out_q.append(want[wi])
+                out_p.append(b * bucket_cents)
+                wi += 1
+            if wi == len(want):
+                break
+        yield pd.DataFrame(
+            {
+                "wd": [key[0]] * len(out_q),
+                "q_milli": out_q,
+                "n_rows": [total] * len(out_q),
+                "pctile_cents": out_p,
+            }
+        )
+
+    return fn
+
+
+def histogram_window_stream(
+    observations: DataFrame,
+    bucket_cents: int = 500,
+    q_millis: tuple = (500, 950),
+) -> DataFrame:
+    """Streaming counterpart of ``analytics.histogram_window_pctile``: per
+    window-day key, the bounded bucket histogram is the ONLY state
+    (|value range| / bucket_cents ints per key, independent of stream
+    length); each micro-batch merges new bucket counts in and re-reads
+    the percentiles as the first bucket whose cumulative count reaches
+    q·total — the identical first-crossing rule (and bucket-lower-bound
+    answer) as the batch leg, so a full replay's final emission equals
+    the batch ``pctile_cents`` per (day, q).
+
+    Input schema: (wd bigint, b bigint) — the caller buckets values and
+    cover-explodes days exactly as the batch leg does; emits
+    (wd, q_milli, n_rows, pctile_cents) per key per micro-batch."""
+    return observations.groupBy("wd").applyInPandasWithState(
+        _hist_fn_factory(int(bucket_cents), tuple(q_millis)),
+        outputStructType=HIST_OUTPUT,
+        stateStructType=HIST_STATE,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
