@@ -106,15 +106,12 @@ def test_objectstore_backup_list_remove_restore_roundtrip(spark, tmp_path):
 def test_objectstore_remove_issues_capped_requests_for_many_objects(
     spark, tmp_path
 ):
-    # >DELETE_BATCH_SIZE victim-unique objects in one partition must split
+    # >DELETE_BATCH_SIZE victim-unique objects: the sink must split them
     # into multiple requests, none above the cap (the reference splits its
     # deletion list 100 per DeleteObjects call)
     data = str(tmp_path / "data")
     bucket = str(tmp_path / "remote-bucket")
-    # 520 objects over the 4-partition test session ≈ 130 keys/task — every
-    # task holds more than one request's worth, so the splitter MUST cut at
-    # the cap (max_delete_batch == 100 proves a full-size request happened)
-    n = 520
+    n = 230
     many = {
         ("ks1", "t1", f"me-{i}-big-Data.db"): f"payload-{i}"
         for i in range(1, n + 1)
@@ -127,11 +124,30 @@ def test_objectstore_remove_issues_capped_requests_for_many_objects(
         spark, bucket, backup_name="snapbig-sv-1000"
     )
     assert stats["objects_removed"] == n
-    assert stats["max_delete_batch"] == DELETE_BATCH_SIZE  # cap exercised
+    # partition layout varies with session state, so the e2e asserts the
+    # environment-independent contract: no request above the cap, at least
+    # the minimum request count, and the remote data prefix actually empty
+    assert 0 < stats["max_delete_batch"] <= DELETE_BATCH_SIZE
     assert stats["delete_requests"] >= -(-n // DELETE_BATCH_SIZE)  # ≥ ceil
-    # the remote data prefix is actually empty afterwards
     data_dir = os.path.join(bucket, "data")
     leftover = [
         fn for _dp, _d, fns in os.walk(data_dir) for fn in fns
     ]
     assert leftover == []
+
+
+def test_delete_sink_cuts_full_size_requests_on_executors(spark, tmp_path):
+    # deterministic cap proof through a real executor task: one partition
+    # holding 230 real files must issue exactly [100, 100, 30]-key requests
+    paths = []
+    for i in range(230):
+        p = tmp_path / f"obj-{i}"
+        p.write_text("x")
+        paths.append(str(p))
+    sizes = (
+        spark.sparkContext.parallelize(paths, 1)
+        .mapPartitions(lambda it: iter(delete_objects_batched(it)))
+        .collect()
+    )
+    assert sizes == [100, 100, 30]
+    assert not any(os.path.exists(p) for p in paths)
