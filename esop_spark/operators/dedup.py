@@ -383,6 +383,60 @@ def minhash_signatures(
     return sh.groupBy(id_col).agg(*aggs)
 
 
+def with_minhash_signature(
+    documents: DataFrame,
+    num_hashes: int = 32,
+    n: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    hash_family: str = "xxhash64",
+) -> DataFrame:
+    """Per-ROW minhash signature as a pure projection — no explode, no
+    aggregation, no shuffle: h_i = min over the doc's distinct shingles of
+    (a_i·x + b_i) mod p, computed with array_min over the shingle array.
+    Values are IDENTICAL to :func:`minhash_signatures` (same shingle set,
+    same hash family, same coefficients); this form exists for streaming
+    callers, where the batch explode→groupBy shape would force a shuffled
+    stateful aggregation just to rebuild what is a per-row function.
+
+    The hashed-shingle array is materialized once as an intermediate
+    column (Spark does no CSE inside higher-order-function lambdas; naive
+    per-h_i lambdas would re-hash every shingle num_hashes times).
+
+    Docs with < n words have no shingles: their minima are NULL (the
+    batch groupBy simply has no row) — rows where h0 IS NULL are dropped,
+    matching the batch relation exactly.
+
+    For BATCH use prefer :func:`minhash_signatures`: the exploded
+    aggregation shares its shingle relation with the verification leg,
+    which this projection cannot."""
+
+    def _hash_col(c: Column) -> Column:
+        return md5_hash32(c) if hash_family == "md5" else F.xxhash64(c)
+
+    xs = F.transform(
+        F.expr(_shingle_array_expr(n)),
+        lambda s: F.pmod(_hash_col(s), F.lit(HASH_P)),
+    )
+    sig = (
+        _words(documents, text_col, id_col)
+        .withColumn("_xs", xs)
+        .select(
+            F.col(id_col),
+            *[
+                F.array_min(
+                    F.transform(
+                        F.col("_xs"),
+                        lambda x: (x * F.lit(a) + F.lit(b)) % F.lit(HASH_P),
+                    )
+                ).alias(f"h{i}")
+                for i, (a, b) in enumerate(minhash_coeffs(num_hashes))
+            ],
+        )
+    )
+    return sig.filter(F.col("h0").isNotNull())
+
+
 def _band_buckets(
     sig: DataFrame,
     num_hashes: int,
