@@ -18,7 +18,9 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 import __spark_entry__ as entry_mod
+from esop_spark.operators.dedup import release_shared_relations
 from esop_spark.session import get_spark
+from esop_spark.sources import fixtures
 
 # The bench list IS the declared-query surface: every queries() entry runs
 # (derived at runtime so new waves can never silently drop out of the
@@ -70,14 +72,35 @@ def main() -> None:
     for _ in range(2):
         qs["q01_list_backups"](spark, sf_dir).write.format("noop").mode("overwrite").save()
 
+    # Per-query cache isolation (default ON; SPARK_GRAFT_BENCH_RESET=0
+    # reverts to the shared-session mode): before each query's untimed
+    # warmup, release the dedup module's shared relations, clear the Spark
+    # cache, and drop the fixture-registration memo so the warmup rebuilds
+    # the manifest_entries cache from scratch. In a 300-query session the
+    # CacheManager otherwise accumulates every query's never-unpersisted
+    # relations until eviction pressure distorts later measurements — the
+    # round-6 q22 record (47.6 s recorded vs 1.6-1.9 s on every re-run)
+    # was adjudicated an environment artifact, and this removes the
+    # engine's exposure to it. The reset cost lands in the untimed warmup
+    # (which re-materializes the fixture cache), so timed trials still
+    # measure the steady-state warm plan.
+    reset = os.environ.get("SPARK_GRAFT_BENCH_RESET", "1") != "0"
+
     # one untimed warmup per query (codegen/JIT for THAT plan), then 5 timed
     # trials. "queries" stays best-of-first-3 (comparable with earlier
     # rounds); "queries_median" is the median of all 5 — the
     # variance-honest stat (cheap queries swing up to 2x run-to-run, so a
     # best-of-N-only report can manufacture methodology-only "wins").
+    # ALL trial times are recorded in BENCH_DETAIL.json (queries_trials) so
+    # a single-outlier record is diagnosable from the artifact alone.
     timings: dict[str, float] = {}
     medians: dict[str, float] = {}
+    all_trials: dict[str, list[float]] = {}
     for name in bench_queries:
+        if reset:
+            release_shared_relations()
+            spark.catalog.clearCache()
+            fixtures.reset_registration_cache()
         qs[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
         trials = []
         for _ in range(5):
@@ -86,6 +109,7 @@ def main() -> None:
             trials.append(time.perf_counter() - t0)
         timings[name] = round(min(trials[:3]), 3)
         medians[name] = round(sorted(trials)[2], 3)
+        all_trials[name] = [round(t, 3) for t in trials]
 
     total = round(sum(timings.values()), 3)
 
@@ -117,8 +141,10 @@ def main() -> None:
                 "median_total_seconds": median_total,
                 "sf": sf,
                 "n_queries": len(timings),
+                "cache_reset_between_queries": reset,
                 "queries": timings,
                 "queries_median": medians,
+                "queries_trials": all_trials,
             },
             fh,
             indent=1,

@@ -24,6 +24,36 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from esop_spark.operators.iterate import RoundCheckpointer
+
+# Corpus-shaped relations persisted so one query's legs share a single
+# materialization (signature + verify both read the shingle relation).
+# They should NOT outlive the workload: in a long session (300-query
+# bench, full oracle sweep) never-unpersisted per-query caches accumulate
+# in the CacheManager until eviction pressure distorts every later query —
+# the round-6 q22 bench anomaly's exposure surface. Persisted relations
+# are registered here and released explicitly between queries via
+# :func:`release_shared_relations` (bench.py and tools/check_oracle.py
+# call it, alongside spark.catalog.clearCache()). Releasing early is
+# always safe — an unpersisted DataFrame recomputes from source — so a
+# caller that releases mid-consumption loses only the cache hit, never
+# correctness. Repeat calls within one workload stay warm: persist() of an
+# identical plan dedupes onto the existing CacheManager entry.
+_SHARED_RELATIONS: list[DataFrame] = []
+
+
+def _share(df: DataFrame) -> DataFrame:
+    """Persist ``df`` for intra-query leg sharing and register it for
+    deferred release."""
+    _SHARED_RELATIONS.append(df.persist())
+    return df
+
+
+def release_shared_relations() -> None:
+    """Unpersist every registered shared relation (between-queries hook)."""
+    while _SHARED_RELATIONS:
+        _SHARED_RELATIONS.pop().unpersist(False)
+
 # 31-bit hash domain: a*x+b stays < 2^62, safe under ANSI int64 arithmetic.
 HASH_P = 2147483647  # 2^31 - 1 (Mersenne prime)
 
@@ -185,6 +215,18 @@ def ngram_jaccard_pairs(
     missed if all of its shared shingles are hotter than the cap —
     boilerplate-only overlap, which is exactly what the cap is meant to
     ignore. max_df=None keeps the fully exact one-stage join.
+
+    Verification shape (the capped branch): the shared-shingle count is
+    split by key hotness instead of re-joining candidates against the
+    full shingle relation. The rare half falls straight out of the
+    candidate self-join's aggregation (same shuffle that found the pair),
+    and only the HOT half — shingles hotter than max_df, a handful of
+    boilerplate keys per document — is counted by joining the candidate
+    pairs to the hot postings. shared = shared_rare + shared_hot is the
+    exact intersection count (every shared shingle is exactly one of the
+    two), but the verify mass drops from candidates × full-doc shingle
+    lists (corpus-shaped — the round-6 sf10 rehearsal's worst ratio) to
+    candidates × hot-shingles-per-doc.
     """
     # join on a 64-bit shingle hash instead of the shingle string: narrower
     # shuffle rows + cheaper key compare; collision probability over the
@@ -211,29 +253,60 @@ def ngram_jaccard_pairs(
             .agg(F.count(F.lit(1)).alias("shared"))
         )
         return _jaccard_from_shared(shared, counts, threshold, id_col)
-    sh = sh.persist()  # reused by the df agg, the capped join, and verify
-    rare = sh.join(
+    sh = _share(sh)  # reused by the df agg, the capped join, and the hot leg
+    # the hot-key list is tiny (df > max_df ⇒ at most |corpus|/max_df keys);
+    # checkpoint it eagerly so the document-frequency aggregation runs once
+    # for both the anti-join (rare side) and semi-join (hot postings)
+    hot_keys = (
         sh.groupBy("sh")
         .agg(F.count(F.lit(1)).alias("df"))
-        .filter(F.col("df") <= max_df)
-        .select("sh"),
-        "sh",
-        "left_semi",
+        .filter(F.col("df") > max_df)
+        .select("sh")
+        .localCheckpoint()
     )
+    rare = sh.join(hot_keys, "sh", "left_anti")
     ra = rare.alias("a")
     rb = rare.alias("b")
-    candidates = (
+    # rare half of the intersection count, straight off the candidate join —
+    # candidate-pair-shaped, so the eager checkpoint is bounded by output
+    # scale (and feeds two consumers: the hot probe and the final sum)
+    shared_rare = (
         ra.join(
             rb,
             (F.col("a.sh") == F.col("b.sh"))
             & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
         )
-        .select(
-            F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b")
+        .groupBy(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
         )
-        .distinct()
+        .agg(F.count(F.lit(1)).alias("shared_rare"))
+        .localCheckpoint()
     )
-    return _verify_jaccard(candidates, sh, counts, threshold, id_col)
+    hot = sh.join(hot_keys, "sh", "left_semi")
+    ha = hot.select(F.col(id_col).alias("id_a"), F.col("sh").alias("sh_a"))
+    hb = hot.select(F.col(id_col).alias("id_b"), F.col("sh").alias("sh_b"))
+    shared_hot = (
+        shared_rare.select("id_a", "id_b")
+        .join(ha, "id_a")
+        .join(
+            hb.withColumnRenamed("id_b", "_idb"),
+            (F.col("id_b") == F.col("_idb")) & (F.col("sh_a") == F.col("sh_b")),
+        )
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("shared_hot"))
+    )
+    shared = (
+        shared_rare.join(shared_hot, ["id_a", "id_b"], "left")
+        .select(
+            "id_a",
+            "id_b",
+            (
+                F.col("shared_rare") + F.coalesce(F.col("shared_hot"), F.lit(0))
+            ).alias("shared"),
+        )
+    )
+    return _jaccard_from_shared(shared, counts, threshold, id_col)
 
 
 def dedup_clusters(pairs: DataFrame, max_iters: int = 50) -> DataFrame:
@@ -246,15 +319,34 @@ def dedup_clusters(pairs: DataFrame, max_iters: int = 50) -> DataFrame:
     for fuzzy duplicates identity is the transitive closure of the pair
     relation.
 
-    Iterative min-label propagation: every node starts labeled with itself;
-    each round every node takes the min label across itself and its
-    neighbors; fixpoint = components. Per round: one shuffle join (edges ⋈
-    labels) + one hash aggregation — no driver-side graph state, O(diameter)
-    rounds. Near-dup clusters are short-diameter (dups of a doc are dups of
-    each other), so this converges in a handful of rounds even at corpus
-    scale; `localCheckpoint` truncates lineage so plans don't grow per
-    round. (For adversarial long-chain graphs swap in the alternating
-    large-star/small-star variant — same join/agg building blocks.)
+    Two stages, both pure join/agg:
+
+    1. **Star contraction** (one pass): every node is mapped to its
+       representative ``rep(v) = min(v, neighbors(v))`` — a single hash
+       aggregation over the symmetric edge list — and edges are rewritten
+       to connect representatives. Contracting each node into a neighbor
+       (or itself) preserves connectivity exactly, and in a near-dup graph
+       — where most components are stars or dense blobs around one
+       low-id anchor — it collapses the bulk of the edge mass to
+       self-loops, which are dropped. Iteration input becomes
+       |clusters|-shaped instead of |candidate-edges|-shaped: the round-6
+       sf10 rehearsal measured label propagation as candidate-edge-bound
+       (ratio 26.7), and this pass is what removes that term.
+    2. **Min-label propagation** on the contracted graph: every rep
+       starts labeled with itself; each round every rep takes the min
+       label across itself and its neighbors; fixpoint = components. Per
+       round: one shuffle join (edges ⋈ labels) + one hash aggregation —
+       no driver-side graph state, O(diameter) rounds. Superseded rounds'
+       checkpoint blocks are released explicitly (RoundCheckpointer), so
+       a long peel holds at most two rounds resident.
+
+    Exactness: the component's global-min node m satisfies rep(m) = m (m
+    is the minimum of its own neighborhood), so m survives contraction
+    and remains the minimum label of its contracted component; every
+    other node inherits label(rep(v)), and a component that contracted to
+    a single isolated rep keeps that rep as its label (coalesce). Cluster
+    ids and sizes are therefore identical to propagation on the raw pair
+    list.
 
     Input: (id_a, id_b [, ...]) pair DataFrame. Output: one row per
     distinct doc appearing in any pair — (doc_id, cluster_id, cluster_size)
@@ -266,18 +358,37 @@ def dedup_clusters(pairs: DataFrame, max_iters: int = 50) -> DataFrame:
         .distinct()
         .persist()
     )
-    labels = edges.select(F.col("src").alias("node")).distinct().withColumn(
-        "label", F.col("node")
-    ).localCheckpoint()
+    ckpt = RoundCheckpointer(pairs)
+    # star contraction: node -> min(self, neighbors); every node of the
+    # symmetric edge list appears as src, so one groupBy covers the graph
+    reps = ckpt.checkpoint(
+        edges.groupBy("src")
+        .agg(F.least(F.col("src"), F.min("dst")).alias("rep"))
+        .select(F.col("src").alias("node"), "rep")
+    )
+    ra = reps.select(F.col("node").alias("src"), F.col("rep").alias("rep_a"))
+    rb = reps.select(F.col("node").alias("dst"), F.col("rep").alias("rep_b"))
+    cedges = ckpt.checkpoint(
+        edges.join(ra, "src")
+        .join(rb, "dst")
+        .filter(F.col("rep_a") != F.col("rep_b"))
+        .select(F.col("rep_a").alias("src"), F.col("rep_b").alias("dst"))
+        .distinct()  # already symmetric: edges was, and the rewrite is 1:1
+    )
+    edges.unpersist()  # contraction consumed it; the loop reads cedges only
+    labels = ckpt.checkpoint(
+        cedges.select(F.col("src").alias("node"))
+        .distinct()
+        .withColumn("label", F.col("node"))
+    )
     for _ in range(max_iters):
-        neighbor = edges.join(
-            labels, edges["dst"] == labels["node"], "inner"
+        neighbor = cedges.join(
+            labels, cedges["dst"] == labels["node"], "inner"
         ).select(F.col("src").alias("node"), F.col("label"))
-        new_labels = (
+        new_labels = ckpt.checkpoint(
             labels.unionByName(neighbor)
             .groupBy("node")
             .agg(F.min("label").alias("label"))
-            .localCheckpoint()
         )
         changed = (
             new_labels.alias("n")
@@ -286,13 +397,26 @@ def dedup_clusters(pairs: DataFrame, max_iters: int = 50) -> DataFrame:
             .limit(1)
             .count()
         )
+        ckpt.release(labels)  # convergence check was its last consumer
         labels = new_labels
         if changed == 0:
             break
-    edges.unpersist()
-    sizes = labels.groupBy("label").agg(F.count(F.lit(1)).alias("cluster_size"))
+    # expand back to the full node set: label(v) = label(rep(v)); a rep
+    # with no contracted edge (component fully collapsed) keeps itself
+    node_labels = ckpt.checkpoint(
+        reps.join(
+            labels.select(F.col("node").alias("rep"), "label"), "rep", "left"
+        ).select("node", F.coalesce("label", "rep").alias("label"))
+    )
+    ckpt.release(labels)
+    ckpt.release(cedges)
+    ckpt.release(reps)
+    ckpt.disown(node_labels)  # consumed lazily by the returned join
+    sizes = node_labels.groupBy("label").agg(
+        F.count(F.lit(1)).alias("cluster_size")
+    )
     return (
-        labels.join(sizes, "label")
+        node_labels.join(sizes, "label")
         .select(
             F.col("node").cast("bigint").alias("doc_id"),
             F.col("label").cast("bigint").alias("cluster_id"),
@@ -495,8 +619,11 @@ def _lsh_candidates(
     join shuffles on."""
     # one persisted (id, shingle) materialization feeds BOTH the signature
     # aggregation and the verification leg (measured ~20% off q22 at sf0.1;
-    # MEMORY_AND_DISK default, so an oversized corpus spills, not OOMs)
-    base = shingles(documents, n, text_col, id_col).persist()
+    # MEMORY_AND_DISK default, so an oversized corpus spills, not OOMs).
+    # Registered for deferred release: the verify leg runs at the caller's
+    # materialization time, so the relation is freed by the next
+    # release_shared_relations() hook, not here.
+    base = _share(shingles(documents, n, text_col, id_col))
     sig = minhash_signatures(
         documents, num_hashes, n, text_col, id_col, hash_family, base=base
     )
@@ -509,7 +636,7 @@ def _lsh_candidates(
     sizes = buckets.groupBy("band", "bucket").agg(
         F.count(F.lit(1)).alias("_bsz"), F.min(id_col).alias("_anchor")
     )
-    sized = buckets.join(sizes, ["band", "bucket"]).persist()
+    sized = _share(buckets.join(sizes, ["band", "bucket"]))
     small = sized.filter(F.col("_bsz") <= max_bucket)
     a = small.alias("a")
     b = small.alias("b")
@@ -659,7 +786,7 @@ def containment_pairs(
     restricted to candidates, identical to before. ``num_hashes``/
     ``bands``/``hash_family`` are retained for signature compatibility but
     no longer drive candidate generation."""
-    base = shingles(documents, n, text_col, id_col).persist()
+    base = _share(shingles(documents, n, text_col, id_col))
     counts = doc_shingle_counts(documents, n, text_col, id_col)
     candidates = containment_candidates(
         base, id_col, k=probe_k, min_hits=min_hits, max_df=max_df, counts=counts
@@ -1053,7 +1180,7 @@ def incremental_minhash_pairs(
     larger than ``max_bucket`` route new members to the bucket's min-id
     anchor (star pairing), the same hot-bucket guard as _lsh_candidates.
     """
-    base = shingles(documents, n, text_col, id_col).persist()
+    base = _share(shingles(documents, n, text_col, id_col))
     sig = minhash_signatures(
         documents, num_hashes, n, text_col, id_col, hash_family, base=base
     )
@@ -1065,7 +1192,7 @@ def incremental_minhash_pairs(
     sizes = old_b.groupBy("band", "bucket").agg(
         F.count(F.lit(1)).alias("_bsz"), F.min(id_col).alias("_anchor")
     )
-    annotated_new = new_b.join(sizes, ["band", "bucket"]).persist()
+    annotated_new = _share(new_b.join(sizes, ["band", "bucket"]))
     pairs_small = (
         annotated_new.filter(F.col("_bsz") <= max_bucket)
         .join(
@@ -1253,8 +1380,9 @@ def lsh_recall_audit(
     n_found = truth.join(cand, ["id_a", "id_b"], "left_semi").agg(
         F.count(F.lit(1)).cast("bigint").alias("n_found")
     )
-    # base stays persisted while cand is consumed by both counting legs
-    # (same lifetime convention as minhash_lsh_pairs)
+    # base stays persisted (shared-relation registry) while cand is
+    # consumed by both counting legs; released at the next between-queries
+    # release_shared_relations() hook
     _ = base
     out = (
         n_docs.crossJoin(n_true).crossJoin(n_cand).crossJoin(n_found)

@@ -31,6 +31,8 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
 
+from esop_spark.operators.iterate import RoundCheckpointer
+
 RANK_ONE = 1_000_000_000  # 1.0 in nano units
 
 
@@ -231,21 +233,20 @@ def connected_components(edges: DataFrame, max_iters: int = 50) -> DataFrame:
         .distinct()
         .persist()
     )
-    labels = (
+    ckpt = RoundCheckpointer(edges)
+    labels = ckpt.checkpoint(
         sym.select(F.col("src").alias("node"))
         .distinct()
         .withColumn("label", F.col("node"))
-        .localCheckpoint()
     )
     for _ in range(max_iters):
         neighbor = sym.join(
             labels, sym["dst"] == labels["node"], "inner"
         ).select(F.col("src").alias("node"), F.col("label"))
-        new_labels = (
+        new_labels = ckpt.checkpoint(
             labels.unionByName(neighbor)
             .groupBy("node")
             .agg(F.min("label").alias("label"))
-            .localCheckpoint()
         )
         changed = (
             new_labels.alias("n")
@@ -254,10 +255,12 @@ def connected_components(edges: DataFrame, max_iters: int = 50) -> DataFrame:
             .limit(1)
             .count()
         )
+        ckpt.release(labels)  # convergence check was its last consumer
         labels = new_labels
         if changed == 0:
             break
     sym.unpersist()
+    ckpt.disown(labels)  # the returned join still reads the final round
     sizes = labels.groupBy("label").agg(
         F.count(F.lit(1)).cast("bigint").alias("cluster_size")
     )
@@ -412,19 +415,22 @@ def kcore_peel(
     relation is ``localCheckpoint``-ed every round — the semi-join pair
     references the previous round's relation three times, so without
     lineage truncation the logical plan grows exponentially in ``rounds``
-    (Catalyst analysis alone becomes the bottleneck). The relation
-    shrinks monotonically, so later rounds are cheaper; a converged round
-    (no edge dropped) breaks out early — the remaining rounds are no-ops
-    by definition, so early exit preserves run-count parity with the
+    (Catalyst analysis alone becomes the bottleneck). Each superseded
+    round's checkpoint blocks are released explicitly (RoundCheckpointer)
+    the moment the next round materializes — without that, every dead
+    round stays resident until JVM GC, which is what pushed the sf10
+    rehearsal past the default local-mode heap. The relation shrinks
+    monotonically, so later rounds are cheaper; a converged round (no
+    edge dropped) breaks out early — the remaining rounds are no-ops by
+    definition, so early exit preserves run-count parity with the
     oracle. Output grain: surviving nodes."""
-    both = (
-        edges_undirected.select("src", "dst")
-        .union(
+    ckpt = RoundCheckpointer(edges_undirected)
+    both = ckpt.checkpoint(
+        edges_undirected.select("src", "dst").union(
             edges_undirected.select(
                 F.col("dst").alias("src"), F.col("src").alias("dst")
             )
         )
-        .localCheckpoint()
     )
     n_edges = both.count()
     for _ in range(rounds):
@@ -434,15 +440,17 @@ def kcore_peel(
             .filter(F.col("deg") >= k)
             .select(F.col("src").alias("u"))
         )
-        both = (
+        prev = both
+        both = ckpt.checkpoint(
             both.join(keep, both["src"] == keep["u"], "left_semi")
             .join(keep, both["dst"] == keep["u"], "left_semi")
-            .localCheckpoint()
         )
+        ckpt.release(prev)  # checkpoint was eager: prev has no consumers left
         n_next = both.count()
         if n_next == n_edges:
             break
         n_edges = n_next
+    ckpt.disown(both)  # the returned aggregation still reads the final round
     return both.groupBy(F.col("src").alias("node")).agg(
         F.count(F.lit(1)).cast("bigint").alias("degree")
     )

@@ -99,25 +99,39 @@ def cosine_pairs(
     threshold: float = 0.45,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
+    max_rows: int = 500_000,
 ) -> DataFrame:
     """Exact cosine-similarity pairs ≥ threshold (brute force, O(n²)) —
     the exact small-corpus baseline; the scale path is the hyperplane-
-    bucketed :func:`semantic_dedup` / LSH family.
+    bucketed :func:`semantic_dedup` / IVF family.
+
+    **Guarded**: the plan broadcasts one full side, so it is only valid
+    for corpora that fit a broadcast (and whose n² pair count is worth
+    enumerating at all). Inputs larger than ``max_rows`` raise instead of
+    letting an unbounded broadcast OOM the driver mid-job — callers with
+    a big corpus must opt into an approximate bucketed path
+    (:func:`semantic_dedup`, :func:`ivf_ann_topk`) or raise the cap
+    explicitly after sizing their driver. The row count costs one
+    aggregation over the (small by contract) input — noise next to the
+    O(n²) join it guards.
 
     The pair join has no equi-key, so Spark broadcasts one side and
     STREAMS the other; a single-split input would run all n²/2 dot
-    products in ONE task (measured 22 s for 2M pairs at sf0.1). Spread
-    the streamed side across the shuffle width when the scan has fewer
-    partitions — same rule as bloom_contamination's probe stage."""
+    products in ONE task (measured 22 s for 2M pairs at sf0.1). The
+    streamed side is repartitioned across the shuffle width — same rule
+    as bloom_contamination's probe stage."""
+    n_rows = embeddings.count()
+    if n_rows > max_rows:
+        raise ValueError(
+            f"cosine_pairs is the exact O(n²) small-corpus baseline and "
+            f"broadcasts the full embedding table; got {n_rows} rows > "
+            f"max_rows={max_rows}. Use the bucketed scale paths "
+            f"(semantic_dedup / ivf_ann_topk) or raise max_rows explicitly."
+        )
     e = with_norm(embeddings, vec_col, id_col)
     spark = embeddings.sparkSession
     target = int(spark.conf.get("spark.sql.shuffle.partitions"))
-    spread = (
-        e.repartition(target, F.col(id_col))
-        if embeddings.rdd.getNumPartitions() < target
-        else e
-    )
-    a = spread.alias("a")
+    a = e.repartition(target, F.col(id_col)).alias("a")
     b = F.broadcast(e).alias("b")
     cos = _dot(F.col("a.v"), F.col("b.v")) / (F.col("a.norm") * F.col("b.norm"))
     return (

@@ -299,6 +299,15 @@ def register_fixture_views(spark: SparkSession, sf_dir: str) -> None:
     _REGISTERED[str(key)] = cache_key
 
 
+def reset_registration_cache() -> None:
+    """Forget the per-session registration memo. Bench reset mode calls
+    ``spark.catalog.clearCache()`` between queries, which silently drops
+    the ``manifest_entries`` cache; without clearing the memo the next
+    ``register_fixture_views`` would be skipped and every esop-family
+    query would run uncached for the rest of the session."""
+    _REGISTERED.clear()
+
+
 def fixture_df(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     register_fixture_views(spark, sf_dir)
     return spark.table(name)

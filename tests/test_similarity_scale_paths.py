@@ -190,3 +190,19 @@ def test_index_persistence_round_trip(spark, tmp_path):
     for a, b in zip(books, books2):
         for va, vb in zip(a, b):
             assert va == pytest.approx(vb, abs=1e-12)
+
+
+def test_cosine_pairs_guards_broadcast_size(spark):
+    """cosine_pairs is the exact O(n²) small-corpus baseline: above
+    max_rows it must refuse (pointing at the bucketed scale paths) instead
+    of broadcasting an unbounded embedding table, and below the cap it
+    must keep returning exact pairs."""
+    import pytest
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    with pytest.raises(ValueError, match="semantic_dedup"):
+        similarity.cosine_pairs(emb, max_rows=emb.count() - 1)
+    # at/below the cap the exact path still runs
+    out = similarity.cosine_pairs(emb, threshold=0.9, max_rows=emb.count())
+    assert out.columns == ["id_a", "id_b", "cosine"]
+    assert out.count() >= 0

@@ -15,6 +15,7 @@ import duckdb
 sys.path.insert(0, "/root/repo")
 
 import __spark_entry__ as entry_mod
+from esop_spark.operators.dedup import release_shared_relations
 from esop_spark.session import get_spark
 
 
@@ -55,6 +56,10 @@ def main() -> int:
         if only and name not in only:
             continue
         try:
+            # release per-query shared relations so a 300-query sweep
+            # doesn't accumulate them in the CacheManager (the fixture
+            # cache is kept: registration re-caches only on sf_dir switch)
+            release_shared_relations()
             sdf = fn(get_spark("oracle-check"), sf_dir)
             spark_cols = sdf.columns
             spark_rows = [tuple(r) for r in sdf.collect()]
