@@ -35,7 +35,14 @@ def _pinned_shuffle_partitions(sf: float) -> int:
     input sizes) are stable run-to-run instead of inheriting whatever
     SPARK_GRAFT_CPUS implies: ~CPU-count at the test SFs, scaled up once
     data outgrows them (the same rule a cluster job would apply:
-    partitions ≈ max(cores, data / target-partition-size))."""
+    partitions ≈ max(cores, data / target-partition-size)). The sf>=5
+    step keeps per-task working sets executor-sized at the 100x
+    rehearsal scale — at shuffle=64 the sf10 co-order edge aggregation's
+    32 concurrent hash maps exhaust an 8 GiB single-JVM heap, at 256 each
+    task holds a quarter of the data and spills instead (AQE coalesces
+    the excess partitions everywhere they are small)."""
+    if sf >= 5:
+        return 256
     if sf >= 1:
         return 64
     return 32

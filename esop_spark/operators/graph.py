@@ -30,6 +30,7 @@ cross-backup identity.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
+from pyspark.storagelevel import StorageLevel
 
 from esop_spark.operators.iterate import RoundCheckpointer
 
@@ -424,7 +425,10 @@ def kcore_peel(
     edge dropped) breaks out early — the remaining rounds are no-ops by
     definition, so early exit preserves run-count parity with the
     oracle. Output grain: surviving nodes."""
-    ckpt = RoundCheckpointer(edges_undirected)
+    # DISK_ONLY rounds: the edge relation is corpus-scale, written once and
+    # read once next round — on-heap caching buys nothing and competes with
+    # the degree-agg/semi-join execution memory (the sf10 local-mode OOM)
+    ckpt = RoundCheckpointer(edges_undirected, storage_level=StorageLevel.DISK_ONLY)
     both = ckpt.checkpoint(
         edges_undirected.select("src", "dst").union(
             edges_undirected.select(

@@ -30,20 +30,30 @@ by construction.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame
+from pyspark.storagelevel import StorageLevel
 
 
 class RoundCheckpointer:
     """Tracks localCheckpoint block ownership per DataFrame so iterative
     loops can free superseded rounds deterministically instead of waiting
-    for JVM GC."""
+    for JVM GC.
 
-    def __init__(self, df_or_spark) -> None:
+    ``storage_level`` sets the checkpoint block placement: the default
+    MEMORY_AND_DISK is right for label-relation loops (rounds are small),
+    while edge-relation peels over corpus-scale graphs should pass
+    DISK_ONLY — the round's blocks are written once and read once next
+    round, so caching them on-heap buys little and (in a single-JVM local
+    run) competes with the very join/agg execution memory the round
+    needs."""
+
+    def __init__(self, df_or_spark, storage_level: StorageLevel | None = None) -> None:
         spark = (
             df_or_spark.sparkSession
             if isinstance(df_or_spark, DataFrame)
             else df_or_spark
         )
         self._jsc = spark.sparkContext._jsc
+        self._level = storage_level
         # id(df) -> [persistent rdd ids created by that df's checkpoint]
         self._owned: dict[int, list[int]] = {}
 
@@ -55,7 +65,8 @@ class RoundCheckpointer:
     def checkpoint(self, df: DataFrame) -> DataFrame:
         """Eagerly localCheckpoint ``df`` and record the RDD ids it pinned."""
         before = self._persistent_ids()
-        out = df.localCheckpoint()  # eager: blocks exist on return
+        # eager: blocks exist on return
+        out = df.localCheckpoint(eager=True, storageLevel=self._level)
         self._owned[id(out)] = sorted(self._persistent_ids() - before)
         return out
 
