@@ -4574,14 +4574,18 @@ def hll_window_merge(
         .groupBy("wd", "j")
         .agg(F.max("mreg").alias("mreg"))
     )
-    from esop_spark.operators.text import HLL_ALPHA_256
+    # alpha_m derived from p_bits (identical to HLL_ALPHA_256 at the
+    # default p_bits=8) so the streaming twin's replay==batch bit-parity
+    # holds at EVERY p_bits, not just the default — both legs now compute
+    # Flajolet's alpha from the same formula (stateful._hll_fn_factory)
+    alpha_m = 0.7213 / (1 + 1.079 / m)
 
     per = win_regs.groupBy("wd").agg(
         F.count(F.lit(1)).cast("bigint").alias("n_present"),
         F.sum(F.pow(F.lit(2.0), -F.col("mreg"))).alias("s_present"),
     )
     zeros = F.lit(m) - F.col("n_present")
-    raw = F.lit(HLL_ALPHA_256 * m * m) / (F.col("s_present") + zeros)
+    raw = F.lit(alpha_m * m * m) / (F.col("s_present") + zeros)
     est = F.when(
         (raw <= 2.5 * m) & (zeros > 0),
         F.lit(float(m)) * F.log(F.lit(float(m)) / zeros),

@@ -239,7 +239,13 @@ def global_remove_backup(
             # chunked like the provider API (DeleteObjects caps at 100 keys
             # per request, BaseS3Restorer.java:251-253): one round-trip per
             # batch against an object store, plain unlinks locally; yields
-            # the per-request batch sizes (n/100 ints — bounded collect)
+            # the per-request batch sizes (n/100 ints — bounded collect).
+            # NOTE: the deletes themselves are idempotent (missing keys are
+            # treated as deleted), but this request LOG is best-effort
+            # under task retries/stage recompute — a retried partition
+            # re-runs its (no-op) requests and the collected sizes can
+            # include the extras, so delete_requests/max_delete_batch are
+            # observability stats, not an exactly-once request count.
             from esop_spark.sources.cloud_profiles import delete_objects_batched
 
             return iter(

@@ -274,7 +274,10 @@ def remove_backup(
         # bulk requests (100 keys/request, BaseS3Restorer.java:252-276) and
         # yields its request log (n/100 ints — bounded collect); victim
         # manifests (one per backup, driver-small) removed last so a
-        # crashed run stays listable
+        # crashed run stays listable. Deletes are idempotent but the
+        # request log is best-effort under task retries (a recomputed
+        # partition re-logs its no-op requests), so delete_requests/
+        # max_delete_batch are observability stats, not exactly-once counts
         def delete_partition(rows):
             from esop_spark.sources.cloud_profiles import delete_objects_batched
 

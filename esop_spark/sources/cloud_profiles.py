@@ -65,14 +65,7 @@ _PROFILES: dict[str, dict[str, str]] = {
         "spark.hadoop.fs.s3a.multipart.threshold": "134217728",
         "spark.hadoop.fs.s3a.connection.maximum": "96",
         "spark.hadoop.fs.s3a.fast.upload": "true",
-        # job-commit safety for object stores (no atomic rename)
         "spark.hadoop.fs.s3a.committer.name": "magic",
-        "spark.sql.sources.commitProtocolClass": (
-            "org.apache.spark.internal.io.cloud.PathOutputCommitProtocol"
-        ),
-        "spark.sql.parquet.output.committer.class": (
-            "org.apache.spark.internal.io.cloud.BindingParquetOutputCommitter"
-        ),
     },
     "azure": {
         # reference caps blob blocks at 4 MiB (AzureBackuper.java:28-30);
@@ -92,25 +85,48 @@ _PROFILES: dict[str, dict[str, str]] = {
 }
 
 
-def profile_for(provider: str) -> dict[str, str]:
+# Job-commit safety for object stores (no atomic rename): these classes
+# live in the spark-hadoop-cloud artifact, which a cloud deployment ships
+# on the classpath but a bare local build does not — and Spark VALIDATES
+# commitProtocolClass at conf-set time, so they are builder-only (a
+# builder's configs are applied before any validation; on a live session
+# without the jar, conf.set itself would throw ClassNotFound).
+_BUILDER_ONLY: dict[str, dict[str, str]] = {
+    "s3": {
+        "spark.sql.sources.commitProtocolClass": (
+            "org.apache.spark.internal.io.cloud.PathOutputCommitProtocol"
+        ),
+        "spark.sql.parquet.output.committer.class": (
+            "org.apache.spark.internal.io.cloud.BindingParquetOutputCommitter"
+        ),
+    },
+}
+
+
+def profile_for(provider: str, include_builder_only: bool = False) -> dict[str, str]:
     try:
-        return dict(_PROFILES[provider])
+        out = dict(_PROFILES[provider])
     except KeyError:
         raise ValueError(
             f"unknown cloud provider {provider!r}; expected one of "
             f"{sorted(_PROFILES)}"
         ) from None
+    if include_builder_only:
+        out.update(_BUILDER_ONLY.get(provider, {}))
+    return out
 
 
 def apply_cloud_profile(target, provider: str):
-    """Apply a profile to a SparkSession.Builder (``.config`` chaining) or a
-    live SparkSession (runtime ``conf.set`` — Hadoop configs are readable
-    at FS-instantiation time, so setting them pre-first-use is valid)."""
-    profile = profile_for(provider)
+    """Apply a profile to a SparkSession.Builder (``.config`` chaining — gets
+    the transfer tunables AND the builder-only committer overrides) or a
+    live SparkSession (runtime ``conf.set`` — transfer tunables only; Hadoop
+    configs are readable at FS-instantiation time, so setting them
+    pre-first-use is valid, while the committer classes require the
+    spark-hadoop-cloud jar and must be set at session build)."""
     if hasattr(target, "config"):  # builder
-        for k, v in profile.items():
+        for k, v in profile_for(provider, include_builder_only=True).items():
             target = target.config(k, v)
         return target
-    for k, v in profile.items():
+    for k, v in profile_for(provider).items():
         target.conf.set(k, v)
     return target

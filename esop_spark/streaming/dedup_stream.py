@@ -94,7 +94,18 @@ def lsh_candidate_stream(
     buckets within ``max_bucket`` (exact-set parity is tested); oversized
     buckets degrade to the same anchor-star connectivity contract as the
     batch operator. State per (band, bucket) is bounded: member ids up to
-    the cap, a single anchor after."""
+    the cap, a single anchor after.
+
+    **Pair-log contract — consumers must treat it as a SET** (``distinct()``
+    before any per-pair counting). Two append-mode caveats make the raw log
+    a superset of the batch pair set for oversized buckets: (1) a bucket
+    that crosses ``max_bucket`` mid-stream has already emitted its pre-cap
+    pairwise edges and then emits star edges; (2) after hot-collapse the
+    state keeps only the anchor, so a document re-delivered later (source
+    replays, at-least-once upstreams) re-emits its anchor edge. Both extras
+    are edges WITHIN the bucket's connected component, so the intended
+    consumer — connected-components clustering — is unaffected even
+    without dedup; only pair-count statistics need the distinct()."""
     sig = with_minhash_signature(
         documents, num_hashes, n, text_col, id_col, hash_family
     )

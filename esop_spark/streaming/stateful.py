@@ -382,9 +382,13 @@ def hll_window_stream(observations: DataFrame, p_bits: int = 8) -> DataFrame:
     stateful operator itself is a plain per-key register max-merge.
 
     The register family is bit-exact with the batch leg (md5_hash32 +
-    conv-length rank + the m=256 small-range correction), so a full
-    replay's final emission per key equals the batch ``hll_est`` — the
-    stream == batch property the mergeable sketch exists for.
+    conv-length rank + the small-range correction), so a full replay's
+    final emission per key equals the batch ``hll_est`` — the stream ==
+    batch property the mergeable sketch exists for. Parity holds at EVERY
+    ``p_bits``: both legs derive Flajolet's alpha_m from p_bits with the
+    same formula (``analytics.hll_window_merge`` round-7 change; before
+    that the batch leg hardcoded the m=256 constant and parity was
+    default-p_bits-only).
 
     Input schema: (wd bigint, u string); emits
     (wd, n_present, hll_est) per key per micro-batch."""

@@ -7,6 +7,8 @@ cap (100 keys/request, s3/.../v2/BaseS3Restorer.java:252-276)."""
 
 import os
 
+import pytest
+
 from esop_spark.operators import fleet, manifest as manifest_ops, pipelines
 from esop_spark.sources import manifest_json
 from esop_spark.sources.cloud_profiles import (
@@ -51,14 +53,45 @@ def test_default_bulk_delete_tolerates_missing_keys(tmp_path):
 # --- file://-remote round trip with provider profile applied ---------------
 
 
-def test_objectstore_backup_list_remove_restore_roundtrip(spark, tmp_path):
-    # provider tunables land on the live session before any FS use (the
-    # abfss profile: harmless keys for a file:// remote, but the same code
-    # path a real abfss:// bucket_dir would take)
-    apply_cloud_profile(spark, "azure")
-    for k, v in profile_for("azure").items():
+@pytest.mark.parametrize("provider", ["s3", "azure", "gcp"])
+def test_objectstore_backup_list_remove_restore_roundtrip(
+    spark, tmp_path, provider
+):
+    # One round trip per provider profile, mirroring the reference's
+    # per-cloud test matrix (core/.../BaseListingRemovalTest.java:74-198 is
+    # subclassed by the s3/azure/gcp modules). The provider tunables land
+    # on the live session before any FS use — harmless keys for a file://
+    # remote, but the same code path a real s3a://abfss://gs:// bucket_dir
+    # would take. Prior conf values are restored afterwards: the session
+    # fixture is shared, and the s3 profile's committer overrides would
+    # otherwise leak into later tests' parquet writes.
+    prior: dict[str, str | None] = {}
+    for k in profile_for(provider):
+        try:
+            prior[k] = spark.conf.get(k)
+        except Exception:
+            prior[k] = None
+    apply_cloud_profile(spark, provider)
+    for k, v in profile_for(provider).items():
         assert spark.conf.get(k) == v
+    if provider == "s3":
+        # the multipart sizing keys are the TransferManager-parity contract
+        assert spark.conf.get("spark.hadoop.fs.s3a.multipart.size") == "67108864"
+        assert (
+            spark.conf.get("spark.hadoop.fs.s3a.multipart.threshold")
+            == "134217728"
+        )
+    try:
+        _roundtrip_body(spark, tmp_path)
+    finally:
+        for k, v in prior.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
 
+
+def _roundtrip_body(spark, tmp_path):
     data = str(tmp_path / "data")
     bucket = str(tmp_path / "remote-bucket")
     make_tree(data, "snap1", BASE_FILES)

@@ -128,8 +128,23 @@ def test_hll_window_stream_state_survives_restart(spark, tmp_path):
         # re-emitted ones against batch
         if day in last:
             assert abs(last[day]["hll_est"] - b["hll_est"]) <= 2e-6
-    # at least the tail window keys must have re-emitted
-    assert any(day in last for day in batch)
+    # the state-survival proof: wd DAY0+5 is served by BOTH halves (day-0..3
+    # observations cover it forward; day-5 observations land on it), and the
+    # day-5 arrivals force it to re-emit in the second drain. Its estimate
+    # can only equal the full-data batch value if the first half's
+    # registers were resumed from the checkpoint, not rebuilt.
+    assert DAY0 + 5 in last
+    assert abs(last[DAY0 + 5]["hll_est"] - batch[DAY0 + 5]["hll_est"]) <= 2e-6
+    second_only = {
+        r["day"]: r
+        for r in analytics.hll_window_merge(second, WINDOW_DAYS).collect()
+    }
+    # guard the proof itself: the second half ALONE estimates wd+5
+    # differently, so the equality above cannot hold without carried state
+    assert (
+        abs(second_only[DAY0 + 5]["hll_est"] - batch[DAY0 + 5]["hll_est"])
+        > 2e-6
+    )
 
 
 def test_histogram_window_stream_replay_equals_batch(spark, tmp_path):
@@ -186,3 +201,19 @@ def test_histogram_window_stream_state_survives_restart(spark, tmp_path):
         if key in batch:  # replayed keys must equal the full-data batch
             assert r["pctile_cents"] == batch[key]["pctile_cents"]
             assert r["n_rows"] == batch[key]["n_rows"]
+    # state-survival proof: wd DAY0+5 receives bucket counts from BOTH
+    # halves and re-emits in the second drain; n_rows equal to the
+    # full-data batch total is only possible if the first half's histogram
+    # was resumed from the checkpoint (the second half alone contributes
+    # strictly fewer observations to that window)
+    key5 = (DAY0 + 5, 500)
+    assert key5 in last
+    assert last[key5]["n_rows"] == batch[key5]["n_rows"]
+    second_only = {
+        (r["day"], r["q_milli"]): r
+        for r in analytics.histogram_window_pctile(
+            _events(spark, ROWS[8:]), WINDOW_DAYS, bucket_cents=500,
+            q_millis=(500, 950),
+        ).collect()
+    }
+    assert second_only[key5]["n_rows"] < batch[key5]["n_rows"]
