@@ -3072,6 +3072,21 @@ def q300_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q301_cosine_pairs_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Banded-LSH cosine pairs (similarity.cosine_pairs_lsh) — the guarded
+    scale path behind q25's exact O(n²) baseline, same output schema:
+    (band, bucket) equi-join candidates from 8×3 hyperplane sign bands,
+    exact per-pair cosine (precision 1.0, recall ≈0.92 at τ=0.45), hot
+    band-buckets capped identically in both engines."""
+    return similarity.cosine_pairs_lsh(
+        _base(spark, sf_dir, "embeddings"),
+        threshold=COSINE_TAU,
+        bands=8,
+        band_planes=3,
+        dim=64,
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001: the backup-listing report."""
     return q01_list_backups(spark, "/root/testdata/sf0.001")
@@ -3379,6 +3394,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q298_linear_attribution": q298_linear_attribution,
         "q299_linear_mmd": q299_linear_mmd,
         "q300_curation_funnel": q300_curation_funnel,
+        "q301_cosine_pairs_lsh": q301_cosine_pairs_lsh,
     }
 
 
@@ -3725,6 +3741,65 @@ def _pii_oracle() -> str:
         + f"           '{e}', '<EMAIL>', 'g'), '{i}', '<IP>', 'g'), '{d}', '<NUM>', 'g')) AS redacted_hash\n"
         + "FROM d"
     )
+
+
+def _cosine_lsh_oracle(
+    bands: int, band_planes: int, dim: int, tau: float, max_bucket: int
+) -> str:
+    """q301 oracle: the banded hyperplane sign buckets (per-band plane sets
+    from per-band seeds, exactly similarity.banded_semantic_buckets), hot
+    band-buckets dropped at the same cap as the Spark leg, distinct
+    candidate pairs, then exact cosine."""
+    rows = ", ".join(
+        f"({band}, {j}, {i + 1}, {signs_b[j][i]})"
+        for band in range(bands)
+        for signs_b in [similarity.hyperplane_signs(band_planes, dim, f"hp:{band}")]
+        for j in range(band_planes)
+        for i in range(dim)
+    )
+    return f"""
+        WITH e AS MATERIALIZED (
+            SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+                   list_transform(CAST(embedding AS DOUBLE[]),
+                                  x -> CAST(FLOOR(x * {similarity.SEM_SCALE}) AS BIGINT)) AS vq
+            FROM embeddings
+        ),
+        signs(band, j, i, s) AS (VALUES {rows}),
+        u AS (
+            SELECT vec_id, t.i AS i, vq[t.i] AS val
+            FROM e, unnest(range(1, {dim + 1})) t(i)
+        ),
+        proj AS (
+            SELECT u.vec_id, signs.band, signs.j, SUM(u.val * signs.s) AS p
+            FROM u JOIN signs ON signs.i = u.i
+            GROUP BY 1, 2, 3
+        ),
+        buckets AS MATERIALIZED (
+            SELECT vec_id, band,
+                   SUM(CASE WHEN p > 0 THEN CAST(POW(2, j) AS BIGINT) ELSE 0 END) AS bucket
+            FROM proj GROUP BY 1, 2
+        ),
+        small AS (
+            SELECT band, bucket FROM buckets GROUP BY 1, 2
+            HAVING COUNT(*) <= {max_bucket}
+        ),
+        memb AS MATERIALIZED (
+            SELECT b.vec_id, b.band, b.bucket
+            FROM buckets b JOIN small USING (band, bucket)
+        ),
+        cand AS MATERIALIZED (
+            SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+            FROM memb a JOIN memb b
+              ON a.band = b.band AND a.bucket = b.bucket
+             AND a.vec_id < b.vec_id
+        )
+        SELECT id_a, id_b,
+               ROUND(list_cosine_similarity(ea.v, eb.v), 6) AS cosine
+        FROM cand
+        JOIN e ea ON ea.vec_id = id_a
+        JOIN e eb ON eb.vec_id = id_b
+        WHERE ROUND(list_cosine_similarity(ea.v, eb.v), 6) >= {tau}
+    """
 
 
 def _semdedup_oracle(num_planes: int, dim: int) -> str:
@@ -12395,4 +12470,7 @@ def oracle_sql() -> dict[str, str]:
             WHERE cum * 1000 >= q_milli * total
             GROUP BY 1, 2
         """,
+        "q301_cosine_pairs_lsh": _cosine_lsh_oracle(
+            8, 3, 64, COSINE_TAU, 10_000
+        ),
     }

@@ -100,20 +100,21 @@ def cosine_pairs(
     vec_col: str = "embedding",
     id_col: str = "vec_id",
     max_rows: int = 500_000,
+    reroute: bool = False,
 ) -> DataFrame:
     """Exact cosine-similarity pairs ≥ threshold (brute force, O(n²)) —
     the exact small-corpus baseline; the scale path is the hyperplane-
-    bucketed :func:`semantic_dedup` / IVF family.
+    bucketed :func:`cosine_pairs_lsh` (same output schema) /
+    :func:`semantic_dedup` / IVF family.
 
     **Guarded**: the plan broadcasts one full side, so it is only valid
     for corpora that fit a broadcast (and whose n² pair count is worth
-    enumerating at all). Inputs larger than ``max_rows`` raise instead of
-    letting an unbounded broadcast OOM the driver mid-job — callers with
-    a big corpus must opt into an approximate bucketed path
-    (:func:`semantic_dedup`, :func:`ivf_ann_topk`) or raise the cap
-    explicitly after sizing their driver. The row count costs one
-    aggregation over the (small by contract) input — noise next to the
-    O(n²) join it guards.
+    enumerating at all). For inputs larger than ``max_rows`` the default
+    is to RAISE rather than let an unbounded broadcast OOM the driver
+    mid-job; ``reroute=True`` opts into silently degrading to the
+    schema-compatible bucketed path (exact cosines, approximate recall).
+    The row count costs one aggregation over the (small by contract)
+    input — noise next to the O(n²) join it guards.
 
     The pair join has no equi-key, so Spark broadcasts one side and
     STREAMS the other; a single-split input would run all n²/2 dot
@@ -122,11 +123,17 @@ def cosine_pairs(
     as bloom_contamination's probe stage."""
     n_rows = embeddings.count()
     if n_rows > max_rows:
+        if reroute:
+            return cosine_pairs_lsh(
+                embeddings, threshold, vec_col=vec_col, id_col=id_col
+            )
         raise ValueError(
             f"cosine_pairs is the exact O(n²) small-corpus baseline and "
             f"broadcasts the full embedding table; got {n_rows} rows > "
-            f"max_rows={max_rows}. Use the bucketed scale paths "
-            f"(semantic_dedup / ivf_ann_topk) or raise max_rows explicitly."
+            f"max_rows={max_rows}. Use the bucketed scale path "
+            f"(cosine_pairs_lsh — same schema, exact cosines, approximate "
+            f"recall; or semantic_dedup / ivf_ann_topk), pass reroute=True, "
+            f"or raise max_rows explicitly after sizing the driver."
         )
     e = with_norm(embeddings, vec_col, id_col)
     spark = embeddings.sparkSession
@@ -141,6 +148,125 @@ def cosine_pairs(
             F.col(f"b.{id_col}").alias("id_b"),
             F.round(cos, 6).alias("cosine"),
         )
+        .filter(F.col("cosine") >= threshold)
+    )
+
+
+def banded_semantic_buckets(
+    embeddings: DataFrame,
+    bands: int = 8,
+    band_planes: int = 3,
+    dim: int = 64,
+    seed: str = "hp",
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """(id, band, bucket): ``bands`` independent hyperplane sign buckets of
+    ``band_planes`` planes each (per-band plane sets drawn from per-band
+    seeds), computed in ONE narrow zero-shuffle projection — the cosine
+    analog of the MinHash band construction. A pair's per-band collision
+    probability is (1 − θ/π)^band_planes, OR-ed across bands; 8×3 at
+    cosine 0.45 recalls ≈0.92 of true pairs, rising with similarity."""
+    c = F.col(vec_col)
+    vq = F.transform(c, lambda x: F.floor(x.cast("double") * SEM_SCALE).cast("bigint"))
+    total = F.aggregate(
+        F.col("vq"), F.lit(0).cast("bigint"), lambda acc, v: acc + v
+    )
+    quantized = embeddings.select(F.col(id_col), vq.alias("vq")).select(
+        F.col(id_col), F.col("vq"), total.alias("vq_total")
+    )
+    band_cols = []
+    for band in range(bands):
+        planes = hyperplane_signs(band_planes, dim, f"{seed}:{band}")
+        bucket = None
+        for j, p in enumerate(planes):
+            plus_idx = [i + 1 for i, s in enumerate(p) if s == 1]
+            s_plus = F.aggregate(
+                F.transform(
+                    F.array(*[F.lit(i) for i in plus_idx]),
+                    lambda i: F.element_at(F.col("vq"), i),
+                ),
+                F.lit(0).cast("bigint"),
+                lambda acc, v: acc + v,
+            )
+            bit = (2 * s_plus - F.col("vq_total") > 0).cast("bigint") * (1 << j)
+            bucket = bit if bucket is None else bucket + bit
+        band_cols.append(
+            F.struct(F.lit(band).alias("band"), bucket.alias("bucket"))
+        )
+    return quantized.select(
+        F.col(id_col), F.explode(F.array(*band_cols)).alias("bb")
+    ).select(
+        id_col, F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket")
+    )
+
+
+def cosine_pairs_lsh(
+    embeddings: DataFrame,
+    threshold: float = 0.45,
+    bands: int = 8,
+    band_planes: int = 3,
+    dim: int = 64,
+    seed: str = "hp",
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    max_bucket: int = 10_000,
+) -> DataFrame:
+    """Banded-LSH cosine-similarity pairs — the SCALE path with
+    :func:`cosine_pairs`' exact output schema (id_a, id_b, cosine).
+
+    Candidates are pairs agreeing on ≥1 band's full hyperplane sign
+    pattern (:func:`banded_semantic_buckets`); each candidate's cosine is
+    then computed EXACTLY, so precision is 1.0 and only recall is
+    approximate (≈0.92 at cosine 0.45 with the 8×3 default, higher for
+    more-similar pairs — the standard LSH trade, tunable via
+    bands/band_planes). The pair join is a (band, bucket) equi-join:
+    shuffle on the bucket key, work ∝ Σ bucket_size², never the n²
+    broadcast the exact baseline needs.
+
+    ``max_bucket`` drops degenerate band buckets (near-identical embedding
+    blobs — certain at corpus scale) before the self-join, the same
+    hot-key cap as the MinHash path's ``max_bucket`` / n-gram ``max_df``:
+    one 10M-row bucket is 5·10^13 pairs, and enumerating pairs inside a
+    blob that big is meaningless anyway (dedup wants
+    :func:`semantic_dedup`'s keep-one-per-bucket there). The cap is
+    applied identically in the DuckDB oracle, so results stay
+    hash-comparable.
+    """
+    bb = banded_semantic_buckets(
+        embeddings, bands, band_planes, dim, seed, vec_col, id_col
+    )
+    sizes = bb.groupBy("band", "bucket").agg(F.count(F.lit(1)).alias("_bsz"))
+    small = bb.join(sizes, ["band", "bucket"]).filter(
+        F.col("_bsz") <= max_bucket
+    )
+    a = small.alias("a")
+    c = small.alias("b")
+    cand = (
+        a.join(
+            c,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+        )
+        .distinct()  # a pair may agree on several bands; verify once
+    )
+    e = with_norm(embeddings, vec_col, id_col)
+    ea = e.select(
+        F.col(id_col).alias("id_a"), F.col("v").alias("va"), F.col("norm").alias("na")
+    )
+    eb = e.select(
+        F.col(id_col).alias("id_b"), F.col("v").alias("vb"), F.col("norm").alias("nb")
+    )
+    cos = _dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb"))
+    return (
+        cand.join(ea, "id_a")
+        .join(eb, "id_b")
+        .select("id_a", "id_b", F.round(cos, 6).alias("cosine"))
         .filter(F.col("cosine") >= threshold)
     )
 
@@ -366,12 +492,17 @@ def lsh_cosine_pairs(
     id_col: str = "vec_id",
     dim: int = 64,
 ) -> DataFrame:
-    """Random-hyperplane LSH near-neighbor pairs, exact-cosine-verified.
+    """Random-hyperplane LSH near-neighbor pairs, exact-cosine-verified
+    (float-plane variant; :func:`cosine_pairs_lsh` is the integer-exact,
+    oracle-replicable production path).
 
     Signature bit i = sign(<v, r_i>) for fixed pseudo-random planes r_i
     (seeded, reproducible). Bands of sign-bits → bucket equi-join →
-    candidates → exact cosine filter. False-positive-free; recall set by
-    bands × planes-per-band.
+    candidates → exact cosine computed for the CANDIDATES ONLY (the
+    pre-round-7 version verified by semi-joining against the full
+    brute-force pair list, which silently re-ran the O(n²) baseline the
+    LSH exists to avoid). False-positive-free; recall set by bands ×
+    planes-per-band.
     """
     rnd = __import__("random").Random(7)
     planes = [
@@ -406,8 +537,19 @@ def lsh_cosine_pairs(
         .select(F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b"))
         .distinct()
     )
-    exact = cosine_pairs(embeddings, threshold, vec_col, id_col)
-    return exact.join(candidates, ["id_a", "id_b"], "left_semi")
+    ea = e.select(
+        F.col(id_col).alias("id_a"), F.col("v").alias("va"), F.col("norm").alias("na")
+    )
+    eb = e.select(
+        F.col(id_col).alias("id_b"), F.col("v").alias("vb"), F.col("norm").alias("nb")
+    )
+    cos = _dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb"))
+    return (
+        candidates.join(ea, "id_a")
+        .join(eb, "id_b")
+        .select("id_a", "id_b", F.round(cos, 6).alias("cosine"))
+        .filter(F.col("cosine") >= threshold)
+    )
 
 
 # Fixed-point scale for the semantic-dedup projection: embeddings are

@@ -206,3 +206,40 @@ def test_cosine_pairs_guards_broadcast_size(spark):
     out = similarity.cosine_pairs(emb, threshold=0.9, max_rows=emb.count())
     assert out.columns == ["id_a", "id_b", "cosine"]
     assert out.count() >= 0
+
+
+def test_cosine_pairs_lsh_recall_and_precision(spark):
+    """Banded-LSH pairs: precision 1.0 (every emitted pair's exact cosine
+    clears the threshold — verified against the brute-force baseline) and
+    high recall at the 8x3 default."""
+    emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    exact = {
+        (r["id_a"], r["id_b"]): r["cosine"]
+        for r in similarity.cosine_pairs(emb, threshold=0.45).collect()
+    }
+    lsh = {
+        (r["id_a"], r["id_b"]): r["cosine"]
+        for r in similarity.cosine_pairs_lsh(emb, threshold=0.45).collect()
+    }
+    assert set(lsh) <= set(exact)  # precision 1.0 (candidates verified)
+    for pair, cos in lsh.items():
+        assert cos == exact[pair]  # cosines are the exact values
+    assert exact  # the corpus plants near-dup embeddings
+    recall = len(lsh) / len(exact)
+    assert recall >= 0.8, recall
+
+
+def test_cosine_pairs_reroute_degrades_to_lsh(spark):
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    out = similarity.cosine_pairs(
+        emb, threshold=0.45, max_rows=emb.count() - 1, reroute=True
+    )
+    assert out.columns == ["id_a", "id_b", "cosine"]
+    lsh = {
+        (r["id_a"], r["id_b"]) for r in out.collect()
+    }
+    direct = {
+        (r["id_a"], r["id_b"])
+        for r in similarity.cosine_pairs_lsh(emb, threshold=0.45).collect()
+    }
+    assert lsh == direct
