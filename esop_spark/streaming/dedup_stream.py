@@ -119,3 +119,41 @@ def lsh_candidate_stream(
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+def embedding_candidate_stream(
+    embeddings: DataFrame,
+    bands: int = 8,
+    band_planes: int = 3,
+    dim: int = 64,
+    seed: str = "hp",
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    max_bucket: int = 100,
+) -> DataFrame:
+    """Streaming twin of the banded-LSH COSINE candidate generation
+    (similarity.cosine_pairs_lsh): online embedding near-dup against
+    everything seen so far, with the exact state machinery of
+    :func:`lsh_candidate_stream` — only the banding differs (hyperplane
+    sign patterns instead of MinHash slices; both are pure per-row
+    projections, so a replayed corpus lands in the batch leg's buckets).
+
+    Emits (band, id_a, id_b) candidate pairs; exact-cosine verification
+    stays a batch job over the pair log (join the ids back to the
+    embedding table — similarity.cosine_pairs_lsh's verify tail), the
+    same candidates-then-verify split as the text path. State per
+    (band, bucket) is bounded: member ids up to ``max_bucket``, a single
+    anchor after — the pair-log SET contract documented on
+    :func:`lsh_candidate_stream` applies identically."""
+    from esop_spark.operators.similarity import banded_semantic_buckets
+
+    bb = banded_semantic_buckets(
+        embeddings, bands, band_planes, dim, seed, vec_col, id_col
+    ).select(F.col(id_col).alias("did"), "band", "bucket")
+    return bb.groupBy("band", "bucket").applyInPandasWithState(
+        _lsh_fn_factory(int(max_bucket)),
+        outputStructType=LSH_OUTPUT,
+        stateStructType=LSH_STATE,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
