@@ -235,6 +235,15 @@ def ngram_jaccard_pairs(
         id_col, F.xxhash64("shingle").alias("sh")
     )
     counts = doc_shingle_counts(documents, n, text_col, id_col)
+    # Join strategy NOTE — SHUFFLE_HASH was measured here and REJECTED:
+    # skipping both sort legs won 2x at sf0.1 (2.5-3.4s SMJ -> 1.3-1.4s
+    # SHJ) but LOST 2x at sf10 (q23 46.8s -> 93.5s) with GCLocker thrash —
+    # 32 concurrent per-task build maps of ~500k entries on one 8 GiB
+    # local heap. Sort-merge spills gracefully at any partition size,
+    # which is the property that survives a 100x scale-up; revisit only
+    # with a size-aware runtime switch (AQE's localMapThreshold gate is
+    # tied to the advisory partition size, so it cannot express
+    # "SHJ only when partitions are far below advisory").
     a = sh.alias("a")
     b = sh.alias("b")
     if max_df is None:
