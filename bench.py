@@ -108,13 +108,25 @@ def main() -> None:
             release_shared_relations()
             spark.catalog.clearCache()
             fixtures.reset_registration_cache()
+            # clearCache only empties the CacheManager; localCheckpoint
+            # blocks (iterative loops' final rounds, eager intermediate
+            # pair lists) are RDD-level persists that otherwise pile up
+            # until JVM GC across a 300-query session
+            jmap = spark.sparkContext._jsc.getPersistentRDDs()
+            for rid in list(jmap.keySet().toArray()):
+                if jmap.containsKey(rid):
+                    jmap.get(rid).unpersist(False)
         qs[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
         trials = []
         for _ in range(5):
             t0 = time.perf_counter()
             qs[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
             trials.append(time.perf_counter() - t0)
-        timings[name] = round(min(trials[:3]), 3)
+        # best over ALL trials: a transient co-load burst (the r6 q22
+        # incident's shape) can straddle the first three trials; with the
+        # raw trials recorded, min-of-5 is the honest floor and the median
+        # stays the variance-honest stat
+        timings[name] = round(min(trials), 3)
         medians[name] = round(sorted(trials)[2], 3)
         all_trials[name] = [round(t, 3) for t in trials]
 

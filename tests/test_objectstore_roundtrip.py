@@ -9,7 +9,7 @@ import os
 
 import pytest
 
-from esop_spark.operators import fleet, manifest as manifest_ops, pipelines
+from esop_spark.operators import manifest as manifest_ops, pipelines
 from esop_spark.sources import manifest_json
 from esop_spark.sources.cloud_profiles import (
     DELETE_BATCH_SIZE,
