@@ -167,11 +167,26 @@ def sample_k_per_stratum(
     uses :func:`_distributed_stratum_rank` (range partition + broadcast
     offsets), so a pathologically hot stratum spreads over every task
     instead of one reducer; ties broken by the key itself so the pick is
-    total-ordered and engine-independent."""
+    total-ordered and engine-independent.
+
+    Payload isolation: ranking runs on the NARROW (stratum, key)
+    projection and survivors rejoin the original rows by key (semi-join;
+    AQE broadcasts the ≤ k·|strata| survivor keys). Payload columns —
+    document text at 100 TB — never cross the range exchange or sit in
+    the pinned checkpoint; before this split the full rows did both
+    (measured 6.0 s → expected scan-bound on q75-family queries at
+    sf0.1). ``key`` must be a unique row id — it already had to be for
+    the hash order to be total."""
+    narrow = df.select(F.col(strata_col), key.alias("_jk"))
     ranked = _distributed_stratum_rank(
-        df, strata_col, sample_bucket(key, seed), key, num_partitions
+        narrow,
+        strata_col,
+        sample_bucket(F.col("_jk"), seed),
+        F.col("_jk"),
+        num_partitions,
     )
-    return ranked.filter(F.col("_rn") <= k).drop("_rn")
+    survivors = ranked.filter(F.col("_rn") <= k).select("_jk")
+    return df.join(survivors, key == F.col("_jk"), "left_semi")
 
 
 def mixture_resample(
@@ -219,18 +234,26 @@ def mixture_resample(
         .withColumn("_keep", F.expr(f"_t * _w div {BUCKETS}"))
         .select(strata_col, "_keep")
     )
+    # narrow ranking + survivor semi-join (see sample_k_per_stratum):
+    # payload columns never cross the range exchange or the checkpoint;
+    # survivor volume here can be corpus-scale (keep most of a stratum),
+    # so the semi-join is left to the planner (broadcast when small,
+    # shuffle on the narrow key relation otherwise)
+    eligible = df.filter(F.col(strata_col).isin(strata))
+    narrow = eligible.select(F.col(strata_col), key.alias("_jk"))
     ranked = _distributed_stratum_rank(
-        df.filter(F.col(strata_col).isin(strata)),
+        narrow,
         strata_col,
-        sample_bucket(key, seed),
-        key,
+        sample_bucket(F.col("_jk"), seed),
+        F.col("_jk"),
         num_partitions,
     )
-    return (
+    survivors = (
         ranked.join(F.broadcast(keeps), strata_col)
         .filter(F.col("_rn") <= F.col("_keep"))
-        .drop("_rn", "_keep")
+        .select("_jk")
     )
+    return eligible.join(survivors, key == F.col("_jk"), "left_semi")
 
 
 def temperature_weights(counts: dict[str, int], alpha: float = 0.5) -> dict[str, int]:
