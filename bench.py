@@ -94,10 +94,12 @@ def main() -> None:
     reset = os.environ.get("SPARK_GRAFT_BENCH_RESET", "1") != "0"
 
     # one untimed warmup per query (codegen/JIT for THAT plan), then 5 timed
-    # trials. "queries" stays best-of-first-3 (comparable with earlier
-    # rounds); "queries_median" is the median of all 5 — the
-    # variance-honest stat (cheap queries swing up to 2x run-to-run, so a
-    # best-of-N-only report can manufacture methodology-only "wins").
+    # trials. "queries" is min-of-5 (round-7 methodology change: earlier
+    # rounds used best-of-first-3; with all raw trials recorded in
+    # BENCH_DETAIL.json the wider min is the honest floor);
+    # "queries_median" is the median of all 5 — the variance-honest stat
+    # (cheap queries swing up to 2x run-to-run, so a best-of-N-only
+    # report can manufacture methodology-only "wins").
     # ALL trial times are recorded in BENCH_DETAIL.json (queries_trials) so
     # a single-outlier record is diagnosable from the artifact alone.
     timings: dict[str, float] = {}

@@ -19,6 +19,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from esop_spark.operators.dedup import share_relation
+
 
 def cents(col: Column | str) -> Column:
     """Exact integer cents of a ~2-decimal double column."""
@@ -1719,8 +1721,8 @@ def rfm_segments(events: DataFrame) -> DataFrame:
             "monetary_cents",
             F.expr("monetary_cents div 100").alias("monetary_dollars"),
         )
-        .persist()
     )
+    pu = share_relation(pu)
     bounds = (
         _tercile_bounds(pu, "recency_days")
         .crossJoin(_tercile_bounds(pu, "n_events"))
@@ -2219,7 +2221,8 @@ def daily_acf(events: DataFrame, max_lag: int = 7) -> DataFrame:
         "c",
         F.sum("c").over(tot).alias("sc"),
         F.count(F.lit(1)).over(tot).alias("nd"),
-    ).persist()
+    )
+    centered = share_relation(centered)
     lags = centered.sparkSession.range(1, max_lag + 1).select(
         F.col("id").cast("bigint").alias("lag")
     )
@@ -3974,8 +3977,8 @@ def brand_basket_rules(
         )
         .select(F.col("l_orderkey").alias("ok"), F.col("p_brand").alias("brand"))
         .distinct()
-        .persist()  # consumed by totals, the pair join (twice), and N
     )
+    ob = share_relation(ob)  # consumed by totals, the pair join (twice), and N
     n_orders_df = ob.agg(
         F.count_distinct("ok").cast("bigint").alias("n_orders")
     )
@@ -4320,7 +4323,7 @@ def join_advisor(
     Output per edge: (join_edge, left_rows, right_rows, left_bytes,
     right_bytes, strategy, est_shuffle_bytes)."""
     censuses = {
-        name: _byte_census(df, name).persist() for name, df in tables.items()
+        name: share_relation(_byte_census(df, name)) for name, df in tables.items()
     }
     outs = []
     for left, right in edges:
@@ -4390,8 +4393,8 @@ def shuffle_balance(
         .withColumn(
             "h", md5_hash32(F.concat(F.lit(f"{seed}:"), F.col("k").cast("string")))
         )
-        .persist()  # re-bucketed once per candidate P
     )
+    census = share_relation(census)  # re-bucketed once per candidate P
     outs = []
     for p in partition_counts:
         loads = census.groupBy((F.col("h") % p).alias("pid")).agg(
@@ -4532,7 +4535,8 @@ def hll_window_merge(
     du = events.select(
         F.expr("unix_timestamp(ts) div 86400").cast("bigint").alias("day"),
         F.col("user_id").cast("string").alias("u"),
-    ).distinct().persist()
+    ).distinct()
+    du = share_relation(du)
     days = du.select("day").distinct()
     # exact leg: cover-explode each (day, user) into the windows it serves
     cover = du.select(
@@ -4627,8 +4631,8 @@ def histogram_window_pctile(
         )
         .groupBy("day", "b")
         .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
-        .persist()
     )
+    daily = share_relation(daily)
     days = daily.select("day").distinct()
     win = (
         daily.select(

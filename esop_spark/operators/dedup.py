@@ -24,7 +24,11 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from esop_spark.operators.iterate import RoundCheckpointer
+from esop_spark.operators.iterate import (
+    RoundCheckpointer,
+    release_shared_checkpoints,
+    shared_checkpoint,
+)
 
 # Corpus-shaped relations persisted so one query's legs share a single
 # materialization (signature + verify both read the shingle relation).
@@ -42,17 +46,29 @@ from esop_spark.operators.iterate import RoundCheckpointer
 _SHARED_RELATIONS: list[DataFrame] = []
 
 
-def _share(df: DataFrame) -> DataFrame:
+def share_relation(df: DataFrame) -> DataFrame:
     """Persist ``df`` for intra-query leg sharing and register it for
-    deferred release."""
+    deferred release. Used by every operator module whose persisted
+    relation outlives the function call (feeds the returned frame), so a
+    long-lived library session frees them all with one
+    :func:`release_shared_relations` call instead of accumulating
+    CacheManager entries until eviction pressure."""
     _SHARED_RELATIONS.append(df.persist())
     return df
 
 
+_share = share_relation  # short internal alias (historical call sites)
+
+
 def release_shared_relations() -> None:
-    """Unpersist every registered shared relation (between-queries hook)."""
+    """Unpersist every registered shared relation AND every one-shot
+    eager checkpoint block (between-queries hook — one call frees both
+    leak classes). Persisted relations recompute if touched again;
+    checkpointed frames do NOT (lineage truncated), so run this only
+    between queries, after the previous query's frames are consumed."""
     while _SHARED_RELATIONS:
         _SHARED_RELATIONS.pop().unpersist(False)
+    release_shared_checkpoints()
 
 # 31-bit hash domain: a*x+b stays < 2^62, safe under ANSI int64 arithmetic.
 HASH_P = 2147483647  # 2^31 - 1 (Mersenne prime)
@@ -266,20 +282,21 @@ def ngram_jaccard_pairs(
     # the hot-key list is tiny (df > max_df ⇒ at most |corpus|/max_df keys);
     # checkpoint it eagerly so the document-frequency aggregation runs once
     # for both the anti-join (rare side) and semi-join (hot postings)
-    hot_keys = (
+    hot_keys = shared_checkpoint(
         sh.groupBy("sh")
         .agg(F.count(F.lit(1)).alias("df"))
         .filter(F.col("df") > max_df)
         .select("sh")
-        .localCheckpoint()
     )
     rare = sh.join(hot_keys, "sh", "left_anti")
     ra = rare.alias("a")
     rb = rare.alias("b")
     # rare half of the intersection count, straight off the candidate join —
     # candidate-pair-shaped, so the eager checkpoint is bounded by output
-    # scale (and feeds two consumers: the hot probe and the final sum)
-    shared_rare = (
+    # scale (and feeds two consumers: the hot probe and the final sum);
+    # registry-registered so repeated calls in one session don't pin
+    # candidate-pair blocks until JVM GC
+    shared_rare = shared_checkpoint(
         ra.join(
             rb,
             (F.col("a.sh") == F.col("b.sh"))
@@ -290,7 +307,6 @@ def ngram_jaccard_pairs(
             F.col(f"b.{id_col}").alias("id_b"),
         )
         .agg(F.count(F.lit(1)).alias("shared_rare"))
-        .localCheckpoint()
     )
     hot = sh.join(hot_keys, "sh", "left_semi")
     ha = hot.select(F.col(id_col).alias("id_a"), F.col("sh").alias("sh_a"))
@@ -420,7 +436,7 @@ def dedup_clusters(pairs: DataFrame, max_iters: int = 50) -> DataFrame:
     ckpt.release(labels)
     ckpt.release(cedges)
     ckpt.release(reps)
-    ckpt.disown(node_labels)  # consumed lazily by the returned join
+    ckpt.disown_to_shared(node_labels)  # consumed lazily by the returned join
     sizes = node_labels.groupBy("label").agg(
         F.count(F.lit(1)).alias("cluster_size")
     )
@@ -1752,8 +1768,8 @@ def sparse_cosine_topk(
         )
         .groupBy("did", "term")
         .agg(F.count(F.lit(1)).alias("tf"))
-        .persist()
     )
+    tf = _share(tf)
     norms = tf.groupBy("did").agg(
         F.sum(F.col("tf") * F.col("tf")).alias("n2")
     )

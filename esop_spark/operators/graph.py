@@ -32,6 +32,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, functions as F
 from pyspark.storagelevel import StorageLevel
 
+from esop_spark.operators.dedup import share_relation
 from esop_spark.operators.iterate import RoundCheckpointer
 
 RANK_ONE = 1_000_000_000  # 1.0 in nano units
@@ -84,10 +85,10 @@ def pagerank(
     degrees and once per iteration, and recomputing a self-join-derived
     edge list ``iterations+1`` times dominated the measured runtime.
     """
-    edges = edges.persist()
+    edges = share_relation(edges)
     deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("out_deg"))
     nodes = deg.select(F.col("src").alias("node"), "out_deg")
-    nodes = nodes.persist()  # joined against the contributions every round
+    nodes = share_relation(nodes)  # joined against the contributions every round
     ranks = nodes.withColumn("rank_nano", F.lit(RANK_ONE).cast("bigint"))
     base = (100 - damping_pct) * RANK_ONE
     for _ in range(iterations):
@@ -146,13 +147,13 @@ def triangle_count(edges_undirected: DataFrame) -> DataFrame:
     # persisted: consumed by the degree census, the orientation join, and
     # the wedge-closing join — three downstream legs of one self-join-
     # derived relation (same rule as pagerank's loop persist).
-    edges_undirected = edges_undirected.persist()
+    edges_undirected = share_relation(edges_undirected)
     sym = edges_undirected.select("src", "dst").union(
         edges_undirected.select(
             F.col("dst").alias("src"), F.col("src").alias("dst")
         )
     )
-    deg = sym.groupBy("src").agg(F.count(F.lit(1)).alias("deg")).persist()
+    deg = share_relation(sym.groupBy("src").agg(F.count(F.lit(1)).alias("deg")))
 
     # orient: keep (u, v) iff (deg(u), u) < (deg(v), v)
     du = deg.select(F.col("src").alias("u"), F.col("deg").alias("du"))
@@ -175,8 +176,8 @@ def triangle_count(edges_undirected: DataFrame) -> DataFrame:
             .alias("e")
         )
         .select(F.col("e.a").alias("lo"), F.col("e.b").alias("hi"))
-        .persist()  # both wedge legs read it
     )
+    oriented = share_relation(oriented)  # both wedge legs read it
 
     w1 = oriented.select(F.col("lo").alias("apex"), F.col("hi").alias("v"))
     w2 = oriented.select(F.col("lo").alias("apex"), F.col("hi").alias("w"))
@@ -261,7 +262,7 @@ def connected_components(edges: DataFrame, max_iters: int = 50) -> DataFrame:
         if changed == 0:
             break
     sym.unpersist()
-    ckpt.disown(labels)  # the returned join still reads the final round
+    ckpt.disown_to_shared(labels)  # the returned join still reads the final round
     sizes = labels.groupBy("label").agg(
         F.count(F.lit(1)).cast("bigint").alias("cluster_size")
     )
@@ -454,7 +455,7 @@ def kcore_peel(
         if n_next == n_edges:
             break
         n_edges = n_next
-    ckpt.disown(both)  # the returned aggregation still reads the final round
+    ckpt.disown_to_shared(both)  # the returned aggregation still reads the final round
     return both.groupBy(F.col("src").alias("node")).agg(
         F.count(F.lit(1)).cast("bigint").alias("degree")
     )

@@ -37,6 +37,8 @@ from pyspark.sql.types import (
     StructType,
 )
 
+from esop_spark.operators.dedup import share_relation
+
 MEDIA_SCHEMA = StructType(
     [
         StructField("media_id", LongType()),
@@ -525,7 +527,7 @@ def audio_neardup_pairs(
     sizes = chunks.groupBy("pos", "val").agg(
         F.count(F.lit(1)).alias("_bsz"), F.min("media_id").alias("_anchor")
     )
-    sized = chunks.join(sizes, ["pos", "val"]).persist()
+    sized = share_relation(chunks.join(sizes, ["pos", "val"]))
     small = sized.filter(F.col("_bsz") <= max_bucket)
     a = small.alias("a")
     b = small.alias("b")

@@ -20,6 +20,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from esop_spark.operators.iterate import shared_checkpoint
+
 
 _DURATION_UNITS_MS = {
     "second": 1000,
@@ -167,10 +169,9 @@ def compaction_plan(
     # localCheckpoint pins ONE materialized range partitioning for both
     # consumers (the local window and the offsets agg) — without it the
     # two branches can sample different boundaries and disagree on _pid
-    ranged = (
+    ranged = shared_checkpoint(
         objs.repartitionByRange(num_partitions, F.col("_tbl"), F.col("_ord"))
         .withColumn("_pid", F.spark_partition_id())
-        .localCheckpoint()
     )
     w_local = (
         Window.partitionBy("_pid", "_tbl")

@@ -28,6 +28,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from esop_spark.operators.dedup import md5_hash32
+from esop_spark.operators.iterate import RoundCheckpointer, shared_checkpoint
 
 # Sampling decisions compare a hash bucket in [0, 1e6) against rate*1e6 —
 # 6 decimal digits of rate resolution, plenty for curation mixes.
@@ -129,8 +130,11 @@ def _distributed_stratum_rank(
             num_partitions, F.col(strata_col), F.col("_b"), F.col("_k")
         )
         .withColumn("_pid", F.spark_partition_id())
-        .localCheckpoint()
     )
+    # registry-registered so repeated sampler calls in one long session
+    # don't pin rank-exchange blocks until JVM GC (released between
+    # queries by dedup.release_shared_relations)
+    ranged = shared_checkpoint(ranged)
     w_local = Window.partitionBy("_pid", strata_col).orderBy("_b", "_k")
     local = ranged.withColumn("_local_rn", F.row_number().over(w_local))
     w_off = (
@@ -154,6 +158,27 @@ def _distributed_stratum_rank(
     )
 
 
+def _check_unique_key(narrow: DataFrame, what: str) -> None:
+    """Opt-in precondition check for the survivor-semi-join samplers: a
+    repeated key would return every row sharing a surviving key (more
+    than k per stratum) instead of exactly k. One hash-agg over the
+    narrow (stratum, key) projection — cheap relative to the sampler
+    itself, but still a corpus pass, hence opt-in."""
+    dup = (
+        narrow.groupBy("_jk")
+        .agg(F.count(F.lit(1)).alias("_c"))
+        .filter(F.col("_c") > 1)
+        .limit(1)
+        .collect()
+    )
+    if dup:
+        raise ValueError(
+            f"{what}: key is not unique (e.g. key={dup[0]['_jk']!r} repeats);"
+            " the survivor semi-join would return every row sharing a"
+            " surviving key. Pass a unique row id as `key`."
+        )
+
+
 def sample_k_per_stratum(
     df: DataFrame,
     strata_col: str,
@@ -161,6 +186,7 @@ def sample_k_per_stratum(
     key: Column,
     seed: str = "s0",
     num_partitions: int = 32,
+    validate_key: bool = False,
 ) -> DataFrame:
     """Exactly min(k, |stratum|) rows per stratum, chosen by hash order —
     a deterministic uniform-without-replacement sample per group. Ranking
@@ -175,9 +201,16 @@ def sample_k_per_stratum(
     document text at 100 TB — never cross the range exchange or sit in
     the pinned checkpoint; before this split the full rows did both
     (measured 6.0 s → expected scan-bound on q75-family queries at
-    sf0.1). ``key`` must be a unique row id — it already had to be for
-    the hash order to be total."""
+    sf0.1).
+
+    PRECONDITION: ``key`` must be a unique row id — it already had to be
+    for the hash order to be total, and the survivor semi-join depends on
+    it (a repeated key would return all rows sharing a surviving key,
+    i.e. more than k per stratum). Pass ``validate_key=True`` to enforce
+    with one extra narrow-projection agg that raises on duplicates."""
     narrow = df.select(F.col(strata_col), key.alias("_jk"))
+    if validate_key:
+        _check_unique_key(narrow, "sample_k_per_stratum")
     ranked = _distributed_stratum_rank(
         narrow,
         strata_col,
@@ -196,6 +229,7 @@ def mixture_resample(
     key: Column,
     seed: str = "s0",
     num_partitions: int = 32,
+    validate_key: bool = False,
 ) -> DataFrame:
     """Down-sample to an exact target mixture (domain/language re-weighting
     for training corpora): given integer parts-per-million weights per
@@ -241,6 +275,8 @@ def mixture_resample(
     # shuffle on the narrow key relation otherwise)
     eligible = df.filter(F.col(strata_col).isin(strata))
     narrow = eligible.select(F.col(strata_col), key.alias("_jk"))
+    if validate_key:  # PRECONDITION: see sample_k_per_stratum
+        _check_unique_key(narrow, "mixture_resample")
     ranked = _distributed_stratum_rank(
         narrow,
         strata_col,
@@ -737,6 +773,10 @@ def coverage_select(
     n_full = 0
     n_recompute = 0
     _OVERLAY_CAP = 10_000
+    # all checkpoints here are loop-internal (the result is the driver-side
+    # picked list), so superseded rounds release immediately and
+    # release_all() frees the final ones before return
+    ckpt = RoundCheckpointer(documents)
 
     def _full_gains() -> DataFrame:
         nonlocal n_full
@@ -746,10 +786,8 @@ def coverage_select(
             rem = rem.filter(~F.col("did").isin([p[1] for p in picked]))
         if covered is not None:
             rem = rem.join(covered, "shingle", "left_anti")
-        return (
-            rem.groupBy("did")
-            .agg(F.count(F.lit(1)).alias("gain_ub"))
-            .localCheckpoint()
+        return ckpt.checkpoint(
+            rem.groupBy("did").agg(F.count(F.lit(1)).alias("gain_ub"))
         )
 
     base = _full_gains()
@@ -802,7 +840,9 @@ def coverage_select(
                 break
             overlay[c1["did"]] = (true_g, step)
             if len(overlay) > _OVERLAY_CAP:
+                old_base = base
                 base = _full_gains()
+                ckpt.release(old_base)
                 base_step = step
                 overlay = {}
         if stop:
@@ -810,12 +850,15 @@ def coverage_select(
         covered_total += gain
         picked.append((step, did, gain, covered_total))
         new_cov = sh.filter(F.col("did") == did).select("shingle").distinct()
-        covered = (
+        new_covered = ckpt.checkpoint(
             new_cov if covered is None
             else covered.union(new_cov).distinct()
-        ).localCheckpoint()
+        )
+        ckpt.release(covered)
+        covered = new_covered
         overlay[did] = (-1, step)  # tombstone: never re-selected
     sh.unpersist()
+    ckpt.release_all()
     if stats is not None:
         stats["full_gain_passes"] = n_full
         stats["single_doc_recomputes"] = n_recompute

@@ -21,6 +21,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from esop_spark.operators.dedup import share_relation
+
 
 def _vec_double(col: str | Column) -> Column:
     c = F.col(col) if isinstance(col, str) else col
@@ -2186,8 +2188,8 @@ def jl_projection_audit(
         .orderBy("b", "vid")
         .limit(max_docs)
         .withColumn("pv", F.array(*proj_cols))
-        .persist()
     )
+    sample = share_relation(sample)
 
     def _idot(a, b):
         return F.aggregate(
@@ -2269,8 +2271,8 @@ def twonn_intrinsic_dim(
         .withColumn("b", bucket)
         .orderBy("b", "vid")
         .limit(max_docs)
-        .persist()
     )
+    sample = share_relation(sample)
     a = sample.alias("a")
     b = sample.alias("b")
     d2 = F.aggregate(
@@ -2338,7 +2340,8 @@ def top_eigen_share(
         upper.filter(F.col("dim_i") != F.col("dim_j")).select(
             F.col("dim_j").alias("i"), F.col("dim_i").alias("j"), "cov"
         )
-    ).persist()
+    )
+    cov = share_relation(cov)
     v = cov.select(F.col("i").alias("d")).distinct().select(
         "d", F.lit(1.0).alias("val")
     )
@@ -2353,7 +2356,7 @@ def top_eigen_share(
             .groupBy(F.col(f"{ca}.i").alias("d"))
             .agg(F.sum(F.col(f"{ca}.cov") * F.col(f"{va}.val")).alias("val"))
         )
-    v = v.persist()
+    v = share_relation(v)
     u = (
         cov.alias("fc")
         .join(F.broadcast(v.alias("fv")), F.col("fc.j") == F.col("fv.d"))
@@ -2409,8 +2412,8 @@ def hubness_audit(
         .withColumn("b", bucket)
         .orderBy("b", "vid")
         .limit(max_docs)
-        .persist()
     )
+    sample = share_relation(sample)
     a = sample.alias("a")
     b = sample.alias("b")
     d2 = F.aggregate(
@@ -2743,8 +2746,8 @@ def linear_mmd(
             "n",
             (F.round(F.col("sx") / F.col("n"), 6) + F.lit(0.0)).alias("m"),
         )
-        .persist()
     )
+    means = share_relation(means)
     # v_g = E‖x‖² − ‖μ‖² from the same moment relation family
     sq = base.groupBy("lab").agg(
         F.sum(F.col("x") * F.col("x")).alias("sxx")

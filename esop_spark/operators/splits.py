@@ -33,6 +33,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from esop_spark.operators.iterate import shared_checkpoint
 from esop_spark.operators.sampling import BUCKETS, sample_bucket
 
 
@@ -122,10 +123,9 @@ def _distributed_prefix_sum(
        ONE ROW PER PARTITION, so the window over it is trivially small and
        the join back is a broadcast hash join.
     """
-    ranged = (
+    ranged = shared_checkpoint(
         df.repartitionByRange(num_partitions, F.col(order_col))
         .withColumn("_pid", F.spark_partition_id())
-        .localCheckpoint()
     )
     w_local = (
         Window.partitionBy("_pid")

@@ -17,6 +17,8 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from esop_spark.operators.dedup import share_relation
+
 DEFAULT_STOPWORDS = ("a", "the")
 
 # Tiny marker-token profiles for the n-gram/stopword language-ID heuristic.
@@ -644,7 +646,7 @@ def release_gate(
     )
     # persisted: the keeper census and the flag join both consume it, and
     # its quality/lang/tokenset projections are the expensive part
-    joined = keyed.join(boiler, id_col).persist()
+    joined = share_relation(keyed.join(boiler, id_col))
     survives_pre = (
         (F.col("quality_score") >= min_quality)
         & (F.col("pred_lang") == lang)
@@ -3450,7 +3452,8 @@ def spearman_quality_length(
     sig = documents.select(
         quality_score_col(text_col).alias("s"),
         F.size(tokens(text_col)).cast("bigint").alias("t"),
-    ).persist()
+    )
+    sig = share_relation(sig)
 
     def _rank2(col: str) -> DataFrame:
         counts = sig.groupBy(col).agg(F.count(F.lit(1)).alias("c"))
@@ -3663,7 +3666,8 @@ def crossplit_nll(
     tok = documents.select(
         assign_split(F.col(id_col), fr, seed=seed).alias("split"),
         F.explode(tokens(text_col)).alias("term"),
-    ).persist()
+    )
+    tok = share_relation(tok)
     train_tf = tok.filter(F.col("split") == "train").groupBy("term").agg(
         F.count(F.lit(1)).alias("n")
     )
@@ -3981,7 +3985,7 @@ def feature_hash_collisions(
         F.count(F.lit(1)).alias("terms"),
         F.sum("n").alias("mass"),
     )
-    bucketed = bucketed.persist()
+    bucketed = share_relation(bucketed)
     totals = bucketed.agg(
         F.sum("terms").cast("bigint").alias("n_terms"),
         F.sum("mass").cast("bigint").alias("n_tokens"),
@@ -4138,8 +4142,8 @@ def loso_source_influence(
         )
         .groupBy("src", "term")
         .agg(F.count(F.lit(1)).cast("bigint").alias("n_st"))
-        .persist()
     )
+    ts = share_relation(ts)
     tg = ts.groupBy("term").agg(F.sum("n_st").cast("bigint").alias("n_t"))
     glob = tg.agg(
         F.sum("n_t").cast("bigint").alias("total"),
@@ -4243,8 +4247,8 @@ def hll_distinct_audit(
             F.explode(tokens(text_col)).alias("term"),
         )
         .distinct()
-        .persist()  # consumed by the exact count and the register agg
     )
+    terms = share_relation(terms)  # consumed by the exact count and the register agg
     exact = terms.groupBy("stratum").agg(
         F.count(F.lit(1)).cast("bigint").alias("n_exact")
     )
@@ -4384,15 +4388,15 @@ def kmv_jaccard(
         )
         .distinct()
         .withColumn("h", md5_hash32(F.col("term")))
-        .persist()
     )
+    terms = share_relation(terms)
     counts = terms.groupBy("s").agg(
         F.count(F.lit(1)).cast("bigint").alias("n_terms")
     )
     ranked = _distributed_stratum_rank(
         terms, "s", F.col("h"), F.col("term")
     )
-    sig = ranked.filter(F.col("_rn") <= k).select("s", "h").persist()
+    sig = share_relation(ranked.filter(F.col("_rn") <= k).select("s", "h"))
     # exact jaccard from the vocab-grain term join
     ta = terms.select(F.col("s").alias("sa"), "term")
     tb = terms.select(F.col("s").alias("sb"), "term")
@@ -4590,7 +4594,8 @@ def curation_pipeline_funnel(
         gopher_pass_col(text_col).alias("gp"),
         tokenset_key(text_col).alias("tk"),
         sample_bucket(F.col(id_col), sample_seed).alias("sb"),
-    ).persist()
+    )
+    base = share_relation(base)
 
     def stage(df: DataFrame, idx: int, name: str) -> DataFrame:
         return df.agg(

@@ -181,3 +181,37 @@ def test_score_weighted_sample_extremes_and_determinism(spark):
         ).collect()
     }
     assert again == rows
+
+
+def test_validate_key_rejects_duplicate_keys(spark):
+    """Survivor-semi-join precondition (round-8 advice): a repeated key
+    would return MORE than k rows per stratum; validate_key=True raises
+    instead of silently over-returning."""
+    import pytest
+
+    dup = spark.createDataFrame(
+        [(i % 3, i % 5) for i in range(30)], "s int, k int"
+    )
+    with pytest.raises(ValueError, match="key is not unique"):
+        sampling.sample_k_per_stratum(
+            dup, "s", 2, F.col("k"), validate_key=True
+        )
+    with pytest.raises(ValueError, match="key is not unique"):
+        sampling.mixture_resample(
+            dup.withColumn("s", F.col("s").cast("string")),
+            "s",
+            {"0": 500_000, "1": 500_000},
+            F.col("k"),
+            validate_key=True,
+        )
+    # unique keys pass the check and still return exactly k per stratum
+    uniq = spark.createDataFrame(
+        [(i % 3, i) for i in range(30)], "s int, k int"
+    )
+    got = sampling.sample_k_per_stratum(
+        uniq, "s", 2, F.col("k"), validate_key=True
+    )
+    by_s = {}
+    for r in got.collect():
+        by_s[r["s"]] = by_s.get(r["s"], 0) + 1
+    assert by_s == {0: 2, 1: 2, 2: 2}

@@ -7,7 +7,9 @@ Usage: python tools/check_oracle.py [sf_dir] [query_name ...]
 
 from __future__ import annotations
 
+import json
 import math
+import os
 import sys
 
 import duckdb
@@ -56,10 +58,18 @@ def main() -> int:
         if only and name not in only:
             continue
         try:
-            # release per-query shared relations so a 300-query sweep
-            # doesn't accumulate them in the CacheManager (the fixture
-            # cache is kept: registration re-caches only on sf_dir switch)
+            # release per-query shared relations AND registered one-shot
+            # checkpoints, then purge any remaining persistent RDD blocks
+            # (disowned final rounds of iterative loops) — mirrors
+            # bench.py's reset so a 300-query sweep doesn't accumulate
+            # pinned blocks until JVM GC. The fixture cache's CacheManager
+            # ENTRY survives (only its blocks drop; they re-materialize
+            # lazily on next touch), so registration stays memoized.
             release_shared_relations()
+            jmap = spark.sparkContext._jsc.getPersistentRDDs()
+            for rid in list(jmap.keySet().toArray()):
+                if jmap.containsKey(rid):
+                    jmap.get(rid).unpersist(False)
             sdf = fn(get_spark("oracle-check"), sf_dir)
             spark_cols = sdf.columns
             spark_rows = [tuple(r) for r in sdf.collect()]
@@ -68,6 +78,40 @@ def main() -> int:
             failures += 1
             continue
         if name not in oracles:
+            # binary-codec queries DuckDB can't run: value-compare against a
+            # committed golden (deterministic stand-in codecs — see
+            # tools/make_golden.py) when one exists for this SF dir
+            gp = os.path.join(
+                os.path.dirname(os.path.abspath(__file__)),
+                "golden",
+                os.path.basename(sf_dir.rstrip("/")),
+                f"{name}.json",
+            )
+            if os.path.exists(gp):
+                with open(gp) as fh:
+                    gold = json.load(fh)
+                if sorted(spark_cols) != gold["cols"]:
+                    print(
+                        f"FAIL {name}: columns differ spark={sorted(spark_cols)}"
+                        f" golden={gold['cols']}"
+                    )
+                    failures += 1
+                    continue
+                ns = normalize(spark_rows, spark_cols)
+                ng = [tuple(r) for r in gold["rows"]]
+                if len(ns) != len(ng) or ns != ng:
+                    bad = next(
+                        (i for i, (a, b) in enumerate(zip(ns, ng)) if a != b),
+                        min(len(ns), len(ng)),
+                    )
+                    print(
+                        f"FAIL {name}: golden mismatch at sorted-row {bad}"
+                        f" (spark {len(ns)} rows, golden {len(ng)})"
+                    )
+                    failures += 1
+                    continue
+                print(f"OK   {name}: {len(ns)} rows match golden")
+                continue
             print(f"OK?  {name}: rows-only check, {len(spark_rows)} rows (no oracle)")
             continue
         try:
