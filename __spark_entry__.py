@@ -3087,6 +3087,25 @@ def q301_cosine_pairs_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q302_ngram_jaccard_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q23's df-capped branch as a declared query: candidate pairs come
+    from the self-join of shingles with document frequency <= max_df only
+    (hot/boilerplate shingles never enter the Σdf² candidate join — the
+    scale-killer), while the reported jaccard still counts EVERY shared
+    shingle, so values are exact. A pair is dropped only when all of its
+    overlap is hotter than the cap — boilerplate-only overlap, the thing
+    the cap exists to ignore. max_df=5 bites at every SF of this corpus
+    (sf0.01: 29 hot shingles of 16k; sf0.1: 24.5k of 27k), so the split
+    rare/hot verify is exercised by the oracle gate, and the sf10
+    rehearsal measures the branch whose verify mass is candidates ×
+    hot-shingles-per-doc instead of candidates × full shingle lists.
+    This is the branch a real boilerplate-bearing corpus MUST use (see
+    SCALE.md); q23 stays the oracle-exact corpus-wide baseline."""
+    return dedup.ngram_jaccard_pairs(
+        _base(spark, sf_dir, "documents"), n=3, threshold=JACCARD_TAU, max_df=5
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001: the backup-listing report."""
     return q01_list_backups(spark, "/root/testdata/sf0.001")
@@ -3395,6 +3414,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q299_linear_mmd": q299_linear_mmd,
         "q300_curation_funnel": q300_curation_funnel,
         "q301_cosine_pairs_lsh": q301_cosine_pairs_lsh,
+        "q302_ngram_jaccard_capped": q302_ngram_jaccard_capped,
     }
 
 
@@ -12473,4 +12493,43 @@ def oracle_sql() -> dict[str, str]:
         "q301_cosine_pairs_lsh": _cosine_lsh_oracle(
             8, 3, 64, COSINE_TAU, 10_000
         ),
+        # q302: candidates restricted to rare-shingle (df <= 5) co-occurrence,
+        # jaccard still counted over ALL shared shingles — the exact semantics
+        # of dedup.ngram_jaccard_pairs(max_df=5)'s split rare/hot verify.
+        "q302_ngram_jaccard_capped": f"""
+            WITH docs AS (
+                SELECT doc_id, string_split(text, ' ') AS words FROM documents
+            ),
+            sh AS (
+                SELECT DISTINCT doc_id,
+                       words[i] || ' ' || words[i+1] || ' ' || words[i+2] AS shingle
+                FROM docs, unnest(range(1, greatest(len(words) - 1, 1))) t(i)
+            ),
+            cnt AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY 1),
+            hot AS (SELECT shingle FROM sh GROUP BY 1 HAVING COUNT(*) > 5),
+            rare AS (
+                SELECT s.doc_id, s.shingle
+                FROM sh s LEFT JOIN hot h USING (shingle)
+                WHERE h.shingle IS NULL
+            ),
+            cand AS (
+                SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+                FROM rare a JOIN rare b
+                  ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+            ),
+            shared AS (
+                SELECT c.id_a, c.id_b, COUNT(*) AS shared
+                FROM cand c
+                JOIN sh a ON a.doc_id = c.id_a
+                JOIN sh b ON b.doc_id = c.id_b AND a.shingle = b.shingle
+                GROUP BY 1, 2
+            )
+            SELECT id_a, id_b,
+                   ROUND(shared * 1.0 / (ca.n_sh + cb.n_sh - shared), 6) AS jaccard
+            FROM shared
+            JOIN cnt ca ON id_a = ca.doc_id
+            JOIN cnt cb ON id_b = cb.doc_id
+            WHERE ROUND(shared * 1.0 / (ca.n_sh + cb.n_sh - shared), 6)
+                  >= {JACCARD_TAU}
+        """,
     }

@@ -413,7 +413,13 @@ def kcore_peel(
 
     Scale shape: each round is one degree agg plus two semi-joins on the
     node key — the textbook iterated-small-step shape (same as the
-    connected-components loop); no per-node windows, no collect. The edge
+    connected-components loop); no per-node windows, no collect. The peel
+    is already degeneracy-BATCHED: every node whose degree is below k is
+    dropped in the SAME round (the degree filter is a set operation, not a
+    min-degree pop), so the round count is the peel *depth* of the graph —
+    O(iterated-peel diameter), typically single digits — never the number
+    of peeled nodes. A sequential min-degree peel would need O(|V|) rounds;
+    this is the whole reason 6 rounds converge on a corpus-scale graph. The edge
     relation is ``localCheckpoint``-ed every round — the semi-join pair
     references the previous round's relation three times, so without
     lineage truncation the logical plan grows exponentially in ``rounds``
