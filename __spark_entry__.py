@@ -3106,6 +3106,63 @@ def q302_ngram_jaccard_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+WJ_TAU = 0.8  # weighted-jaccard threshold: true rewrites sit above it, the
+# bounded-vocabulary background (median ≈ 0.35, p99 ≈ 0.58) far below
+WMH_HASHES, WMH_BANDS, WMH_CAP = 200, 20, 10
+
+
+def q303_weighted_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact tf-weighted (bag-of-words multiset) Jaccard pairs
+    (dedup.weighted_jaccard_pairs) — the dedup measure for bounded-
+    vocabulary corpora where every distinct-shingle measure saturates
+    (this corpus: 31-word vocabulary → every unigram is hot, set overlap
+    near-total, yet term FREQUENCIES cleanly separate the 25 true
+    rewrites at τ=0.8 from the 0.35-median background). Guarded exact
+    baseline (mass-band equi-join, per-pair tf-map fold, no term-level
+    shuffle); q304 is the banded scale path."""
+    return dedup.weighted_jaccard_pairs(
+        _base(spark, sf_dir, "documents"), threshold=WJ_TAU
+    )
+
+
+def q304_weighted_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted-MinHash near-dup pairs (dedup.weighted_minhash_lsh_pairs)
+    — q303's scale path, same output schema. Integer-replication
+    reduction (term#1..term#min(tf,cap)) makes ordinary MinHash/banding/
+    star-cap machinery compute capped weighted Jaccard; 20 bands × 10
+    rows put the S-curve at ≈0.74 — deep banding is mandatory because the
+    bounded-vocabulary BACKGROUND similarity (median 0.35, p99 0.58)
+    would flood shallow bands with candidate pairs. md5 family: the full
+    chain (element hash, 200-coefficient signature, band buckets,
+    candidate join, exact capped verify) replays in the DuckDB oracle."""
+    return dedup.weighted_minhash_lsh_pairs(
+        _base(spark, sf_dir, "documents"),
+        num_hashes=WMH_HASHES,
+        bands=WMH_BANDS,
+        tf_cap=WMH_CAP,
+        threshold=WJ_TAU,
+        hash_family="md5",
+    )
+
+
+DSG_EPS, DSG_ROUNDS = 0.5, 8
+
+
+def q305_densest_subgraph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy densest subgraph (graph.densest_subgraph_peel) over the
+    thresholded part co-purchase graph — the spam/template-farm detector:
+    batched Charikar/Bahmani peel (drop deg ≤ 1.5·avg each round, keep
+    the best-density round; 2(1+ε)-approx at ε=0.5). At sf0.1 the peel
+    strips 20k organic nodes in 3 rounds and surfaces a 13-node repeated
+    co-purchase core at density 0.77 — exactly the shape a link-farm
+    miner keeps. Oracle: graph.densest_sql's unrolled 8-round chain,
+    round-count and tiebreak parity with the Spark loop."""
+    edges = graph.coorder_edges_min(
+        _base(spark, sf_dir, "lineitem"), min_orders=2
+    )
+    return graph.densest_subgraph_peel(edges, eps=DSG_EPS, rounds=DSG_ROUNDS)
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001: the backup-listing report."""
     return q01_list_backups(spark, "/root/testdata/sf0.001")
@@ -3415,6 +3472,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q300_curation_funnel": q300_curation_funnel,
         "q301_cosine_pairs_lsh": q301_cosine_pairs_lsh,
         "q302_ngram_jaccard_capped": q302_ngram_jaccard_capped,
+        "q303_weighted_jaccard": q303_weighted_jaccard,
+        "q304_weighted_minhash_lsh": q304_weighted_minhash_lsh,
+        "q305_densest_subgraph": q305_densest_subgraph,
     }
 
 
@@ -3504,6 +3564,81 @@ def _q22_oracle() -> str:
     return _lsh_oracle(
         "shared * 1.0 / (ca.n_sh + cb.n_sh - shared)", "jaccard", JACCARD_TAU
     )
+
+
+def _wlsh_oracle() -> str:
+    """q304 oracle: weighted MinHash via the integer-replication reduction,
+    replayed end to end in DuckDB — per-doc word tf, elements
+    term#1..term#min(tf,cap), the same md5-derived 32-bit element hash and
+    seeded (a_i,b_i) signature family (WMH_HASHES coefficients inlined as
+    literals), md5 band buckets (WMH_BANDS × rows), candidate pairs, and
+    the exact capped-weighted verify (set jaccard of replicated elements ==
+    Σmin/Σmax of capped tf). Mirrors dedup.weighted_minhash_lsh_pairs
+    (hash_family='md5') exactly; the star cap is inactive at oracle SF
+    (every band bucket ≪ max_bucket), same convention as the q22 oracle."""
+    from esop_spark.operators.dedup import HASH_P, minhash_coeffs
+
+    rows = WMH_HASHES // WMH_BANDS
+    coeffs = minhash_coeffs(WMH_HASHES)
+    sig_cols = ",\n                   ".join(
+        f"MIN((x * {a} + {b}) % {HASH_P}) AS h{i}"
+        for i, (a, b) in enumerate(coeffs)
+    )
+    bucket_terms = "\n                UNION ALL ".join(
+        f"SELECT doc_id, {band} AS band, md5(concat_ws('-', "
+        + ", ".join(f"h{band * rows + r}" for r in range(rows))
+        + ")) AS bucket FROM sig"
+        for band in range(WMH_BANDS)
+    )
+    return f"""
+            WITH docs AS (
+                SELECT doc_id, string_split(text, ' ') AS words FROM documents
+            ),
+            tf AS (
+                SELECT doc_id, w AS term, COUNT(*) AS tf
+                FROM docs, unnest(words) t(w) GROUP BY 1, 2
+            ),
+            sh AS (
+                SELECT doc_id, term || '#' || CAST(i AS VARCHAR) AS shingle
+                FROM tf, unnest(range(1, least(tf, {WMH_CAP}) + 1)) t(i)
+            ),
+            hx AS (
+                SELECT doc_id,
+                       CAST(concat('0x', substr(md5(shingle), 1, 8)) AS BIGINT)
+                           % {HASH_P} AS x
+                FROM sh
+            ),
+            sig AS (
+                SELECT doc_id,
+                   {sig_cols}
+                FROM hx GROUP BY doc_id
+            ),
+            buckets AS (
+                {bucket_terms}
+            ),
+            cand AS (
+                SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+                FROM buckets a JOIN buckets b
+                  ON a.band = b.band AND a.bucket = b.bucket
+                 AND a.doc_id < b.doc_id
+            ),
+            cnt AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY 1),
+            shared AS (
+                SELECT c.id_a, c.id_b, COUNT(*) AS shared
+                FROM cand c
+                JOIN sh a ON a.doc_id = c.id_a
+                JOIN sh b ON b.doc_id = c.id_b AND b.shingle = a.shingle
+                GROUP BY 1, 2
+            )
+            SELECT id_a, id_b,
+                   ROUND(shared * 1.0 / (ca.n_sh + cb.n_sh - shared), 6)
+                       AS wjaccard
+            FROM shared
+            JOIN cnt ca ON id_a = ca.doc_id
+            JOIN cnt cb ON id_b = cb.doc_id
+            WHERE ROUND(shared * 1.0 / (ca.n_sh + cb.n_sh - shared), 6)
+                  >= {WJ_TAU}
+    """
 
 
 AUDIT_RATE = 0.5
@@ -12531,5 +12666,45 @@ def oracle_sql() -> dict[str, str]:
             JOIN cnt cb ON id_b = cb.doc_id
             WHERE ROUND(shared * 1.0 / (ca.n_sh + cb.n_sh - shared), 6)
                   >= {JACCARD_TAU}
+        """,
+        # q303: plain exact weighted jaccard — the mass-band join on the
+        # Spark side is a pure pruning device (J_w ≤ min(mass)/max(mass)
+        # makes the band membership implied by the threshold), so the
+        # oracle needs no band mirror: the authoritative filter is the
+        # identical rounded J_w ≥ τ on both engines.
+        "q303_weighted_jaccard": f"""
+            WITH docs AS (
+                SELECT doc_id, string_split(text, ' ') AS words FROM documents
+            ),
+            tf AS (
+                SELECT doc_id, w AS term, COUNT(*) AS tf
+                FROM docs, unnest(words) t(w) GROUP BY 1, 2
+            ),
+            mass AS (SELECT doc_id, len(words) AS m FROM docs),
+            sh AS (
+                SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                       SUM(least(a.tf, b.tf)) AS s
+                FROM tf a JOIN tf b
+                  ON a.term = b.term AND a.doc_id < b.doc_id
+                GROUP BY 1, 2
+            )
+            SELECT id_a, id_b,
+                   ROUND(s * 1.0 / (ma.m + mb.m - s), 6) AS wjaccard
+            FROM sh
+            JOIN mass ma ON ma.doc_id = id_a
+            JOIN mass mb ON mb.doc_id = id_b
+            WHERE ROUND(s * 1.0 / (ma.m + mb.m - s), 6) >= {WJ_TAU}
+        """,
+        "q304_weighted_minhash_lsh": _wlsh_oracle(),
+        "q305_densest_subgraph": f"""
+            WITH sides AS (
+                SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem
+            ),
+            eu AS MATERIALIZED (
+                SELECT a.pk AS src, b.pk AS dst
+                FROM sides a JOIN sides b ON a.ok = b.ok AND a.pk < b.pk
+                GROUP BY 1, 2 HAVING COUNT(*) >= 2
+            ),
+            {graph.densest_sql("eu", DSG_EPS, DSG_ROUNDS)}
         """,
     }

@@ -653,6 +653,14 @@ def _lsh_candidates(
         documents, num_hashes, n, text_col, id_col, hash_family, base=base
     )
     buckets = _band_buckets(sig, num_hashes, bands, hash_family, id_col)
+    return _bucket_pairs(buckets, id_col, max_bucket), base
+
+
+def _bucket_pairs(buckets: DataFrame, id_col: str, max_bucket: int) -> DataFrame:
+    """(id, band, bucket) relation → distinct candidate pair list (id_a <
+    id_b) agreeing on ≥1 band bucket, with the hot-bucket star cap (see
+    :func:`_lsh_candidates`). Shared by the word-shingle LSH paths and the
+    weighted (replicated-element) MinHash path."""
     # bucket sizes via partial-agg groupBy (map-side combine), joined back;
     # the annotated relation is persisted because THREE legs consume it
     # (both sides of the small self-join + the star leg) — without the
@@ -675,8 +683,7 @@ def _lsh_candidates(
         sized.filter((F.col("_bsz") > max_bucket) & (F.col(id_col) != F.col("_anchor")))
         .select(F.col("_anchor").alias("id_a"), F.col(id_col).alias("id_b"))
     )
-    candidates = pairs_small.unionByName(pairs_big).distinct()
-    return candidates, base
+    return pairs_small.unionByName(pairs_big).distinct()
 
 
 def minhash_lsh_pairs(
@@ -707,6 +714,226 @@ def minhash_lsh_pairs(
     sh = base.select(id_col, F.xxhash64("shingle").alias("sh"))
     counts = doc_shingle_counts(documents, n, text_col, id_col)
     return _verify_jaccard(candidates, sh, counts, threshold, id_col)
+
+
+def word_tf(
+    documents: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Bag-of-words term frequencies per document: (id, term, tf).
+
+    One explode + one hash aggregation (map-side combine) — linear in
+    corpus token count, never in document-length², so it holds for the
+    book-length documents a real corpus contains (an array-expression
+    construction would pay O(len²) per document inside one task)."""
+    return (
+        _words(documents, text_col, id_col)
+        .select(F.col(id_col), F.explode("words").alias("term"))
+        .groupBy(id_col, "term")
+        .agg(F.count(F.lit(1)).cast("int").alias("tf"))
+    )
+
+
+# per-doc tf-map entries over distinct words: O(len² ) per document, fine
+# for the GUARDED exact baseline (len is bounded by the guard's contract);
+# the scale path (weighted_minhash_lsh_pairs) uses the linear word_tf agg.
+_TF_ENTRIES_EXPR = (
+    "transform(array_distinct(words), w -> "
+    "named_struct('term', w, 'tf', size(filter(words, x -> x = w))))"
+)
+
+
+def weighted_jaccard_pairs(
+    documents: DataFrame,
+    threshold: float = 0.8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_rows: int = 500_000,
+    reroute: bool = False,
+) -> DataFrame:
+    """Exact WEIGHTED (bag-of-words, tf-multiset) Jaccard pairs ≥ threshold:
+    J_w(A,B) = Σ_t min(tf_A(t), tf_B(t)) / Σ_t max(tf_A(t), tf_B(t)).
+
+    The tf-weighted analogue of :func:`ngram_jaccard_pairs` for corpora
+    where SET overlap saturates — a bounded vocabulary (template/log/DSL
+    corpora) makes every distinct-shingle measure near-degenerate while
+    term *frequencies* still separate true rewrites from background (this
+    corpus: 31-word vocabulary, set-jaccard background ≈ saturated,
+    weighted background median 0.35 with true near-dups above 0.8).
+
+    **Guarded like** :func:`~esop_spark.operators.similarity.cosine_pairs`:
+    with every unigram hot (df ≈ N), the term self-join is Σdf² ≈ V·N² —
+    there is no rare-term candidate index to save it (the q23/q302 max_df
+    cap would drop EVERY candidate). The exact computation is therefore
+    inherently pair-shaped and only valid for corpora small enough to
+    enumerate; above ``max_rows`` it raises (or, with ``reroute=True``,
+    degrades to the banded :func:`weighted_minhash_lsh_pairs` — same
+    output schema, tf capped at its default).
+
+    Pair enumeration avoids the full N²/2 cross product with a LENGTH-BAND
+    equi-join: J_w ≤ min(mass)/max(mass) (Σmin ≤ the smaller total mass,
+    Σmax ≥ the larger), so a qualifying pair's masses lie within factor
+    1/threshold — each doc joins only its own log-scale mass bucket and
+    the adjacent one. The bucket base is (1/threshold)·1.05: qualifying
+    ratios clear at most one bucket boundary WITH 5% float margin, so the
+    float floor(log) bucketing can never split a qualifying pair two
+    buckets apart. An exact (slop-tolerant) mass-ratio predicate prunes
+    inside the join; the authoritative filter is the rounded J_w ≥
+    threshold at the end, identical to the SQL oracle's.
+
+    Per-pair Σmin is one O(|vocab_doc|) fold over the smaller side's tf
+    entries probing the other side's tf map — no term-level shuffle at
+    all; the only exchange is the bucket-key self-join."""
+    n_rows = documents.count()
+    if n_rows > max_rows:
+        if reroute:
+            return weighted_minhash_lsh_pairs(
+                documents, threshold=threshold, text_col=text_col, id_col=id_col
+            )
+        raise ValueError(
+            f"weighted_jaccard_pairs is the exact pair-shaped small-corpus "
+            f"baseline; got {n_rows} rows > max_rows={max_rows}. Use the "
+            f"banded scale path (weighted_minhash_lsh_pairs — same schema, "
+            f"exact capped-tf values on candidates, approximate recall), "
+            f"pass reroute=True, or raise max_rows explicitly."
+        )
+    import math as _math
+
+    base = 1.05 / threshold
+    prep = (
+        _words(documents, text_col, id_col)
+        .select(
+            F.col(id_col),
+            F.size("words").alias("mass"),
+            F.expr(_TF_ENTRIES_EXPR).alias("ents"),
+        )
+        .select(
+            F.col(id_col),
+            "mass",
+            "ents",
+            F.map_from_entries("ents").alias("tfm"),
+            F.floor(
+                F.log(F.col("mass").cast("double")) / F.lit(_math.log(base))
+            ).alias("bkt"),
+        )
+    )
+    a = prep.alias("a")
+    b = prep.alias("b")
+    ratio_ok = F.least(F.col("a.mass"), F.col("b.mass")) >= F.lit(
+        threshold * 0.999
+    ) * F.greatest(F.col("a.mass"), F.col("b.mass"))
+    # Σ_t min(tf_a, tf_b): fold a's entries probing b's map — terms absent
+    # from b contribute 0; terms absent from a contribute 0 to Σmin by
+    # definition, so one-sided iteration is exact. Σmax falls out of the
+    # identity Σmax = mass_a + mass_b − Σmin.
+    shared = F.expr(
+        "aggregate(ents_a, 0L, (acc, e) -> "
+        "acc + least(e.tf, coalesce(element_at(tfm_b, e.term), 0)))"
+    )
+
+    def _leg(joined: DataFrame, ida: Column, idb: Column) -> DataFrame:
+        return joined.select(
+            ida.alias("id_a"),
+            idb.alias("id_b"),
+            F.col("a.ents").alias("ents_a"),
+            F.col("b.tfm").alias("tfm_b"),
+            F.col("a.mass").alias("ma"),
+            F.col("b.mass").alias("mb"),
+        ).select("id_a", "id_b", shared.alias("shared"), "ma", "mb")
+
+    same = _leg(
+        a.join(
+            b,
+            (F.col("a.bkt") == F.col("b.bkt"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+            & ratio_ok,
+        ),
+        F.col(f"a.{id_col}"),
+        F.col(f"b.{id_col}"),
+    )
+    # adjacent-bucket leg: a strictly below b ⇒ each unordered pair appears
+    # in exactly one leg (buckets equal XOR adjacent); Σmin is symmetric so
+    # orientation only affects the output id ordering, normalized here
+    adj = _leg(
+        a.join(b, ((F.col("a.bkt") + 1) == F.col("b.bkt")) & ratio_ok),
+        F.least(F.col(f"a.{id_col}"), F.col(f"b.{id_col}")),
+        F.greatest(F.col(f"a.{id_col}"), F.col(f"b.{id_col}")),
+    )
+    wj = F.round(
+        F.col("shared").cast("double") / (F.col("ma") + F.col("mb") - F.col("shared")),
+        6,
+    )
+    return (
+        same.unionByName(adj)
+        .select("id_a", "id_b", wj.alias("wjaccard"))
+        .filter(F.col("wjaccard") >= threshold)
+    )
+
+
+def weighted_minhash_lsh_pairs(
+    documents: DataFrame,
+    num_hashes: int = 200,
+    bands: int = 20,
+    tf_cap: int = 10,
+    threshold: float = 0.8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    hash_family: str = "xxhash64",
+    max_bucket: int = 100,
+) -> DataFrame:
+    """Weighted-MinHash near-duplicate pairs — the scale path behind
+    :func:`weighted_jaccard_pairs`, same output schema (id_a, id_b,
+    wjaccard), exact capped-tf weighted Jaccard on candidates only.
+
+    Integer-weight REPLICATION reduction: each term contributes elements
+    term#1 … term#min(tf, tf_cap), and the ordinary set Jaccard of the
+    replicated element sets IS the weighted Jaccard of the capped tf
+    vectors (Σmin/Σmax term by term) — so the entire existing MinHash
+    machinery applies unchanged: the seeded (a·x+b) mod p signature family
+    over the replicated elements, band buckets, the hot-bucket star cap
+    (:func:`_bucket_pairs`), and candidate-only exact verification
+    (:func:`_verify_jaccard`, whose set Jaccard over replicated elements
+    equals the capped weighted measure). ``hash_family="md5"`` keeps the
+    whole chain replicable in plain SQL (the q304 oracle).
+
+    Why banding must be DEEP here (rows-per-band 10 vs q22's 4): on a
+    bounded-vocabulary corpus the BACKGROUND weighted similarity is high
+    (median ≈ 0.35, p99 ≈ 0.58 on this corpus) — shallow bands would admit
+    a constant fraction of all N² pairs as candidates. 20 bands × 10 rows
+    puts the S-curve at ≈ (1/20)^(1/10) ≈ 0.74: recall ≈ 0.90 at J_w = 0.8
+    (→ 0.9998 at 0.9) while a background pair at 0.5 collides with
+    probability ≈ 0.0010 per band (≈ 2% overall) — candidates stay
+    candidate-shaped, never corpus².
+
+    Scale shape: replicated rows = Σ_doc Σ_t min(tf, cap) ≤ cap·|tokens| —
+    linear in corpus size, one explode + hash agg (word_tf) + one explode;
+    tf_cap bounds the blowup exactly like the q23 max_df cap bounds df.
+    Capping is part of the DECLARED semantics (the oracle applies the same
+    least(tf, cap)): weights above the cap carry no extra near-dup signal,
+    they are the term-frequency analogue of boilerplate."""
+    tf = word_tf(documents, text_col, id_col)
+    rep = tf.select(
+        F.col(id_col),
+        F.explode(
+            F.expr(
+                f"transform(sequence(1, least(tf, {tf_cap})),"
+                f" i -> concat(term, '#', CAST(i AS STRING)))"
+            )
+        ).alias("shingle"),
+    )
+    # one persisted replicated-element materialization feeds the signature
+    # aggregation, the per-doc capped-mass counts, and the verify leg —
+    # registered for deferred release like every shared relation
+    base = _share(rep)
+    counts = base.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
+    sig = minhash_signatures(
+        documents, num_hashes, id_col=id_col, hash_family=hash_family, base=base
+    )
+    buckets = _band_buckets(sig, num_hashes, bands, hash_family, id_col)
+    candidates = _bucket_pairs(buckets, id_col, max_bucket)
+    sh = base.select(id_col, F.xxhash64("shingle").alias("sh"))
+    return _verify_jaccard(candidates, sh, counts, threshold, id_col).withColumnRenamed(
+        "jaccard", "wjaccard"
+    )
 
 
 def containment_candidates(

@@ -488,6 +488,156 @@ def kcore_sql(edges_cte: str, k: int, rounds: int) -> str:
     return ", ".join(parts)
 
 
+def densest_subgraph_peel(
+    edges_undirected: DataFrame, eps: float = 0.5, rounds: int = 8
+) -> DataFrame:
+    """Greedy densest-subgraph via parallel peeling (Charikar's greedy,
+    batched à la Bahmani/Kumar/Vassilvitskii, VLDB 2012): repeatedly drop
+    every node whose degree ≤ (1+eps)·(2|E|/|V|) — the (1+eps)-scaled
+    average degree — and keep the round with the highest density
+    ρ = |E|/|V| seen along the way. The kept subgraph is a
+    2(1+eps)-approximation of the maximum-density subgraph.
+
+    The spam/template-farm detector of a curation pipeline: a link farm or
+    boilerplate template cluster is precisely a subgraph whose internal
+    density survives average-degree peeling long after organic structure
+    dissolves — the density-first cousin of :func:`kcore_peel` (which
+    fixes the degree threshold instead of adapting it to the surviving
+    graph).
+
+    Batched peel shape: like the k-core peel, EVERY below-threshold node
+    drops in the same round (a set filter, not a min-degree pop), which is
+    what turns Charikar's O(|V|)-round sequential greedy into
+    O(log_{1+eps} |V|) rounds — each round removes a constant fraction of
+    nodes or the threshold test would contradict the average. Per round:
+    one degree aggregation, a 1-row stats collect (|V|, 2|E|) for the
+    threshold, and two semi-joins — the iterated-small-step shape, edges
+    localCheckpoint-ed with superseded rounds released (RoundCheckpointer,
+    DISK_ONLY); the BEST round's relation is retained until the end and
+    disowned to the shared registry for the between-queries release hook.
+
+    Round-count parity with the SQL oracle (:func:`densest_sql`): both
+    engines run AT MOST ``rounds`` peels and pick the best nonempty round
+    (ties → earliest); an early exit on an empty graph is safe because an
+    empty round stays empty — identical best-round selection. ``rounds``
+    must cover log_{1+eps}(|V|) for the peel to fully drain (8 covers this
+    corpus's thresholded co-purchase graph at every test SF — it drains in
+    4); an undrained peel still returns the best density seen, identically
+    in both engines.
+
+    Nodes are defined as edge endpoints (an isolated node has degree 0 ≤
+    any threshold and would drop next round anyway — dropping it one round
+    early changes neither |E| nor the eventual best subgraph membership at
+    the density maximum). Density and threshold arithmetic is performed in
+    ONE order — ((1+eps) · 2|E|) / |V| and (2|E| / 2.0) / |V| — so the
+    driver-side Python doubles and the oracle's SQL doubles are
+    bit-identical.
+
+    Output: one row per node of the best-density subgraph —
+    (node, degree, density), degree measured inside that subgraph and
+    density the (constant) winning ρ."""
+    ckpt = RoundCheckpointer(edges_undirected, storage_level=StorageLevel.DISK_ONLY)
+    both = ckpt.checkpoint(
+        edges_undirected.select("src", "dst").union(
+            edges_undirected.select(
+                F.col("dst").alias("src"), F.col("src").alias("dst")
+            )
+        )
+    )
+    best = None
+    best_density = float("-inf")
+    for r in range(rounds + 1):
+        deg = both.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+        row = deg.agg(
+            F.count(F.lit(1)).alias("nv"), F.sum("deg").alias("ne2")
+        ).first()
+        nv, ne2 = row["nv"], row["ne2"]
+        if not nv:
+            break  # empty stays empty: remaining oracle rounds are no-ops
+        density = (ne2 / 2.0) / nv  # same op order as the SQL oracle
+        if density > best_density:  # strict: ties keep the earliest round
+            if best is not None:
+                ckpt.release(best)
+            best, best_density = both, density
+        if r == rounds:
+            break
+        thr = ((1.0 + eps) * ne2) / nv  # same op order as the SQL oracle
+        keep = deg.filter(F.col("deg") > thr).select(F.col("src").alias("u"))
+        prev = both
+        both = ckpt.checkpoint(
+            prev.join(keep, prev["src"] == keep["u"], "left_semi").join(
+                keep, prev["dst"] == keep["u"], "left_semi"
+            )
+        )
+        if prev is not best:
+            ckpt.release(prev)
+    if both is not best:
+        ckpt.release(both)
+    ckpt.disown_to_shared(best)  # the returned aggregation still reads it
+    return (
+        best.groupBy(F.col("src").alias("node"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("degree"))
+        .select("node", "degree", F.lit(best_density).alias("density"))
+    )
+
+
+def densest_sql(edges_cte: str, eps: float, rounds: int) -> str:
+    """DuckDB WITH-chain replicating :func:`densest_subgraph_peel` —
+    ``rounds`` unrolled peel rounds, per-round density summary, best
+    nonempty round (ties → earliest), that round's nodes + degrees.
+    ``edges_cte`` must name a CTE holding (src, dst) each undirected edge
+    once. Returns the full query tail from ``e0`` onward (compose after a
+    'WITH <edges_cte> AS (...), ' prefix)."""
+    one_eps = repr(1.0 + eps)
+    # AS MATERIALIZED: each e/g CTE is referenced 2-4 times; DuckDB's
+    # default inlining would otherwise re-expand the whole upstream chain
+    # per reference — exponential in rounds (observed as fd exhaustion from
+    # re-opening the base parquet hundreds of times at rounds=8)
+    parts = [
+        f"e0 AS MATERIALIZED (SELECT src, dst FROM {edges_cte} "
+        f"UNION ALL SELECT dst, src FROM {edges_cte})"
+    ]
+    for i in range(rounds + 1):
+        parts.append(
+            f"g{i} AS MATERIALIZED "
+            f"(SELECT src AS u, COUNT(*) AS deg FROM e{i} GROUP BY 1)"
+        )
+        parts.append(
+            f"s{i} AS (SELECT {i} AS r, "
+            f"(SELECT COALESCE(SUM(deg), 0) FROM g{i}) AS ne2, "
+            f"(SELECT COUNT(*) FROM g{i}) AS nv)"
+        )
+        if i < rounds:
+            parts.append(
+                f"n{i + 1} AS (SELECT u FROM g{i}, s{i} "
+                f"WHERE deg > ({one_eps} * ne2) / nv)"
+            )
+            parts.append(
+                f"e{i + 1} AS MATERIALIZED (SELECT src, dst FROM e{i} "
+                f"WHERE src IN (SELECT u FROM n{i + 1}) "
+                f"AND dst IN (SELECT u FROM n{i + 1}))"
+            )
+    summary = " UNION ALL ".join(
+        f"SELECT r, ne2, nv FROM s{i}" for i in range(rounds + 1)
+    )
+    allg = " UNION ALL ".join(
+        f"SELECT {i} AS r, u, deg FROM g{i}" for i in range(rounds + 1)
+    )
+    parts.append(f"summary AS ({summary})")
+    parts.append(
+        "best AS (SELECT r, (ne2 / 2.0) / nv AS density FROM summary "
+        "WHERE nv > 0 ORDER BY density DESC, r ASC LIMIT 1)"
+    )
+    parts.append(f"allg AS ({allg})")
+    body = ",\n            ".join(parts)
+    return (
+        body
+        + "\n            SELECT CAST(g.u AS BIGINT) AS node, "
+        "CAST(g.deg AS BIGINT) AS degree, b.density AS density\n"
+        "            FROM allg g JOIN best b ON g.r = b.r"
+    )
+
+
 def component_census(edges: DataFrame, max_iters: int = 50) -> DataFrame:
     """Connected-component SIZE census: how many components of each size
     the graph has. The shape report a dedup pipeline reads before
