@@ -3118,8 +3118,10 @@ def q303_weighted_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     (this corpus: 31-word vocabulary → every unigram is hot, set overlap
     near-total, yet term FREQUENCIES cleanly separate the 25 true
     rewrites at τ=0.8 from the 0.35-median background). Guarded exact
-    baseline (mass-band equi-join, per-pair tf-map fold, no term-level
-    shuffle); q304 is the banded scale path."""
+    baseline in the cosine_pairs plan shape: dense tf vectors over the
+    collected vocabulary, broadcast × id-partitioned stream, mass-ratio
+    prune inside the join condition, integer zip_with fold per surviving
+    pair; q304 is the banded scale path."""
     return dedup.weighted_jaccard_pairs(
         _base(spark, sf_dir, "documents"), threshold=WJ_TAU
     )

@@ -733,21 +733,13 @@ def word_tf(
     )
 
 
-# per-doc tf-map entries over distinct words: O(len² ) per document, fine
-# for the GUARDED exact baseline (len is bounded by the guard's contract);
-# the scale path (weighted_minhash_lsh_pairs) uses the linear word_tf agg.
-_TF_ENTRIES_EXPR = (
-    "transform(array_distinct(words), w -> "
-    "named_struct('term', w, 'tf', size(filter(words, x -> x = w))))"
-)
-
-
 def weighted_jaccard_pairs(
     documents: DataFrame,
     threshold: float = 0.8,
     text_col: str = "text",
     id_col: str = "doc_id",
     max_rows: int = 500_000,
+    max_vocab: int = 4096,
     reroute: bool = False,
 ) -> DataFrame:
     """Exact WEIGHTED (bag-of-words, tf-multiset) Jaccard pairs ≥ threshold:
@@ -760,29 +752,33 @@ def weighted_jaccard_pairs(
     corpus: 31-word vocabulary, set-jaccard background ≈ saturated,
     weighted background median 0.35 with true near-dups above 0.8).
 
-    **Guarded like** :func:`~esop_spark.operators.similarity.cosine_pairs`:
-    with every unigram hot (df ≈ N), the term self-join is Σdf² ≈ V·N² —
-    there is no rare-term candidate index to save it (the q23/q302 max_df
-    cap would drop EVERY candidate). The exact computation is therefore
-    inherently pair-shaped and only valid for corpora small enough to
-    enumerate; above ``max_rows`` it raises (or, with ``reroute=True``,
-    degrades to the banded :func:`weighted_minhash_lsh_pairs` — same
-    output schema, tf capped at its default).
+    **Guarded like** :func:`~esop_spark.operators.similarity.cosine_pairs`,
+    and with the SAME plan shape: dense per-doc tf vectors over the
+    collected (small by contract) vocabulary, one side broadcast, the
+    other STREAMED partitioned by id across the shuffle width — no
+    equi-key exists for an all-pairs measure, and a mass-bucket join key
+    was MEASURED worse here (masses concentrate in ~10 log-buckets, AQE
+    coalesces the exchange to one task per hot bucket: 86 s vs 4.7 s at
+    sf0.1). Inside the join condition a mass-ratio bound prunes before
+    any vector work: J_w ≤ min(mass)/max(mass) (Σmin ≤ the smaller total
+    mass, Σmax ≥ the larger), so pairs outside ratio ≥ threshold·0.999
+    never reach the fold; the slop keeps a float product from dropping a
+    ratio-exactly-τ pair, and the authoritative filter is the rounded
+    J_w ≥ threshold at the end, identical to the SQL oracle's.
 
-    Pair enumeration avoids the full N²/2 cross product with a LENGTH-BAND
-    equi-join: J_w ≤ min(mass)/max(mass) (Σmin ≤ the smaller total mass,
-    Σmax ≥ the larger), so a qualifying pair's masses lie within factor
-    1/threshold — each doc joins only its own log-scale mass bucket and
-    the adjacent one. The bucket base is (1/threshold)·1.05: qualifying
-    ratios clear at most one bucket boundary WITH 5% float margin, so the
-    float floor(log) bucketing can never split a qualifying pair two
-    buckets apart. An exact (slop-tolerant) mass-ratio predicate prunes
-    inside the join; the authoritative filter is the rounded J_w ≥
-    threshold at the end, identical to the SQL oracle's.
+    Per surviving pair, Σmin is one integer ``zip_with``/fold over the
+    dense vectors; Σmax falls out of Σmax = mass_a + mass_b − Σmin. Why
+    dense: a per-pair tf-MAP probe was measured 18× slower (``element_at``
+    on Spark's array-backed maps is a linear scan — O(V²) string compares
+    per pair).
 
-    Per-pair Σmin is one O(|vocab_doc|) fold over the smaller side's tf
-    entries probing the other side's tf map — no term-level shuffle at
-    all; the only exchange is the bucket-key self-join."""
+    Guards: ``max_rows`` bounds the broadcast side and the O(n²) pair
+    count (raise or, with ``reroute=True``, degrade to the banded
+    :func:`weighted_minhash_lsh_pairs` — same schema, capped-tf values);
+    ``max_vocab`` bounds the dense width AND the driver-side vocabulary
+    collect — a corpus with a large vocabulary has rare terms, which is
+    precisely when the set-based family (``ngram_jaccard_pairs``/LSH)
+    applies instead."""
     n_rows = documents.count()
     if n_rows > max_rows:
         if reroute:
@@ -796,75 +792,54 @@ def weighted_jaccard_pairs(
             f"exact capped-tf values on candidates, approximate recall), "
             f"pass reroute=True, or raise max_rows explicitly."
         )
-    import math as _math
-
-    base = 1.05 / threshold
-    prep = (
+    # distinct-term collect is one partial-agg distinct; the guard bounds
+    # what lands on the driver before anything is pulled wide
+    vocab_rows = (
         _words(documents, text_col, id_col)
-        .select(
-            F.col(id_col),
-            F.size("words").alias("mass"),
-            F.expr(_TF_ENTRIES_EXPR).alias("ents"),
-        )
-        .select(
-            F.col(id_col),
-            "mass",
-            "ents",
-            F.map_from_entries("ents").alias("tfm"),
-            F.floor(
-                F.log(F.col("mass").cast("double")) / F.lit(_math.log(base))
-            ).alias("bkt"),
-        )
+        .select(F.explode("words").alias("w"))
+        .distinct()
+        .limit(max_vocab + 1)
+        .collect()
     )
-    a = prep.alias("a")
-    b = prep.alias("b")
+    if len(vocab_rows) > max_vocab:
+        raise ValueError(
+            f"weighted_jaccard_pairs builds dense tf vectors over the "
+            f"corpus vocabulary; vocabulary exceeds max_vocab={max_vocab}. "
+            f"A large vocabulary means rare terms exist — use the set-based "
+            f"family (ngram_jaccard_pairs / minhash_lsh_pairs) or the "
+            f"banded weighted_minhash_lsh_pairs instead."
+        )
+    vocab = sorted(r["w"] for r in vocab_rows)
+    prep = _words(documents, text_col, id_col).select(
+        F.col(id_col),
+        F.size("words").alias("mass"),
+        F.transform(
+            F.lit(vocab),
+            lambda w: F.size(F.filter(F.col("words"), lambda x: x == w)),
+        ).alias("tfv"),
+    )
+    spark = documents.sparkSession
+    target = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    a = prep.repartition(target, F.col(id_col)).alias("a")
+    b = F.broadcast(prep).alias("b")
     ratio_ok = F.least(F.col("a.mass"), F.col("b.mass")) >= F.lit(
         threshold * 0.999
     ) * F.greatest(F.col("a.mass"), F.col("b.mass"))
-    # Σ_t min(tf_a, tf_b): fold a's entries probing b's map — terms absent
-    # from b contribute 0; terms absent from a contribute 0 to Σmin by
-    # definition, so one-sided iteration is exact. Σmax falls out of the
-    # identity Σmax = mass_a + mass_b − Σmin.
-    shared = F.expr(
-        "aggregate(ents_a, 0L, (acc, e) -> "
-        "acc + least(e.tf, coalesce(element_at(tfm_b, e.term), 0)))"
-    )
-
-    def _leg(joined: DataFrame, ida: Column, idb: Column) -> DataFrame:
-        return joined.select(
-            ida.alias("id_a"),
-            idb.alias("id_b"),
-            F.col("a.ents").alias("ents_a"),
-            F.col("b.tfm").alias("tfm_b"),
-            F.col("a.mass").alias("ma"),
-            F.col("b.mass").alias("mb"),
-        ).select("id_a", "id_b", shared.alias("shared"), "ma", "mb")
-
-    same = _leg(
-        a.join(
-            b,
-            (F.col("a.bkt") == F.col("b.bkt"))
-            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
-            & ratio_ok,
-        ),
-        F.col(f"a.{id_col}"),
-        F.col(f"b.{id_col}"),
-    )
-    # adjacent-bucket leg: a strictly below b ⇒ each unordered pair appears
-    # in exactly one leg (buckets equal XOR adjacent); Σmin is symmetric so
-    # orientation only affects the output id ordering, normalized here
-    adj = _leg(
-        a.join(b, ((F.col("a.bkt") + 1) == F.col("b.bkt")) & ratio_ok),
-        F.least(F.col(f"a.{id_col}"), F.col(f"b.{id_col}")),
-        F.greatest(F.col(f"a.{id_col}"), F.col(f"b.{id_col}")),
+    shared = F.aggregate(
+        F.zip_with(F.col("a.tfv"), F.col("b.tfv"), lambda x, y: F.least(x, y)),
+        F.lit(0).cast("bigint"),
+        lambda acc, x: acc + x,
     )
     wj = F.round(
-        F.col("shared").cast("double") / (F.col("ma") + F.col("mb") - F.col("shared")),
-        6,
+        shared.cast("double") / (F.col("a.mass") + F.col("b.mass") - shared), 6
     )
     return (
-        same.unionByName(adj)
-        .select("id_a", "id_b", wj.alias("wjaccard"))
+        a.join(b, (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")) & ratio_ok)
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+            wj.alias("wjaccard"),
+        )
         .filter(F.col("wjaccard") >= threshold)
     )
 

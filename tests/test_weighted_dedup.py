@@ -43,9 +43,10 @@ def test_weighted_jaccard_exact_value(spark):
 
 def test_weighted_jaccard_mass_band_boundary(spark):
     """A qualifying pair whose masses sit EXACTLY at ratio = threshold
-    (40 vs 50 at τ=0.8, smaller doc elementwise ≤ larger) lands in
-    adjacent log-mass buckets and exercises the float-slop ratio
-    prefilter — it must not be lost to the band join."""
+    (40 vs 50 at τ=0.8, smaller doc elementwise ≤ larger) exercises the
+    float-slop mass-ratio prune inside the join condition — 0.8·50 rounds
+    ABOVE 40 in float, so without the 0.999 slop the prune would drop a
+    pair whose rounded J_w passes the authoritative threshold filter."""
     small = " ".join(["w"] * 40)               # mass 40, tf w=40
     large = " ".join(["w"] * 40 + ["v"] * 10)  # mass 50: Σmin=40 Σmax=50
     docs = _docs(spark, [(0, small), (1, large), (2, " ".join(["q"] * 45))])
