@@ -586,6 +586,67 @@ def with_minhash_signature(
     return sig.filter(F.col("h0").isNotNull())
 
 
+def _weighted_elements_expr(tf_cap: int) -> str:
+    """Per-ROW replicated-element array for the weighted MinHash family:
+    the j-th occurrence of word w contributes element "w#j", occurrences
+    beyond ``tf_cap`` are dropped — the same {term#1..term#min(tf,cap)}
+    set :func:`weighted_minhash_lsh_pairs` builds with its linear
+    explode+agg, here as a pure array expression over a ``words`` column.
+    O(len²) per document (each position counts its prefix occurrences), so
+    this form is for STREAMING callers only — micro-batch rows, no
+    shuffle; batch code uses :func:`word_tf`."""
+    occ = "size(filter(slice(words, 1, p), x -> x = words[p]))"
+    return (
+        f"filter(transform(sequence(1, size(words)), p -> "
+        f"IF({occ} <= {tf_cap}, "
+        f"concat(words[p], '#', CAST({occ} AS STRING)), NULL)), "
+        f"x -> x IS NOT NULL)"
+    )
+
+
+def with_weighted_minhash_signature(
+    documents: DataFrame,
+    num_hashes: int = 200,
+    tf_cap: int = 10,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    hash_family: str = "xxhash64",
+) -> DataFrame:
+    """Per-ROW weighted MinHash signature as a pure projection — the
+    :func:`with_minhash_signature` analogue for the replicated-element
+    (capped-tf) family: values are IDENTICAL to the batch
+    :func:`weighted_minhash_lsh_pairs` signature chain (same element set,
+    same hash family, same coefficients), so a streamed corpus lands in
+    the batch job's band buckets. Exists for streaming callers; batch code
+    prefers the explode+agg form, which shares its element relation with
+    the verification leg."""
+
+    def _hash_col(c: Column) -> Column:
+        return md5_hash32(c) if hash_family == "md5" else F.xxhash64(c)
+
+    xs = F.transform(
+        F.expr(_weighted_elements_expr(tf_cap)),
+        lambda s: F.pmod(_hash_col(s), F.lit(HASH_P)),
+    )
+    sig = (
+        _words(documents, text_col, id_col)
+        .withColumn("_xs", xs)
+        .select(
+            F.col(id_col),
+            *[
+                F.array_min(
+                    F.transform(
+                        F.col("_xs"),
+                        lambda x: (x * F.lit(a) + F.lit(b)) % F.lit(HASH_P),
+                    )
+                ).alias(f"h{i}")
+                for i, (a, b) in enumerate(minhash_coeffs(num_hashes))
+            ],
+        )
+    )
+    return sig.filter(F.col("h0").isNotNull())
+
+
 def _band_buckets(
     sig: DataFrame,
     num_hashes: int,
@@ -885,6 +946,31 @@ def weighted_minhash_lsh_pairs(
     Capping is part of the DECLARED semantics (the oracle applies the same
     least(tf, cap)): weights above the cap carry no extra near-dup signal,
     they are the term-frequency analogue of boilerplate."""
+    candidates, base = _weighted_lsh_candidates(
+        documents, num_hashes, bands, tf_cap, text_col, id_col, hash_family,
+        max_bucket,
+    )
+    counts = base.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
+    sh = base.select(id_col, F.xxhash64("shingle").alias("sh"))
+    return _verify_jaccard(candidates, sh, counts, threshold, id_col).withColumnRenamed(
+        "jaccard", "wjaccard"
+    )
+
+
+def _weighted_lsh_candidates(
+    documents: DataFrame,
+    num_hashes: int,
+    bands: int,
+    tf_cap: int,
+    text_col: str,
+    id_col: str,
+    hash_family: str,
+    max_bucket: int = 100,
+) -> tuple[DataFrame, DataFrame]:
+    """Weighted-family candidate generation: returns (candidates, base)
+    where ``base`` is the persisted replicated-element relation (id,
+    shingle) — the :func:`_lsh_candidates` analogue for capped-tf
+    elements, shared with the streaming twin's parity tests."""
     tf = word_tf(documents, text_col, id_col)
     rep = tf.select(
         F.col(id_col),
@@ -899,16 +985,11 @@ def weighted_minhash_lsh_pairs(
     # aggregation, the per-doc capped-mass counts, and the verify leg —
     # registered for deferred release like every shared relation
     base = _share(rep)
-    counts = base.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
     sig = minhash_signatures(
         documents, num_hashes, id_col=id_col, hash_family=hash_family, base=base
     )
     buckets = _band_buckets(sig, num_hashes, bands, hash_family, id_col)
-    candidates = _bucket_pairs(buckets, id_col, max_bucket)
-    sh = base.select(id_col, F.xxhash64("shingle").alias("sh"))
-    return _verify_jaccard(candidates, sh, counts, threshold, id_col).withColumnRenamed(
-        "jaccard", "wjaccard"
-    )
+    return _bucket_pairs(buckets, id_col, max_bucket), base
 
 
 def containment_candidates(

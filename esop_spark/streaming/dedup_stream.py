@@ -25,7 +25,11 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
-from esop_spark.operators.dedup import _band_buckets, with_minhash_signature
+from esop_spark.operators.dedup import (
+    _band_buckets,
+    with_minhash_signature,
+    with_weighted_minhash_signature,
+)
 
 LSH_OUTPUT = "band int, id_a bigint, id_b bigint"
 LSH_STATE = "ids string, hot int"
@@ -108,6 +112,41 @@ def lsh_candidate_stream(
     without dedup; only pair-count statistics need the distinct()."""
     sig = with_minhash_signature(
         documents, num_hashes, n, text_col, id_col, hash_family
+    )
+    bb = _band_buckets(sig, num_hashes, bands, hash_family, id_col).select(
+        F.col(id_col).alias("did"), "band", "bucket"
+    )
+    return bb.groupBy("band", "bucket").applyInPandasWithState(
+        _lsh_fn_factory(int(max_bucket)),
+        outputStructType=LSH_OUTPUT,
+        stateStructType=LSH_STATE,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+def weighted_lsh_candidate_stream(
+    documents: DataFrame,
+    num_hashes: int = 200,
+    bands: int = 20,
+    tf_cap: int = 10,
+    hash_family: str = "xxhash64",
+    max_bucket: int = 100,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Streaming twin of the WEIGHTED MinHash candidate generation
+    (dedup.weighted_minhash_lsh_pairs): online tf-multiset near-dup
+    against everything seen so far, with the exact state machinery of
+    :func:`lsh_candidate_stream` — only the signature differs (per-row
+    replicated-element projection, ``with_weighted_minhash_signature``,
+    bit-identical to the batch chain, so a replayed corpus lands in the
+    batch job's (band, bucket) keys). Same pair-log SET contract and
+    hot-bucket anchor-star degradation; verification (exact capped
+    weighted Jaccard) stays a batch job over the emitted pair log, the
+    same split as every LSH stream here."""
+    sig = with_weighted_minhash_signature(
+        documents, num_hashes, tf_cap, text_col, id_col, hash_family
     )
     bb = _band_buckets(sig, num_hashes, bands, hash_family, id_col).select(
         F.col(id_col).alias("did"), "band", "bucket"

@@ -37,6 +37,8 @@ BASKET = [
     "q159_pagerank",             # share_relation-ed edge/node relations
     "q166_triangles",            # share_relation-ed oriented edges
     "q54_pii_scan",
+    "q304_weighted_minhash_lsh",  # _share-d replicated-element relation
+    "q305_densest_subgraph",     # best-round retention + disown_to_shared
 ]
 
 
