@@ -595,11 +595,13 @@ def _weighted_elements_expr(tf_cap: int) -> str:
     O(len²) per document (each position counts its prefix occurrences), so
     this form is for STREAMING callers only — micro-batch rows, no
     shuffle; batch code uses :func:`word_tf`."""
-    occ = "size(filter(slice(words, 1, p), x -> x = words[p]))"
+    # element_at is 1-based like the position sequence (words[p] would be
+    # 0-based bracket indexing and read one past the end at p = size)
+    occ = "size(filter(slice(words, 1, p), x -> x = element_at(words, p)))"
     return (
         f"filter(transform(sequence(1, size(words)), p -> "
         f"IF({occ} <= {tf_cap}, "
-        f"concat(words[p], '#', CAST({occ} AS STRING)), NULL)), "
+        f"concat(element_at(words, p), '#', CAST({occ} AS STRING)), NULL)), "
         f"x -> x IS NOT NULL)"
     )
 
