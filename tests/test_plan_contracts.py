@@ -203,3 +203,33 @@ def test_mmr_corpus_scan_is_broadcast_query(spark):
 def test_coverage_select_no_cartesian(spark):
     plan = _plan(spark, "q180_coverage_select")
     assert "CartesianProduct" not in plan
+
+
+def test_weighted_jaccard_is_broadcast_stream(spark):
+    # the guarded exact baseline must follow the cosine_pairs shape: one
+    # side broadcast, the streamed side spread by id — never a sort-merge
+    # on a low-cardinality key (the measured-and-rejected mass-bucket join
+    # coalesced the pair exchange to one task per hot bucket)
+    plan = _plan(spark, "q303_weighted_jaccard")
+    assert "BroadcastNestedLoopJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_weighted_minhash_no_cartesian_and_shared_elements(spark):
+    from esop_spark.operators.dedup import release_shared_relations
+
+    plan = _plan(spark, "q304_weighted_minhash_lsh")
+    release_shared_relations()
+    assert "CartesianProduct" not in plan
+    # the replicated-element relation is persisted and reused across the
+    # signature and verify legs — the verify leg must read the cache, not
+    # re-run the explode pipeline
+    assert "InMemoryTableScan" in plan or "Scan In-memory" in plan
+
+
+def test_densest_subgraph_no_cartesian(spark):
+    from esop_spark.operators.dedup import release_shared_relations
+
+    plan = _plan(spark, "q305_densest_subgraph")
+    release_shared_relations()
+    assert "CartesianProduct" not in plan
