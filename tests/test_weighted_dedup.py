@@ -175,3 +175,85 @@ def test_densest_subgraph_round_cap_parity(spark):
         ).fetchall()
     )
     assert got == want
+
+
+def test_weighted_jaccard_matches_bruteforce_reference(spark):
+    """Seeded random corpus vs a pure-Python brute-force computation of
+    Σmin/Σmax — the operator's join/fold/round pipeline must reproduce
+    every pair and value exactly (the randomized analogue of the DuckDB
+    oracle, with no SQL engine in the loop)."""
+    import random
+    from collections import Counter
+
+    rnd = random.Random(77)
+    vocab = [f"t{i}" for i in range(7)]
+    docs = [
+        (i, " ".join(rnd.choice(vocab) for _ in range(rnd.randint(5, 25))))
+        for i in range(40)
+    ]
+    tau = 0.5
+    want = {}
+    for i, (ida, ta) in enumerate(docs):
+        ca = Counter(ta.split(" "))
+        for idb, tb in docs[i + 1:]:
+            cb = Counter(tb.split(" "))
+            smin = sum(min(ca[t], cb[t]) for t in ca)
+            smax = sum(ca.values()) + sum(cb.values()) - smin
+            j = round(smin / smax, 6)
+            if j >= tau:
+                want[(ida, idb)] = j
+    got = {
+        (r["id_a"], r["id_b"]): r["wjaccard"]
+        for r in dedup.weighted_jaccard_pairs(
+            _docs(spark, docs), threshold=tau
+        ).collect()
+    }
+    assert got == want
+    assert len(want) >= 5  # the seed must actually exercise the threshold
+
+
+def test_densest_subgraph_matches_bruteforce_reference(spark):
+    """Seeded random graph vs a pure-Python peel: same rounds, same
+    threshold arithmetic, same best-round tiebreak — node set, degrees,
+    and density must agree exactly."""
+    import random
+    from collections import Counter
+
+    rnd = random.Random(42)
+    edges = sorted({
+        (min(a, b), max(a, b))
+        for a, b in (
+            (rnd.randrange(30), rnd.randrange(30)) for _ in range(120)
+        )
+        if a != b
+    })
+    eps, rounds = 0.5, 8
+    cur = [e for e in edges]
+    best, best_density = None, float("-inf")
+    for r in range(rounds + 1):
+        deg = Counter()
+        for a, b in cur:
+            deg[a] += 1
+            deg[b] += 1
+        nv, ne2 = len(deg), sum(deg.values())
+        if not nv:
+            break
+        density = (ne2 / 2.0) / nv
+        if density > best_density:
+            best, best_density = (cur, deg), density
+        if r == rounds:
+            break
+        thr = ((1.0 + eps) * ne2) / nv
+        keep = {u for u, d in deg.items() if d > thr}
+        cur = [(a, b) for a, b in cur if a in keep and b in keep]
+    want = sorted(
+        (u, d, best_density) for u, d in best[1].items()
+    )
+    got = sorted(
+        tuple(r)
+        for r in graph.densest_subgraph_peel(
+            _edge_df(spark, edges), eps=eps, rounds=rounds
+        ).collect()
+    )
+    dedup.release_shared_relations()
+    assert got == want
