@@ -1,0 +1,105 @@
+"""Streaming-twin throughput bench: drain an availableNow replay of a
+parquet table through each LSH candidate stream and report wall time,
+input rows, and rows/s — the streaming analogue of tools/rehearse.py.
+
+The number that matters at 100 TB is sustained rows/s through the
+stateful (band, bucket) exchange: state per key is bounded (member ids up
+to the hot cap, a single anchor after), so throughput should hold as the
+corpus grows — measured here at two SFs.
+
+Usage:
+  python tools/stream_bench.py /root/testdata/sf0.1 [/root/repo/.scratch/sf10]
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from bench import _pinned_shuffle_partitions
+from esop_spark.session import get_spark
+from esop_spark.streaming.dedup_stream import (
+    embedding_candidate_stream,
+    lsh_candidate_stream,
+    weighted_lsh_candidate_stream,
+)
+
+DOC_SCHEMA = "doc_id long, text string, lang string, source string, n_chars long"
+EMB_SCHEMA = "vec_id long, embedding array<float>, label int"
+
+STREAMS = [
+    ("lsh_candidate_stream", "documents", DOC_SCHEMA,
+     lambda df: lsh_candidate_stream(df)),
+    ("weighted_lsh_candidate_stream", "documents", DOC_SCHEMA,
+     lambda df: weighted_lsh_candidate_stream(df)),
+    ("embedding_candidate_stream", "embeddings", EMB_SCHEMA,
+     lambda df: embedding_candidate_stream(df)),
+]
+
+
+def _sf_of(sf_dir: str) -> float:
+    tail = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    try:
+        return float(tail)
+    except ValueError:
+        return -1.0
+
+
+def drain(spark, sf_dir: str, name: str, table: str, schema: str, build, ckpt_root: str):
+    src = os.path.join(sf_dir, f"{table}.parquet")
+    if os.path.isfile(src):
+        # readStream sources must be directories; stage the single-file
+        # testdata layout behind a symlink dir (sf10 tables are already dirs)
+        stage = os.path.join(ckpt_root, f"src-{table}-{abs(hash(sf_dir))}")
+        os.makedirs(stage, exist_ok=True)
+        link = os.path.join(stage, "part-0.parquet")
+        if not os.path.exists(link):
+            os.symlink(src, link)
+        src = stage
+    n_in = spark.read.parquet(src).count()
+    counts = {"rows": 0}
+
+    def sink(batch_df, _bid):
+        counts["rows"] += batch_df.count()
+
+    ckpt = os.path.join(ckpt_root, f"{name}-{abs(hash(sf_dir))}")
+    stream = spark.readStream.schema(schema).parquet(src)
+    t0 = time.perf_counter()
+    q = (
+        build(stream)
+        .writeStream.foreachBatch(sink)
+        .outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    wall = time.perf_counter() - t0
+    return n_in, counts["rows"], round(wall, 2), round(n_in / wall)
+
+
+def main() -> None:
+    sf_dirs = sys.argv[1:] or ["/root/testdata/sf0.1"]
+    spark = get_spark("stream-bench")
+    import tempfile
+
+    ckpt_root = tempfile.mkdtemp(prefix="stream-bench-")
+    print("| stream | sf_dir | input rows | candidate rows | wall (s) | rows/s |")
+    print("|---|---|---|---|---|---|")
+    for sf_dir in sf_dirs:
+        spark.conf.set(
+            "spark.sql.shuffle.partitions",
+            str(_pinned_shuffle_partitions(_sf_of(sf_dir))),
+        )
+        for name, table, schema, build in STREAMS:
+            n_in, n_out, wall, rate = drain(
+                spark, sf_dir, name, table, schema, build, ckpt_root
+            )
+            print(f"| {name} | {sf_dir} | {n_in} | {n_out} | {wall} | {rate} |")
+
+
+if __name__ == "__main__":
+    main()
