@@ -136,3 +136,21 @@ def test_weighted_incremental_arrival_and_restart(spark, tmp_path):
     got = {(r["id_a"], r["id_b"]) for r in first + second}
     assert got == expect
     assert (0, 1) in got
+
+
+def test_signature_projection_keeps_generate_barrier(spark):
+    """The explode(array(...)) Generate barrier between the element-array
+    construction and the num_hashes consumers is load-bearing:
+    CollapseProject otherwise inlines the O(len²) construction into every
+    lambda (measured 18× at 200 hashes). Pin it at the optimized-plan
+    level so an optimizer upgrade or refactor that re-collapses the
+    projections fails here, not in the throughput table."""
+    docs = spark.createDataFrame([(0, "a b a")], SCHEMA)
+    for fn in (
+        lambda d: with_weighted_minhash_signature(d, num_hashes=8, tf_cap=10),
+        lambda d: __import__(
+            "esop_spark.operators.dedup", fromlist=["with_minhash_signature"]
+        ).with_minhash_signature(d, num_hashes=8, n=1),
+    ):
+        plan = fn(docs)._jdf.queryExecution().optimizedPlan().toString()
+        assert "Generate explode" in plan, plan[:400]
