@@ -817,6 +817,7 @@ def weighted_jaccard_pairs(
     id_col: str = "doc_id",
     max_rows: int = 500_000,
     max_vocab: int = 4096,
+    max_cells: int = 64_000_000,
     reroute: bool = False,
 ) -> DataFrame:
     """Exact WEIGHTED (bag-of-words, tf-multiset) Jaccard pairs ≥ threshold:
@@ -855,7 +856,12 @@ def weighted_jaccard_pairs(
     ``max_vocab`` bounds the dense width AND the driver-side vocabulary
     collect — a corpus with a large vocabulary has rare terms, which is
     precisely when the set-based family (``ngram_jaccard_pairs``/LSH)
-    applies instead."""
+    applies instead; ``max_cells`` bounds their PRODUCT — the broadcast
+    side is n_rows dense int vectors of len(vocab) elements, so the two
+    row/width guards are individually satisfiable yet jointly unsafe
+    (500k rows × 4096-wide ≈ 8 GB serialized, over Spark's broadcast
+    limit). 64M cells ≈ 0.5 GB broadcast at 8 B/element — comfortably
+    replicable to every executor."""
     n_rows = documents.count()
     if n_rows > max_rows:
         if reroute:
@@ -887,6 +893,18 @@ def weighted_jaccard_pairs(
             f"banded weighted_minhash_lsh_pairs instead."
         )
     vocab = sorted(r["w"] for r in vocab_rows)
+    if n_rows * len(vocab) > max_cells:
+        if reroute:
+            return weighted_minhash_lsh_pairs(
+                documents, threshold=threshold, text_col=text_col, id_col=id_col
+            )
+        raise ValueError(
+            f"weighted_jaccard_pairs broadcasts {n_rows} dense tf vectors "
+            f"of width {len(vocab)} = {n_rows * len(vocab)} cells > "
+            f"max_cells={max_cells} (~{max_cells * 8 >> 30} GiB at 8 B/cell "
+            f"is the broadcast budget). Use weighted_minhash_lsh_pairs, "
+            f"pass reroute=True, or raise max_cells explicitly."
+        )
     prep = _words(documents, text_col, id_col).select(
         F.col(id_col),
         F.size("words").alias("mass"),

@@ -573,6 +573,13 @@ def densest_subgraph_peel(
             ckpt.release(prev)
     if both is not best:
         ckpt.release(both)
+    if best is None:
+        # zero edges: the first round saw nv == 0, so no round was ever a
+        # candidate — return the empty result the SQL oracle produces for
+        # the same input (its `best` CTE has no nv > 0 row to join)
+        return edges_undirected.sparkSession.createDataFrame(
+            [], "node bigint, degree bigint, density double"
+        )
     ckpt.disown_to_shared(best)  # the returned aggregation still reads it
     return (
         best.groupBy(F.col("src").alias("node"))

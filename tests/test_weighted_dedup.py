@@ -64,6 +64,35 @@ def test_weighted_jaccard_guard_raises_and_reroutes(spark):
     assert out.count() > 0  # 30 identical docs: plenty of pairs survive
 
 
+def test_weighted_jaccard_cells_guard(spark):
+    """The row and vocab guards are individually satisfiable but jointly
+    unsafe (500k × 4096 dense ints ≈ 8 GB broadcast): the PRODUCT guard
+    must fire even when both individual guards pass, and reroute must
+    degrade to the banded path as usual."""
+    docs = _docs(
+        spark, [(i, " ".join(f"w{j}" for j in range(12))) for i in range(20)]
+    )
+    with pytest.raises(ValueError, match="max_cells"):
+        dedup.weighted_jaccard_pairs(docs, max_cells=100)
+    out = dedup.weighted_jaccard_pairs(docs, max_cells=100, reroute=True)
+    assert out.columns == ["id_a", "id_b", "wjaccard"]
+    assert out.count() > 0  # 20 identical docs: the banded path finds pairs
+    dedup.release_shared_relations()
+
+
+def test_densest_subgraph_empty_edges(spark):
+    """Zero edges: no round is ever a candidate (nv == 0 on round 0); the
+    peel must return the same EMPTY relation the SQL oracle produces (its
+    best CTE has no nv > 0 row) instead of crashing on a None best."""
+    out = graph.densest_subgraph_peel(
+        spark.createDataFrame([], "src long, dst long"), eps=0.5, rounds=8
+    )
+    assert [(f.name, f.dataType.simpleString()) for f in out.schema.fields] == [
+        ("node", "bigint"), ("degree", "bigint"), ("density", "double")
+    ]
+    assert out.count() == 0
+
+
 def test_weighted_minhash_matches_exact_on_planted_dups(spark):
     # near-identical tf profiles (one swap) + shuffled-background docs over
     # the SAME vocabulary: LSH must find the planted pair with the same
