@@ -174,3 +174,25 @@ def test_cli_commitlogs(spark, tmp_path, capsys):
         "--timestamp-start", "5001000", "--timestamp-end", "5002000",
     ]) == 0
     assert "restored 3 commit log segments" in capsys.readouterr().out
+
+
+def test_packaging_console_script_contract():
+    """pyproject.toml declares the `esop-spark` console script pointing at
+    cli.main; when the distribution is installed (editable develop or
+    wheel), the resolved entry point must load the same callable the
+    module exports. Skips the installed half on a bare checkout."""
+    import importlib.metadata as im
+    import tomllib
+
+    with open(os.path.join(os.path.dirname(__file__), "..", "pyproject.toml"),
+              "rb") as f:
+        meta = tomllib.load(f)
+    assert meta["project"]["scripts"]["esop-spark"] == "esop_spark.cli:main"
+    assert meta["project"]["name"] == "esop-spark"
+    try:
+        eps = im.entry_points(group="console_scripts", name="esop-spark")
+    except im.PackageNotFoundError:  # pragma: no cover
+        pytest.skip("esop-spark not installed")
+    if not eps:
+        pytest.skip("esop-spark not installed")
+    assert list(eps)[0].load() is main
