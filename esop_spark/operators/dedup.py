@@ -29,6 +29,7 @@ from esop_spark.operators.iterate import (
     release_shared_checkpoints,
     shared_checkpoint,
 )
+from esop_spark.plans.barriers import pin_projection_barrier
 
 # Corpus-shaped relations persisted so one query's legs share a single
 # materialization (signature + verify both read the shingle relation).
@@ -573,12 +574,11 @@ def with_minhash_signature(
         lambda s: F.pmod(_hash_col(s), F.lit(HASH_P)),
     )
     sig = (
-        _words(documents, text_col, id_col)
-        .withColumn("_xs", xs)
-        # Generate barrier: explode of a 1-element array yields the same
-        # row but CollapseProject cannot inline the array construction
-        # into the num_hashes consumers below (see docstring)
-        .select(F.col(id_col), F.explode(F.array("_xs")).alias("_xsm"))
+        # Generate barrier (plans.barriers): CollapseProject cannot inline
+        # the array construction into the num_hashes consumers below
+        pin_projection_barrier(
+            _words(documents, text_col, id_col), xs, "_xsm", id_col
+        )
         .select(
             F.col(id_col),
             *[
@@ -640,13 +640,13 @@ def with_weighted_minhash_signature(
         lambda s: F.pmod(_hash_col(s), F.lit(HASH_P)),
     )
     sig = (
-        _words(documents, text_col, id_col)
-        .withColumn("_xs", xs)
-        # Generate barrier — see with_minhash_signature: without it,
-        # CollapseProject inlines the O(len²) element construction into
-        # every one of the num_hashes lambdas (measured 86 s → 4.8 s for
-        # 5000 docs × 200 hashes at sf0.1)
-        .select(F.col(id_col), F.explode(F.array("_xs")).alias("_xsm"))
+        # Generate barrier (plans.barriers) — see with_minhash_signature:
+        # without it, CollapseProject inlines the O(len²) element
+        # construction into every one of the num_hashes lambdas (measured
+        # 86 s → 4.8 s for 5000 docs × 200 hashes at sf0.1)
+        pin_projection_barrier(
+            _words(documents, text_col, id_col), xs, "_xsm", id_col
+        )
         .select(
             F.col(id_col),
             *[

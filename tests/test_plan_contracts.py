@@ -233,3 +233,32 @@ def test_densest_subgraph_no_cartesian(spark):
     plan = _plan(spark, "q305_densest_subgraph")
     release_shared_relations()
     assert "CartesianProduct" not in plan
+
+
+def test_pin_projection_barrier_semantics_and_plan(spark):
+    """plans.barriers.pin_projection_barrier: row-for-row identical to a
+    plain projection (including NULL and empty wrapped values — the
+    1-element array always has exactly one slot), and the Generate node
+    survives the optimizer so CollapseProject cannot inline the pinned
+    expression into downstream consumers."""
+    from pyspark.sql import functions as F
+
+    from esop_spark.plans.barriers import pin_projection_barrier
+
+    df = spark.createDataFrame(
+        [(1, "a b"), (2, ""), (3, None)], "id long, t string"
+    )
+    expensive = F.when(
+        F.col("t").isNotNull() & (F.col("t") != ""), F.split("t", " ")
+    )
+    pinned = pin_projection_barrier(df, expensive, "arr", "id")
+    plain = df.select("id", expensive.alias("arr"))
+    assert pinned.columns == plain.columns
+    key = lambda r: (r["id"], tuple(r["arr"]) if r["arr"] is not None else None)
+    assert sorted(map(key, pinned.collect())) == sorted(map(key, plain.collect()))
+    # multi-consumer projection downstream: the barrier must survive
+    out = pinned.select(
+        "id", F.size("arr").alias("s1"), F.reverse("arr").alias("s2")
+    )
+    plan = out._jdf.queryExecution().optimizedPlan().toString()
+    assert "Generate explode" in plan, plan[:400]
