@@ -1271,6 +1271,69 @@ def simhash_signatures(
     )
 
 
+def with_simhash_signature(
+    documents: DataFrame,
+    num_bits: int = 48,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    hash_family: str = "xxhash64",
+) -> DataFrame:
+    """Per-ROW simhash as a pure projection — the
+    :func:`with_minhash_signature` analogue for the SimHash family:
+    no explode, no aggregation, no shuffle, values IDENTICAL to
+    :func:`simhash_signatures` (the batch form groups (doc, token) and
+    votes ±tf per bit; folding ±1 per token INSTANCE sums to the same
+    per-bit votes). Exists for streaming callers, where the batch
+    explode → two-groupBy shape would force shuffled stateful
+    aggregations to rebuild what is a per-row function.
+
+    One array fold builds all ``num_bits`` votes in a single pass
+    (O(tokens · num_bits) per row); the hashed-token array has exactly
+    one consumer, so no CollapseProject barrier is needed — inlining a
+    single-consumer construction duplicates nothing."""
+    if hash_family == "md5" and num_bits > 32:
+        raise ValueError("md5 hash family carries 32 bits; lower num_bits")
+    hash_sql = (
+        "CAST(conv(substr(md5(t), 1, 8), 16, 10) AS BIGINT)"
+        if hash_family == "md5"
+        else "xxhash64(t)"
+    )
+    votes = (
+        f"aggregate(transform(split({text_col}, ' '), t -> {hash_sql}), "
+        f"array_repeat(CAST(0 AS BIGINT), {num_bits}), "
+        f"(acc, h) -> zip_with(acc, sequence(0, {num_bits - 1}), "
+        f"(a, j) -> a + IF(((h >> j) & 1) = 1, 1, -1)))"
+    )
+    sim = (
+        f"aggregate(zip_with({votes}, sequence(0, {num_bits - 1}), "
+        f"(s, j) -> IF(s > 0, shiftleft(CAST(1 AS BIGINT), j), "
+        f"CAST(0 AS BIGINT))), CAST(0 AS BIGINT), (acc, x) -> acc + x)"
+    )
+    return documents.select(F.col(id_col), F.expr(sim).alias("simhash"))
+
+
+def simhash_chunks(
+    sig: DataFrame, num_bits: int, chunks: int, id_col: str = "doc_id"
+) -> DataFrame:
+    """(id, simhash) → exploded (id, chunk_idx, chunk_val) pigeonhole
+    bands — the banding step of :func:`simhash_pairs`, factored so the
+    streaming twin lands in the SAME (chunk_idx, chunk_val) buckets the
+    batch equi-join uses. Keeps the simhash column — the batch caller's
+    verify leg reads it; the streaming caller just doesn't select it."""
+    chunk_bits = num_bits // chunks
+    mask = (1 << chunk_bits) - 1
+    return sig.select(
+        F.col(id_col),
+        F.col("simhash"),
+        F.posexplode(
+            F.expr(
+                f"transform(sequence(0, {chunks - 1}),"
+                f" c -> (simhash >> (c * {chunk_bits})) & {mask})"
+            )
+        ).alias("chunk_idx", "chunk_val"),
+    )
+
+
 def simhash_pairs(
     documents: DataFrame,
     num_bits: int = 48,
@@ -1287,19 +1350,8 @@ def simhash_pairs(
     is an equi-join on (chunk_idx, chunk_value); candidates verified with
     bit_count(xor).
     """
-    chunk_bits = num_bits // chunks
-    mask = (1 << chunk_bits) - 1
     sig = simhash_signatures(documents, num_bits, text_col, id_col, hash_family)
-    chunked = sig.select(
-        F.col(id_col),
-        F.col("simhash"),
-        F.posexplode(
-            F.expr(
-                f"transform(sequence(0, {chunks - 1}),"
-                f" c -> (simhash >> (c * {chunk_bits})) & {mask})"
-            )
-        ).alias("chunk_idx", "chunk_val"),
-    )
+    chunked = simhash_chunks(sig, num_bits, chunks, id_col)
     a = chunked.alias("a")
     b = chunked.alias("b")
     return (

@@ -24,6 +24,7 @@ from esop_spark.session import get_spark
 from esop_spark.streaming.dedup_stream import (
     embedding_candidate_stream,
     lsh_candidate_stream,
+    simhash_candidate_stream,
     weighted_lsh_candidate_stream,
 )
 
@@ -35,6 +36,8 @@ STREAMS = [
      lambda df: lsh_candidate_stream(df)),
     ("weighted_lsh_candidate_stream", "documents", DOC_SCHEMA,
      lambda df: weighted_lsh_candidate_stream(df)),
+    ("simhash_candidate_stream", "documents", DOC_SCHEMA,
+     lambda df: simhash_candidate_stream(df)),
     ("embedding_candidate_stream", "embeddings", EMB_SCHEMA,
      lambda df: embedding_candidate_stream(df)),
 ]
