@@ -23,6 +23,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
+from pyspark.storagelevel import StorageLevel
 
 from esop_spark.operators.iterate import (
     RoundCheckpointer,
@@ -296,7 +297,12 @@ def ngram_jaccard_pairs(
     # candidate-pair-shaped, so the eager checkpoint is bounded by output
     # scale (and feeds two consumers: the hot probe and the final sum);
     # registry-registered so repeated calls in one session don't pin
-    # candidate-pair blocks until JVM GC
+    # candidate-pair blocks until JVM GC. DISK_ONLY: at a realistic cap
+    # (max_df=10⁴ on the boilerplate rehearsal corpus) this relation is
+    # ~1.9e8 rows, and the default deserialized MEMORY_AND_DISK block
+    # build materializes whole partitions on-heap — 32 concurrent tasks
+    # OOM'd the 8 GiB rehearsal heap; DISK_ONLY streams through the
+    # serializer instead (the k-core RoundCheckpointer precedent)
     shared_rare = shared_checkpoint(
         ra.join(
             rb,
@@ -307,7 +313,8 @@ def ngram_jaccard_pairs(
             F.col(f"a.{id_col}").alias("id_a"),
             F.col(f"b.{id_col}").alias("id_b"),
         )
-        .agg(F.count(F.lit(1)).alias("shared_rare"))
+        .agg(F.count(F.lit(1)).alias("shared_rare")),
+        storage_level=StorageLevel.DISK_ONLY,
     )
     hot = sh.join(hot_keys, "sh", "left_semi")
     ha = hot.select(F.col(id_col).alias("id_a"), F.col("sh").alias("sh_a"))
