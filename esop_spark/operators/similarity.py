@@ -203,6 +203,103 @@ def banded_semantic_buckets(
     )
 
 
+def _split_hot_buckets(
+    bb: DataFrame,
+    embeddings: DataFrame,
+    bands: int,
+    band_planes: int,
+    dim: int,
+    seed: str,
+    vec_col: str,
+    id_col: str,
+    max_bucket: int,
+    split_depth: int,
+) -> tuple[list[DataFrame], DataFrame | None]:
+    """Adaptively REFINE oversized (band, bucket) groups by extending the
+    bucket key one seeded hyperplane sign at a time until every group is
+    ≤ ``max_bucket`` or ``split_depth`` is exhausted.
+
+    Why refine instead of drop: a hot bucket at a coarse banding is just
+    a big REGION of embedding space, not a blob of near-identicals — and
+    dropping regions silently zeroes the output once the corpus outgrows
+    bucket-count × max_bucket (found at the sf10 rehearsal: every 8×3
+    bucket holds ~25k of 200k vectors, so the old drop-based cap emitted
+    ZERO pairs while timing beautifully). Splitting degrades recall
+    gracefully instead: a true pair in a split region survives each
+    extra plane with the usual probability 1 − θ/π, multiplicative per
+    split level, and ONLY hot regions pay it.
+
+    Keys stay prefix-free across depths (the first split adds a
+    2^band_planes marker bit before shifting), so a depth-d bucket value
+    can never equi-join a depth-e one — groups exit whole at the level
+    their size first fits, carried in the returned ``parts`` list.
+
+    Truly identical vectors never separate (every plane agrees), so a
+    residual over-cap relation after ``split_depth`` levels IS the
+    near-identical blob the old docstring assumed everywhere; it is
+    returned separately for the caller's anchor-star degradation.
+    Levels are shared-checkpointed (DISK_ONLY, registry-released between
+    queries) — the iterated-small-step shape; the quantized vectors ride
+    along in the pending relation so no level re-joins the corpus."""
+    from esop_spark.operators.iterate import shared_checkpoint
+    from pyspark.storagelevel import StorageLevel
+
+    c = F.col(vec_col)
+    vq = F.transform(
+        c, lambda x: F.floor(x.cast("double") * SEM_SCALE).cast("bigint")
+    )
+    quant = embeddings.select(F.col(id_col), vq.alias("_vq"))
+    parts: list[DataFrame] = []
+    pend = bb  # (id, band, bucket); levels ≥ 1 carry _vq too
+    for depth in range(split_depth):
+        hot_k = shared_checkpoint(
+            pend.groupBy("band", "bucket")
+            .agg(F.count(F.lit(1)).alias("_bsz"))
+            .filter(F.col("_bsz") > max_bucket)
+            .select("band", "bucket")
+        )
+        if hot_k.count() == 0:
+            parts.append(pend.select(id_col, "band", "bucket"))
+            return parts, None
+        parts.append(
+            pend.join(F.broadcast(hot_k), ["band", "bucket"], "left_anti")
+            .select(id_col, "band", "bucket")
+        )
+        hot = pend.join(F.broadcast(hot_k), ["band", "bucket"], "left_semi")
+        if depth == 0:
+            hot = hot.join(quant, id_col)  # the one corpus-shaped join
+        planes_lit = F.array(*[
+            F.array(*[
+                F.lit(v)
+                for v in hyperplane_signs(1, dim, f"{seed}:{band}:s{depth}")[0]
+            ])
+            for band in range(bands)
+        ])
+        dot = F.aggregate(
+            F.zip_with(
+                F.col("_vq"),
+                F.element_at(planes_lit, F.col("band").cast("int") + 1),
+                lambda x, s: x * s,
+            ),
+            F.lit(0).cast("bigint"),
+            lambda acc, x: acc + x,
+        )
+        mark = (1 << band_planes) if depth == 0 else 0
+        pend = shared_checkpoint(
+            hot.select(
+                F.col(id_col),
+                F.col("band"),
+                (
+                    (F.col("bucket") + F.lit(mark)) * 2
+                    + (dot > 0).cast("bigint")
+                ).alias("bucket"),
+                F.col("_vq"),
+            ),
+            storage_level=StorageLevel.DISK_ONLY,
+        )
+    return parts, pend.select(id_col, "band", "bucket")
+
+
 def cosine_pairs_lsh(
     embeddings: DataFrame,
     threshold: float = 0.45,
@@ -212,7 +309,8 @@ def cosine_pairs_lsh(
     seed: str = "hp",
     vec_col: str = "embedding",
     id_col: str = "vec_id",
-    max_bucket: int = 10_000,
+    max_bucket: int = 200,
+    split_depth: int = 16,
 ) -> DataFrame:
     """Banded-LSH cosine-similarity pairs — the SCALE path with
     :func:`cosine_pairs`' exact output schema (id_a, id_b, cosine).
@@ -226,37 +324,67 @@ def cosine_pairs_lsh(
     shuffle on the bucket key, work ∝ Σ bucket_size², never the n²
     broadcast the exact baseline needs.
 
-    ``max_bucket`` drops degenerate band buckets (near-identical embedding
-    blobs — certain at corpus scale) before the self-join, the same
-    hot-key cap as the MinHash path's ``max_bucket`` / n-gram ``max_df``:
-    one 10M-row bucket is 5·10^13 pairs, and enumerating pairs inside a
-    blob that big is meaningless anyway (dedup wants
-    :func:`semantic_dedup`'s keep-one-per-bucket there). The cap is
-    applied identically in the DuckDB oracle, so results stay
-    hash-comparable.
+    ``max_bucket`` bounds the per-bucket join blowup (the enumeration
+    cost is Σ bucket², so the cap must be ENUMERATION-sized — hundreds,
+    not tens of thousands: at a 200k-vector rehearsal, cap 10⁴ still
+    admitted ~5·10⁹ candidate rows and OOM'd the distinct). Oversized
+    buckets are SPLIT, not dropped: the key is extended one seeded
+    hyperplane at a time (≤ ``split_depth`` levels, only hot regions
+    pay) until every group fits — see :func:`_split_hot_buckets` for why
+    the round-8 drop-based cap was a silent zero-output cliff once the
+    corpus outgrew bucket-count × max_bucket. A group still over-cap
+    after ``split_depth`` levels is a near-identical blob (identical
+    vectors agree on every plane); it degrades to anchor-star candidates
+    — O(B) edges, connectivity preserved for downstream clustering,
+    every emitted pair still exactly verified. On corpora with no
+    oversized buckets (the declared q301 oracle corpus) the plan and
+    results are identical to the plain banded join, which is what the
+    DuckDB oracle replicates.
+
+    Recall under splitting is similarity-dependent, and that is the
+    right semantic for near-dup dedup: each extra plane keeps a pair
+    with probability 1 − θ/π, so TRUE near-duplicates (cosine ≥ 0.8,
+    p ≥ 0.8) survive deep splits at high probability while
+    weakly-similar pairs (τ ≈ 0.45, p ≈ 0.65) wash out — recovering
+    those at scale is a range search and needs more bands (linear cost),
+    not a bigger cap (quadratic cost).
+
+    The hot-bucket probe makes this operator eager at call time (one
+    count per split level, ≥ 1) — same contract as the guarded exact
+    baselines.
     """
     bb = banded_semantic_buckets(
         embeddings, bands, band_planes, dim, seed, vec_col, id_col
     )
-    sizes = bb.groupBy("band", "bucket").agg(F.count(F.lit(1)).alias("_bsz"))
-    small = bb.join(sizes, ["band", "bucket"]).filter(
-        F.col("_bsz") <= max_bucket
+    parts, residual = _split_hot_buckets(
+        bb, embeddings, bands, band_planes, dim, seed, vec_col, id_col,
+        max_bucket, split_depth,
     )
+    small = parts[0]
+    for p in parts[1:]:
+        small = small.unionByName(p)
     a = small.alias("a")
     c = small.alias("b")
-    cand = (
-        a.join(
-            c,
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.bucket") == F.col("b.bucket"))
-            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
-        )
-        .select(
-            F.col(f"a.{id_col}").alias("id_a"),
-            F.col(f"b.{id_col}").alias("id_b"),
-        )
-        .distinct()  # a pair may agree on several bands; verify once
+    cand = a.join(
+        c,
+        (F.col("a.band") == F.col("b.band"))
+        & (F.col("a.bucket") == F.col("b.bucket"))
+        & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+    ).select(
+        F.col(f"a.{id_col}").alias("id_a"),
+        F.col(f"b.{id_col}").alias("id_b"),
     )
+    if residual is not None:
+        w = Window.partitionBy("band", "bucket")
+        star = (
+            residual.withColumn("_anchor", F.min(id_col).over(w))
+            .filter(F.col(id_col) != F.col("_anchor"))
+            .select(
+                F.col("_anchor").alias("id_a"), F.col(id_col).alias("id_b")
+            )
+        )
+        cand = cand.unionByName(star)
+    cand = cand.distinct()  # a pair may agree on several bands; verify once
     e = with_norm(embeddings, vec_col, id_col)
     ea = e.select(
         F.col(id_col).alias("id_a"), F.col("v").alias("va"), F.col("norm").alias("na")
