@@ -311,6 +311,7 @@ def cosine_pairs_lsh(
     id_col: str = "vec_id",
     max_bucket: int = 200,
     split_depth: int = 16,
+    broadcast_verify_rows: int = 2_500_000,
 ) -> DataFrame:
     """Banded-LSH cosine-similarity pairs — the SCALE path with
     :func:`cosine_pairs`' exact output schema (id_a, id_b, cosine).
@@ -353,6 +354,7 @@ def cosine_pairs_lsh(
     count per split level, ≥ 1) — same contract as the guarded exact
     baselines.
     """
+    n_vecs = embeddings.count()  # eager anyway (split probe); sizes verify
     bb = banded_semantic_buckets(
         embeddings, bands, band_planes, dim, seed, vec_col, id_col
     )
@@ -385,6 +387,17 @@ def cosine_pairs_lsh(
         )
         cand = cand.unionByName(star)
     cand = cand.distinct()  # a pair may agree on several bands; verify once
+    # Verify-leg join strategy: candidates are SKINNY (two ids) but the
+    # join OUTPUT carries a vector, so an SMJ chain shuffles
+    # candidates × vector-bytes TWICE — ~500 GB of spill at the 2M-vector
+    # probe (1.6e9 candidates × 64 floats), which filled the single-node
+    # disk. When the embedding table fits a broadcast
+    # (≤ broadcast_verify_rows; ~300 B/row at dim 64 → ≲ 750 MB), both
+    # legs broadcast and candidates stream through two hash joins with NO
+    # candidate shuffle at all. Past that bound the shuffle chain is the
+    # honest distributed plan: its per-node spill is
+    # candidates × vector-bytes / executors, disk-shaped on a cluster —
+    # only the one-box rehearsal needs the broadcast regime.
     e = with_norm(embeddings, vec_col, id_col)
     ea = e.select(
         F.col(id_col).alias("id_a"), F.col("v").alias("va"), F.col("norm").alias("na")
@@ -392,6 +405,8 @@ def cosine_pairs_lsh(
     eb = e.select(
         F.col(id_col).alias("id_b"), F.col("v").alias("vb"), F.col("norm").alias("nb")
     )
+    if n_vecs <= broadcast_verify_rows:
+        ea, eb = F.broadcast(ea), F.broadcast(eb)
     cos = _dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb"))
     return (
         cand.join(ea, "id_a")

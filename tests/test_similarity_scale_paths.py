@@ -243,3 +243,61 @@ def test_cosine_pairs_reroute_degrades_to_lsh(spark):
         for r in similarity.cosine_pairs_lsh(emb, threshold=0.45).collect()
     }
     assert lsh == direct
+
+
+def test_lsh_hot_buckets_split_not_dropped(spark):
+    """The round-9 zero-output fix: when the corpus outgrows bucket-count ×
+    max_bucket, oversized buckets must SPLIT (graceful recall) rather than
+    drop (silent empty result). 400 seeded vectors with 4 planted
+    near-dup pairs, max_bucket=20: every initial 4-plane bucket is hot
+    (~100 members), so the old drop-based cap would emit NOTHING; the
+    split path must keep precision 1.0 and find every planted
+    high-similarity pair (p = 1 − θ/π ≈ 0.95 per extra plane at cosine
+    0.99 — deep splits barely touch true near-dups; the whole pipeline is
+    seeded/deterministic, so this is a fixed assertion, not a flaky
+    probability)."""
+    import random
+
+    rnd = random.Random(7)
+    dim = 16
+    rows = []
+    for i in range(400):
+        rows.append((i, [rnd.gauss(0, 1) for _ in range(dim)]))
+    for j in range(4):  # planted near-dups of existing vectors
+        base = rows[j * 7][1]
+        rows.append((1000 + j, [x + rnd.gauss(0, 0.02) for x in base]))
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    kw = dict(threshold=0.9, bands=4, band_planes=4, dim=dim, max_bucket=20)
+    exact = {
+        (r["id_a"], r["id_b"]): r["cosine"]
+        for r in similarity.cosine_pairs(emb, threshold=0.9).collect()
+    }
+    got = {
+        (r["id_a"], r["id_b"]): r["cosine"]
+        for r in similarity.cosine_pairs_lsh(emb, **kw).collect()
+    }
+    assert set(got) <= set(exact)  # precision 1.0
+    for pair, cos in got.items():
+        assert cos == exact[pair]
+    planted = {(j * 7, 1000 + j) for j in range(4)}
+    assert planted <= set(exact)
+    assert planted <= set(got), (planted - set(got), len(got))
+
+
+def test_lsh_identical_blob_degrades_to_anchor_star(spark):
+    """A bucket of IDENTICAL vectors never separates (every plane agrees),
+    so after split_depth levels it must degrade to anchor-star candidates:
+    exactly (min_id, other) edges, each exactly verified at cosine 1.0 —
+    bounded output, connectivity preserved."""
+    v = [1.0, 2.0, -0.5, 0.25] * 4
+    emb = spark.createDataFrame(
+        [(i, v) for i in range(30)], "vec_id long, embedding array<double>"
+    )
+    got = sorted(
+        (r["id_a"], r["id_b"], r["cosine"])
+        for r in similarity.cosine_pairs_lsh(
+            emb, threshold=0.9, bands=2, band_planes=2, dim=16,
+            max_bucket=5, split_depth=3,
+        ).collect()
+    )
+    assert got == [(0, i, 1.0) for i in range(1, 30)]
