@@ -311,7 +311,7 @@ def cosine_pairs_lsh(
     id_col: str = "vec_id",
     max_bucket: int = 200,
     split_depth: int = 16,
-    broadcast_verify_rows: int = 2_500_000,
+    broadcast_verify_rows: int = 1_000_000,
 ) -> DataFrame:
     """Banded-LSH cosine-similarity pairs — the SCALE path with
     :func:`cosine_pairs`' exact output schema (id_a, id_b, cosine).
@@ -397,7 +397,11 @@ def cosine_pairs_lsh(
     # candidate shuffle at all. Past that bound the shuffle chain is the
     # honest distributed plan: its per-node spill is
     # candidates × vector-bytes / executors, disk-shaped on a cluster —
-    # only the one-box rehearsal needs the broadcast regime.
+    # only the one-box rehearsal needs the broadcast regime. The default
+    # bound fits two built legs in the default 8 GiB heap (~0.7 GB
+    # on-heap each at dim 64); at 2M rows the build failed at 8 GiB, so
+    # a bigger single-box probe must raise the heap AND the bound
+    # together (tools/sf100_probe.py does).
     e = with_norm(embeddings, vec_col, id_col)
     ea = e.select(
         F.col(id_col).alias("id_a"), F.col("v").alias("va"), F.col("norm").alias("na")
