@@ -3076,8 +3076,13 @@ def q301_cosine_pairs_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Banded-LSH cosine pairs (similarity.cosine_pairs_lsh) — the guarded
     scale path behind q25's exact O(n²) baseline, same output schema:
     (band, bucket) equi-join candidates from 8×3 hyperplane sign bands,
-    exact per-pair cosine (precision 1.0, recall ≈0.92 at τ=0.45), hot
-    band-buckets capped identically in both engines."""
+    exact per-pair cosine (precision 1.0, recall ≈0.92 at τ=0.45). The
+    engine SPLITS band-buckets larger than max_bucket=200 (seeded key
+    extension, similarity._split_hot_buckets) — semantics SQL does not
+    replicate — so oracle parity rests on the pinned precondition that
+    the sf0.01 oracle corpus has no bucket over the cap (max observed 84;
+    tests/test_similarity_scale_paths.py::test_q301_oracle_corpus_has_no_hot_buckets),
+    under which both engines reduce to the identical plain banded join."""
     return similarity.cosine_pairs_lsh(
         _base(spark, sf_dir, "embeddings"),
         threshold=COSINE_TAU,
@@ -3904,9 +3909,15 @@ def _cosine_lsh_oracle(
     bands: int, band_planes: int, dim: int, tau: float, max_bucket: int
 ) -> str:
     """q301 oracle: the banded hyperplane sign buckets (per-band plane sets
-    from per-band seeds, exactly similarity.banded_semantic_buckets), hot
-    band-buckets dropped at the same cap as the Spark leg, distinct
-    candidate pairs, then exact cosine."""
+    from per-band seeds, exactly similarity.banded_semantic_buckets),
+    distinct candidate pairs, then exact cosine. The HAVING cap mirrors the
+    engine's max_bucket as a tripwire, NOT its semantics: the engine SPLITS
+    over-cap buckets (seeded key extension) where this SQL would DROP them,
+    so the two agree only while no bucket exceeds the cap — true on the
+    sf0.01 oracle corpus (max bucket 84 vs cap 200; precondition pinned by
+    test_q301_oracle_corpus_has_no_hot_buckets). If the corpus ever grows a
+    hot bucket, the oracle diverges loudly (missing pairs) instead of
+    silently validating drop semantics at a slack 10^4 cap."""
     rows = ", ".join(
         f"({band}, {j}, {i + 1}, {signs_b[j][i]})"
         for band in range(bands)
@@ -12628,7 +12639,7 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY 1, 2
         """,
         "q301_cosine_pairs_lsh": _cosine_lsh_oracle(
-            8, 3, 64, COSINE_TAU, 10_000
+            8, 3, 64, COSINE_TAU, 200  # engine's max_bucket; see _cosine_lsh_oracle
         ),
         # q302: candidates restricted to rare-shingle (df <= 5) co-occurrence,
         # jaccard still counted over ALL shared shingles — the exact semantics

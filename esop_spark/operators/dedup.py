@@ -908,7 +908,7 @@ def weighted_jaccard_pairs(
         raise ValueError(
             f"weighted_jaccard_pairs broadcasts {n_rows} dense tf vectors "
             f"of width {len(vocab)} = {n_rows * len(vocab)} cells > "
-            f"max_cells={max_cells} (~{max_cells * 8 >> 30} GiB at 8 B/cell "
+            f"max_cells={max_cells} (~{max_cells * 8 >> 20} MiB at 8 B/cell "
             f"is the broadcast budget). Use weighted_minhash_lsh_pairs, "
             f"pass reroute=True, or raise max_cells explicitly."
         )

@@ -235,9 +235,16 @@ def _split_hot_buckets(
     their size first fits, carried in the returned ``parts`` list.
 
     Truly identical vectors never separate (every plane agrees), so a
-    residual over-cap relation after ``split_depth`` levels IS the
-    near-identical blob the old docstring assumed everywhere; it is
-    returned separately for the caller's anchor-star degradation.
+    STILL-over-cap group after ``split_depth`` levels IS a
+    near-identical blob; those groups (and only those) are returned
+    separately for the caller's anchor-star degradation. Groups whose
+    size first fits at the final split level exit into ``parts`` like
+    any other level's — the loop's trailing partition runs once more
+    after the last split so fitting groups are never star-degraded
+    merely for fitting *late*. ``split_depth=0`` therefore means "no
+    splitting": under-cap buckets enumerate, over-cap buckets go
+    straight to the blob residual (the pre-round-9 cap semantics minus
+    the silent drop).
     Levels are shared-checkpointed (DISK_ONLY, registry-released between
     queries) — the iterated-small-step shape; the quantized vectors ride
     along in the pending relation so no level re-joins the corpus."""
@@ -297,7 +304,26 @@ def _split_hot_buckets(
             ),
             storage_level=StorageLevel.DISK_ONLY,
         )
-    return parts, pend.select(id_col, "band", "bucket")
+    # One trailing partition so groups that first fit at the FINAL split
+    # level still enumerate pairwise; only still-over-cap groups (the
+    # near-identical blobs) become the star-degraded residual.
+    hot_k = shared_checkpoint(
+        pend.groupBy("band", "bucket")
+        .agg(F.count(F.lit(1)).alias("_bsz"))
+        .filter(F.col("_bsz") > max_bucket)
+        .select("band", "bucket")
+    )
+    if hot_k.count() == 0:
+        parts.append(pend.select(id_col, "band", "bucket"))
+        return parts, None
+    parts.append(
+        pend.join(F.broadcast(hot_k), ["band", "bucket"], "left_anti")
+        .select(id_col, "band", "bucket")
+    )
+    residual = pend.join(
+        F.broadcast(hot_k), ["band", "bucket"], "left_semi"
+    ).select(id_col, "band", "bucket")
+    return parts, residual
 
 
 def cosine_pairs_lsh(

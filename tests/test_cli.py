@@ -182,7 +182,10 @@ def test_packaging_console_script_contract():
     wheel), the resolved entry point must load the same callable the
     module exports. Skips the installed half on a bare checkout."""
     import importlib.metadata as im
-    import tomllib
+    try:
+        import tomllib
+    except ImportError:  # Python 3.10 (requires-python >= 3.10)
+        tomllib = pytest.importorskip("tomli")
 
     with open(os.path.join(os.path.dirname(__file__), "..", "pyproject.toml"),
               "rb") as f:

@@ -301,3 +301,82 @@ def test_lsh_identical_blob_degrades_to_anchor_star(spark):
         ).collect()
     )
     assert got == [(0, i, 1.0) for i in range(1, 30)]
+
+
+def test_q301_oracle_corpus_has_no_hot_buckets(spark):
+    """Oracle-parity PRECONDITION pin (round 10): the q301 DuckDB oracle
+    replicates the plain banded join with a HAVING <= max_bucket tripwire,
+    while the engine SPLITS over-cap buckets — semantics SQL does not
+    express. The two agree iff the sf0.01 oracle corpus has no (band,
+    bucket) group over the engine's cap of 200 (observed max 84). If data
+    regeneration ever breaks this, the oracle must be re-derived (or the
+    corpus re-shaped), not the cap slackened."""
+    import pyspark.sql.functions as F
+
+    emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    bb = similarity.banded_semantic_buckets(
+        emb, 8, 3, 64, "hp", "embedding", "vec_id"
+    )
+    mx = (
+        bb.groupBy("band", "bucket")
+        .count()
+        .agg(F.max("count").alias("mx"))
+        .first()["mx"]
+    )
+    assert mx <= 200, f"sf0.01 grew a hot bucket ({mx} > 200): q301 oracle invalid"
+
+
+def test_split_final_level_fitting_groups_enumerate(spark):
+    """Groups whose size first fits at the FINAL split level must exit into
+    the enumeration parts, not be star-degraded with the blob residual
+    (round-10 ADVICE fix). Probed by running the split once with slack
+    depth to learn the natural convergence depth d, then re-running with
+    split_depth exactly d: the trailing partition must see no hot groups
+    and return residual=None with full membership preserved."""
+    import random
+
+    from esop_spark.operators.similarity import (
+        _split_hot_buckets,
+        banded_semantic_buckets,
+    )
+
+    rnd = random.Random(11)
+    dim = 16
+    emb = spark.createDataFrame(
+        [(i, [rnd.gauss(0, 1) for _ in range(dim)]) for i in range(300)],
+        "vec_id long, embedding array<double>",
+    )
+    bb = banded_semantic_buckets(emb, 2, 2, dim, "hp", "embedding", "vec_id")
+    n_bb = bb.count()
+    args = (bb, emb, 2, 2, dim, "hp", "embedding", "vec_id", 20)
+    parts, residual = _split_hot_buckets(*args, 16)
+    assert residual is None
+    d = len(parts) - 1  # early return at depth d => d actual splits
+    assert d >= 1, "corpus did not exercise splitting; shrink max_bucket"
+    parts2, residual2 = _split_hot_buckets(*args, d)
+    assert residual2 is None, "final-level fitting groups were star-degraded"
+    total = 0
+    for p in parts2:
+        total += p.count()
+    assert total == n_bb
+
+
+def test_split_depth_zero_is_cap_without_split(spark):
+    """split_depth=0 must not crash (round-10 ADVICE: parts[0] IndexError)
+    and means 'no splitting': under-cap buckets enumerate pairwise,
+    over-cap buckets go straight to the anchor-star residual."""
+    v = [1.0, 2.0, -0.5, 0.25] * 4
+    rows = [(i, v) for i in range(30)]  # one over-cap identical blob
+    w = [0.9, -1.3, 2.0, 0.1] * 4
+    rows += [(100, w), (101, [x * 1.0001 for x in w])]  # small under-cap pair
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    got = sorted(
+        (r["id_a"], r["id_b"], r["cosine"])
+        for r in similarity.cosine_pairs_lsh(
+            emb, threshold=0.9, bands=2, band_planes=2, dim=16,
+            max_bucket=5, split_depth=0,
+        ).collect()
+    )
+    assert (100, 101, 1.0) in got  # under-cap bucket enumerated
+    blob = [(a, b, c) for a, b, c in got if a < 100]
+    assert blob == [(0, i, 1.0) for i in range(1, 30)]  # star, not dropped
