@@ -21,6 +21,7 @@ def get_spark(
     app_name: str = "esop-spark",
     master: str | None = None,
     shuffle_partitions: int | None = None,
+    console_progress: bool = True,
 ) -> SparkSession:
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
     master = master or f"local[{cpus}]"
@@ -28,6 +29,9 @@ def get_spark(
     return (
         SparkSession.builder.appName(app_name)
         .master(master)
+        # static conf — only honored by the session that creates the JVM;
+        # sweep tools pass False so result lines never merge with \r bars
+        .config("spark.ui.showConsoleProgress", str(console_progress).lower())
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")

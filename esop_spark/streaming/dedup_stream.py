@@ -161,6 +161,47 @@ def _expand_delta_pairs(delta: DataFrame) -> DataFrame:
     ).select("band", F.col("e.a").alias("id_a"), F.col("e.b").alias("id_b"))
 
 
+def _bb_minhash(documents, num_hashes, bands, n, hash_family, text_col, id_col):
+    """(did, band, bucket) membership projection for the MinHash family —
+    shared by the stateful stream and the compacted foreachBatch variant."""
+    sig = with_minhash_signature(
+        documents, num_hashes, n, text_col, id_col, hash_family
+    )
+    return _band_buckets(sig, num_hashes, bands, hash_family, id_col).select(
+        F.col(id_col).alias("did"), "band", "bucket"
+    )
+
+
+def _bb_weighted_minhash(
+    documents, num_hashes, bands, tf_cap, hash_family, text_col, id_col
+):
+    sig = with_weighted_minhash_signature(
+        documents, num_hashes, tf_cap, text_col, id_col, hash_family
+    )
+    return _band_buckets(sig, num_hashes, bands, hash_family, id_col).select(
+        F.col(id_col).alias("did"), "band", "bucket"
+    )
+
+
+def _bb_simhash(documents, num_bits, chunks, hash_family, text_col, id_col):
+    sig = with_simhash_signature(
+        documents, num_bits, text_col, id_col, hash_family
+    )
+    return simhash_chunks(sig, num_bits, chunks, id_col).select(
+        F.col(id_col).alias("did"),
+        F.col("chunk_idx").alias("band"),
+        F.col("chunk_val").cast("string").alias("bucket"),
+    )
+
+
+def _bb_embedding(embeddings, bands, band_planes, dim, seed, vec_col, id_col):
+    from esop_spark.operators.similarity import banded_semantic_buckets
+
+    return banded_semantic_buckets(
+        embeddings, bands, band_planes, dim, seed, vec_col, id_col
+    ).select(F.col(id_col).alias("did"), "band", "bucket")
+
+
 def lsh_candidate_stream(
     documents: DataFrame,
     num_hashes: int = 32,
@@ -190,11 +231,8 @@ def lsh_candidate_stream(
     are edges WITHIN the bucket's connected component, so the intended
     consumer — connected-components clustering — is unaffected even
     without dedup; only pair-count statistics need the distinct()."""
-    sig = with_minhash_signature(
-        documents, num_hashes, n, text_col, id_col, hash_family
-    )
-    bb = _band_buckets(sig, num_hashes, bands, hash_family, id_col).select(
-        F.col(id_col).alias("did"), "band", "bucket"
+    bb = _bb_minhash(
+        documents, num_hashes, bands, n, hash_family, text_col, id_col
     )
     return _expand_delta_pairs(
         bb.groupBy("band", "bucket").applyInPandasWithState(
@@ -227,11 +265,8 @@ def weighted_lsh_candidate_stream(
     hot-bucket anchor-star degradation; verification (exact capped
     weighted Jaccard) stays a batch job over the emitted pair log, the
     same split as every LSH stream here."""
-    sig = with_weighted_minhash_signature(
-        documents, num_hashes, tf_cap, text_col, id_col, hash_family
-    )
-    bb = _band_buckets(sig, num_hashes, bands, hash_family, id_col).select(
-        F.col(id_col).alias("did"), "band", "bucket"
+    bb = _bb_weighted_minhash(
+        documents, num_hashes, bands, tf_cap, hash_family, text_col, id_col
     )
     return _expand_delta_pairs(
         bb.groupBy("band", "bucket").applyInPandasWithState(
@@ -267,14 +302,7 @@ def simhash_candidate_stream(
     verification (bit_count(xor) ≤ radius) stays a batch job over the
     emitted pair log — the same candidates-then-verify split as every
     LSH stream here. Output (band, id_a, id_b); band is the chunk index."""
-    sig = with_simhash_signature(
-        documents, num_bits, text_col, id_col, hash_family
-    )
-    bb = simhash_chunks(sig, num_bits, chunks, id_col).select(
-        F.col(id_col).alias("did"),
-        F.col("chunk_idx").alias("band"),
-        F.col("chunk_val").cast("string").alias("bucket"),
-    )
+    bb = _bb_simhash(documents, num_bits, chunks, hash_family, text_col, id_col)
     return _expand_delta_pairs(
         bb.groupBy("band", "bucket").applyInPandasWithState(
             _lsh_fn_factory(int(max_bucket)),
@@ -310,11 +338,9 @@ def embedding_candidate_stream(
     (band, bucket) is bounded: member ids up to ``max_bucket``, a single
     anchor after — the pair-log SET contract documented on
     :func:`lsh_candidate_stream` applies identically."""
-    from esop_spark.operators.similarity import banded_semantic_buckets
-
-    bb = banded_semantic_buckets(
+    bb = _bb_embedding(
         embeddings, bands, band_planes, dim, seed, vec_col, id_col
-    ).select(F.col(id_col).alias("did"), "band", "bucket")
+    )
     return _expand_delta_pairs(
         bb.groupBy("band", "bucket").applyInPandasWithState(
             _lsh_fn_factory(int(max_bucket)),
@@ -323,4 +349,265 @@ def embedding_candidate_stream(
             outputMode="append",
             timeoutConf=GroupStateTimeout.NoTimeout,
         )
+    )
+
+
+# --- Compacted foreachBatch variant: no Python state function ------------
+#
+# applyInPandasWithState pays a fixed per-key Python/Arrow round-trip
+# (~50 µs) for every (band, bucket) key a micro-batch touches, REGARDLESS
+# of output — and deep-banded signatures make keys proliferate: the
+# weighted stream's 20 bands over a 500k-doc corpus touch ~9M mostly-
+# singleton keys per replay, ~450 s of the 516.8 s sf10 drain (SCALE.md
+# round-9 stream table). The pairs stopped crossing Arrow in round 9; the
+# KEYS still did. This variant removes Python from the loop entirely:
+# bucket membership lives in a COMPACTED state table — one row per
+# (band, bucket): (ids array ≤ max_bucket, hot flag) — maintained by a
+# foreachBatch function as plain JVM DataFrame ops (one groupBy, one
+# join, one parquet rewrite per batch), and the per-batch delta rows feed
+# the same :func:`_expand_delta_pairs` expansion the stateful leg uses,
+# so pair semantics are IDENTICAL by construction (same (news, olds,
+# star) rule, same expansion — parity-tested against both the batch
+# operator and the stateful stream).
+#
+# Exactly-once: outputs are keyed by batch_id — pairs overwrite
+# ``pairs_dir/batch=<id>``, state snapshots overwrite
+# ``state_dir/v=<id>`` — so a crash-replayed batch (foreachBatch
+# redelivers the same epoch) rewrites both idempotently; the prior
+# snapshot it reads (largest v < batch_id) is pruned only after being
+# two generations old. State I/O goes through the Hadoop FileSystem API,
+# so the same code runs on file:/, hdfs:/ or s3a:/ state dirs. At 100 TB
+# the full-rewrite compaction is the one cost knob: O(buckets-seen) per
+# batch — the classic streaming-compaction trade (a real deployment
+# would swap the version-dir rewrite for a Delta/Iceberg MERGE, which is
+# the same plan minus the full rewrite); per-batch work is otherwise
+# O(batch + touched buckets) with no per-key constant.
+
+
+def _hadoop_fs(spark, path: str):
+    jvm = spark._jvm
+    hpath = jvm.org.apache.hadoop.fs.Path(path)
+    return hpath.getFileSystem(spark._jsc.hadoopConfiguration()), hpath
+
+
+def _state_versions(spark, state_dir: str) -> list[int]:
+    fs, root = _hadoop_fs(spark, state_dir)
+    if not fs.exists(root):
+        return []
+    out = []
+    for st in fs.listStatus(root):
+        name = st.getPath().getName()
+        if name.startswith("v=") and name[2:].isdigit():
+            out.append(int(name[2:]))
+    return sorted(out)
+
+
+_EMPTY_IDS = "CAST(array() AS array<bigint>)"
+
+
+def _compacted_fn_factory(pairs_dir: str, state_dir: str, max_bucket: int):
+    """foreachBatch function over a (did, band, bucket) membership batch:
+    emit this batch's candidate pairs against the compacted state table
+    and write the next state snapshot. Pure JVM DataFrame ops."""
+
+    def fn(batch_bb: DataFrame, batch_id: int) -> None:
+        spark = batch_bb.sparkSession
+        arrivals = (
+            batch_bb.distinct()
+            .groupBy("band", "bucket")
+            .agg(F.sort_array(F.collect_set("did")).alias("batch_ids"))
+        )
+        versions = _state_versions(spark, state_dir)
+        prior = max((v for v in versions if v < batch_id), default=None)
+        if prior is not None:
+            state = spark.read.parquet(f"{state_dir}/v={prior}")
+            joined = arrivals.join(state, ["band", "bucket"], "left")
+            untouched = state.join(
+                arrivals.select("band", "bucket"), ["band", "bucket"],
+                "left_anti",
+            )
+        else:
+            joined = arrivals.withColumn(
+                "ids", F.expr("CAST(NULL AS array<bigint>)")
+            ).withColumn("hot", F.lit(0))
+            untouched = None
+        olds = F.coalesce(F.col("ids"), F.expr(_EMPTY_IDS))
+        touched = joined.select(
+            "band",
+            "bucket",
+            F.array_except("batch_ids", olds).alias("news"),
+            olds.alias("olds"),
+            F.coalesce(F.col("hot"), F.lit(0)).alias("hot"),
+        ).persist()
+        try:
+            star = (F.col("hot") == 1) | (
+                F.size("olds") + F.size("news") > max_bucket
+            )
+            delta = touched.filter(F.size("news") > 0).select(
+                "band", "news", "olds", star.cast("int").alias("star")
+            )
+            _expand_delta_pairs(delta).write.mode("overwrite").parquet(
+                f"{pairs_dir}/batch={batch_id}"
+            )
+            anchor = F.least(F.array_min("news"), F.array_min("olds"))
+            new_state = touched.select(
+                "band",
+                "bucket",
+                F.when(F.size("news") == 0, F.col("olds"))
+                .when(star, F.array(anchor))
+                .otherwise(F.sort_array(F.concat("olds", "news")))
+                .alias("ids"),
+                F.when(F.size("news") == 0, F.col("hot"))
+                .when(star, F.lit(1))
+                .otherwise(F.lit(0))
+                .cast("int")
+                .alias("hot"),
+            )
+            full = (
+                new_state
+                if untouched is None
+                else new_state.unionByName(untouched)
+            )
+            full.write.mode("overwrite").parquet(f"{state_dir}/v={batch_id}")
+        finally:
+            touched.unpersist()
+        if prior is not None:
+            fs, _ = _hadoop_fs(spark, state_dir)
+            jvm = spark._jvm
+            for v in versions:
+                if v < prior:  # `prior` itself stays: a crash replays at
+                    # most THIS batch, which reads `prior`
+                    fs.delete(
+                        jvm.org.apache.hadoop.fs.Path(f"{state_dir}/v={v}"),
+                        True,
+                    )
+
+    return fn
+
+
+def start_compacted_candidates(
+    bb: DataFrame,
+    pairs_dir: str,
+    state_dir: str,
+    checkpoint_dir: str,
+    max_bucket: int = 100,
+    processing_time: str | None = None,
+):
+    """Start a compacted-state candidate query over a streaming
+    (did, band, bucket) membership relation (one of the ``_bb_*``
+    builders). Pairs land under ``pairs_dir/batch=<id>`` —
+    ``spark.read.parquet(pairs_dir)`` exposes the epoch as a ``batch``
+    partition column; the SET contract of
+    :func:`lsh_candidate_stream` applies to the union. Returns the
+    started :class:`~pyspark.sql.streaming.StreamingQuery` (default
+    trigger availableNow; pass ``processing_time`` for a continuous
+    micro-batch cadence)."""
+    writer = (
+        bb.writeStream.foreachBatch(
+            _compacted_fn_factory(pairs_dir, state_dir, int(max_bucket))
+        )
+        .outputMode("append")
+        .option("checkpointLocation", checkpoint_dir)
+    )
+    if processing_time is not None:
+        writer = writer.trigger(processingTime=processing_time)
+    else:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def lsh_compacted_query(
+    documents: DataFrame,
+    pairs_dir: str,
+    state_dir: str,
+    checkpoint_dir: str,
+    num_hashes: int = 32,
+    bands: int = 8,
+    n: int = 3,
+    hash_family: str = "xxhash64",
+    max_bucket: int = 100,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    processing_time: str | None = None,
+):
+    """Compacted-state twin of :func:`lsh_candidate_stream` — identical
+    pair semantics (same banding projection, same (news, olds, star)
+    delta rule, same JVM expansion), no Python state function."""
+    bb = _bb_minhash(
+        documents, num_hashes, bands, n, hash_family, text_col, id_col
+    )
+    return start_compacted_candidates(
+        bb, pairs_dir, state_dir, checkpoint_dir, max_bucket, processing_time
+    )
+
+
+def weighted_lsh_compacted_query(
+    documents: DataFrame,
+    pairs_dir: str,
+    state_dir: str,
+    checkpoint_dir: str,
+    num_hashes: int = 200,
+    bands: int = 20,
+    tf_cap: int = 10,
+    hash_family: str = "xxhash64",
+    max_bucket: int = 100,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    processing_time: str | None = None,
+):
+    """Compacted-state twin of :func:`weighted_lsh_candidate_stream` —
+    THE leg this variant exists for: its 20 deep bands touch ~9M mostly-
+    singleton (band, bucket) keys per sf10 replay, and the per-key Python
+    round-trip (~450 s of a 516.8 s drain) disappears entirely when the
+    state lives in a compacted JVM-side table (see module note)."""
+    bb = _bb_weighted_minhash(
+        documents, num_hashes, bands, tf_cap, hash_family, text_col, id_col
+    )
+    return start_compacted_candidates(
+        bb, pairs_dir, state_dir, checkpoint_dir, max_bucket, processing_time
+    )
+
+
+def simhash_compacted_query(
+    documents: DataFrame,
+    pairs_dir: str,
+    state_dir: str,
+    checkpoint_dir: str,
+    num_bits: int = 48,
+    chunks: int = 4,
+    hash_family: str = "xxhash64",
+    max_bucket: int = 100,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    processing_time: str | None = None,
+):
+    """Compacted-state twin of :func:`simhash_candidate_stream`."""
+    bb = _bb_simhash(
+        documents, num_bits, chunks, hash_family, text_col, id_col
+    )
+    return start_compacted_candidates(
+        bb, pairs_dir, state_dir, checkpoint_dir, max_bucket, processing_time
+    )
+
+
+def embedding_compacted_query(
+    embeddings: DataFrame,
+    pairs_dir: str,
+    state_dir: str,
+    checkpoint_dir: str,
+    bands: int = 8,
+    band_planes: int = 3,
+    dim: int = 64,
+    seed: str = "hp",
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    max_bucket: int = 100,
+    processing_time: str | None = None,
+):
+    """Compacted-state twin of :func:`embedding_candidate_stream`."""
+    bb = _bb_embedding(
+        embeddings, bands, band_planes, dim, seed, vec_col, id_col
+    )
+    return start_compacted_candidates(
+        bb, pairs_dir, state_dir, checkpoint_dir, max_bucket, processing_time
     )

@@ -262,3 +262,23 @@ def test_pin_projection_barrier_semantics_and_plan(spark):
     )
     plan = out._jdf.queryExecution().optimizedPlan().toString()
     assert "Generate explode" in plan, plan[:400]
+
+
+def test_cosine_lsh_verify_legs_broadcast(spark):
+    """q301's verify tail must run as two BroadcastHashJoins when the
+    embedding table fits the broadcast bound (n ≤ broadcast_verify_rows):
+    the candidate relation is skinny but the join OUTPUT carries a
+    vector, so an SMJ chain shuffles candidates × vector-bytes twice —
+    measured ~500 GB of one-box spill at the 2M-vector probe. A config
+    change that silently reverts the verify legs to shuffle joins must
+    fail here, not at the next scale rehearsal (round-9 verdict #3)."""
+    from esop_spark.operators import similarity
+
+    emb = entry_mod._base(spark, SF_DIR, "embeddings")
+    df = similarity.cosine_pairs_lsh(emb, threshold=0.45, dim=64)
+    df.collect()
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("BroadcastHashJoin") >= 2, plan
+    assert "SortMergeJoin" not in plan, (
+        "verify legs fell back to a shuffle join under the broadcast bound"
+    )

@@ -39,7 +39,10 @@ def normalize(rows: list[tuple], cols: list[str]) -> list[tuple]:
 def main() -> int:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
     only = set(sys.argv[2:])
-    spark = get_spark("oracle-check")
+    # console_progress=False: progress bars write \r to stdout and merge
+    # with result lines (full sweeps lost ~10 OK lines per round to
+    # mid-bar prints); the sweep log must stay one plain line per query.
+    spark = get_spark("oracle-check", console_progress=False)
     con = duckdb.connect()
     for name in entry_mod.queries():  # register base views for duckdb
         pass

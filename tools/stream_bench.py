@@ -23,9 +23,13 @@ from bench import _pinned_shuffle_partitions
 from esop_spark.session import get_spark
 from esop_spark.streaming.dedup_stream import (
     embedding_candidate_stream,
+    embedding_compacted_query,
     lsh_candidate_stream,
+    lsh_compacted_query,
     simhash_candidate_stream,
+    simhash_compacted_query,
     weighted_lsh_candidate_stream,
+    weighted_lsh_compacted_query,
 )
 
 DOC_SCHEMA = "doc_id long, text string, lang string, source string, n_chars long"
@@ -40,6 +44,18 @@ STREAMS = [
      lambda df: simhash_candidate_stream(df)),
     ("embedding_candidate_stream", "embeddings", EMB_SCHEMA,
      lambda df: embedding_candidate_stream(df)),
+]
+
+# foreachBatch variants own their sink (pairs_dir) and state (state_dir);
+# the drain counts the written pair rows instead of foreachBatch output
+COMPACTED = [
+    ("lsh_compacted_query", "documents", DOC_SCHEMA, lsh_compacted_query),
+    ("weighted_lsh_compacted_query", "documents", DOC_SCHEMA,
+     weighted_lsh_compacted_query),
+    ("simhash_compacted_query", "documents", DOC_SCHEMA,
+     simhash_compacted_query),
+    ("embedding_compacted_query", "embeddings", EMB_SCHEMA,
+     embedding_compacted_query),
 ]
 
 
@@ -84,8 +100,36 @@ def drain(spark, sf_dir: str, name: str, table: str, schema: str, build, ckpt_ro
     return n_in, counts["rows"], round(wall, 2), round(n_in / wall)
 
 
+def drain_compacted(spark, sf_dir, name, table, schema, query, ckpt_root):
+    src = os.path.join(sf_dir, f"{table}.parquet")
+    if os.path.isfile(src):
+        stage = os.path.join(ckpt_root, f"src-{table}-{abs(hash(sf_dir))}")
+        os.makedirs(stage, exist_ok=True)
+        link = os.path.join(stage, "part-0.parquet")
+        if not os.path.exists(link):
+            os.symlink(src, link)
+        src = stage
+    n_in = spark.read.parquet(src).count()
+    run = os.path.join(ckpt_root, f"{name}-{abs(hash(sf_dir))}")
+    pairs, state, ckpt = (os.path.join(run, d) for d in ("pairs", "state", "ckpt"))
+    stream = spark.readStream.schema(schema).parquet(src)
+    t0 = time.perf_counter()
+    q = query(stream, pairs, state, ckpt)
+    q.awaitTermination()
+    wall = time.perf_counter() - t0
+    n_out = spark.read.parquet(pairs).count()
+    return n_in, n_out, round(wall, 2), round(n_in / wall)
+
+
 def main() -> None:
-    sf_dirs = sys.argv[1:] or ["/root/testdata/sf0.1"]
+    args = [a for a in sys.argv[1:] if not a.startswith("--")]
+    flags = {a for a in sys.argv[1:] if a.startswith("--")}
+    sf_dirs = args or ["/root/testdata/sf0.1"]
+    which = []
+    if "--stateful-only" not in flags:
+        which.append((COMPACTED, drain_compacted))
+    if "--compacted-only" not in flags:
+        which.insert(0, (STREAMS, drain))
     spark = get_spark("stream-bench")
     import tempfile
 
@@ -97,11 +141,15 @@ def main() -> None:
             "spark.sql.shuffle.partitions",
             str(_pinned_shuffle_partitions(_sf_of(sf_dir))),
         )
-        for name, table, schema, build in STREAMS:
-            n_in, n_out, wall, rate = drain(
-                spark, sf_dir, name, table, schema, build, ckpt_root
-            )
-            print(f"| {name} | {sf_dir} | {n_in} | {n_out} | {wall} | {rate} |")
+        for streams, fn in which:
+            for name, table, schema, build in streams:
+                n_in, n_out, wall, rate = fn(
+                    spark, sf_dir, name, table, schema, build, ckpt_root
+                )
+                print(
+                    f"| {name} | {sf_dir} | {n_in} | {n_out} | {wall} | {rate} |",
+                    flush=True,
+                )
 
 
 if __name__ == "__main__":
