@@ -30,6 +30,38 @@ def bench_query_names() -> list[str]:
     return list(entry_mod.queries().keys())
 
 
+def _run_calibration(spark, sf_dir: str) -> list[float]:
+    """Fixed-cost scan+agg whose plan never changes round-to-round: one
+    lineitem scan, one hash aggregation, noop sink. Timed with the same
+    1-warmup + 5-trial protocol as real queries, once BEFORE and once
+    AFTER the sweep, so machine drift (co-load, thermal, page cache)
+    is MEASURED and can be subtracted from round-over-round deltas in
+    BENCH_NOTES instead of argued (two consecutive rounds leaned on a
+    'uniform environmental drift' narrative — round-9 verdict #4)."""
+    from pyspark.sql import functions as F
+
+    def once():
+        (
+            spark.read.parquet(os.path.join(sf_dir, "lineitem.parquet"))
+            .groupBy("l_returnflag", "l_linestatus")
+            .agg(
+                F.sum("l_quantity").alias("sum_qty"),
+                F.count(F.lit(1)).alias("n"),
+            )
+            .write.format("noop")
+            .mode("overwrite")
+            .save()
+        )
+
+    once()  # untimed warmup
+    trials = []
+    for _ in range(5):
+        t0 = time.perf_counter()
+        once()
+        trials.append(round(time.perf_counter() - t0, 3))
+    return trials
+
+
 def _pinned_shuffle_partitions(sf: float) -> int:
     """Per-SF shuffle sizing so partition counts (and therefore per-task
     input sizes) are stable run-to-run instead of inheriting whatever
@@ -102,6 +134,8 @@ def main() -> None:
     # report can manufacture methodology-only "wins").
     # ALL trial times are recorded in BENCH_DETAIL.json (queries_trials) so
     # a single-outlier record is diagnosable from the artifact alone.
+    calib_pre = _run_calibration(spark, sf_dir)
+
     timings: dict[str, float] = {}
     medians: dict[str, float] = {}
     all_trials: dict[str, list[float]] = {}
@@ -131,6 +165,8 @@ def main() -> None:
         timings[name] = round(min(trials), 3)
         medians[name] = round(sorted(trials)[2], 3)
         all_trials[name] = [round(t, 3) for t in trials]
+
+    calib_post = _run_calibration(spark, sf_dir)
 
     total = round(sum(timings.values()), 3)
 
@@ -166,6 +202,8 @@ def main() -> None:
                 "queries": timings,
                 "queries_median": medians,
                 "queries_trials": all_trials,
+                "calibration_trials_pre": calib_pre,
+                "calibration_trials_post": calib_post,
             },
             fh,
             indent=1,
@@ -181,6 +219,8 @@ def main() -> None:
                 "queries": slowest,
                 "median_total_seconds": median_total,
                 "n_queries": len(timings),
+                "calibration_median_pre": round(sorted(calib_pre)[2], 3),
+                "calibration_median_post": round(sorted(calib_post)[2], 3),
                 "detail": "BENCH_DETAIL.json",
                 "sf": sf,
             },
