@@ -31,6 +31,7 @@ from esop_spark.streaming.dedup_stream import (
     weighted_lsh_candidate_stream,
     weighted_lsh_compacted_query,
 )
+from esop_spark.streaming.containment_stream import containment_compacted_query
 
 DOC_SCHEMA = "doc_id long, text string, lang string, source string, n_chars long"
 EMB_SCHEMA = "vec_id long, embedding array<float>, label int"
@@ -56,6 +57,8 @@ COMPACTED = [
      simhash_compacted_query),
     ("embedding_compacted_query", "embeddings", EMB_SCHEMA,
      embedding_compacted_query),
+    ("containment_compacted_query", "documents", DOC_SCHEMA,
+     containment_compacted_query),
 ]
 
 
