@@ -383,6 +383,15 @@ def cosine_pairs_lsh(
     The hot-bucket probe makes this operator eager at call time (one
     count per split level, ≥ 1) — same contract as the guarded exact
     baselines.
+
+    Config contract (``broadcast_verify_rows`` × heap): each broadcast
+    verify leg builds the full embedding table in executor memory,
+    ~300 B/row at dim 64 — the 1M default fits two built legs in the
+    default 8 GiB single-JVM heap. A bigger ONE-BOX corpus must raise
+    the bound and the heap TOGETHER (tools/sf100_probe.py runs 2M rows
+    at 48 GiB with bound 4M; measured trials 835.1/883.3 s — SCALE.md
+    three-decade table). On a cluster the per-executor build is the
+    same table, so the bound is per-executor-memory, not corpus-size.
     """
     n_vecs = embeddings.count()  # eager anyway (split probe); sizes verify
     bb = banded_semantic_buckets(
