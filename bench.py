@@ -125,6 +125,21 @@ def main() -> None:
     # measure the steady-state warm plan.
     reset = os.environ.get("SPARK_GRAFT_BENCH_RESET", "1") != "0"
 
+    def reset_session_state() -> None:
+        if not reset:
+            return
+        release_shared_relations()
+        spark.catalog.clearCache()
+        fixtures.reset_registration_cache()
+        # clearCache only empties the CacheManager; localCheckpoint
+        # blocks (iterative loops' final rounds, eager intermediate
+        # pair lists) are RDD-level persists that otherwise pile up
+        # until JVM GC across a 300-query session
+        jmap = spark.sparkContext._jsc.getPersistentRDDs()
+        for rid in list(jmap.keySet().toArray()):
+            if jmap.containsKey(rid):
+                jmap.get(rid).unpersist(False)
+
     # one untimed warmup per query (codegen/JIT for THAT plan), then 5 timed
     # trials. "queries" is min-of-5 (round-7 methodology change: earlier
     # rounds used best-of-first-3; with all raw trials recorded in
@@ -134,24 +149,17 @@ def main() -> None:
     # report can manufacture methodology-only "wins").
     # ALL trial times are recorded in BENCH_DETAIL.json (queries_trials) so
     # a single-outlier record is diagnosable from the artifact alone.
+    # calibration runs under the same cache-reset regime as every query,
+    # on BOTH ends — without the post-sweep reset, calib_post would read
+    # the final query's leftover cache pressure as "machine drift"
+    reset_session_state()
     calib_pre = _run_calibration(spark, sf_dir)
 
     timings: dict[str, float] = {}
     medians: dict[str, float] = {}
     all_trials: dict[str, list[float]] = {}
     for name in bench_queries:
-        if reset:
-            release_shared_relations()
-            spark.catalog.clearCache()
-            fixtures.reset_registration_cache()
-            # clearCache only empties the CacheManager; localCheckpoint
-            # blocks (iterative loops' final rounds, eager intermediate
-            # pair lists) are RDD-level persists that otherwise pile up
-            # until JVM GC across a 300-query session
-            jmap = spark.sparkContext._jsc.getPersistentRDDs()
-            for rid in list(jmap.keySet().toArray()):
-                if jmap.containsKey(rid):
-                    jmap.get(rid).unpersist(False)
+        reset_session_state()
         qs[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
         trials = []
         for _ in range(5):
@@ -166,6 +174,7 @@ def main() -> None:
         medians[name] = round(sorted(trials)[2], 3)
         all_trials[name] = [round(t, 3) for t in trials]
 
+    reset_session_state()
     calib_post = _run_calibration(spark, sf_dir)
 
     total = round(sum(timings.values()), 3)

@@ -258,7 +258,11 @@ def _split_hot_buckets(
     quant = embeddings.select(F.col(id_col), vq.alias("_vq"))
     parts: list[DataFrame] = []
     pend = bb  # (id, band, bucket); levels ≥ 1 carry _vq too
-    for depth in range(split_depth):
+    # iterations 0..split_depth-1 split; the final iteration is the
+    # trailing partition — same probe, but still-hot groups become the
+    # blob residual instead of splitting further (so groups whose size
+    # first fits at the last split level still enumerate pairwise)
+    for depth in range(split_depth + 1):
         hot_k = shared_checkpoint(
             pend.groupBy("band", "bucket")
             .agg(F.count(F.lit(1)).alias("_bsz"))
@@ -273,6 +277,8 @@ def _split_hot_buckets(
             .select(id_col, "band", "bucket")
         )
         hot = pend.join(F.broadcast(hot_k), ["band", "bucket"], "left_semi")
+        if depth == split_depth:
+            return parts, hot.select(id_col, "band", "bucket")
         if depth == 0:
             hot = hot.join(quant, id_col)  # the one corpus-shaped join
         planes_lit = F.array(*[
@@ -304,26 +310,7 @@ def _split_hot_buckets(
             ),
             storage_level=StorageLevel.DISK_ONLY,
         )
-    # One trailing partition so groups that first fit at the FINAL split
-    # level still enumerate pairwise; only still-over-cap groups (the
-    # near-identical blobs) become the star-degraded residual.
-    hot_k = shared_checkpoint(
-        pend.groupBy("band", "bucket")
-        .agg(F.count(F.lit(1)).alias("_bsz"))
-        .filter(F.col("_bsz") > max_bucket)
-        .select("band", "bucket")
-    )
-    if hot_k.count() == 0:
-        parts.append(pend.select(id_col, "band", "bucket"))
-        return parts, None
-    parts.append(
-        pend.join(F.broadcast(hot_k), ["band", "bucket"], "left_anti")
-        .select(id_col, "band", "bucket")
-    )
-    residual = pend.join(
-        F.broadcast(hot_k), ["band", "bucket"], "left_semi"
-    ).select(id_col, "band", "bucket")
-    return parts, residual
+    raise AssertionError("unreachable: final iteration always returns")
 
 
 def cosine_pairs_lsh(

@@ -56,9 +56,11 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from esop_spark.operators.dedup import doc_shingle_counts, shingles
-from esop_spark.streaming.dedup_stream import _hadoop_fs, _state_versions
-
-_EMPTY = "CAST(array() AS array<bigint>)"
+from esop_spark.streaming.dedup_stream import (
+    _EMPTY_IDS as _EMPTY,
+    _hadoop_fs,
+    _state_versions,
+)
 
 
 def _bottom_k_probes(sh_hashed: DataFrame, k: int) -> DataFrame:

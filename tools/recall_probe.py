@@ -15,8 +15,11 @@ exact cosine ≥ 0.8, bucketed by cosine bin. Also reports the split
 convergence depth the corpus actually induced (len(parts) − 1 from
 ``_split_hot_buckets``).
 
-Seeded end-to-end — same plant set every run. Wall time ~2 min at sf10
-(one cosine_pairs_lsh call + a K-row exact check).
+Seeded end-to-end — same plant set every run. Wall time ~4 min at sf10:
+the split-depth diagnostic runs the banding+split pipeline once, then
+``cosine_pairs_lsh`` re-runs it internally for the recall leg (the
+operator does not expose its convergence depth); the diagnostic's
+shared DISK_ONLY checkpoints are released before the second run.
 
 Usage: python tools/recall_probe.py [/root/repo/.scratch/sf10]
 """
@@ -79,6 +82,9 @@ def main() -> None:
     )
     depth = len(parts) - 1
     print(f"split convergence depth: {depth} (residual={'yes' if residual is not None else 'no'})")
+    from esop_spark.operators.dedup import release_shared_relations
+
+    release_shared_relations()  # drop the diagnostic's DISK_ONLY checkpoints
 
     pairs = similarity.cosine_pairs_lsh(corpus, threshold=0.8, dim=dim)
     got = {

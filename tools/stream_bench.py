@@ -127,6 +127,12 @@ def drain_compacted(spark, sf_dir, name, table, schema, query, ckpt_root):
 def main() -> None:
     args = [a for a in sys.argv[1:] if not a.startswith("--")]
     flags = {a for a in sys.argv[1:] if a.startswith("--")}
+    unknown = flags - {"--stateful-only", "--compacted-only"}
+    if unknown:
+        sys.exit(f"unknown flag(s): {sorted(unknown)} "
+                 f"(valid: --stateful-only, --compacted-only)")
+    if flags >= {"--stateful-only", "--compacted-only"}:
+        sys.exit("--stateful-only and --compacted-only are mutually exclusive")
     sf_dirs = args or ["/root/testdata/sf0.1"]
     which = []
     if "--stateful-only" not in flags:
