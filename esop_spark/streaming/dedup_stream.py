@@ -264,7 +264,15 @@ def weighted_lsh_candidate_stream(
     batch job's (band, bucket) keys). Same pair-log SET contract and
     hot-bucket anchor-star degradation; verification (exact capped
     weighted Jaccard) stays a batch job over the emitted pair log, the
-    same split as every LSH stream here."""
+    same split as every LSH stream here.
+
+    THROUGHPUT NOTE: this leg's 20 deep bands touch ~9M mostly-singleton
+    (band, bucket) keys per 500k-doc replay and applyInPandasWithState
+    pays a fixed ~50 µs Python round-trip per key — 516.8 s at sf10 of
+    which ~450 s is that overhead. For drain/backfill throughput use
+    :func:`weighted_lsh_compacted_query` (identical pair semantics,
+    64.2 s on the same corpus); keep this leg for low-latency per-record
+    emission."""
     bb = _bb_weighted_minhash(
         documents, num_hashes, bands, tf_cap, hash_family, text_col, id_col
     )
