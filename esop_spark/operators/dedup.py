@@ -785,8 +785,12 @@ def minhash_lsh_pairs(
     Candidate pairs agree on at least one band bucket (equi-join on
     (band, bucket_hash)); candidates are then verified with exact n-gram
     Jaccard so there are no false positives (false-negative rate set by
-    bands/rows-per-band). With ``hash_family="md5"`` the band bucket is the
-    md5 of the signature slice (cross-engine reproducible).
+    bands/rows-per-band — MEASURED at sf10 with 400 planted perturbed
+    pairs, tools/text_recall_probe.py / SCALE.md round-10 table: 97.2%
+    recall at jaccard ≥ 0.8, 80.6% at [0.6, 0.7), 49.0% at the
+    [0.5, 0.6) boundary, each within a few points of 1−(1−j⁴)⁸). With
+    ``hash_family="md5"`` the band bucket is the md5 of the signature
+    slice (cross-engine reproducible).
     """
     candidates, base = _lsh_candidates(
         documents, num_hashes, bands, n, text_col, id_col, hash_family
