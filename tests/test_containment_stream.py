@@ -164,3 +164,37 @@ def test_containment_dead_shingle_bounds_state(spark, tmp_path):
         if r["id_a"] >= 6 or r["id_b"] >= 6
     }
     assert late == set()
+
+
+def test_containment_crash_replay_is_idempotent(spark, tmp_path):
+    """Re-running a batch id (crash between state write and checkpoint
+    commit) must rewrite pairs/batch=N and the four state tables in
+    place — same pair rows, same snapshots, no double-counted hits."""
+    from esop_spark.streaming.containment_stream import _containment_fn_factory
+
+    docs = _corpus(spark)
+    src, pairs, state, _ = _dirs(tmp_path)
+    docs.coalesce(1).write.mode("overwrite").parquet(src)
+    batch = spark.read.schema(SCHEMA).parquet(src)
+    fn = _containment_fn_factory(
+        pairs, state, 3, 8, 2, 10_000, "text", "doc_id"
+    )
+    fn(batch, 0)
+
+    def snap():
+        prs = sorted(
+            (r["id_a"], r["id_b"])
+            for r in spark.read.parquet(pairs).select("id_a", "id_b").collect()
+        )
+        tables = {}
+        for t in ("counts", "post", "probe", "pairs"):
+            tables[t] = sorted(
+                map(str, spark.read.parquet(f"{state}/v=0/{t}").collect())
+            )
+        return prs, tables
+
+    first = snap()
+    fn(batch, 0)  # crash replay of the same epoch
+    second = snap()
+    assert first == second
+    assert set(first[0]) == _batch_candidates(docs)
