@@ -26,7 +26,7 @@ def get_spark(
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
     master = master or f"local[{cpus}]"
     shuffle_partitions = shuffle_partitions or int(cpus)
-    return (
+    spark = (
         SparkSession.builder.appName(app_name)
         .master(master)
         # static conf — only honored by the session that creates the JVM;
@@ -45,3 +45,21 @@ def get_spark(
         .config("spark.driver.extraJavaOptions", "-Dderby.system.home=/tmp/esop-spark-derby")
         .getOrCreate()
     )
+    # getOrCreate() silently reuses an existing session, and showConsoleProgress
+    # is static (JVM-creation-time only) — so a caller asking for a different
+    # value than the live session carries would get a silent no-op. Warn loudly:
+    # sweep tools rely on console_progress=False to keep one result line per
+    # query (\r progress bars merge lines otherwise).
+    actual = spark.conf.get("spark.ui.showConsoleProgress", "true")
+    if actual != str(console_progress).lower():
+        import warnings
+
+        warnings.warn(
+            f"get_spark(console_progress={console_progress}) reused an existing "
+            f"SparkSession with spark.ui.showConsoleProgress={actual}; the "
+            "static conf cannot change after JVM start — create the session "
+            "first (or spark.stop() it) to honor the requested value",
+            RuntimeWarning,
+            stacklevel=2,
+        )
+    return spark

@@ -41,7 +41,7 @@ def _dirs(tmp_path):
 def _drain_compacted(spark, src, pairs, state, ckpt, query=lsh_compacted_query, **kw):
     stream = spark.readStream.schema(SCHEMA).parquet(src)
     q = query(stream, pairs, state, ckpt, **kw)
-    q.awaitTermination(180)
+    assert q.awaitTermination(180), "compacted stream did not terminate"
     return {
         (r["id_a"], r["id_b"])
         for r in spark.read.parquet(pairs).select("id_a", "id_b").collect()
@@ -107,7 +107,7 @@ def test_compacted_matches_stateful_stream(spark, tmp_path):
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(180)
+    assert q.awaitTermination(180), "stateful stream did not terminate"
     want = {(r["id_a"], r["id_b"]) for r in stateful}
 
     stream = (
@@ -116,7 +116,7 @@ def test_compacted_matches_stateful_stream(spark, tmp_path):
         .parquet(glob)
     )
     qc = lsh_compacted_query(stream, pairs, state, ckpt)
-    qc.awaitTermination(180)
+    assert qc.awaitTermination(180), "compacted stream did not terminate"
     got = {
         (r["id_a"], r["id_b"])
         for r in spark.read.parquet(pairs).select("id_a", "id_b").collect()

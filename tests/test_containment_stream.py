@@ -62,7 +62,7 @@ def _drain(spark, src, pairs, state, ckpt, **kw):
         .parquet(src)
     )
     q = containment_compacted_query(stream, pairs, state, ckpt, **kw)
-    q.awaitTermination(240)
+    assert q.awaitTermination(240), "containment stream did not terminate"
     return spark.read.parquet(pairs)
 
 

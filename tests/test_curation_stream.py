@@ -78,7 +78,7 @@ def test_decontaminate_stream_drops_contaminated(spark, tmp_path):
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(120)
+    assert q.awaitTermination(120), "stream did not terminate"
     kept = sorted(
         r["doc_id"] for r in spark.sql("select * from decon_test").collect()
     )

@@ -24,7 +24,7 @@ def _run(spark, src_dir, ckpt, baseline, threshold):
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(120)
+    assert q.awaitTermination(120), "stream did not terminate"
     return {r["series_key"]: r for r in rows}
 
 

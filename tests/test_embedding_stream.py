@@ -71,7 +71,7 @@ def _drain(spark, src, ckpt, max_bucket=100):
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(120)
+    assert q.awaitTermination(120), "stream did not terminate"
     return rows
 
 

@@ -51,7 +51,7 @@ def test_restore_commitlogs_pit(spark, tmp_path):
     for i in range(6):
         _write_segment(src, f"CommitLog-7-{i}.log", f"s{i}", 2000 + i)
     q = commitlog_stream.archive_commitlogs(spark, src, bucket, ckpt, available_now=True)
-    q.awaitTermination(120)
+    assert q.awaitTermination(120), "stream did not terminate"
     target = str(tmp_path / "recovery")
     n = pipelines.restore_commitlogs(spark, bucket, target, 2001000, 2003000)
     # segments 1..3 in window + overhang 4

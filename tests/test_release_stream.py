@@ -24,7 +24,7 @@ def _run(spark, src, out, ckpt):
         src
     )
     q = write_release_stream(stream, out, ckpt)
-    q.awaitTermination(120)
+    assert q.awaitTermination(120), "stream did not terminate"
 
 
 def test_incremental_manifest_equals_rescan_across_restart(spark, tmp_path):

@@ -31,7 +31,7 @@ def _run_stream(spark, src, ckpt):
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(120)
+    assert q.awaitTermination(120), "stream did not terminate"
     return {r["doc_id"]: r["shard_id"] for r in rows}
 
 
@@ -85,7 +85,7 @@ def test_stream_lanes_pack_independently(spark, tmp_path):
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(120)
+    assert q.awaitTermination(120), "stream did not terminate"
     got = {(r["lang"], r["doc_id"]): r["shard_id"] for r in out}
     # 60-token docs on a 100 budget: cum 0,60,120,180 → shards 0,0,1,1 per lane
     for lang in ("en", "fr"):

@@ -22,7 +22,7 @@ def _run_batch(spark, src_dir, ckpt):
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(120)
+    assert q.awaitTermination(120), "stream did not terminate"
     return {r["user_id"]: (r["total_events"], r["total_value"]) for r in rows}
 
 
@@ -65,7 +65,7 @@ def _run_funnel(spark, src_dir, ckpt, stages):
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(120)
+    assert q.awaitTermination(120), "stream did not terminate"
     return {r["user_id"]: r["stage_reached"] for r in rows}
 
 
@@ -125,7 +125,7 @@ def test_streaming_pmc_matches_batch_semantics(spark, tmp_path):
             .trigger(availableNow=True)
             .start()
         )
-        q.awaitTermination(120)
+        assert q.awaitTermination(120), "stream did not terminate"
 
     # batch 1: values 0,1,2 -> one segment
     spark.createDataFrame(
@@ -162,7 +162,7 @@ def _run_hh(spark, src_dir, ckpt):
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(120)
+    assert q.awaitTermination(120), "stream did not terminate"
     return [(r["event_type"], r["threshold"]) for r in rows]
 
 

@@ -28,7 +28,7 @@ def test_commitlog_archive_stream_and_pit_window(spark, tmp_path):
     q = commitlog_stream.archive_commitlogs(
         spark, str(src), str(bucket), str(ckpt), available_now=True
     )
-    q.awaitTermination(120)
+    assert q.awaitTermination(120), "stream did not terminate"
     archived = commitlog_stream.archived_commitlogs(spark, str(bucket))
     assert archived.count() == 5
 
@@ -38,7 +38,7 @@ def test_commitlog_archive_stream_and_pit_window(spark, tmp_path):
     q = commitlog_stream.archive_commitlogs(
         spark, str(src), str(bucket), str(ckpt), available_now=True
     )
-    q.awaitTermination(120)
+    assert q.awaitTermination(120), "stream did not terminate"
     archived = commitlog_stream.archived_commitlogs(spark, str(bucket))
     assert archived.count() == 7
 
@@ -65,7 +65,7 @@ def test_session_windows_stream(spark, tmp_path):
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(120)
+    assert q.awaitTermination(120), "stream did not terminate"
     got = {
         (r["user_id"], r["session_start"].minute, r["events"])
         for r in spark.sql("select * from sess_test").collect()
@@ -95,7 +95,7 @@ def test_event_windows_streaming_matches_batch(spark, tmp_path):
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(180)
+    assert q.awaitTermination(180), "stream did not terminate"
     got = spark.sql(
         "select window_start, event_type, events from win_test"
     ).collect()
@@ -128,7 +128,7 @@ def test_commitlog_encrypted_archive_and_pit_restore(spark, tmp_path):
     q = commitlog_stream.archive_commitlogs(
         spark, src, bucket, ckpt, available_now=True, kms_key_id="clk"
     )
-    q.awaitTermination(120)
+    assert q.awaitTermination(120), "stream did not terminate"
     cl_dir = os.path.join(bucket, "commitlog")
     objs = sorted(os.listdir(cl_dir))
     assert len(objs) == 3
@@ -162,7 +162,7 @@ def test_dedup_within_watermark_stream(spark, tmp_path):
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(120)
+    assert q.awaitTermination(120), "stream did not terminate"
     rows = spark.sql("select * from dedup_wm_test").collect()
     assert sorted(r["content_key"] for r in rows) == ["k1", "k2", "k3"]
 
@@ -200,7 +200,7 @@ def test_attribution_stream_stream_join(spark, tmp_path):
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(120)
+    assert q.awaitTermination(120), "stream did not terminate"
     rows = spark.sql("select * from attr_out").collect()
     channels = sorted(r["channel"] for r in rows)
     # only the two touches within [conv-1h, conv] qualify

@@ -43,7 +43,7 @@ def _run_jsd(spark, src_dir, ckpt):
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(120)
+    assert q.awaitTermination(120), "stream did not terminate"
     return rows
 
 

@@ -86,7 +86,7 @@ def _drain(spark, src, ckpt, **kw):
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(120)
+    assert q.awaitTermination(120), "stream did not terminate"
     return rows
 
 

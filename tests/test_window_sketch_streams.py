@@ -68,7 +68,7 @@ def _drain(spark, make_stream, src, ckpt, schema):
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(120)
+    assert q.awaitTermination(120), "stream did not terminate"
     return rows
 
 
