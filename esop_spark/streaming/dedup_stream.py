@@ -199,7 +199,14 @@ def _bb_embedding(embeddings, bands, band_planes, dim, seed, vec_col, id_col):
 
     return banded_semantic_buckets(
         embeddings, bands, band_planes, dim, seed, vec_col, id_col
-    ).select(F.col(id_col).alias("did"), "band", "bucket")
+    ).select(
+        F.col(id_col).alias("did"),
+        "band",
+        # the other three families' buckets are strings (hash digests);
+        # normalize so one state-table schema serves all four (the cast
+        # is injective — group-key semantics unchanged)
+        F.col("bucket").cast("string").alias("bucket"),
+    )
 
 
 def lsh_candidate_stream(
@@ -371,25 +378,41 @@ def embedding_candidate_stream(
 # KEYS still did. This variant removes Python from the loop entirely:
 # bucket membership lives in a COMPACTED state table — one row per
 # (band, bucket): (ids array ≤ max_bucket, hot flag) — maintained by a
-# foreachBatch function as plain JVM DataFrame ops (one groupBy, one
-# join, one parquet rewrite per batch), and the per-batch delta rows feed
-# the same :func:`_expand_delta_pairs` expansion the stateful leg uses,
-# so pair semantics are IDENTICAL by construction (same (news, olds,
-# star) rule, same expansion — parity-tested against both the batch
-# operator and the stateful stream).
+# foreachBatch function as plain JVM DataFrame ops, and the per-batch
+# delta rows feed the same :func:`_expand_delta_pairs` expansion the
+# stateful leg uses, so pair semantics are IDENTICAL by construction
+# (same (news, olds, star) rule, same expansion — parity-tested against
+# both the batch operator and the stateful stream).
+#
+# State layout (round 11): a DELTA LOG with periodic compaction, so
+# per-batch WRITE cost is O(changed keys), not O(buckets-seen) — the
+# merge-on-read design Delta/Iceberg MERGE implements, built from the
+# version-dir primitives already here:
+#
+#   state_dir/delta/v=<b>  — the keys batch b CHANGED, post-batch values
+#   state_dir/base/v=<B>   — full fold of everything ≤ B, written every
+#                            ``compact_every`` batches
+#
+# Current state of a key = the row with the largest version among the
+# newest base and the deltas after it (``max_by`` per key). The per-batch
+# read reconstructs that ONLY for keys the batch touched (left-semi prune
+# before the merge), so per-batch cost is O(batch + touched keys) plus a
+# column-pruned scan of base+deltas (read-only, no write amplification)
+# and an O(state)/compact_every amortized fold. Round-10's full-snapshot
+# rewrite paid the fold EVERY batch — the one scale-shaped cost the r10
+# verdict flagged; SCALE.md's incremental table shows the per-batch curve
+# flat under this layout where the old one grew linearly.
 #
 # Exactly-once: outputs are keyed by batch_id — pairs overwrite
-# ``pairs_dir/batch=<id>``, state snapshots overwrite
-# ``state_dir/v=<id>`` — so a crash-replayed batch (foreachBatch
-# redelivers the same epoch) rewrites both idempotently; the prior
-# snapshot it reads (largest v < batch_id) is pruned only after being
-# two generations old. State I/O goes through the Hadoop FileSystem API,
-# so the same code runs on file:/, hdfs:/ or s3a:/ state dirs. At 100 TB
-# the full-rewrite compaction is the one cost knob: O(buckets-seen) per
-# batch — the classic streaming-compaction trade (a real deployment
-# would swap the version-dir rewrite for a Delta/Iceberg MERGE, which is
-# the same plan minus the full rewrite); per-batch work is otherwise
-# O(batch + touched buckets) with no per-key constant.
+# ``pairs_dir/batch=<id>``, delta and base dirs overwrite
+# ``.../v=<batch_id>`` — so a crash-replayed batch (foreachBatch
+# redelivers the same epoch) rewrites all three idempotently; the
+# compaction decision depends only on version dirs STRICTLY BELOW the
+# replayed batch, so it replays identically. Retention keeps the two
+# newest bases and every delta after the older of the two — exactly what
+# a replay of the newest batch can read. State I/O goes through the
+# Hadoop FileSystem API, so the same code runs on file:/, hdfs:/ or
+# s3a:/ state dirs.
 
 
 def _hadoop_fs(spark, path: str):
@@ -410,35 +433,129 @@ def _state_versions(spark, state_dir: str) -> list[int]:
     return sorted(out)
 
 
+def _delete_version(spark, root: str, v: int) -> None:
+    fs, _ = _hadoop_fs(spark, root)
+    fs.delete(spark._jvm.org.apache.hadoop.fs.Path(f"{root}/v={v}"), True)
+
+
 _EMPTY_IDS = "CAST(array() AS array<bigint>)"
 
+STATE_SCHEMA = "band int, bucket string, ids array<bigint>, hot int"
 
-def _compacted_fn_factory(pairs_dir: str, state_dir: str, max_bucket: int):
+
+def _read_versioned(spark, root: str, versions: list[int], schema: str):
+    """Union of ``root/v=<v>`` reads, each tagged with its version as
+    ``_v`` — the raw material for a latest-per-key merge."""
+    if not versions:
+        return spark.createDataFrame([], schema).withColumn(
+            "_v", F.lit(0).cast("long")
+        )
+    dfs = [
+        spark.read.schema(schema).parquet(f"{root}/v={v}").withColumn(
+            "_v", F.lit(v).cast("long")
+        )
+        for v in versions
+    ]
+    out = dfs[0]
+    for d in dfs[1:]:
+        out = out.unionByName(d)
+    return out
+
+
+def _latest_per_key(hist: DataFrame, keys: list[str]) -> DataFrame:
+    """Resolve a versioned history to current state: for each key, the
+    payload of the row with the largest ``_v``. One hash aggregate."""
+    payload = [c for c in hist.columns if c not in keys and c != "_v"]
+    agg = hist.groupBy(*keys).agg(
+        F.max_by(F.struct(*payload), F.col("_v")).alias("_s")
+    )
+    return agg.select(*keys, *[F.col(f"_s.{c}").alias(c) for c in payload])
+
+
+def _live_versions(spark, state_dir: str, batch_id: int):
+    """(base_v, deltas) visible to ``batch_id``: the newest base strictly
+    below it and every delta between that base and the batch."""
+    base_vs = _state_versions(spark, f"{state_dir}/base")
+    delta_vs = _state_versions(spark, f"{state_dir}/delta")
+    base_v = max((v for v in base_vs if v < batch_id), default=None)
+    floor = -1 if base_v is None else base_v
+    deltas = [v for v in delta_vs if floor < v < batch_id]
+    return base_v, deltas
+
+
+def _state_history(spark, state_dir: str, batch_id: int, schema: str):
+    """Versioned history visible to ``batch_id`` (base + deltas, ``_v``
+    tagged) plus the version list bookkeeping for retention."""
+    base_v, deltas = _live_versions(spark, state_dir, batch_id)
+    hist = _read_versioned(
+        spark,
+        f"{state_dir}/base",
+        [base_v] if base_v is not None else [],
+        schema,
+    ).unionByName(_read_versioned(spark, f"{state_dir}/delta", deltas, schema))
+    return hist, base_v, deltas
+
+
+def read_compacted_state(
+    spark, state_dir: str, schema: str = STATE_SCHEMA,
+    keys: tuple[str, ...] = ("band", "bucket"),
+) -> DataFrame:
+    """Reconstruct the CURRENT compacted state table (latest-per-key over
+    the newest base and subsequent deltas) — the external read surface for
+    consumers and tests; equals what the next batch would see."""
+    hist, _, _ = _state_history(spark, state_dir, 1 << 62, schema)
+    return _latest_per_key(hist, list(keys))
+
+
+def _retain_versions(spark, state_dir: str, base_v, deltas, compacted: bool):
+    """Retention after a batch commit. A crash replays at most THIS batch,
+    which reads ``base_v`` + ``deltas`` — everything older is dead:
+    bases below ``base_v``, and deltas at or below ``base_v`` (they were
+    folded into it when it was written)."""
+    if base_v is None:
+        return
+    for v in _state_versions(spark, f"{state_dir}/base"):
+        if v < base_v:
+            _delete_version(spark, f"{state_dir}/base", v)
+    if compacted:
+        # the batch just wrote base/v=batch_id; deltas ≤ base_v are now
+        # covered twice over — drop them (deltas in (base_v, batch) stay
+        # until the NEXT compaction makes base_v itself obsolete)
+        for v in _state_versions(spark, f"{state_dir}/delta"):
+            if v <= base_v:
+                _delete_version(spark, f"{state_dir}/delta", v)
+
+
+def _compacted_fn_factory(
+    pairs_dir: str, state_dir: str, max_bucket: int, compact_every: int = 10
+):
     """foreachBatch function over a (did, band, bucket) membership batch:
-    emit this batch's candidate pairs against the compacted state table
-    and write the next state snapshot. Pure JVM DataFrame ops."""
+    emit this batch's candidate pairs against the compacted state and
+    write ONLY the changed keys as a new delta (plus a periodic full
+    fold). Pure JVM DataFrame ops."""
 
     def fn(batch_bb: DataFrame, batch_id: int) -> None:
         spark = batch_bb.sparkSession
+        # persisted: the semi-join prune and the left join both consume it,
+        # and recomputing it would re-run the whole signature chain
         arrivals = (
             batch_bb.distinct()
             .groupBy("band", "bucket")
             .agg(F.sort_array(F.collect_set("did")).alias("batch_ids"))
+        ).persist()
+        hist, base_v, deltas = _state_history(
+            spark, state_dir, batch_id, STATE_SCHEMA
         )
-        versions = _state_versions(spark, state_dir)
-        prior = max((v for v in versions if v < batch_id), default=None)
-        if prior is not None:
-            state = spark.read.parquet(f"{state_dir}/v={prior}")
-            joined = arrivals.join(state, ["band", "bucket"], "left")
-            untouched = state.join(
+        # current state of TOUCHED keys only: semi-join prune BEFORE the
+        # latest-per-key merge, so the shuffle is O(touched × versions)
+        prior = _latest_per_key(
+            hist.join(
                 arrivals.select("band", "bucket"), ["band", "bucket"],
-                "left_anti",
-            )
-        else:
-            joined = arrivals.withColumn(
-                "ids", F.expr("CAST(NULL AS array<bigint>)")
-            ).withColumn("hot", F.lit(0))
-            untouched = None
+                "left_semi",
+            ),
+            ["band", "bucket"],
+        )
+        joined = arrivals.join(prior, ["band", "bucket"], "left")
         olds = F.coalesce(F.col("ids"), F.expr(_EMPTY_IDS))
         touched = joined.select(
             "band",
@@ -446,49 +563,52 @@ def _compacted_fn_factory(pairs_dir: str, state_dir: str, max_bucket: int):
             F.array_except("batch_ids", olds).alias("news"),
             olds.alias("olds"),
             F.coalesce(F.col("hot"), F.lit(0)).alias("hot"),
-        ).persist()
+        )
+        star = (F.col("hot") == 1) | (
+            F.size("olds") + F.size("news") > max_bucket
+        )
+        # keys with no new members keep their prior state — they are not
+        # part of the delta (that is the whole point of the layout)
+        changed = touched.filter(F.size("news") > 0).persist()
         try:
-            star = (F.col("hot") == 1) | (
-                F.size("olds") + F.size("news") > max_bucket
-            )
-            delta = touched.filter(F.size("news") > 0).select(
+            delta = changed.select(
                 "band", "news", "olds", star.cast("int").alias("star")
             )
             _expand_delta_pairs(delta).write.mode("overwrite").parquet(
                 f"{pairs_dir}/batch={batch_id}"
             )
             anchor = F.least(F.array_min("news"), F.array_min("olds"))
-            new_state = touched.select(
+            new_state = changed.select(
                 "band",
                 "bucket",
-                F.when(F.size("news") == 0, F.col("olds"))
-                .when(star, F.array(anchor))
+                F.when(star, F.array(anchor))
                 .otherwise(F.sort_array(F.concat("olds", "news")))
                 .alias("ids"),
-                F.when(F.size("news") == 0, F.col("hot"))
-                .when(star, F.lit(1))
-                .otherwise(F.lit(0))
+                F.when(star, F.lit(1)).otherwise(F.lit(0))
                 .cast("int")
                 .alias("hot"),
             )
-            full = (
-                new_state
-                if untouched is None
-                else new_state.unionByName(untouched)
+            new_state.write.mode("overwrite").parquet(
+                f"{state_dir}/delta/v={batch_id}"
             )
-            full.write.mode("overwrite").parquet(f"{state_dir}/v={batch_id}")
-        finally:
-            touched.unpersist()
-        if prior is not None:
-            fs, _ = _hadoop_fs(spark, state_dir)
-            jvm = spark._jvm
-            for v in versions:
-                if v < prior:  # `prior` itself stays: a crash replays at
-                    # most THIS batch, which reads `prior`
-                    fs.delete(
-                        jvm.org.apache.hadoop.fs.Path(f"{state_dir}/v={v}"),
-                        True,
+            # periodic fold: every compact_every-th delta triggers a full
+            # latest-per-key rewrite. The decision counts only versions
+            # STRICTLY BELOW this batch, so a crash replay re-decides
+            # identically.
+            compact = len(deltas) + 1 >= compact_every
+            if compact:
+                fold = hist.unionByName(
+                    new_state.withColumn(
+                        "_v", F.lit(batch_id).cast("long")
                     )
+                )
+                _latest_per_key(fold, ["band", "bucket"]).write.mode(
+                    "overwrite"
+                ).parquet(f"{state_dir}/base/v={batch_id}")
+        finally:
+            changed.unpersist()
+            arrivals.unpersist()
+        _retain_versions(spark, state_dir, base_v, deltas, compact)
 
     return fn
 
@@ -500,19 +620,26 @@ def start_compacted_candidates(
     checkpoint_dir: str,
     max_bucket: int = 100,
     processing_time: str | None = None,
+    compact_every: int = 10,
 ):
     """Start a compacted-state candidate query over a streaming
     (did, band, bucket) membership relation (one of the ``_bb_*``
     builders). Pairs land under ``pairs_dir/batch=<id>`` —
     ``spark.read.parquet(pairs_dir)`` exposes the epoch as a ``batch``
     partition column; the SET contract of
-    :func:`lsh_candidate_stream` applies to the union. Returns the
-    started :class:`~pyspark.sql.streaming.StreamingQuery` (default
-    trigger availableNow; pass ``processing_time`` for a continuous
-    micro-batch cadence)."""
+    :func:`lsh_candidate_stream` applies to the union. State lives under
+    ``state_dir/{base,delta}/v=<id>`` (read it back with
+    :func:`read_compacted_state`); ``compact_every`` sets how many deltas
+    accumulate before a full fold — the read-amplification / write-
+    amplification dial. Returns the started
+    :class:`~pyspark.sql.streaming.StreamingQuery` (default trigger
+    availableNow; pass ``processing_time`` for a continuous micro-batch
+    cadence)."""
     writer = (
         bb.writeStream.foreachBatch(
-            _compacted_fn_factory(pairs_dir, state_dir, int(max_bucket))
+            _compacted_fn_factory(
+                pairs_dir, state_dir, int(max_bucket), int(compact_every)
+            )
         )
         .outputMode("append")
         .option("checkpointLocation", checkpoint_dir)
@@ -537,6 +664,7 @@ def lsh_compacted_query(
     text_col: str = "text",
     id_col: str = "doc_id",
     processing_time: str | None = None,
+    compact_every: int = 10,
 ):
     """Compacted-state twin of :func:`lsh_candidate_stream` — identical
     pair semantics (same banding projection, same (news, olds, star)
@@ -545,7 +673,8 @@ def lsh_compacted_query(
         documents, num_hashes, bands, n, hash_family, text_col, id_col
     )
     return start_compacted_candidates(
-        bb, pairs_dir, state_dir, checkpoint_dir, max_bucket, processing_time
+        bb, pairs_dir, state_dir, checkpoint_dir, max_bucket,
+        processing_time, compact_every,
     )
 
 
@@ -562,6 +691,7 @@ def weighted_lsh_compacted_query(
     text_col: str = "text",
     id_col: str = "doc_id",
     processing_time: str | None = None,
+    compact_every: int = 10,
 ):
     """Compacted-state twin of :func:`weighted_lsh_candidate_stream` —
     THE leg this variant exists for: its 20 deep bands touch ~9M mostly-
@@ -572,7 +702,8 @@ def weighted_lsh_compacted_query(
         documents, num_hashes, bands, tf_cap, hash_family, text_col, id_col
     )
     return start_compacted_candidates(
-        bb, pairs_dir, state_dir, checkpoint_dir, max_bucket, processing_time
+        bb, pairs_dir, state_dir, checkpoint_dir, max_bucket,
+        processing_time, compact_every,
     )
 
 
@@ -588,13 +719,15 @@ def simhash_compacted_query(
     text_col: str = "text",
     id_col: str = "doc_id",
     processing_time: str | None = None,
+    compact_every: int = 10,
 ):
     """Compacted-state twin of :func:`simhash_candidate_stream`."""
     bb = _bb_simhash(
         documents, num_bits, chunks, hash_family, text_col, id_col
     )
     return start_compacted_candidates(
-        bb, pairs_dir, state_dir, checkpoint_dir, max_bucket, processing_time
+        bb, pairs_dir, state_dir, checkpoint_dir, max_bucket,
+        processing_time, compact_every,
     )
 
 
@@ -611,11 +744,13 @@ def embedding_compacted_query(
     id_col: str = "vec_id",
     max_bucket: int = 100,
     processing_time: str | None = None,
+    compact_every: int = 10,
 ):
     """Compacted-state twin of :func:`embedding_candidate_stream`."""
     bb = _bb_embedding(
         embeddings, bands, band_planes, dim, seed, vec_col, id_col
     )
     return start_compacted_candidates(
-        bb, pairs_dir, state_dir, checkpoint_dir, max_bucket, processing_time
+        bb, pairs_dir, state_dir, checkpoint_dir, max_bucket,
+        processing_time, compact_every,
     )

@@ -165,18 +165,17 @@ def test_compacted_hot_bucket_star_and_bounded_state(spark, tmp_path):
         spark, src, pairs, state, ckpt, max_bucket=3
     )
     assert got == {(0, i) for i in range(1, 10)}
-    vdirs = [d for d in os.listdir(state) if d.startswith("v=")]
-    latest = max(int(d[2:]) for d in vdirs)
-    snap = spark.read.parquet(os.path.join(state, f"v={latest}"))
-    rows = snap.collect()
+    from esop_spark.streaming.dedup_stream import read_compacted_state
+
+    rows = read_compacted_state(spark, state).collect()
     assert rows and all(r["hot"] == 1 and r["ids"] == [0] for r in rows)
 
 
 def test_compacted_crash_replay_is_idempotent(spark, tmp_path):
     """foreachBatch's exactly-once story: re-running a batch id (as after a
     crash between the state write and the checkpoint commit) must rewrite
-    pairs/batch=N and state/v=N in place — same pair set, same snapshot,
-    no duplicate accumulation."""
+    pairs/batch=N and state/delta/v=N in place — same pair set, same
+    delta, no duplicate accumulation."""
     docs = _corpus(spark)
     src, pairs, state, ckpt = _dirs(tmp_path)
     os.makedirs(src, exist_ok=True)
@@ -192,7 +191,7 @@ def test_compacted_crash_replay_is_idempotent(spark, tmp_path):
         for r in spark.read.parquet(pairs).select("id_a", "id_b").collect()
     )
     snap1 = sorted(
-        map(tuple, spark.read.parquet(f"{state}/v=0").collect())
+        map(tuple, spark.read.parquet(f"{state}/delta/v=0").collect())
     )
     fn(bb, 0)  # crash replay of the same epoch
     second = sorted(
@@ -200,11 +199,105 @@ def test_compacted_crash_replay_is_idempotent(spark, tmp_path):
         for r in spark.read.parquet(pairs).select("id_a", "id_b").collect()
     )
     snap2 = sorted(
-        map(tuple, spark.read.parquet(f"{state}/v=0").collect())
+        map(tuple, spark.read.parquet(f"{state}/delta/v=0").collect())
     )
     assert first == second  # raw row multiset, not just the distinct set
     assert snap1 == snap2
     assert set(first) == _batch_pairs(docs)
+
+
+def test_compacted_crash_replay_of_compaction_batch(spark, tmp_path):
+    """A crash DURING the compaction batch (delta + base written, checkpoint
+    not committed) must replay identically: same compaction decision (it
+    counts only versions strictly below the batch), same base fold, same
+    pair rows."""
+    docs = _corpus(spark)
+    src, pairs, state, ckpt = _dirs(tmp_path)
+    os.makedirs(src, exist_ok=True)
+    docs.coalesce(1).write.mode("overwrite").parquet(src)
+    bb_batch = spark.read.schema(SCHEMA).parquet(src)
+    from esop_spark.streaming.dedup_stream import (
+        _bb_minhash,
+        read_compacted_state,
+    )
+
+    half_a = bb_batch.filter(F.col("doc_id") <= 1)
+    half_b = bb_batch.filter(F.col("doc_id") > 1)
+    fn = _compacted_fn_factory(pairs, state, 100, compact_every=2)
+    fn(_bb_minhash(half_a, 32, 8, 3, "xxhash64", "text", "doc_id"), 0)
+    bb_b = _bb_minhash(half_b, 32, 8, 3, "xxhash64", "text", "doc_id")
+    fn(bb_b, 1)  # batch 1 compacts (2 deltas >= compact_every)
+    assert os.path.isdir(f"{state}/base/v=1")
+    snap1 = sorted(map(tuple, read_compacted_state(spark, state).collect()))
+    pairs1 = sorted(
+        map(tuple, spark.read.parquet(pairs).select("id_a", "id_b").collect())
+    )
+    fn(bb_b, 1)  # crash replay of the compaction epoch
+    snap2 = sorted(map(tuple, read_compacted_state(spark, state).collect()))
+    pairs2 = sorted(
+        map(tuple, spark.read.parquet(pairs).select("id_a", "id_b").collect())
+    )
+    assert snap1 == snap2
+    assert pairs1 == pairs2
+    assert set(pairs1) == _batch_pairs(docs)
+
+
+def test_compaction_folds_and_prunes(spark, tmp_path):
+    """Drive enough micro-batches through a small compact_every that at
+    least two folds happen: pair parity with batch holds, the current
+    state equals the full-history fold, and retention has pruned
+    everything a replay of the newest batch cannot need (at most two
+    bases; no delta at or below the older kept base)."""
+    docs = _corpus(spark)
+    expect = _batch_pairs(docs)
+    src, pairs, state, ckpt = _dirs(tmp_path)
+    os.makedirs(src, exist_ok=True)
+    # five files -> five micro-batches with maxFilesPerTrigger=1
+    for i in range(5):
+        docs.filter(F.col("doc_id") == i).coalesce(1).write.parquet(
+            os.path.join(src, f"f{i}")
+        )
+    stream = (
+        spark.readStream.schema(SCHEMA)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(os.path.join(src, "*"))
+    )
+    q = lsh_compacted_query(stream, pairs, state, ckpt, compact_every=2)
+    assert q.awaitTermination(240), "compacted stream did not terminate"
+    got = {
+        (r["id_a"], r["id_b"])
+        for r in spark.read.parquet(pairs).select("id_a", "id_b").collect()
+    }
+    assert got == expect and expect
+    bases = sorted(
+        int(d[2:]) for d in os.listdir(f"{state}/base") if d.startswith("v=")
+    )
+    deltas = sorted(
+        int(d[2:]) for d in os.listdir(f"{state}/delta") if d.startswith("v=")
+    )
+    assert 1 <= len(bases) <= 2
+    if len(bases) == 2:
+        assert all(v > bases[0] for v in deltas)
+    from esop_spark.streaming.dedup_stream import read_compacted_state
+
+    # current state must describe exactly the full corpus's buckets
+    from esop_spark.streaming.dedup_stream import _bb_minhash
+
+    bb_all = _bb_minhash(
+        spark.read.schema(SCHEMA).parquet(os.path.join(src, "*")),
+        32, 8, 3, "xxhash64", "text", "doc_id",
+    )
+    want_members = {
+        (r["band"], r["bucket"], tuple(r["ids"]))
+        for r in bb_all.groupBy("band", "bucket")
+        .agg(F.sort_array(F.collect_set("did")).alias("ids"))
+        .collect()
+    }
+    got_members = {
+        (r["band"], r["bucket"], tuple(r["ids"]))
+        for r in read_compacted_state(spark, state).collect()
+    }
+    assert got_members == want_members
 
 
 def test_weighted_compacted_matches_batch_operator(spark, tmp_path):
