@@ -62,6 +62,37 @@ def _run_calibration(spark, sf_dir: str) -> list[float]:
     return trials
 
 
+def _provenance() -> dict:
+    """Machine-state stanza recorded alongside the trials: the r10
+    driver/builder runs differed 12% on identical code and the
+    adjudication leaned on narrative — uptime/loadavg/meminfo at run
+    start make box state part of the artifact instead."""
+    prov: dict = {}
+    try:
+        with open("/proc/uptime") as fh:
+            prov["uptime_s"] = round(float(fh.read().split()[0]), 1)
+    except OSError:
+        pass
+    try:
+        prov["loadavg_1m_5m_15m"] = [
+            round(x, 2) for x in os.getloadavg()
+        ]
+    except OSError:
+        pass
+    try:
+        with open("/proc/meminfo") as fh:
+            mem = {
+                k.rstrip(":"): int(v)
+                for k, v, *_ in (ln.split() for ln in fh)
+            }
+        prov["mem_available_gib"] = round(mem["MemAvailable"] / 2**20, 1)
+        prov["mem_total_gib"] = round(mem["MemTotal"] / 2**20, 1)
+    except (OSError, KeyError):
+        pass
+    prov["cpus"] = os.cpu_count()
+    return prov
+
+
 def _pinned_shuffle_partitions(sf: float) -> int:
     """Per-SF shuffle sizing so partition counts (and therefore per-task
     input sizes) are stable run-to-run instead of inheriting whatever
@@ -152,6 +183,7 @@ def main() -> None:
     # calibration runs under the same cache-reset regime as every query,
     # on BOTH ends — without the post-sweep reset, calib_post would read
     # the final query's leftover cache pressure as "machine drift"
+    provenance = _provenance()
     reset_session_state()
     calib_pre = _run_calibration(spark, sf_dir)
 
@@ -213,6 +245,7 @@ def main() -> None:
                 "queries_trials": all_trials,
                 "calibration_trials_pre": calib_pre,
                 "calibration_trials_post": calib_post,
+                "provenance": provenance,
             },
             fh,
             indent=1,
