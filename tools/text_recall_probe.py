@@ -17,7 +17,17 @@ are excluded from recall (the operator's contract filters them).
 
 Seeded end-to-end. Wall ~2-4 min at sf10.
 
-Usage: python tools/text_recall_probe.py [/root/repo/.scratch/sf10]
+``--streamed`` (round-10 verdict #5) closes the loop on "the streaming
+surface has batch semantics" with the same evidence standard: the SAME
+planted corpus is replayed through ``lsh_compacted_query`` (8 parquet
+files → 8 micro-batches via maxFilesPerTrigger=1), the emitted candidate
+pair log is exact-Jaccard-verified with the operator's own
+``_verify_jaccard`` tail, and the recall-by-bin table prints for BOTH
+legs. Candidate-set equality with the batch operator is already
+parity-tested; this makes the end-to-end recall a measurement, not an
+inference.
+
+Usage: python tools/text_recall_probe.py [/root/repo/.scratch/sf10] [--streamed]
 """
 
 from __future__ import annotations
@@ -39,8 +49,64 @@ SEED = 20260817
 TAU = 0.5  # q22's JACCARD_TAU
 
 
+def _streamed_verified_pairs(spark, corpus) -> set[tuple[int, int]]:
+    """Replay the corpus through the compacted LSH stream, then verify
+    the candidate log with the batch operator's own exact-Jaccard tail."""
+    import tempfile
+
+    from esop_spark.streaming.dedup_stream import lsh_compacted_query
+
+    tmp = tempfile.mkdtemp(prefix="text-recall-stream-")
+    src = os.path.join(tmp, "src")
+    corpus.repartition(8).write.parquet(src)
+    pairs_dir = os.path.join(tmp, "pairs")
+    stream = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+    )
+    q = lsh_compacted_query(
+        stream, pairs_dir, os.path.join(tmp, "state"), os.path.join(tmp, "ckpt")
+    )
+    assert q.awaitTermination(1800), "compacted stream did not terminate"
+    cands = (
+        spark.read.parquet(pairs_dir).select("id_a", "id_b").distinct()
+    )
+    sh = dedup.shingles(corpus, 3).select(
+        "doc_id", F.xxhash64("shingle").alias("sh")
+    )
+    counts = dedup.doc_shingle_counts(corpus, 3)
+    return {
+        (r["id_a"], r["id_b"])
+        for r in dedup._verify_jaccard(cands, sh, counts, TAU, "doc_id")
+        .select("id_a", "id_b")
+        .collect()
+    }
+
+
+def _report(leg: str, eligible, got) -> None:
+    bins = [(0.5, 0.6), (0.6, 0.7), (0.7, 0.8), (0.8, 1.01)]
+    tot_n = tot_hit = 0
+    for lo, hi in bins:
+        sel = [p for p, j in eligible.items() if lo <= j < hi]
+        hit = sum(1 for p in sel if p in got)
+        tot_n += len(sel)
+        tot_hit += hit
+        pct = 100.0 * hit / len(sel) if sel else float("nan")
+        print(f"  [{leg}] jaccard [{lo:.1f},{hi:.1f}): {hit}/{len(sel)} = {pct:.1f}%")
+    print(f"[{leg}] overall recall at jaccard >= {TAU}: {tot_hit}/{tot_n} = "
+          f"{100.0 * tot_hit / tot_n:.1f}%")
+    nd = [p for p, j in eligible.items() if j >= 0.8]
+    nd_hit = sum(1 for p in nd if p in got)
+    print(f"[{leg}] near-dup regime (jaccard >= 0.8): {nd_hit}/{len(nd)} = "
+          f"{100.0 * nd_hit / len(nd):.1f}%")
+    print(f"[{leg}] total verified output pairs at tau={TAU}: {len(got)}")
+
+
 def main() -> None:
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/repo/.scratch/sf10"
+    streamed = "--streamed" in sys.argv[1:]
+    argv = [a for a in sys.argv[1:] if not a.startswith("--")]
+    sf_dir = argv[0] if argv else "/root/repo/.scratch/sf10"
     spark = get_spark("text-recall-probe")
     spark.conf.set("spark.sql.shuffle.partitions", "64")
     docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
@@ -108,23 +174,12 @@ def main() -> None:
     }
     eligible = {p: j for p, j in truth.items() if j >= TAU}
     print(f"planted pairs: {len(truth)}; exact jaccard >= {TAU}: {len(eligible)}")
-    bins = [(0.5, 0.6), (0.6, 0.7), (0.7, 0.8), (0.8, 1.01)]
-    tot_n = tot_hit = 0
-    for lo, hi in bins:
-        sel = [p for p, j in eligible.items() if lo <= j < hi]
-        hit = sum(1 for p in sel if p in got)
-        tot_n += len(sel)
-        tot_hit += hit
-        pct = 100.0 * hit / len(sel) if sel else float("nan")
-        print(f"  jaccard [{lo:.1f},{hi:.1f}): {hit}/{len(sel)} = {pct:.1f}%")
-    print(f"overall recall at jaccard >= {TAU}: {tot_hit}/{tot_n} = "
-          f"{100.0 * tot_hit / tot_n:.1f}%")
-    # the near-dup regime the operator exists for
-    nd = [p for p, j in eligible.items() if j >= 0.8]
-    nd_hit = sum(1 for p in nd if p in got)
-    print(f"near-dup regime (jaccard >= 0.8): {nd_hit}/{len(nd)} = "
-          f"{100.0 * nd_hit / len(nd):.1f}%")
-    print(f"total output pairs at tau={TAU}: {len(got)}")
+    _report("batch", eligible, got)
+    if streamed:
+        got_s = _streamed_verified_pairs(spark, corpus)
+        _report("streamed", eligible, got_s)
+        same = got == got_s
+        print(f"streamed verified set == batch verified set: {same}")
 
 
 if __name__ == "__main__":
