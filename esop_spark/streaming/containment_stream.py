@@ -151,6 +151,11 @@ def _containment_fn_factory(
         counts_prev = hist("counts").drop("_v")  # append-only: plain union
 
         # ---- batch projections (docs already seen are dropped whole) ----
+        # persisted: five write actions consume this batch (pair output +
+        # four table deltas), and an unpersisted chain would re-run the
+        # shingle projection AND re-scan the counts delta chain per action
+        # — measured as 2× total wall and per-batch cost GROWING with
+        # delta-chain length on the sf10 16-batch replay
         docs = (
             batch_docs.dropDuplicates([id_col])
             .join(
@@ -158,6 +163,7 @@ def _containment_fn_factory(
                 id_col,
                 "left_anti",
             )
+            .persist()
         )
         sh = (
             shingles(docs, n, text_col, id_col)
@@ -166,15 +172,16 @@ def _containment_fn_factory(
                 F.xxhash64("shingle").alias("h"),
             )
             .distinct()
+            .persist()
         )
         counts_b = doc_shingle_counts(docs, n, text_col, id_col).select(
             F.col(id_col).alias("did"), F.col("n_sh").cast("int").alias("n_sh")
         )
-        probes_b = _bottom_k_probes(sh, probe_k)
+        probes_b = _bottom_k_probes(sh, probe_k).persist()
 
         post_b = sh.groupBy("h").agg(
             F.sort_array(F.collect_set("did")).alias("bdids")
-        )
+        ).persist()
         # prior state of TOUCHED shingles only (probes_b's h ⊆ post_b's h,
         # so post_b keys cover every shingle this batch can interact with)
         post_prev_t = _latest_per_key(
@@ -371,6 +378,10 @@ def _containment_fn_factory(
             post_m.unpersist()
             if probe_prev_t is not None:
                 probe_prev_t.unpersist()
+            post_b.unpersist()
+            probes_b.unpersist()
+            sh.unpersist()
+            docs.unpersist()
         for table in _SCHEMAS:
             _retain_versions(
                 spark, f"{state_dir}/{table}", base_v, deltas, compact
