@@ -16,8 +16,6 @@ by plain joins in a foreachBatch function, no Python in the loop —
 - ``counts``  (did, n_sh): per-doc distinct-shingle counts; also the
   seen-doc set, so at-least-once redelivery of a document is a no-op
   (stronger than the LSH twins' documented re-emission caveat).
-  APPEND-ONLY: a doc's row never changes, so its delta is just the
-  batch's new docs and "current" is the plain union of versions.
 - ``post``    (h, dids, dead): the inverted index. A shingle whose
   cumulative document frequency exceeds ``max_df`` is marked dead —
   its posting list is DROPPED (state stays bounded: ≤ max_df ids per
@@ -29,29 +27,38 @@ by plain joins in a foreachBatch function, no Python in the loop —
   (verification downstream prunes it).
 - ``probe``   (h, pids): which prior docs probe with h. Probing docs
   contain h, so this is a subset of the posting list — bounded by the
-  same cap; dead shingles' probe lists are dropped with them (a
-  tombstone row with an empty list in the delta, filtered out at the
-  next fold).
+  same cap; dead shingles' probe rows are dropped at the fold.
 - ``pairs``   (id_a, id_b, hs, emitted): per-pair distinct hit
   shingles (≤ 2·probe_k by construction — hits come from the two
   docs' bottom-k probe sets) and whether the pair was already
   emitted, so each candidate pair is emitted EXACTLY once across the
   stream's lifetime.
 
-State layout (round 11, shared with ``dedup_stream``'s compacted core):
-each table is a DELTA LOG with periodic compaction —
-``state_dir/<table>/delta/v=<b>`` holds only the keys batch ``b``
-changed; every ``compact_every`` batches a full latest-per-key fold
-lands at ``state_dir/<table>/base/v=<b>``. Per-batch work is therefore
-O(batch + touched keys) — prior state is reconstructed ONLY for keys
-the batch touched (left-semi prune before the merge), untouched
-shingles, probes and pairs are never re-read, re-aggregated or
-rewritten. Round 10's version rewrote all four tables in full every
-batch (and re-evaluated ``crossed`` over every pair ever seen); that
-cost grew linearly with stream lifetime and was the r10 verdict's #1.
-A pair untouched by a batch cannot newly cross ``min_hits`` — its hit
-set is unchanged and per-doc shingle counts are immutable — so
-touched-pair evaluation is exact, not an approximation.
+State layout (round 11): each table is a DELTA LOG with periodic
+compaction, sharing ``dedup_stream``'s version-dir machinery — but the
+deltas are INCREMENTS (events), not merged values. A batch writes only
+the facts it ADDED — this batch's postings per shingle, probes, new hit
+shingles per pair, a dead/emitted event row when a flag latches —
+so every posting/probe/hit traverses the log exactly once. (A first cut
+wrote MERGED per-key values into the deltas, like the LSH twins do;
+for containment a batch touches millions of shingle keys whose
+cumulative posting lists then reappear in every subsequent delta, and
+the measured sf10 16-batch replay cost GREW with chain length to 2×
+the old full-rewrite design. The LSH twins keep merged-value deltas
+because their per-key arrays are cap-bounded and their touched keys
+are mostly fresh singletons — duplication there is O(1).)
+
+Current state of a key = an AGGREGATION over the chain (union of the
+newest base and subsequent deltas): posting/probe/hit arrays are the
+distinct union across rows, dead/emitted flags are the max (latched
+events). Per-batch reads restrict that aggregation to keys the batch
+touched (left-semi prune first); every ``compact_every`` batches a full
+fold writes the merged view as a new base and retention prunes the
+folded deltas (``_retain_versions``), which also drops dead shingles'
+posting/probe rows — bounded state. Untouched keys are never re-read,
+re-aggregated, or rewritten: an untouched pair cannot newly cross
+``min_hits`` (its hit set and its docs' shingle counts are immutable),
+so touched-pair evaluation is exact, not an approximation.
 
 Over a full replay every (probe-shingle of x) × (y contains it)
 combination is generated exactly once — when the later of the two
@@ -78,7 +85,6 @@ from pyspark.sql.window import Window
 from esop_spark.operators.dedup import doc_shingle_counts, shingles
 from esop_spark.streaming.dedup_stream import (
     _EMPTY_IDS as _EMPTY,
-    _latest_per_key,
     _live_versions,
     _read_versioned,
     _retain_versions,
@@ -104,25 +110,78 @@ def _bottom_k_probes(sh_hashed: DataFrame, k: int) -> DataFrame:
 
 
 def _table_history(spark, state_dir: str, table: str, base_v, deltas):
-    """Versioned history of one state table under the shared version
-    bookkeeping (all four tables are written together every batch)."""
+    """Versioned increment history of one state table under the shared
+    version bookkeeping (all four tables are written together every
+    batch). The ``_v`` tag is bookkeeping only — increments aggregate,
+    they don't supersede each other."""
     root = f"{state_dir}/{table}"
     schema = _SCHEMAS[table]
     return _read_versioned(
         spark, f"{root}/base", [base_v] if base_v is not None else [], schema
-    ).unionByName(_read_versioned(spark, f"{root}/delta", deltas, schema))
+    ).unionByName(
+        _read_versioned(spark, f"{root}/delta", deltas, schema)
+    ).drop("_v")
+
+
+def _agg_post(hist: DataFrame) -> DataFrame:
+    """Merged inverted-index view of a post increment history: distinct
+    posting union per shingle, latched dead flag, dead lists dropped."""
+    merged = (
+        hist.select("h", F.explode_outer("dids").alias("did"), "dead")
+        .groupBy("h")
+        .agg(
+            F.sort_array(
+                F.array_compact(F.collect_set("did"))
+            ).alias("dids"),
+            F.max("dead").alias("dead"),
+        )
+    )
+    return merged.select(
+        "h",
+        F.when(F.col("dead") == 1, F.expr(_EMPTY)).otherwise(
+            F.col("dids")
+        ).alias("dids"),
+        "dead",
+    )
+
+
+def _agg_probe(hist: DataFrame) -> DataFrame:
+    return (
+        hist.select("h", F.explode("pids").alias("pid"))
+        .groupBy("h")
+        .agg(F.sort_array(F.collect_set("pid")).alias("pids"))
+    )
+
+
+def _agg_pairs(hist: DataFrame) -> DataFrame:
+    return (
+        hist.select("id_a", "id_b", F.explode_outer("hs").alias("hh"), "emitted")
+        .groupBy("id_a", "id_b")
+        .agg(
+            F.sort_array(F.array_compact(F.collect_set("hh"))).alias("hs"),
+            F.max("emitted").alias("emitted"),
+        )
+    )
 
 
 def read_containment_state(spark, state_dir: str, table: str) -> DataFrame:
-    """Reconstruct the CURRENT value of one of the four containment state
-    tables (counts/post/probe/pairs) — the external read surface for
-    consumers and tests; equals what the next batch would see."""
+    """Reconstruct the CURRENT merged value of one of the four containment
+    state tables (counts/post/probe/pairs) — the external read surface
+    for consumers and tests; equals what the next batch would see (probe
+    rows of dead shingles excluded, as the fold does)."""
     base_v, deltas = _live_versions(spark, f"{state_dir}/{table}", 1 << 62)
     hist = _table_history(spark, state_dir, table, base_v, deltas)
     if table == "counts":  # append-only: versions hold disjoint keys
-        return hist.drop("_v")
-    keys = ["id_a", "id_b"] if table == "pairs" else ["h"]
-    return _latest_per_key(hist, keys)
+        return hist
+    if table == "post":
+        return _agg_post(hist)
+    if table == "probe":
+        bp, dp = _live_versions(spark, f"{state_dir}/post", 1 << 62)
+        dead = _agg_post(
+            _table_history(spark, state_dir, "post", bp, dp)
+        ).filter(F.col("dead") == 1).select("h")
+        return _agg_probe(hist).join(dead, "h", "left_anti")
+    return _agg_pairs(hist)
 
 
 def _containment_fn_factory(
@@ -148,14 +207,12 @@ def _containment_fn_factory(
         def hist(table: str) -> DataFrame:
             return _table_history(spark, state_dir, table, base_v, deltas)
 
-        counts_prev = hist("counts").drop("_v")  # append-only: plain union
+        counts_prev = hist("counts")  # append-only: plain union
 
         # ---- batch projections (docs already seen are dropped whole) ----
         # persisted: five write actions consume this batch (pair output +
-        # four table deltas), and an unpersisted chain would re-run the
-        # shingle projection AND re-scan the counts delta chain per action
-        # — measured as 2× total wall and per-batch cost GROWING with
-        # delta-chain length on the sf10 16-batch replay
+        # four table deltas); an unpersisted chain would re-run the
+        # shingle projection and re-scan the counts chain per action
         docs = (
             batch_docs.dropDuplicates([id_col])
             .join(
@@ -178,22 +235,29 @@ def _containment_fn_factory(
             F.col(id_col).alias("did"), F.col("n_sh").cast("int").alias("n_sh")
         )
         probes_b = _bottom_k_probes(sh, probe_k).persist()
-
         post_b = sh.groupBy("h").agg(
             F.sort_array(F.collect_set("did")).alias("bdids")
         ).persist()
-        # prior state of TOUCHED shingles only (probes_b's h ⊆ post_b's h,
-        # so post_b keys cover every shingle this batch can interact with)
-        post_prev_t = _latest_per_key(
-            hist("post").join(post_b.select("h"), "h", "left_semi"), ["h"]
+
+        # prior merged state of TOUCHED shingles only (probes_b's h ⊆
+        # post_b's h, so post_b keys cover every shingle this batch can
+        # interact with); the chain rows are thin increments, each
+        # posting appearing once across the whole log
+        post_chain_t = hist("post").join(
+            post_b.select("h"), "h", "left_semi"
+        )
+        prior_post_t = _agg_post(post_chain_t).select(
+            "h",
+            F.col("dids").alias("pdids"),
+            F.col("dead").alias("pdead"),
         )
         post_m = (
-            post_b.join(post_prev_t, "h", "left")
+            post_b.join(prior_post_t, "h", "left")
             .select(
                 "h",
-                F.coalesce("dids", F.expr(_EMPTY)).alias("pdids"),
+                F.coalesce("pdids", F.expr(_EMPTY)).alias("pdids"),
                 "bdids",
-                F.coalesce("dead", F.lit(0)).alias("pdead"),
+                F.coalesce("pdead", F.lit(0)).alias("pdead"),
             )
             .select(
                 "h",
@@ -219,13 +283,10 @@ def _containment_fn_factory(
             post_new_t = live_touched.select(
                 "h", F.explode("bdids").alias("iid")
             )
-            # prior probe lists of live touched shingles (probers ⊆
-            # containers, so these h are all in post_m)
-            probe_prev_t = _latest_per_key(
-                hist("probe").join(
-                    post_b.select("h"), "h", "left_semi"
-                ),
-                ["h"],
+            # prior probe lists of touched shingles (probers ⊆ containers,
+            # so these h are all in post_m; dead ones are filtered at use)
+            probe_prev_t = _agg_probe(
+                hist("probe").join(post_b.select("h"), "h", "left_semi")
             ).persist()
             hits_b = (
                 probes_b.selectExpr("h", "did AS pid")
@@ -251,19 +312,19 @@ def _containment_fn_factory(
             # prior state of TOUCHED pairs only: an untouched pair's hit
             # set and its docs' shingle counts are immutable, so its
             # crossed status cannot change — no need to re-evaluate it
-            pairs_prev_t = _latest_per_key(
+            prior_pairs_t = _agg_pairs(
                 hist("pairs").join(
                     pair_b.select("id_a", "id_b"),
                     ["id_a", "id_b"],
                     "left_semi",
-                ),
-                ["id_a", "id_b"],
+                )
             )
             pairs_m = (
-                pair_b.join(pairs_prev_t, ["id_a", "id_b"], "left")
+                pair_b.join(prior_pairs_t, ["id_a", "id_b"], "left")
                 .select(
                     "id_a",
                     "id_b",
+                    "bhs",
                     F.array_distinct(
                         F.concat(F.coalesce("hs", F.expr(_EMPTY)), "bhs")
                     ).alias("hs"),
@@ -281,7 +342,7 @@ def _containment_fn_factory(
                 crossed = pairs_m.join(na, "id_a").join(nb, "id_b").select(
                     "id_a",
                     "id_b",
-                    "hs",
+                    "bhs",
                     "pemit",
                     (
                         F.size("hs")
@@ -296,15 +357,17 @@ def _containment_fn_factory(
                     ).select("id_a", "id_b").write.mode("overwrite").parquet(
                         f"{pairs_dir}/batch={batch_id}"
                     )
-                    # ---- per-table deltas: touched keys only ----
+                    # ---- per-table INCREMENT deltas: this batch's new
+                    # facts only ----
                     counts_b.write.mode("overwrite").parquet(
                         f"{state_dir}/counts/delta/v={batch_id}"
                     )
                     post_delta = post_m.select(
                         "h",
-                        # dead posting lists are dropped — bounded state
+                        # dead shingles stop accumulating postings; the
+                        # event row tells the fold to drop the whole list
                         F.when(F.col("dead") == 1, F.expr(_EMPTY))
-                        .otherwise(F.sort_array(F.concat("pdids", "bdids")))
+                        .otherwise(F.col("bdids"))
                         .alias("dids"),
                         "dead",
                     )
@@ -313,18 +376,9 @@ def _containment_fn_factory(
                     )
                     dead_h = post_m.filter(F.col("dead") == 1).select("h")
                     probe_delta = (
-                        probe_prev_t.select(
-                            "h", F.explode("pids").alias("pid")
-                        )
-                        .unionByName(probes_b.selectExpr("h", "did AS pid"))
-                        .join(dead_h, "h", "left_anti")
+                        probes_b.join(dead_h, "h", "left_anti")
                         .groupBy("h")
-                        .agg(F.sort_array(F.collect_set("pid")).alias("pids"))
-                        # tombstones: a shingle that died this batch clears
-                        # its probe list (filtered out at the next fold)
-                        .unionByName(
-                            dead_h.select("h", F.expr(_EMPTY).alias("pids"))
-                        )
+                        .agg(F.sort_array(F.collect_set("did")).alias("pids"))
                     )
                     probe_delta.write.mode("overwrite").parquet(
                         f"{state_dir}/probe/delta/v={batch_id}"
@@ -332,7 +386,7 @@ def _containment_fn_factory(
                     pairs_delta = crossed.select(
                         "id_a",
                         "id_b",
-                        "hs",
+                        F.col("bhs").alias("hs"),
                         F.greatest("pemit", "crossed").alias("emitted"),
                     )
                     pairs_delta.write.mode("overwrite").parquet(
@@ -342,31 +396,30 @@ def _containment_fn_factory(
                     # strictly below this batch — replay-deterministic) ----
                     compact = len(deltas) + 1 >= compact_every
                     if compact:
-                        tag = F.lit(batch_id).cast("long")
-                        counts_prev.unionByName(counts_b).write.mode(
-                            "overwrite"
-                        ).parquet(f"{state_dir}/counts/base/v={batch_id}")
-                        _latest_per_key(
-                            hist("post").unionByName(
-                                post_delta.withColumn("_v", tag)
-                            ),
-                            ["h"],
-                        ).write.mode("overwrite").parquet(
-                            f"{state_dir}/post/base/v={batch_id}"
+                        counts_all.write.mode("overwrite").parquet(
+                            f"{state_dir}/counts/base/v={batch_id}"
                         )
-                        _latest_per_key(
-                            hist("probe").unionByName(
-                                probe_delta.withColumn("_v", tag)
-                            ),
-                            ["h"],
-                        ).filter(F.size("pids") > 0).write.mode(
-                            "overwrite"
-                        ).parquet(f"{state_dir}/probe/base/v={batch_id}")
-                        _latest_per_key(
-                            hist("pairs").unionByName(
-                                pairs_delta.withColumn("_v", tag)
-                            ),
-                            ["id_a", "id_b"],
+                        folded_post = _agg_post(
+                            hist("post").unionByName(post_delta)
+                        ).persist()
+                        try:
+                            folded_post.write.mode("overwrite").parquet(
+                                f"{state_dir}/post/base/v={batch_id}"
+                            )
+                            dead_all = folded_post.filter(
+                                F.col("dead") == 1
+                            ).select("h")
+                            # dead shingles' probe rows fold away —
+                            # bounded state
+                            _agg_probe(
+                                hist("probe").unionByName(probe_delta)
+                            ).join(dead_all, "h", "left_anti").write.mode(
+                                "overwrite"
+                            ).parquet(f"{state_dir}/probe/base/v={batch_id}")
+                        finally:
+                            folded_post.unpersist()
+                        _agg_pairs(
+                            hist("pairs").unionByName(pairs_delta)
                         ).write.mode("overwrite").parquet(
                             f"{state_dir}/pairs/base/v={batch_id}"
                         )
