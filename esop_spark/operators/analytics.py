@@ -4102,9 +4102,17 @@ def xcorr_leadlag(
     means type_a leads type_b by that many days.
 
     Scale shape: ONE corpus pass to the bounded (day, type) grain; the
-    lag battery is a self-join of two ≤|days|-row relations per lag —
-    planning-scale arithmetic, never per-event. Pearson terms are exact
-    integer sums (counts), divided once per lag.
+    lag battery is ONE equi-join of the a-side exploded by the
+    2·max_lag+1 lag literals against the b-side on db = da + lag, then
+    one per-lag aggregation — planning-scale arithmetic, never per-event.
+    (Formerly one join + one ungrouped aggregate PER lag unioned
+    together: 15 plan branches each re-running the corpus aggregation —
+    60 scans in the physical plan for a 100k-row input. Guide §2.4 /
+    §7.3: one shared pass, explode the tiny battery dimension instead of
+    unioning per-parameter subplans.) Pearson terms are exact integer
+    sums (counts), divided once per lag. Lags whose day ranges never
+    overlap keep their (n_days = 0, r = NULL) row via the lag-literal
+    left join.
 
     Output per lag: (lag, n_days, r)."""
     daily = (
@@ -4126,22 +4134,34 @@ def xcorr_leadlag(
     # Σ(ca·cb) overflow int64; the oracle's HUGEINT is exact, so exact
     # decimals here keep both engines bit-identical pre-division
     dec = lambda c: F.col(c).cast("decimal(19,0)")  # noqa: E731
-    lags = None
-    for lag in range(-max_lag, max_lag + 1):
-        j = (
-            a.join(b, F.col("db") == F.col("da") + F.lit(lag))
-            .agg(
-                F.count(F.lit(1)).cast("bigint").alias("n_days"),
-                F.sum("ca").cast("decimal(38,0)").alias("sa"),
-                F.sum("cb").cast("decimal(38,0)").alias("sb"),
-                F.sum(dec("ca") * dec("cb")).cast("decimal(38,0)").alias("sab"),
-                F.sum(dec("ca") * dec("ca")).cast("decimal(38,0)").alias("saa"),
-                F.sum(dec("cb") * dec("cb")).cast("decimal(38,0)").alias("sbb"),
-            )
-            .select(F.lit(lag).cast("bigint").alias("lag"), "n_days", "sa",
-                    "sb", "sab", "saa", "sbb")
+    lag_values = list(range(-max_lag, max_lag + 1))
+    ax = a.select(
+        "da",
+        "ca",
+        F.explode(
+            F.array(*[F.lit(l).cast("bigint") for l in lag_values])
+        ).alias("lag"),
+    )
+    per_lag = (
+        ax.join(b, F.col("db") == F.col("da") + F.col("lag"))
+        .groupBy("lag")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_days"),
+            F.sum("ca").cast("decimal(38,0)").alias("sa"),
+            F.sum("cb").cast("decimal(38,0)").alias("sb"),
+            F.sum(dec("ca") * dec("cb")).cast("decimal(38,0)").alias("sab"),
+            F.sum(dec("ca") * dec("ca")).cast("decimal(38,0)").alias("saa"),
+            F.sum(dec("cb") * dec("cb")).cast("decimal(38,0)").alias("sbb"),
         )
-        lags = j if lags is None else lags.unionByName(j)
+    )
+    all_lags = events.sparkSession.createDataFrame(
+        [(l,) for l in lag_values], "lag bigint"
+    )
+    # reinstate zero-overlap lags exactly as the former per-lag ungrouped
+    # aggregate emitted them: n_days = 0, NULL sums (r then stays NULL)
+    lags = all_lags.join(per_lag, "lag", "left").withColumn(
+        "n_days", F.coalesce("n_days", F.lit(0).cast("bigint"))
+    )
     nd = F.col("n_days").cast("decimal(38,0)")
     num = (nd * F.col("sab") - F.col("sa") * F.col("sb")).cast("double")
     den2a = (nd * F.col("saa") - F.col("sa") * F.col("sa")).cast("double")

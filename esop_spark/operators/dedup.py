@@ -414,6 +414,15 @@ def dedup_clusters(pairs: DataFrame, max_iters: int = 50) -> DataFrame:
         .distinct()
         .withColumn("label", F.col("node"))
     )
+    # Convergence via the exact label-mass invariant: each round assigns
+    # label'(v) = min(label(v), neighbor labels) ≤ label(v), so the sum of
+    # labels is strictly decreasing until the fixpoint — sum unchanged ⟺
+    # no label changed. DECIMAL(38) keeps the sum exact at any scale
+    # (≤1e9 nodes × 9.2e18 max id < 1e38). This folds the former
+    # materialize-then-join-check two-job round into ONE job: the lazy
+    # checkpoint's blocks materialize inside the same ungrouped aggregate
+    # that returns the convergence statistic (guide §1.2: fewer passes).
+    label_sum = None
     for _ in range(max_iters):
         neighbor = cedges.join(
             labels, cedges["dst"] == labels["node"], "inner"
@@ -421,19 +430,17 @@ def dedup_clusters(pairs: DataFrame, max_iters: int = 50) -> DataFrame:
         new_labels = ckpt.checkpoint(
             labels.unionByName(neighbor)
             .groupBy("node")
-            .agg(F.min("label").alias("label"))
+            .agg(F.min("label").alias("label")),
+            eager=False,
         )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "node")
-            .filter(F.col("n.label") != F.col("o.label"))
-            .limit(1)
-            .count()
-        )
-        ckpt.release(labels)  # convergence check was its last consumer
+        new_sum = new_labels.agg(
+            F.sum(F.col("label").cast("decimal(38,0)"))
+        ).first()[0]
+        ckpt.release(labels)  # the aggregate was its last consumer
         labels = new_labels
-        if changed == 0:
+        if new_sum == label_sum:
             break
+        label_sum = new_sum
     # expand back to the full node set: label(v) = label(rep(v)); a rep
     # with no contracted edge (component fully collapsed) keeps itself
     node_labels = ckpt.checkpoint(

@@ -124,10 +124,20 @@ class RoundCheckpointer:
         # every later round still needs.
         self._owned: dict[int, list[int]] = {}
 
-    def checkpoint(self, df: DataFrame) -> DataFrame:
-        """Eagerly localCheckpoint ``df`` and record the RDD id it pinned."""
-        # eager: blocks exist on return
-        out = df.localCheckpoint(eager=True, storageLevel=self._level)
+    def checkpoint(self, df: DataFrame, eager: bool = True) -> DataFrame:
+        """localCheckpoint ``df`` and record the RDD id it pinned.
+
+        ``eager=False`` defers materialization to the caller's next FULL
+        action over the frame (loop bodies that immediately run a
+        convergence aggregation over the new round use this to fold the
+        former materialize-then-check two-job sequence into ONE job —
+        the action both computes the checkpoint blocks and returns the
+        convergence statistic). The caller must guarantee that next
+        action computes every partition (an ungrouped aggregate does; a
+        limit-style action may not), otherwise Spark schedules a
+        fill-in job for the missing partitions at lineage-truncation
+        time — correct, but the second job returns."""
+        out = df.localCheckpoint(eager=eager, storageLevel=self._level)
         rid = _checkpoint_rdd_id(out)
         self._owned[id(out)] = [] if rid is None else [rid]
         return out

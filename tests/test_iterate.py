@@ -27,6 +27,25 @@ def test_checkpoint_release_frees_blocks(spark):
     assert _n_persistent(spark) == base
 
 
+def test_lazy_checkpoint_materializes_on_first_full_action(spark):
+    """checkpoint(eager=False): no blocks exist until the caller's first
+    full action, which both computes the result AND pins the checkpoint
+    blocks (the one-job-per-round loop construction); release then frees
+    exactly those blocks. Values are identical to the eager form."""
+    ckpt = RoundCheckpointer(spark)
+    base = _n_persistent(spark)
+    df = ckpt.checkpoint(
+        spark.range(500).withColumn("x", F.col("id") * 2), eager=False
+    )
+    total = df.agg(F.sum("x")).first()[0]
+    assert total == 2 * (499 * 500 // 2)
+    assert _n_persistent(spark) > base  # the action pinned the blocks
+    # the frame now reads its own blocks (lineage truncated, values stable)
+    assert df.count() == 500
+    ckpt.release(df)
+    assert _n_persistent(spark) == base
+
+
 def test_loop_holds_bounded_rounds(spark):
     base = _n_persistent(spark)
     ckpt = RoundCheckpointer(spark)
