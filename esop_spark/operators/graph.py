@@ -38,55 +38,39 @@ from esop_spark.operators.iterate import RoundCheckpointer
 RANK_ONE = 1_000_000_000  # 1.0 in nano units
 
 
-def _order_pair_structs(pks: "F.Column") -> "F.Column":
-    """All (src, dst) with src < dst from a sorted distinct key array —
-    the in-task pair expansion shared by the co-order edge derivations.
-    Fanout per order is C(order size, 2), bounded by order size (≤7
-    lineitems in TPC-H-shaped data)."""
-    return F.flatten(
-        F.transform(
-            pks,
-            lambda x, i: F.transform(
-                F.slice(pks, i + F.lit(2), F.size(pks)),
-                lambda y: F.struct(x.alias("src"), y.alias("dst")),
-            ),
-        )
-    )
-
-
-def _coorder_pairs(lineitem: DataFrame) -> DataFrame:
-    """Per-order co-purchase pair stream: one (src, dst) row (src < dst)
-    per order containing both parts. One hash aggregation (collect_set has
-    map-side partial aggregation) + one in-task pair explode — replacing
-    the former (ok, pk)-distinct → self-join-on-ok construction, which
-    paid three corpus-shaped exchanges and a join for the same rows
-    (guide §2.4: remove shuffles outright). ``array_sort`` fixes the
-    nondeterministic collect_set order so src < dst holds exactly."""
-    psets = lineitem.groupBy(F.col("l_orderkey").alias("ok")).agg(
-        F.array_sort(F.collect_set("l_partkey")).alias("pks")
-    )
-    return psets.select(
-        F.explode(_order_pair_structs(F.col("pks"))).alias("e")
-    ).select(F.col("e.src").alias("src"), F.col("e.dst").alias("dst"))
-
-
 def coorder_edges(lineitem: DataFrame, directed: bool = True) -> DataFrame:
     """Part co-purchase edge relation: (src, dst) part keys that appear in
     the same order, deduplicated.  ``directed=True`` emits both directions
     (the symmetric digraph pagerank runs on); ``directed=False`` emits each
     undirected edge once as src < dst (triangle input).
 
-    Derivation: per-order distinct-part sets (one hash agg), in-task pair
-    expansion, one distinct — two exchanges total. ``directed=True``
-    mirrors the distinct undirected relation instead of deduplicating a
-    double-width pair stream, so the mirror is a free narrow union on top
-    of the same two exchanges.
+    One self-join on the order key; per-order fanout is bounded by order
+    size (≤7 lineitems in TPC-H-shaped data), so the pair explode scales
+    linearly with orders.
+
+    Round-11 A/B note: a collect_set + in-task pair-explode derivation
+    (one hash agg, no join) was MEASURED SLOWER at sf0.1 (q159 2.5 → 3.3+
+    s, q262 2.9 → 3.3, q233 2.4 → 2.8, q166 4.7 → 4.9) and reverted.
+    This shape is already exchange-minimal at runtime: the self-join on
+    ``ok`` reuses dropDuplicates' hash partitioning (zero extra Exchange),
+    so the plan is two corpus-shaped shuffles — the same count the
+    aggregation form pays, without ObjectHashAggregate's per-row set cost
+    or the directed mirror's double evaluation of an unpersisted subtree.
     """
-    und = _coorder_pairs(lineitem).distinct()
-    if not directed:
-        return und
-    return und.union(
-        und.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    sides = lineitem.select(
+        F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pk")
+    ).dropDuplicates(["ok", "pk"])
+    a = sides.alias("a")
+    b = sides.alias("b")
+    cond = (F.col("a.ok") == F.col("b.ok")) & (
+        (F.col("a.pk") < F.col("b.pk"))
+        if not directed
+        else (F.col("a.pk") != F.col("b.pk"))
+    )
+    return (
+        a.join(b, cond)
+        .select(F.col("a.pk").alias("src"), F.col("b.pk").alias("dst"))
+        .dropDuplicates(["src", "dst"])
     )
 
 
@@ -270,24 +254,25 @@ def connected_components(edges: DataFrame, max_iters: int = 50) -> DataFrame:
         neighbor = sym.join(
             labels, sym["dst"] == labels["node"], "inner"
         ).select(F.col("src").alias("node"), F.col("label"))
-        # lazy checkpoint + full-count convergence check: the ungrouped
-        # count computes every partition of the new round, so the
-        # checkpoint blocks materialize inside the SAME job that returns
-        # the changed count — one job per round instead of the former
-        # eager-materialize + limit(1)-count pair (guide §1.2). The full
-        # count (no limit) is what guarantees total materialization;
-        # labels are generic (string keys allowed), so the exact
-        # label-sum invariant dedup_clusters uses does not apply here.
+        # eager checkpoint + limit(1) probe: a one-job-per-round variant
+        # (lazy checkpoint materialized by a FULL count of the changed
+        # join) was A/B-measured SLOWER at sf0.1 (q176 2.6 → 3.3 s, q278
+        # 5.1 → 5.5) and reverted — the probe job reads checkpointed
+        # blocks and executeTake stops at the first changed row (one
+        # reduce partition in the common still-converging case), which is
+        # cheaper than evaluating the full join every round. Labels are
+        # generic (string keys allowed), so the exact label-sum invariant
+        # dedup_clusters uses does not apply here.
         new_labels = ckpt.checkpoint(
             labels.unionByName(neighbor)
             .groupBy("node")
-            .agg(F.min("label").alias("label")),
-            eager=False,
+            .agg(F.min("label").alias("label"))
         )
         changed = (
             new_labels.alias("n")
             .join(labels.alias("o"), "node")
             .filter(F.col("n.label") != F.col("o.label"))
+            .limit(1)
             .count()
         )
         ckpt.release(labels)  # convergence check was its last consumer
@@ -469,18 +454,16 @@ def kcore_peel(
     # read once next round — on-heap caching buys nothing and competes with
     # the degree-agg/semi-join execution memory (the sf10 local-mode OOM)
     ckpt = RoundCheckpointer(edges_undirected, storage_level=StorageLevel.DISK_ONLY)
-    # lazy checkpoints: each round's ungrouped count() both materializes
-    # the checkpoint blocks and returns the convergence statistic — one
-    # job per round instead of the former eager-materialize + count pair
-    # (guide §1.2). prev is released only AFTER the count materializes
-    # the new round (the semi-join chain reads prev's blocks).
+    # eager checkpoints: the lazy one-job-per-round variant was
+    # A/B-measured flat-to-slower at sf0.1 (q266 min 3.5 → 3.7, q305
+    # 3.3 → 3.5+) and reverted — in local mode the saved job's ~50 ms of
+    # scheduling does not pay for losing the probe-over-blocks shape.
     both = ckpt.checkpoint(
         edges_undirected.select("src", "dst").union(
             edges_undirected.select(
                 F.col("dst").alias("src"), F.col("src").alias("dst")
             )
-        ),
-        eager=False,
+        )
     )
     n_edges = both.count()
     for _ in range(rounds):
@@ -493,11 +476,10 @@ def kcore_peel(
         prev = both
         both = ckpt.checkpoint(
             both.join(keep, both["src"] == keep["u"], "left_semi")
-            .join(keep, both["dst"] == keep["u"], "left_semi"),
-            eager=False,
+            .join(keep, both["dst"] == keep["u"], "left_semi")
         )
+        ckpt.release(prev)  # checkpoint was eager: prev has no consumers left
         n_next = both.count()
-        ckpt.release(prev)  # the count materialized the new round off prev
         if n_next == n_edges:
             break
         n_edges = n_next
@@ -577,30 +559,22 @@ def densest_subgraph_peel(
     (node, degree, density), degree measured inside that subgraph and
     density the (constant) winning ρ."""
     ckpt = RoundCheckpointer(edges_undirected, storage_level=StorageLevel.DISK_ONLY)
-    # lazy checkpoints: each round's degree-summary .first() (an
-    # ungrouped aggregate over the full degree agg) both materializes the
-    # round's checkpoint blocks and returns the |V| / 2|E| statistics —
-    # one job per round instead of the former eager-materialize +
-    # aggregate pair (guide §1.2). prev is released only after the next
-    # round's summary has materialized the new relation off prev's blocks.
+    # eager checkpoints: see kcore_peel — the lazy variant measured
+    # slower at sf0.1 (q305 3.3 → 3.5+) and was reverted.
     both = ckpt.checkpoint(
         edges_undirected.select("src", "dst").union(
             edges_undirected.select(
                 F.col("dst").alias("src"), F.col("src").alias("dst")
             )
-        ),
-        eager=False,
+        )
     )
     best = None
     best_density = float("-inf")
-    prev = None
     for r in range(rounds + 1):
         deg = both.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
         row = deg.agg(
             F.count(F.lit(1)).alias("nv"), F.sum("deg").alias("ne2")
         ).first()
-        if prev is not None and prev is not best:
-            ckpt.release(prev)  # the summary materialized this round
         nv, ne2 = row["nv"], row["ne2"]
         if not nv:
             break  # empty stays empty: remaining oracle rounds are no-ops
@@ -617,9 +591,10 @@ def densest_subgraph_peel(
         both = ckpt.checkpoint(
             prev.join(keep, prev["src"] == keep["u"], "left_semi").join(
                 keep, prev["dst"] == keep["u"], "left_semi"
-            ),
-            eager=False,
+            )
         )
+        if prev is not best:
+            ckpt.release(prev)
     if both is not best:
         ckpt.release(both)
     if best is None:
@@ -725,14 +700,25 @@ def coorder_edges_min(
     the ≥2-order threshold keeps only repeated co-purchase signal — the
     same support cutoff association mining applies before rule scoring.
 
-    Scale shape: per-order distinct-part sets (one hash agg — the only
-    corpus-sized shuffle), bounded in-task pair fanout, then a mergeable
-    pair-count agg with the HAVING filter — no edge survives to
-    downstream graph work unless repeated. Each order emits each pair
-    exactly once, so the pair count IS the distinct-order count."""
+    Scale shape: distinct (order, part) first (the only corpus-sized
+    shuffle), bounded per-order pair fanout, then a mergeable pair-count
+    agg with the HAVING filter — no edge survives to downstream graph
+    work unless repeated. (Round-11 A/B: the collect_set derivation was
+    measured slower here too — see :func:`coorder_edges` — and the
+    self-join reuses dropDuplicates' partitioning, so this is already
+    exchange-minimal.)"""
+    sides = lineitem.select(
+        F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pk")
+    ).dropDuplicates(["ok", "pk"])
+    a = sides.alias("a")
+    b = sides.alias("b")
     return (
-        _coorder_pairs(lineitem)
-        .groupBy("src", "dst")
+        a.join(
+            b,
+            (F.col("a.ok") == F.col("b.ok"))
+            & (F.col("a.pk") < F.col("b.pk")),
+        )
+        .groupBy(F.col("a.pk").alias("src"), F.col("b.pk").alias("dst"))
         .agg(F.count(F.lit(1)).alias("n_orders"))
         .filter(F.col("n_orders") >= min_orders)
         .select("src", "dst")
