@@ -2081,24 +2081,25 @@ def dedup_threshold_curve(
         F.round(F.col("jaccard") * 1e6).cast("bigint")
         >= F.col("threshold_pct") * 10_000
     )
+    # ONE aggregation over the 2×-exploded pair relation (each pair emits
+    # its two endpoints; id_b rides along): n_pairs = rows div 2,
+    # docs-touched = distinct endpoint, removal bound = distinct id_b.
+    # Round 11: the former two-branch shape (pair-grain agg ⋈ endpoint-
+    # grain agg) gave the pair pipeline two consumers, and exchange reuse
+    # only de-duplicates the map side — the Σdf² self-join reduce + agg
+    # ran TWICE per run (plan showed both full subtrees; guide §1.2).
     touched = grid.select(
-        "threshold_pct", F.explode(F.array("id_a", "id_b")).alias("d")
+        "threshold_pct", "id_b", F.explode(F.array("id_a", "id_b")).alias("d")
     )
-    per_t = grid.groupBy("threshold_pct").agg(
-        F.count(F.lit(1)).cast("bigint").alias("n_pairs"),
+    return touched.groupBy("threshold_pct").agg(
+        F.expr("count(1) div 2").cast("bigint").alias("n_pairs"),
+        F.countDistinct("d").cast("bigint").alias("n_docs_touched"),
         F.countDistinct("id_b").cast("bigint").alias("drop_upper_bound"),
-    )
-    docs_t = touched.groupBy("threshold_pct").agg(
-        F.countDistinct("d").cast("bigint").alias("n_docs_touched")
-    )
-    return (
-        per_t.join(docs_t, "threshold_pct")
-        .select(
-            F.col("threshold_pct").cast("bigint").alias("threshold_pct"),
-            "n_pairs",
-            "n_docs_touched",
-            "drop_upper_bound",
-        )
+    ).select(
+        F.col("threshold_pct").cast("bigint").alias("threshold_pct"),
+        "n_pairs",
+        "n_docs_touched",
+        "drop_upper_bound",
     )
 
 

@@ -101,20 +101,45 @@ def global_list_backups(fleet_entries: DataFrame) -> DataFrame:
     generalized over the fleet union. Reclaimable uses the full physical
     object identity (dc, node, object_key): bytes freed if that node's backup
     were removed and no other backup anywhere still referenced the object."""
-    refcounts = fleet_entries.groupBy("dc", "node", "object_key").agg(
-        F.countDistinct("backup_name").alias("n_backups")
+    # Round 11 (guide §2.4): two-level aggregation replaces the former
+    # object-grain join-back (agg → SMJ of the full entry relation against
+    # its own refcounts → re-agg). An object with exactly one referencing
+    # backup contributes ALL its rows' bytes to that one backup, so the
+    # reclaimable mass aggregates straight off the object grain — no
+    # entry-relation join, one exchange fewer.
+    per_backup = fleet_entries.groupBy(
+        "dc", "node", "backup_name", "backup_ts"
+    ).agg(
+        F.count(F.lit(1)).cast("bigint").alias("files"),
+        F.sum("size").cast("bigint").alias("size_bytes"),
+    )
+    single_ref = (
+        fleet_entries.groupBy("dc", "node", "object_key")
+        .agg(
+            F.countDistinct("backup_name").alias("n_backups"),
+            F.max("backup_name").alias("backup_name"),
+            F.sum("size").alias("sz"),
+        )
+        .filter(F.col("n_backups") == 1)
+        .groupBy("dc", "node", "backup_name")
+        .agg(F.sum("sz").cast("bigint").alias("reclaimable_bytes"))
     )
     return (
-        fleet_entries.join(refcounts, ["dc", "node", "object_key"])
-        .groupBy("dc", "node", "backup_name", "backup_ts")
-        .agg(
-            F.count(F.lit(1)).cast("bigint").alias("files"),
-            F.sum("size").cast("bigint").alias("size_bytes"),
-            F.sum(
-                F.when(F.col("n_backups") == 1, F.col("size")).otherwise(F.lit(0))
-            )
-            .cast("bigint")
-            .alias("reclaimable_bytes"),
+        per_backup.join(
+            single_ref, ["dc", "node", "backup_name"], "left_outer"
+        )
+        .withColumn(
+            "reclaimable_bytes",
+            F.coalesce("reclaimable_bytes", F.lit(0)).cast("bigint"),
+        )
+        .select(
+            "dc",
+            "node",
+            "backup_name",
+            "backup_ts",
+            "files",
+            "size_bytes",
+            "reclaimable_bytes",
         )
     )
 
@@ -165,17 +190,37 @@ def global_removal_plan(
     """
     victims = _select_victims(fleet_entries, backup_name, oldest, older_than_ms)
     keyed = fleet_entries.select("dc", "node", "backup_name", "object_key", "size")
-    vic_objs = (
-        keyed.join(victims, ["dc", "node", "backup_name"], "left_semi")
-        .select("dc", "node", "object_key", "size")
-        .distinct()
+    # Round 11 (guide §2.4): ONE object-grain aggregation over the entry
+    # relation flagged by a broadcast victim join replaces the former
+    # semi-join + anti-join + distinct ×2 + object-grain anti-join (three
+    # full-relation exchanges). Victim-side sizes ride a per-object
+    # collect_set (bounded by the distinct sizes one object exhibits), so
+    # the output rows equal the old distinct(victim rows) exactly; struct
+    # wrapping keeps a null size representable.
+    flagged = keyed.join(
+        F.broadcast(victims.withColumn("_v", F.lit(1))),
+        ["dc", "node", "backup_name"],
+        "left",
     )
-    sur_objs = (
-        keyed.join(victims, ["dc", "node", "backup_name"], "left_anti")
-        .select("dc", "node", "object_key")
-        .distinct()
+    removable = (
+        flagged.groupBy("dc", "node", "object_key")
+        .agg(
+            F.collect_set(
+                F.when(F.col("_v") == 1, F.struct("size"))
+            ).alias("_vsizes"),
+            F.max(F.when(F.col("_v").isNull(), 1).otherwise(0)).alias(
+                "_any_sur"
+            ),
+        )
+        .filter((F.size("_vsizes") > 0) & (F.col("_any_sur") == 0))
+        .select(
+            "dc",
+            "node",
+            "object_key",
+            F.explode("_vsizes").alias("_s"),
+        )
+        .select("dc", "node", "object_key", F.col("_s.size").alias("size"))
     )
-    removable = vic_objs.join(sur_objs, ["dc", "node", "object_key"], "left_anti")
     return victims, removable
 
 

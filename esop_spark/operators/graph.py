@@ -227,9 +227,22 @@ def connected_components(edges: DataFrame, max_iters: int = 50) -> DataFrame:
     doc-id specialization; this one also serves string-keyed graphs like
     the PMI term graph).
 
-    Same scale construction: iterative min-label propagation — one
-    shuffle join + one hash agg per round, O(diameter) rounds,
+    Same scale construction as :func:`dedup.dedup_clusters` (round 11 —
+    formerly plain min-label propagation on the raw symmetric edge list):
+    one STAR-CONTRACTION pass (rep(v) = min(v, neighbors(v)), a single
+    hash aggregation; ``least``/``min`` order strings and bigints alike),
+    then iterative min-label propagation on the contracted graph — one
+    shuffle join + one hash agg per round, O(contracted diameter) rounds,
     ``localCheckpoint`` truncating lineage; no driver-side graph state.
+    Near-dup/co-occurrence graphs are mostly stars and dense blobs around
+    a low-key anchor, so contraction collapses the bulk of the edge mass
+    to dropped self-loops and the loop runs ~2-3 rounds instead of ~8
+    (q278's A/B: 8 propagation rounds on the raw graph; the loop was pure
+    per-round scheduling overhead at sf0.1 — guide §1.2, fewer rounds
+    beats cheaper rounds). Exactness: the component's global-min node m
+    has rep(m) = m, survives contraction, and stays the min label; every
+    node inherits label(rep(v)) — fixpoint labels identical to
+    propagation on the raw edge list.
     (Pointer-doubling path compression was measured here and REJECTED:
     the extra label-of-label join per round cost more than the rounds it
     saved on these low-diameter graphs — 8.4s vs 7.7s at sf0.1. On a
@@ -245,14 +258,31 @@ def connected_components(edges: DataFrame, max_iters: int = 50) -> DataFrame:
         .persist()
     )
     ckpt = RoundCheckpointer(edges)
+    # star contraction: node -> min(self, neighbors); every node of the
+    # symmetric edge list appears as src, so one groupBy covers the graph
+    reps = ckpt.checkpoint(
+        sym.groupBy("src")
+        .agg(F.least(F.col("src"), F.min("dst")).alias("rep"))
+        .select(F.col("src").alias("node"), "rep")
+    )
+    ra = reps.select(F.col("node").alias("src"), F.col("rep").alias("rep_a"))
+    rb = reps.select(F.col("node").alias("dst"), F.col("rep").alias("rep_b"))
+    cedges = ckpt.checkpoint(
+        sym.join(ra, "src")
+        .join(rb, "dst")
+        .filter(F.col("rep_a") != F.col("rep_b"))
+        .select(F.col("rep_a").alias("src"), F.col("rep_b").alias("dst"))
+        .distinct()  # already symmetric: sym was, and the rewrite is 1:1
+    )
+    sym.unpersist()  # contraction consumed it; the loop reads cedges only
     labels = ckpt.checkpoint(
-        sym.select(F.col("src").alias("node"))
+        cedges.select(F.col("src").alias("node"))
         .distinct()
         .withColumn("label", F.col("node"))
     )
     for _ in range(max_iters):
-        neighbor = sym.join(
-            labels, sym["dst"] == labels["node"], "inner"
+        neighbor = cedges.join(
+            labels, cedges["dst"] == labels["node"], "inner"
         ).select(F.col("src").alias("node"), F.col("label"))
         # eager checkpoint + limit(1) probe: a one-job-per-round variant
         # (lazy checkpoint materialized by a FULL count of the changed
@@ -279,12 +309,21 @@ def connected_components(edges: DataFrame, max_iters: int = 50) -> DataFrame:
         labels = new_labels
         if changed == 0:
             break
-    sym.unpersist()
-    ckpt.disown_to_shared(labels)  # the returned join still reads the final round
-    sizes = labels.groupBy("label").agg(
+    # expand back to the full node set: label(v) = label(rep(v)); a rep
+    # with no contracted edge (component fully collapsed) keeps itself
+    node_labels = ckpt.checkpoint(
+        reps.join(
+            labels.select(F.col("node").alias("rep"), "label"), "rep", "left"
+        ).select("node", F.coalesce("label", "rep").alias("label"))
+    )
+    ckpt.release(labels)
+    ckpt.release(cedges)
+    ckpt.release(reps)
+    ckpt.disown_to_shared(node_labels)  # the returned join reads it lazily
+    sizes = node_labels.groupBy("label").agg(
         F.count(F.lit(1)).cast("bigint").alias("cluster_size")
     )
-    return labels.join(sizes, "label").select(
+    return node_labels.join(sizes, "label").select(
         "node", F.col("label").alias("cluster_id"), "cluster_size"
     )
 
