@@ -385,6 +385,13 @@ def dedup_clusters(pairs: DataFrame, max_iters: int = 50) -> DataFrame:
     distinct doc appearing in any pair — (doc_id, cluster_id, cluster_size)
     with cluster_id = min doc_id in the component.
     """
+    # Round 11 A/B note: an explode-based one-pass symmetrization
+    # (graph._symmetrize) was MEASURED here and REVERTED — q48 4.45 →
+    # 5.6/6.8 s min-of-5, q108 4.17 → 4.9/5.2 across two interleaved runs.
+    # The union's double reference to the pair pipeline is already
+    # de-duplicated at runtime (AQE exchange reuse covers the Σdf²
+    # self-join's map side) and the two branches parallelize; the explode
+    # halves task parallelism for no saved work.
     edges = (
         pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
         .union(pairs.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst")))

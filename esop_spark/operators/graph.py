@@ -38,6 +38,35 @@ from esop_spark.operators.iterate import RoundCheckpointer
 RANK_ONE = 1_000_000_000  # 1.0 in nano units
 
 
+def _symmetrize(edges: DataFrame, src: str = "src", dst: str = "dst") -> DataFrame:
+    """Both orientations of an edge relation in ONE pass: explode each row
+    into (src, dst) and (dst, src). Row multiset is identical to
+    ``e.union(e.reversed)``, so every downstream distinct/agg is unchanged.
+
+    Round 11 A/B: used where the symmetrized relation flows into a
+    SHUFFLE next (connected_components' distinct, adamic-adar's degree
+    agg over an already-persisted input) — there the single pass saves
+    one evaluation of the reduce-side work above the union's reusable
+    exchanges at no parallelism cost. NOT used where the union feeds an
+    eager checkpoint directly (kcore_peel / densest_subgraph_peel /
+    dedup_clusters): measured slower there (q305 3.4/3.5 → 4.9/3.9,
+    q48 4.45 → 5.6/6.8 min-of-5) — the union's two branches materialize
+    with twice the task parallelism while AQE exchange reuse already
+    shares the map side beneath them."""
+    return edges.select(
+        F.explode(
+            F.array(
+                F.struct(
+                    F.col(src).alias("src"), F.col(dst).alias("dst")
+                ),
+                F.struct(
+                    F.col(dst).alias("src"), F.col(src).alias("dst")
+                ),
+            )
+        ).alias("_e")
+    ).select("_e.src", "_e.dst")
+
+
 def coorder_edges(lineitem: DataFrame, directed: bool = True) -> DataFrame:
     """Part co-purchase edge relation: (src, dst) part keys that appear in
     the same order, deduplicated.  ``directed=True`` emits both directions
@@ -251,12 +280,7 @@ def connected_components(edges: DataFrame, max_iters: int = 50) -> DataFrame:
     Returns ``(node, cluster_id, cluster_size)`` with cluster_id = the
     minimum node key in the component.
     """
-    sym = (
-        edges.select("src", "dst")
-        .union(edges.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
-        .distinct()
-        .persist()
-    )
+    sym = _symmetrize(edges).distinct().persist()
     ckpt = RoundCheckpointer(edges)
     # star contraction: node -> min(self, neighbors); every node of the
     # symmetric edge list appears as src, so one groupBy covers the graph
@@ -340,8 +364,15 @@ def degree_assortativity(edges_directed: DataFrame) -> DataFrame:
     integer moments on the edge grain — degree products reach deg²·|E|
     and overflow int64 at scale. Output one row:
     (n_edges, n_nodes, assortativity)."""
-    deg = edges_directed.groupBy("src").agg(
-        F.count(F.lit(1)).cast("bigint").alias("d")
+    # Round 11 (guide §1.2/§5): persist input and degree census — the
+    # plan consumes the (typically unpersisted self-join) edge relation
+    # four times (degree census feeding both join legs + the node count,
+    # plus the edge grain itself).
+    edges_directed = share_relation(edges_directed)
+    deg = share_relation(
+        edges_directed.groupBy("src").agg(
+            F.count(F.lit(1)).cast("bigint").alias("d")
+        )
     )
     da = deg.select(F.col("src").alias("a"), F.col("d").alias("dx"))
     db = deg.select(F.col("src").alias("b"), F.col("d").alias("dy"))
@@ -404,15 +435,16 @@ def adamic_adar_topk(
     round(1e9/ln(deg)) — integer sums are order-independent — and the
     reported score is round(Σ/1e9, 6); ties break on (src, dst).
     """
-    both = edges_undirected.select("src", "dst").union(
-        edges_undirected.select(
-            F.col("dst").alias("src"), F.col("src").alias("dst")
-        )
-    )
+    # Round 11 (guide §1.2/§5): persist the derived edge relation and the
+    # apex-filtered adjacency — edges_undirected is typically an
+    # unpersisted corpus self-join, and this plan consumes it FIVE times
+    # (degree census, two wedge legs, anti-join); adj twice (wedge legs).
+    edges_undirected = share_relation(edges_undirected)
+    both = _symmetrize(edges_undirected)
     deg = both.groupBy(F.col("src").alias("u")).agg(
         F.count(F.lit(1)).cast("bigint").alias("deg")
     )
-    adj = (
+    adj = share_relation(
         both.join(deg, both["src"] == deg["u"])
         .filter((F.col("deg") <= max_apex_degree) & (F.col("deg") >= 2))
         .select(
@@ -497,6 +529,11 @@ def kcore_peel(
     # A/B-measured flat-to-slower at sf0.1 (q266 min 3.5 → 3.7, q305
     # 3.3 → 3.5+) and reverted — in local mode the saved job's ~50 ms of
     # scheduling does not pay for losing the probe-over-blocks shape.
+    # Round 11: explode-based symmetrization (_symmetrize) REVERTED here
+    # too (q305 3.37/3.53 → 4.93/3.92 min-of-5, two interleaved A/B
+    # pairs): the union feeds the eager checkpoint directly, so its two
+    # branches materialize as twice as many parallel tasks while exchange
+    # reuse already shares the dropDuplicates shuffle beneath them.
     both = ckpt.checkpoint(
         edges_undirected.select("src", "dst").union(
             edges_undirected.select(
@@ -599,7 +636,8 @@ def densest_subgraph_peel(
     density the (constant) winning ρ."""
     ckpt = RoundCheckpointer(edges_undirected, storage_level=StorageLevel.DISK_ONLY)
     # eager checkpoints: see kcore_peel — the lazy variant measured
-    # slower at sf0.1 (q305 3.3 → 3.5+) and was reverted.
+    # slower at sf0.1 (q305 3.3 → 3.5+) and was reverted, as was the
+    # explode-based symmetrization (round 11, same A/B as kcore_peel).
     both = ckpt.checkpoint(
         edges_undirected.select("src", "dst").union(
             edges_undirected.select(
