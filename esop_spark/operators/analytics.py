@@ -3736,10 +3736,16 @@ def theil_sen_daily_revenue(orders: DataFrame) -> DataFrame:
     """
     from esop_spark.operators.sampling import _distributed_stratum_rank
 
-    daily = orders.select(
-        F.expr("unix_timestamp(o_orderdate) div 86400").alias("day"),
-        cents("o_totalprice").alias("rc"),
-    ).groupBy("day").agg(F.sum("rc").cast("bigint").alias("rev"))
+    # Round 11 (guide §5: cache only what's reused): the day-grain series
+    # (~2.4k rows) is consumed FOUR times — both slope-join legs, the
+    # n_pairs count, and the residual pass — each evaluation a full
+    # orders scan + agg when unpersisted.
+    daily = share_relation(
+        orders.select(
+            F.expr("unix_timestamp(o_orderdate) div 86400").alias("day"),
+            cents("o_totalprice").alias("rc"),
+        ).groupBy("day").agg(F.sum("rc").cast("bigint").alias("rev"))
+    )
     a = daily.select(F.col("day").alias("d1"), F.col("rev").alias("r1"))
     b = daily.select(F.col("day").alias("d2"), F.col("rev").alias("r2"))
     slopes = a.join(b, F.col("d1") < F.col("d2")).select(

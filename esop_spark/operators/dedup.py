@@ -173,7 +173,13 @@ def _jaccard_from_shared(
 ) -> DataFrame:
     """(id_a, id_b, shared) + per-doc shingle totals (id, n_sh) → exact
     jaccard ≥ threshold. Tail stage shared by every dedup path; the counts
-    relation is one row per doc and AQE broadcast-joins it at runtime."""
+    relation is one row per doc and AQE broadcast-joins it at runtime.
+
+    Round 11 A/B note: persisting ``counts`` here (it is consumed twice)
+    measured FLAT across the family (q23 2.87→2.93, q22 1.73→1.69,
+    q302 1.60→1.47, q304 6.73→6.34 min-of-5) — the narrow no-explode
+    projection recomputes as cheaply as the materialize+read round trip —
+    and was not kept."""
     ca = counts.select(F.col(id_col).alias("id_a"), F.col("n_sh").alias("n_a"))
     cb = counts.select(F.col(id_col).alias("id_b"), F.col("n_sh").alias("n_b"))
     return (
@@ -938,6 +944,10 @@ def weighted_jaccard_pairs(
             lambda w: F.size(F.filter(F.col("words"), lambda x: x == w)),
         ).alias("tfv"),
     )
+    # Round 11 (guide §5): prep (dense tf vectors — the expensive
+    # per-vocab-word filter transform) feeds BOTH the broadcast side and
+    # the streamed side; persist so it is computed once.
+    prep = share_relation(prep)
     spark = documents.sparkSession
     target = int(spark.conf.get("spark.sql.shuffle.partitions"))
     a = prep.repartition(target, F.col(id_col)).alias("a")
@@ -1490,6 +1500,10 @@ def bloom_contamination(
 
     Output: (doc_id, n_sh, n_contaminated, contamination) per train doc.
     """
+    # Round 11 A/B note: persisting eval_sh (it feeds the bloom build and
+    # the exact semi-join) measured SLOWER (4.53 → 5.41 s min-of-5) and
+    # was reverted — the eval slice is tiny and both consumers fuse its
+    # recompute into their own scan stages.
     eval_sh = (
         shingles(test, n, text_col, id_col).select("shingle").distinct()
     )

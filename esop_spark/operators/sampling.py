@@ -27,7 +27,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from esop_spark.operators.dedup import md5_hash32
+from esop_spark.operators.dedup import md5_hash32, share_relation
 from esop_spark.operators.iterate import RoundCheckpointer, shared_checkpoint
 
 # Sampling decisions compare a hash bucket in [0, 1e6) against rate*1e6 —
@@ -981,9 +981,13 @@ def sample_quantile_audit(
     (no single-task global window); the sample leg is a k-row TakeOrdered
     by hash, ranked locally (bounded by k). Output per quantile:
     (q_milli, exact_cents, sample_cents, err_ppm)."""
-    vals = orders.select(
-        F.round(F.col(value_col) * 100).cast("bigint").alias("v"),
-        F.col(id_col).cast("string").alias("rid"),
+    # Round 11 (guide §5): vals is consumed by the count, the exact-rank
+    # leg, and the hash-sample leg — three orders scans unpersisted.
+    vals = share_relation(
+        orders.select(
+            F.round(F.col(value_col) * 100).cast("bigint").alias("v"),
+            F.col(id_col).cast("string").alias("rid"),
+        )
     )
     n_df = vals.agg(F.count(F.lit(1)).cast("bigint").alias("n"))
     ranked = _distributed_stratum_rank(
@@ -997,7 +1001,8 @@ def sample_quantile_audit(
             10,
         ).cast("bigint"),
     )
-    sample = hashed.orderBy("h", "rid").limit(k)
+    # k-row sample consumed by both the local rank and its count
+    sample = share_relation(hashed.orderBy("h", "rid").limit(k))
     w = Window.orderBy("v", "rid")  # bounded by k rows — single task is fine
     s_ranked = sample.withColumn("_srn", F.row_number().over(w))
     s_n = sample.agg(F.count(F.lit(1)).cast("bigint").alias("sn"))
@@ -1060,8 +1065,14 @@ def robust_profile(
         F.col(value_col).cast("bigint").alias("x"),
         F.col(id_col).cast("string").alias("rid"),
     )
-    counts = vals.groupBy("stratum").agg(
-        F.count(F.lit(1)).cast("bigint").alias("n")
+    # Round 11 (guide §5): counts/med/mad are stratum-grain (tiny) but
+    # their subtrees each contain a full distributed rank; unpersisted,
+    # the final report plan re-evaluated the median rank ~4x and the MAD
+    # rank twice (20 scans / 86 Exchanges in the before plan).
+    counts = share_relation(
+        vals.groupBy("stratum").agg(
+            F.count(F.lit(1)).cast("bigint").alias("n")
+        )
     )
     r1 = _distributed_stratum_rank(vals, "stratum", F.col("x"), F.col("rid"))
     med = (
@@ -1076,7 +1087,7 @@ def robust_profile(
     )
     # when n is odd the two rank predicates select the SAME row once, so
     # med2x holds 1× the middle value — normalize to 2× for uniform math
-    med = (
+    med = share_relation(
         med.join(F.broadcast(counts), "stratum")
         .select(
             "stratum",
@@ -1092,7 +1103,7 @@ def robust_profile(
         F.abs(2 * F.col("x") - F.col("med2x")).alias("d2x"),  # 2·|x−med|
     )
     r2 = _distributed_stratum_rank(dev, "stratum", F.col("d2x"), F.col("rid"))
-    mad = (
+    mad = share_relation(
         r2.join(F.broadcast(counts), "stratum")
         .filter(
             (F.col("_rn") == F.expr("(n + 1) div 2"))
@@ -1158,9 +1169,12 @@ def median_ci(
 
     Output one row: (n, lo_rank, hi_rank, median_cents, ci_lo_cents,
     ci_hi_cents)."""
-    vals = orders.select(
-        F.round(F.col(value_col) * 100).cast("bigint").alias("v"),
-        F.col(id_col).cast("string").alias("rid"),
+    # Round 11 (guide §5): consumed by the rank-spec count and the rank
+    vals = share_relation(
+        orders.select(
+            F.round(F.col(value_col) * 100).cast("bigint").alias("v"),
+            F.col(id_col).cast("string").alias("rid"),
+        )
     )
     n_df = vals.agg(F.count(F.lit(1)).cast("bigint").alias("n")).select(
         "n",

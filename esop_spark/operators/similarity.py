@@ -381,8 +381,14 @@ def cosine_pairs_lsh(
     same table, so the bound is per-executor-memory, not corpus-size.
     """
     n_vecs = embeddings.count()  # eager anyway (split probe); sizes verify
-    bb = banded_semantic_buckets(
-        embeddings, bands, band_planes, dim, seed, vec_col, id_col
+    # Round 11 (guide §5): the banded bucket relation is consumed by the
+    # hot-bucket probe AND both sides of the candidate self-join — the
+    # per-vector 8x3-plane sign computation (1.5k multiplies/vector) ran
+    # once per consumer unpersisted.
+    bb = share_relation(
+        banded_semantic_buckets(
+            embeddings, bands, band_planes, dim, seed, vec_col, id_col
+        )
     )
     parts, residual = _split_hot_buckets(
         bb, embeddings, bands, band_planes, dim, seed, vec_col, id_col,
@@ -428,7 +434,8 @@ def cosine_pairs_lsh(
     # on-heap each at dim 64); at 2M rows the build failed at 8 GiB, so
     # a bigger single-box probe must raise the heap AND the bound
     # together (tools/sf100_probe.py does).
-    e = with_norm(embeddings, vec_col, id_col)
+    # normed table consumed by both verify legs — one scan + norm pass
+    e = share_relation(with_norm(embeddings, vec_col, id_col))
     ea = e.select(
         F.col(id_col).alias("id_a"), F.col("v").alias("va"), F.col("norm").alias("na")
     )
@@ -1873,7 +1880,13 @@ def cluster_topic_terms(
     buckets = semantic_buckets(
         embeddings, num_planes, dim, seed, id_col=vec_id_col
     )
-    top = (
+    # Round 11 (guide §5): `top` (≤top_buckets rows) is broadcast into
+    # both the membership join and the final report join — unpersisted,
+    # each consumer re-ran the bucket projection + TakeOrdered; and
+    # docs_in (member docs only) feeds tfidf_top_terms' THREE consumers
+    # (tf leg, df leg, corpus count), each of which re-ran the
+    # documents ⋈ members join. 20 scans → 2 in the after plan.
+    top = share_relation(
         buckets.groupBy("bucket")
         .agg(F.count(F.lit(1)).alias("n_members"))
         .orderBy(F.col("n_members").desc(), F.col("bucket").asc())
@@ -1882,7 +1895,7 @@ def cluster_topic_terms(
     members = buckets.join(F.broadcast(top), "bucket").select(
         F.col(vec_id_col).alias(doc_id_col), "bucket", "n_members"
     )
-    docs_in = documents.join(members, doc_id_col)
+    docs_in = share_relation(documents.join(members, doc_id_col))
     terms = tfidf_top_terms(docs_in, group_col="bucket", k=k)
     return terms.join(
         F.broadcast(top.select("bucket", F.col("n_members").cast("bigint").alias("n_members"))),

@@ -2461,6 +2461,10 @@ def quantile_normalize_scores(
         F.col(source_col).alias("source"),
         quality_score_col(text_col).alias("score"),
     )
+    # Round 11 A/B note: persisting the (source × ≤101 score) cell grid
+    # for the two quantile legs was MEASURED slightly slower twice
+    # (0.63→0.77, 1.02→1.32 s min-of-5) and reverted — the second corpus
+    # scan is cheaper than the materialize+read round trip here.
     cells = scored.groupBy("source", "score").agg(
         F.count(F.lit(1)).alias("n_at")
     )
@@ -2673,9 +2677,14 @@ def winsorize_scores(
     cumulative count reaches ceil(n·q) — all-integer, partition-invariant.
     One doc-grain aggregation to cells; windows only on the tiny grain.
     """
-    scored = documents.select(
-        F.col(source_col).alias("source"),
-        quality_score_col(text_col).alias("score"),
+    # Round 11 (guide §5): scored (narrow: source, int score) feeds both
+    # the bounds derivation and the clamp pass — persist so the
+    # quality-score expression runs once per doc, not twice.
+    scored = share_relation(
+        documents.select(
+            F.col(source_col).alias("source"),
+            quality_score_col(text_col).alias("score"),
+        )
     )
     cells = scored.groupBy("source", "score").agg(
         F.count(F.lit(1)).alias("n_at")
