@@ -1911,7 +1911,10 @@ def fuzzy_title_pairs(
         F.min(id_col).alias("_anchor"),
         F.min_by("_title", F.col(id_col)).alias("_anchor_title"),
     )
-    sized = titles.join(blocks, ["_lang", "_b0"])
+    # Round 11 (guide §5): sized feeds the small-block self-join (both
+    # legs) and the big-block star leg — three evaluations of the
+    # titles ⋈ blocks subtree unpersisted.
+    sized = share_relation(titles.join(blocks, ["_lang", "_b0"]))
     small = sized.filter(F.col("_bsz") <= max_block)
     pairs_small = (
         small.alias("a")

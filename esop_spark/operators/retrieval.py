@@ -20,6 +20,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from esop_spark.operators.dedup import share_relation
+
 from esop_spark.operators.similarity import ann_topk
 
 
@@ -62,8 +64,13 @@ def hybrid_retrieval(
         F.size(words).cast("bigint").alias("dl"),
         F.explode(words).alias("term"),
     ).join(term_set, "term", "left_semi")
-    tf = toks.groupBy(id_col, "term").agg(
-        F.count(F.lit(1)).cast("double").alias("tf"), F.first("dl").alias("dl")
+    # Round 11 (guide §5): tf (term-filtered, query-term grain) feeds the
+    # df census and the contribution join — two corpus tokenize passes
+    # unpersisted.
+    tf = share_relation(
+        toks.groupBy(id_col, "term").agg(
+            F.count(F.lit(1)).cast("double").alias("tf"), F.first("dl").alias("dl")
+        )
     )
     df_t = tf.groupBy("term").agg(F.count(F.lit(1)).cast("double").alias("df"))
     stats = documents.agg(

@@ -1745,11 +1745,15 @@ def knn_label_audit(
     O(max_queries × n) — linear in the corpus. Set it for any real run.
     """
     v = _vec_double(vec_col)
-    e = embeddings.select(
-        F.col(id_col),
-        F.col(label_col),
-        v.alias("v"),
-        F.sqrt(_dot(v, v)).alias("norm"),
+    # Round 11 (guide §5): the normed projection feeds the broadcast query
+    # sample AND the corpus scoring leg — persist so the norm pass runs once.
+    e = share_relation(
+        embeddings.select(
+            F.col(id_col),
+            F.col(label_col),
+            v.alias("v"),
+            F.sqrt(_dot(v, v)).alias("norm"),
+        )
     )
     from esop_spark.operators.sampling import BUCKETS, sample_bucket
 
@@ -2056,11 +2060,15 @@ def retrieval_metrics(
     gains = _dcg_gains9(k)
     cum = [sum(gains[: i + 1]) for i in range(k)]
     v = _vec_double(vec_col)
-    e = embeddings.select(
-        F.col(id_col),
-        F.col(label_col),
-        v.alias("v"),
-        F.sqrt(_dot(v, v)).alias("norm"),
+    # Round 11 (guide §5): same persist as knn_label_audit — query sample
+    # and corpus scoring legs share one normed pass.
+    e = share_relation(
+        embeddings.select(
+            F.col(id_col),
+            F.col(label_col),
+            v.alias("v"),
+            F.sqrt(_dot(v, v)).alias("norm"),
+        )
     )
     qs = e.withColumn("_b", sample_bucket(F.col(id_col), seed)).filter(
         F.col("_b") < int(sample_rate * BUCKETS)

@@ -918,14 +918,19 @@ def dup_span_coverage(
         f"CASE WHEN size(words) >= {n} THEN sequence(1, size(words) - {n - 1}) "
         f"ELSE array() END"
     )
-    spans = words.select(
-        F.col(id_col),
-        F.posexplode(
-            F.transform(
-                starts, lambda s: F.array_join(F.slice(F.col("words"), s, n), " ")
-            )
-        ).alias("pos0", "span"),
-    ).select(F.col(id_col), (F.col("pos0") + 1).alias("pos"), "span")
+    # Round 11 (guide §5): the span relation (expensive slice+join string
+    # generation per position) feeds both the hot-span census and the
+    # position semi-join — persist so it is generated once.
+    spans = share_relation(
+        words.select(
+            F.col(id_col),
+            F.posexplode(
+                F.transform(
+                    starts, lambda s: F.array_join(F.slice(F.col("words"), s, n), " ")
+                )
+            ).alias("pos0", "span"),
+        ).select(F.col(id_col), (F.col("pos0") + 1).alias("pos"), "span")
+    )
     per_doc = spans.groupBy("span", id_col).agg(F.count(F.lit(1)).alias("occ"))
     hot = (
         per_doc.groupBy("span")
@@ -2303,9 +2308,14 @@ def nb_confusion(
     )
     train = base.filter(F.col("_is_train"))
     # class meta: token totals, doc counts, smoothing default, prior
-    ctot = train.groupBy("_label").agg(
-        F.count(F.lit(1)).alias("_n_c"),
-        F.countDistinct(id_col).alias("_docs_c"),
+    # Round 11 (guide §5): the label-grain class meta is consumed by the
+    # doc total, the smoothing/prior meta, and the model join — three
+    # corpus tokenize passes unpersisted.
+    ctot = share_relation(
+        train.groupBy("_label").agg(
+            F.count(F.lit(1)).alias("_n_c"),
+            F.countDistinct(id_col).alias("_docs_c"),
+        )
     )
     dtot = ctot.agg(F.sum("_docs_c").alias("_docs_all"))
     cmeta = ctot.crossJoin(F.broadcast(dtot)).select(
