@@ -382,12 +382,19 @@ def dhash_neardup_pairs(hashes: DataFrame, max_hamming: int = 4) -> DataFrame:
         )
         for c in range(n_chunks)
     ]
-    chunks = hashes.select(
-        F.col("media_id"), F.col("dhash"), F.explode(F.array(*chunk_cols)).alias("c")
-    ).select(
-        "media_id", "dhash",
-        F.col("c.chunk_idx").alias("chunk_idx"),
-        F.col("c.chunk_val").alias("chunk_val"),
+    # Round 11 (guide §4/§5): hashes sits on the Arrow-batched Python
+    # decode; the banding self-join's two legs each re-ran the full
+    # decode unpersisted (the before plan carried two complete
+    # MapInPandas subtrees). Persist the chunked relation so the corpus
+    # crosses the Python boundary once.
+    chunks = share_relation(
+        hashes.select(
+            F.col("media_id"), F.col("dhash"), F.explode(F.array(*chunk_cols)).alias("c")
+        ).select(
+            "media_id", "dhash",
+            F.col("c.chunk_idx").alias("chunk_idx"),
+            F.col("c.chunk_val").alias("chunk_val"),
+        )
     )
     a = chunks.alias("a")
     b = chunks.alias("b")
@@ -509,6 +516,12 @@ def audio_neardup_pairs(
     homogeneous corpus puts thousands of clips in one (pos, val) bucket),
     so buckets above ``max_bucket`` fall back to star pairing against the
     bucket's min-id anchor instead of the full self-join."""
+    # Round 11 A/B note: persisting sigs (the banding relation + both
+    # L1-verify legs re-run the WAV decode) measured SLOWER (2.05 → 2.71 s
+    # min-of-5, +1 job) and was reverted — the energy-sig decode is cheap
+    # enough that re-running it fused into each consumer's scan beats the
+    # materialize+read round trip (contrast q93's dHash, where the same
+    # persist won 2.7x: pixel decode + hash is ~10x the per-row work).
     byte_cols = [
         F.struct(
             F.lit(c).alias("pos"),
