@@ -12388,17 +12388,30 @@ def oracle_sql() -> dict[str, str]:
         """,
         "q294_dataset_card": _card_oracle(),
         "q296_readability": """
-            WITH m AS (
+            -- exact-integer milli score: fm = round-half-away(p / q) with
+            -- p = 206835*s*w - 1015*w*w - 84600*syl*s, q = s*w — identical
+            -- bigint arithmetic to the Spark operator (the former per-doc
+            -- ROUND(double*1000) disagreed across engines at a .5 boundary)
+            WITH t AS (
                 SELECT source,
-                       CAST(ROUND((206.835
-                           - 1.015 * len(string_split(text, ' ')) * 1.0
-                             / GREATEST(1, len(regexp_extract_all(
-                                   text, '[.!?]+')))
-                           - 84.6 * GREATEST(1, len(regexp_extract_all(
-                                   lower(text), '[aeiou]+'))) * 1.0
-                             / len(string_split(text, ' '))) * 1000)
-                           AS BIGINT) AS fm
+                       CAST(len(string_split(text, ' ')) AS BIGINT) AS w,
+                       CAST(GREATEST(1, len(regexp_extract_all(
+                           text, '[.!?]+'))) AS BIGINT) AS s,
+                       CAST(GREATEST(1, len(regexp_extract_all(
+                           lower(text), '[aeiou]+'))) AS BIGINT) AS syl
                 FROM documents
+            ),
+            pq AS (
+                SELECT source,
+                       206835 * s * w - 1015 * w * w - 84600 * syl * s AS p,
+                       s * w AS q
+                FROM t
+            ),
+            m AS (
+                SELECT source,
+                       CASE WHEN p >= 0 THEN (2 * p + q) // (2 * q)
+                            ELSE -((2 * (-p) + q) // (2 * q)) END AS fm
+                FROM pq
             )
             SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
                    ROUND(SUM(fm) * 1.0 / COUNT(*) / 1000.0, 6)

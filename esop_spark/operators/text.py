@@ -4542,6 +4542,18 @@ def readability_profile(
     Scale shape: pure scan projection (three regex/array counts per row),
     one mergeable agg to the |sources| grain.
 
+    The per-doc milli score is computed in EXACT integer arithmetic:
+    206.835 − 1.015·(w/s) − 84.6·(syl/w) in millis is the rational
+    p/q with p = 206835·s·w − 1015·w² − 84600·syl·s and q = s·w, and
+    fm = round-half-away-from-zero(p/q) = sign(p)·((2|p| + q) div 2q) —
+    all bigints, so every engine lands on the identical fm. The former
+    float form (round(double_expr · 1000)) put each doc's fm one double
+    rounding error away from a .5 boundary; at sf0.001 one src2 doc
+    actually crossed it and Spark/DuckDB disagreed by 1 milli (the
+    round-11 oracle sweep caught the 4e-5 mean shift on a 25-doc
+    source). Overflow headroom: |p| < 2⁶² needs s·w < ~2e13 — a
+    10⁷-word, 10⁶-sentence document still fits.
+
     Output per source: (source, n_docs, mean_flesch, n_easy, n_hard)."""
     c = F.col(text_col)
     w = F.size(F.split(c, " ")).cast("bigint")
@@ -4556,16 +4568,23 @@ def readability_profile(
             F.expr(f"regexp_extract_all(lower({text_col}), '[aeiou]+', 0)")
         ).cast("bigint"),
     )
-    flesch_milli = F.round(
+    base = documents.select(
+        F.col(source_col).alias("source"),
         (
-            F.lit(206.835)
-            - F.lit(1.015) * w / s
-            - F.lit(84.6) * syl / w
+            F.lit(206835).cast("bigint") * s * w
+            - F.lit(1015).cast("bigint") * w * w
+            - F.lit(84600).cast("bigint") * syl * s
+        ).alias("p"),
+        (s * w).alias("q"),
+    )
+    scored = base.select(
+        "source",
+        F.expr(
+            "CASE WHEN p >= 0 THEN (2 * p + q) DIV (2 * q) "
+            "ELSE -((2 * (-p) + q) DIV (2 * q)) END"
         )
-        * 1000
-    ).cast("bigint")
-    scored = documents.select(
-        F.col(source_col).alias("source"), flesch_milli.alias("fm")
+        .cast("bigint")
+        .alias("fm"),
     )
     return scored.groupBy("source").agg(
         F.count(F.lit(1)).cast("bigint").alias("n_docs"),

@@ -34,6 +34,64 @@ def test_readability_orders_simple_before_dense(spark):
     assert out["easy"]["n_docs"] == 1
 
 
+def _flesch_milli_exact(w, s, syl):
+    """Round-half-away-from-zero of the exact rational milli score —
+    the reference the integer-exact operator must reproduce bit-for-bit."""
+    p = 206835 * s * w - 1015 * w * w - 84600 * syl * s
+    q = s * w
+    if p >= 0:
+        return (2 * p + q) // (2 * q)
+    return -((2 * (-p) + q) // (2 * q))
+
+
+def _doc_text(w, s, syl):
+    """Text with exactly w space-split tokens, s sentence-mark runs and
+    syl vowel-group runs: 'ba' words carry one vowel run each, 'bcd'
+    words none, and s of the words end in '.'."""
+    assert syl <= w and s <= w
+    words = ["ba"] * syl + ["bcd"] * (w - syl)
+    for i in range(s):
+        words[i] = words[i] + "."
+    return " ".join(words)
+
+
+def test_readability_milli_score_is_integer_exact(spark):
+    """The per-doc fm must equal round-half-away(p/q) computed in exact
+    integer arithmetic — including a doc constructed to land EXACTLY on
+    a .5 milli boundary, where the former float form was one double
+    rounding error away from flipping (the round-11 sf0.001 oracle
+    divergence)."""
+    shapes = [(7, 2, 3), (25, 5, 11), (40, 1, 40), (3, 3, 1)]
+    # brute-force a shape whose exact milli score is k + 1/2
+    boundary = None
+    for w in range(2, 60):
+        for s in range(1, w + 1):
+            for syl in range(1, w + 1):
+                p = 206835 * s * w - 1015 * w * w - 84600 * syl * s
+                q = s * w
+                if (2 * p) % (2 * q) == q:  # p/q == k + 0.5 exactly
+                    boundary = (w, s, syl)
+                    break
+            if boundary:
+                break
+        if boundary:
+            break
+    assert boundary is not None
+    shapes.append(boundary)
+    rows = [
+        (f"d{i}", f"src{i}", 0, "en", _doc_text(w, s, syl))
+        for i, (w, s, syl) in enumerate(shapes)
+    ]
+    out = {r["source"]: r for r in
+           text_ops.readability_profile(_docs(spark, rows)).collect()}
+    for i, (w, s, syl) in enumerate(shapes):
+        fm = _flesch_milli_exact(w, s, syl)
+        # n_docs == 1 per source, so mean_flesch == round(fm/1000, 6)
+        assert out[f"src{i}"]["mean_flesch"] == round(fm / 1000.0, 6), (
+            (w, s, syl), fm, out[f"src{i}"]["mean_flesch"]
+        )
+
+
 # --- PIT features -----------------------------------------------------------------
 
 def test_pit_no_leakage_from_label_window(spark):
