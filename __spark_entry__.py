@@ -4157,11 +4157,7 @@ _SCORE_T_CTE = """
             ),
             t AS (
                 SELECT w.*,
-                       CAST(ROUND((0.5 * (1.0
-                            - len(list_filter(words, x -> x IN ('a', 'the')))
-                              * 1.0 / len(words))
-                            + 0.5 * len(list_distinct(words)) * 1.0
-                              / len(words)) * 100) AS BIGINT) AS score
+                       CAST((100 * (len(words) - len(list_filter(words, x -> x IN ('a', 'the'))) + len(list_distinct(words))) + len(words)) // (2 * len(words)) AS BIGINT) AS score
                 FROM w
             )
 """
@@ -5050,8 +5046,7 @@ def oracle_sql() -> dict[str, str]:
                    CAST(n AS BIGINT) AS n_tokens,
                    ROUND(stop * 1.0 / n, 6) AS stopword_ratio,
                    ROUND(nd * 1.0 / n, 6) AS type_token_ratio,
-                   CAST(ROUND((0.5 * (1.0 - stop * 1.0 / n) + 0.5 * nd * 1.0 / n) * 100)
-                        AS BIGINT) AS quality_score
+                   CAST((100 * (n - stop + nd) + n) // (2 * n) AS BIGINT) AS quality_score
             FROM t
         """,
         "q29_token_stats": """
@@ -5179,10 +5174,7 @@ def oracle_sql() -> dict[str, str]:
                 SELECT doc_id,
                        md5(array_to_string(list_sort(list_distinct(string_split(text, ' '))), ' '))
                            AS dedup_key,
-                       CAST(ROUND((0.5 * (1.0 - len(list_filter(string_split(text, ' '),
-                                w -> w IN ('a', 'the'))) * 1.0 / len(string_split(text, ' ')))
-                             + 0.5 * len(list_distinct(string_split(text, ' '))) * 1.0
-                               / len(string_split(text, ' '))) * 100) AS BIGINT) AS quality_score,
+                       CAST((100 * (len(string_split(text, ' ')) - len(list_filter(string_split(text, ' '), w -> w IN ('a', 'the'))) + len(list_distinct(string_split(text, ' ')))) + len(string_split(text, ' '))) // (2 * len(string_split(text, ' '))) AS BIGINT) AS quality_score,
                        len(list_filter(string_split(text, ' '),
                            w -> w IN ('the', 'a', 'of', 'and', 'is'))) AS s_en,
                        greatest(
@@ -5569,8 +5561,7 @@ def oracle_sql() -> dict[str, str]:
             ),
             scored AS (
                 SELECT doc_id, lang,
-                       CAST(ROUND((0.5 * (1.0 - stop * 1.0 / n)
-                                   + 0.5 * nd * 1.0 / n) * 100) AS BIGINT)
+                       CAST((100 * (n - stop + nd) + n) // (2 * n) AS BIGINT)
                            AS quality_score,
                        CAST(concat('0x', substr(md5('s0:' || CAST(doc_id AS VARCHAR)), 1, 8))
                             AS BIGINT) % 1000000 AS bucket
@@ -5711,10 +5702,7 @@ def oracle_sql() -> dict[str, str]:
                 SELECT doc_id, source,
                        md5(array_to_string(list_sort(list_distinct(string_split(text, ' '))), ' '))
                            AS dk,
-                       CAST(ROUND((0.5 * (1.0 - len(list_filter(string_split(text, ' '),
-                                w -> w IN ('a', 'the'))) * 1.0 / len(string_split(text, ' ')))
-                             + 0.5 * len(list_distinct(string_split(text, ' '))) * 1.0
-                               / len(string_split(text, ' '))) * 100) AS BIGINT) AS quality,
+                       CAST((100 * (len(string_split(text, ' ')) - len(list_filter(string_split(text, ' '), w -> w IN ('a', 'the'))) + len(list_distinct(string_split(text, ' ')))) + len(string_split(text, ' '))) // (2 * len(string_split(text, ' '))) AS BIGINT) AS quality,
                        len(list_filter(string_split(text, ' '),
                            w -> w IN ('und','der','die','das','nicht'))) AS s_de,
                        len(list_filter(string_split(text, ' '),
@@ -6002,10 +5990,7 @@ def oracle_sql() -> dict[str, str]:
         # same integer quality score formula as quality_score/q62
         "q72_quality_cdf": """
             WITH s AS (
-                SELECT CAST(ROUND((0.5 * (1.0 - len(list_filter(string_split(text, ' '),
-                                w -> w IN ('a', 'the'))) * 1.0 / len(string_split(text, ' ')))
-                          + 0.5 * len(list_distinct(string_split(text, ' '))) * 1.0
-                            / len(string_split(text, ' '))) * 100) AS BIGINT) AS quality_score
+                SELECT CAST((100 * (len(string_split(text, ' ')) - len(list_filter(string_split(text, ' '), w -> w IN ('a', 'the'))) + len(list_distinct(string_split(text, ' ')))) + len(string_split(text, ' '))) // (2 * len(string_split(text, ' '))) AS BIGINT) AS quality_score
                 FROM documents
             ),
             h AS (SELECT quality_score, CAST(COUNT(*) AS BIGINT) AS n_docs
@@ -6193,13 +6178,7 @@ def oracle_sql() -> dict[str, str]:
             ),
             q AS (
                 SELECT doc_id,
-                       CAST(ROUND((0.5 * (1.0 - len(list_filter(
-                                 string_split(text, ' '),
-                                 w -> w IN ('a', 'the'))) * 1.0
-                                 / len(string_split(text, ' ')))
-                             + 0.5 * len(list_distinct(string_split(text, ' ')))
-                                   * 1.0 / len(string_split(text, ' '))) * 100)
-                            AS BIGINT) AS quality_score
+                       CAST((100 * (len(string_split(text, ' ')) - len(list_filter(string_split(text, ' '), w -> w IN ('a', 'the'))) + len(list_distinct(string_split(text, ' ')))) + len(string_split(text, ' '))) // (2 * len(string_split(text, ' '))) AS BIGINT) AS quality_score
                 FROM documents
             ),
             j AS (
@@ -6398,13 +6377,7 @@ def oracle_sql() -> dict[str, str]:
             WITH q AS (
                 SELECT source AS s,
                        CAST(LEAST({PSI_BINS - 1}, FLOOR(
-                           CAST(ROUND((0.5 * (1.0 - len(list_filter(
-                                     string_split(text, ' '),
-                                     w -> w IN ('a', 'the'))) * 1.0
-                                     / len(string_split(text, ' ')))
-                                 + 0.5 * len(list_distinct(string_split(text, ' ')))
-                                       * 1.0 / len(string_split(text, ' ')))
-                                * 100) AS BIGINT)
+                           CAST((100 * (len(string_split(text, ' ')) - len(list_filter(string_split(text, ' '), w -> w IN ('a', 'the'))) + len(list_distinct(string_split(text, ' ')))) + len(string_split(text, ' '))) // (2 * len(string_split(text, ' '))) AS BIGINT)
                            * {PSI_BINS} / 100)) AS INT) AS bin
                 FROM documents
             ),
@@ -6436,13 +6409,7 @@ def oracle_sql() -> dict[str, str]:
             WITH per_doc AS (
                 SELECT lang, source, md5(text) AS h,
                        CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok,
-                       CAST(ROUND((0.5 * (1.0 - len(list_filter(
-                                 string_split(text, ' '),
-                                 w -> w IN ('a', 'the'))) * 1.0
-                                 / len(string_split(text, ' ')))
-                             + 0.5 * len(list_distinct(string_split(text, ' ')))
-                                   * 1.0 / len(string_split(text, ' '))) * 100)
-                            AS BIGINT) AS q
+                       CAST((100 * (len(string_split(text, ' ')) - len(list_filter(string_split(text, ' '), w -> w IN ('a', 'the'))) + len(list_distinct(string_split(text, ' ')))) + len(string_split(text, ' '))) // (2 * len(string_split(text, ' '))) AS BIGINT) AS q
                 FROM documents
             ),
             doc_lang AS (
@@ -6749,8 +6716,7 @@ def oracle_sql() -> dict[str, str]:
                 FROM documents
             ),
             h AS (
-                SELECT CAST(ROUND((0.5 * (1.0 - stop * 1.0 / n)
-                                   + 0.5 * nd * 1.0 / n) * 100) AS BIGINT)
+                SELECT CAST((100 * (n - stop + nd) + n) // (2 * n) AS BIGINT)
                            AS s,
                        SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END)
                            AS n_pos,
@@ -7079,13 +7045,7 @@ def oracle_sql() -> dict[str, str]:
             WITH t AS (
                 SELECT source AS stratum,
                        CAST(len(string_split(text, ' ')) AS BIGINT) AS x,
-                       CAST(ROUND((0.5 * (1.0 - len(list_filter(
-                                string_split(text, ' '),
-                                w -> w IN ('a', 'the'))) * 1.0
-                                / len(string_split(text, ' ')))
-                            + 0.5 * len(list_distinct(string_split(text, ' ')))
-                              * 1.0 / len(string_split(text, ' '))) * 100)
-                            AS BIGINT) AS y
+                       CAST((100 * (len(string_split(text, ' ')) - len(list_filter(string_split(text, ' '), w -> w IN ('a', 'the'))) + len(list_distinct(string_split(text, ' ')))) + len(string_split(text, ' '))) // (2 * len(string_split(text, ' '))) AS BIGINT) AS y
                 FROM documents
             ),
             per AS (
@@ -7685,10 +7645,7 @@ def oracle_sql() -> dict[str, str]:
                        CAST(len(words) AS BIGINT) AS n,
                        ROUND(1.0 - len(list_distinct(words)) * 1.0
                              / len(words), 6) AS rep,
-                       CAST(ROUND((0.5 * (1.0 - len(list_filter(words,
-                                w -> w IN ('a', 'the'))) * 1.0 / len(words))
-                            + 0.5 * len(list_distinct(words)) * 1.0
-                              / len(words)) * 100) AS BIGINT) AS q
+                       CAST((100 * (len(words) - len(list_filter(words, w -> w IN ('a', 'the'))) + len(list_distinct(words))) + len(words)) // (2 * len(words)) AS BIGINT) AS q
                 FROM (SELECT doc_id, string_split(text, ' ') AS words
                       FROM documents)
             ),
@@ -7775,11 +7732,7 @@ def oracle_sql() -> dict[str, str]:
             ),
             t AS (
                 SELECT doc_id, lang AS stratum,
-                       CAST(ROUND((0.5 * (1.0
-                            - len(list_filter(words, x -> x IN ('a', 'the')))
-                              * 1.0 / len(words))
-                            + 0.5 * len(list_distinct(words)) * 1.0
-                              / len(words)) * 100) AS BIGINT) AS q
+                       CAST((100 * (len(words) - len(list_filter(words, x -> x IN ('a', 'the'))) + len(list_distinct(words))) + len(words)) // (2 * len(words)) AS BIGINT) AS q
                 FROM w
             ),
             d AS (SELECT stratum, doc_id, q, ABS(q - 50) AS dist FROM t),
@@ -7840,11 +7793,7 @@ def oracle_sql() -> dict[str, str]:
             ),
             t AS (
                 SELECT doc_id,
-                       CAST(ROUND((0.5 * (1.0
-                            - len(list_filter(words, x -> x IN ('a', 'the')))
-                              * 1.0 / len(words))
-                            + 0.5 * len(list_distinct(words)) * 1.0
-                              / len(words)) * 100) AS BIGINT) AS q
+                       CAST((100 * (len(words) - len(list_filter(words, x -> x IN ('a', 'the'))) + len(list_distinct(words))) + len(words)) // (2 * len(words)) AS BIGINT) AS q
                 FROM w
             ),
             g AS (SELECT q, COUNT(*) AS n FROM t GROUP BY 1),
@@ -8206,11 +8155,7 @@ def oracle_sql() -> dict[str, str]:
             ),
             t AS (
                 SELECT source,
-                       CAST(ROUND((0.5 * (1.0
-                            - len(list_filter(words, x -> x IN ('a', 'the')))
-                              * 1.0 / len(words))
-                            + 0.5 * len(list_distinct(words)) * 1.0
-                              / len(words)) * 100) AS BIGINT) AS score
+                       CAST((100 * (len(words) - len(list_filter(words, x -> x IN ('a', 'the'))) + len(list_distinct(words))) + len(words)) // (2 * len(words)) AS BIGINT) AS score
                 FROM w
             ),
             cells AS (
@@ -9356,8 +9301,7 @@ def oracle_sql() -> dict[str, str]:
                 FROM documents
             ),
             m AS (
-                SELECT CAST(ROUND((0.5 * (1.0 - stop * 1.0 / n)
-                                   + 0.5 * nd * 1.0 / n) * 100) AS BIGINT)
+                SELECT CAST((100 * (n - stop + nd) + n) // (2 * n) AS BIGINT)
                            AS score,
                        CASE WHEN n >= 30 AND n <= 100000
                                  AND (list_sum(list_transform(words,
@@ -9394,13 +9338,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "q194_ks_drift": """
             WITH t AS (
-                SELECT CAST(ROUND((0.5 * (1.0 - len(list_filter(
-                               string_split(text, ' '),
-                               w -> w IN ('a', 'the')))
-                               * 1.0 / len(string_split(text, ' ')))
-                           + 0.5 * len(list_distinct(string_split(text, ' ')))
-                               * 1.0 / len(string_split(text, ' ')))
-                           * 100) AS BIGINT) AS score,
+                SELECT CAST((100 * (len(string_split(text, ' ')) - len(list_filter(string_split(text, ' '), w -> w IN ('a', 'the'))) + len(list_distinct(string_split(text, ' ')))) + len(string_split(text, ' '))) // (2 * len(string_split(text, ' '))) AS BIGINT) AS score,
                        CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS in_a
                 FROM documents
             ),
@@ -9683,8 +9621,7 @@ def oracle_sql() -> dict[str, str]:
             ),
             m AS (
                 SELECT source,
-                       CASE WHEN CAST(ROUND((0.5 * (1.0 - stop * 1.0 / n)
-                                 + 0.5 * nd * 1.0 / n) * 100) AS BIGINT)
+                       CASE WHEN CAST((100 * (n - stop + nd) + n) // (2 * n) AS BIGINT)
                                  > {STUMP_T} THEN 1 ELSE 0 END AS yhat,
                        CASE WHEN n >= 30 AND n <= 100000
                                  AND (list_sum(list_transform(words,
@@ -9787,8 +9724,7 @@ def oracle_sql() -> dict[str, str]:
                 FROM documents
             ),
             m AS (
-                SELECT CAST(ROUND((0.5 * (1.0 - stop * 1.0 / n)
-                                   + 0.5 * nd * 1.0 / n) * 100) AS BIGINT)
+                SELECT CAST((100 * (n - stop + nd) + n) // (2 * n) AS BIGINT)
                            AS s,
                        CASE WHEN n >= 30 AND n <= 100000
                                  AND (list_sum(list_transform(words,
@@ -10637,8 +10573,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "q205_spearman": """
             WITH sig AS (
-                SELECT CAST(ROUND((0.5 * (1.0 - stop * 1.0 / n)
-                                   + 0.5 * nd * 1.0 / n) * 100) AS BIGINT)
+                SELECT CAST((100 * (n - stop + nd) + n) // (2 * n) AS BIGINT)
                            AS s,
                        CAST(n AS BIGINT) AS t
                 FROM (SELECT len(string_split(text, ' ')) AS n,

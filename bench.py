@@ -187,12 +187,33 @@ def main() -> None:
     reset_session_state()
     calib_pre = _run_calibration(spark, sf_dir)
 
+    # Prior committed floors (the previous round's BENCH_DETAIL.json, read
+    # BEFORE this run overwrites it): the reference level for the
+    # transient-adjudication rerun below. Missing/corrupt file → no reruns.
+    detail_path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json"
+    )
+    prior_floors: dict[str, float] = {}
+    try:
+        with open(detail_path) as fh:
+            prior_floors = json.load(fh).get("queries", {}) or {}
+    except (OSError, ValueError):
+        pass
+
     timings: dict[str, float] = {}
     medians: dict[str, float] = {}
     all_trials: dict[str, list[float]] = {}
+    colds: dict[str, float] = {}
     for name in bench_queries:
         reset_session_state()
+        t0 = time.perf_counter()
         qs[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
+        # the untimed-for-stats warmup IS the cold-ish execution (fresh
+        # cache, fixture re-derivation, first codegen of the plan): record
+        # it separately so persist-heavy queries carry a cold number next
+        # to the warm floor (round-11 verdict #8; the warm-trial stats and
+        # the printed line are unchanged — this is an observation column)
+        colds[name] = round(time.perf_counter() - t0, 3)
         trials = []
         for _ in range(5):
             t0 = time.perf_counter()
@@ -205,6 +226,38 @@ def main() -> None:
         timings[name] = round(min(trials), 3)
         medians[name] = round(sorted(trials)[2], 3)
         all_trials[name] = [round(t, 3) for t in trials]
+
+    # Transient adjudication (round-11 verdict #2, procedural instead of
+    # narrative): any query whose ALL-TRIAL floor came out ≥2.5× its prior
+    # committed floor (and is ≥1 s, so sub-second jitter can't trigger it)
+    # gets one isolated calibrated rerun appended to the record — a
+    # co-load wave that straddled its five trials (the r11 q166/q264
+    # shape) is then diagnosable from the artifact alone. The primary
+    # stats and the printed line keep the main-sweep numbers.
+    reruns: dict[str, dict] = {}
+    flagged = [
+        n
+        for n in bench_queries
+        if timings[n] >= 1.0
+        and prior_floors.get(n)
+        and timings[n] >= 2.5 * prior_floors[n]
+    ]
+    for name in flagged:
+        reset_session_state()
+        calib = _run_calibration(spark, sf_dir)
+        reset_session_state()
+        qs[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
+        trials = []
+        for _ in range(5):
+            t0 = time.perf_counter()
+            qs[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
+            trials.append(round(time.perf_counter() - t0, 3))
+        reruns[name] = {
+            "prior_min": prior_floors[name],
+            "sweep_min": timings[name],
+            "rerun_trials": trials,
+            "rerun_calibration": calib,
+        }
 
     reset_session_state()
     calib_post = _run_calibration(spark, sf_dir)
@@ -227,9 +280,6 @@ def main() -> None:
     slowest = dict(
         sorted(timings.items(), key=lambda kv: kv[1], reverse=True)[:10]
     )
-    detail_path = os.path.join(
-        os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json"
-    )
     with open(detail_path, "w") as fh:
         json.dump(
             {
@@ -243,6 +293,8 @@ def main() -> None:
                 "queries": timings,
                 "queries_median": medians,
                 "queries_trials": all_trials,
+                "queries_cold_warmup": colds,
+                "reruns": reruns,
                 "calibration_trials_pre": calib_pre,
                 "calibration_trials_post": calib_post,
                 "provenance": provenance,
@@ -263,6 +315,9 @@ def main() -> None:
                 "n_queries": len(timings),
                 "calibration_median_pre": round(sorted(calib_pre)[2], 3),
                 "calibration_median_post": round(sorted(calib_post)[2], 3),
+                "reruns": {
+                    n: min(r["rerun_trials"]) for n, r in reruns.items()
+                },
                 "detail": "BENCH_DETAIL.json",
                 "sf": sf,
             },

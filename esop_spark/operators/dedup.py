@@ -841,6 +841,13 @@ def word_tf(
     )
 
 
+# vocab split width for weighted_jaccard_pairs' segment-mass prune: 4
+# contiguous ranges keeps the per-pair bound walk tiny (two higher-order
+# exprs over 4-element arrays — well inside whole-stage codegen) while
+# bounding Σmin far tighter than the scalar mass ratio
+_WJ_SEGMENTS = 4
+
+
 def weighted_jaccard_pairs(
     documents: DataFrame,
     threshold: float = 0.8,
@@ -944,6 +951,28 @@ def weighted_jaccard_pairs(
             lambda w: F.size(F.filter(F.col("words"), lambda x: x == w)),
         ).alias("tfv"),
     )
+    # Round 12 (guide §1.2 step 2): per-doc SEGMENT masses — the vocab
+    # split into _WJ_SEGMENTS contiguous ranges, each row carrying the tf
+    # sum per range. Σ_seg min(segA, segB) ≥ Σ_t min(tfA, tfB) bounds the
+    # pair's shared mass from above with a k-element walk instead of the
+    # V-element one, and is uniformly tighter than min(massA, massB)
+    # (the k=1 case), so it slots between the mass-ratio prune and the
+    # full zip_with fold as a second short-circuit conjunct.
+    seg_len = max(1, -(-len(vocab) // _WJ_SEGMENTS))
+    seg_starts = list(range(1, len(vocab) + 1, seg_len))
+    prep = prep.withColumn(
+        "segm",
+        F.array(
+            *[
+                F.aggregate(
+                    F.slice("tfv", s, seg_len),
+                    F.lit(0).cast("bigint"),
+                    lambda acc, x: acc + x,
+                )
+                for s in seg_starts
+            ]
+        ),
+    )
     # Round 11 (guide §5): prep (dense tf vectors — the expensive
     # per-vocab-word filter transform) feeds BOTH the broadcast side and
     # the streamed side; persist so it is computed once.
@@ -955,6 +984,20 @@ def weighted_jaccard_pairs(
     ratio_ok = F.least(F.col("a.mass"), F.col("b.mass")) >= F.lit(
         threshold * 0.999
     ) * F.greatest(F.col("a.mass"), F.col("b.mass"))
+    # segment-mass upper bound on the shared mass (see prep above):
+    # J_w ≤ U/(mass_a + mass_b − U) because J_w = S/(ma+mb−S) is
+    # increasing in S and S ≤ U. Same 0.999 slop convention as ratio_ok
+    # (a true pair has rounded ratio ≥ τ − 5e-7 > τ·0.999, so the prune
+    # can never drop one); the authoritative filter stays the rounded
+    # J_w ≥ threshold at the end.
+    seg_ub = F.aggregate(
+        F.zip_with(F.col("a.segm"), F.col("b.segm"), lambda x, y: F.least(x, y)),
+        F.lit(0).cast("bigint"),
+        lambda acc, x: acc + x,
+    )
+    seg_ok = seg_ub.cast("double") >= F.lit(threshold * 0.999) * (
+        F.col("a.mass") + F.col("b.mass") - seg_ub
+    )
     # Σmin over the dense vectors: one zip_with + integer fold per
     # surviving pair. Round 11 A/B: an UNROLLED flat sum of V
     # least(a[i], b[i]) getItem terms (no intermediate array) was
@@ -973,7 +1016,10 @@ def weighted_jaccard_pairs(
         shared.cast("double") / (F.col("a.mass") + F.col("b.mass") - shared), 6
     )
     return (
-        a.join(b, (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")) & ratio_ok)
+        a.join(
+            b,
+            (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")) & ratio_ok & seg_ok,
+        )
         .select(
             F.col(f"a.{id_col}").alias("id_a"),
             F.col(f"b.{id_col}").alias("id_b"),

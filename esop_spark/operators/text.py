@@ -64,13 +64,27 @@ def quality_score_col(
     stopwords: tuple[str, ...] = DEFAULT_STOPWORDS,
 ) -> Column:
     """The 0–100 quality score as a plain Column expression — composable
-    into any projection (release_gate, curate_stream) without a join."""
+    into any projection (release_gate, curate_stream) without a join.
+
+    INTEGER-EXACT (round 12, the q296 template): the score is
+    round-half-up of the exact rational p/q with p = 50·(n − stop + nd),
+    q = n — i.e. (2p + q) DIV (2q) in pure bigints — instead of rounding
+    the double 0.5·(1 − stop/n) + 0.5·nd/n. The r11 sf0.001 sweep showed
+    this formula's double path lands EXACTLY on a .5 milli boundary for
+    139 sf0.1 docs (7 of which the double path rounded differently from
+    the true rational), the same cross-engine divergence class q296 hit.
+    All oracle replicas carry the matching `(100*(n-stop+nd)+n) //
+    (2*n)` form. The DIV is computed as (a − pmod(a, b)) / b: the
+    numerator is exactly divisible, both operands are far below 2^53, so
+    the double division is exact; everything stays one scan-fused
+    projection (no plan change)."""
     toks = tokens(text_col)
-    n = F.size(toks)
-    stop = token_match_count(text_col, stopwords)
-    ttr = F.size(F.array_distinct(toks)).cast("double") / n
-    stop_ratio = stop.cast("double") / n
-    return F.round((0.5 * (1.0 - stop_ratio) + 0.5 * ttr) * 100).cast("bigint")
+    n = F.size(toks).cast("bigint")
+    stop = token_match_count(text_col, stopwords).cast("bigint")
+    nd = F.size(F.array_distinct(toks)).cast("bigint")
+    a = F.lit(100).cast("bigint") * (n - stop + nd) + n
+    b = F.lit(2).cast("bigint") * n
+    return F.when(n > 0, ((a - F.pmod(a, b)) / b).cast("bigint"))
 
 
 def quality_score(

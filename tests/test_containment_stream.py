@@ -93,7 +93,7 @@ def test_containment_replay_equals_batch(spark, tmp_path):
 
 def test_containment_incremental_restart(spark, tmp_path):
     """Second half arrives after the first availableNow query finished;
-    the restarted query resumes from the committed state snapshot and the
+    the restarted query resumes from the committed state tables and the
     union equals the batch set, still without duplicate emissions."""
     docs = _corpus(spark)
     expect = _batch_candidates(docs)
@@ -167,10 +167,11 @@ def test_containment_dead_shingle_bounds_state(spark, tmp_path):
 
 
 def test_containment_compaction_folds_and_prunes(spark, tmp_path):
-    """Three micro-batches with compact_every=2: a fold happens mid-stream;
-    pair parity with batch must survive the fold boundary, the folded
-    probe table must carry no tombstones, and retention must keep at most
-    two bases per table with no delta at or below the older one."""
+    """Three micro-batches with compact_every=2 (rotation period 2, so
+    every batch folds one key residue): pair parity with batch must
+    survive the fold boundaries, the folded probe table must carry no
+    tombstones, and retention must keep at most two bases PER RESIDUE
+    with no delta at or below every residue's fold floor."""
     docs = _corpus(spark)
     expect = _batch_candidates(docs)
     src, pairs, state, ckpt = _dirs(tmp_path)
@@ -190,7 +191,8 @@ def test_containment_compaction_folds_and_prunes(spark, tmp_path):
     got = {(r["id_a"], r["id_b"]) for r in out.collect()}
     assert got == expect
     assert out.count() == len(got)  # exactly-once survives the fold
-    for t in ("counts", "post", "probe", "pairs"):
+    period = 2
+    for t in ("counts", "shmeta", "post", "probe", "pairs"):
         assert os.path.isdir(f"{state}/{t}/base"), t
         bases = sorted(
             int(d[2:])
@@ -202,17 +204,36 @@ def test_containment_compaction_folds_and_prunes(spark, tmp_path):
             for d in os.listdir(f"{state}/{t}/delta")
             if d.startswith("v=")
         )
-        assert 1 <= len(bases) <= 2, t
-        if len(bases) == 2:
-            assert all(v > bases[0] for v in deltas), t
+        assert bases, t  # every batch folds one residue
+        per_residue: dict[int, list[int]] = {}
+        for v in bases:
+            per_residue.setdefault(v % period, []).append(v)
+        # retention keeps the newest base per residue plus at most the
+        # one a crash replay of the latest batch could still need
+        assert all(len(vs) <= 2 for vs in per_residue.values()), t
+        # every delta at or below the replay floor (min over residues of
+        # the newest base STRICTLY BELOW the last committed batch — what
+        # a crash replay of that batch would read) must be pruned
+        last = max(bases + deltas)
+        replay_floor = min(
+            max(
+                (v for v in bases if v % period == r and v < last),
+                default=-1,
+            )
+            for r in range(period)
+        )
+        assert all(v > replay_floor for v in deltas), t
     from esop_spark.streaming.containment_stream import read_containment_state
 
-    probe = read_containment_state(spark, state, "probe")
+    probe = read_containment_state(spark, state, "probe", compact_every=2)
     assert probe.filter(F.size("pids") == 0).count() == 0  # no tombstones
     # folded counts still hold every seen doc (the shingle-less tiny doc
     # included — counts doubles as the seen-doc set for redelivery no-ops)
     seen = {
-        r["did"] for r in read_containment_state(spark, state, "counts").collect()
+        r["did"]
+        for r in read_containment_state(
+            spark, state, "counts", compact_every=2
+        ).collect()
     }
     assert seen == {0, 1, 2, 3, 4, 5}
 
@@ -238,7 +259,7 @@ def test_containment_crash_replay_is_idempotent(spark, tmp_path):
             for r in spark.read.parquet(pairs).select("id_a", "id_b").collect()
         )
         tables = {}
-        for t in ("counts", "post", "probe", "pairs"):
+        for t in ("counts", "shmeta", "post", "probe", "pairs"):
             tables[t] = sorted(
                 map(str, spark.read.parquet(f"{state}/{t}/delta/v=0").collect())
             )
